@@ -1,0 +1,566 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.agg.Histogrammer
+import graft.weights.WeightBuilder
+
+/** Aggregation (A*), relational-misc (R*) and join (J*) operators of
+  * SURVEY.md §2.3–2.5, phrased over the TPC-H-ish test tables.
+  *
+  * Conventions (shared by every family):
+  *  - every computed floating column is cast to float32 in BOTH engines,
+  *    absorbing last-ulp double differences from summation order;
+  *  - deterministic ORDER BY with a unique tie-breaker on both sides;
+  *  - hyperbolics/buckets use the exact same expression text as the SQL.
+  */
+object RelationalQueries extends QueryFamily {
+
+  // ---- a01: per-group counts & sums (A1/A3; TPC-H Q1 shape) -------------
+  // reference: stage1/processor.py:252-257 (count selected objects per
+  // event), stage2/histogrammer.py:112-116 (weighted yields)
+  private def a01(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("float").as("sum_qty"),
+        sum(col("l_extendedprice")).cast("float").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("float").as("sum_disc_price"),
+        avg(col("l_discount")).cast("float").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val a01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(l_quantity) AS REAL) AS sum_qty,
+      | CAST(SUM(l_extendedprice) AS REAL) AS sum_base_price,
+      | CAST(SUM(l_extendedprice * (1.0 - l_discount)) AS REAL) AS sum_disc_price,
+      | CAST(AVG(l_discount) AS REAL) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- a02: per-group signed product (A2) -------------------------------
+  // reference: stage1/processor.py:260 (OS charge product),
+  // btag_weights.py:59-60 (per-event product of per-jet weights).
+  // exp(sum(ln)) decomposition; strictly positive inputs here.
+  private def a02(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(exp(sum(log(lit(1.0) - col("l_discount")))).cast("float").as("prod_disc"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("l_orderkey"))
+  }
+  private val a02Sql =
+    """SELECT l_orderkey,
+      | CAST(EXP(SUM(LN(1.0 - l_discount))) AS REAL) AS prod_disc,
+      | COUNT(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- a04: top-k row per group, k=2 (A4/A5) ----------------------------
+  // reference: stage1/processor.py:289-299 (mu1/mu2 extraction),
+  // :656-667 (two leading jets). Window row_number over (group, ordered).
+  private def a04(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    li.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("l_orderkey"), col("rank"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("rank"))
+  }
+  private val a04Sql =
+    """SELECT l_orderkey, rank, l_linenumber, l_extendedprice, l_quantity FROM (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+      |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |                     ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rank
+      | FROM lineitem) WHERE rank <= 2 ORDER BY l_orderkey, rank""".stripMargin
+
+  // ---- a06: quantile categorization (A6) --------------------------------
+  // reference: stage2/categorizer.py:26-36 (score quantiles -> category).
+  // ntile is deterministic under a total order in both engines.
+  private def a06(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)
+    ev.withColumn("cat", ntile(4).over(w))
+      .select(col("event_id"), col("event_type"), col("cat"))
+      .orderBy(col("event_id"))
+  }
+  private val a06Sql =
+    """SELECT event_id, event_type,
+      | NTILE(4) OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS cat
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- a07: cumulative weighted sum scan (A7) ---------------------------
+  // reference: stage2/categorizer.py:89-117 (cumsum of weights by
+  // descending score to find category boundaries).
+  private def a07(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("cum_wgt", sum(col("value")).over(w).cast("float"))
+      .select(col("event_id"), col("event_type"), col("cum_wgt"))
+      .orderBy(col("event_id"))
+  }
+  private val a07Sql =
+    """SELECT event_id, event_type,
+      | CAST(SUM(value) OVER (PARTITION BY event_type
+      |   ORDER BY value DESC, event_id ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS REAL) AS cum_wgt
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- a08: mean-normalization (A8) -------------------------------------
+  // reference: stage1/corrections/qgl_weights.py:11-13 (divide weight by
+  // its mean over a selected subset). Global scalar -> broadcast divide.
+  private def a08(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val sel = li.filter(col("l_quantity") > 25.0)
+      .withColumn("wgt", lit(1.0) + col("l_tax"))
+    val mean = sel.agg(avg(col("wgt")).as("mean_wgt"))
+    sel.crossJoin(broadcast(mean))
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("wgt") / col("mean_wgt")).cast("float").as("wgt_norm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private val a08Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST((1.0 + l_tax) / m.mean_wgt AS REAL) AS wgt_norm
+      |FROM lineitem CROSS JOIN
+      | (SELECT AVG(1.0 + l_tax) AS mean_wgt FROM lineitem WHERE l_quantity > 25.0) m
+      |WHERE l_quantity > 25.0 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- a09: spread of a weight vector (A9) ------------------------------
+  // reference: stage1/corrections/pdf_variations.py:21-28 (1 ± 2*std of
+  // replica weights).
+  private def a09(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    ev.groupBy(col("event_type"))
+      .agg((lit(1.0) + lit(2.0) * stddev_samp(col("value"))).cast("float").as("pdf_up"),
+           (lit(1.0) - lit(2.0) * stddev_samp(col("value"))).cast("float").as("pdf_down"))
+      .orderBy(col("event_type"))
+  }
+  private val a09Sql =
+    """SELECT event_type,
+      | CAST(1.0 + 2.0 * STDDEV_SAMP(value) AS REAL) AS pdf_up,
+      | CAST(1.0 - 2.0 * STDDEV_SAMP(value) AS REAL) AS pdf_down
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- a10: weighted histogram fill (A10) — THE flagship aggregation ----
+  // reference: stage2/histogrammer.py:10-133. groupBy(axes, bucket) with
+  // sum(w)/sum(w*w); map-side partial agg keeps the shuffle tiny at scale.
+  private val histLo = 0.0; private val histHi = 160.0; private val histN = 40
+  private def a10(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val mass = col("o_totalprice") % lit(160.0)
+    val region = graft.physics.Selections.regionLabel(mass)
+    val w = lit(1.0) + col("o_totalprice") / lit(1.0e6)
+    Histogrammer.histogram(
+      o.select(mass.as("mass"), region.as("region"), w.as("w")),
+      Seq(col("region")), col("mass"), col("w"), histLo, histHi, histN)
+      .orderBy(col("region"), col("bin"))
+  }
+  private val a10Sql = {
+    val mass = "(o_totalprice % 160.0)"
+    val region = regionCaseSql(mass)
+    val b = Histogrammer.bucketSql("mass", histLo, histHi, histN)
+    s"""SELECT region, $b AS bin,
+       | CAST(SUM(w) AS REAL) AS value, CAST(SUM(w * w) AS REAL) AS sumw2
+       |FROM (SELECT $mass AS mass, $region AS region,
+       |             1.0 + o_totalprice / 1.0e6 AS w FROM orders)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Region-label CASE shared with PhysicsQueries (p08). Mirrors
+    * Selections.regionLabel / stage1/processor.py:471-478. */
+  def regionCaseSql(m: String): String =
+    s"(CASE WHEN $m > 76.0 AND $m < 106.0 THEN 'z-peak' " +
+      s"WHEN ($m > 110.0 AND $m < 115.03) OR ($m > 135.03 AND $m < 150.0) THEN 'h-sidebands' " +
+      s"WHEN $m >= 115.03 AND $m <= 135.03 THEN 'h-peak' ELSE 'none' END)"
+
+  // ---- a11: histogram merge (A11) ---------------------------------------
+  // reference: stage3/make_templates.py:92-157 — merging partial
+  // histograms is just re-aggregating a union; oracle is the single-pass
+  // histogram, proving merge associativity.
+  private def a11(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val mass = col("o_totalprice") % lit(160.0)
+    val region = graft.physics.Selections.regionLabel(mass)
+    val w = lit(1.0) + col("o_totalprice") / lit(1.0e6)
+    val base = o.select(col("o_orderkey"), mass.as("mass"), region.as("region"), w.as("w"))
+    val half1 = base.filter(col("o_orderkey") % 2 === 0)
+    val half2 = base.filter(col("o_orderkey") % 2 =!= 0)
+    def partial(df: DataFrame) =
+      df.groupBy(col("region"), Histogrammer.bucket(col("mass"), histLo, histHi, histN).as("bin"))
+        .agg(sum(col("w")).as("value"), sum(col("w") * col("w")).as("sumw2"))
+    partial(half1).unionByName(partial(half2))
+      .groupBy(col("region"), col("bin"))
+      .agg(sum(col("value")).cast("float").as("value"),
+           sum(col("sumw2")).cast("float").as("sumw2"))
+      .orderBy(col("region"), col("bin"))
+  }
+  // same result as a single pass (values float-cast to absorb order)
+  private val a11Sql = a10Sql
+
+  // ---- a12: shape-only renormalization (A12) ----------------------------
+  // reference: stage3/make_templates.py:17-24,139-145 — scale a varied
+  // histogram so its integral matches nominal, per group.
+  private def a12(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val mass = col("o_totalprice") % lit(160.0)
+    val region = graft.physics.Selections.regionLabel(mass)
+    val wNom = lit(1.0) + col("o_totalprice") / lit(1.0e6)
+    val wVar = wNom * (lit(1.0) + (col("o_totalprice") % lit(7.0)) / lit(100.0))
+    val hist = o.select(mass.as("mass"), region.as("region"), wNom.as("wn"), wVar.as("wv"))
+      .groupBy(col("region"), Histogrammer.bucket(col("mass"), histLo, histHi, histN).as("bin"))
+      .agg(sum(col("wn")).as("nom"), sum(col("wv")).as("vr"))
+    val w = Window.partitionBy(col("region"))
+    hist.withColumn("scale", sum(col("nom")).over(w) / sum(col("vr")).over(w))
+      .select(col("region"), col("bin"),
+              (col("vr") * col("scale")).cast("float").as("renormed"))
+      .orderBy(col("region"), col("bin"))
+  }
+  private val a12Sql = {
+    val b = Histogrammer.bucketSql("mass", histLo, histHi, histN)
+    s"""SELECT region, bin,
+       | CAST(vr * (SUM(nom) OVER (PARTITION BY region) /
+       |            SUM(vr) OVER (PARTITION BY region)) AS REAL) AS renormed
+       |FROM (
+       | SELECT region, $b AS bin, SUM(wn) AS nom, SUM(wv) AS vr
+       | FROM (SELECT (o_totalprice % 160.0) AS mass,
+       |        ${regionCaseSql("(o_totalprice % 160.0)")} AS region,
+       |        1.0 + o_totalprice / 1.0e6 AS wn,
+       |        (1.0 + o_totalprice / 1.0e6) * (1.0 + (o_totalprice % 7.0) / 100.0) AS wv
+       |       FROM orders)
+       | GROUP BY 1, 2)
+       |ORDER BY region, bin""".stripMargin
+  }
+
+  // ---- a13: normalization-preserving reweight (A13) ---------------------
+  // reference: stage1/corrections/btag_weights.py:63-69 — scale = sum(w
+  // before)/sum(w*btag after), applied row-wise.
+  private def a13(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val w = lit(1.0) - col("l_discount")
+    val btag = lit(0.9) + col("l_quantity") / lit(500.0)
+    val base = li.select(col("l_orderkey"), col("l_linenumber"), w.as("w"), btag.as("btag"))
+    val scale = base.agg((sum(col("w")) / sum(col("w") * col("btag"))).as("scale"))
+    base.crossJoin(broadcast(scale))
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("w") * col("btag") * col("scale")).cast("float").as("wgt_btag_norm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private val a13Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST((1.0 - l_discount) * (0.9 + l_quantity / 500.0) * m.scale AS REAL) AS wgt_btag_norm
+      |FROM lineitem CROSS JOIN
+      | (SELECT SUM(1.0 - l_discount) /
+      |         SUM((1.0 - l_discount) * (0.9 + l_quantity / 500.0)) AS scale
+      |  FROM lineitem) m
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- a15: weight accumulator fold with variations (A15) ---------------
+  // reference: stage1/weights.py:11-71. One projection emits nominal +
+  // up/down/off columns — single codegen stage, no per-variation pass.
+  private def a15(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val wb = WeightBuilder()
+      .add("disc", lit(1.0) - col("l_discount"),
+           lit(1.0) - lit(0.95) * col("l_discount"),
+           lit(1.0) - lit(1.05) * col("l_discount"))
+      .add("tax", lit(1.0) + col("l_tax"),
+           lit(1.0) + lit(1.1) * col("l_tax"),
+           lit(1.0) + lit(0.9) * col("l_tax"))
+      .add("qty", lit(0.9) + col("l_quantity") / lit(500.0))
+    val named = wb.named.map { case (n, c) => c.cast("float").as(n) }
+    li.select((Seq(col("l_orderkey"), col("l_linenumber")) ++ named): _*)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private val a15Sql =
+    """SELECT l_orderkey, l_linenumber,
+      | CAST((1.0 - l_discount) * (1.0 + l_tax) * (0.9 + l_quantity / 500.0) AS REAL) AS wgt_nominal,
+      | CAST((1.0 + l_tax) * (0.9 + l_quantity / 500.0) * (1.0 - 0.95 * l_discount) AS REAL) AS wgt_disc_up,
+      | CAST((1.0 + l_tax) * (0.9 + l_quantity / 500.0) * (1.0 - 1.05 * l_discount) AS REAL) AS wgt_disc_down,
+      | CAST((1.0 + l_tax) * (0.9 + l_quantity / 500.0) AS REAL) AS wgt_disc_off,
+      | CAST((1.0 - l_discount) * (0.9 + l_quantity / 500.0) * (1.0 + 1.1 * l_tax) AS REAL) AS wgt_tax_up,
+      | CAST((1.0 - l_discount) * (0.9 + l_quantity / 500.0) * (1.0 + 0.9 * l_tax) AS REAL) AS wgt_tax_down,
+      | CAST((1.0 - l_discount) * (0.9 + l_quantity / 500.0) AS REAL) AS wgt_tax_off,
+      | CAST((1.0 - l_discount) * (1.0 + l_tax) AS REAL) AS wgt_qty_off
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- a16: yield-effect report (A16) -----------------------------------
+  // reference: stage1/weights.py:81-96 — % change of total yield with a
+  // weight on vs off.
+  private def a16(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val nom = (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))
+    val offDisc = lit(1.0) + col("l_tax")
+    val offTax = lit(1.0) - col("l_discount")
+    li.agg(
+      ((sum(nom) - sum(offDisc)) / sum(offDisc) * 100.0).cast("float").as("disc_effect_pct"),
+      ((sum(nom) - sum(offTax)) / sum(offTax) * 100.0).cast("float").as("tax_effect_pct"))
+  }
+  private val a16Sql =
+    """SELECT
+      | CAST((SUM((1.0 - l_discount) * (1.0 + l_tax)) - SUM(1.0 + l_tax))
+      |      / SUM(1.0 + l_tax) * 100.0 AS REAL) AS disc_effect_pct,
+      | CAST((SUM((1.0 - l_discount) * (1.0 + l_tax)) - SUM(1.0 - l_discount))
+      |      / SUM(1.0 - l_discount) * 100.0 AS REAL) AS tax_effect_pct
+      |FROM lineitem""".stripMargin
+
+  // ---- r02: global sort + top-N (R2) ------------------------------------
+  private def r02(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    o.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(100)
+  }
+  private val r02Sql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
+  // ---- r04: union / concat with missing columns (R4) --------------------
+  // reference: python/io.py:73 (dd.concat of per-file frames with
+  // heterogeneous schemas) -> unionByName(allowMissingColumns).
+  private def r04(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val p1 = ev.filter(col("event_type") === "click").select(col("event_id"), col("value"))
+    val p2 = ev.filter(col("event_type") === "error").select(col("event_id"), col("event_type"))
+    p1.unionByName(p2, allowMissingColumns = true).orderBy(col("event_id"))
+  }
+  private val r04Sql =
+    """SELECT event_id, value, NULL AS event_type FROM events WHERE event_type = 'click'
+      |UNION ALL
+      |SELECT event_id, NULL AS value, event_type FROM events WHERE event_type = 'error'
+      |ORDER BY event_id""".stripMargin
+
+  // ---- r05: distinct (R5) ------------------------------------------------
+  private def r05(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events").select(col("event_type")).distinct()
+      .orderBy(col("event_type"))
+  private val r05Sql =
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+  // ---- r07: deterministic drop-duplicates (R7) ---------------------------
+  // reference: stage1/processor.py:596-599 — dedup after variant fan-out.
+  // dropDuplicates keeps an arbitrary row; the deterministic form is a
+  // min-rank window, which is what we expose.
+  private def r07(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+    // (.., l_extendedprice) is — full tie-break keeps this deterministic.
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber").asc, col("l_extendedprice").asc)
+    li.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"))
+  }
+  private val r07Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |                     ORDER BY l_linenumber ASC, l_extendedprice ASC) AS rn
+      | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  // ---- r09: min-metric pick per group (R9) -------------------------------
+  // reference: stage3/fitter.py:42-44 (idxmin of chi2 per fit group).
+  private def r09(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value").asc, col("event_id").asc)
+    ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("event_type"))
+  }
+  private val r09Sql =
+    """SELECT event_type, event_id, value FROM (
+      | SELECT event_type, event_id, value,
+      |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rn
+      | FROM events) WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  // ---- j01: event-local index join via array element_at (J1/J2/J3) ------
+  // reference: stage1/corrections/fsr_recovery.py:6-13 — Muon.fsrPhotonIdx
+  // references the event-local photon list. Array form: collect the
+  // per-event collection once, element_at by index — zero shuffle beyond
+  // the initial groupBy, no N-way join.
+  private def j01(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val arr = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_extendedprice"))))
+             .as("items"))
+    arr.select(col("l_orderkey"),
+        element_at(col("items"), (pmod(col("l_orderkey"), size(col("items"))) + 1).cast("int"))
+          .getField("l_extendedprice").as("ref_price"),
+        size(col("items")).as("n_items"))
+      .orderBy(col("l_orderkey"))
+  }
+  private val j01Sql =
+    """SELECT l_orderkey,
+      | items[CAST(l_orderkey % len(items) AS BIGINT) + 1] AS ref_price,
+      | len(items) AS n_items
+      |FROM (SELECT l_orderkey,
+      |        LIST(l_extendedprice ORDER BY l_linenumber ASC, l_extendedprice ASC) AS items
+      |      FROM lineitem GROUP BY 1)
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ---- j04: theta-join cleaning / anti semi-join (J4, P6) ----------------
+  // reference: stage1/processor.py:561-577 — a jet is dirty if any
+  // selected muon lies within dR<0.4; keep clean jets (NOT EXISTS).
+  private def j04(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val jets = li.filter(col("l_quantity") >= 30.0)
+    val muons = li.filter(col("l_quantity") <= 5.0)
+      .select(col("l_orderkey").as("m_orderkey"), col("l_discount").as("m_discount"))
+    jets.join(muons,
+        jets("l_orderkey") === muons("m_orderkey") &&
+          abs(jets("l_discount") - muons("m_discount")) < 0.02,
+        "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private val j04Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem j
+      |WHERE l_quantity >= 30.0 AND NOT EXISTS (
+      | SELECT 1 FROM lineitem m WHERE m.l_orderkey = j.l_orderkey
+      |  AND m.l_quantity <= 5.0 AND ABS(j.l_discount - m.l_discount) < 0.02)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- j05: per-event cross-product isolation (J5) -----------------------
+  // reference: stage1/jets.py:181-244 — ak.cartesian(jets x leptons) per
+  // event; keep jets whose min distance to all leptons exceeds a cut.
+  private def j05(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val jets = li.filter(col("l_quantity") >= 30.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              (col("l_discount") * 40.0 - 2.0).as("eta"),
+              (col("l_tax") * 78.0 - 3.12).as("phi"))
+    val leps = li.filter(col("l_quantity") <= 5.0)
+      .select(col("l_orderkey").as("lo"), (col("l_discount") * 40.0 - 2.0).as("leta"),
+              (col("l_tax") * 78.0 - 3.12).as("lphi"))
+    import graft.physics.Kinematics._
+    jets.join(leps, jets("l_orderkey") === leps("lo"), "left")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(coalesce(min(deltaR(col("eta"), col("phi"), col("leta"), col("lphi"))), lit(999.0))
+             .cast("float").as("min_dr"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+  private val j05Sql = {
+    val de = "ABS(j.eta - l.leta)"
+    val dp = "ABS((((j.phi - l.lphi + PI()) % (2*PI())) + (2*PI())) % (2*PI()) - PI())"
+    s"""SELECT j.l_orderkey, j.l_linenumber,
+       | CAST(COALESCE(MIN(SQRT($de * $de + $dp * $dp)), 999.0) AS REAL) AS min_dr
+       |FROM (SELECT l_orderkey, l_linenumber, l_discount * 40.0 - 2.0 AS eta,
+       |             l_tax * 78.0 - 3.12 AS phi
+       |      FROM lineitem WHERE l_quantity >= 30.0) j
+       |LEFT JOIN (SELECT l_orderkey AS lo, l_discount * 40.0 - 2.0 AS leta,
+       |                  l_tax * 78.0 - 3.12 AS lphi
+       |           FROM lineitem WHERE l_quantity <= 5.0) l
+       |  ON j.l_orderkey = l.lo
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- j06: footprint match + aggregate (J6) -----------------------------
+  // reference: stage1/jets.py:247-289 — soft objects within a distance of
+  // any reference object are "footprint"; count and HT-sum them per event.
+  private def j06(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber").asc)
+    val refs = li.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select(col("l_orderkey").as("r_orderkey"), col("l_extendedprice").as("r_price"))
+    val soft = li.filter(col("l_quantity") < 10.0)
+    soft.join(refs,
+        soft("l_orderkey") === refs("r_orderkey") &&
+          abs(soft("l_extendedprice") - refs("r_price")) < 2000.0,
+        "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_footprint"),
+           sum(col("l_extendedprice")).cast("float").as("ht_footprint"))
+      .orderBy(col("l_orderkey"))
+  }
+  private val j06Sql =
+    """SELECT s.l_orderkey, COUNT(*) AS n_footprint,
+      | CAST(SUM(s.l_extendedprice) AS REAL) AS ht_footprint
+      |FROM (SELECT * FROM lineitem WHERE l_quantity < 10.0) s
+      |WHERE EXISTS (
+      | SELECT 1 FROM (
+      |   SELECT l_orderkey, l_extendedprice,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |                       ORDER BY l_extendedprice DESC, l_linenumber ASC) AS rn
+      |   FROM lineitem) r
+      | WHERE r.rn <= 2 AND r.l_orderkey = s.l_orderkey
+      |   AND ABS(s.l_extendedprice - r.l_extendedprice) < 2000.0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- j08: broadcast dimension joins (J8) -------------------------------
+  // reference: config/cross_sections.py + run_stage3.py:66-95 — dataset ->
+  // xsec/group lookups; here lineitem -> part -> (brand grouping).
+  private def j08(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val p = rd(s, dir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("l_quantity")).cast("float").as("sum_qty"),
+           sum(col("l_extendedprice") * col("p_retailprice")).cast("float").as("weighted"))
+      .orderBy(col("p_brand"))
+  }
+  private val j08Sql =
+    """SELECT p_brand, COUNT(*) AS n,
+      | CAST(SUM(l_quantity) AS REAL) AS sum_qty,
+      | CAST(SUM(l_extendedprice * p_retailprice) AS REAL) AS weighted
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_group_sums" -> (a01 _),
+    "a02_group_product" -> (a02 _),
+    "a04_topk_per_group" -> (a04 _),
+    "a06_quantile_cat" -> (a06 _),
+    "a07_cumsum_window" -> (a07 _),
+    "a08_mean_norm" -> (a08 _),
+    "a09_weight_spread" -> (a09 _),
+    "a10_weighted_histogram" -> (a10 _),
+    "a11_hist_merge" -> (a11 _),
+    "a12_shape_renorm" -> (a12 _),
+    "a13_norm_preserving" -> (a13 _),
+    "a15_weight_variations" -> (a15 _),
+    "a16_yield_report" -> (a16 _),
+    "r02_sort_topn" -> (r02 _),
+    "r04_union_missing_cols" -> (r04 _),
+    "r05_distinct" -> (r05 _),
+    "r07_dedup_deterministic" -> (r07 _),
+    "r09_argmin_per_group" -> (r09 _),
+    "j01_index_join_array" -> (j01 _),
+    "j04_cleaning_antijoin" -> (j04 _),
+    "j05_isolation_crossjoin" -> (j05 _),
+    "j06_footprint_semijoin" -> (j06 _),
+    "j08_broadcast_dim_join" -> (j08 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a01_group_sums" -> a01Sql,
+    "a02_group_product" -> a02Sql,
+    "a04_topk_per_group" -> a04Sql,
+    "a06_quantile_cat" -> a06Sql,
+    "a07_cumsum_window" -> a07Sql,
+    "a08_mean_norm" -> a08Sql,
+    "a09_weight_spread" -> a09Sql,
+    "a10_weighted_histogram" -> a10Sql,
+    "a11_hist_merge" -> a11Sql,
+    "a12_shape_renorm" -> a12Sql,
+    "a13_norm_preserving" -> a13Sql,
+    "a15_weight_variations" -> a15Sql,
+    "a16_yield_report" -> a16Sql,
+    "r02_sort_topn" -> r02Sql,
+    "r04_union_missing_cols" -> r04Sql,
+    "r05_distinct" -> r05Sql,
+    "r07_dedup_deterministic" -> r07Sql,
+    "r09_argmin_per_group" -> r09Sql,
+    "j01_index_join_array" -> j01Sql,
+    "j04_cleaning_antijoin" -> j04Sql,
+    "j05_isolation_crossjoin" -> j05Sql,
+    "j06_footprint_semijoin" -> j06Sql,
+    "j08_broadcast_dim_join" -> j08Sql
+  )
+}
