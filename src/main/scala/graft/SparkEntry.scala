@@ -15,7 +15,8 @@ object SparkEntry {
 
   /** All registered query families. Order irrelevant (keys are unique). */
   private val families: Seq[QueryFamily] = Seq(
-    RelationalQueries
+    RelationalQueries,
+    PhysicsQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →
