@@ -16,7 +16,9 @@ object SparkEntry {
   /** All registered query families. Order irrelevant (keys are unique). */
   private val families: Seq[QueryFamily] = Seq(
     RelationalQueries,
-    PhysicsQueries
+    PhysicsQueries,
+    LookupQueries,
+    MLQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lookup.BinnedLookup._
+
+/** Binned-lookup / correction-factor operators (SURVEY.md §2.3 L1–L6).
+  *
+  * Every lookup table is tiny (10s of rows) and deterministic, so each
+  * evaluation is a `broadcast()` range join — the event side never
+  * shuffles, and Catalyst folds the join into the scan stage. The DuckDB
+  * oracle gets the same table as a VALUES list.
+  */
+object LookupQueries extends QueryFamily {
+
+  // ---- l01: 1-D binned SF lookup (L1, pileup-style) ----------------------
+  // reference: stage1/corrections/pu_reweight.py:9-27,75-85 — dense_lookup
+  // of an event scalar in a 1-D binned table.
+  private val puBins: Seq[Bin1D] = (0 until 20).map { i =>
+    Bin1D(i * 25.0, (i + 1) * 25.0, 1.0 + ((i * 7) % 13 - 6) / 100.0)
+  }
+  private def l01(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val bins = bins1DF(s, puBins)
+    join1D(ev, bins, col("value"))
+      .select(col("event_id"),
+        coalesce(col("sf"), lit(1.0)).cast("float").as("pu_wgt"))
+      .orderBy(col("event_id"))
+  }
+  private val l01Sql =
+    s"""SELECT event_id,
+       | CAST(COALESCE(sfb.sf, 1.0) AS REAL) AS pu_wgt
+       |FROM events LEFT JOIN ${bins1Sql(puBins)}
+       |  ON value >= sfb.lo AND value < sfb.hi
+       |ORDER BY event_id""".stripMargin
+
+  // ---- l02: 2-D binned SF lookup (L1, lepton-SF-style) -------------------
+  // reference: stage1/corrections/lepton_sf.py:57-76 — SF(pt, |eta|) from
+  // a 2-D histogram; out-of-range rows keep SF=1.
+  private val lepBins: Seq[Bin2D] = for {
+    (xlo, xhi, i) <- Seq((0.0, 20.0, 0), (20.0, 30.0, 1), (30.0, 50.0, 2), (50.0, 200.0, 3))
+    (ylo, yhi, j) <- Seq((0.0, 0.9, 0), (0.9, 1.7, 1), (1.7, 2.4, 2))
+  } yield Bin2D(xlo, xhi, ylo, yhi, 0.95 + (i * 3 + j) / 100.0)
+  private def l02(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val withKin = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"),
+      (col("l_extendedprice") / lit(1000.0)).as("pt"),
+      abs(col("l_discount") * 40.0 - 2.0).as("abseta"))
+    join2D(withKin, bins2DF(s, lepBins), col("pt"), col("abseta"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        coalesce(col("sf"), lit(1.0)).cast("float").as("id_sf"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private val l02Sql =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
+       | CAST(COALESCE(sfb.sf, 1.0) AS REAL) AS id_sf
+       |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |        l_extendedprice / 1000.0 AS pt,
+       |        ABS(l_discount * 40.0 - 2.0) AS abseta
+       |      FROM lineitem) li
+       |LEFT JOIN ${bins2Sql(lepBins)}
+       |  ON pt >= sfb.xlo AND pt < sfb.xhi AND abseta >= sfb.ylo AND abseta < sfb.yhi
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- l03: piecewise-linear interpolation (L2, np.interp) ---------------
+  // reference: stage1/corrections/nnlops.py:25-59 — interp over an (x,y)
+  // graph with input clipped to the graph range.
+  private val interpNodes: Seq[Node] =
+    (0 to 10).map(i => Node(i * 50.0, 1.0 + math.sin(i * 0.7) / 10.0))
+  private def l03(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val xMin = interpNodes.head.x; val xMax = interpNodes.last.x
+    val xc = least(greatest(col("value"), lit(xMin)), lit(xMax))
+    val segs = segmentsDF(s, interpNodes)
+    ev.join(broadcast(segs),
+        xc >= col("x0") && (xc < col("x1") || col("x1") === lit(xMax) && xc === lit(xMax)),
+        "inner")
+      .select(col("event_id"), interp(xc).cast("float").as("nnlops_wgt"))
+      .orderBy(col("event_id"))
+  }
+  private val l03Sql = {
+    val xMax = interpNodes.last.x
+    val xc = s"LEAST(GREATEST(value, ${interpNodes.head.x}), $xMax)"
+    s"""SELECT event_id,
+       | CAST(seg.y0 + ($xc - seg.x0) * (seg.y1 - seg.y0) / (seg.x1 - seg.x0) AS REAL) AS nnlops_wgt
+       |FROM events JOIN ${segmentsSql(interpNodes)}
+       |  ON $xc >= seg.x0 AND ($xc < seg.x1 OR (seg.x1 = $xMax AND $xc = $xMax))
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ---- l04: multi-level JEC chain with uncertainty variants (L4) ---------
+  // reference: stage1/corrections/jec.py:6-181 — cascaded multiplicative
+  // corrections keyed by (pt, eta); uncertainty sources emit _up/_down
+  // columns of the same collection, NOT copies of the table.
+  private val jecL1: Seq[Bin1D] = (0 until 10).map { i =>
+    Bin1D(i * 11.0, (i + 1) * 11.0, 1.0 + (9 - i) / 50.0)
+  }
+  private val jecL2: Seq[Bin1D] = Seq(
+    Bin1D(0.0, 1.3, 1.01), Bin1D(1.3, 2.5, 1.03), Bin1D(2.5, 5.0, 1.08))
+  private val jecUnc: Seq[Bin1D] = Seq(
+    Bin1D(0.0, 30.0, 0.05), Bin1D(30.0, 60.0, 0.02), Bin1D(60.0, 110.0, 0.01))
+  private def l04(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+      (col("l_extendedprice") / lit(1000.0)).as("pt_raw"),
+      abs(col("l_discount") * 94.0 - 4.7).as("abseta"))
+    val j1 = base.join(broadcast(bins1DF(s, jecL1).withColumnRenamed("sf", "sf1")),
+      col("pt_raw") >= col("lo") && col("pt_raw") < col("hi"), "left")
+      .drop("lo", "hi")
+    val j2 = j1.join(broadcast(bins1DF(s, jecL2).withColumnRenamed("sf", "sf2")),
+      col("abseta") >= col("lo") && col("abseta") < col("hi"), "left")
+      .drop("lo", "hi")
+    val ptJec = col("pt_raw") * coalesce(col("sf1"), lit(1.0)) * coalesce(col("sf2"), lit(1.0))
+    val j3 = j2.withColumn("pt_jec", ptJec)
+      .join(broadcast(bins1DF(s, jecUnc).withColumnRenamed("sf", "unc")),
+        col("pt_jec") >= col("lo") && col("pt_jec") < col("hi"), "left")
+    j3.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("pt_jec").cast("float").as("pt_jec"),
+        (col("pt_jec") * (lit(1.0) + coalesce(col("unc"), lit(0.0)))).cast("float").as("pt_jec_up"),
+        (col("pt_jec") * (lit(1.0) - coalesce(col("unc"), lit(0.0)))).cast("float").as("pt_jec_down"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private val l04Sql =
+    s"""WITH base AS (
+       | SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |   l_extendedprice / 1000.0 AS pt_raw,
+       |   ABS(l_discount * 94.0 - 4.7) AS abseta
+       | FROM lineitem),
+       |j AS (
+       | SELECT b.*,
+       |   b.pt_raw * COALESCE(s1.sf, 1.0) * COALESCE(s2.sf, 1.0) AS pt_jec
+       | FROM base b
+       | LEFT JOIN ${bins1Sql(jecL1).replace("sfb", "s1")}
+       |   ON b.pt_raw >= s1.lo AND b.pt_raw < s1.hi
+       | LEFT JOIN ${bins1Sql(jecL2).replace("sfb", "s2")}
+       |   ON b.abseta >= s2.lo AND b.abseta < s2.hi)
+       |SELECT l_orderkey, l_linenumber, l_extendedprice,
+       | CAST(pt_jec AS REAL) AS pt_jec,
+       | CAST(pt_jec * (1.0 + COALESCE(u.sf, 0.0)) AS REAL) AS pt_jec_up,
+       | CAST(pt_jec * (1.0 - COALESCE(u.sf, 0.0)) AS REAL) AS pt_jec_down
+       |FROM j LEFT JOIN ${bins1Sql(jecUnc).replace("sfb", "u")}
+       |  ON pt_jec >= u.lo AND pt_jec < u.hi
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- l05: per-flavor piecewise polynomial SF (L5, btag-style) ----------
+  // reference: stage1/corrections/btag_weights.py:4-61 — SF = poly(x)
+  // selected by flavor class; Horner form, no lookup join needed.
+  private def l05(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val x = col("l_discount") * 10.0
+    val flavor = col("l_linenumber") % 3
+    val sf = when(flavor === 0, lit(0.98) + x * (lit(0.01) + x * lit(-0.005)))
+      .when(flavor === 1, lit(0.95) + x * (lit(0.03) + x * lit(-0.01)))
+      .otherwise(lit(0.90) + x * (lit(0.08) + x * (lit(-0.02) + x * lit(0.001))))
+    li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        sf.cast("float").as("btag_sf"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private val l05Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice,
+      | CAST(CASE
+      |  WHEN l_linenumber % 3 = 0 THEN 0.98 + (l_discount * 10.0) * (0.01 + (l_discount * 10.0) * -0.005)
+      |  WHEN l_linenumber % 3 = 1 THEN 0.95 + (l_discount * 10.0) * (0.03 + (l_discount * 10.0) * -0.01)
+      |  ELSE 0.90 + (l_discount * 10.0) * (0.08 + (l_discount * 10.0) * (-0.02 + (l_discount * 10.0) * 0.001))
+      | END AS REAL) AS btag_sf
+      |FROM lineitem ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- l06: mean-normalized per-flavor polynomial (L6, qgl-style) --------
+  // reference: stage1/corrections/qgl_weights.py:21-64 + :11-13 — deg-3
+  // Horner polynomial by parton flavor, then divide by the selected mean.
+  private def l06(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val qgl = col("l_tax") * 12.5 // in [0, 1]
+    val isGluon = col("l_partkey") % 2 === 0
+    val wgt = when(isGluon,
+        lit(1.16636) + qgl * (lit(-0.84802) + qgl * (lit(1.49409) + qgl * lit(-0.50628))))
+      .otherwise(
+        lit(-0.666978) + qgl * (lit(3.42169) + qgl * (lit(-2.06826) + qgl * lit(0.42211))))
+    val base = li.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"), wgt.as("qgl_wgt"))
+    val mean = base.agg(avg(col("qgl_wgt")).as("mean_wgt"))
+    base.crossJoin(broadcast(mean))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        (col("qgl_wgt") / col("mean_wgt")).cast("float").as("qgl_wgt_norm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private val l06Sql =
+    """WITH base AS (
+      | SELECT l_orderkey, l_linenumber, l_extendedprice,
+      |  CASE WHEN l_partkey % 2 = 0
+      |   THEN 1.16636 + (l_tax * 12.5) * (-0.84802 + (l_tax * 12.5) * (1.49409 + (l_tax * 12.5) * -0.50628))
+      |   ELSE -0.666978 + (l_tax * 12.5) * (3.42169 + (l_tax * 12.5) * (-2.06826 + (l_tax * 12.5) * 0.42211))
+      |  END AS qgl_wgt
+      | FROM lineitem)
+      |SELECT l_orderkey, l_linenumber, l_extendedprice,
+      | CAST(qgl_wgt / (SELECT AVG(qgl_wgt) FROM base) AS REAL) AS qgl_wgt_norm
+      |FROM base ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- l07: Rochester-style branched correction (L3) ---------------------
+  // reference: stage1/corrections/rochester.py:5-64 — data rows get a
+  // binned kScale; gen-matched MC rows get kSpread(pt_gen/pt); the rest
+  // get kSmear with a random draw. The reference's unseeded np.random is
+  // a reproducibility hazard (SURVEY §7.4); here the draw is a
+  // deterministic multiplicative hash of the row key so both engines —
+  // and any two cluster runs — agree bit-for-bit.
+  private val kScaleBins: Seq[Bin1D] = Seq(
+    Bin1D(0.0, 0.9, 1.0002), Bin1D(0.9, 1.7, 0.9995), Bin1D(1.7, 2.4, 1.0008))
+  private def l07(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+      (col("l_extendedprice") / lit(1000.0)).as("pt"),
+      abs(col("l_discount") * 40.0 - 2.0).as("abseta"),
+      (col("l_orderkey") % 5 === 0).as("is_data"),
+      (col("l_linenumber") % 2 === 0).as("has_gen"),
+      ((col("l_orderkey") * 2654435761L + col("l_linenumber") * 40503L) % 10000 / lit(10000.0)).as("u"))
+    val joined = base.join(broadcast(bins1DF(s, kScaleBins)),
+      col("abseta") >= col("lo") && col("abseta") < col("hi"), "left")
+    val kScale = coalesce(col("sf"), lit(1.0))
+    val kSpread = lit(1.0) + (col("pt") % 2.0 - 1.0) / 1000.0
+    val kSmear = lit(1.0) + (col("u") - 0.5) / 500.0
+    joined.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        when(col("is_data"), kScale)
+          .when(col("has_gen"), kSpread)
+          .otherwise(kSmear).cast("float").as("roccor"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private val l07Sql =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
+       | CAST(CASE
+       |  WHEN l_orderkey % 5 = 0 THEN COALESCE(sfb.sf, 1.0)
+       |  WHEN l_linenumber % 2 = 0 THEN 1.0 + ((l_extendedprice / 1000.0) % 2.0 - 1.0) / 1000.0
+       |  ELSE 1.0 + (((l_orderkey * 2654435761 + l_linenumber * 40503) % 10000) / 10000.0 - 0.5) / 500.0
+       | END AS REAL) AS roccor
+       |FROM lineitem LEFT JOIN ${bins1Sql(kScaleBins)}
+       |  ON ABS(l_discount * 40.0 - 2.0) >= sfb.lo AND ABS(l_discount * 40.0 - 2.0) < sfb.hi
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l01_binned_1d" -> (l01 _),
+    "l02_binned_2d" -> (l02 _),
+    "l03_interp_linear" -> (l03 _),
+    "l04_jec_chain" -> (l04 _),
+    "l05_flavor_poly" -> (l05 _),
+    "l06_qgl_norm_poly" -> (l06 _),
+    "l07_rochester_branch" -> (l07 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "l01_binned_1d" -> l01Sql,
+    "l02_binned_2d" -> l02Sql,
+    "l03_interp_linear" -> l03Sql,
+    "l04_jec_chain" -> l04Sql,
+    "l05_flavor_poly" -> l05Sql,
+    "l06_qgl_norm_poly" -> l06Sql,
+    "l07_rochester_branch" -> l07Sql
+  )
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ML-inference operators (SURVEY.md §2.6 M1–M4) as pure column math.
+  *
+  * The reference evaluates a PyTorch MLP and an XGBoost BDT inside Dask
+  * workers (`stage2/mva_evaluators.py`). In eval mode both are
+  * deterministic closed-form functions of the features, so the Spark-first
+  * form is a codegen'd expression tree with the (tiny) weight matrices
+  * inlined as literals — no model runtime, no UDF, fully vectorized, and
+  * the DuckDB oracle can evaluate the identical math. At 100 TB this is
+  * the fastest possible inference path: zero per-row interpreter overhead,
+  * whole-stage codegen, no shuffle.
+  */
+object MLQueries extends QueryFamily {
+
+  // Deterministic "trained" weights — same literals on both engines.
+  private val nIn = 4; private val nHid = 3
+  private val w1: Array[Array[Double]] =
+    Array.tabulate(nIn, nHid)((i, j) => math.sin(i * 3.0 + j * 7.0) / 2.0)
+  private val b1: Array[Double] = Array.tabulate(nHid)(j => math.cos(j * 1.3) / 4.0)
+  private val w2: Array[Double] = Array.tabulate(nHid)(j => math.sin(j * 2.1 + 0.5))
+  private val b2: Double = 0.1
+  // Feature standardization (M2): stored scaler constants.
+  private val mu = Array(0.5, 0.5, 0.5, 0.5)
+  private val sig = Array(0.29, 0.29, 0.29, 0.29)
+
+  // Shared feature derivation (events table), pre-standardization.
+  private def rawFeatures: Seq[Column] = Seq(
+    (col("value") / lit(490.02)).as("f0"),
+    ((col("event_id") % 100) / lit(100.0)).as("f1"),
+    ((col("user_id") % 150) / lit(150.0)).as("f2"),
+    (col("value") % 1.0).as("f3"))
+  private val rawFeaturesSql =
+    """value / 490.02 AS f0,
+      | (event_id % 100) / 100.0 AS f1,
+      | (user_id % 150) / 150.0 AS f2,
+      | (value % 1.0) AS f3""".stripMargin
+
+  private def tanhC(x: Column): Column = {
+    val e = exp(x * lit(2.0)); (e - lit(1.0)) / (e + lit(1.0))
+  }
+  private def tanhS(x: String) =
+    s"((EXP(($x) * 2.0) - 1.0) / (EXP(($x) * 2.0) + 1.0))"
+
+  // ---- m01: k-fold routing by event id (M1) ------------------------------
+  // reference: stage2/mva_evaluators.py:154-160 — event % 4 selects which
+  // fold's model scores the row (train/eval separation).
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val fold = col("event_id") % 4
+    // per-fold "models": distinct linear scorers
+    val score = when(fold === 0, col("value") * 0.9 + 1.0)
+      .when(fold === 1, col("value") * 1.1 - 2.0)
+      .when(fold === 2, col("value") * 0.95 + 0.5)
+      .otherwise(col("value") * 1.05 - 1.0)
+    ev.select(col("event_id"), fold.as("fold"), score.cast("float").as("score"))
+      .orderBy(col("event_id"))
+  }
+  private val m01Sql =
+    """SELECT event_id, event_id % 4 AS fold,
+      | CAST(CASE WHEN event_id % 4 = 0 THEN value * 0.9 + 1.0
+      |      WHEN event_id % 4 = 1 THEN value * 1.1 - 2.0
+      |      WHEN event_id % 4 = 2 THEN value * 0.95 + 0.5
+      |      ELSE value * 1.05 - 1.0 END AS REAL) AS score
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- m02: feature preparation (M2) -------------------------------------
+  // reference: stage2/mva_evaluators.py:70-84,166-173 — variation-column
+  // fallback, mass masking outside the signal region, standardization
+  // with stored scalers, sentinel fill.
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    // "value_var" exists only for some rows -> fallback to value
+    val valueVar = when(col("event_type") === "purchase", col("value") * 1.02)
+    val feat = coalesce(valueVar, col("value"))
+    val mass = col("value") % 160.0
+    val masked = when(mass >= 115.03 && mass <= 135.03, mass).otherwise(125.0)
+    val std = (feat - lit(100.0)) / lit(50.0)
+    ev.select(col("event_id"),
+        masked.cast("float").as("mass_masked"),
+        std.cast("float").as("feat_std"),
+        coalesce(when(col("value") > 50.0, std), lit(-99.0)).cast("float").as("feat_filled"))
+      .orderBy(col("event_id"))
+  }
+  private val m02Sql =
+    """SELECT event_id,
+      | CAST(CASE WHEN (value % 160.0) >= 115.03 AND (value % 160.0) <= 135.03
+      |      THEN (value % 160.0) ELSE 125.0 END AS REAL) AS mass_masked,
+      | CAST((COALESCE(CASE WHEN event_type = 'purchase' THEN value * 1.02 END, value) - 100.0) / 50.0 AS REAL) AS feat_std,
+      | CAST(COALESCE(CASE WHEN value > 50.0
+      |      THEN (COALESCE(CASE WHEN event_type = 'purchase' THEN value * 1.02 END, value) - 100.0) / 50.0
+      |      END, -99.0) AS REAL) AS feat_filled
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- m03: MLP forward pass (M3) ----------------------------------------
+  // reference: stage2/mva_evaluators.py:141-195, mva_models.py:6-39 —
+  // tanh MLP + sigmoid out + arctanh. BatchNorm in eval mode is an affine
+  // transform, folded into the standardization constants here.
+  private def m03(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val feats = ev.select((col("event_id") +: rawFeatures): _*)
+    val x = (0 until nIn).map(i => (col(s"f$i") - lit(mu(i))) / lit(sig(i)))
+    val h = (0 until nHid).map { j =>
+      val z = (0 until nIn).map(i => x(i) * lit(w1(i)(j)))
+        .reduce(_ + _) + lit(b1(j))
+      tanhC(z)
+    }
+    val out = (0 until nHid).map(j => h(j) * lit(w2(j))).reduce(_ + _) + lit(b2)
+    val sigm = lit(1.0) / (lit(1.0) + exp(negate(out)))
+    val atanhScore = lit(0.5) * log((lit(1.0) + sigm) / (lit(1.0) - sigm))
+    feats.select(col("event_id"),
+        sigm.cast("float").as("dnn_score"),
+        atanhScore.cast("float").as("dnn_score_atanh"))
+      .orderBy(col("event_id"))
+  }
+  private val m03Sql = {
+    val x = (0 until nIn).map(i => s"((f$i - ${mu(i)}) / ${sig(i)})")
+    val h = (0 until nHid).map { j =>
+      val z = (0 until nIn).map(i => s"${x(i)} * ${w1(i)(j)}").mkString(" + ") + s" + ${b1(j)}"
+      tanhS(z)
+    }
+    val out = (0 until nHid).map(j => s"${h(j)} * ${w2(j)}").mkString(" + ") + s" + $b2"
+    val sigm = s"(1.0 / (1.0 + EXP(-($out))))"
+    s"""SELECT event_id,
+       | CAST($sigm AS REAL) AS dnn_score,
+       | CAST(0.5 * LN((1.0 + $sigm) / (1.0 - $sigm)) AS REAL) AS dnn_score_atanh
+       |FROM (SELECT event_id, $rawFeaturesSql FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ---- m04: tree-ensemble scorer (M4) ------------------------------------
+  // reference: stage2/mva_evaluators.py:326-369 — BDT predict_proba.
+  // A boosted ensemble in eval mode is a sum of leaf weights -> sigmoid;
+  // each depth-2 tree is a nested CASE, fully codegen-friendly.
+  private def m04(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val feats = ev.select((col("event_id") +: rawFeatures): _*)
+    def tree(f1c: Column, t1: Double, f2c: Column, t2: Double,
+             ll: Double, lr: Double, rl: Double, rr: Double): Column =
+      when(f1c < t1, when(f2c < t2, ll).otherwise(lr))
+        .otherwise(when(f2c < t2, rl).otherwise(rr))
+    val sumLeaf = tree(col("f0"), 0.5, col("f1"), 0.3, -0.2, 0.1, 0.05, 0.3) +
+      tree(col("f2"), 0.6, col("f3"), 0.5, -0.15, 0.02, 0.1, 0.25) +
+      tree(col("f1"), 0.4, col("f0"), 0.7, -0.1, 0.12, -0.02, 0.2)
+    val proba = lit(1.0) / (lit(1.0) + exp(negate(sumLeaf)))
+    feats.select(col("event_id"), proba.cast("float").as("bdt_score"))
+      .orderBy(col("event_id"))
+  }
+  private val m04Sql = {
+    def tree(f1: String, t1: Double, f2: String, t2: Double,
+             ll: Double, lr: Double, rl: Double, rr: Double): String =
+      s"(CASE WHEN $f1 < $t1 THEN (CASE WHEN $f2 < $t2 THEN $ll ELSE $lr END)" +
+        s" ELSE (CASE WHEN $f2 < $t2 THEN $rl ELSE $rr END) END)"
+    val sumLeaf = Seq(
+      tree("f0", 0.5, "f1", 0.3, -0.2, 0.1, 0.05, 0.3),
+      tree("f2", 0.6, "f3", 0.5, -0.15, 0.02, 0.1, 0.25),
+      tree("f1", 0.4, "f0", 0.7, -0.1, 0.12, -0.02, 0.2)).mkString(" + ")
+    s"""SELECT event_id,
+       | CAST(1.0 / (1.0 + EXP(-($sumLeaf))) AS REAL) AS bdt_score
+       |FROM (SELECT event_id, $rawFeaturesSql FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_fold_split" -> (m01 _),
+    "m02_feature_prep" -> (m02 _),
+    "m03_mlp_forward" -> (m03 _),
+    "m04_tree_ensemble" -> (m04 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m01_fold_split" -> m01Sql,
+    "m02_feature_prep" -> m02Sql,
+    "m03_mlp_forward" -> m03Sql,
+    "m04_tree_ensemble" -> m04Sql
+  )
+}
