@@ -18,7 +18,9 @@ object SparkEntry {
     RelationalQueries,
     PhysicsQueries,
     LookupQueries,
-    MLQueries
+    MLQueries,
+    TextQueries,
+    DedupQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

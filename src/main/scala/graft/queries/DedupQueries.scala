@@ -1,0 +1,229 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines over `documents`
+  * and `embeddings`: exact, shingle-Jaccard, MinHash+LSH banding, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design: every pairwise comparison is blocked — by content hash
+  * (exact), length bucket (Jaccard), LSH band value (MinHash), signature
+  * (SimHash) or label (embedding) — so the quadratic blow-up is bounded
+  * per block and the join is a plain shuffled equi-join on the block key.
+  * Signatures are computed with array HOFs in one projection (no explode
+  * until the band join), so at 100 TB the only shuffle is the band-key
+  * join, whose cardinality is O(docs x bands), not O(docs^2).
+  *
+  * Shingles are character 5-grams: the synthetic corpus draws from a
+  * ~31-word vocabulary, making word-SET similarity degenerate (median
+  * pair Jaccard 0.62); 5-gram sets preserve sequence information
+  * (median 0.18), which is also why real pipelines (GPT-3, Gopher,
+  * RefinedWeb) shingle n-grams rather than unigrams.
+  */
+object DedupQueries extends QueryFamily {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Portable 60-bit hash reduced mod P: both engines read the same
+    * 15 hex chars of md5. Spark: conv(hex,16,10); DuckDB: 0x-cast. */
+  private val hashSpark = s"CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) % $P"
+  private def hashDuck(w: String) = s"(CAST('0x' || substr(md5($w), 1, 15) AS BIGINT) % $P)"
+
+  /** Distinct character-5-gram shingle set. */
+  private val shinglesSpark =
+    "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
+  private val shinglesDuck =
+    "list_distinct(list_transform(generate_series(1, length(text) - 4), i -> substr(text, i, 5)))"
+
+  // ---- d01: exact dedup by content hash ----------------------------------
+  // Hash-groupBy: one shuffle keyed by digest, map-side partial agg.
+  private def d01(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+  }
+  private val d01Sql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper,
+      | COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- d02: shingle-Jaccard near-dup with length blocking ----------------
+  private val jaccThresh = 0.28
+  private def d02(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val docs = d.select(col("doc_id"), expr(shinglesSpark).as("sh"),
+      (col("n_chars") / 100).cast("long").as("bucket"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("bucket"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("bucket").as("b_bucket"))
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("jacc", inter / uni)
+      .filter(col("jacc") >= jaccThresh)
+      .select(col("a_id"), col("b_id"), col("jacc").cast("float").as("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val d02Sql =
+    s"""WITH docs AS (
+       | SELECT doc_id, $shinglesDuck AS sh,
+       |        CAST(n_chars // 100 AS BIGINT) AS bucket
+       | FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) AS REAL) AS jacc
+       |FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= $jaccThresh
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- d03: MinHash + LSH banding ----------------------------------------
+  // 9 permutations, 3 bands of 3 rows: shingle -> minhash -> band ->
+  // bucket-join -> exact-Jaccard verify. Band key is the concatenated
+  // signature triple; candidates shuffle O(docs x 3) rows.
+  private val nPerm = 9; private val bandRows = 3
+  private val lshThresh = 0.30
+  private def permA(k: Int): Long = 2L * k + 3
+  private def permB(k: Int): Long = 7919L * k + 1
+  private def d03(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val sigK: Seq[Column] = (0 until nPerm).map { k =>
+      expr(s"array_min(transform($shinglesSpark, " +
+        s"w -> (${permA(k)} * ($hashSpark) + ${permB(k)}) % $P))")
+    }
+    val bands = array((0 until nPerm / bandRows).map { j =>
+      concat_ws("_", (0 until bandRows).map(r => sigK(j * bandRows + r)): _*)
+    }: _*)
+    val docs = d.select(col("doc_id"), expr(shinglesSpark).as("sh"), bands.as("bands"))
+    val exploded = docs.select(col("doc_id"), col("sh"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val x = exploded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+      col("band_idx"), col("band_val"))
+    val y = exploded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      col("band_idx").as("b_idx"), col("band_val").as("b_val"))
+    val cand = x.join(y, col("band_idx") === col("b_idx") &&
+        col("band_val") === col("b_val") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    cand.withColumn("jacc", inter / uni)
+      .filter(col("jacc") >= lshThresh)
+      .select(col("a_id"), col("b_id"), col("jacc").cast("float").as("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val d03Sql = {
+    val sigK = (0 until nPerm).map { k =>
+      s"list_min(list_transform($shinglesDuck, " +
+        s"w -> (${permA(k)} * ${hashDuck("w")} + ${permB(k)}) % $P))"
+    }
+    val bandSelects = (0 until nPerm / bandRows).map { j =>
+      val parts = (0 until bandRows)
+        .map(r => s"CAST((${sigK(j * bandRows + r)}) AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, sh, $j AS band_idx, $parts AS band_val FROM docs"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       | SELECT doc_id, text, $shinglesDuck AS sh
+       | FROM documents),
+       |bands AS (BANDS_SQL),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |        x.sh AS a_sh, y.sh AS b_sh
+       | FROM bands x JOIN bands y
+       |   ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id,
+       | CAST(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+       |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) AS REAL) AS jacc
+       |FROM cand
+       |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+       |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= $lshThresh
+       |ORDER BY 1, 2""".stripMargin.replace("BANDS_SQL", bandSelects)
+  }
+
+  // ---- d04: SimHash signature --------------------------------------------
+  // 16-bit sign-of-sum signature over shingle hashes; identical
+  // signatures are near-dup candidates (n_bucket counts them).
+  private val simBits = 16
+  private def d04(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val bitSums: Seq[Column] = (0 until simBits).map { j =>
+      expr(s"aggregate(transform($shinglesSpark, " +
+        s"w -> (((($hashSpark) >> $j) & 1) * 2 - 1)), 0L, (acc, v) -> acc + v)")
+    }
+    val sim = (0 until simBits).map { j =>
+      when(bitSums(j) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val docs = d.select(col("doc_id"), sim.as("simhash"))
+    docs.withColumn("n_bucket",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
+      .orderBy(col("doc_id"))
+  }
+  private val d04Sql = {
+    val bitSums = (0 until simBits).map { j =>
+      s"list_sum(list_transform($shinglesDuck, " +
+        s"w -> (((${hashDuck("w")} >> $j) & 1) * 2 - 1)))"
+    }
+    val sim = (0 until simBits).map { j =>
+      s"(CASE WHEN ${bitSums(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, simhash,
+       | COUNT(*) OVER (PARTITION BY simhash) AS n_bucket
+       |FROM (SELECT doc_id, $sim AS simhash FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- d05: embedding-cosine near-dup with label blocking ----------------
+  // Element-wise double math via zip_with/aggregate keeps both engines on
+  // the identical left-fold summation; float32 cast absorbs ulps.
+  private val cosDot =
+    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def normOf(c: String) =
+    s"SQRT(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+  private def d05(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("label"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("label").as("b_label"))
+    val cos = expr(cosDot) / (expr(normOf("a_emb")) * expr(normOf("b_emb")))
+    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= 0.25)
+      .select(col("a_id"), col("b_id"), col("label"), col("cos").cast("float").as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val d05Sql = {
+    def dotDuck(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($x)), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    val cos = s"${dotDuck("a.embedding", "b.embedding")} / " +
+      s"(SQRT(${dotDuck("a.embedding", "a.embedding")}) * SQRT(${dotDuck("b.embedding", "b.embedding")}))"
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
+       | CAST($cos AS REAL) AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cos >= 0.25
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01 _),
+    "d02_jaccard_neardup" -> (d02 _),
+    "d03_minhash_lsh" -> (d03 _),
+    "d04_simhash" -> (d04 _),
+    "d05_embedding_neardup" -> (d05 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_jaccard_neardup" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d04_simhash" -> d04Sql,
+    "d05_embedding_neardup" -> d05Sql
+  )
+}

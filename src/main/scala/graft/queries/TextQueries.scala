@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, fingerprinting,
+  * shingling, JSON field extraction — all over the `documents` table.
+  *
+  * Everything is higher-order array functions / codegen'd expressions on
+  * the string column — no UDFs, so the whole family stays inside
+  * whole-stage codegen and scales linearly with a parquet scan. DuckDB
+  * oracles use list lambdas mirroring the same computation.
+  */
+object TextQueries extends QueryFamily {
+
+  // ---- t01: token counting (whitespace + regex) --------------------------
+  // Whitespace tokens and a BPE-ish alpha-run tokenization.
+  private def t01(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("n_alpha_tokens"),
+        length(col("text")).as("n_chars_actual"))
+      .orderBy(col("doc_id"))
+  }
+  private val t01Sql =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS n_ws_tokens,
+      | len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+      | length(text) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t02: quality scoring ----------------------------------------------
+  // Length/stopword/short-word ratios -> a composite quality score, the
+  // standard heuristic pre-filter for LLM training corpora.
+  private def t02(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val nStop = size(filter(toks, w => w === "the" || w === "a"))
+    val nShort = size(filter(toks, w => length(w) <= 2))
+    val meanLen = expr("aggregate(split(text, ' '), 0L, (acc, w) -> acc + length(w))")
+      .cast("double") / n
+    val quality = (lit(1.0) - nStop.cast("double") / n) *
+      (lit(1.0) - nShort.cast("double") / n)
+    d.select(col("doc_id"), n.as("n_tokens"),
+        (nStop.cast("double") / n).cast("float").as("stopword_ratio"),
+        (nShort.cast("double") / n).cast("float").as("short_ratio"),
+        meanLen.cast("float").as("mean_word_len"),
+        quality.cast("float").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+  private val t02Sql =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | CAST(CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS REAL) AS stopword_ratio,
+      | CAST(CAST(len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS REAL) AS short_ratio,
+      | CAST(CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS REAL) AS mean_word_len,
+      | CAST((1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS DOUBLE)
+      |            / len(string_split(text, ' ')))
+      |    * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS DOUBLE)
+      |            / len(string_split(text, ' '))) AS REAL) AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t03: language ID (marker n-gram heuristic) ------------------------
+  // Score candidate classes by marker-token counts, argmax with a fixed
+  // priority tie-break — the classic fasttext-lite heuristic shape.
+  private def t03(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val c1 = size(filter(toks, w => w === "the" || w === "a"))
+    val c2 = size(filter(toks, w => w === "spark" || w === "query" || w === "table"))
+    val c3 = size(filter(toks, w => w === "data" || w === "row" || w === "value"))
+    val label = when(c1 >= c2 && c1 >= c3, "natural")
+      .when(c2 >= c3, "tech").otherwise("data")
+    d.select(col("doc_id"), c1.as("score_natural"), c2.as("score_tech"),
+        c3.as("score_data"), label.as("pred_class"))
+      .orderBy(col("doc_id"))
+  }
+  private val t03Sql =
+    """SELECT doc_id,
+      | len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS score_natural,
+      | len(list_filter(string_split(text, ' '), w -> w = 'spark' OR w = 'query' OR w = 'table')) AS score_tech,
+      | len(list_filter(string_split(text, ' '), w -> w = 'data' OR w = 'row' OR w = 'value')) AS score_data,
+      | CASE WHEN len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))
+      |        >= len(list_filter(string_split(text, ' '), w -> w = 'spark' OR w = 'query' OR w = 'table'))
+      |       AND len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a'))
+      |        >= len(list_filter(string_split(text, ' '), w -> w = 'data' OR w = 'row' OR w = 'value'))
+      |      THEN 'natural'
+      |      WHEN len(list_filter(string_split(text, ' '), w -> w = 'spark' OR w = 'query' OR w = 'table'))
+      |        >= len(list_filter(string_split(text, ' '), w -> w = 'data' OR w = 'row' OR w = 'value'))
+      |      THEN 'tech' ELSE 'data' END AS pred_class
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t04: document fingerprint (rolling hash) --------------------------
+  // Horner rolling hash of the first 16 chars, mod 1e9+7 — the content
+  // fingerprint used for cheap near-exact dedup.
+  private val fpLen = 16; private val fpMod = 1000000007L
+  private def t04(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val h = (1 to fpLen).foldLeft(lit(0L)) { (acc, i) =>
+      (acc * 31L + ascii(substring(col("text"), i, 1))) % fpMod
+    }
+    d.select(col("doc_id"), h.as("fingerprint")).orderBy(col("doc_id"))
+  }
+  private val t04Sql = {
+    val h = (1 to fpLen).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+      s"(($acc * 31 + ascii(substr(text, $i, 1))) % $fpMod)"
+    }
+    s"SELECT doc_id, $h AS fingerprint FROM documents ORDER BY doc_id"
+  }
+
+  // ---- t05: character shingles -------------------------------------------
+  // Distinct char-3-gram count — the input signal for n-gram Jaccard
+  // dedup; array HOFs only, no explode, no shuffle.
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.select(col("doc_id"),
+        expr("size(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))))")
+          .as("n_shingles"),
+        (length(col("text")) - 2).as("n_total"))
+      .orderBy(col("doc_id"))
+  }
+  private val t05Sql =
+    """SELECT doc_id,
+      | len(list_distinct(list_transform(generate_series(1, length(text) - 2),
+      |     i -> substr(text, i, 3)))) AS n_shingles,
+      | length(text) - 2 AS n_total
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t06: JSON field extraction ----------------------------------------
+  // Semi-structured props column -> typed value (events table).
+  private def t06(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+  }
+  private val t06Sql =
+    """SELECT event_id,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count" -> (t01 _),
+    "t02_quality_score" -> (t02 _),
+    "t03_lang_id" -> (t03 _),
+    "t04_fingerprint" -> (t04 _),
+    "t05_shingles" -> (t05 _),
+    "t06_json_extract" -> (t06 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_token_count" -> t01Sql,
+    "t02_quality_score" -> t02Sql,
+    "t03_lang_id" -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+    "t05_shingles" -> t05Sql,
+    "t06_json_extract" -> t06Sql
+  )
+}
