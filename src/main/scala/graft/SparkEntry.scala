@@ -20,7 +20,10 @@ object SparkEntry {
     LookupQueries,
     MLQueries,
     TextQueries,
-    DedupQueries
+    DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries,
+    StreamQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

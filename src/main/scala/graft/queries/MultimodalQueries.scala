@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: media as opaque `binary` columns with
+  * typed metadata. The real decode path (image/audio libs) lives in
+  * `graft.multimodal.MediaPipeline` behind an injectable decoder; these
+  * queries exercise the engine-side plumbing that IS verifiable —
+  * binary encoding, byte-level metadata extraction, deterministic
+  * header parsing and frame sampling — on blobs derived from `documents`.
+  *
+  * DuckDB cannot substring BLOBs, so byte access on both engines goes
+  * through the hex-string view of the blob (lower(hex(blob))), keeping
+  * the oracle exact.
+  */
+object MultimodalQueries extends QueryFamily {
+
+  // Spark: blob = encode(text, 'UTF-8'); hexv = lower(hex(blob)).
+  private val hexSpark = "lower(hex(encode(text, 'UTF-8')))"
+  private val hexDuck = "lower(hex(encode(text)))"
+  // hex pair i (1-based byte index) -> int value
+  private def byteSpark(i: Int) =
+    s"CAST(conv(substring($hexSpark, ${2 * i - 1}, 2), 16, 10) AS BIGINT)"
+  private def byteDuck(i: Int) =
+    s"CAST('0x' || substr($hexDuck, ${2 * i - 1}, 2) AS BIGINT)"
+
+  // ---- x01: binary metadata + fake header decode -------------------------
+  // Real pipeline shape: blob -> (n_bytes, magic, decoded dims). The
+  // "decode" derives width/height from header bytes — a deterministic
+  // stand-in for an image decoder, with the schema a real one would fill.
+  private def x01(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.select(col("doc_id"),
+        octet_length(expr("encode(text, 'UTF-8')")).as("n_bytes"),
+        expr(s"substring($hexSpark, 1, 8)").as("magic"),
+        (lit(32) + expr(byteSpark(1)) % 64).as("width"),
+        (lit(32) + expr(byteSpark(2)) % 64).as("height"),
+        lit(3).as("channels"),
+        ((lit(32) + expr(byteSpark(1)) % 64) * (lit(32) + expr(byteSpark(2)) % 64) * lit(3))
+          .as("decoded_size"))
+      .orderBy(col("doc_id"))
+  }
+  private val x01Sql =
+    s"""SELECT doc_id,
+       | octet_length(encode(text)) AS n_bytes,
+       | substr($hexDuck, 1, 8) AS magic,
+       | 32 + ${byteDuck(1)} % 64 AS width,
+       | 32 + ${byteDuck(2)} % 64 AS height,
+       | 3 AS channels,
+       | (32 + ${byteDuck(1)} % 64) * (32 + ${byteDuck(2)} % 64) * 3 AS decoded_size
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- x02: frame sampling + per-frame feature ---------------------------
+  // Sample every 16th byte as a "frame", extract its value, aggregate a
+  // checksum — the batch shape (one row in, array of frames out,
+  // aggregated feature) matches a video frame-sampler.
+  private def x02(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val frames = s"transform(sequence(0, CAST((length(text) - 1) / 16 AS INT)), " +
+      s"i -> CAST(conv(substring($hexSpark, i * 32 + 1, 2), 16, 10) AS BIGINT))"
+    d.select(col("doc_id"),
+        expr(s"size($frames)").as("n_frames"),
+        expr(s"aggregate($frames, 0L, (acc, v) -> acc + v)").as("frame_checksum"),
+        expr(s"array_max($frames)").as("frame_max"))
+      .orderBy(col("doc_id"))
+  }
+  private val x02Sql = {
+    val frames = s"list_transform(generate_series(0, CAST((length(text) - 1) // 16 AS BIGINT)), " +
+      s"i -> CAST('0x' || substr($hexDuck, i * 32 + 1, 2) AS BIGINT))"
+    s"""SELECT doc_id,
+       | len($frames) AS n_frames,
+       | list_sum($frames) AS frame_checksum,
+       | list_max($frames) AS frame_max
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_binary_meta" -> (x01 _),
+    "x02_frame_sample" -> (x02 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x01_binary_meta" -> x01Sql,
+    "x02_frame_sample" -> x02Sql
+  )
+}

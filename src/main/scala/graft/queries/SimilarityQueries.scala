@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * v01 is the exact baseline: brute-force cosine top-k as a blocked
+  * cross join + per-query window. v02 is the scale path: random-
+  * hyperplane LSH bucketing so each query only scans its bucket —
+  * at 100 TB the bucket join replaces the full cross product, and the
+  * signature computation is a single codegen'd projection.
+  *
+  * Ranking determinism: cosine is cast to float32 BEFORE the window
+  * ordering on both engines, with vec_id as the tie-break, so the
+  * top-k set cannot differ by a summation ulp.
+  */
+object SimilarityQueries extends QueryFamily {
+
+  private val dotAB =
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private def normOf(c: String) =
+    s"SQRT(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+  private def dotDuck(x: String, y: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($x)), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+
+  // ---- v01: brute-force cosine top-k -------------------------------------
+  private val nQueries = 5; private val topK = 10
+  private def v01(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val cos = (expr(dotAB) / (expr(normOf("q_emb")) * expr(normOf("c_emb"))))
+      .cast("float")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v01Sql = {
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""SELECT q_id, rank, c_id, cos FROM (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       | WHERE q.vec_id < $nQueries)
+       |WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
+  // ---- v02: LSH-bucketed ANN ---------------------------------------------
+  // 8 deterministic hyperplanes over the first 16 dims -> 8-bit bucket;
+  // query scans only its bucket. The recall/cost trade is the standard
+  // SimHash-ANN one; hyperplane coefficients are sin-literals so both
+  // engines build the identical signature.
+  private val nPlanes = 8; private val nDims = 16; private val annK = 5
+  private def planeCoef(p: Int, j: Int): Double = math.sin(p * nDims + j + 0.5)
+  private def bucketExpr(emb: String, elemAt: (String, Int) => String): String = {
+    val planeBits = (0 until nPlanes).map { p =>
+      val dot = (0 until nDims)
+        .map(j => s"CAST(${elemAt(emb, j + 1)} AS DOUBLE) * ${planeCoef(p, j)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0.0 THEN ${1 << p} ELSE 0 END)"
+    }
+    planeBits.mkString("(", " + ", ")")
+  }
+  private def v02(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val withBucket = e.select(col("vec_id"), col("embedding"),
+      expr(bucketExpr("embedding", sparkElem)).as("bucket"))
+    val q = withBucket.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = withBucket.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("bucket").as("c_bucket"))
+    val cos = (expr(dotAB) / (expr(normOf("q_emb")) * expr(normOf("c_emb"))))
+      .cast("float")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    q.join(c, col("bucket") === col("c_bucket") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= annK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v02Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val bucket = bucketExpr("embedding", duckElem)
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""WITH wb AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+       |SELECT q_id, rank, c_id, cos FROM (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       | FROM wb q JOIN wb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       | WHERE q.vec_id < $nQueries)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_bruteforce" -> (v01 _),
+    "v02_knn_lsh" -> (v02 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v01_knn_bruteforce" -> v01Sql,
+    "v02_knn_lsh" -> v02Sql
+  )
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured Streaming operators, oracle-checked: driven with
+  * `Trigger.AvailableNow`, a streaming computation must produce exactly
+  * the batch answer, so the DuckDB oracle is the batch SQL.
+  */
+object StreamQueries extends QueryFamily {
+
+  private val runId = new AtomicInteger(0)
+  private def fresh(prefix: String) = s"${prefix}_${runId.incrementAndGet()}"
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val GapNs = 8L * HourNs
+
+  // ---- n01: streaming windowed aggregation -------------------------------
+  private def n01(s: SparkSession, dir: String): DataFrame =
+    Streams.windowedAgg(s, dir, fresh("graft_stream_agg"))
+      .orderBy(col("hour_bucket"), col("event_type"))
+  private val n01Sql =
+    s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
+       | COUNT(*) AS n_events, CAST(SUM(value) AS REAL) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- n02: stateful sessionization (flatMapGroupsWithState) -------------
+  private def n02(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionize(s, dir, GapNs, fresh("graft_stream_sess"))
+      // DuckDB's epoch_ns truncates to microseconds; emit micros on both
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        expr("ts_start div 1000").as("ts_start_us"),
+        expr("ts_end div 1000").as("ts_end_us"),
+        col("sum_value").cast("float").as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  private val n02Sql =
+    s"""WITH x AS (
+       | SELECT user_id, epoch_ns(ts) AS tsn, event_id, value FROM events),
+       |marked AS (
+       | SELECT *, CASE WHEN LAG(tsn) OVER w IS NULL
+       |   OR tsn - LAG(tsn) OVER w > $GapNs THEN 1 ELSE 0 END AS new_sess
+       | FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+       |sess AS (
+       | SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+       | FROM marked)
+       |SELECT user_id, session_idx, COUNT(*) AS n_events,
+       | MIN(tsn) // 1000 AS ts_start_us, MAX(tsn) // 1000 AS ts_end_us,
+       | CAST(SUM(value) AS REAL) AS sum_value
+       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n01_stream_window_agg" -> (n01 _),
+    "n02_stream_sessionize" -> (n02 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "n01_stream_window_agg" -> n01Sql,
+    "n02_stream_sessionize" -> n02Sql
+  )
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming operators.
+  *
+  * The reference is batch-only (SURVEY.md §1.3); these are the natural
+  * streaming extensions of its chunk-wise model: the per-chunk
+  * `process()` becomes a micro-batch, the histogram fill becomes a
+  * windowed stateful aggregation, and per-entity session state uses
+  * `flatMapGroupsWithState`. Driven with `Trigger.AvailableNow` the
+  * results are exactly the batch answers, which is what the DuckDB
+  * oracle checks.
+  *
+  * Scale: state is keyed (bucket/user), so it shards across executors;
+  * an always-on deployment would add a watermark to bound state — noted
+  * where it applies.
+  */
+object Streams {
+
+  /** Hour bucket from a nanosecond epoch (integer division — the ts
+    * magnitude exceeds a double's 53-bit mantissa, so float division
+    * would corrupt the bucket). */
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  /** Windowed weighted aggregation over a file stream: one row per
+    * (hour, event_type) with count and value sum. Complete-mode memory
+    * sink; AvailableNow processes the backlog and stops. */
+  def windowedAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source needs a directory; glob-filter to the events table
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = stream
+      .withColumn("hour_bucket", expr(s"ts div $HourNs"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).cast("float").as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
+  final case class Session(user_id: Long, session_idx: Long, n_events: Long,
+                           ts_start: Long, ts_end: Long, sum_value: Double)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a new session
+    * starts when the inter-event gap exceeds `gapNs`. AvailableNow
+    * delivers each user's full history in one batch; an always-on
+    * deployment would use EventTimeTimeout + watermark to emit/expire. */
+  def sessionize(spark: SparkSession, dir: String, gapNs: Long,
+                 queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[Ev]
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Long]) =>
+          // rows within a group are unordered; sort by (ts, event_id)
+          val sorted = rows.toVector.sortBy(e => (e.ts, e.event_id))
+          val out = Vector.newBuilder[Session]
+          var idx = state.getOption.getOrElse(0L) - 1
+          var cur: Vector[Ev] = Vector.empty
+          def flush(): Unit = if (cur.nonEmpty) {
+            out += Session(user, idx, cur.size.toLong,
+              cur.head.ts, cur.last.ts, cur.iterator.map(_.value).sum)
+          }
+          for (e <- sorted) {
+            if (cur.isEmpty || e.ts - cur.last.ts > gapNs) {
+              flush(); cur = Vector(e); idx += 1
+            } else cur = cur :+ e
+          }
+          flush()
+          state.update(idx + 1)
+          out.result().iterator
+      }
+    val q = sessions.toDF().writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}
