@@ -23,7 +23,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
-    StreamQueries
+    StreamQueries,
+    StageQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

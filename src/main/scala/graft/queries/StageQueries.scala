@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.physics.{Kinematics => K, Selections}
+import graft.agg.Histogrammer
+
+/** The reference's three entry-point lifecycles (SURVEY.md §3) composed
+  * end-to-end over the test tables — scan → select → pair → kinematics →
+  * weights → label → histogram → templates. Each stage is ONE declarative
+  * plan: no per-chunk loop, no pandas pivot, no pickle merge; Catalyst
+  * prunes columns into the scan and the only shuffles are the pair
+  * window and the final low-cardinality groupBys.
+  */
+object StageQueries extends QueryFamily {
+
+  // ---- s02: metadata pre-scan + broadcast normalization (S2) -------------
+  // reference: stage1/preprocessor.py:200-229 — per-dataset sum of gen
+  // weights -> lumi_weight = xsec * lumi / sumw, broadcast back onto rows.
+  private val xsec = 0.5; private val lumi = 59970.0
+  private def s02(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val sumw = o.groupBy(col("o_orderpriority").as("ds"))
+      .agg(sum(col("o_totalprice")).as("sumw"))
+    o.join(broadcast(sumw), col("o_orderpriority") === col("ds"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (lit(xsec) * lit(lumi) / col("sumw")).cast("float").as("lumi_wgt"))
+      .orderBy(col("o_orderkey"))
+  }
+  private val s02Sql =
+    s"""SELECT o_orderkey, o_orderpriority,
+       | CAST($xsec * $lumi / m.sumw AS REAL) AS lumi_wgt
+       |FROM orders JOIN (
+       | SELECT o_orderpriority AS ds, SUM(o_totalprice) AS sumw
+       | FROM orders GROUP BY 1) m ON o_orderpriority = m.ds
+       |ORDER BY o_orderkey""".stripMargin
+
+  // ---- s01: stage-1 ETL pipeline (§3.1) ----------------------------------
+  // scan -> object selection -> exactly-2 gate -> leading pair ->
+  // composite kinematics -> region label -> region filter -> wide row.
+  // The exactly-2 + opposite-sign gate is the reference's subtlest
+  // semantic (SURVEY §7.4): the gate must SEE all selected objects
+  // before pairing, so the count happens pre-extraction.
+  private def s01(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val objs = li.filter(col("l_quantity") > 5.0 && col("l_extendedprice") > 2000.0)
+      .select(col("l_orderkey").as("event"),
+        col("l_linenumber").as("idx"),
+        (col("l_extendedprice") / lit(500.0)).as("pt"),
+        (col("l_discount") * 40.0 - 2.0).as("eta"),
+        (col("l_tax") * 78.0 - 3.12).as("phi"),
+        when(col("l_linenumber") % 2 === 0, 1.0).otherwise(-1.0).as("charge"),
+        col("l_extendedprice"))
+    val w = Window.partitionBy(col("event"))
+      .orderBy(col("pt").desc, col("idx").asc, col("l_extendedprice").asc)
+    val ranked = objs.withColumn("rank", row_number().over(w))
+    val paired = ranked.groupBy(col("event")).agg(
+      count(lit(1)).as("nmuons"),
+      sum(col("charge")).as("sum_charge"),
+      max(when(col("rank") === 1, col("pt"))).as("pt1"),
+      max(when(col("rank") === 1, col("eta"))).as("eta1"),
+      max(when(col("rank") === 1, col("phi"))).as("phi1"),
+      max(when(col("rank") === 2, col("pt"))).as("pt2"),
+      max(when(col("rank") === 2, col("eta"))).as("eta2"),
+      max(when(col("rank") === 2, col("phi"))).as("phi2"))
+    // exactly-2 + opposite-sign (sum of ±1 charges == 0)
+    val gated = paired.filter(col("nmuons") === 2 && col("sum_charge") === 0.0)
+    val m = lit(0.1057)
+    val mass = K.p4SumMass(col("pt1"), col("eta1"), col("phi1"), m,
+      col("pt2"), col("eta2"), col("phi2"), m) % lit(160.0)
+    val out = gated
+      .withColumn("dimuon_mass", mass)
+      .withColumn("dimuon_dr",
+        K.deltaR(col("eta1"), col("phi1"), col("eta2"), col("phi2")))
+      .withColumn("region", Selections.regionLabel(col("dimuon_mass")))
+      .filter(col("region") =!= "none")
+    out.select(col("event"),
+        col("dimuon_mass").cast("float").as("dimuon_mass"),
+        col("dimuon_dr").cast("float").as("dimuon_dr"),
+        col("pt1").cast("float").as("mu1_pt"),
+        col("pt2").cast("float").as("mu2_pt"),
+        col("region"))
+      .orderBy(col("event"))
+  }
+  private val s01Sql = {
+    def sinhS(x: String) = s"((EXP($x) - EXP(-($x))) / 2.0)"
+    def pzS(pt: String, eta: String) = s"(($pt) * ${sinhS(eta)})"
+    def eS(pt: String, eta: String) =
+      s"SQRT(($pt) * ($pt) + ${pzS(pt, eta)} * ${pzS(pt, eta)} + 0.1057 * 0.1057)"
+    val sx = "((pt1) * COS(phi1)) + ((pt2) * COS(phi2))"
+    val sy = "((pt1) * SIN(phi1)) + ((pt2) * SIN(phi2))"
+    val sz = s"${pzS("pt1", "eta1")} + ${pzS("pt2", "eta2")}"
+    val se = s"${eS("pt1", "eta1")} + ${eS("pt2", "eta2")}"
+    val mass = s"(SQRT(GREATEST(($se) * ($se) - ($sx) * ($sx) - ($sy) * ($sy) - ($sz) * ($sz), 0.0)) % 160.0)"
+    val de = "ABS(eta1 - eta2)"
+    val dp = "ABS(((((phi1 - phi2 + PI()) % (2.0 * PI())) + (2.0 * PI())) % (2.0 * PI())) - PI())"
+    val dr = s"SQRT(($de) * ($de) + ($dp) * ($dp))"
+    val region = RelationalQueries.regionCaseSql(mass)
+    s"""WITH objs AS (
+       | SELECT l_orderkey AS event, l_linenumber AS idx,
+       |  l_extendedprice / 500.0 AS pt,
+       |  l_discount * 40.0 - 2.0 AS eta,
+       |  l_tax * 78.0 - 3.12 AS phi,
+       |  CASE WHEN l_linenumber % 2 = 0 THEN 1.0 ELSE -1.0 END AS charge,
+       |  l_extendedprice
+       | FROM lineitem WHERE l_quantity > 5.0 AND l_extendedprice > 2000.0),
+       |ranked AS (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY event
+       |   ORDER BY pt DESC, idx ASC, l_extendedprice ASC) AS rank
+       | FROM objs),
+       |paired AS (
+       | SELECT event, COUNT(*) AS nmuons, SUM(charge) AS sum_charge,
+       |  MAX(CASE WHEN rank = 1 THEN pt END) AS pt1,
+       |  MAX(CASE WHEN rank = 1 THEN eta END) AS eta1,
+       |  MAX(CASE WHEN rank = 1 THEN phi END) AS phi1,
+       |  MAX(CASE WHEN rank = 2 THEN pt END) AS pt2,
+       |  MAX(CASE WHEN rank = 2 THEN eta END) AS eta2,
+       |  MAX(CASE WHEN rank = 2 THEN phi END) AS phi2
+       | FROM ranked GROUP BY 1),
+       |gated AS (SELECT * FROM paired WHERE nmuons = 2 AND sum_charge = 0.0)
+       |SELECT event,
+       | CAST($mass AS REAL) AS dimuon_mass,
+       | CAST($dr AS REAL) AS dimuon_dr,
+       | CAST(pt1 AS REAL) AS mu1_pt,
+       | CAST(pt2 AS REAL) AS mu2_pt,
+       | $region AS region
+       |FROM gated
+       |WHERE $region != 'none'
+       |ORDER BY event""".stripMargin
+  }
+
+  // ---- s03: stage-2 post-processing pipeline (§3.2) ----------------------
+  // read -> per-event aggregates -> channel cascade -> weights ->
+  // 4-axis weighted histogram (region x channel x variation x bin).
+  // The systematic variation is an extra weight COLUMN, not a second
+  // pass — one scan feeds every (variation, bin) cell via grouping by
+  // an exploded variation tag.
+  private def s03(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val per = li.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("njets"),
+      sum(when(col("l_quantity") > 45.0, 1L).otherwise(0L)).as("nbtag"),
+      max(col("l_extendedprice")).as("lead_price"),
+      (max(col("l_discount")) * lit(40.0)).as("deta"),
+      sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("ht"))
+    val mass = col("ht") % lit(160.0)
+    val wNom = lit(1.0) + col("ht") / lit(1.0e6)
+    val wVar = wNom * (lit(1.0) + (col("lead_price") % lit(5.0)) / lit(100.0))
+    val labeled = per
+      .withColumn("region", Selections.regionLabel(mass))
+      .withColumn("channel", Selections.channelLabel(col("nbtag"),
+        col("lead_price") / 100.0, col("deta"), col("lead_price") / 1000.0, col("njets")))
+      .withColumn("mass", mass)
+      .filter(col("region") =!= "none")
+    val fanned = labeled.select(col("region"), col("channel"), col("mass"),
+        explode(array(
+          struct(lit("nominal").as("variation"), wNom.as("w")),
+          struct(lit("jes_up").as("variation"), wVar.as("w")))).as("v"))
+      .select(col("region"), col("channel"), col("v.variation").as("variation"), col("mass"), col("v.w").as("w"))
+    fanned.groupBy(col("region"), col("channel"), col("variation"),
+        Histogrammer.bucket(col("mass"), 0.0, 160.0, 40).as("bin"))
+      .agg(sum(col("w")).cast("float").as("value"),
+           sum(col("w") * col("w")).cast("float").as("sumw2"))
+      .orderBy(col("region"), col("channel"), col("variation"), col("bin"))
+  }
+  private val s03Sql = {
+    val b = Histogrammer.bucketSql("mass", 0.0, 160.0, 40)
+    val region = RelationalQueries.regionCaseSql("(ht % 160.0)")
+    s"""WITH per AS (
+       | SELECT l_orderkey, COUNT(*) AS njets,
+       |  SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS nbtag,
+       |  MAX(l_extendedprice) AS lead_price,
+       |  MAX(l_discount) * 40.0 AS deta,
+       |  SUM(l_extendedprice * (1.0 - l_discount)) AS ht
+       | FROM lineitem GROUP BY 1),
+       |labeled AS (
+       | SELECT ht % 160.0 AS mass,
+       |  $region AS region,
+       |  CASE WHEN nbtag > 1 THEN 'ttHorVH'
+       |   WHEN lead_price / 100.0 > 400.0 AND deta > 2.5 AND lead_price / 1000.0 > 35.0 THEN 'vbf'
+       |   WHEN njets = 0 THEN 'ggh_0jets'
+       |   WHEN njets = 1 THEN 'ggh_1jet'
+       |   ELSE 'ggh_2orMoreJets' END AS channel,
+       |  1.0 + ht / 1.0e6 AS wnom,
+       |  (1.0 + ht / 1.0e6) * (1.0 + (lead_price % 5.0) / 100.0) AS wvar
+       | FROM per WHERE $region != 'none'),
+       |fanned AS (
+       | SELECT region, channel, 'nominal' AS variation, mass, wnom AS w FROM labeled
+       | UNION ALL
+       | SELECT region, channel, 'jes_up' AS variation, mass, wvar AS w FROM labeled)
+       |SELECT region, channel, variation, $b AS bin,
+       | CAST(SUM(w) AS REAL) AS value, CAST(SUM(w * w) AS REAL) AS sumw2
+       |FROM fanned GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
+  // ---- s04: stage-3 templates & yields (§3.3) ----------------------------
+  // histogram -> per-(region, channel) group: variation yields,
+  // shape-only renormalized variant, nominal/variant ratio — the
+  // datacard's numeric core. All small-data aggregation over s03's
+  // output shape.
+  private def s04(s: SparkSession, dir: String): DataFrame = {
+    val hist = s03(s, dir)
+    val pivoted = hist.groupBy(col("region"), col("channel"), col("bin"))
+      .agg(
+        sum(when(col("variation") === "nominal", col("value"))).as("nom"),
+        sum(when(col("variation") === "jes_up", col("value"))).as("vr"))
+    val w = Window.partitionBy(col("region"), col("channel"))
+    pivoted
+      .withColumn("nom_total", sum(col("nom")).over(w))
+      .withColumn("vr_total", sum(col("vr")).over(w))
+      .groupBy(col("region"), col("channel"))
+      .agg(
+        sum(col("nom")).cast("float").as("yield_nominal"),
+        sum(col("vr") * col("nom_total") / col("vr_total")).cast("float").as("yield_var_renormed"),
+        (max(col("vr_total")) / max(col("nom_total"))).cast("float").as("rate_unc"))
+      .orderBy(col("region"), col("channel"))
+  }
+  private val s04Sql =
+    s"""WITH hist AS (${s03Sql.replace("ORDER BY 1, 2, 3, 4", "")}),
+       |pivoted AS (
+       | SELECT region, channel, bin,
+       |  SUM(CASE WHEN variation = 'nominal' THEN value END) AS nom,
+       |  SUM(CASE WHEN variation = 'jes_up' THEN value END) AS vr
+       | FROM hist GROUP BY 1, 2, 3),
+       |tot AS (
+       | SELECT *, SUM(nom) OVER (PARTITION BY region, channel) AS nom_total,
+       |        SUM(vr) OVER (PARTITION BY region, channel) AS vr_total
+       | FROM pivoted)
+       |SELECT region, channel,
+       | CAST(SUM(nom) AS REAL) AS yield_nominal,
+       | CAST(SUM(vr * nom_total / vr_total) AS REAL) AS yield_var_renormed,
+       | CAST(MAX(vr_total) / MAX(nom_total) AS REAL) AS rate_unc
+       |FROM tot GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- s05: unbinned column save (S7) ------------------------------------
+  // reference: stage2/postprocessor.py:235-253 — per-channel filtered
+  // projection of fit inputs.
+  private def s05(s: SparkSession, dir: String): DataFrame = {
+    val base = s01(s, dir)
+    base.filter(col("region") === "h-peak")
+      .select(col("event"), col("dimuon_mass"), col("mu1_pt"))
+      .orderBy(col("event"))
+  }
+  private val s05Sql =
+    s"""SELECT event, dimuon_mass, mu1_pt FROM (${s01Sql.replace("ORDER BY event", "")})
+       |WHERE region = 'h-peak' ORDER BY event""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_stage1_pipeline" -> (s01 _),
+    "s02_metadata_prescan" -> (s02 _),
+    "s03_stage2_histograms" -> (s03 _),
+    "s04_stage3_templates" -> (s04 _),
+    "s05_unbinned_save" -> (s05 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_stage1_pipeline" -> s01Sql,
+    "s02_metadata_prescan" -> s02Sql,
+    "s03_stage2_histograms" -> s03Sql,
+    "s04_stage3_templates" -> s04Sql,
+    "s05_unbinned_save" -> s05Sql
+  )
+}
