@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** One spec per registered operator: each query must run on sf0.001,
+  * return a stable schema, and have a DuckDB oracle. The exact-value
+  * check runs in the driver's DuckDB gate (tools/check_correctness.py);
+  * this spec guards the Scala-side contract. */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("every query has an oracle") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracle: ${q -- o}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+  }
+
+  test("entry returns a non-empty histogram") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSet == Set("region", "bin", "value", "sumw2"))
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"query $name runs on sf0.001 with stable schema") {
+      val df = fn(spark, dir)
+      val schema = df.schema
+      val n = df.count()
+      assert(schema.fields.nonEmpty)
+      // re-running yields the same count (determinism smoke)
+      val n2 = fn(spark, dir).count()
+      assert(n == n2, s"$name count unstable: $n vs $n2")
+    }
+  }
+}

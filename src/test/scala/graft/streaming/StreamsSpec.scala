@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming-equals-batch: with Trigger.AvailableNow the streaming
+  * operators must reproduce the batch answers exactly. */
+class StreamsSpec extends SparkSpec {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+
+  test("windowed streaming aggregation equals batch groupBy") {
+    val dir = sf("sf0.001")
+    val streamed = Streams.windowedAgg(spark, dir, "spec_agg")
+      .orderBy("hour_bucket", "event_type").collect()
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("hour_bucket", expr(s"ts div $HourNs"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).cast("float").as("sum_value"))
+      .orderBy("hour_bucket", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
+  }
+
+  test("streaming sessionization equals batch window-function sessionization") {
+    val dir = sf("sf0.001")
+    val gap = 8L * HourNs
+    val streamed = Streams.sessionize(spark, dir, gap, "spec_sess")
+      .orderBy("user_id", "session_idx").collect()
+    spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("ev_spec")
+    val batch = spark.sql(
+      s"""WITH marked AS (
+         | SELECT user_id, ts, value,
+         |  CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > $gap
+         |  THEN 1 ELSE 0 END AS new_sess
+         | FROM ev_spec WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         | SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+         | FROM marked)
+         |SELECT user_id, session_idx, COUNT(*) AS n_events,
+         | MIN(ts) AS ts_start, MAX(ts) AS ts_end
+         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0))   // user_id
+      assert(s.getLong(1) == b.getLong(1))   // session_idx
+      assert(s.getLong(2) == b.getLong(2))   // n_events
+      assert(s.getLong(3) == b.getLong(3))   // ts_start
+      assert(s.getLong(4) == b.getLong(4))   // ts_end
+    }
+  }
+}
