@@ -24,7 +24,8 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     StreamQueries,
-    StageQueries
+    StageQueries,
+    CatalystQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

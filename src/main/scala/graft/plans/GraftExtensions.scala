@@ -1,0 +1,29 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions registering graft's native functions so they
+  * are usable from SQL text at session build:
+  *
+  *   spark.builder.withExtensions(new GraftExtensions)
+  *   // or: --conf spark.sql.extensions=graft.plans.GraftExtensions
+  *
+  *   SELECT delta_r(eta1, phi1, eta2, phi2) ...
+  *   SELECT weighted_histogram(mass, w, 0.0, 160.0, 40) ...
+  *
+  * For an already-built session use GraftFunctions.register(spark).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("delta_r"),
+      new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),
+      GraftFunctions.deltaRBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("weighted_histogram"),
+      new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),
+      GraftFunctions.weightedHistogramBuilder))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Runtime registration of graft's native functions into an existing
+  * session — the path for sessions not built with GraftExtensions
+  * (e.g. the driver's). Idempotent. */
+object GraftFunctions {
+
+  private def evalDouble(e: Expression): Double = e.eval(null) match {
+    case v: Number => v.doubleValue()
+    case v: org.apache.spark.sql.types.Decimal => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"expected numeric literal, got $other")
+  }
+
+  val deltaRBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 4, "delta_r(eta1, phi1, eta2, phi2)")
+    DeltaRExpr(children(0), children(1), children(2), children(3))
+  }
+
+  val weightedHistogramBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 5,
+      "weighted_histogram(value, weight, lo, hi, nbins)")
+    WeightedHistogramAgg(children(0), children(1), evalDouble(children(2)),
+      evalDouble(children(3)), evalDouble(children(4)).toInt)
+      .toAggregateExpression()
+  }
+
+  def register(s: SparkSession): Unit = synchronized {
+    val reg = s.sessionState.functionRegistry
+    reg.registerFunction(
+      new FunctionIdentifier("delta_r"),
+      new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),
+      deltaRBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("weighted_histogram"),
+      new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),
+      weightedHistogramBuilder)
+  }
+}

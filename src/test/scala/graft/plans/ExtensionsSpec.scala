@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.physics.Kinematics
+import graft.agg.Histogrammer
+
+/** The injected native functions must agree with the composed-expression
+  * baselines they accelerate. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate may return a pre-existing session (shared test JVM), in
+  // which case withExtensions is ignored — register at runtime instead,
+  // which is also the path the driver's session uses.
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("delta_r SQL function matches Kinematics.deltaR column expr") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(500)((
+      -4.7 + rnd.nextDouble() * 9.4, -math.Pi + rnd.nextDouble() * 2 * math.Pi,
+      -4.7 + rnd.nextDouble() * 9.4, -math.Pi + rnd.nextDouble() * 2 * math.Pi))
+      .toDF("eta1", "phi1", "eta2", "phi2")
+    val got = df.selectExpr("delta_r(eta1, phi1, eta2, phi2) AS native")
+      .collect().map(_.getDouble(0))
+    val want = df.select(Kinematics.deltaR(col("eta1"), col("phi1"),
+      col("eta2"), col("phi2")).as("composed")).collect().map(_.getDouble(0))
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("delta_r propagates nulls") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), None: Option[Double])).toDF("a", "b")
+    val r = df.selectExpr("delta_r(a, b, a, a)").collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("weighted_histogram aggregate matches groupBy(width_bucket) baseline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(5000)((rnd.nextDouble() * 200.0 - 20.0, 1.0 + rnd.nextDouble()))
+      .toDF("mass", "w")
+    df.createOrReplaceTempView("hist_in")
+    val native = spark.sql(
+      "SELECT inline(weighted_histogram(mass, w, 0.0, 160.0, 40)) FROM hist_in")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(t => t._2 != 0.0 || t._3 != 0.0)
+      .sortBy(_._1)
+    val baseline = Histogrammer.histogram(df, Seq(), col("mass"), col("w"), 0.0, 160.0, 40)
+      .collect()
+      .map(r => (r.getAs[Long]("bin"), r.getAs[Float]("value").toDouble,
+        r.getAs[Float]("sumw2").toDouble))
+      .sortBy(_._1)
+    assert(native.length == baseline.length)
+    native.zip(baseline).foreach { case ((b1, v1, s1), (b2, v2, s2)) =>
+      assert(b1 == b2)
+      assert(math.abs(v1 - v2) < 1e-3)
+      assert(math.abs(s1 - s2) < 1e-3)
+    }
+  }
+
+  test("weighted_histogram works per group and merges across partitions") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (s"g${i % 3}", i % 160 * 1.0, 1.0))
+      .toDF("g", "mass", "w").repartition(8)
+    df.createOrReplaceTempView("hist_g")
+    val rows = spark.sql(
+      """SELECT g, value FROM (
+        | SELECT g, weighted_histogram(mass, w, 0.0, 160.0, 40) AS h
+        | FROM hist_g GROUP BY g) LATERAL VIEW inline(h) t AS bin, value, sumw2""".stripMargin)
+      .groupBy("g").sum("value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // total weight per group = row count per group
+    assert(math.abs(rows("g0") - 333.0) < 1e-6)
+    assert(math.abs(rows("g1") - 334.0) < 1e-6)
+    assert(math.abs(rows("g2") - 333.0) < 1e-6)
+  }
+}
