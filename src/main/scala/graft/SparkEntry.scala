@@ -25,7 +25,9 @@ object SparkEntry {
     MultimodalQueries,
     StreamQueries,
     StageQueries,
-    CatalystQueries
+    CatalystQueries,
+    CsFrameQueries,
+    MiscQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoders
+
+/** Remaining inventory items: PU-profile auto-derivation with iterative
+  * weight cropping (A14), key-set intersection (R6), config-matrix
+  * cross join (R8), and the exact signed-product Aggregator (A2).
+  */
+object MiscQueries extends QueryFamily {
+
+  // ---- a14: PU-profile derivation + iterative crop (A14) -----------------
+  // reference: stage1/corrections/pu_reweight.py:9-72 — histogram the
+  // pileup observable, form data/MC bin ratios, then iteratively clamp
+  // outlier weights while renormalizing so the integral shift stays
+  // bounded. The reference loops on a driver-side 100-bin array; here
+  // the (fixed two) clamp+renormalize iterations are window expressions
+  // over the tiny bin table — same math, exactly oracle-checkable.
+  private val puCap = 1.5
+  private def a14(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val bucket = floor(col("value") / 5.0).cast("long")
+    // "data" = click/view events, "mc" = the rest — two profiles
+    val binned = ev.groupBy(bucket.as("bin")).agg(
+      sum(when(col("event_type").isin("click", "view"), 1.0).otherwise(0.0)).as("n_data"),
+      sum(when(!col("event_type").isin("click", "view"), 1.0).otherwise(0.0)).as("n_mc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    // empty-MC bins: NULL ratio (ANSI division would throw on /0)
+    val ratio = binned
+      .withColumn("r0",
+        (col("n_data") / sum(col("n_data")).over(w)) /
+          nullif(col("n_mc") / sum(col("n_mc")).over(w), lit(0.0)))
+    // iteration 1: clamp then renormalize (mc-weighted mean back to 1)
+    val it1 = ratio
+      .withColumn("c1", least(col("r0"), lit(puCap)))
+      .withColumn("r1",
+        col("c1") / (sum(col("c1") * col("n_mc")).over(w) / sum(col("n_mc")).over(w)))
+    // iteration 2
+    val it2 = it1
+      .withColumn("c2", least(col("r1"), lit(puCap)))
+      .withColumn("r2",
+        col("c2") / (sum(col("c2") * col("n_mc")).over(w) / sum(col("n_mc")).over(w)))
+    it2.select(col("bin"), col("r2").cast("float").as("pu_weight"))
+      .orderBy(col("bin"))
+  }
+  private val a14Sql =
+    s"""WITH binned AS (
+       | SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
+       |  SUM(CASE WHEN event_type IN ('click', 'view') THEN 1.0 ELSE 0.0 END) AS n_data,
+       |  SUM(CASE WHEN event_type NOT IN ('click', 'view') THEN 1.0 ELSE 0.0 END) AS n_mc
+       | FROM events GROUP BY 1),
+       |r AS (
+       | SELECT *, (n_data / SUM(n_data) OVER ())
+       |         / NULLIF(n_mc / SUM(n_mc) OVER (), 0.0) AS r0
+       | FROM binned),
+       |i1 AS (
+       | SELECT *, LEAST(r0, $puCap) AS c1 FROM r),
+       |i1b AS (
+       | SELECT *, c1 / (SUM(c1 * n_mc) OVER () / SUM(n_mc) OVER ()) AS r1 FROM i1),
+       |i2 AS (
+       | SELECT *, LEAST(r1, $puCap) AS c2 FROM i1b),
+       |i2b AS (
+       | SELECT *, c2 / (SUM(c2 * n_mc) OVER () / SUM(n_mc) OVER ()) AS r2 FROM i2)
+       |SELECT bin, CAST(r2 AS REAL) AS pu_weight FROM i2b ORDER BY bin""".stripMargin
+
+  // ---- r06: key-set intersection (R6) ------------------------------------
+  // reference: stage3/make_templates.py:92-104 — variations common to
+  // every dataset group.
+  private def r06(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val a = ev.filter(col("user_id") % 2 === 0).select(col("event_type"))
+    val b = ev.filter(col("user_id") % 2 =!= 0).select(col("event_type"))
+    a.intersect(b).orderBy(col("event_type"))
+  }
+  private val r06Sql =
+    """SELECT event_type FROM events WHERE user_id % 2 = 0
+      |INTERSECT
+      |SELECT event_type FROM events WHERE user_id % 2 != 0
+      |ORDER BY event_type""".stripMargin
+
+  // ---- r08: config-matrix cross join (R8) --------------------------------
+  // reference: python/workflow.py:5-37 — fan a computation over the
+  // cartesian product of tiny config lists, joined to per-cell data.
+  private def r08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val years = Seq(2016, 2017, 2018).toDF("year")
+    val regions = Seq("z-peak", "h-peak").toDF("cfg_region")
+    val ev = rd(s, dir, "events")
+    val counts = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    years.crossJoin(regions).crossJoin(counts)
+      .select(col("year"), col("cfg_region"), col("event_type"), col("n"))
+      .orderBy(col("year"), col("cfg_region"), col("event_type"))
+  }
+  private val r08Sql =
+    """SELECT year, cfg_region, event_type, n
+      |FROM (VALUES (2016), (2017), (2018)) AS y(year)
+      |CROSS JOIN (VALUES ('z-peak'), ('h-peak')) AS r(cfg_region)
+      |CROSS JOIN (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1) c
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- c03: exact signed product via custom Aggregator (A2) --------------
+  // reference: stage1/processor.py:260 — the OS-charge product. The
+  // log-sum trick (a02) needs positivity; this Aggregator multiplies
+  // exactly, including signs, with a tiny double buffer.
+  private val signedProduct: Aggregator[Double, Double, Double] =
+    new Aggregator[Double, Double, Double] {
+      def zero: Double = 1.0
+      def reduce(b: Double, a: Double): Double = b * a
+      def merge(b1: Double, b2: Double): Double = b1 * b2
+      def finish(r: Double): Double = r
+      def bufferEncoder = Encoders.scalaDouble
+      def outputEncoder = Encoders.scalaDouble
+    }
+  private def c03(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("signed_product", udaf(signedProduct))
+    val li = rd(s, dir, "lineitem")
+    li.select(col("l_orderkey"),
+        when(col("l_linenumber") % 2 === 0, lit(1.0) - col("l_discount"))
+          .otherwise(col("l_discount") - lit(1.0)).as("x"))
+      .groupBy(col("l_orderkey"))
+      .agg(expr("signed_product(x)").cast("float").as("prod_signed"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("l_orderkey"))
+  }
+  private val c03Sql =
+    """SELECT l_orderkey,
+      | CAST(PRODUCT(CASE WHEN l_linenumber % 2 = 0 THEN 1.0 - l_discount
+      |              ELSE l_discount - 1.0 END) AS REAL) AS prod_signed,
+      | COUNT(*) AS n_items
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a14_pu_profile_crop" -> (a14 _),
+    "r06_intersect" -> (r06 _),
+    "r08_config_matrix" -> (r08 _),
+    "c03_signed_product_agg" -> (c03 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a14_pu_profile_crop" -> a14Sql,
+    "r06_intersect" -> r06Sql,
+    "r08_config_matrix" -> r08Sql,
+    "c03_signed_product_agg" -> c03Sql
+  )
+}

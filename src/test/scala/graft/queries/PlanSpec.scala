@@ -1,0 +1,62 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: at 100 TB these plan shapes are the
+  * difference between a scan-bound job and a broken one. Guards against
+  * regressions that correctness checks cannot see. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("object selection pushes filters into the parquet scan") {
+    val plan = planOf(PhysicsQueries.queries("p05_object_selection")(spark, dir))
+    assert(plan.contains("PushedFilters"), "no pushdown section in scan")
+    assert(plan.contains("GreaterThan(l_extendedprice"),
+      s"price filter not pushed:\n$plan")
+  }
+
+  test("projections prune the parquet read schema") {
+    val plan = planOf(TextQueries.queries("t01_token_count")(spark, dir))
+    // only doc_id and text are needed; n_chars/lang/source must not be read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned read schema: $readSchema")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = planOf(RelationalQueries.queries("j08_broadcast_dim_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("binned lookup is a broadcast join, not a shuffle") {
+    val plan = planOf(LookupQueries.queries("l01_binned_1d")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"lookup not broadcast:\n$plan")
+  }
+
+  test("group sums use map-side partial aggregation") {
+    val plan = planOf(RelationalQueries.queries("a01_group_sums")(spark, dir))
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("LSH candidate generation never degenerates to a cartesian product") {
+    val plan = planOf(DedupQueries.queries("d03_minhash_lsh")(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
+  }
+
+  test("whole-stage codegen covers the kinematics pipeline") {
+    // with AQE the codegen stages exist only in the FINAL plan: run first
+    val df = PhysicsQueries.queries("p10_p4_sum")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+}
