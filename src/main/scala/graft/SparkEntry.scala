@@ -27,7 +27,8 @@ object SparkEntry {
     StageQueries,
     CatalystQueries,
     CsFrameQueries,
-    MiscQueries
+    MiscQueries,
+    JaggedQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

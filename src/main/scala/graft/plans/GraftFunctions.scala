@@ -29,12 +29,21 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  val sortedIntersectBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "sorted_intersect_count(a, b)")
+    SortedIntersectCount(children(0), children(1))
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
       new FunctionIdentifier("delta_r"),
       new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),
       deltaRBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      sortedIntersectBuilder)
     reg.registerFunction(
       new FunctionIdentifier("weighted_histogram"),
       new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),

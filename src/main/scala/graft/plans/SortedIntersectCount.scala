@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** |A ∩ B| for two SORTED long arrays as a single merge walk —
+  * O(n+m), zero allocation, no boxing.
+  *
+  * `array_intersect` builds a boxed hash set per invocation (~100 µs for
+  * two 400-element arrays); inside a pairwise near-dup join evaluated
+  * millions of times that dominated the whole benchmark. This native
+  * expression reads `ArrayData.getLong` directly in generated code.
+  * Inputs MUST be sorted ascending (use `array_sort` once per row
+  * upstream) and distinct; behavior on unsorted input is unspecified.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<bigint> arguments")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val vx = x.getLong(i); val vy = y.getLong(j)
+      if (vx == vy) { n += 1; i += 1; j += 1 }
+      else if (vx < vy) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      s"""
+        int $i = 0; int $j = 0;
+        final int $nx = $a.numElements();
+        final int $ny = $b.numElements();
+        long ${ev.value}Acc = 0L;
+        while ($i < $nx && $j < $ny) {
+          final long $vx = $a.getLong($i);
+          final long $vy = $b.getLong($j);
+          if ($vx == $vy) { ${ev.value}Acc++; $i++; $j++; }
+          else if ($vx < $vy) { $i++; } else { $j++; }
+        }
+        ${ev.value} = ${ev.value}Acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_count"
+}

@@ -33,13 +33,15 @@ object DedupQueries extends QueryFamily {
     * any collision hits both engines identically. */
   private def shingleHash(charAt: Int => String): String =
     (0 until 5).map(charAt).foldLeft("CAST(0 AS BIGINT)")((acc, ch) => s"($acc * 31 + $ch)")
+  // sorted ascending so |∩| can use the native merge-walk
+  // sorted_intersect_count instead of hash-set array_intersect
   private val shinglesSpark = {
     val h = shingleHash(k => s"ascii(substring(text, i + $k, 1))")
-    s"array_distinct(transform(sequence(1, length(text) - 4), i -> $h))"
+    s"array_sort(array_distinct(transform(sequence(1, length(text) - 4), i -> $h)))"
   }
   private val shinglesDuck = {
     val h = shingleHash(k => s"ascii(substr(text, i + $k, 1))")
-    s"list_distinct(list_transform(generate_series(1, length(text) - 4), i -> $h))"
+    s"list_sort(list_distinct(list_transform(generate_series(1, length(text) - 4), i -> $h)))"
   }
 
   /** Mix the low-entropy Horner hash into well-spread 31-bit values for
@@ -62,13 +64,14 @@ object DedupQueries extends QueryFamily {
   // ---- d02: shingle-Jaccard near-dup with length blocking ----------------
   private val jaccThresh = 0.28
   private def d02(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
     val docs = d.select(col("doc_id"), expr(shinglesSpark).as("sh"),
       (col("n_chars") / 100).cast("long").as("bucket"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("bucket"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
       col("bucket").as("b_bucket"))
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
     val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
     a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
       .withColumn("jacc", inter / uni)
@@ -98,30 +101,44 @@ object DedupQueries extends QueryFamily {
   private def permA(k: Int): Long = 2L * k + 3
   private def permB(k: Int): Long = 7919L * k + 1
   private def d03(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
-    // compute sh once, derive all 9 signatures from it
-    val base = d.select(col("doc_id"), expr(shinglesSpark).as("sh"))
-    val sigK: Seq[Column] = (0 until nPerm).map { k =>
-      expr(s"array_min(transform(sh, " +
-        s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))")
-    }
+    // sh as its own projection, referenced 9 times below: multiple
+    // references to a non-cheap alias stop CollapseProject from inlining
+    // the (expensive, interpreted-lambda) shingle build into every
+    // signature — a single nested transform would rebuild+re-sort the
+    // shingle array once PER PERMUTATION per row (9x, ~30 ms/doc).
+    val base0 = d.select(col("doc_id"), expr(shinglesSpark).as("sh"))
+    // the signature table feeds FOUR plan branches (two band-join sides,
+    // two verify-join sides); materialize it once — at cluster scale
+    // this is the persisted signature table every LSH pipeline writes
+    val sigs = base0.select(col("doc_id"), col("sh"),
+      array((0 until nPerm).map { k =>
+        expr(s"array_min(transform(sh, w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))")
+      }: _*).as("sigs"))
+      .localCheckpoint()
+    val base = sigs.select(col("doc_id"), col("sh"))
     val bands = array((0 until nPerm / bandRows).map { j =>
-      concat_ws("_", (0 until bandRows).map(r => sigK(j * bandRows + r)): _*)
+      concat_ws("_", (0 until bandRows).map(r =>
+        element_at(col("sigs"), j * bandRows + r + 1)): _*)
     }: _*)
-    val docs = base.select(col("doc_id"), col("sh"), bands.as("bands"))
-    val exploded = docs.select(col("doc_id"), col("sh"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val x = exploded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-      col("band_idx"), col("band_val"))
-    val y = exploded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+    // band join carries IDS ONLY — the shingle arrays would otherwise be
+    // shuffled once per (pair, band) and again through dropDuplicates
+    val exploded = sigs.select(col("doc_id"),
+      posexplode(bands).as(Seq("band_idx", "band_val")))
+    val x = exploded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
+    val y = exploded.select(col("doc_id").as("b_id"),
       col("band_idx").as("b_idx"), col("band_val").as("b_val"))
     val cand = x.join(y, col("band_idx") === col("b_idx") &&
         col("band_val") === col("b_val") && col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
-      .dropDuplicates("a_id", "b_id")
-    val inter = size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+      .select(col("a_id"), col("b_id")).distinct()
+    // verify: join the (small) candidate set back to the docs
+    val withSh = cand
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
     val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
-    cand.withColumn("jacc", inter / uni)
+    withSh.withColumn("jacc", inter / uni)
       .filter(col("jacc") >= lshThresh)
       .select(col("a_id"), col("b_id"), col("jacc").cast("float").as("jacc"))
       .orderBy(col("a_id"), col("b_id"))

@@ -71,6 +71,26 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_intersect_count matches array_intersect size on sorted inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(300)((
+      rnd.shuffle((1L to 60L).toList).take(rnd.nextInt(40) + 1).distinct.sorted,
+      rnd.shuffle((1L to 60L).toList).take(rnd.nextInt(40) + 1).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val got = df.selectExpr("sorted_intersect_count(a, b)")
+      .collect().map(_.getLong(0))
+    val want = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size.toLong }
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+    // edge cases: empty, disjoint, identical
+    val edges = Seq(
+      (Seq.empty[Long], Seq(1L, 2L)), (Seq(1L, 3L), Seq(2L, 4L)),
+      (Seq(5L, 6L, 7L), Seq(5L, 6L, 7L))).toDF("a", "b")
+    val e = edges.selectExpr("sorted_intersect_count(a, b)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(e == Seq(0L, 0L, 3L))
+  }
+
   test("weighted_histogram works per group and merges across partitions") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (s"g${i % 3}", i % 160 * 1.0, 1.0))
