@@ -236,7 +236,56 @@ object LookupQueries extends QueryFamily {
        |  ON ABS(l_discount * 40.0 - 2.0) >= sfb.lo AND ABS(l_discount * 40.0 - 2.0) < sfb.hi
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- l08 / P15: 3-D binned resolution calibration ----------------------
+  // reference: stage1/muons.py:74-89 — ebe mass resolution =
+  // sqrt(dpt1^2 + dpt2^2) * calib(pt1, |eta1|, |eta2|) with a 3-D
+  // histogram lookup. Same broadcast pattern, three range predicates.
+  private val calib3d: Seq[(Double, Double, Double, Double, Double, Double, Double)] =
+    for {
+      (p, i) <- Seq((0.0, 150.0), (150.0, 300.0), (300.0, 500.0)).zipWithIndex
+      (a, j) <- Seq((0.0, 0.9), (0.9, 1.7), (1.7, 2.4)).zipWithIndex
+      (b, k) <- Seq((0.0, 0.9), (0.9, 1.7), (1.7, 2.4)).zipWithIndex
+    } yield (p._1, p._2, a._1, a._2, b._1, b._2, 1.0 + (i * 9 + j * 3 + k) / 100.0)
+  private def l08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = rd(s, dir, "events")
+    val base = ev.select(col("event_id"),
+      (col("value") + lit(1.0)).as("pt1"),
+      abs((col("event_id") % 100) / lit(25.0) - lit(2.0)).as("abseta1"),
+      abs((col("user_id") % 80) / lit(20.0) - lit(2.0)).as("abseta2"),
+      ((col("event_id") % 7) / lit(10.0) + lit(0.5)).as("dpt1"),
+      ((col("user_id") % 5) / lit(10.0) + lit(0.5)).as("dpt2"))
+    val bins = broadcast(calib3d.toDF("plo", "phi_", "alo", "ahi", "blo", "bhi", "calib"))
+    base.join(bins,
+        col("pt1") >= col("plo") && col("pt1") < col("phi_") &&
+        col("abseta1") >= col("alo") && col("abseta1") < col("ahi") &&
+        col("abseta2") >= col("blo") && col("abseta2") < col("bhi"), "left")
+      .select(col("event_id"),
+        (sqrt(col("dpt1") * col("dpt1") + col("dpt2") * col("dpt2")) *
+          coalesce(col("calib"), lit(1.0))).cast("float").as("ebe_mass_res"))
+      .orderBy(col("event_id"))
+  }
+  private val l08Sql = {
+    val values = calib3d.map { case (pl, ph, al, ah, bl, bh, c) =>
+      s"($pl, $ph, $al, $ah, $bl, $bh, $c)"
+    }.mkString(", ")
+    s"""SELECT event_id,
+       | CAST(SQRT(dpt1 * dpt1 + dpt2 * dpt2) * COALESCE(b.calib, 1.0) AS REAL) AS ebe_mass_res
+       |FROM (SELECT event_id, value + 1.0 AS pt1,
+       |        ABS((event_id % 100) / 25.0 - 2.0) AS abseta1,
+       |        ABS((user_id % 80) / 20.0 - 2.0) AS abseta2,
+       |        (event_id % 7) / 10.0 + 0.5 AS dpt1,
+       |        (user_id % 5) / 10.0 + 0.5 AS dpt2
+       |      FROM events) e
+       |LEFT JOIN (VALUES $values) AS b(plo, phi_, alo, ahi, blo, bhi, calib)
+       |  ON pt1 >= b.plo AND pt1 < b.phi_
+       | AND abseta1 >= b.alo AND abseta1 < b.ahi
+       | AND abseta2 >= b.blo AND abseta2 < b.bhi
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l08_binned_3d_resolution" -> (l08 _),
     "l01_binned_1d" -> (l01 _),
     "l02_binned_2d" -> (l02 _),
     "l03_interp_linear" -> (l03 _),
@@ -247,6 +296,7 @@ object LookupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "l08_binned_3d_resolution" -> l08Sql,
     "l01_binned_1d" -> l01Sql,
     "l02_binned_2d" -> l02Sql,
     "l03_interp_linear" -> l03Sql,

@@ -131,7 +131,132 @@ object MiscQueries extends QueryFamily {
       | COUNT(*) AS n_items
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- a17: grouping-sets fused histogram (SURVEY §4) --------------------
+  // The reference re-runs aggregation per (region, channel) slice plus
+  // totals; ROLLUP computes every level in ONE pass over the data —
+  // the fusion SURVEY.md §4 prescribes instead of N aggregate jobs.
+  private def a17(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val per = li.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("njets"),
+      sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("ht"))
+    val region = graft.physics.Selections.regionLabel(col("ht") % lit(160.0))
+    val channel = when(col("njets") <= 2, "few").otherwise("many")
+    per.select(region.as("region"), channel.as("channel"),
+        (lit(1.0) + col("ht") / lit(1.0e6)).as("w"))
+      .rollup(col("region"), col("channel"))
+      .agg(sum(col("w")).cast("float").as("yield_w"), count(lit(1)).as("n"))
+      .select(coalesce(col("region"), lit("ALL")).as("region"),
+        coalesce(col("channel"), lit("ALL")).as("channel"),
+        col("yield_w"), col("n"))
+      .orderBy(col("region"), col("channel"))
+  }
+  private val a17Sql = {
+    val region = RelationalQueries.regionCaseSql("(ht % 160.0)")
+    s"""SELECT COALESCE(region, 'ALL') AS region,
+       | COALESCE(channel, 'ALL') AS channel,
+       | CAST(SUM(w) AS REAL) AS yield_w, COUNT(*) AS n
+       |FROM (
+       | SELECT $region AS region,
+       |  CASE WHEN njets <= 2 THEN 'few' ELSE 'many' END AS channel,
+       |  1.0 + ht / 1.0e6 AS w
+       | FROM (SELECT l_orderkey, COUNT(*) AS njets,
+       |         SUM(l_extendedprice * (1.0 - l_discount)) AS ht
+       |       FROM lineitem GROUP BY 1))
+       |GROUP BY ROLLUP (region, channel)
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---- d06: duplicate-cluster assignment (connected components) ----------
+  // The keep-one-per-cluster step after near-dup detection: k fixed
+  // iterations of min-label propagation over the SimHash-bucket edge
+  // graph. Both engines run exactly k iterations, so the outputs match
+  // even for components that have not converged.
+  private val ccIters = 3
+  private def d06(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    // edges: consecutive docs in the same length-and-source block —
+    // a cheap deterministic near-dup graph standing in for d03's pairs
+    val blocked = d.select(col("doc_id"),
+      concat_ws("_", col("source"), (col("n_chars") / 50).cast("long")).as("blk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("doc_id"))
+    val chained = blocked.withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val edges = chained.select(col("prev").as("src"), col("doc_id").as("dst"))
+      .union(chained.select(col("doc_id").as("src"), col("prev").as("dst")))
+    var labels = d.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to ccIters) {
+      val nb = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbmin"))
+      labels = labels.join(nb, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+  private val d06Sql = {
+    val iter = (i: Int) =>
+      s"""l$i AS (
+         | SELECT l.doc_id,
+         |  LEAST(l.label, COALESCE(n.nbmin, l.label)) AS label
+         | FROM l${i - 1} l LEFT JOIN (
+         |  SELECT e.src, MIN(x.label) AS nbmin
+         |  FROM edges e JOIN l${i - 1} x ON e.dst = x.doc_id
+         |  GROUP BY 1) n ON l.doc_id = n.src)"""
+    s"""WITH blocked AS (
+       | SELECT doc_id, source || '_' || CAST(n_chars // 50 AS BIGINT) AS blk
+       | FROM documents),
+       |chained AS (
+       | SELECT doc_id, LAG(doc_id) OVER (PARTITION BY blk ORDER BY doc_id) AS prev
+       | FROM blocked),
+       |edges AS (
+       | SELECT prev AS src, doc_id AS dst FROM chained WHERE prev IS NOT NULL
+       | UNION ALL
+       | SELECT doc_id AS src, prev AS dst FROM chained WHERE prev IS NOT NULL),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |${(1 to ccIters).map(iter).mkString(",\n")}
+       |SELECT doc_id, label AS cluster FROM l$ccIters ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- j09: salted skew join ---------------------------------------------
+  // A handful of hot keys would send whole partitions to single tasks;
+  // salting splits each hot key into `nSalt` sub-keys, the dim side is
+  // replicated per salt, and the aggregate re-merges. Result is
+  // identical to the unsalted join — which is exactly what the oracle
+  // (plain join SQL) checks.
+  private val nSalt = 8
+  private def j09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = rd(s, dir, "lineitem")
+    // 5 hot keys: every lineitem collapses onto l_orderkey % 5
+    val fact = li.select((col("l_orderkey") % 5).as("hot_key"),
+      col("l_extendedprice"),
+      (col("l_linenumber") % nSalt).as("salt"))
+    val dim = Seq(0L -> 1.0, 1L -> 1.1, 2L -> 1.2, 3L -> 1.3, 4L -> 1.4)
+      .toDF("d_key", "factor")
+    val dimSalted = dim.crossJoin(
+      Seq.range(0, nSalt).toDF("d_salt"))
+    fact.join(broadcast(dimSalted),
+        col("hot_key") === col("d_key") && col("salt") === col("d_salt"))
+      .groupBy(col("hot_key"))
+      .agg(sum(col("l_extendedprice") * col("factor")).cast("float").as("weighted"),
+           count(lit(1)).as("n"))
+      .orderBy(col("hot_key"))
+  }
+  private val j09Sql =
+    """SELECT l_orderkey % 5 AS hot_key,
+      | CAST(SUM(l_extendedprice * factor) AS REAL) AS weighted,
+      | COUNT(*) AS n
+      |FROM lineitem JOIN (VALUES (0, 1.0), (1, 1.1), (2, 1.2), (3, 1.3), (4, 1.4))
+      |  AS d(d_key, factor) ON l_orderkey % 5 = d_key
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j09_salted_skew_join" -> (j09 _),
+    "a17_rollup_yields" -> (a17 _),
+    "d06_dup_clusters" -> (d06 _),
     "a14_pu_profile_crop" -> (a14 _),
     "r06_intersect" -> (r06 _),
     "r08_config_matrix" -> (r08 _),
@@ -139,6 +264,9 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j09_salted_skew_join" -> j09Sql,
+    "a17_rollup_yields" -> a17Sql,
+    "d06_dup_clusters" -> d06Sql,
     "a14_pu_profile_crop" -> a14Sql,
     "r06_intersect" -> r06Sql,
     "r08_config_matrix" -> r08Sql,

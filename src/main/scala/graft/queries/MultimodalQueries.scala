@@ -75,13 +75,44 @@ object MultimodalQueries extends QueryFamily {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x03: full fake-decode features ------------------------------------
+  // The DataFrame-native twin of MediaPipeline.fakeDecoder: same
+  // width/height/meanLuma math, so the mapPartitions path and the
+  // columnar path are mutually checkable (MediaPipelineSpec) and this
+  // one is DuckDB-oracle-checked.
+  private def x03(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val nb = "octet_length(encode(text, 'UTF-8'))"
+    val bytes = s"transform(sequence(1, $nb), " +
+      s"i -> CAST(conv(substring($hexSpark, i * 2 - 1, 2), 16, 10) AS BIGINT))"
+    d.select(col("doc_id"),
+        expr(nb).as("n_bytes"),
+        (lit(32) + expr(byteSpark(1)) % 64).as("width"),
+        (lit(32) + expr(byteSpark(2)) % 64).as("height"),
+        (expr(s"aggregate($bytes, 0L, (acc, v) -> acc + v)").cast("double") /
+          expr(nb)).cast("float").as("mean_luma"))
+      .orderBy(col("doc_id"))
+  }
+  private val x03Sql = {
+    val nb = "octet_length(encode(text))"
+    val bytes = s"list_transform(generate_series(1, $nb), " +
+      s"i -> CAST('0x' || substr($hexDuck, i * 2 - 1, 2) AS BIGINT))"
+    s"""SELECT doc_id, $nb AS n_bytes,
+       | 32 + ${byteDuck(1)} % 64 AS width,
+       | 32 + ${byteDuck(2)} % 64 AS height,
+       | CAST(CAST(list_sum($bytes) AS DOUBLE) / $nb AS REAL) AS mean_luma
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_binary_meta" -> (x01 _),
-    "x02_frame_sample" -> (x02 _)
+    "x02_frame_sample" -> (x02 _),
+    "x03_decode_features" -> (x03 _)
   )
 
   val oracle: Map[String, String] = Map(
     "x01_binary_meta" -> x01Sql,
-    "x02_frame_sample" -> x02Sql
+    "x02_frame_sample" -> x02Sql,
+    "x03_decode_features" -> x03Sql
   )
 }

@@ -22,6 +22,25 @@ class MediaPipelineSpec extends SparkSpec {
     assert(rows.sortBy(_.id).toSeq == again.sortBy(_.id).toSeq)
   }
 
+  test("mapPartitions decoder agrees with the columnar x03 query") {
+    val media = MediaPipeline.mediaFromDocuments(spark, sf("sf0.001"))
+    val viaDecoder = MediaPipeline.decode(spark, media, MediaPipeline.fakeDecoder)
+      .collect().map(f => f.id -> ((f.nBytes, f.width, f.height, f.meanLuma))).toMap
+    val viaQuery = graft.queries.MultimodalQueries
+      .queries("x03_decode_features")(spark, sf("sf0.001"))
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") -> ((r.getAs[Int]("n_bytes"),
+          r.getAs[Long]("width").toInt, r.getAs[Long]("height").toInt,
+          r.getAs[Float]("mean_luma").toDouble))
+      }.toMap
+    assert(viaDecoder.keySet == viaQuery.keySet)
+    viaDecoder.foreach { case (id, (nb, w, h, luma)) =>
+      val (nb2, w2, h2, luma2) = viaQuery(id)
+      assert(nb == nb2 && w == w2 && h == h2)
+      assert(math.abs(luma - luma2) < 1e-3)
+    }
+  }
+
   test("empty blob is handled without crashing") {
     import spark.implicits._
     val df = Seq((1L, Array.empty[Byte])).toDF("id", "content")
