@@ -48,6 +48,34 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Append-mode windowed aggregation with an event-time watermark —
+    * the always-on deployment shape: state for a window is dropped once
+    * the watermark passes its end, and only finalized windows are
+    * emitted. With AvailableNow the watermark advances to
+    * max(event_time) - delay at the batch boundary, so emitted windows
+    * are exactly the batch windows strictly below that line (checked in
+    * StreamsSpec). */
+  def windowedAggWatermarked(spark: SparkSession, dir: String, delay: String,
+                             queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = stream
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).cast("float").as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
   final case class Session(user_id: Long, session_idx: Long, n_events: Long,
                            ts_start: Long, ts_end: Long, sum_value: Double)

@@ -22,6 +22,26 @@ class StreamsSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s == b) }
   }
 
+  test("watermarked append-mode windows emit exactly the finalized batch windows") {
+    val dir = sf("sf0.001")
+    val streamed = Streams.windowedAggWatermarked(spark, dir, "2 hours", "spec_wm")
+      .selectExpr("window.start AS w_start", "event_type", "n_events", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
+    val watermarkUs = maxTs / 1000 - 2L * 3600 * 1000 * 1000
+    val batch = ev
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(expr(s"unix_micros(window.end) <= $watermarkUs"))
+      .selectExpr("window.start AS w_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed-only: ${streamed -- batch}; batch-only: ${(batch -- streamed).take(3)}")
+  }
+
   test("streaming sessionization equals batch window-function sessionization") {
     val dir = sf("sf0.001")
     val gap = 8L * HourNs
