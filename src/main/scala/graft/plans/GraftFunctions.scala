@@ -34,6 +34,11 @@ object GraftFunctions {
     SortedIntersectCount(children(0), children(1))
   }
 
+  val arrayDotBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "array_dot(a, b)")
+    ArrayDotProduct(children(0), children(1))
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -44,6 +49,10 @@ object GraftFunctions {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       sortedIntersectBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      arrayDotBuilder)
     reg.registerFunction(
       new FunctionIdentifier("weighted_histogram"),
       new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),

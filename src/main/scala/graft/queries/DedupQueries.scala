@@ -208,20 +208,18 @@ object DedupQueries extends QueryFamily {
   }
 
   // ---- d05: embedding-cosine near-dup with label blocking ----------------
-  // Element-wise double math via zip_with/aggregate keeps both engines on
-  // the identical left-fold summation; float32 cast absorbs ulps.
-  private val cosDot =
-    "aggregate(zip_with(a_emb, b_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-  private def normOf(c: String) =
-    s"SQRT(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+  // array_dot (native codegen loop) accumulates in array order —
+  // bit-identical to the DuckDB left-fold; float32 cast absorbs ulps.
+  // Norms are precomputed per vector (per DOC, not per pair).
   private def d05(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val e = rd(s, dir, "embeddings")
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("label"))
+      .withColumn("norm", sqrt(expr("array_dot(embedding, embedding)")))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("norm").as("a_norm"), col("label"))
     val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("label").as("b_label"))
-    val cos = expr(cosDot) / (expr(normOf("a_emb")) * expr(normOf("b_emb")))
+      col("norm").as("b_norm"), col("label").as("b_label"))
+    val cos = expr("array_dot(a_emb, b_emb)") / (col("a_norm") * col("b_norm"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
       .withColumn("cos", cos)
       .filter(col("cos") >= 0.25)

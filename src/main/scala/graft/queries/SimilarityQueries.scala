@@ -18,24 +18,28 @@ import org.apache.spark.sql.expressions.Window
   */
 object SimilarityQueries extends QueryFamily {
 
-  private val dotAB =
-    "aggregate(zip_with(q_emb, c_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-  private def normOf(c: String) =
-    s"SQRT(aggregate(transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
   private def dotDuck(x: String, y: String) =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($x)), " +
       s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
 
+  /** Embeddings with a precomputed norm; cosine uses the native
+    * codegen'd array_dot (bit-identical to the oracle's left fold). */
+  private def withNorm(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    rd(s, dir, "embeddings")
+      .withColumn("norm", sqrt(expr("array_dot(embedding, embedding)")))
+  }
+
   // ---- v01: brute-force cosine top-k -------------------------------------
   private val nQueries = 5; private val topK = 10
   private def v01(s: SparkSession, dir: String): DataFrame = {
-    val e = rd(s, dir, "embeddings")
+    val e = withNorm(s, dir)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val cos = (expr(dotAB) / (expr(normOf("q_emb")) * expr(normOf("c_emb"))))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"))
+    val cos = (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
       .cast("float")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
@@ -75,15 +79,16 @@ object SimilarityQueries extends QueryFamily {
     planeBits.mkString("(", " + ", ")")
   }
   private def v02(s: SparkSession, dir: String): DataFrame = {
-    val e = rd(s, dir, "embeddings")
+    val e = withNorm(s, dir)
     def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
-    val withBucket = e.select(col("vec_id"), col("embedding"),
+    val withBucket = e.select(col("vec_id"), col("embedding"), col("norm"),
       expr(bucketExpr("embedding", sparkElem)).as("bucket"))
     val q = withBucket.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("bucket"))
     val c = withBucket.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("bucket").as("c_bucket"))
-    val cos = (expr(dotAB) / (expr(normOf("q_emb")) * expr(normOf("c_emb"))))
+      col("norm").as("c_norm"), col("bucket").as("c_bucket"))
+    val cos = (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
       .cast("float")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)

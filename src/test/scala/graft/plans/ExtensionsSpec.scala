@@ -91,6 +91,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(e == Seq(0L, 0L, 3L))
   }
 
+  test("array_dot matches the interpreted zip_with/aggregate fold bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val df = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("a", "b")
+    val native = df.selectExpr("array_dot(a, b)").collect().map(_.getDouble(0))
+    val hof = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)").collect().map(_.getDouble(0))
+    native.zip(hof).foreach { case (n, h) => assert(n == h) } // exact
+    // length-mismatch zip semantics + null propagation
+    val edge = Seq((Array(1.0f, 2.0f), Array(3.0f))).toDF("a", "b")
+    assert(edge.selectExpr("array_dot(a, b)").collect().head.getDouble(0) == 3.0)
+  }
+
   test("weighted_histogram works per group and merges across partitions") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (s"g${i % 3}", i % 160 * 1.0, 1.0))
