@@ -25,6 +25,28 @@ class SinksSpec extends SparkSpec {
       df.filter(col("region") === "z-peak").count())
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    // warehouse dir is a static conf — set to /tmp via build.sbt javaOptions
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = s2.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+    val o = s2.read.parquet(sf("sf0.001") + "/orders.parquet")
+    val t1 = s"bkt_li_${System.nanoTime()}"
+    val t2 = s"bkt_o_${System.nanoTime()}"
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t1)
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(t2)
+    val joined = s2.table(t1).join(s2.table(t2),
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides pre-bucketed on the join key: no Exchange in the plan
+    assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() ==
+      li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+  }
+
   test("datacard renders yields with one column per channel") {
     val yields = StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
     val cards = Datacards.renderAll(yields)
