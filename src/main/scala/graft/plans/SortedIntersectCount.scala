@@ -4,15 +4,16 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** |A ∩ B| for two SORTED long arrays as a single merge walk —
+/** |A ∩ B| for two SORTED int or long arrays as a single merge walk —
   * O(n+m), zero allocation, no boxing.
   *
   * `array_intersect` builds a boxed hash set per invocation (~100 µs for
   * two 400-element arrays); inside a pairwise near-dup join evaluated
   * millions of times that dominated the whole benchmark. This native
-  * expression reads `ArrayData.getLong` directly in generated code.
+  * expression reads `ArrayData.getLong`/`getInt` directly in generated
+  * code (int arrays also halve the per-pair bytes the join copies).
   * Inputs MUST be sorted ascending (use `array_sort` once per row
   * upstream) and distinct; behavior on unsorted input is unspecified.
   */
@@ -20,22 +21,27 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = LongType
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    })
-    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs two array<bigint> arguments")
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(LongType, _) | ArrayType(IntegerType, _) => true
+    case _ => false
   }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (elemOk(left.dataType) && elemOk(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs two array<int|bigint> arguments")
+
+  private def isInt(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == IntegerType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val li = isInt(left); val ri = isInt(right)
     var i = 0; var j = 0; var n = 0L
     val nx = x.numElements(); val ny = y.numElements()
     while (i < nx && j < ny) {
-      val vx = x.getLong(i); val vy = y.getLong(j)
+      val vx = if (li) x.getInt(i).toLong else x.getLong(i)
+      val vy = if (ri) y.getInt(j).toLong else y.getLong(j)
       if (vx == vy) { n += 1; i += 1; j += 1 }
       else if (vx < vy) i += 1
       else j += 1
@@ -48,14 +54,16 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val vx = ctx.freshName("vx"); val vy = ctx.freshName("vy")
+      val getX = if (isInt(left)) s"(long) $a.getInt($i)" else s"$a.getLong($i)"
+      val getY = if (isInt(right)) s"(long) $b.getInt($j)" else s"$b.getLong($j)"
       s"""
         int $i = 0; int $j = 0;
         final int $nx = $a.numElements();
         final int $ny = $b.numElements();
         long ${ev.value}Acc = 0L;
         while ($i < $nx && $j < $ny) {
-          final long $vx = $a.getLong($i);
-          final long $vy = $b.getLong($j);
+          final long $vx = $getX;
+          final long $vy = $getY;
           if ($vx == $vy) { ${ev.value}Acc++; $i++; $j++; }
           else if ($vx < $vy) { $i++; } else { $j++; }
         }

@@ -35,13 +35,15 @@ object DedupQueries extends QueryFamily {
     (0 until 5).map(charAt).foldLeft("CAST(0 AS BIGINT)")((acc, ch) => s"($acc * 31 + $ch)")
   // sorted ascending so |∩| can use the native merge-walk
   // sorted_intersect_count instead of hash-set array_intersect
+  // INT elements (hash < 31^5 < 2^31): halves the bytes the pairwise
+  // joins copy per candidate row vs long arrays
   private val shinglesSpark = {
     val h = shingleHash(k => s"ascii(substring(text, i + $k, 1))")
-    s"array_sort(array_distinct(transform(sequence(1, length(text) - 4), i -> $h)))"
+    s"array_sort(array_distinct(transform(sequence(1, length(text) - 4), i -> CAST($h AS INT))))"
   }
   private val shinglesDuck = {
     val h = shingleHash(k => s"ascii(substr(text, i + $k, 1))")
-    s"list_sort(list_distinct(list_transform(generate_series(1, length(text) - 4), i -> $h)))"
+    s"list_sort(list_distinct(list_transform(generate_series(1, length(text) - 4), i -> CAST($h AS INTEGER))))"
   }
 
   /** Mix the low-entropy Horner hash into well-spread 31-bit values for
@@ -66,8 +68,13 @@ object DedupQueries extends QueryFamily {
   private def d02(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
-    val docs = d.select(col("doc_id"), expr(shinglesSpark).as("sh"),
-      (col("n_chars") / 100).cast("long").as("bucket"))
+    // the source is one small file (= one input split) but both the
+    // shingle build and the pairwise probe are compute-bound: spread the
+    // rows across all cores BEFORE computing shingles — tasks must be
+    // sized by WORK, not input bytes
+    val docs = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"),
+        (col("n_chars") / 100).cast("long").as("bucket"))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("bucket"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
       col("bucket").as("b_bucket"))
@@ -108,7 +115,9 @@ object DedupQueries extends QueryFamily {
     // the (expensive, interpreted-lambda) shingle build into every
     // signature — a single nested transform would rebuild+re-sort the
     // shingle array once PER PERMUTATION per row (9x, ~30 ms/doc).
-    val base0 = d.select(col("doc_id"), expr(shinglesSpark).as("sh"))
+    // spread rows before the (compute-bound) shingle+signature build
+    val base0 = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
     // the signature table feeds FOUR plan branches (two band-join sides,
     // two verify-join sides); materialize it once — at cluster scale
     // this is the persisted signature table every LSH pipeline writes

@@ -52,6 +52,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian product:\n$plan")
   }
 
+  test("systematic-variation fan-out reads the source exactly once") {
+    // SURVEY §4: variations must be extra columns through one scan,
+    // never N re-scans or self-joins
+    val plan = StageQueries.queries("s03_stage2_histograms")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"variation fan-out re-scans the source ($scans scans):\n$plan")
+  }
+
   test("whole-stage codegen covers the kinematics pipeline") {
     // with AQE the codegen stages exist only in the FINAL plan: run first
     val df = PhysicsQueries.queries("p10_p4_sum")(spark, dir)
