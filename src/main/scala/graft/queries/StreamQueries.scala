@@ -51,13 +51,43 @@ object StreamQueries extends QueryFamily {
        | CAST(SUM(value) AS REAL) AS sum_value
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- n03: streaming exact dedup ----------------------------------------
+  // The streaming-native form of d01: state keyed by content hash,
+  // emitted set equals the batch DISTINCT.
+  private def n03(s: SparkSession, dir: String): DataFrame =
+    Streams.streamingDedup(s, dir, fresh("graft_stream_dedup"))
+      .orderBy(col("content_hash"))
+  private val n03Sql =
+    "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY 1"
+
+  // ---- n04: stream-stream interval join ----------------------------------
+  // Purchases within 4h after a same-user click; both sides watermarked
+  // so join state is bounded. AvailableNow emits the batch join exactly.
+  private val JoinWindowUs = 4L * 3600 * 1000 * 1000
+  private def n04(s: SparkSession, dir: String): DataFrame =
+    Streams.streamStreamJoin(s, dir, JoinWindowUs, fresh("graft_stream_join"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  private val n04Sql =
+    s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       | c.user_id, epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS lag_us
+       |FROM events c JOIN events p
+       |  ON c.user_id = p.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+       | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + $JoinWindowUs
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_stream_window_agg" -> (n01 _),
-    "n02_stream_sessionize" -> (n02 _)
+    "n02_stream_sessionize" -> (n02 _),
+    "n03_stream_dedup" -> (n03 _),
+    "n04_stream_stream_join" -> (n04 _)
   )
 
   val oracle: Map[String, String] = Map(
     "n01_stream_window_agg" -> n01Sql,
-    "n02_stream_sessionize" -> n02Sql
+    "n02_stream_sessionize" -> n02Sql,
+    "n03_stream_dedup" -> n03Sql,
+    "n04_stream_stream_join" -> n04Sql
   )
 }

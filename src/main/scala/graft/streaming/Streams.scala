@@ -76,6 +76,65 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: dropDuplicates on the content hash keyed by
+    * state. In an always-on pipeline the watermark bounds how long a
+    * hash is remembered; with AvailableNow the emitted hash set is
+    * exactly the batch DISTINCT (which row carried the first arrival is
+    * batch-order-dependent, so callers project the key columns). */
+  def streamingDedup(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val deduped = stream
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .select(col("content_hash"))
+    val q = deduped.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Stream–stream interval join: purchases within `windowUs` after a
+    * click by the same user. Both sides carry watermarks so the join
+    * state is bounded; the time-range condition lets Spark expire rows
+    * once the other side's watermark passes. AvailableNow emits exactly
+    * the batch join result. */
+  def streamStreamJoin(spark: SparkSession, dir: String, windowUs: Long,
+                       queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr(s"INTERVAL $windowUs MICROSECOND"))
+    val q = joined
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"),
+        expr("unix_micros(p_time) - unix_micros(c_time)").as("lag_us"))
+      .writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
   final case class Session(user_id: Long, session_idx: Long, n_events: Long,
                            ts_start: Long, ts_end: Long, sum_value: Double)
