@@ -28,7 +28,8 @@ object SparkEntry {
     CatalystQueries,
     CsFrameQueries,
     MiscQueries,
-    JaggedQueries
+    JaggedQueries,
+    TemporalQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

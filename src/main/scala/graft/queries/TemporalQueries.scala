@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal / reshaping operators Spark users reach for constantly:
+  * as-of join, pivot, exact quantiles. The as-of join is the canonical
+  * "operator Spark lacks natively" — composed here from a union + a
+  * last-non-null window, which is ONE sort-shuffle keyed by
+  * (entity, time) instead of the naive per-row subquery.
+  */
+object TemporalQueries extends QueryFamily {
+
+  // ---- j10: as-of join ----------------------------------------------------
+  // For each purchase, the most recent prior-or-equal click of the same
+  // user. Union both sides tagged, one window sorted by (user, time),
+  // last_value(click_id) ignoring nulls — O(n log n), single shuffle.
+  private def j10(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val tagged = ev.filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("event_id")).as("click_marker"))
+    // order at microsecond resolution: the oracle's epoch_ns truncates
+    // sub-microsecond digits, so ns-level ordering could diverge
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_click", last(col("click_marker"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      // no prior click -> -1 (avoid NULLs in the driver's hash compare)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        coalesce(col("asof_click"), lit(-1L)).as("asof_click"))
+      .orderBy(col("purchase_id"))
+  }
+  private val j10Sql =
+    """SELECT event_id AS purchase_id, user_id,
+      | COALESCE(asof_click, -1) AS asof_click FROM (
+      | SELECT user_id, event_id, event_type,
+      |  LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click
+      | FROM events WHERE event_type IN ('click', 'purchase'))
+      |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
+
+  // ---- r10: pivot (long -> wide) ------------------------------------------
+  // Per-user counts per event type as columns. Spark's pivot with an
+  // explicit value list is a single groupBy; the oracle spells the same
+  // thing as conditional sums.
+  private val pivotTypes = Seq("click", "view", "purchase", "signup", "error")
+  private def r10(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", pivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+  private val r10Sql = {
+    val cols = pivotTypes.map(t =>
+      s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS \"$t\"").mkString(", ")
+    s"SELECT user_id, $cols FROM events GROUP BY 1 ORDER BY 1"
+  }
+
+  // ---- a18: exact interpolated quantiles ----------------------------------
+  // Exact (not approximate) median and p90 per group — both engines use
+  // the same linear-interpolation definition.
+  private def a18(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").cast("float").as("median_value"),
+        expr("percentile(value, 0.9)").cast("float").as("p90_value"))
+      .orderBy(col("event_type"))
+  }
+  private val a18Sql =
+    """SELECT event_type,
+      | CAST(quantile_cont(value, 0.5) AS REAL) AS median_value,
+      | CAST(quantile_cont(value, 0.9) AS REAL) AS p90_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_asof_join" -> (j10 _),
+    "r10_pivot" -> (r10 _),
+    "a18_exact_quantiles" -> (a18 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j10_asof_join" -> j10Sql,
+    "r10_pivot" -> r10Sql,
+    "a18_exact_quantiles" -> a18Sql
+  )
+}

@@ -23,6 +23,9 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
 
     def cell(v):
+        # everything becomes a string so rows with NULLs stay sortable
+        if v is None:
+            return "∅"
         if isinstance(v, float):
             if math.isnan(v):
                 return "nan"
@@ -32,7 +35,7 @@ def canon(rows, cols):
             return v.hex()
         if isinstance(v, list):
             return tuple(cell(x) for x in v)
-        return v
+        return str(v)
 
     return sorted(tuple(cell(r[i]) for i in order) for r in rows)
 
