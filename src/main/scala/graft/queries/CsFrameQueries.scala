@@ -110,15 +110,23 @@ object CsFrameQueries extends QueryFamily {
       // ±1e-16 in FP) — snap to +0.0 so atan2's ±π branch cut cannot
       // flip between engines.
       .withColumn("my0", when(abs(c("my")) < 1e-9, lit(0.0)).otherwise(c("my")))
+      // a muon at rest in the CS frame leaves the whole rotated vector
+      // as FP noise (mx,my,mz all ~1e-15): both angles are undefined —
+      // fix cosθ=1, φ=0 by convention
+      .withColumn("m_mag2",
+        c("mx") * c("mx") + c("my") * c("my") + c("mz") * c("mz"))
       // cosθ at exactly π/2 is ±1e-16 FP noise — snap to +0.0
       .withColumn("cos_raw",
         cos(atan2(sqrt(c("mx") * c("mx") + c("my") * c("my")), c("mz"))))
       .withColumn("cos_theta_cs_pisa",
-        when(abs(c("cos_raw")) < 1e-9, lit(0.0)).otherwise(c("cos_raw")))
-      // fully degenerate rows (muon along ±z in the CS frame): phi is
-      // analytically undefined — fix the convention to 0
+        when(c("m_mag2") < 1e-16, lit(1.0))
+          .when(abs(c("cos_raw")) < 1e-9, lit(0.0))
+          .otherwise(c("cos_raw")))
+      // partially degenerate rows (muon along ±z in the CS frame): phi
+      // is analytically undefined — fix the convention to 0
       .withColumn("phi_cs_pisa",
-        when(abs(c("my")) < 1e-9 && abs(c("mx")) < 1e-9, lit(0.0))
+        when(c("m_mag2") < 1e-16, lit(0.0))
+          .when(abs(c("my")) < 1e-9 && abs(c("mx")) < 1e-9, lit(0.0))
           .otherwise(atan2(c("my0"), c("mx"))))
   }
 
@@ -242,9 +250,11 @@ object CsFrameQueries extends QueryFamily {
        |  zx * m2x + zy * m2y + zz * m2z AS mz
        | FROM l5g)
        |SELECT event_id,
-       | CAST(CASE WHEN ABS(COS(ATAN2(SQRT(mx * mx + my * my), mz))) < 1e-9 THEN 0.0
+       | CAST(CASE WHEN mx * mx + my * my + mz * mz < 1e-16 THEN 1.0
+       |      WHEN ABS(COS(ATAN2(SQRT(mx * mx + my * my), mz))) < 1e-9 THEN 0.0
        |      ELSE COS(ATAN2(SQRT(mx * mx + my * my), mz)) END AS REAL) AS cos_theta_cs_pisa,
-       | CAST(CASE WHEN ABS(my) < 1e-9 AND ABS(mx) < 1e-9 THEN 0.0
+       | CAST(CASE WHEN mx * mx + my * my + mz * mz < 1e-16 THEN 0.0
+       |      WHEN ABS(my) < 1e-9 AND ABS(mx) < 1e-9 THEN 0.0
        |      ELSE ATAN2(CASE WHEN ABS(my) < 1e-9 THEN 0.0 ELSE my END, mx)
        |      END AS REAL) AS phi_cs_pisa
        |FROM l6 ORDER BY event_id""".stripMargin

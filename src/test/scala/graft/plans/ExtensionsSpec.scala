@@ -26,6 +26,12 @@ class ExtensionsSpec extends AnyFunSuite {
     s
   }
 
+  test("GraftSession.attach registers all native functions on an existing session") {
+    graft.GraftSession.attach(spark)
+    Seq("delta_r", "weighted_histogram", "sorted_intersect_count", "array_dot")
+      .foreach(f => assert(spark.catalog.functionExists(f), s"$f missing"))
+  }
+
   test("delta_r SQL function matches Kinematics.deltaR column expr") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
