@@ -284,7 +284,36 @@ object LookupQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- l09: width_bucket + EQUI-join lookup (L1, hash-join form) ---------
+  // SURVEY §2.3: "width_bucket + equi-join on bucket id is the pure-SQL
+  // form". Same bins/result as l01, but the join key is the computed
+  // bucket INDEX, so Catalyst plans a broadcast HASH join — O(1) probe —
+  // instead of the nested-loop range join; for lookup tables beyond a
+  // few hundred rows this is the scale path.
+  private def l09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = rd(s, dir, "events")
+    val binsIdx = broadcast(puBins.zipWithIndex
+      .map { case (b, i) => (i.toLong, b.value) }.toDF("bin_idx", "sf"))
+    val idx = floor(col("value") / 25.0).cast("long")
+    ev.withColumn("bin_idx", idx)
+      .join(binsIdx, Seq("bin_idx"), "left")
+      .select(col("event_id"),
+        coalesce(col("sf"), lit(1.0)).cast("float").as("pu_wgt"))
+      .orderBy(col("event_id"))
+  }
+  private val l09Sql = {
+    val values = puBins.zipWithIndex
+      .map { case (b, i) => s"($i, ${b.value})" }.mkString(", ")
+    s"""SELECT event_id,
+       | CAST(COALESCE(sfb.sf, 1.0) AS REAL) AS pu_wgt
+       |FROM events LEFT JOIN (VALUES $values) AS sfb(bin_idx, sf)
+       |  ON CAST(FLOOR(value / 25.0) AS BIGINT) = sfb.bin_idx
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l09_bucketed_equi_lookup" -> (l09 _),
     "l08_binned_3d_resolution" -> (l08 _),
     "l01_binned_1d" -> (l01 _),
     "l02_binned_2d" -> (l02 _),
@@ -296,6 +325,7 @@ object LookupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "l09_bucketed_equi_lookup" -> l09Sql,
     "l08_binned_3d_resolution" -> l08Sql,
     "l01_binned_1d" -> l01Sql,
     "l02_binned_2d" -> l02Sql,

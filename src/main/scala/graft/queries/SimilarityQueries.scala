@@ -114,13 +114,79 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v03: IVF-style ANN -------------------------------------------------
+  // Inverted-file index with fixed (literal) centroids: each vector is
+  // assigned to its nearest centroid cell, queries scan only their cell.
+  // A trained index would broadcast learned centroids; the assignment,
+  // cell join, and ranked scan are the production plan shape either way.
+  private val nCells = 8
+  private def centroid(cid: Int, j: Int): Double = math.cos(cid * 97 + j * 0.37) / 4.0
+  /** Distance score to centroid `cid`: ||e-c||² = ||c||² − 2⟨e,c⟩
+    * (||e||² is common to the argmin). */
+  private def scoreExpr(cid: Int, emb: String, elemAt: (String, Int) => String): String = {
+    val dot = (0 until nDims)
+      .map(j => s"CAST(${elemAt(emb, j + 1)} AS DOUBLE) * ${centroid(cid, j)}")
+      .mkString(" + ")
+    val c2 = (0 until nDims).map(j => centroid(cid, j) * centroid(cid, j)).sum
+    s"($c2 - 2.0 * ($dot))"
+  }
+  /** argmin over precomputed score columns s0..s{n-1}, low-index tie-break. */
+  private val argminExpr: String =
+    (0 until nCells).map { cid =>
+      val isMin = (0 until nCells).filter(_ != cid)
+        .map(o => s"s$cid <= s$o").mkString(" AND ")
+      s"WHEN $isMin THEN $cid"
+    }.mkString("(CASE ", " ", " ELSE 0 END)")
+  private def v03(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val scored = e.select(Seq(col("vec_id"), col("embedding"), col("norm")) ++
+      (0 until nCells).map(cid =>
+        expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
+    val withCell = scored.select(col("vec_id"), col("embedding"), col("norm"),
+      expr(argminExpr).as("cell"))
+    val q = withCell.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val c = withCell.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("cell").as("c_cell"))
+    val cos = (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+      .cast("float")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    q.join(c, col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= annK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v03Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid").mkString(", ")
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+       |wc AS (SELECT vec_id, embedding, $argminExpr AS cell FROM scored)
+       |SELECT q_id, rank, c_id, cos FROM (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       | FROM wc q JOIN wc c ON q.cell = c.cell AND q.vec_id != c.vec_id
+       | WHERE q.vec_id < $nQueries)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01 _),
-    "v02_knn_lsh" -> (v02 _)
+    "v02_knn_lsh" -> (v02 _),
+    "v03_knn_ivf" -> (v03 _)
   )
 
   val oracle: Map[String, String] = Map(
     "v01_knn_bruteforce" -> v01Sql,
-    "v02_knn_lsh" -> v02Sql
+    "v02_knn_lsh" -> v02Sql,
+    "v03_knn_ivf" -> v03Sql
   )
 }
