@@ -77,17 +77,31 @@ object StreamQueries extends QueryFamily {
        | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + $JoinWindowUs
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- n05: update-mode aggregation --------------------------------------
+  // Update mode emits rows whose aggregate changed in the batch; with
+  // AvailableNow every touched group is emitted once, so the result is
+  // the batch aggregate — the low-latency sink shape for dashboards.
+  private def n05(s: SparkSession, dir: String): DataFrame =
+    Streams.updateModeAgg(s, dir, fresh("graft_stream_upd"))
+      .orderBy(col("event_type"))
+  private val n05Sql =
+    """SELECT event_type, COUNT(*) AS n_events,
+      | CAST(SUM(value) AS REAL) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_stream_window_agg" -> (n01 _),
     "n02_stream_sessionize" -> (n02 _),
     "n03_stream_dedup" -> (n03 _),
-    "n04_stream_stream_join" -> (n04 _)
+    "n04_stream_stream_join" -> (n04 _),
+    "n05_stream_update_mode" -> (n05 _)
   )
 
   val oracle: Map[String, String] = Map(
     "n01_stream_window_agg" -> n01Sql,
     "n02_stream_sessionize" -> n02Sql,
     "n03_stream_dedup" -> n03Sql,
-    "n04_stream_stream_join" -> n04Sql
+    "n04_stream_stream_join" -> n04Sql,
+    "n05_stream_update_mode" -> n05Sql
   )
 }

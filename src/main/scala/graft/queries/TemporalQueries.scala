@@ -80,15 +80,37 @@ object TemporalQueries extends QueryFamily {
       | CAST(quantile_cont(value, 0.9) AS REAL) AS p90_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- a19: RANGE-frame moving aggregate ----------------------------------
+  // Per-user trailing-1-hour sum — a value-based (RANGE) frame, which
+  // unlike ROWS frames includes ties and gaps correctly and is
+  // deterministic without a tie-break.
+  private val RangeUs = 3600L * 1000 * 1000
+  private def a19(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000"))
+      .rangeBetween(-RangeUs, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        sum(col("value")).over(w).cast("float").as("trailing_1h_sum"))
+      .orderBy(col("event_id"))
+  }
+  private val a19Sql =
+    s"""SELECT event_id, user_id,
+       | CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+       |   RANGE BETWEEN $RangeUs PRECEDING AND CURRENT ROW) AS REAL) AS trailing_1h_sum
+       |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j10_asof_join" -> (j10 _),
     "r10_pivot" -> (r10 _),
-    "a18_exact_quantiles" -> (a18 _)
+    "a18_exact_quantiles" -> (a18 _),
+    "a19_range_frame_window" -> (a19 _)
   )
 
   val oracle: Map[String, String] = Map(
     "j10_asof_join" -> j10Sql,
     "r10_pivot" -> r10Sql,
-    "a18_exact_quantiles" -> a18Sql
+    "a18_exact_quantiles" -> a18Sql,
+    "a19_range_frame_window" -> a19Sql
   )
 }

@@ -76,6 +76,26 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Update-mode aggregation: emits rows whose aggregate changed per
+    * batch — the low-latency dashboard sink. One AvailableNow batch
+    * touches every group once, so the emitted set is the batch answer. */
+  def updateModeAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).cast("float").as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup: dropDuplicates on the content hash keyed by
     * state. In an always-on pipeline the watermark bounds how long a
     * hash is remembered; with AvailableNow the emitted hash set is
