@@ -100,9 +100,56 @@ object TemporalQueries extends QueryFamily {
        |   RANGE BETWEEN $RangeUs PRECEDING AND CURRENT ROW) AS REAL) AS trailing_1h_sum
        |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- r11: unpivot / stack (wide -> long) --------------------------------
+  // SURVEY §2.7: the JES-variant fan-out is a stack/unpivot — one row
+  // per (entity, variant) from variant columns, single pass, no join.
+  private def r11(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val wide = li.groupBy(col("l_orderkey")).agg(
+      sum(col("l_extendedprice")).as("nominal"),
+      (sum(col("l_extendedprice")) * 1.02).as("jes_up"),
+      (sum(col("l_extendedprice")) * 0.98).as("jes_down"))
+    wide.select(col("l_orderkey"),
+        expr("""stack(3, 'nominal', nominal, 'jes_up', jes_up, 'jes_down', jes_down)
+                AS (variation, total)""").as(Seq("variation", "total")))
+      .select(col("l_orderkey"), col("variation"), col("total").cast("float").as("total"))
+      .orderBy(col("l_orderkey"), col("variation"))
+  }
+  private val r11Sql =
+    """WITH wide AS (
+      | SELECT l_orderkey, SUM(l_extendedprice) AS nominal,
+      |  SUM(l_extendedprice) * 1.02 AS jes_up,
+      |  SUM(l_extendedprice) * 0.98 AS jes_down
+      | FROM lineitem GROUP BY 1)
+      |SELECT l_orderkey, 'nominal' AS variation, CAST(nominal AS REAL) AS total FROM wide
+      |UNION ALL
+      |SELECT l_orderkey, 'jes_up', CAST(jes_up AS REAL) FROM wide
+      |UNION ALL
+      |SELECT l_orderkey, 'jes_down', CAST(jes_down AS REAL) FROM wide
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- t07: text normalization --------------------------------------------
+  // lowercase, collapse whitespace, strip non-alphanumerics — the
+  // canonical pre-dedup normalization pass.
+  private def t07(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.select(col("doc_id"), length(norm).as("norm_len"),
+        substring(norm, 1, 40).as("norm_prefix"))
+      .orderBy(col("doc_id"))
+  }
+  private val t07Sql =
+    """SELECT doc_id,
+      | length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_len,
+      | substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS norm_prefix
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j10_asof_join" -> (j10 _),
     "r10_pivot" -> (r10 _),
+    "r11_unpivot_stack" -> (r11 _),
+    "t07_text_normalize" -> (t07 _),
     "a18_exact_quantiles" -> (a18 _),
     "a19_range_frame_window" -> (a19 _)
   )
@@ -110,6 +157,8 @@ object TemporalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "j10_asof_join" -> j10Sql,
     "r10_pivot" -> r10Sql,
+    "r11_unpivot_stack" -> r11Sql,
+    "t07_text_normalize" -> t07Sql,
     "a18_exact_quantiles" -> a18Sql,
     "a19_range_frame_window" -> a19Sql
   )
