@@ -35,12 +35,14 @@ object SparkEntry {
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →
     * top-2 per group (A4) → composite kinematics (P10) → region label
     * (P8) → weighted histogram (A10). Exercises scan, filter, project,
-    * window, groupBy-agg in one plan. Runs on sf0.001.
+    * window, groupBy-agg in one plan. Runs on sf0.001 unless
+    * SPARK_GRAFT_SF_DIR points elsewhere (the driver contract fixes the
+    * signature to (SparkSession) => DataFrame, so the dir is ambient).
     */
   def entry(spark: SparkSession): DataFrame = {
     import graft.physics.{Kinematics => K, Selections}
     import graft.agg.Histogrammer
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     // "muons" = lineitems with decent quantity; pseudo-kinematics derived
     // from uniform columns (discount ∈ [0,0.1], tax ∈ [0,0.08]).

@@ -13,13 +13,21 @@ object MiscQueries extends QueryFamily {
 
   // ---- a14: PU-profile derivation + iterative crop (A14) -----------------
   // reference: stage1/corrections/pu_reweight.py:9-72 — histogram the
-  // pileup observable, form data/MC bin ratios, then iteratively clamp
-  // outlier weights while renormalizing so the integral shift stays
-  // bounded. The reference loops on a driver-side 100-bin array; here
-  // the (fixed two) clamp+renormalize iterations are window expressions
-  // over the tiny bin table — same math, exactly oracle-checkable.
+  // pileup observable, form data/MC bin ratios, then clamp+renormalize
+  // REPEATEDLY until the clamp no longer shifts the mc-weighted integral
+  // by more than `puTol` (data-dependent iteration count). The reference
+  // runs this loop on a driver-side ~100-bin numpy array; this port does
+  // the same — the binned table is collected (it is tiny BY CONSTRUCTION
+  // at any data scale: one row per pileup bin), iterated on the driver,
+  // and the final weights return as a literal local relation, which in a
+  // full pipeline is what gets broadcast onto the 100 TB event table.
+  // The oracle unrolls `puMaxIter` steps where a converged step is a
+  // no-op, so a fixed unroll reproduces the data-dependent loop exactly.
   private val puCap = 1.5
+  private val puTol = 0.0025
+  private val puMaxIter = 8
   private def a14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val ev = rd(s, dir, "events")
     val bucket = floor(col("value") / 5.0).cast("long")
     // "data" = click/view events, "mc" = the rest — two profiles
@@ -32,38 +40,55 @@ object MiscQueries extends QueryFamily {
       .withColumn("r0",
         (col("n_data") / sum(col("n_data")).over(w)) /
           nullif(col("n_mc") / sum(col("n_mc")).over(w), lit(0.0)))
-    // iteration 1: clamp then renormalize (mc-weighted mean back to 1)
-    val it1 = ratio
-      .withColumn("c1", least(col("r0"), lit(puCap)))
-      .withColumn("r1",
-        col("c1") / (sum(col("c1") * col("n_mc")).over(w) / sum(col("n_mc")).over(w)))
-    // iteration 2
-    val it2 = it1
-      .withColumn("c2", least(col("r1"), lit(puCap)))
-      .withColumn("r2",
-        col("c2") / (sum(col("c2") * col("n_mc")).over(w) / sum(col("n_mc")).over(w)))
-    it2.select(col("bin"), col("r2").cast("float").as("pu_weight"))
+    // driver-side convergence loop over the collected bins, summing in
+    // ascending-bin order so reruns are bit-stable
+    val rows = ratio.select(col("bin"), col("n_mc"), col("r0"))
+      .orderBy(col("bin")).collect()
+    val bins = rows.map(_.getLong(0))
+    val nMc = rows.map(_.getDouble(1))
+    var wgt: Array[Option[Double]] =
+      rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    val sumMc = nMc.sum
+    var iters = 0
+    var done = false
+    while (!done && iters < puMaxIter) {
+      // both engines' LEAST/least skip NULLs: min(NULL, cap) = cap
+      val clamped = wgt.map(o => Some(math.min(o.getOrElse(puCap), puCap)))
+      val f = clamped.zip(nMc).map { case (c, m) => c.get * m }.sum / sumMc
+      if (math.abs(1.0 - f) <= puTol) done = true
+      else { wgt = clamped.map(c => Some(c.get / f)); iters += 1 }
+    }
+    bins.indices.map(i => (bins(i), wgt(i).map(_.toFloat), iters))
+      .toDF("bin", "pu_weight", "n_iters")
       .orderBy(col("bin"))
   }
-  private val a14Sql =
+  private val a14Sql = {
+    def step(i: Int) =
+      s"""s${i}a AS (
+         | SELECT bin, n_mc, done, iters, w, LEAST(w, $puCap) AS c,
+         |  SUM(LEAST(w, $puCap) * n_mc) OVER () / SUM(n_mc) OVER () AS f
+         | FROM s${i - 1}),
+         |s$i AS (
+         | SELECT bin, n_mc,
+         |  CASE WHEN done OR ABS(1.0 - f) <= $puTol THEN w ELSE c / f END AS w,
+         |  (done OR ABS(1.0 - f) <= $puTol) AS done,
+         |  iters + CASE WHEN NOT done AND ABS(1.0 - f) > $puTol THEN 1 ELSE 0 END AS iters
+         | FROM s${i}a)"""
     s"""WITH binned AS (
        | SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin,
        |  SUM(CASE WHEN event_type IN ('click', 'view') THEN 1.0 ELSE 0.0 END) AS n_data,
        |  SUM(CASE WHEN event_type NOT IN ('click', 'view') THEN 1.0 ELSE 0.0 END) AS n_mc
        | FROM events GROUP BY 1),
-       |r AS (
-       | SELECT *, (n_data / SUM(n_data) OVER ())
-       |         / NULLIF(n_mc / SUM(n_mc) OVER (), 0.0) AS r0
+       |s0 AS (
+       | SELECT bin, n_mc,
+       |  (n_data / SUM(n_data) OVER ())
+       |   / NULLIF(n_mc / SUM(n_mc) OVER (), 0.0) AS w,
+       |  FALSE AS done, 0 AS iters
        | FROM binned),
-       |i1 AS (
-       | SELECT *, LEAST(r0, $puCap) AS c1 FROM r),
-       |i1b AS (
-       | SELECT *, c1 / (SUM(c1 * n_mc) OVER () / SUM(n_mc) OVER ()) AS r1 FROM i1),
-       |i2 AS (
-       | SELECT *, LEAST(r1, $puCap) AS c2 FROM i1b),
-       |i2b AS (
-       | SELECT *, c2 / (SUM(c2 * n_mc) OVER () / SUM(n_mc) OVER ()) AS r2 FROM i2)
-       |SELECT bin, CAST(r2 AS REAL) AS pu_weight FROM i2b ORDER BY bin""".stripMargin
+       |${(1 to puMaxIter).map(step).mkString(",\n")}
+       |SELECT bin, CAST(w AS REAL) AS pu_weight, CAST(iters AS INT) AS n_iters
+       |FROM s$puMaxIter ORDER BY bin""".stripMargin
+  }
 
   // ---- r06: key-set intersection (R6) ------------------------------------
   // reference: stage3/make_templates.py:92-104 — variations common to

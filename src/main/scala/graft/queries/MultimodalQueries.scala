@@ -57,20 +57,25 @@ object MultimodalQueries extends QueryFamily {
   // aggregated feature) matches a video frame-sampler.
   private def x02(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
-    val frames = s"transform(sequence(0, CAST((length(text) - 1) / 16 AS INT)), " +
+    // greatest(..,0): floor == truncate only for non-negative operands, so an
+    // empty doc must not reach the division (Spark truncates toward zero,
+    // DuckDB // floors — they'd disagree at -1/16).
+    val frames = s"transform(sequence(0, CAST(greatest(length(text) - 1, 0) div 16 AS INT)), " +
       s"i -> CAST(conv(substring($hexSpark, i * 32 + 1, 2), 16, 10) AS BIGINT))"
     d.select(col("doc_id"),
-        expr(s"size($frames)").as("n_frames"),
+        expr(s"size($frames)").cast("long").as("n_frames"),
         expr(s"aggregate($frames, 0L, (acc, v) -> acc + v)").as("frame_checksum"),
         expr(s"array_max($frames)").as("frame_max"))
       .orderBy(col("doc_id"))
   }
   private val x02Sql = {
-    val frames = s"list_transform(generate_series(0, CAST((length(text) - 1) // 16 AS BIGINT)), " +
+    val frames = s"list_transform(generate_series(0, CAST(greatest(length(text) - 1, 0) // 16 AS BIGINT)), " +
       s"i -> CAST('0x' || substr($hexDuck, i * 32 + 1, 2) AS BIGINT))"
+    // CAST .. AS BIGINT: DuckDB's list_sum yields HUGEINT, which the
+    // driver's pandas bridge widens to float64 ("123.0" != "123" in the hash)
     s"""SELECT doc_id,
-       | len($frames) AS n_frames,
-       | list_sum($frames) AS frame_checksum,
+       | CAST(len($frames) AS BIGINT) AS n_frames,
+       | CAST(list_sum($frames) AS BIGINT) AS frame_checksum,
        | list_max($frames) AS frame_max
        |FROM documents ORDER BY doc_id""".stripMargin
   }

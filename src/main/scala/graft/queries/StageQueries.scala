@@ -200,7 +200,10 @@ object StageQueries extends QueryFamily {
   // datacard's numeric core. All small-data aggregation over s03's
   // output shape.
   private def s04(s: SparkSession, dir: String): DataFrame = {
-    val hist = s03(s, dir)
+    // materialize the (tiny) stage-2 histogram once: without this the
+    // template stage's window+pivot would re-derive the whole lineitem
+    // subtree — a harmless re-plan here, a double 100 TB scan in prod
+    val hist = s03(s, dir).localCheckpoint()
     val pivoted = hist.groupBy(col("region"), col("channel"), col("bin"))
       .agg(
         sum(when(col("variation") === "nominal", col("value"))).as("nom"),
@@ -233,6 +236,75 @@ object StageQueries extends QueryFamily {
        | CAST(MAX(vr_total) / MAX(nom_total) AS REAL) AS rate_unc
        |FROM tot GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- s06: systematic-variation fan-out at reference width --------------
+  // reference: stage1/processor.py:447-463 + config/jec_parameters.py —
+  // 22 JES + 12 JER variants, each re-running jet selection with shifted
+  // pt. The reference loops N passes over the input; here every variant
+  // is a struct in ONE exploded array literal, so the 100 TB scan happens
+  // once and the fan-out rides the same shuffle keyed (event, variation).
+  // Scales are carried as 4-decimal STRINGS cast to double on both
+  // engines — computing 1.0 + 0.002*i in Scala and parsing 1.006 in
+  // DuckDB can differ in the last ulp, and the shifted pt feeds a
+  // selection threshold.
+  private val variantScales: Seq[(String, String)] = {
+    def fmt(x: Double) = f"$x%.4f"
+    ("nominal", fmt(1.0)) +:
+      ((1 to 11).flatMap(i => Seq(
+        (s"jes${i}_up", fmt(1.0 + 0.002 * i)),
+        (s"jes${i}_down", fmt(1.0 - 0.002 * i)))) ++
+       (1 to 6).flatMap(i => Seq(
+        (s"jer${i}_up", fmt(1.0 + 0.001 * i)),
+        (s"jer${i}_down", fmt(1.0 - 0.001 * i)))))
+  }
+  private def s06(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val vArr = array(variantScales.map { case (n, sc) =>
+      struct(lit(n).as("variation"),
+        lit(sc).cast("double").as("scale")) }: _*)
+    val jets = li
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        explode(vArr).as("v"))
+      .select(col("l_orderkey"), col("v.variation").as("variation"),
+        (col("l_extendedprice") * col("v.scale")).as("pt"), col("l_discount"))
+      // the shifted pt re-runs the object selection, per variant
+      .filter(col("pt") > lit(2000.0))
+    val per = jets.groupBy(col("l_orderkey"), col("variation")).agg(
+      count(lit(1)).as("njets"),
+      sum(col("pt") * (lit(1.0) - col("l_discount"))).as("ht"))
+    val mass = col("ht") % lit(160.0)
+    val labeled = per
+      .withColumn("region", Selections.regionLabel(mass))
+      .withColumn("mass", mass)
+      .filter(col("region") =!= "none")
+    labeled.groupBy(col("variation"), col("region"),
+        Histogrammer.bucket(col("mass"), 0.0, 160.0, 40).as("bin"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("ht") / lit(1.0e5)).cast("float").as("value"))
+      .orderBy(col("variation"), col("region"), col("bin"))
+  }
+  private val s06Sql = {
+    val values = variantScales.map { case (n, sc) =>
+      s"('$n', CAST('$sc' AS DOUBLE))" }.mkString(", ")
+    val b = Histogrammer.bucketSql("mass", 0.0, 160.0, 40)
+    val region = RelationalQueries.regionCaseSql("(ht % 160.0)")
+    s"""WITH v(variation, scale) AS (VALUES $values),
+       |jets AS (
+       | SELECT l_orderkey, variation,
+       |  l_extendedprice * scale AS pt, l_discount
+       | FROM lineitem CROSS JOIN v
+       | WHERE l_extendedprice * scale > 2000.0),
+       |per AS (
+       | SELECT l_orderkey, variation, COUNT(*) AS njets,
+       |  SUM(pt * (1.0 - l_discount)) AS ht
+       | FROM jets GROUP BY 1, 2),
+       |labeled AS (
+       | SELECT variation, ht, ht % 160.0 AS mass, $region AS region
+       | FROM per WHERE $region != 'none')
+       |SELECT variation, region, $b AS bin,
+       | COUNT(*) AS n_events, CAST(SUM(ht / 1.0e5) AS REAL) AS value
+       |FROM labeled GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ---- s05: unbinned column save (S7) ------------------------------------
   // reference: stage2/postprocessor.py:235-253 — per-channel filtered
   // projection of fit inputs.
@@ -251,7 +323,8 @@ object StageQueries extends QueryFamily {
     "s02_metadata_prescan" -> (s02 _),
     "s03_stage2_histograms" -> (s03 _),
     "s04_stage3_templates" -> (s04 _),
-    "s05_unbinned_save" -> (s05 _)
+    "s05_unbinned_save" -> (s05 _),
+    "s06_variation_fanout" -> (s06 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -259,6 +332,7 @@ object StageQueries extends QueryFamily {
     "s02_metadata_prescan" -> s02Sql,
     "s03_stage2_histograms" -> s03Sql,
     "s04_stage3_templates" -> s04Sql,
-    "s05_unbinned_save" -> s05Sql
+    "s05_unbinned_save" -> s05Sql,
+    "s06_variation_fanout" -> s06Sql
   )
 }

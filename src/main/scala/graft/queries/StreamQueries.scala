@@ -29,11 +29,14 @@ object StreamQueries extends QueryFamily {
   // ---- n02: stateful sessionization (flatMapGroupsWithState) -------------
   private def n02(s: SparkSession, dir: String): DataFrame =
     Streams.sessionize(s, dir, GapNs, fresh("graft_stream_sess"))
-      // DuckDB's epoch_ns truncates to microseconds; emit micros on both
+      // DuckDB's epoch_ns truncates to microseconds; emit micros on both.
+      // sum_value comes from the exact milli-scaled long fold — a plain
+      // double fold is order-dependent and DuckDB aggregates in its own
+      // order, which flips the last ulp on some sessions.
       .select(col("user_id"), col("session_idx"), col("n_events"),
         expr("ts_start div 1000").as("ts_start_us"),
         expr("ts_end div 1000").as("ts_end_us"),
-        col("sum_value").cast("float").as("sum_value"))
+        (col("sum_value_milli") / 1000.0).cast("float").as("sum_value"))
       .orderBy(col("user_id"), col("session_idx"))
   private val n02Sql =
     s"""WITH x AS (
@@ -43,12 +46,13 @@ object StreamQueries extends QueryFamily {
        |   OR tsn - LAG(tsn) OVER w > $GapNs THEN 1 ELSE 0 END AS new_sess
        | FROM x WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
        |sess AS (
-       | SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
-       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+       | SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
        | FROM marked)
        |SELECT user_id, session_idx, COUNT(*) AS n_events,
        | MIN(tsn) // 1000 AS ts_start_us, MAX(tsn) // 1000 AS ts_end_us,
-       | CAST(SUM(value) AS REAL) AS sum_value
+       | CAST(CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
+       |      / 1000.0 AS REAL) AS sum_value
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- n03: streaming exact dedup ----------------------------------------

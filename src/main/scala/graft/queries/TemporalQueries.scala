@@ -58,8 +58,10 @@ object TemporalQueries extends QueryFamily {
       .orderBy(col("user_id"))
   }
   private val r10Sql = {
+    // COUNT (BIGINT), not SUM: DuckDB SUM returns HUGEINT which the driver's
+    // pandas bridge widens to float64 and the hash sees "3.0" vs Spark's "3"
     val cols = pivotTypes.map(t =>
-      s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS \"$t\"").mkString(", ")
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS \"$t\"").mkString(", ")
     s"SELECT user_id, $cols FROM events GROUP BY 1 ORDER BY 1"
   }
 

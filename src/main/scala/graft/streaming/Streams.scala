@@ -156,8 +156,12 @@ object Streams {
   }
 
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
+  /** `sum_value` is the natural double fold; `sum_value_milli` is the same
+    * sum over round(value*1000) longs — exact and order-independent, so a
+    * cross-engine comparison can't drift by a ulp with the fold order. */
   final case class Session(user_id: Long, session_idx: Long, n_events: Long,
-                           ts_start: Long, ts_end: Long, sum_value: Double)
+                           ts_start: Long, ts_end: Long, sum_value: Double,
+                           sum_value_milli: Long)
 
   /** Gap-based sessionization with flatMapGroupsWithState: a new session
     * starts when the inter-event gap exceeds `gapNs`. AvailableNow
@@ -185,7 +189,8 @@ object Streams {
           var cur: Vector[Ev] = Vector.empty
           def flush(): Unit = if (cur.nonEmpty) {
             out += Session(user, idx, cur.size.toLong,
-              cur.head.ts, cur.last.ts, cur.iterator.map(_.value).sum)
+              cur.head.ts, cur.last.ts, cur.iterator.map(_.value).sum,
+              cur.iterator.map(e => math.round(e.value * 1000)).sum)
           }
           for (e <- sorted) {
             if (cur.isEmpty || e.ts - cur.last.ts > gapNs) {
