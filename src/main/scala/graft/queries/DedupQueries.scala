@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * and `embeddings`: exact, shingle-Jaccard, MinHash+LSH banding, SimHash,
   * and embedding-cosine near-dup.
   *
-  * Scale design: every pairwise comparison is blocked — by content hash
-  * (exact), length bucket (Jaccard), LSH band value (MinHash), signature
-  * (SimHash) or label (embedding) — so the quadratic blow-up is bounded
-  * per block and the join is a plain shuffled equi-join on the block key.
+  * Scale design: no pairwise comparison is all-pairs, even within a
+  * block — candidates always come from an equi-join on a sub-quadratic
+  * key (content hash for exact, minhash band for Jaccard, LSH band for
+  * MinHash, signature for SimHash, hyperplane band for embeddings), and
+  * exact verification runs only on the candidate set.
   * Signatures are computed with array HOFs in one projection (no explode
   * until the band join), so at 100 TB the only shuffle is the band-key
   * join, whose cardinality is O(docs x bands), not O(docs^2).
@@ -63,8 +64,16 @@ object DedupQueries extends QueryFamily {
       | COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  // ---- d02: shingle-Jaccard near-dup with length blocking ----------------
+  // ---- d02: shingle-Jaccard near-dup, minhash-gated -----------------------
+  // Candidate generation is 12 single-row minhash bands (same permutation
+  // family as d03) intersected with the length bucket; only candidate
+  // pairs get the exact sorted-merge Jaccard. A per-block all-pairs form
+  // is O(block²) — millions of docs share a length bucket at 100 TB —
+  // while the band join shuffles O(docs × 12) id-only rows. Recall at the
+  // 0.28 threshold is 1-(1-j)¹² ≈ 0.98; the oracle mirrors the gate, so
+  // the contract (and the check) is the gated operator, not all-pairs.
   private val jaccThresh = 0.28
+  private val d02Perms = 12
   private def d02(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
@@ -75,29 +84,58 @@ object DedupQueries extends QueryFamily {
     val docs = d.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(shinglesSpark).as("sh"),
         (col("n_chars") / 100).cast("long").as("bucket"))
-    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("bucket"))
-    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-      col("bucket").as("b_bucket"))
+    // one materialized signature table feeds both band-join sides and
+    // both verify sides (same anti-inlining reasoning as d03)
+    val sigs = docs.select(col("doc_id"), col("sh"), col("bucket"),
+      array((0 until d02Perms).map { k =>
+        expr(s"array_min(transform(sh, w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))")
+      }: _*).as("mh"))
+      .localCheckpoint()
+    val exploded = sigs.select(col("doc_id"), col("bucket"),
+      posexplode(col("mh")).as(Seq("band_idx", "band_val")))
+    val x = exploded.select(col("doc_id").as("a_id"), col("bucket"),
+      col("band_idx"), col("band_val"))
+    val y = exploded.select(col("doc_id").as("b_id"), col("bucket").as("b_bucket"),
+      col("band_idx").as("b_idx"), col("band_val").as("b_val"))
+    val cand = x.join(y, col("bucket") === col("b_bucket") &&
+        col("band_idx") === col("b_idx") && col("band_val") === col("b_val") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val withSh = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
     val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
     val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
-    a.join(b, col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
-      .withColumn("jacc", inter / uni)
+    withSh.withColumn("jacc", inter / uni)
       .filter(col("jacc") >= jaccThresh)
       .select(col("a_id"), col("b_id"), col("jacc").cast("float").as("jacc"))
       .orderBy(col("a_id"), col("b_id"))
   }
-  private val d02Sql =
+  private val d02Sql = {
+    val bandSelects = (0 until d02Perms).map { k =>
+      val mhK = s"list_min(list_transform(sh, " +
+        s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))"
+      s"SELECT doc_id, sh, bucket, $k AS band_idx, $mhK AS band_val FROM docs"
+    }.mkString(" UNION ALL ")
     s"""WITH docs AS (
        | SELECT doc_id, $shinglesDuck AS sh,
        |        CAST(n_chars // 100 AS BIGINT) AS bucket
-       | FROM documents)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) AS REAL) AS jacc
-       |FROM docs a JOIN docs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= $jaccThresh
-       |ORDER BY 1, 2""".stripMargin
+       | FROM documents),
+       |bands AS (BANDS_SQL),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |        x.sh AS a_sh, y.sh AS b_sh
+       | FROM bands x JOIN bands y
+       |   ON x.bucket = y.bucket AND x.band_idx = y.band_idx
+       |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id,
+       | CAST(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+       |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) AS REAL) AS jacc
+       |FROM cand
+       |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
+       |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= $jaccThresh
+       |ORDER BY 1, 2""".stripMargin.replace("BANDS_SQL", bandSelects)
+  }
 
   // ---- d03: MinHash + LSH banding ----------------------------------------
   // 9 permutations, 3 bands of 3 rows: shingle -> minhash -> band ->
@@ -216,21 +254,55 @@ object DedupQueries extends QueryFamily {
        |ORDER BY doc_id""".stripMargin
   }
 
-  // ---- d05: embedding-cosine near-dup with label blocking ----------------
-  // array_dot (native codegen loop) accumulates in array order —
+  // ---- d05: embedding-cosine near-dup, hyperplane-LSH-gated --------------
+  // Candidates come from 8 LSH tables of 2 sign-bits each (16
+  // deterministic sin-literal hyperplanes over the first 16 dims, the
+  // v02 construction) intersected with the label block; only candidates
+  // get the exact cosine. Label-blocked all-pairs is O(block²) — a hot
+  // label at 100 TB is millions of vectors — while the band join
+  // shuffles O(vecs × 8) id-only rows. Recall at cos ≥ 0.25 is
+  // 1-(1-p²)⁸ ≈ 0.96 with p = 1-acos(0.25)/π; the oracle mirrors the
+  // gate. array_dot (native codegen loop) accumulates in array order —
   // bit-identical to the DuckDB left-fold; float32 cast absorbs ulps.
   // Norms are precomputed per vector (per DOC, not per pair).
+  private val d05Tables = 8; private val d05BandBits = 2; private val d05Dims = 16
+  private def d05Coef(p: Int, j: Int): Double = math.sin(1000 + p * d05Dims + j + 0.5)
+  /** Band value for table `t`: little-endian integer of `d05BandBits`
+    * hyperplane sign bits. Same string for both engines modulo elemAt. */
+  private def d05Band(t: Int, emb: String, elemAt: (String, Int) => String): String = {
+    val bits = (0 until d05BandBits).map { r =>
+      val p = t * d05BandBits + r
+      val dot = (0 until d05Dims)
+        .map(j => s"CAST(${elemAt(emb, j + 1)} AS DOUBLE) * ${d05Coef(p, j)}")
+        .mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0.0 THEN ${1 << r} ELSE 0 END)"
+    }
+    bits.mkString("(", " + ", ")")
+  }
   private def d05(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
     val e = rd(s, dir, "embeddings")
       .withColumn("norm", sqrt(expr("array_dot(embedding, embedding)")))
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
-      col("norm").as("a_norm"), col("label"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-      col("norm").as("b_norm"), col("label").as("b_label"))
+      .withColumn("bands", array((0 until d05Tables).map(t =>
+        expr(d05Band(t, "embedding", sparkElem))): _*))
+    val exploded = e.select(col("vec_id"), col("label"),
+      posexplode(col("bands")).as(Seq("tbl", "bv")))
+    val x = exploded.select(col("vec_id").as("a_id"), col("label"),
+      col("tbl"), col("bv"))
+    val y = exploded.select(col("vec_id").as("b_id"), col("label").as("b_label"),
+      col("tbl").as("b_tbl"), col("bv").as("b_bv"))
+    val cand = x.join(y, col("label") === col("b_label") &&
+        col("tbl") === col("b_tbl") && col("bv") === col("b_bv") &&
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("label")).distinct()
+    val withEmb = cand
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("norm").as("a_norm")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("norm").as("b_norm")), "b_id")
     val cos = expr("array_dot(a_emb, b_emb)") / (col("a_norm") * col("b_norm"))
-    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .withColumn("cos", cos)
+    withEmb.withColumn("cos", cos)
       .filter(col("cos") >= 0.25)
       .select(col("a_id"), col("b_id"), col("label"), col("cos").cast("float").as("cos"))
       .orderBy(col("a_id"), col("b_id"))
@@ -239,14 +311,24 @@ object DedupQueries extends QueryFamily {
     def dotDuck(x: String, y: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($x)), " +
         s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val bandSelects = (0 until d05Tables).map { t =>
+      s"SELECT vec_id, label, $t AS tbl, ${d05Band(t, "embedding", duckElem)} AS bv FROM embeddings"
+    }.mkString(" UNION ALL ")
     val cos = s"${dotDuck("a.embedding", "b.embedding")} / " +
       s"(SQRT(${dotDuck("a.embedding", "a.embedding")}) * SQRT(${dotDuck("b.embedding", "b.embedding")}))"
-    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-       | CAST($cos AS REAL) AS cos
-       |FROM embeddings a JOIN embeddings b
-       |  ON a.label = b.label AND a.vec_id < b.vec_id
+    s"""WITH bands AS (BANDS_SQL),
+       |cand AS (
+       | SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id, x.label
+       | FROM bands x JOIN bands y
+       |   ON x.label = y.label AND x.tbl = y.tbl AND x.bv = y.bv
+       |  AND x.vec_id < y.vec_id)
+       |SELECT c.a_id, c.b_id, c.label, CAST($cos AS REAL) AS cos
+       |FROM cand c
+       | JOIN embeddings a ON a.vec_id = c.a_id
+       | JOIN embeddings b ON b.vec_id = c.b_id
        |WHERE $cos >= 0.25
-       |ORDER BY 1, 2""".stripMargin
+       |ORDER BY 1, 2""".stripMargin.replace("BANDS_SQL", bandSelects)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -206,6 +206,11 @@ object LookupQueries extends QueryFamily {
   // and any two cluster runs — agree bit-for-bit.
   private val kScaleBins: Seq[Bin1D] = Seq(
     Bin1D(0.0, 0.9, 1.0002), Bin1D(0.9, 1.7, 0.9995), Bin1D(1.7, 2.4, 1.0008))
+  // Error variants per rochester.py:29-64: each branch carries its own
+  // uncertainty (binned scale error for data, spread error for
+  // gen-matched MC, smear error scaled by the draw); _up/_down shift the
+  // correction by ±err and feed the weight system via WeightBuilder —
+  // the three variant columns a15-style variation folds consume.
   private def l07(s: SparkSession, dir: String): DataFrame = {
     val li = rd(s, dir, "lineitem")
     val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
@@ -219,22 +224,49 @@ object LookupQueries extends QueryFamily {
     val kScale = coalesce(col("sf"), lit(1.0))
     val kSpread = lit(1.0) + (col("pt") % 2.0 - 1.0) / 1000.0
     val kSmear = lit(1.0) + (col("u") - 0.5) / 500.0
+    val roccor = when(col("is_data"), kScale)
+      .when(col("has_gen"), kSpread)
+      .otherwise(kSmear)
+    val err = when(col("is_data"), abs(kScale - 1.0) / 2.0 + 0.0001)
+      .when(col("has_gen"), abs(kSpread - 1.0) / 2.0)
+      .otherwise(abs(kSmear - 1.0))
+    val wb = graft.weights.WeightBuilder()
+      .add("lumi", lit(1.0) + col("l_extendedprice") / 1.0e6)
+      .add("roccor", roccor, roccor + err, roccor - err)
+    val wgts = wb.named.toMap
     joined.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        when(col("is_data"), kScale)
-          .when(col("has_gen"), kSpread)
-          .otherwise(kSmear).cast("float").as("roccor"))
+        roccor.cast("float").as("roccor"),
+        (roccor + err).cast("float").as("roccor_up"),
+        (roccor - err).cast("float").as("roccor_down"),
+        wgts("wgt_nominal").cast("float").as("wgt_nominal"),
+        wgts("wgt_roccor_up").cast("float").as("wgt_roccor_up"),
+        wgts("wgt_roccor_down").cast("float").as("wgt_roccor_down"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
-  private val l07Sql =
+  private val l07Sql = {
+    val kScale = "COALESCE(sfb.sf, 1.0)"
+    val kSpread = "(1.0 + ((l_extendedprice / 1000.0) % 2.0 - 1.0) / 1000.0)"
+    val kSmear = "(1.0 + (((l_orderkey * 2654435761 + l_linenumber * 40503) % 10000) / 10000.0 - 0.5) / 500.0)"
+    val roccor = s"""CASE
+       |  WHEN l_orderkey % 5 = 0 THEN $kScale
+       |  WHEN l_linenumber % 2 = 0 THEN $kSpread
+       |  ELSE $kSmear END""".stripMargin
+    val err = s"""CASE
+       |  WHEN l_orderkey % 5 = 0 THEN ABS($kScale - 1.0) / 2.0 + 0.0001
+       |  WHEN l_linenumber % 2 = 0 THEN ABS($kSpread - 1.0) / 2.0
+       |  ELSE ABS($kSmear - 1.0) END""".stripMargin
+    val lumi = "(1.0 + l_extendedprice / 1.0e6)"
     s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
-       | CAST(CASE
-       |  WHEN l_orderkey % 5 = 0 THEN COALESCE(sfb.sf, 1.0)
-       |  WHEN l_linenumber % 2 = 0 THEN 1.0 + ((l_extendedprice / 1000.0) % 2.0 - 1.0) / 1000.0
-       |  ELSE 1.0 + (((l_orderkey * 2654435761 + l_linenumber * 40503) % 10000) / 10000.0 - 0.5) / 500.0
-       | END AS REAL) AS roccor
+       | CAST(($roccor) AS REAL) AS roccor,
+       | CAST(($roccor) + ($err) AS REAL) AS roccor_up,
+       | CAST(($roccor) - ($err) AS REAL) AS roccor_down,
+       | CAST($lumi * ($roccor) AS REAL) AS wgt_nominal,
+       | CAST($lumi * (($roccor) + ($err)) AS REAL) AS wgt_roccor_up,
+       | CAST($lumi * (($roccor) - ($err)) AS REAL) AS wgt_roccor_down
        |FROM lineitem LEFT JOIN ${bins1Sql(kScaleBins)}
        |  ON ABS(l_discount * 40.0 - 2.0) >= sfb.lo AND ABS(l_discount * 40.0 - 2.0) < sfb.hi
        |ORDER BY 1, 2, 3""".stripMargin
+  }
 
   // ---- l08 / P15: 3-D binned resolution calibration ----------------------
   // reference: stage1/muons.py:74-89 — ebe mass resolution =

@@ -17,12 +17,7 @@ import org.apache.spark.sql.functions._
 object MLQueries extends QueryFamily {
 
   // Deterministic "trained" weights — same literals on both engines.
-  private val nIn = 4; private val nHid = 3
-  private val w1: Array[Array[Double]] =
-    Array.tabulate(nIn, nHid)((i, j) => math.sin(i * 3.0 + j * 7.0) / 2.0)
-  private val b1: Array[Double] = Array.tabulate(nHid)(j => math.cos(j * 1.3) / 4.0)
-  private val w2: Array[Double] = Array.tabulate(nHid)(j => math.sin(j * 2.1 + 0.5))
-  private val b2: Double = 0.1
+  private val nIn = 4
   // Feature standardization (M2): stored scaler constants.
   private val mu = Array(0.5, 0.5, 0.5, 0.5)
   private val sig = Array(0.29, 0.29, 0.29, 0.29)
@@ -44,6 +39,16 @@ object MLQueries extends QueryFamily {
   }
   private def tanhS(x: String) =
     s"((EXP(($x) * 2.0) - 1.0) / (EXP(($x) * 2.0) + 1.0))"
+
+  /** Sum with chunk-of-16 parenthesization, IDENTICAL on both engines:
+    * a flat 128-term left fold exceeds DuckDB's 128 binder-recursion
+    * cap, and the fold shape fixes the float summation order, so both
+    * sides must chunk the same way. */
+  private val sumChunk = 16
+  private def chunkSum(ts: Seq[Column]): Column =
+    ts.grouped(sumChunk).map(_.reduce(_ + _)).reduce(_ + _)
+  private def chunkSumS(ts: Seq[String]): String =
+    ts.grouped(sumChunk).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
 
   // ---- m01: k-fold routing by event id (M1) ------------------------------
   // reference: stage2/mva_evaluators.py:154-160 — event % 4 selects which
@@ -95,39 +100,87 @@ object MLQueries extends QueryFamily {
       |      END, -99.0) AS REAL) AS feat_filled
       |FROM events ORDER BY event_id""".stripMargin
 
-  // ---- m03: MLP forward pass (M3) ----------------------------------------
+  // ---- m03: MLP forward pass at reference dims (M3) ----------------------
   // reference: stage2/mva_evaluators.py:141-195, mva_models.py:6-39 —
-  // tanh MLP + sigmoid out + arctanh. BatchNorm in eval mode is an affine
-  // transform, folded into the standardization constants here.
+  // Linear→BatchNorm→tanh at 128/64/32, sigmoid out, then arctanh
+  // (mva_evaluators.py:195). BatchNorm in eval mode is per-neuron affine,
+  // folded into the weight/bias literals below (w' = w·γ/√(σ²+ε),
+  // b' = (b−m)·γ/√(σ²+ε)+β) exactly as a deployment exporter would.
+  //
+  // Layers are STAGED selects — each neuron references the previous
+  // layer's named columns, so plan size and oracle SQL grow linearly
+  // (128·4 + 64·128 + 32·64 + 32 terms), not combinatorially, and both
+  // engines evaluate the identical left-associated sums. All ~10k
+  // multiply-adds per row stay inside whole-stage codegen: at these dims
+  // column math still beats a UDF (no per-row boxing, no encoder
+  // round-trip) — see BASELINE.md for the measured crossover note.
+  // Weights pass through "%.6f" so the Spark literal double and the
+  // DuckDB-parsed literal are bit-identical.
+  private val mlpDims = Seq(nIn, 128, 64, 32)
+  private def q6(x: Double): Double = "%.6f".formatLocal(java.util.Locale.ROOT, x).toDouble
+  /** BN-folded deterministic weights for layer l (dims(l) -> dims(l+1)). */
+  private def mlpW(l: Int): Array[Array[Double]] =
+    Array.tabulate(mlpDims(l), mlpDims(l + 1)) { (i, j) =>
+      val raw = math.sin(l * 997.0 + i * mlpDims(l + 1) + j + 0.25) / math.sqrt(mlpDims(l).toDouble)
+      val bnScale = 1.0 + math.sin(l * 13.0 + j * 0.7) / 10.0
+      q6(raw * bnScale)
+    }
+  private def mlpB(l: Int): Array[Double] =
+    Array.tabulate(mlpDims(l + 1)) { j =>
+      val raw = math.cos(l * 31.0 + j * 1.3) / 8.0
+      val bnShift = math.cos(l * 17.0 + j * 0.9) / 20.0
+      q6(raw + bnShift)
+    }
+  private val mlpWOut: Array[Double] =
+    Array.tabulate(mlpDims.last)(j => q6(math.sin(j * 2.1 + 0.5) / math.sqrt(mlpDims.last.toDouble)))
+  private val mlpBOut: Double = 0.1
   private def m03(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
     val feats = ev.select((col("event_id") +: rawFeatures): _*)
-    val x = (0 until nIn).map(i => (col(s"f$i") - lit(mu(i))) / lit(sig(i)))
-    val h = (0 until nHid).map { j =>
-      val z = (0 until nIn).map(i => x(i) * lit(w1(i)(j)))
-        .reduce(_ + _) + lit(b1(j))
-      tanhC(z)
+    val std = feats.select(col("event_id") +:
+      (0 until nIn).map(i => ((col(s"f$i") - lit(mu(i))) / lit(sig(i))).as(s"h0_$i")): _*)
+    val staged = (0 until mlpDims.size - 1).foldLeft(std) { (cur, l) =>
+      val w = mlpW(l); val b = mlpB(l)
+      cur.select(col("event_id") +:
+        (0 until mlpDims(l + 1)).map { j =>
+          val z = chunkSum((0 until mlpDims(l))
+            .map(i => col(s"h${l}_$i") * lit(w(i)(j)))) + lit(b(j))
+          tanhC(z).as(s"h${l + 1}_$j")
+        }: _*)
     }
-    val out = (0 until nHid).map(j => h(j) * lit(w2(j))).reduce(_ + _) + lit(b2)
+    val L = mlpDims.size - 1
+    val out = chunkSum((0 until mlpDims.last)
+      .map(j => col(s"h${L}_$j") * lit(mlpWOut(j)))) + lit(mlpBOut)
     val sigm = lit(1.0) / (lit(1.0) + exp(negate(out)))
     val atanhScore = lit(0.5) * log((lit(1.0) + sigm) / (lit(1.0) - sigm))
-    feats.select(col("event_id"),
+    staged.select(col("event_id"),
         sigm.cast("float").as("dnn_score"),
         atanhScore.cast("float").as("dnn_score_atanh"))
       .orderBy(col("event_id"))
   }
   private val m03Sql = {
-    val x = (0 until nIn).map(i => s"((f$i - ${mu(i)}) / ${sig(i)})")
-    val h = (0 until nHid).map { j =>
-      val z = (0 until nIn).map(i => s"${x(i)} * ${w1(i)(j)}").mkString(" + ") + s" + ${b1(j)}"
-      tanhS(z)
+    def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
+    val std = (0 until nIn).map(i => s"((f$i - ${mu(i)}) / ${sig(i)}) AS h0_$i").mkString(", ")
+    val layers = (0 until mlpDims.size - 1).map { l =>
+      val w = mlpW(l); val b = mlpB(l)
+      (0 until mlpDims(l + 1)).map { j =>
+        val z = chunkSumS((0 until mlpDims(l))
+          .map(i => s"h${l}_$i * ${lit6(w(i)(j))}")) + s" + ${lit6(b(j))}"
+        s"${tanhS(z)} AS h${l + 1}_$j"
+      }.mkString(", ")
     }
-    val out = (0 until nHid).map(j => s"${h(j)} * ${w2(j)}").mkString(" + ") + s" + $b2"
+    val L = mlpDims.size - 1
+    val out = chunkSumS((0 until mlpDims.last)
+      .map(j => s"h${L}_$j * ${lit6(mlpWOut(j))}")) + s" + $mlpBOut"
     val sigm = s"(1.0 / (1.0 + EXP(-($out))))"
+    val inner = layers.zipWithIndex.foldLeft(
+      s"SELECT event_id, $std FROM (SELECT event_id, $rawFeaturesSql FROM events)") {
+      case (sub, (cols, _)) => s"SELECT event_id, $cols FROM ($sub)"
+    }
     s"""SELECT event_id,
        | CAST($sigm AS REAL) AS dnn_score,
        | CAST(0.5 * LN((1.0 + $sigm) / (1.0 - $sigm)) AS REAL) AS dnn_score_atanh
-       |FROM (SELECT event_id, $rawFeaturesSql FROM events)
+       |FROM ($inner)
        |ORDER BY event_id""".stripMargin
   }
 
