@@ -25,5 +25,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("weighted_histogram"),
       new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),
       GraftFunctions.weightedHistogramBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      GraftFunctions.sortedIntersectBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      GraftFunctions.arrayDotBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      GraftFunctions.minHashSigBuilder))
   }
 }

@@ -39,6 +39,11 @@ object GraftFunctions {
     ArrayDotProduct(children(0), children(1))
   }
 
+  val minHashSigBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "minhash_sig(shingles, n_perm)")
+    MinHashSignature(children(0), evalDouble(children(1)).toInt)
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -57,5 +62,9 @@ object GraftFunctions {
       new FunctionIdentifier("weighted_histogram"),
       new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),
       weightedHistogramBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      minHashSigBuilder)
   }
 }

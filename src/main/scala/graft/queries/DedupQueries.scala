@@ -85,11 +85,11 @@ object DedupQueries extends QueryFamily {
       .select(col("doc_id"), expr(shinglesSpark).as("sh"),
         (col("n_chars") / 100).cast("long").as("bucket"))
     // one materialized signature table feeds both band-join sides and
-    // both verify sides (same anti-inlining reasoning as d03)
+    // both verify sides (same anti-inlining reasoning as d03); the
+    // native minhash_sig computes all 12 permutation minima in one
+    // codegen'd pass over the shingle array
     val sigs = docs.select(col("doc_id"), col("sh"), col("bucket"),
-      array((0 until d02Perms).map { k =>
-        expr(s"array_min(transform(sh, w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))")
-      }: _*).as("mh"))
+      expr(s"minhash_sig(sh, $d02Perms)").as("mh"))
       .localCheckpoint()
     val exploded = sigs.select(col("doc_id"), col("bucket"),
       posexplode(col("mh")).as(Seq("band_idx", "band_val")))
@@ -158,11 +158,10 @@ object DedupQueries extends QueryFamily {
       .select(col("doc_id"), expr(shinglesSpark).as("sh"))
     // the signature table feeds FOUR plan branches (two band-join sides,
     // two verify-join sides); materialize it once — at cluster scale
-    // this is the persisted signature table every LSH pipeline writes
+    // this is the persisted signature table every LSH pipeline writes.
+    // minhash_sig = all 9 permutation minima in one codegen'd pass.
     val sigs = base0.select(col("doc_id"), col("sh"),
-      array((0 until nPerm).map { k =>
-        expr(s"array_min(transform(sh, w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))")
-      }: _*).as("sigs"))
+      expr(s"minhash_sig(sh, $nPerm)").as("sigs"))
       .localCheckpoint()
     val base = sigs.select(col("doc_id"), col("sh"))
     val bands = array((0 until nPerm / bandRows).map { j =>
@@ -219,6 +218,87 @@ object DedupQueries extends QueryFamily {
        |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= $lshThresh
        |ORDER BY 1, 2""".stripMargin.replace("BANDS_SQL", bandSelects)
   }
+
+  // ---- d07: EXACT similarity self-join via PPJoin prefix filtering -------
+  // The exact complement to the approximate d02/d03 gates: for
+  // Jaccard ≥ t, two shingle sets must share at least one element among
+  // the first |s| − ⌈t·|s|⌉ + 1 under ANY global element order (prefix
+  // lemma, SSJoin/PPJoin family) — so candidates come from an
+  // inverted-index equi-join on prefix elements with ZERO false
+  // negatives. The global order is (document frequency, hash) ascending,
+  // packed into one BIGINT key (df·2³² + hash): rarest shingles first,
+  // so prefixes hit low-df postings and the candidate count tracks the
+  // true result, not the corpus². A length filter (t·max ≤ min) prunes
+  // further. The oracle is deliberately the UNFILTERED all-pairs SQL:
+  // equal results prove the prefix filter is lossless, not just mirrored.
+  // t = 0.8 is the operator's design point (short prefixes): prefix
+  // filtering is the high-threshold exact path, d02/d03 the low-threshold
+  // approximate one. On THIS corpus the filter is structurally blunted —
+  // 2041 distinct shingles across 5k docs (median df 291) means almost
+  // every length-compatible pair shares a prefix element; on a real
+  // corpus (shingle vocab ~ corpus size) prefix postings are near-unique
+  // and the candidate count tracks the true result set.
+  private val ppThresh = 0.8
+  private val PackDf = 4294967296L // 2^32
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents")
+    val docs = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+      .localCheckpoint() // feeds df build, prefix build, and both verify sides
+    val dfreq = docs.select(explode(col("sh")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // per doc: prefix = first (n - ceil(t*n) + 1) packed keys, rarest-first
+    val prefixes = docs.select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("w"))
+      .join(dfreq, "w") // vocab-sized table: AQE broadcasts locally, shuffles at corpus scale
+      .select(col("doc_id"), col("n"), (col("df") * lit(PackDf) + col("w")).as("key"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(expr(s"slice(array_sort(collect_list(key)), 1, " +
+        s"CAST(n - CEIL($ppThresh * n) + 1 AS INT))").as("prefix"))
+    val idx = prefixes.select(col("doc_id"), col("n"),
+      posexplode(col("prefix")).as(Seq("pos", "key")))
+    val x = idx.select(col("doc_id").as("a_id"), col("n").as("n_a"),
+      col("pos").as("pos_a"), col("key"))
+    val y = idx.select(col("doc_id").as("b_id"), col("n").as("n_b"),
+      col("pos").as("pos_b"), col("key").as("b_key"))
+    // positional filter (PPJoin): a shared element at canonical position
+    // p leaves 1 + (n − p − 1)... = n − p candidates for the overlap; if
+    // even min(remaining) cannot reach the required t/(1+t)·(n_a+n_b)
+    // overlap, the hit cannot produce J ≥ t. Real-valued bound (no ceil)
+    // is weaker-or-equal pruning → still lossless.
+    val overlapNeed = lit(ppThresh / (1.0 + ppThresh)) *
+      (col("n_a") + col("n_b")).cast("double")
+    val cand = x.join(y, col("key") === col("b_key") && col("a_id") < col("b_id") &&
+        least(col("n_a"), col("n_b")).cast("double") >=
+          lit(ppThresh) * greatest(col("n_a"), col("n_b")).cast("double") &&
+        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")).cast("double") >= overlapNeed)
+      .select(col("a_id"), col("b_id")).distinct()
+    val withSh = cand
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    // `inter` is referenced three times below — the multi-reference stops
+    // CollapseProject from inlining the merge-walk into the filter, which
+    // would otherwise be pushed into the join condition and re-evaluate
+    // sorted_intersect_count up to 4x per candidate (measured ~2x cost)
+    val scored = withSh.select(col("a_id"), col("b_id"),
+      expr("sorted_intersect_count(a_sh, b_sh)").cast("double").as("inter"),
+      (size(col("a_sh")) + size(col("b_sh"))).cast("double").as("sz"))
+    scored
+      .filter(col("inter") / (col("sz") - col("inter")) >= ppThresh)
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / (col("sz") - col("inter"))).cast("float").as("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val d07Sql =
+    s"""WITH docs AS (
+       | SELECT doc_id, $shinglesDuck AS sh FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) AS REAL) AS jacc
+       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= $ppThresh
+       |ORDER BY 1, 2""".stripMargin
 
   // ---- d04: SimHash signature --------------------------------------------
   // 16-bit sign-of-sum signature over shingle hashes; identical
@@ -336,7 +416,8 @@ object DedupQueries extends QueryFamily {
     "d02_jaccard_neardup" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
-    "d05_embedding_neardup" -> (d05 _)
+    "d05_embedding_neardup" -> (d05 _),
+    "d07_ppjoin_exact" -> (d07 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -344,6 +425,7 @@ object DedupQueries extends QueryFamily {
     "d02_jaccard_neardup" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,
-    "d05_embedding_neardup" -> d05Sql
+    "d05_embedding_neardup" -> d05Sql,
+    "d07_ppjoin_exact" -> d07Sql
   )
 }

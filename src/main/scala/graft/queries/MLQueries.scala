@@ -136,6 +136,9 @@ object MLQueries extends QueryFamily {
   private val mlpBOut: Double = 0.1
   private def m03(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
+    // wall time here is dominated by the one-off whole-stage-codegen
+    // compile of the ~11k-term network, not row throughput — a
+    // repartition-by-work would only add a shuffle (measured: +0.6 s)
     val feats = ev.select((col("event_id") +: rawFeatures): _*)
     val std = feats.select(col("event_id") +:
       (0 until nIn).map(i => ((col(s"f$i") - lit(mu(i))) / lit(sig(i))).as(s"h0_$i")): _*)

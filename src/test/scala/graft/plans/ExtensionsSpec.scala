@@ -28,8 +28,32 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("GraftSession.attach registers all native functions on an existing session") {
     graft.GraftSession.attach(spark)
-    Seq("delta_r", "weighted_histogram", "sorted_intersect_count", "array_dot")
+    Seq("delta_r", "weighted_histogram", "sorted_intersect_count", "array_dot",
+        "minhash_sig")
       .foreach(f => assert(spark.catalog.functionExists(f), s"$f missing"))
+  }
+
+  test("minhash_sig matches the composed array_min(transform(...)) form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = Seq.fill(200)(Seq.fill(50 + rnd.nextInt(100))(rnd.nextInt(1 << 25)))
+      .toDF("sh")
+    val P = 2147483647L
+    val composed = df.selectExpr((0 until 12).map { k =>
+      s"array_min(transform(sh, w -> ((${2 * k + 3} * ((w * 2654435761) % $P)" +
+        s" + ${7919 * k + 1}) % $P))) AS m$k"
+    }: _*).collect()
+    val native = df.selectExpr("minhash_sig(sh, 12) AS sig").collect()
+    composed.zip(native).foreach { case (c, n) =>
+      val sig = n.getSeq[Long](0)
+      (0 until 12).foreach(k => assert(sig(k) == c.getLong(k)))
+    }
+  }
+
+  test("minhash_sig yields NULL on empty input (matches HOF null band)") {
+    import spark.implicits._
+    val df = Seq(Seq.empty[Int]).toDF("sh")
+    assert(df.selectExpr("minhash_sig(sh, 4)").collect().head.isNullAt(0))
   }
 
   test("delta_r SQL function matches Kinematics.deltaR column expr") {

@@ -61,6 +61,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"variation fan-out re-scans the source ($scans scans):\n$plan")
   }
 
+  test("reference-width variation fan-out (35 variants) reads the source exactly once") {
+    val plan = StageQueries.queries("s06_variation_fanout")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"s06 re-scans the source ($scans scans):\n$plan")
+  }
+
   test("whole-stage codegen covers the kinematics pipeline") {
     // with AQE the codegen stages exist only in the FINAL plan: run first
     val df = PhysicsQueries.queries("p10_p4_sum")(spark, dir)
