@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       GraftFunctions.minHashSigBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_set"),
+      GraftFunctions.shingleSetBuilder))
   }
 }

@@ -44,6 +44,11 @@ object GraftFunctions {
     MinHashSignature(children(0), evalDouble(children(1)).toInt)
   }
 
+  val shingleSetBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "shingle_set(text, k)")
+    ShingleHashSet(children(0), evalDouble(children(1)).toInt)
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -66,5 +71,9 @@ object GraftFunctions {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       minHashSigBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_set"),
+      shingleSetBuilder)
   }
 }

@@ -38,10 +38,11 @@ object DedupQueries extends QueryFamily {
   // sorted_intersect_count instead of hash-set array_intersect
   // INT elements (hash < 31^5 < 2^31): halves the bytes the pairwise
   // joins copy per candidate row vs long arrays
-  private val shinglesSpark = {
-    val h = shingleHash(k => s"ascii(substring(text, i + $k, 1))")
-    s"array_sort(array_distinct(transform(sequence(1, length(text) - 4), i -> CAST($h AS INT))))"
-  }
+  // native one-pass build (graft.plans.ShingleHashSet) — same arithmetic
+  // as the HOF form `array_sort(array_distinct(transform(sequence(1,
+  // length(text)-4), i -> CAST(<horner> AS INT))))` that shinglesDuck
+  // mirrors, minus 5 interpreted lambda nodes per character
+  private val shinglesSpark = "shingle_set(text, 5)"
   private val shinglesDuck = {
     val h = shingleHash(k => s"ascii(substr(text, i + $k, 1))")
     s"list_sort(list_distinct(list_transform(generate_series(1, length(text) - 4), i -> CAST($h AS INTEGER))))"
@@ -305,6 +306,7 @@ object DedupQueries extends QueryFamily {
   // signatures are near-dup candidates (n_bucket counts them).
   private val simBits = 16
   private def d04(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
     val base = d.select(col("doc_id"), expr(shinglesSpark).as("sh"))
     val bitSums: Seq[Column] = (0 until simBits).map { j =>

@@ -145,7 +145,68 @@ object TextQueries extends QueryFamily {
       | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- t08: entity redaction (PII-scrub shape) ---------------------------
+  // The regexp-replace scrub pass every training-data pipeline runs
+  // before release: mask entity mentions, count hits, emit a content
+  // hash of the scrubbed text. Spark's regexp_replace is global by
+  // default; DuckDB needs the explicit 'g' flag — and the replacement
+  // carries no backreferences because the two engines disagree on
+  // backref syntax ($1 vs \1).
+  private val entPat = "(customer|supplier|user) [a-z]+"
+  private def t08(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val masked = regexp_replace(col("text"), entPat, "[ENT]")
+    d.select(col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$entPat', 0)")).as("n_hits"),
+        length(masked).as("masked_len"),
+        md5(masked).as("masked_hash"))
+      .orderBy(col("doc_id"))
+  }
+  private val t08Sql =
+    s"""SELECT doc_id,
+       | len(regexp_extract_all(text, '$entPat')) AS n_hits,
+       | length(regexp_replace(text, '$entPat', '[ENT]', 'g')) AS masked_len,
+       | md5(regexp_replace(text, '$entPat', '[ENT]', 'g')) AS masked_hash
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- d08: keep-best-per-duplicate-group --------------------------------
+  // The dedup endgame: within each near-dup group keep the single
+  // highest-quality document (quality = t02's composite), drop the rest.
+  // Ranking is over the float32-cast score with doc_id tie-break, so the
+  // keeper choice cannot flip on a summation ulp (round-1 convention).
+  private def d08(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val nStop = size(filter(toks, w => w === "the" || w === "a"))
+    val nShort = size(filter(toks, w => length(w) <= 2))
+    val quality = ((lit(1.0) - nStop.cast("double") / n) *
+      (lit(1.0) - nShort.cast("double") / n)).cast("float")
+    val blocked = d.select(col("doc_id"),
+      concat_ws("_", col("source"), (col("n_chars") / 50).cast("long")).as("grp"),
+      quality.as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("quality").desc, col("doc_id").asc)
+    blocked.withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("grp"), col("quality"),
+        (col("rank") === 1).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+  private val d08Sql =
+    """WITH q AS (
+      | SELECT doc_id, source || '_' || CAST(n_chars // 50 AS BIGINT) AS grp,
+      |  CAST((1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS DOUBLE)
+      |            / len(string_split(text, ' ')))
+      |     * (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> length(w) <= 2)) AS DOUBLE)
+      |            / len(string_split(text, ' '))) AS REAL) AS quality
+      | FROM documents)
+      |SELECT doc_id, grp, quality,
+      | ROW_NUMBER() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id ASC) = 1 AS is_keeper
+      |FROM q ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_entity_redact" -> (t08 _),
+    "d08_keep_best" -> (d08 _),
     "t01_token_count" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_lang_id" -> (t03 _),
@@ -155,6 +216,8 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t08_entity_redact" -> t08Sql,
+    "d08_keep_best" -> d08Sql,
     "t01_token_count" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,

@@ -50,6 +50,27 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("shingle_set matches the composed sort(distinct(transform)) form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val words = Seq("the", "query", "table", "spark", "row", "data", "a")
+    val df = (Seq("", "ab", "abcd", "abcde") ++
+      Seq.fill(200)(Seq.fill(8 + rnd.nextInt(40))(words(rnd.nextInt(words.size)))
+        .mkString(" "))).toDF("text")
+    val h = (0 until 5).map(k => s"ascii(substring(text, i + $k, 1))")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, ch) => s"($acc * 31 + $ch)")
+    val composed = df.filter(length(col("text")) >= 5).selectExpr(
+      s"array_sort(array_distinct(transform(sequence(1, length(text) - 4), i -> CAST($h AS INT)))) AS sh")
+      .collect().map(_.getSeq[Int](0))
+    val native = df.filter(length(col("text")) >= 5)
+      .selectExpr("shingle_set(text, 5) AS sh").collect().map(_.getSeq[Int](0))
+    composed.zip(native).foreach { case (c, n) => assert(c == n) }
+    // short strings: empty array (DuckDB generate_series semantics)
+    val short = df.filter(length(col("text")) < 5)
+      .selectExpr("shingle_set(text, 5)").collect()
+    short.foreach(r => assert(r.getSeq[Int](0).isEmpty))
+  }
+
   test("minhash_sig yields NULL on empty input (matches HOF null band)") {
     import spark.implicits._
     val df = Seq(Seq.empty[Int]).toDF("sh")

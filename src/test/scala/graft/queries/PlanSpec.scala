@@ -68,6 +68,25 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"s06 re-scans the source ($scans scans):\n$plan")
   }
 
+  test("no query plan degenerates to a cartesian product (whitelist: tiny config fan-outs)") {
+    // CartesianProduct is O(n·m) with no key — at 100 TB it is always a
+    // bug unless one side is a literal config list. Streaming queries are
+    // excluded because constructing them executes the stream.
+    val whitelisted = Set(
+      "r08_config_matrix",     // VALUES × VALUES × tiny agg — intentional
+      "j05_isolation_crossjoin" // broadcast-of-one-row scalar, SURVEY J5
+    )
+    val failures = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("n0"))
+      .filterNot(whitelisted)
+      .flatMap { name =>
+        val plan = graft.SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(failures.isEmpty, s"cartesian products in: $failures")
+  }
+
   test("whole-stage codegen covers the kinematics pipeline") {
     // with AQE the codegen stages exist only in the FINAL plan: run first
     val df = PhysicsQueries.queries("p10_p4_sum")(spark, dir)
