@@ -224,9 +224,11 @@ object DedupQueries extends QueryFamily {
   // The exact complement to the approximate d02/d03 gates: for
   // Jaccard ≥ t, two shingle sets must share at least one element among
   // the first |s| − ⌈t·|s|⌉ + 1 under ANY global element order (prefix
-  // lemma, SSJoin/PPJoin family) — so candidates come from an
-  // inverted-index equi-join on prefix elements with ZERO false
-  // negatives. The global order is (document frequency, hash) ascending,
+  // filter: Chaudhuri/Ganti/Kaushik, "A Primitive Operator for
+  // Similarity Joins", ICDE 2006; positional filter: Xiao et al.,
+  // "Efficient Similarity Joins for Near Duplicate Detection",
+  // WWW 2008) — so candidates come from an inverted-index equi-join on
+  // prefix elements with ZERO false negatives. The global order is (document frequency, hash) ascending,
   // packed into one BIGINT key (df·2³² + hash): rarest shingles first,
   // so prefixes hit low-df postings and the candidate count tracks the
   // true result, not the corpus². A length filter (t·max ≤ min) prunes
