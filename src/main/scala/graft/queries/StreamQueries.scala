@@ -93,7 +93,19 @@ object StreamQueries extends QueryFamily {
       | CAST(SUM(value) AS REAL) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- n06: stream-static enrichment join --------------------------------
+  // Stateless per-batch join to a dimension table — no watermark, no
+  // state store; with AvailableNow the result is exactly the batch join.
+  private def n06(s: SparkSession, dir: String): DataFrame =
+    Streams.streamStaticJoin(s, dir, fresh("graft_stream_dim"))
+      .orderBy(col("event_id"))
+  private val n06Sql =
+    """SELECT event_id, user_id, n_name
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n06_stream_static_join" -> (n06 _),
     "n01_stream_window_agg" -> (n01 _),
     "n02_stream_sessionize" -> (n02 _),
     "n03_stream_dedup" -> (n03 _),
@@ -102,6 +114,7 @@ object StreamQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "n06_stream_static_join" -> n06Sql,
     "n01_stream_window_agg" -> n01Sql,
     "n02_stream_sessionize" -> n02Sql,
     "n03_stream_dedup" -> n03Sql,

@@ -155,6 +155,32 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream–static enrichment join: each micro-batch joins against a
+    * static dimension table — STATELESS (unlike stream–stream joins, no
+    * watermark or state store needed; the static side is just re-planned
+    * per batch), which is why it is the preferred shape whenever the
+    * right side is slowly-changing reference data. Broadcast by size. */
+  def streamStaticJoin(spark: SparkSession, dir: String,
+                       queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = stream
+      .withColumn("nat", col("user_id") % 25)
+      .join(broadcast(dim), col("nat") === col("n_nationkey"))
+      .select(col("event_id"), col("user_id"), col("n_name"))
+    val q = joined.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts: Long, event_id: Long, value: Double)
   /** `sum_value` is the natural double fold; `sum_value_milli` is the same
     * sum over round(value*1000) longs — exact and order-independent, so a
