@@ -109,15 +109,53 @@ object MultimodalQueries extends QueryFamily {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x04: resize transform ---------------------------------------------
+  // The metadata half of an image resize: target dims from a fixed max
+  // edge, preserving the byte-exact integer arithmetic a real resizer's
+  // shape calculation performs (the pixel work itself lives behind
+  // MediaPipeline's injectable decoder; this is the columnar shape/
+  // bookkeeping pass that plans batch sizes and output buffers).
+  private val maxEdge = 48
+  private def x04(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val w0 = lit(32) + expr(byteSpark(1)) % 64
+    val h0 = lit(32) + expr(byteSpark(2)) % 64
+    val scaleNum = lit(maxEdge)
+    val scaleDen = greatest(w0, h0)
+    // integer resize: floor(dim * maxEdge / longest_edge), min 1
+    val w1 = greatest((w0 * scaleNum) / scaleDen, lit(1)).cast("long")
+    val h1 = greatest((h0 * scaleNum) / scaleDen, lit(1)).cast("long")
+    d.select(col("doc_id"),
+        w0.as("width"), h0.as("height"),
+        w1.as("out_width"), h1.as("out_height"),
+        (w1 * h1 * 3).as("out_bytes"),
+        (w1 * h1).cast("double").cast("float").as("out_pixels_f"))
+      .orderBy(col("doc_id"))
+  }
+  private val x04Sql = {
+    val w0 = s"(32 + ${byteDuck(1)} % 64)"
+    val h0 = s"(32 + ${byteDuck(2)} % 64)"
+    val den = s"GREATEST($w0, $h0)"
+    val w1 = s"CAST(GREATEST(($w0 * $maxEdge) // $den, 1) AS BIGINT)"
+    val h1 = s"CAST(GREATEST(($h0 * $maxEdge) // $den, 1) AS BIGINT)"
+    s"""SELECT doc_id, $w0 AS width, $h0 AS height,
+       | $w1 AS out_width, $h1 AS out_height,
+       | $w1 * $h1 * 3 AS out_bytes,
+       | CAST(CAST($w1 * $h1 AS DOUBLE) AS REAL) AS out_pixels_f
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_binary_meta" -> (x01 _),
     "x02_frame_sample" -> (x02 _),
-    "x03_decode_features" -> (x03 _)
+    "x03_decode_features" -> (x03 _),
+    "x04_resize_shape" -> (x04 _)
   )
 
   val oracle: Map[String, String] = Map(
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,
-    "x03_decode_features" -> x03Sql
+    "x03_decode_features" -> x03Sql,
+    "x04_resize_shape" -> x04Sql
   )
 }

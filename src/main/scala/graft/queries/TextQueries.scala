@@ -204,7 +204,37 @@ object TextQueries extends QueryFamily {
       | ROW_NUMBER() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id ASC) = 1 AS is_keeper
       |FROM q ORDER BY doc_id""".stripMargin
 
+  // ---- t09: deterministic stratified sampling (data mixture) -------------
+  // Corpus curation's mixing step: per-stratum keep rates applied with a
+  // deterministic integer hash coin, so any re-run (or any engine)
+  // selects the SAME documents — no RNG, no seed plumbing, fully
+  // reproducible lineage, and the sample is an equi-filter that pushes
+  // into the scan rather than a shuffle.
+  private val mixRates: Seq[(String, Int)] = // per-mille keep rates
+    Seq("en" -> 500, "de" -> 900, "zh" -> 300, "fr" -> 700, "es" -> 1000)
+  private def t09(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val rate = mixRates.tail.foldLeft(
+      when(col("lang") === mixRates.head._1, mixRates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(0)
+    val coin = (col("doc_id") * 2654435761L) % 1000
+    d.select(col("doc_id"), col("lang"), coin.as("coin"), rate.as("rate_pm"))
+      .filter(col("coin") < col("rate_pm"))
+      .orderBy(col("doc_id"))
+  }
+  private val t09Sql = {
+    val rate = mixRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS coin,
+       | $rate AS rate_pm
+       |FROM documents
+       |WHERE (doc_id * 2654435761) % 1000 < ($rate)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_data_mixture" -> (t09 _),
     "t08_entity_redact" -> (t08 _),
     "d08_keep_best" -> (d08 _),
     "t01_token_count" -> (t01 _),
@@ -216,6 +246,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t09_data_mixture" -> t09Sql,
     "t08_entity_redact" -> t08Sql,
     "d08_keep_best" -> d08Sql,
     "t01_token_count" -> t01Sql,
