@@ -71,6 +71,29 @@ class ExtensionsSpec extends AnyFunSuite {
     short.foreach(r => assert(r.getSeq[Int](0).isEmpty))
   }
 
+  test("interpreted eval path matches codegen for shingle_set and minhash_sig") {
+    // DataFrame tests exercise only doGenCode; fallback contexts
+    // (e.g. Literal folding, interpreted projections) hit eval()
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val sh = ShingleHashSet(Literal("the quick query table"), 5)
+      .eval(null).asInstanceOf[ArrayData]
+    val viaDf = {
+      import spark.implicits._
+      Seq("the quick query table").toDF("text")
+        .selectExpr("shingle_set(text, 5)").collect().head.getSeq[Int](0)
+    }
+    assert(sh.toIntArray().toSeq == viaDf)
+    val mh = MinHashSignature(ShingleHashSet(Literal("the quick query table"), 5), 9)
+      .eval(null).asInstanceOf[ArrayData]
+    val mhDf = {
+      import spark.implicits._
+      Seq("the quick query table").toDF("text")
+        .selectExpr("minhash_sig(shingle_set(text, 5), 9)").collect().head.getSeq[Long](0)
+    }
+    assert(mh.toLongArray().toSeq == mhDf)
+  }
+
   test("minhash_sig yields NULL on empty input (matches HOF null band)") {
     import spark.implicits._
     val df = Seq(Seq.empty[Int]).toDF("sh")
