@@ -178,15 +178,77 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v04: IVF with nprobe = 2 ------------------------------------------
+  // The recall knob every IVF deployment turns: probe the query's TWO
+  // nearest cells instead of one. The query side explodes to (q, cell)
+  // pairs — still an equi-join on cell, so the plan stays a hash join
+  // and only the (tiny) query side doubles; candidate vectors are never
+  // re-bucketed. Tie-breaks are by cell index on both engines.
+  private val argmin2Expr: String = {
+    // second-best cell: argmin over cells != best, low-index tie-break
+    val best = argminExpr
+    (0 until nCells).map { cid =>
+      val beats = (0 until nCells).filter(_ != cid)
+        .map(o => s"($o = ($best) OR s$cid <= s$o)").mkString(" AND ")
+      s"WHEN $cid != ($best) AND $beats THEN $cid"
+    }.mkString("(CASE ", " ", " ELSE 0 END)")
+  }
+  private def v04(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val scored = e.select(Seq(col("vec_id"), col("embedding"), col("norm")) ++
+      (0 until nCells).map(cid =>
+        expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
+    val withCell = scored.select(col("vec_id"), col("embedding"), col("norm"),
+      expr(argminExpr).as("cell"), expr(argmin2Expr).as("cell2"))
+    val qProbed = withCell.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val c = withCell.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("cell").as("c_cell"))
+    val cos = (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+      .cast("float")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    qProbed.join(c, col("probe") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= annK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v04Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid").mkString(", ")
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+       |wc AS (SELECT vec_id, embedding, $argminExpr AS cell, $argmin2Expr AS cell2 FROM scored),
+       |qp AS (
+       | SELECT vec_id, embedding, cell AS probe FROM wc WHERE vec_id < $nQueries
+       | UNION ALL
+       | SELECT vec_id, embedding, cell2 AS probe FROM wc WHERE vec_id < $nQueries)
+       |SELECT q_id, rank, c_id, cos FROM (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       | FROM qp q JOIN wc c ON q.probe = c.cell AND q.vec_id != c.vec_id)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01 _),
     "v02_knn_lsh" -> (v02 _),
-    "v03_knn_ivf" -> (v03 _)
+    "v03_knn_ivf" -> (v03 _),
+    "v04_knn_ivf_nprobe2" -> (v04 _)
   )
 
   val oracle: Map[String, String] = Map(
     "v01_knn_bruteforce" -> v01Sql,
     "v02_knn_lsh" -> v02Sql,
-    "v03_knn_ivf" -> v03Sql
+    "v03_knn_ivf" -> v03Sql,
+    "v04_knn_ivf_nprobe2" -> v04Sql
   )
 }

@@ -44,6 +44,40 @@ object TemporalQueries extends QueryFamily {
       | FROM events WHERE event_type IN ('click', 'purchase'))
       |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  // ---- j11: bucketed range join -------------------------------------------
+  // Point-in-interval join done scalably: a plain `lo <= v AND v < hi`
+  // join has no equi-key, so Spark must BroadcastNestedLoopJoin — O(n·m)
+  // probe work even when broadcast. Pre-exploding each interval to the
+  // fixed-width buckets it spans turns it into an EQUI-join on bucket id
+  // with the range predicate as a residual filter — the standard range-
+  // join optimization (a hash probe per row instead of m comparisons).
+  // The oracle is the UNBUCKETED range join: equal results prove the
+  // bucket decomposition is lossless. PlanSpec asserts the hash join.
+  private val rjBucket = 16
+  /** ~60 overlapping [lo, hi) integer intervals over value ∈ [0, 490]. */
+  private val rjIntervals: Seq[(String, Int, Int)] =
+    (0 until 60).map(k => (s"iv$k", k * 8, k * 8 + 8 + (k % 3) * 12))
+  private def j11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = rd(s, dir, "events")
+    val iv = rjIntervals.toDF("tag", "lo", "hi")
+      .select(col("tag"), col("lo"), col("hi"),
+        explode(expr(s"sequence(lo div $rjBucket, (hi - 1) div $rjBucket)")).as("bucket"))
+    ev.select(col("event_id"), col("value"),
+        floor(col("value") / rjBucket).cast("int").as("bucket"))
+      .join(broadcast(iv), Seq("bucket"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .select(col("event_id"), col("tag"), col("value").cast("float").as("value"))
+      .orderBy(col("event_id"), col("tag"))
+  }
+  private val j11Sql = {
+    val values = rjIntervals.map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+    s"""SELECT event_id, tag, CAST(value AS REAL) AS value
+       |FROM events JOIN (VALUES $values) AS iv(tag, lo, hi)
+       |  ON value >= lo AND value < hi
+       |ORDER BY event_id, tag""".stripMargin
+  }
+
   // ---- r10: pivot (long -> wide) ------------------------------------------
   // Per-user counts per event type as columns. Spark's pivot with an
   // explicit value list is a single groupBy; the oracle spells the same
@@ -148,6 +182,7 @@ object TemporalQueries extends QueryFamily {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j11_bucketed_range_join" -> (j11 _),
     "j10_asof_join" -> (j10 _),
     "r10_pivot" -> (r10 _),
     "r11_unpivot_stack" -> (r11 _),
@@ -157,6 +192,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j11_bucketed_range_join" -> j11Sql,
     "j10_asof_join" -> j10Sql,
     "r10_pivot" -> r10Sql,
     "r11_unpivot_stack" -> r11Sql,

@@ -61,6 +61,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"variation fan-out re-scans the source ($scans scans):\n$plan")
   }
 
+  test("bucketed range join is a hash join, not a nested-loop probe") {
+    val plan = planOf(TemporalQueries.queries("j11_bucketed_range_join")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no hash join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to nested loop:\n$plan")
+  }
+
   test("reference-width variation fan-out (35 variants) reads the source exactly once") {
     val plan = StageQueries.queries("s06_variation_fanout")(spark, dir)
       .queryExecution.executedPlan.toString
