@@ -42,6 +42,40 @@ class StreamsSpec extends SparkSpec {
       s"streamed-only: ${streamed -- batch}; batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("durable parquet file sink with checkpoint round-trips the stream") {
+    // the memory sink is test-harness-only; the always-on deployment
+    // writes parquet with a checkpoint for exactly-once file commits
+    val dir = sf("sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val back = spark.read.parquet(out)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    assert(back.count() == batch.count())
+    assert(back.agg(sum(col("value"))).head.getDouble(0) ==
+      batch.agg(sum(col("value"))).head.getDouble(0))
+    // restarting against the same checkpoint with no new data writes nothing
+    val q2 = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == batch.count(),
+      "restart re-emitted already-committed data")
+  }
+
   test("streaming sessionization equals batch window-function sessionization") {
     val dir = sf("sf0.001")
     val gap = 8L * HourNs
