@@ -99,6 +99,76 @@ object TemporalQueries extends QueryFamily {
     s"SELECT user_id, $cols FROM events GROUP BY 1 ORDER BY 1"
   }
 
+  // ---- u01: ordered funnel --------------------------------------------------
+  // Per-user funnel progression click → view → purchase using FIRST
+  // occurrences: one groupBy with conditional MINs (no self-joins, no
+  // per-step passes), stage = how far the ordered chain holds. Times
+  // emitted in µs (oracle's epoch_ns truncates).
+  private def u01(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val per = ev.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "click", expr("ts div 1000"))).as("t_click_us"),
+      min(when(col("event_type") === "view", expr("ts div 1000"))).as("t_view_us"),
+      min(when(col("event_type") === "purchase", expr("ts div 1000"))).as("t_purchase_us"))
+    val stage =
+      when(col("t_click_us").isNull, 0)
+        .when(col("t_view_us").isNull || col("t_view_us") <= col("t_click_us"), 1)
+        .when(col("t_purchase_us").isNull || col("t_purchase_us") <= col("t_view_us"), 2)
+        .otherwise(3)
+    per.select(col("user_id"), col("t_click_us"), col("t_view_us"),
+        col("t_purchase_us"), stage.as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+  private val u01Sql =
+    """WITH per AS (
+      | SELECT user_id,
+      |  MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t_click_us,
+      |  MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t_view_us,
+      |  MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t_purchase_us
+      | FROM events GROUP BY 1)
+      |SELECT user_id, t_click_us, t_view_us, t_purchase_us,
+      | CASE WHEN t_click_us IS NULL THEN 0
+      |      WHEN t_view_us IS NULL OR t_view_us <= t_click_us THEN 1
+      |      WHEN t_purchase_us IS NULL OR t_purchase_us <= t_view_us THEN 2
+      |      ELSE 3 END AS funnel_stage
+      |FROM per ORDER BY user_id""".stripMargin
+
+  // ---- u02: cohort retention ------------------------------------------------
+  // Users cohorted by first-seen day; retained-at-7d = any event in
+  // [cohort_day+7, cohort_day+8). Two aggregations, both map-side
+  // partial; COUNT(CASE..) keeps the oracle BIGINT (SUM would be
+  // HUGEINT → float64 in the driver's hash).
+  private val DayUs = 86400L * 1000 * 1000
+  private def u02(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    // integer `div`, not Column./ (double division could round across a
+    // day boundary that DuckDB's // floors exactly)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(expr(s"min(ts_us) div $DayUs").as("cohort_day"))
+    val joined = ev.join(firstSeen, "user_id")
+      .withColumn("day_off", expr(s"ts_us div $DayUs") - col("cohort_day"))
+    val perUser = joined.groupBy(col("user_id"), col("cohort_day"))
+      .agg(max(when(col("day_off") === 7, 1).otherwise(0)).as("retained7"))
+    perUser.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+           count(when(col("retained7") === 1, lit(1))).as("n_retained7"))
+      .orderBy(col("cohort_day"))
+  }
+  private val u02Sql =
+    s"""WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+       |fs AS (
+       | SELECT user_id, CAST(MIN(ts_us) // $DayUs AS BIGINT) AS cohort_day
+       | FROM ev GROUP BY 1),
+       |per_user AS (
+       | SELECT e.user_id, cohort_day,
+       |  MAX(CASE WHEN CAST(ts_us // $DayUs AS BIGINT) - cohort_day = 7
+       |      THEN 1 ELSE 0 END) AS retained7
+       | FROM ev e JOIN fs USING (user_id) GROUP BY 1, 2)
+       |SELECT cohort_day, COUNT(*) AS n_users,
+       | COUNT(CASE WHEN retained7 = 1 THEN 1 END) AS n_retained7
+       |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- a18: exact interpolated quantiles ----------------------------------
   // Exact (not approximate) median and p90 per group — both engines use
   // the same linear-interpolation definition.
@@ -182,6 +252,8 @@ object TemporalQueries extends QueryFamily {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u01_funnel_order" -> (u01 _),
+    "u02_cohort_retention" -> (u02 _),
     "j11_bucketed_range_join" -> (j11 _),
     "j10_asof_join" -> (j10 _),
     "r10_pivot" -> (r10 _),
@@ -192,6 +264,8 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u01_funnel_order" -> u01Sql,
+    "u02_cohort_retention" -> u02Sql,
     "j11_bucketed_range_join" -> j11Sql,
     "j10_asof_join" -> j10Sql,
     "r10_pivot" -> r10Sql,
