@@ -43,7 +43,11 @@ object RunPipeline {
     hist.write.mode("overwrite").parquet(s"$outDir/stage2_histograms")
     val unbinned = StageQueries.queries("s05_unbinned_save")(spark, sfDir)
     unbinned.write.mode("overwrite").parquet(s"$outDir/stage2_unbinned")
-    println(s"[pipeline] stage2 -> $outDir/stage2_histograms, stage2_unbinned")
+    // reference-width systematic table (22 JES + 12 JER + nominal
+    // through one scan) — the per-variation inputs stage 3 consumes
+    val variations = StageQueries.queries("s06_variation_fanout")(spark, sfDir)
+    variations.write.mode("overwrite").parquet(s"$outDir/stage2_variations")
+    println(s"[pipeline] stage2 -> $outDir/stage2_histograms, stage2_unbinned, stage2_variations")
 
     // stage 3: yields + datacards (driver-side text emission)
     val yields = StageQueries.queries("s04_stage3_templates")(spark, sfDir)

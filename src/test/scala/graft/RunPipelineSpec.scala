@@ -42,5 +42,12 @@ class RunPipelineSpec extends SparkSpec {
     regions.foreach { r =>
       assert(Files.exists(Paths.get(s"$out/stage3_datacards/$r.txt")))
     }
+
+    // stage-2 variation table carries the full reference width
+    val variations = queries.StageQueries.queries("s06_variation_fanout")(spark, dir)
+    variations.write.mode("overwrite").parquet(s"$out/stage2_variations")
+    val nVar = spark.read.parquet(s"$out/stage2_variations")
+      .select("variation").distinct().count()
+    assert(nVar == 35, s"expected 35 variants (nominal + 22 JES + 12 JER), got $nVar")
   }
 }
