@@ -128,13 +128,60 @@ object JaggedQueries extends QueryFamily {
       |   objs[CAST(o['idx'] % len(objs) AS BIGINT) + 1]['pt'])) AS REAL) AS ref_pt_sum
       |FROM events ORDER BY event""".stripMargin
 
+  // ---- g03: flatten -> correct -> RE-NEST roundtrip ----------------------
+  // The write-back half of the jagged model: per-object corrections
+  // happen on the flat view, then objects re-assemble into per-event
+  // sorted collections (ONE shuffle, the same groupBy the read side
+  // uses) — the layout a corrected NanoAOD-style table is stored in.
+  // The nested array is emitted as a deterministic CSV of milli-unit
+  // longs: float->string formatting differs between engines, integer
+  // strings cannot. Positive-value round() agrees (half-up == half-away
+  // from zero), and both engines round the IDENTICAL double.
+  private def g03(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val corrected = li.filter(col("l_quantity") > 5.0)
+      .select(col("l_orderkey").as("event"), col("l_linenumber").as("idx"),
+        col("l_extendedprice").as("tb"),
+        ((col("l_extendedprice") / 500.0) * (lit(1.0) + col("l_discount") / 10.0))
+          .as("pt_corr"))
+    val nested = corrected.groupBy(col("event")).agg(
+      expr("""sort_array(collect_list(named_struct(
+        | 'idx', idx, 'tb', tb,
+        | 'pt_milli', CAST(round(pt_corr * 1000, 0) AS BIGINT),
+        | 'pt_corr', pt_corr)))""".stripMargin).as("objs"))
+    nested.select(col("event"),
+        size(col("objs")).as("n_objs"),
+        expr("aggregate(objs, CAST(0 AS DOUBLE), (acc, o) -> acc + o.pt_corr)")
+          .cast("float").as("sum_corr"),
+        concat_ws(",",
+          expr("transform(objs, o -> CAST(o.pt_milli AS STRING))")).as("pt_csv"))
+      .orderBy(col("event"))
+  }
+  private val g03Sql =
+    """WITH corr AS (
+      | SELECT l_orderkey AS event, l_linenumber AS idx, l_extendedprice AS tb,
+      |  (l_extendedprice / 500.0) * (1.0 + l_discount / 10.0) AS pt_corr
+      | FROM lineitem WHERE l_quantity > 5.0),
+      |nested AS (
+      | SELECT event,
+      |  LIST(CAST(round(pt_corr * 1000, 0) AS BIGINT) ORDER BY idx, tb) AS pts,
+      |  LIST(pt_corr ORDER BY idx, tb) AS raw
+      | FROM corr GROUP BY 1)
+      |SELECT event, CAST(len(pts) AS INT) AS n_objs,
+      | CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), raw),
+      |      (acc, v) -> acc + v) AS REAL) AS sum_corr,
+      | array_to_string(pts, ',') AS pt_csv
+      |FROM nested ORDER BY event""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_jagged_pipeline" -> (g01 _),
-    "g02_jagged_index_ref" -> (g02 _)
+    "g02_jagged_index_ref" -> (g02 _),
+    "g03_jagged_renest" -> (g03 _)
   )
 
   val oracle: Map[String, String] = Map(
     "g01_jagged_pipeline" -> g01Sql,
-    "g02_jagged_index_ref" -> g02Sql
+    "g02_jagged_index_ref" -> g02Sql,
+    "g03_jagged_renest" -> g03Sql
   )
 }
