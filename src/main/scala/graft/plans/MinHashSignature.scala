@@ -32,6 +32,11 @@ case class MinHashSignature(child: Expression, nPerm: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  /** Always nullable: an EMPTY shingle set yields NULL even when the
+    * input column itself is non-nullable — without this override the
+    * generated code would assign into a constant-false isNull slot. */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(

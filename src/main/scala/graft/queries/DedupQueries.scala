@@ -241,7 +241,15 @@ object DedupQueries extends QueryFamily {
   // every length-compatible pair shares a prefix element; on a real
   // corpus (shingle vocab ~ corpus size) prefix postings are near-unique
   // and the candidate count tracks the true result set.
+  // t = 4/5: every candidate-side bound uses EXACT integer arithmetic —
+  // CEIL(0.8*n) in doubles rounds UP a whole unit when 0.8*n lands just
+  // above an integer (0.8*235 = 188.0000000000000104 -> 189), silently
+  // shortening the prefix, and `min >= 0.8*max` excludes the exact
+  // J = t boundary (0.8*5 = 4.0000000000000002 > 4). The filters are
+  // not mirrored in the oracle, so such a miss would be a REAL false
+  // negative, not a mirrored quirk. ceil(p*n/q) = (p*n + q - 1) div q.
   private val ppThresh = 0.8
+  private val ppNum = 4; private val ppDen = 5
   private val PackDf = 4294967296L // 2^32
   private def d07(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
@@ -257,24 +265,25 @@ object DedupQueries extends QueryFamily {
       .select(col("doc_id"), col("n"), (col("df") * lit(PackDf) + col("w")).as("key"))
       .groupBy(col("doc_id"), col("n"))
       .agg(expr(s"slice(array_sort(collect_list(key)), 1, " +
-        s"CAST(n - CEIL($ppThresh * n) + 1 AS INT))").as("prefix"))
+        s"CAST(n - (($ppNum * n + $ppDen - 1) div $ppDen) + 1 AS INT))").as("prefix"))
     val idx = prefixes.select(col("doc_id"), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "key")))
     val x = idx.select(col("doc_id").as("a_id"), col("n").as("n_a"),
       col("pos").as("pos_a"), col("key"))
     val y = idx.select(col("doc_id").as("b_id"), col("n").as("n_b"),
       col("pos").as("pos_b"), col("key").as("b_key"))
-    // positional filter (PPJoin): a shared element at canonical position
-    // p leaves 1 + (n − p − 1)... = n − p candidates for the overlap; if
-    // even min(remaining) cannot reach the required t/(1+t)·(n_a+n_b)
-    // overlap, the hit cannot produce J ≥ t. Real-valued bound (no ceil)
-    // is weaker-or-equal pruning → still lossless.
-    val overlapNeed = lit(ppThresh / (1.0 + ppThresh)) *
-      (col("n_a") + col("n_b")).cast("double")
+    // positional filter (PPJoin): a shared element at 0-based canonical
+    // position p leaves n − p elements (current + suffix) for the
+    // overlap; if even min(remaining) cannot reach the required
+    // t/(1+t)·(n_a+n_b) = (p/(p+q))·(n_a+n_b) overlap, the hit cannot
+    // produce J ≥ t. Integer cross-multiplied forms of both bounds:
+    //   min ≥ (p/q)·max        ⟺  q·min ≥ p·max
+    //   rem ≥ (p/(p+q))·(na+nb) ⟺ (p+q)·rem ≥ p·(na+nb)
     val cand = x.join(y, col("key") === col("b_key") && col("a_id") < col("b_id") &&
-        least(col("n_a"), col("n_b")).cast("double") >=
-          lit(ppThresh) * greatest(col("n_a"), col("n_b")).cast("double") &&
-        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")).cast("double") >= overlapNeed)
+        least(col("n_a"), col("n_b")) * ppDen >=
+          greatest(col("n_a"), col("n_b")) * ppNum &&
+        least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) * (ppNum + ppDen) >=
+          (col("n_a") + col("n_b")) * ppNum)
       .select(col("a_id"), col("b_id")).distinct()
     val withSh = cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
