@@ -53,6 +53,10 @@ object TemporalQueries extends QueryFamily {
   // join optimization (a hash probe per row instead of m comparisons).
   // The oracle is the UNBUCKETED range join: equal results prove the
   // bucket decomposition is lossless. PlanSpec asserts the hash join.
+  // POWER OF TWO on purpose: floor(value / 16) divides exactly in
+  // binary doubles, so the point-side bucket can never round across a
+  // boundary the interval side computed with integer div. A non-power-
+  // of-two width would need the d07-style integer cross-multiplied form.
   private val rjBucket = 16
   /** ~60 overlapping [lo, hi) integer intervals over value ∈ [0, 490]. */
   private val rjIntervals: Seq[(String, Int, Int)] =
