@@ -173,6 +173,29 @@ object TemporalQueries extends QueryFamily {
        | COUNT(CASE WHEN retained7 = 1 THEN 1 END) AS n_retained7
        |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- a20: running distinct count (window) --------------------------------
+  // "How many distinct event types has this user produced so far" —
+  // Spark does NOT support COUNT(DISTINCT) over a window frame; the
+  // idiomatic re-expression is size(collect_set() OVER ...), which keeps
+  // the per-partition state bounded by the type cardinality. The oracle
+  // uses DuckDB's native windowed DISTINCT aggregate — two different
+  // mechanisms, same semantics.
+  private def a20(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long").as("n_types_seen"))
+      .orderBy(col("event_id"))
+  }
+  private val a20Sql =
+    """SELECT event_id, user_id,
+      | COUNT(DISTINCT event_type) OVER (PARTITION BY user_id
+      |   ORDER BY epoch_ns(ts) // 1000 ASC, event_id ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- a18: exact interpolated quantiles ----------------------------------
   // Exact (not approximate) median and p90 per group — both engines use
   // the same linear-interpolation definition.
@@ -258,6 +281,7 @@ object TemporalQueries extends QueryFamily {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_funnel_order" -> (u01 _),
     "u02_cohort_retention" -> (u02 _),
+    "a20_window_distinct" -> (a20 _),
     "j11_bucketed_range_join" -> (j11 _),
     "j10_asof_join" -> (j10 _),
     "r10_pivot" -> (r10 _),
@@ -270,6 +294,7 @@ object TemporalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "u01_funnel_order" -> u01Sql,
     "u02_cohort_retention" -> u02Sql,
+    "a20_window_distinct" -> a20Sql,
     "j11_bucketed_range_join" -> j11Sql,
     "j10_asof_join" -> j10Sql,
     "r10_pivot" -> r10Sql,
