@@ -143,6 +143,72 @@ object LookupQueries extends QueryFamily {
        |  ON pt_jec >= u.lo AND pt_jec < u.hi
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- l10: JEC chain at reference variant breadth (L4, wide form) -------
+  // reference: stage1/processor.py:447-463 + config/jec_parameters.py —
+  // every jet carries 22 JES + 12 JER variant COLUMNS of the corrected
+  // pt, not 34 copies of the table. The chain (two binned corrections +
+  // one binned uncertainty) runs ONCE; each source then scales the
+  // shared binned uncertainty by its own literal magnitude, so the plan
+  // stays three broadcast range-joins regardless of source count. Source
+  // magnitudes ride the 4-decimal-string trick (both engines parse the
+  // identical double).
+  private val jesSrc: Seq[(String, String)] =
+    (1 to 11).map(i => (s"jes$i", "%.4f".formatLocal(java.util.Locale.ROOT, i / 10.0)))
+  private val jerSrc: Seq[(String, String)] =
+    (1 to 6).map(i => (s"jer$i", "%.4f".formatLocal(java.util.Locale.ROOT, i / 20.0)))
+  private def l10(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+      (col("l_extendedprice") / lit(1000.0)).as("pt_raw"),
+      abs(col("l_discount") * 94.0 - 4.7).as("abseta"))
+    val j1 = base.join(broadcast(bins1DF(s, jecL1).withColumnRenamed("sf", "sf1")),
+      col("pt_raw") >= col("lo") && col("pt_raw") < col("hi"), "left")
+      .drop("lo", "hi")
+    val j2 = j1.join(broadcast(bins1DF(s, jecL2).withColumnRenamed("sf", "sf2")),
+      col("abseta") >= col("lo") && col("abseta") < col("hi"), "left")
+      .drop("lo", "hi")
+    val ptJec = col("pt_raw") * coalesce(col("sf1"), lit(1.0)) * coalesce(col("sf2"), lit(1.0))
+    val j3 = j2.withColumn("pt_jec", ptJec)
+      .join(broadcast(bins1DF(s, jecUnc).withColumnRenamed("sf", "unc")),
+        col("pt_jec") >= col("lo") && col("pt_jec") < col("hi"), "left")
+    val unc = coalesce(col("unc"), lit(0.0))
+    val variantCols = (jesSrc ++ jerSrc).flatMap { case (n, mag) =>
+      val delta = unc * expr(s"CAST('$mag' AS DOUBLE)")
+      Seq(
+        (col("pt_jec") * (lit(1.0) + delta)).cast("float").as(s"pt_${n}_up"),
+        (col("pt_jec") * (lit(1.0) - delta)).cast("float").as(s"pt_${n}_down"))
+    }
+    j3.select(Seq(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("pt_jec").cast("float").as("pt_jec")) ++ variantCols: _*)
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private val l10Sql = {
+    val variantCols = (jesSrc ++ jerSrc).flatMap { case (n, mag) =>
+      Seq(
+        s"CAST(pt_jec * (1.0 + COALESCE(u.sf, 0.0) * CAST('$mag' AS DOUBLE)) AS REAL) AS pt_${n}_up",
+        s"CAST(pt_jec * (1.0 - COALESCE(u.sf, 0.0) * CAST('$mag' AS DOUBLE)) AS REAL) AS pt_${n}_down")
+    }.mkString(",\n ")
+    s"""WITH base AS (
+       | SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |   l_extendedprice / 1000.0 AS pt_raw,
+       |   ABS(l_discount * 94.0 - 4.7) AS abseta
+       | FROM lineitem),
+       |j AS (
+       | SELECT b.*,
+       |   b.pt_raw * COALESCE(s1.sf, 1.0) * COALESCE(s2.sf, 1.0) AS pt_jec
+       | FROM base b
+       | LEFT JOIN ${bins1Sql(jecL1).replace("sfb", "s1")}
+       |   ON b.pt_raw >= s1.lo AND b.pt_raw < s1.hi
+       | LEFT JOIN ${bins1Sql(jecL2).replace("sfb", "s2")}
+       |   ON b.abseta >= s2.lo AND b.abseta < s2.hi)
+       |SELECT l_orderkey, l_linenumber, l_extendedprice,
+       | CAST(pt_jec AS REAL) AS pt_jec,
+       | $variantCols
+       |FROM j LEFT JOIN ${bins1Sql(jecUnc).replace("sfb", "u")}
+       |  ON pt_jec >= u.lo AND pt_jec < u.hi
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   // ---- l05: per-flavor piecewise polynomial SF (L5, btag-style) ----------
   // reference: stage1/corrections/btag_weights.py:4-61 — SF = poly(x)
   // selected by flavor class; Horner form, no lookup join needed.
@@ -353,7 +419,8 @@ object LookupQueries extends QueryFamily {
     "l04_jec_chain" -> (l04 _),
     "l05_flavor_poly" -> (l05 _),
     "l06_qgl_norm_poly" -> (l06 _),
-    "l07_rochester_branch" -> (l07 _)
+    "l07_rochester_branch" -> (l07 _),
+    "l10_jec_variant_columns" -> (l10 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -365,6 +432,7 @@ object LookupQueries extends QueryFamily {
     "l04_jec_chain" -> l04Sql,
     "l05_flavor_poly" -> l05Sql,
     "l06_qgl_norm_poly" -> l06Sql,
-    "l07_rochester_branch" -> l07Sql
+    "l07_rochester_branch" -> l07Sql,
+    "l10_jec_variant_columns" -> l10Sql
   )
 }
