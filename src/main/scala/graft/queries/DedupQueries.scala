@@ -308,7 +308,8 @@ object DedupQueries extends QueryFamily {
        | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) AS REAL) AS jacc
        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= $ppThresh
        |ORDER BY 1, 2""".stripMargin
 

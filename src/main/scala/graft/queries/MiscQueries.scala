@@ -64,10 +64,19 @@ object MiscQueries extends QueryFamily {
   }
   private val a14Sql = {
     def step(i: Int) =
-      s"""s${i}a AS (
-         | SELECT bin, n_mc, done, iters, w, LEAST(w, $puCap) AS c,
-         |  SUM(LEAST(w, $puCap) * n_mc) OVER () / SUM(n_mc) OVER () AS f
+      // f's numerator folds fractional doubles, so its accumulation order
+      // must match the driver loop's ascending-bin left fold exactly —
+      // SUM() OVER () leaves the order to the engine. list_reduce over an
+      // ORDER BY bin list with a prepended 0.0 init IS that left fold.
+      // The n_mc denominator is a sum of exact integer counts (each partial
+      // < 2^53), so plain SUM is order-insensitive there.
+      s"""s${i}f AS (
+         | SELECT list_reduce([0.0] || list(LEAST(w, $puCap) * n_mc ORDER BY bin),
+         |                    (fa, fb) -> fa + fb) / SUM(n_mc) AS f
          | FROM s${i - 1}),
+         |s${i}a AS (
+         | SELECT bin, n_mc, done, iters, w, LEAST(w, $puCap) AS c, f
+         | FROM s${i - 1}, s${i}f),
          |s$i AS (
          | SELECT bin, n_mc,
          |  CASE WHEN done OR ABS(1.0 - f) <= $puTol THEN w ELSE c / f END AS w,

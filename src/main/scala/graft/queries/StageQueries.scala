@@ -267,15 +267,20 @@ object StageQueries extends QueryFamily {
     val aggs: Seq[org.apache.spark.sql.Column] = variantScales.flatMap { case (n, sc) =>
       val pt = col("l_extendedprice") * lit(sc).cast("double")
       val sel = pt > lit(2000.0)
+      // ht is summed as milli-scaled longs (floor(x*1000+0.5), the repo's
+      // exact-sum convention): a plain double fold is accumulation-order
+      // dependent across engines, and ht feeds discontinuous functions
+      // (% 160 region label + 40-bin bucket) where one ulp flips a row.
       Seq(
         sum(when(sel, 1L).otherwise(0L)).as(s"njets_$n"),
-        sum(when(sel, pt * (lit(1.0) - col("l_discount")))).as(s"ht_$n"))
+        sum(when(sel, floor(pt * (lit(1.0) - col("l_discount")) * lit(1000.0) + lit(0.5))
+          .cast("long"))).as(s"htm_$n"))
     }
     val per = li.groupBy(col("l_orderkey")).agg(aggs.head, aggs.tail: _*)
     val fanned = per.select(col("l_orderkey"),
         explode(array(variantScales.map { case (n, _) =>
           struct(lit(n).as("variation"),
-            col(s"njets_$n").as("njets"), col(s"ht_$n").as("ht"))
+            col(s"njets_$n").as("njets"), (col(s"htm_$n") / lit(1000.0)).as("ht"))
         }: _*)).as("v"))
       .select(col("v.variation").as("variation"), col("v.njets").as("njets"),
         col("v.ht").as("ht"))
@@ -304,11 +309,13 @@ object StageQueries extends QueryFamily {
        | WHERE l_extendedprice * scale > 2000.0),
        |per AS (
        | SELECT l_orderkey, variation, COUNT(*) AS njets,
-       |  SUM(pt * (1.0 - l_discount)) AS ht
+       |  SUM(CAST(FLOOR(pt * (1.0 - l_discount) * 1000.0 + 0.5) AS BIGINT)) AS htm
        | FROM jets GROUP BY 1, 2),
+       |perht AS (
+       | SELECT variation, htm / 1000.0 AS ht FROM per),
        |labeled AS (
        | SELECT variation, ht, ht % 160.0 AS mass, $region AS region
-       | FROM per WHERE $region != 'none')
+       | FROM perht WHERE $region != 'none')
        |SELECT variation, region, $b AS bin,
        | COUNT(*) AS n_events, CAST(SUM(ht / 1.0e5) AS REAL) AS value
        |FROM labeled GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin

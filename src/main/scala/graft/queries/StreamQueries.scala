@@ -51,7 +51,7 @@ object StreamQueries extends QueryFamily {
        | FROM marked)
        |SELECT user_id, session_idx, COUNT(*) AS n_events,
        | MIN(tsn) // 1000 AS ts_start_us, MAX(tsn) // 1000 AS ts_end_us,
-       | CAST(CAST(SUM(CAST(round(value * 1000, 0) AS BIGINT)) AS BIGINT)
+       | CAST(CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
        |      / 1000.0 AS REAL) AS sum_value
        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

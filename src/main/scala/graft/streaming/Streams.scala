@@ -216,7 +216,11 @@ object Streams {
           def flush(): Unit = if (cur.nonEmpty) {
             out += Session(user, idx, cur.size.toLong,
               cur.head.ts, cur.last.ts, cur.iterator.map(_.value).sum,
-              cur.iterator.map(e => math.round(e.value * 1000)).sum)
+              // floor(x+0.5), not math.round: mirrors the oracle's
+              // FLOOR(value*1000 + 0.5) so both engines use the same
+              // rounding rule at .5 boundaries (round is half-away-from-zero
+              // in DuckDB but floor(x+0.5) in Scala — keep one convention)
+              cur.iterator.map(e => math.floor(e.value * 1000 + 0.5).toLong).sum)
           }
           for (e <- sorted) {
             if (cur.isEmpty || e.ts - cur.last.ts > gapNs) {
