@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic.GraftBridge
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class operator: logical node + planner strategy +
+  * physical merge-walk exec, registered through the standard extension
+  * points — the SURVEY §2.7 path-(c) shape for semantics the built-in
+  * operators cannot express as ONE operator.
+  *
+  * Semantics: for each left row, attach the single right row with the
+  * same key and the greatest ordering value ≤ the left row's (most
+  * recent prior-or-equal observation; right columns NULL when none
+  * exists). The reference meets this shape wherever a measurement joins
+  * the latest calibration not after it (run/lumi-interval lookups,
+  * `stage1/corrections/lumi_mask.py`); training pipelines meet it as
+  * "price/label as of event time".
+  *
+  * Why a custom operator and not composition: the composed forms are
+  * either a non-equi range join (planned as BroadcastNestedLoopJoin,
+  * O(n·m) probes) or the union + window trick (j10 — right, but pays a
+  * single interleaved sort plus window machinery and cannot preserve
+  * the two sides' distinct schemas). The physical operator declares
+  *   requiredChildDistribution = ClusteredDistribution(key) per side
+  *   requiredChildOrdering     = (key, ts [, tieBreaks]) per side
+  * so EnsureRequirements co-partitions both sides with ordinary hash
+  * exchanges and the exec is a ZERO-allocation forward merge walk per
+  * partition — each side is read ONCE, already sorted; nothing is
+  * buffered but one lookahead row and one last-match row. At 100 TB
+  * this is the same shuffle bill as a sort-merge equi-join; a bucketed
+  * layout on the key makes it shuffle-free.
+  *
+  * Tie-break: among right rows sharing (key, ts) the LAST in the
+  * declared ordering wins, so callers pass `rightTieBreak` (e.g. an id)
+  * to make results deterministic — the same contract the repo's window
+  * queries use (rank by value with id tie-break).
+  *
+  * Keys and ordering values must be non-null (as-of on a null key or
+  * time is meaningless); callers filter nulls first. Column pruning
+  * does not see through an unknown node, so callers project each side
+  * to the needed columns before joining — the DataFrame API makes that
+  * the natural spelling anyway.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Seq[Expression]) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val resolved: Boolean = childrenResolved &&
+    (Seq(leftKey, rightKey, leftTs, rightTs) ++ rightTieBreak).forall(_.resolved)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // both sides clustered on the key: EnsureRequirements inserts
+  // compatible hash exchanges (or none, if the child is already
+  // hash-partitioned on the key — e.g. a bucketed scan)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTieBreak.map(e => SortOrder(e, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyOrdering = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrdering = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = BindReferences.bindReference(leftKey, left.output)
+      val lTs = BindReferences.bindReference(leftTs, left.output)
+      val rKey = BindReferences.bindReference(rightKey, right.output)
+      val rTs = BindReferences.bindReference(rightTs, right.output)
+      val nullRight = new GenericInternalRow(right.output.size)
+      val joined = new JoinedRow
+      // bind against the NULLABILITY-WIDENED schema (`output`, not
+      // left.output ++ right.output): binding to the right side's original
+      // non-nullable attributes would skip the null check and read the
+      // null-fill row's longs as 0 instead of NULL
+      val project = UnsafeProjection.create(output, output)
+      // one-row lookahead; rows from the sorted child are reused buffers,
+      // so anything held across next() is copied
+      var rNext: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var lastMatch: InternalRow = null
+      var lastMatchKey: Any = null
+      lIter.map { l =>
+        val lk = lKey.eval(l)
+        val lt = lTs.eval(l)
+        var walking = rNext != null
+        while (walking) {
+          val rk = rKey.eval(rNext)
+          val c = keyOrdering.compare(rk, lk)
+          if (c < 0) {
+            // right rows for keys already passed: drop
+            rNext = if (rIter.hasNext) rIter.next().copy() else null
+            walking = rNext != null
+          } else if (c == 0 && tsOrdering.compare(rTs.eval(rNext), lt) <= 0) {
+            // eligible: remember and keep walking — the LAST eligible row
+            // in sort order is the as-of match
+            lastMatch = rNext
+            lastMatchKey = rk
+            rNext = if (rIter.hasNext) rIter.next().copy() else null
+            walking = rNext != null
+          } else {
+            walking = false // right side is ahead of this left row
+          }
+        }
+        if (lastMatch != null && keyOrdering.compare(lastMatchKey, lk) == 0) {
+          project(joined(l, lastMatch))
+        } else {
+          project(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API. Key/ts/tie-break columns are resolved by name
+  * against their own side, so self-joins need no attribute
+  * disambiguation as long as each side projects distinct names. */
+object AsOf {
+  def join(left: DataFrame, right: DataFrame,
+           leftKey: Column, leftTs: Column,
+           rightKey: Column, rightTs: Column,
+           rightTieBreak: Seq[Column] = Nil): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    val lPlan = GraftBridge.analyzed(left)
+    val rPlan = GraftBridge.analyzed(right)
+    def resolve(plan: LogicalPlan, c: Column): Expression =
+      GraftBridge.expression(c) match {
+        case u: UnresolvedAttribute =>
+          plan.output.find(_.name == u.name).getOrElse(throw new IllegalArgumentException(
+            s"column ${u.name} not found in [${plan.output.map(_.name).mkString(", ")}]"))
+        case other => other
+      }
+    GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
+      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
+      resolve(lPlan, leftTs), resolve(rPlan, rightTs),
+      rightTieBreak.map(resolve(rPlan, _))))
+  }
+}

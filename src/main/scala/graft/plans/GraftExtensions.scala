@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_set"),
       GraftFunctions.shingleSetBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("mlp_dense"),
+      new ExpressionInfo(classOf[MlpDenseChunked].getName, "mlp_dense"),
+      GraftFunctions.mlpDenseBuilder))
+    // whole-operator extension (SURVEY §2.7 path c): as-of join planning
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -49,6 +49,33 @@ object GraftFunctions {
     ShingleHashSet(children(0), evalDouble(children(1)).toInt)
   }
 
+  // weights/bias arrive as foldable array(...) literals; element-wise eval
+  // (rather than evaluating the CreateArray whole) sidesteps type-coercion
+  // of mixed-precision decimal literals, which only runs later in analysis
+  private def evalDoubleArray(e: Expression): Seq[Double] = e match {
+    case ca: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      ca.children.map(evalDouble)
+    case other if other.foldable => other.eval(null) match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        ad.toObjectArray(org.apache.spark.sql.types.DoubleType).toSeq.map {
+          case d: java.lang.Double => d.doubleValue()
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
+      case other => throw new IllegalArgumentException(
+        s"expected array literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"mlp_dense weights/bias must be foldable array literals, got $other")
+  }
+
+  val mlpDenseBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 4, "mlp_dense(input, weights, bias, tanh)")
+    MlpDenseChunked(children(0), evalDoubleArray(children(1)),
+      evalDoubleArray(children(2)),
+      children(3).eval(null).asInstanceOf[Boolean])
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -75,5 +102,9 @@ object GraftFunctions {
       new FunctionIdentifier("shingle_set"),
       new ExpressionInfo(classOf[ShingleHashSet].getName, "shingle_set"),
       shingleSetBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("mlp_dense"),
+      new ExpressionInfo(classOf[MlpDenseChunked].getName, "mlp_dense"),
+      mlpDenseBuilder)
   }
 }

@@ -34,9 +34,6 @@ object MLQueries extends QueryFamily {
       | (user_id % 150) / 150.0 AS f2,
       | (value % 1.0) AS f3""".stripMargin
 
-  private def tanhC(x: Column): Column = {
-    val e = exp(x * lit(2.0)); (e - lit(1.0)) / (e + lit(1.0))
-  }
   private def tanhS(x: String) =
     s"((EXP(($x) * 2.0) - 1.0) / (EXP(($x) * 2.0) + 1.0))"
 
@@ -45,8 +42,6 @@ object MLQueries extends QueryFamily {
     * cap, and the fold shape fixes the float summation order, so both
     * sides must chunk the same way. */
   private val sumChunk = 16
-  private def chunkSum(ts: Seq[Column]): Column =
-    ts.grouped(sumChunk).map(_.reduce(_ + _)).reduce(_ + _)
   private def chunkSumS(ts: Seq[String]): String =
     ts.grouped(sumChunk).map(g => "(" + g.mkString(" + ") + ")").mkString(" + ")
 
@@ -135,25 +130,30 @@ object MLQueries extends QueryFamily {
     Array.tabulate(mlpDims.last)(j => q6(math.sin(j * 2.1 + 0.5) / math.sqrt(mlpDims.last.toDouble)))
   private val mlpBOut: Double = 0.1
   private def m03(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val ev = rd(s, dir, "events")
-    // wall time here is dominated by the one-off whole-stage-codegen
-    // compile of the ~11k-term network, not row throughput — a
-    // repartition-by-work would only add a shuffle (measured: +0.6 s)
+    // Layers run through the native mlp_dense expression (a generated
+    // loop over a referenced weight array) instead of one expression
+    // node per multiply-add: the spelled-out ~11k-node network kept the
+    // math in codegen but made the one-off Janino compile the dominant
+    // cost (~8 s in the round-2 driver bench). mlp_dense accumulates in
+    // the SAME chunk-16 fold shape as the oracle SQL (chunkSumS) and
+    // adds the bias last, so results are bit-identical to the spelled-
+    // out form; weights pass through "%.6f" text on both engines.
+    def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
+    def arrLit(xs: Seq[Double]) = xs.map(lit6).mkString("array(", ", ", ")")
     val feats = ev.select((col("event_id") +: rawFeatures): _*)
-    val std = feats.select(col("event_id") +:
-      (0 until nIn).map(i => ((col(s"f$i") - lit(mu(i))) / lit(sig(i))).as(s"h0_$i")): _*)
+    val std = feats.select(col("event_id"),
+      array((0 until nIn).map(i => (col(s"f$i") - lit(mu(i))) / lit(sig(i))): _*).as("h0"))
     val staged = (0 until mlpDims.size - 1).foldLeft(std) { (cur, l) =>
-      val w = mlpW(l); val b = mlpB(l)
-      cur.select(col("event_id") +:
-        (0 until mlpDims(l + 1)).map { j =>
-          val z = chunkSum((0 until mlpDims(l))
-            .map(i => col(s"h${l}_$i") * lit(w(i)(j)))) + lit(b(j))
-          tanhC(z).as(s"h${l + 1}_$j")
-        }: _*)
+      val wFlat = mlpW(l).flatten.toSeq // [i][j] -> i*nOut+j (row-major)
+      cur.select(col("event_id"),
+        expr(s"mlp_dense(h$l, ${arrLit(wFlat)}, ${arrLit(mlpB(l).toSeq)}, true)")
+          .as(s"h${l + 1}"))
     }
     val L = mlpDims.size - 1
-    val out = chunkSum((0 until mlpDims.last)
-      .map(j => col(s"h${L}_$j") * lit(mlpWOut(j)))) + lit(mlpBOut)
+    val out = expr(s"element_at(mlp_dense(h$L, ${arrLit(mlpWOut.toSeq)}, " +
+      s"array(${lit6(mlpBOut)}), false), 1)")
     val sigm = lit(1.0) / (lit(1.0) + exp(negate(out)))
     val atanhScore = lit(0.5) * log((lit(1.0) + sigm) / (lit(1.0) - sigm))
     staged.select(col("event_id"),

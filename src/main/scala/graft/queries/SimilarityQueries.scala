@@ -184,23 +184,34 @@ object SimilarityQueries extends QueryFamily {
   // pairs — still an equi-join on cell, so the plan stays a hash join
   // and only the (tiny) query side doubles; candidate vectors are never
   // re-bucketed. Tie-breaks are by cell index on both engines.
-  private val argmin2Expr: String = {
-    // second-best cell: argmin over cells != best, low-index tie-break
-    val best = argminExpr
+  // second-best cell: argmin over cells != best, low-index tie-break.
+  // References the already-materialized `cell` COLUMN rather than
+  // re-inlining the argmin CASE: the inlined form repeats the full
+  // best-cell expression O(nCells²) times, which at nCells=8 is ~500
+  // comparisons per row and (with the s-cols re-expanded through the
+  // projection) a whole-stage-codegen method big enough to push Janino
+  // compile into the seconds — the driver's round-2 bench measured
+  // 9.5 s for v04 where the staged form runs in ~1 s.
+  private val argmin2Expr: String =
     (0 until nCells).map { cid =>
       val beats = (0 until nCells).filter(_ != cid)
-        .map(o => s"($o = ($best) OR s$cid <= s$o)").mkString(" AND ")
-      s"WHEN $cid != ($best) AND $beats THEN $cid"
+        .map(o => s"($o = cell OR s$cid <= s$o)").mkString(" AND ")
+      s"WHEN $cid != cell AND $beats THEN $cid"
     }.mkString("(CASE ", " ", " ELSE 0 END)")
-  }
   private def v04(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(s, dir)
     def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
     val scored = e.select(Seq(col("vec_id"), col("embedding"), col("norm")) ++
       (0 until nCells).map(cid =>
         expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
-    val withCell = scored.select(col("vec_id"), col("embedding"), col("norm"),
-      expr(argminExpr).as("cell"), expr(argmin2Expr).as("cell2"))
+    // two staged selects: `cell` must be a named column before argmin2Expr
+    // can reference it (and CollapseProject would re-inline a single-ref
+    // alias — the s-cols are multi-referenced, so the stage holds)
+    val withCell = scored.select(Seq(col("vec_id"), col("embedding"), col("norm"),
+        expr(argminExpr).as("cell")) ++
+        (0 until nCells).map(cid => col(s"s$cid")): _*)
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"),
+        expr(argmin2Expr).as("cell2"))
     val qProbed = withCell.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"),
@@ -225,7 +236,8 @@ object SimilarityQueries extends QueryFamily {
     val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
       s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
     s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
-       |wc AS (SELECT vec_id, embedding, $argminExpr AS cell, $argmin2Expr AS cell2 FROM scored),
+       |wc1 AS (SELECT vec_id, embedding, $argminExpr AS cell, ${(0 until nCells).map(c => s"s$c").mkString(", ")} FROM scored),
+       |wc AS (SELECT vec_id, embedding, cell, $argmin2Expr AS cell2 FROM wc1),
        |qp AS (
        | SELECT vec_id, embedding, cell AS probe FROM wc WHERE vec_id < $nQueries
        | UNION ALL

@@ -44,6 +44,49 @@ object TemporalQueries extends QueryFamily {
       | FROM events WHERE event_type IN ('click', 'purchase'))
       |WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin
 
+  // ---- j12: as-of join via the NATIVE operator ----------------------------
+  // Same as-of semantics as j10, but through graft's whole-operator
+  // path (plans/AsOfJoin.scala): logical node → planner strategy →
+  // merge-walk exec with declared distribution/ordering requirements.
+  // Unlike j10's union+window trick this keeps the two sides' schemas
+  // separate (LEFT-JOIN shape with NULL → -1 for no prior click) and
+  // reads each side once, pre-sorted by the exchange. The oracle is an
+  // independent SQL spelling (per-purchase argmax over eligible clicks),
+  // so a match also proves the operator against a form that shares no
+  // plan shape with it. Tie-break on click_id mirrors the repo's
+  // rank-with-id-tie-break determinism convention.
+  private def j12(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        expr("ts div 1000").as("c_us"))
+    graft.plans.AsOf.join(purchases, clicks,
+        col("user_id"), col("p_us"), col("c_user"), col("c_us"),
+        Seq(col("click_id")))
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("asof_click"))
+      .orderBy(col("purchase_id"))
+  }
+  private val j12Sql =
+    """WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |best AS (
+      | SELECT purchase_id, click_id FROM (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |   ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |     ORDER BY c.us DESC, c.event_id DESC) AS rn
+      |  FROM p JOIN c ON p.user_id = c.user_id AND c.us <= p.us)
+      | WHERE rn = 1)
+      |SELECT p.event_id AS purchase_id, p.user_id,
+      | COALESCE(b.click_id, -1) AS asof_click
+      |FROM p LEFT JOIN best b ON p.event_id = b.purchase_id
+      |ORDER BY 1""".stripMargin
+
   // ---- j11: bucketed range join -------------------------------------------
   // Point-in-interval join done scalably: a plain `lo <= v AND v < hi`
   // join has no equi-key, so Spark must BroadcastNestedLoopJoin — O(n·m)
@@ -284,6 +327,7 @@ object TemporalQueries extends QueryFamily {
     "a20_window_distinct" -> (a20 _),
     "j11_bucketed_range_join" -> (j11 _),
     "j10_asof_join" -> (j10 _),
+    "j12_asof_native" -> (j12 _),
     "r10_pivot" -> (r10 _),
     "r11_unpivot_stack" -> (r11 _),
     "t07_text_normalize" -> (t07 _),
@@ -297,6 +341,7 @@ object TemporalQueries extends QueryFamily {
     "a20_window_distinct" -> a20Sql,
     "j11_bucketed_range_join" -> j11Sql,
     "j10_asof_join" -> j10Sql,
+    "j12_asof_native" -> j12Sql,
     "r10_pivot" -> r10Sql,
     "r11_unpivot_stack" -> r11Sql,
     "t07_text_normalize" -> t07Sql,

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The one file graft places inside Spark's namespace: `Dataset.ofRows`
+  * (LogicalPlan → DataFrame) and `ExpressionUtils.expression` (Column →
+  * Expression) are `private[sql]`, and both are required to expose a
+  * custom logical operator (graft.plans.AsOfJoinPlan) through a
+  * DataFrame-returning API. Every Spark-extension library that adds
+  * whole-plan operators ships the same few-line bridge; no Spark
+  * internals are modified or shadowed here.
+  */
+object GraftBridge {
+  def ofRows(session: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(session.asInstanceOf[SparkSession], plan)
+
+  // eagerly converts the Column's node tree to a catalyst Expression
+  // (ExpressionUtils.expression alone returns a lazy ColumnNodeExpression
+  // wrapper that only the analyzer's converter unwraps)
+  def expression(c: Column): Expression =
+    ColumnNodeToExpressionConverter(c.node)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}

@@ -1,0 +1,108 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.functions._
+
+/** The native as-of join operator: semantics (most recent prior-or-equal
+  * right row per left row), tie-breaks, NULL fill, plan shape (custom
+  * exec + co-partitioning exchanges), and AQE interplay. */
+class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.sql.types._
+
+  private val leftSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("lt", LongType, nullable = false),
+    StructField("lid", LongType, nullable = false)))
+  private val rightSchema = StructType(Seq(
+    StructField("rk", LongType, nullable = false),
+    StructField("rt", LongType, nullable = false),
+    StructField("rid", LongType, nullable = false)))
+
+  private def leftDf(rows: (Long, Long, Long)*) =
+    spark.createDataFrame(
+      rows.map { case (a, b, c) => Row(a, b, c) }.asJava, leftSchema)
+  private def rightDf(rows: (Long, Long, Long)*) =
+    spark.createDataFrame(
+      rows.map { case (a, b, c) => Row(a, b, c) }.asJava, rightSchema)
+
+  private def run(left: org.apache.spark.sql.DataFrame,
+                  right: org.apache.spark.sql.DataFrame) =
+    AsOf.join(left, right, col("k"), col("lt"), col("rk"), col("rt"),
+        Seq(col("rid")))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+
+  test("picks the most recent prior-or-equal right row per key") {
+    val l = leftDf((1L, 10L, 100L), (1L, 20L, 101L), (2L, 15L, 102L))
+    val r = rightDf((1L, 5L, 200L), (1L, 10L, 201L), (1L, 18L, 202L),
+      (2L, 14L, 203L), (2L, 16L, 204L))
+    val got = run(l, r)
+    assert(got === Map(100L -> 201L, // ts=10 matches the equal-ts row
+      101L -> 202L, // ts=20: latest click at 18
+      102L -> 203L)) // ts=15: 16 is in the future
+  }
+
+  test("left rows with no eligible right row get NULL right columns") {
+    val l = leftDf((1L, 1L, 100L), (3L, 10L, 101L))
+    val r = rightDf((1L, 5L, 200L), (2L, 1L, 201L))
+    val got = run(l, r)
+    assert(got === Map(100L -> -1L, 101L -> -1L))
+  }
+
+  test("equal-ts ties resolve to the greatest tie-break value") {
+    val l = leftDf((7L, 50L, 100L))
+    val r = rightDf((7L, 50L, 300L), (7L, 50L, 301L), (7L, 49L, 399L))
+    assert(run(l, r) === Map(100L -> 301L))
+  }
+
+  test("empty right side yields all-NULL matches, empty left yields no rows") {
+    val l = leftDf((1L, 1L, 100L))
+    assert(run(l, rightDf()) === Map(100L -> -1L))
+    assert(run(leftDf(), rightDf((1L, 1L, 200L))).isEmpty)
+  }
+
+  test("matches a window-computed as-of over many keys and partitions") {
+    import spark.implicits._
+    // deterministic pseudo-random workload across all 4 test partitions
+    val l = (0L until 2000L).map(i =>
+      (i % 97, (i * 31) % 1000, i)).toDF("k", "lt", "lid")
+    val r = (0L until 3000L).map(i =>
+      (i % 97, (i * 17) % 1000, i)).toDF("rk", "rt", "rid")
+    val got = AsOf.join(l, r, col("k"), col("lt"), col("rk"), col("rt"),
+        Seq(col("rid")))
+      .select(col("lid"), col("rid"))
+    // reference: plain SQL window over the union (the j10 trick), which
+    // shares no code with the operator
+    val expect = l.join(r, col("k") === col("rk") && col("rt") <= col("lt"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+          .orderBy(col("rt").desc, col("rid").desc)))
+      .filter(col("rn") === 1 || col("rid").isNull)
+      .select(col("lid"), col("rid"))
+    assert(got.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap ===
+      expect.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap)
+  }
+
+  test("plans as AsOfJoinExec with hash exchanges on the keys, AQE on") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val l = leftDf((1L, 10L, 100L), (2L, 20L, 101L))
+      val r = rightDf((1L, 5L, 200L), (2L, 25L, 201L))
+      val df = AsOf.join(l, r, col("k"), col("lt"), col("rk"), col("rt"), Nil)
+      val rows = df.collect() // force AQE final plan
+      assert(rows.length === 2)
+      val plan = df.queryExecution.executedPlan
+      val execs = collectWithSubqueries(plan) { case e: AsOfJoinExec => e }
+      assert(execs.nonEmpty, s"no AsOfJoinExec in:\n$plan")
+      val planStr = plan.toString
+      assert(planStr.contains("hashpartitioning(k"), s"left not hash-partitioned:\n$planStr")
+      assert(planStr.contains("hashpartitioning(rk"), s"right not hash-partitioned:\n$planStr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+}
