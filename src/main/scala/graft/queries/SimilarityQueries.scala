@@ -250,17 +250,103 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v05: IVF with a TRAINED centroid step (one Lloyd iteration) --------
+  // v03/v04 assign against fixed literal centroids; a deployed IVF index
+  // trains them. This runs the k-means update exactly as a cluster
+  // would: assign (codegen'd argmin, the v03 machinery) → update
+  // (groupBy(cell), a TINY 8-row aggregate) → re-assign via a broadcast
+  // join against the new centroids. Nothing leaves the engine and the
+  // big side is touched twice — the canonical Spark k-means step at any
+  // scale.
+  //
+  // Cross-engine determinism of the UPDATE step: centroid means are
+  // sums of member floats, and a double SUM's accumulation order is
+  // engine-chosen — so members are summed as exact micro-scaled longs
+  // (FLOOR(x*1e6+0.5), the repo's milli-long convention one decade
+  // finer) and the mean is one double division of two exact integers:
+  // bit-identical centroids on both engines with no order dependence.
+  // Distances to the trained centroids then use the same explicitly
+  // left-associated 16-term sums on both sides (they fit one chunk of
+  // the chunk-16 convention), with cell index as the ranking tie-break.
+  private def v05(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    // iteration 0: assign against the shared literal centroids
+    val scored = e.select(Seq(col("vec_id"), col("embedding")) ++
+      (0 until nCells).map(cid =>
+        expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
+    val assigned0 = scored.select(col("vec_id"), col("embedding"),
+      expr(argminExpr).as("cell"))
+    // update: exact integer sums -> one double division per coordinate
+    val sums = (0 until nDims).map(j =>
+      sum(expr(s"CAST(FLOOR(CAST(element_at(embedding, ${j + 1}) AS DOUBLE) " +
+        s"* 1000000.0 + 0.5) AS BIGINT)")).as(s"sum$j"))
+    val cents = assigned0.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+    val centCols = (0 until nDims).map(j =>
+      (col(s"sum$j").cast("double") / (col("cnt").cast("double") * lit(1000000.0)))
+        .as(s"c$j"))
+    val trained = cents.select(col("cell").as("t_cell") +: centCols: _*)
+    // re-assign: broadcast the 8-row centroid table, explicit 16-term sums
+    val dot = (0 until nDims).map(j =>
+      expr(s"CAST(element_at(embedding, ${j + 1}) AS DOUBLE)") * col(s"c$j"))
+      .reduce(_ + _)
+    val cdot = (0 until nDims).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _)
+    val rescored = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("t_cell"), (cdot - lit(2.0) * dot).as("score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("t_cell").asc)
+    rescored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("t_cell").as("cell"))
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .orderBy(col("vec_id"))
+  }
+  private val v05Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid").mkString(", ")
+    val sumCols = (0 until nDims).map(j =>
+      s"SUM(CAST(FLOOR(CAST(embedding[${j + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS sum$j")
+      .mkString(", ")
+    val centCols = (0 until nDims).map(j =>
+      s"CAST(sum$j AS DOUBLE) / (CAST(cnt AS DOUBLE) * 1000000.0) AS c$j").mkString(", ")
+    val dot = (0 until nDims)
+      .map(j => s"CAST(e.embedding[${j + 1}] AS DOUBLE) * t.c$j").mkString(" + ")
+    val cdot = (0 until nDims).map(j => s"t.c$j * t.c$j").mkString(" + ")
+    s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+       |assigned0 AS (SELECT vec_id, embedding, $argminExpr AS cell FROM scored),
+       |sums AS (SELECT cell, COUNT(*) AS cnt, $sumCols
+       |  FROM assigned0 GROUP BY cell),
+       |trained AS (SELECT cell AS t_cell, $centCols FROM sums),
+       |rescored AS (
+       | SELECT e.vec_id, t.t_cell, ($cdot) - 2.0 * ($dot) AS score
+       | FROM embeddings e CROSS JOIN trained t),
+       |reassigned AS (
+       | SELECT vec_id, t_cell AS cell FROM (
+       |  SELECT vec_id, t_cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY score ASC, t_cell ASC) AS rn
+       |  FROM rescored) WHERE rn = 1)
+       |SELECT vec_id, cell,
+       | COUNT(*) OVER (PARTITION BY cell) AS cell_size
+       |FROM reassigned ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_knn_bruteforce" -> (v01 _),
     "v02_knn_lsh" -> (v02 _),
     "v03_knn_ivf" -> (v03 _),
-    "v04_knn_ivf_nprobe2" -> (v04 _)
+    "v04_knn_ivf_nprobe2" -> (v04 _),
+    "v05_kmeans_ivf_train" -> (v05 _)
   )
 
   val oracle: Map[String, String] = Map(
     "v01_knn_bruteforce" -> v01Sql,
     "v02_knn_lsh" -> v02Sql,
     "v03_knn_ivf" -> v03Sql,
-    "v04_knn_ivf_nprobe2" -> v04Sql
+    "v04_knn_ivf_nprobe2" -> v04Sql,
+    "v05_kmeans_ivf_train" -> v05Sql
   )
 }

@@ -87,6 +87,49 @@ object TemporalQueries extends QueryFamily {
       |FROM p LEFT JOIN best b ON p.event_id = b.purchase_id
       |ORDER BY 1""".stripMargin
 
+  // ---- u03: session_window gap sessionization ------------------------------
+  // Spark's FIRST-CLASS session operator (`session_window(ts, gap)`): the
+  // declarative complement to n02's stateful flatMapGroupsWithState form —
+  // one groupBy, codegen'd session merge, and the same operator runs
+  // unchanged under readStream (where it maintains keyed session state).
+  // Spark merges an event into a session while event_ts < session_end
+  // (= last_ts + gap), i.e. a gap STRICTLY greater than `gap` splits —
+  // the oracle mirrors exactly that split rule. Session end is
+  // last_ts + gap by definition on both sides; sums use the milli-long
+  // convention. Gap = 8h over µs-truncated timestamps (same as n02).
+  private val GapUs = 8L * 3600 * 1000 * 1000
+  private def u03(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    ev.select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("event_time"),
+        expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy(col("user_id"), session_window(col("event_time"), "8 hours"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("ts_start_us"),
+        expr("unix_micros(session_window.end)").as("ts_end_us"),
+        col("n_events"),
+        (col("vm_sum") / 1000.0).cast("float").as("sum_value"))
+      .orderBy(col("user_id"), col("ts_start_us"))
+  }
+  private val u03Sql =
+    s"""WITH x AS (
+       | SELECT user_id, epoch_ns(ts) // 1000 AS us,
+       |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+       | FROM events),
+       |marked AS (
+       | SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+       |   OR us - LAG(us) OVER w > $GapUs THEN 1 ELSE 0 END AS new_sess
+       | FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |sess AS (
+       | SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       | FROM marked)
+       |SELECT user_id, MIN(us) AS ts_start_us, MAX(us) + $GapUs AS ts_end_us,
+       | COUNT(*) AS n_events,
+       | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
+       |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
+
   // ---- j11: bucketed range join -------------------------------------------
   // Point-in-interval join done scalably: a plain `lo <= v AND v < hi`
   // join has no equi-key, so Spark must BroadcastNestedLoopJoin — O(n·m)
@@ -324,6 +367,7 @@ object TemporalQueries extends QueryFamily {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_funnel_order" -> (u01 _),
     "u02_cohort_retention" -> (u02 _),
+    "u03_session_window" -> (u03 _),
     "a20_window_distinct" -> (a20 _),
     "j11_bucketed_range_join" -> (j11 _),
     "j10_asof_join" -> (j10 _),
@@ -338,6 +382,7 @@ object TemporalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "u01_funnel_order" -> u01Sql,
     "u02_cohort_retention" -> u02Sql,
+    "u03_session_window" -> u03Sql,
     "a20_window_distinct" -> a20Sql,
     "j11_bucketed_range_join" -> j11Sql,
     "j10_asof_join" -> j10Sql,
