@@ -58,8 +58,13 @@ case class AsOfJoinPlan(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  // the exec compares key/ts values with ONE interpreted ordering built
+  // from the LEFT types, so mismatched sides (INT key vs BIGINT key) must
+  // fail analysis here, not as a mid-job ClassCastException
   override lazy val resolved: Boolean = childrenResolved &&
-    (Seq(leftKey, rightKey, leftTs, rightTs) ++ rightTieBreak).forall(_.resolved)
+    (Seq(leftKey, rightKey, leftTs, rightTs) ++ rightTieBreak).forall(_.resolved) &&
+    leftKey.dataType.catalogString == rightKey.dataType.catalogString &&
+    leftTs.dataType.catalogString == rightTs.dataType.catalogString
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -162,22 +167,43 @@ object AsOf {
            rightKey: Column, rightTs: Column,
            rightTieBreak: Seq[Column] = Nil): DataFrame = {
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // GraftExtensions-built sessions already carry the strategy via
+    // injectPlannerStrategy; this is the fallback for plain sessions.
+    // The check-and-append is atomic so concurrent first callers cannot
+    // register the strategy twice.
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ AsOfJoinStrategy
+      }
     }
     val lPlan = GraftBridge.analyzed(left)
     val rPlan = GraftBridge.analyzed(right)
+    // name resolution follows the session's configured case sensitivity
+    // (same resolver the analyzer uses) and refuses ambiguous names
+    // instead of silently taking the first match
+    val resolverFn = spark.sessionState.conf.resolver
     def resolve(plan: LogicalPlan, c: Column): Expression =
       GraftBridge.expression(c) match {
         case u: UnresolvedAttribute =>
-          plan.output.find(_.name == u.name).getOrElse(throw new IllegalArgumentException(
-            s"column ${u.name} not found in [${plan.output.map(_.name).mkString(", ")}]"))
+          plan.output.filter(a => resolverFn(a.name, u.name)) match {
+            case Seq(one) => one
+            case Seq() => throw new IllegalArgumentException(
+              s"column ${u.name} not found in [${plan.output.map(_.name).mkString(", ")}]")
+            case many => throw new IllegalArgumentException(
+              s"column ${u.name} is ambiguous: matches [${many.map(_.name).mkString(", ")}]")
+          }
         case other => other
       }
+    val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
+    val (lt, rt) = (resolve(lPlan, leftTs), resolve(rPlan, rightTs))
+    def requireSameType(what: String, l: Expression, r: Expression): Unit =
+      if (l.dataType.catalogString != r.dataType.catalogString) throw new IllegalArgumentException(
+        s"as-of join $what types must match: left ${l.dataType.simpleString} " +
+          s"vs right ${r.dataType.simpleString}")
+    requireSameType("key", lk, rk)
+    requireSameType("ordering", lt, rt)
     GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTs), resolve(rPlan, rightTs),
-      rightTieBreak.map(resolve(rPlan, _))))
+      lk, rk, lt, rt, rightTieBreak.map(resolve(rPlan, _))))
   }
 }

@@ -53,8 +53,28 @@ case class MlpDenseChunked(child: Expression, weights: Seq[Double],
         s"$prettyName needs an array<double> input, got $other")
   }
 
+  // mlp_dense is registered as a general SQL function, so defend the
+  // unchecked getDouble reads: a too-short input would otherwise throw a
+  // bare ArrayIndexOutOfBoundsException mid-job, and a null element would
+  // silently read as 0.0. The null scan is emitted only when the input
+  // type says elements CAN be null, so the hot path pays nothing.
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => false
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val in = input.asInstanceOf[ArrayData]
+    if (in.numElements() < nIn) throw new IllegalArgumentException(
+      s"mlp_dense input has ${in.numElements()} elements, layer needs $nIn")
+    if (elemNullable) {
+      var i = 0
+      while (i < nIn) {
+        if (in.isNullAt(i)) throw new IllegalArgumentException(
+          s"mlp_dense input element $i is NULL; inputs must be non-null doubles")
+        i += 1
+      }
+    }
     val out = new Array[Double](nOut)
     var j = 0
     while (j < nOut) {
@@ -92,7 +112,18 @@ case class MlpDenseChunked(child: Expression, weights: Seq[Double],
         if (activateTanh)
           s"double $e = Math.exp($z * 2.0); $out[$j] = ($e - 1.0) / ($e + 1.0);"
         else s"$out[$j] = $z;"
+      val nv = ctx.freshName("nv")
+      val nullGuard =
+        if (elemNullable)
+          s"""for (int $nv = 0; $nv < $nIn; $nv++) {
+            if ($in.isNullAt($nv)) throw new IllegalArgumentException(
+              "mlp_dense input element " + $nv + " is NULL; inputs must be non-null doubles");
+          }"""
+        else ""
       s"""
+        if ($in.numElements() < $nIn) throw new IllegalArgumentException(
+          "mlp_dense input has " + $in.numElements() + " elements, layer needs $nIn");
+        $nullGuard
         double[] $out = new double[$nOut];
         for (int $j = 0; $j < $nOut; $j++) {
           double $acc = 0.0;

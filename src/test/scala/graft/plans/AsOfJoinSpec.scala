@@ -88,6 +88,36 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       expect.collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap)
   }
 
+  test("mismatched key or ordering types fail at construction, not mid-job") {
+    val l = leftDf((1L, 10L, 100L))
+    val r = rightDf((1L, 5L, 200L)).withColumn("rk", col("rk").cast("int"))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, col("k"), col("lt"), col("rk"), col("rt"), Nil)
+    }
+    assert(e1.getMessage.contains("key types must match"), e1.getMessage)
+    val r2 = rightDf((1L, 5L, 200L)).withColumn("rt", col("rt").cast("double"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l, r2, col("k"), col("lt"), col("rk"), col("rt"), Nil)
+    }
+    assert(e2.getMessage.contains("ordering types must match"), e2.getMessage)
+  }
+
+  test("resolution follows session case sensitivity and refuses ambiguity") {
+    val l = leftDf((1L, 10L, 100L))
+    val r = rightDf((1L, 5L, 200L))
+    // default is case-insensitive: upper-case names must resolve
+    val got = AsOf.join(l, r, col("K"), col("LT"), col("RK"), col("RT"),
+        Seq(col("RID")))
+      .select(col("lid"), col("rid")).collect()
+    assert(got.map(x => (x.getLong(0), x.getLong(1))).toSeq === Seq((100L, 200L)))
+    // duplicate names on one side are an error, not first-match-wins
+    val dup = r.select(col("rk"), col("rt"), col("rid"), col("rt").as("RT"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, dup, col("k"), col("lt"), col("rk"), col("rt"), Nil)
+    }
+    assert(e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("plans as AsOfJoinExec with hash exchanges on the keys, AQE on") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -197,4 +197,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(rows("g1") - 334.0) < 1e-6)
     assert(math.abs(rows("g2") - 333.0) < 1e-6)
   }
+
+  test("mlp_dense rejects short inputs and NULL elements with clear errors") {
+    import spark.implicits._
+    // too-short input: layer expects 3 inputs, row carries 2
+    val short = Seq(Array(1.0, 2.0)).toDF("v")
+      .selectExpr("mlp_dense(v, array(1.0,0.0, 0.0,1.0, 1.0,1.0), array(0.0,0.0), false)")
+    val e1 = intercept[Exception] { short.collect() }
+    assert(causeChain(e1).exists(_.getMessage != null) &&
+      causeChain(e1).exists(m => Option(m.getMessage).exists(_.contains("layer needs 3"))),
+      s"unexpected error: $e1")
+    // NULL element in a nullable-element array
+    val withNull = Seq(Seq[Option[Double]](Some(1.0), None, Some(3.0))).toDF("v")
+      .selectExpr("mlp_dense(v, array(1.0,0.0, 0.0,1.0, 1.0,1.0), array(0.0,0.0), false)")
+    val e2 = intercept[Exception] { withNull.collect() }
+    assert(causeChain(e2).exists(m => Option(m.getMessage).exists(_.contains("is NULL"))),
+      s"unexpected error: $e2")
+    // non-null path still computes
+    val ok = Seq(Array(1.0, 2.0, 3.0)).toDF("v")
+      .selectExpr("mlp_dense(v, array(1.0,0.0, 0.0,1.0, 1.0,1.0), array(0.5,0.0), false)")
+      .collect().head.getSeq[Double](0)
+    assert(ok === Seq(1.0 + 3.0 + 0.5, 2.0 + 3.0))
+  }
+
+  private def causeChain(t: Throwable): List[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toList
 }
