@@ -425,13 +425,120 @@ object DedupQueries extends QueryFamily {
        |ORDER BY 1, 2""".stripMargin.replace("BANDS_SQL", bandSelects)
   }
 
+  // ---- d09 / d10: word-8-gram occurrence table ----------------------------
+  // One row per 8-gram OCCURRENCE (not distinct gram): d09 needs
+  // positional coverage, d10 needs hit counts. The gram key is the md5
+  // of the joined window — string keys keep the oracle SQL identical;
+  // at 100 TB the key would be xxhash64 of the window (same plan shape,
+  // smaller shuffle rows), exactly like d01's content hash.
+  // Docs shorter than 8 tokens contribute no rows — the CASE guards
+  // Spark's sequence(1, n<1) reversal (round-1 convention).
+  private val gramN = 8
+  private def wordGrams(d: DataFrame): DataFrame = {
+    val gs = expr(
+      s"""CASE WHEN size(split(text, ' ')) >= $gramN
+         | THEN transform(sequence(1, size(split(text, ' ')) - ${gramN - 1}),
+         |   i -> md5(array_join(slice(split(text, ' '), i, $gramN), ' ')))
+         | ELSE CAST(array() AS array<string>) END""".stripMargin)
+    d.select(col("doc_id"), explode(gs).as("g"))
+  }
+  private val wordGramsDuck =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |grams AS (
+       | SELECT doc_id, md5(array_to_string(ts[i:i+${gramN - 1}], ' ')) AS g
+       | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${gramN - 1})) AS i
+       |       FROM toks WHERE len(ts) >= $gramN))""".stripMargin
+
+  // ---- d09: cross-document duplicated-span coverage ------------------------
+  // The "exact substring dedup" pass of training pipelines (the
+  // suffix-array dedup of Lee et al. 2022, re-expressed as the
+  // Spark-friendly n-gram inverted index): an 8-gram occurring in ≥2
+  // distinct documents marks a duplicated span; per document report how
+  // much of it is covered by duplicated spans. Plan shape at 100 TB:
+  // explode is O(total tokens), the only shuffles are the gram-key
+  // groupBy (map-side combine) and the gram-key coverage join — never
+  // doc×doc. The gram table feeds two branches, so it is materialized
+  // once (localCheckpoint) per round-1 convention.
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val grams = wordGrams(docs).localCheckpoint()
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("g"), lit(1).as("is_dup"))
+    val cov = grams.join(dup, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("is_dup")).as("n_dup_grams"))
+    docs.select(col("doc_id")).join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce((col("n_dup_grams").cast("double") / col("n_grams")).cast("float"),
+          lit(0.0f)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+  private val d09Sql =
+    s"""WITH $wordGramsDuck,
+       |dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |        COUNT(*) FILTER (WHERE g IN (SELECT g FROM dup)) AS n_dup
+       |        FROM grams GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | COALESCE(cov.n_grams, 0) AS n_grams,
+       | COALESCE(cov.n_dup, 0) AS n_dup_grams,
+       | CAST(COALESCE(CAST(cov.n_dup AS DOUBLE) / cov.n_grams, 0.0) AS REAL) AS dup_ratio
+       |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- d10: benchmark decontamination ---------------------------------------
+  // Flag training documents sharing any 8-gram with a held-out
+  // evaluation set (here: every 97th document, standing in for the
+  // benchmark suite). The eval gram set is SMALL by nature, so it is
+  // broadcast — the contamination check is a map-side hash probe per
+  // gram occurrence, no shuffle of the training side beyond the per-doc
+  // count. This is the n-gram decontamination step of GPT-3/PaLM-style
+  // data curation.
+  private val contamMod = 97
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val grams = wordGrams(docs).localCheckpoint()
+    val evalSet = grams.filter(col("doc_id") % contamMod === 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1))
+    val hits = grams.filter(col("doc_id") % contamMod =!= 0)
+      .join(broadcast(evalSet), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+    docs.filter(col("doc_id") % contamMod =!= 0)
+      .select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) === 0).as("is_clean"))
+      .orderBy(col("doc_id"))
+  }
+  private val d10Sql =
+    s"""WITH $wordGramsDuck,
+       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % $contamMod = 0),
+       |hits AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |         COUNT(*) FILTER (WHERE g IN (SELECT g FROM ev)) AS n_hit
+       |         FROM grams WHERE doc_id % $contamMod != 0 GROUP BY doc_id)
+       |SELECT d.doc_id,
+       | COALESCE(h.n_grams, 0) AS n_grams,
+       | COALESCE(h.n_hit, 0) AS n_contaminated,
+       | COALESCE(h.n_hit, 0) = 0 AS is_clean
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id % $contamMod != 0
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01 _),
     "d02_jaccard_neardup" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
     "d04_simhash" -> (d04 _),
     "d05_embedding_neardup" -> (d05 _),
-    "d07_ppjoin_exact" -> (d07 _)
+    "d07_ppjoin_exact" -> (d07 _),
+    "d09_substring_dup" -> (d09 _),
+    "d10_decontaminate" -> (d10 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -440,6 +547,8 @@ object DedupQueries extends QueryFamily {
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,
     "d05_embedding_neardup" -> d05Sql,
-    "d07_ppjoin_exact" -> d07Sql
+    "d07_ppjoin_exact" -> d07Sql,
+    "d09_substring_dup" -> d09Sql,
+    "d10_decontaminate" -> d10Sql
   )
 }

@@ -173,15 +173,77 @@ object JaggedQueries extends QueryFamily {
       | array_to_string(pts, ',') AS pt_csv
       |FROM nested ORDER BY event""".stripMargin
 
+  // ---- g04: within-event pair combinatorics (argmin pair) ----------------
+  // The awkward `ak.combinations` shape: enumerate all i<j object pairs
+  // INSIDE each event's collection and pick the best pair — here the
+  // minimum price gap, the same argmin-over-pairs the reference runs for
+  // dimuon/dijet candidate selection. One shuffle total (the collect_list
+  // groupBy); pair enumeration and the argmin are array HOFs in the same
+  // projection, so no explode, no window, no second exchange — per-event
+  // k is small (≤7 lineitems), so the k² term is bounded row work, which
+  // is exactly why combinations belong INSIDE the row at 100 TB.
+  // Items sort by (ln, pr) — unique per event (verified: no duplicate
+  // (orderkey, linenumber, extendedprice) triples) — and array_min's
+  // lexicographic struct order (diff, iln, ipr, jln, jpr) mirrors the
+  // oracle's ORDER BY, so the winning pair is engine-independent (diff
+  // is a single IEEE subtraction, exact on both).
+  private def g04(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val events = li.groupBy(col("l_orderkey").as("event"))
+      .agg(expr(
+        "sort_array(collect_list(named_struct('ln', l_linenumber, 'pr', l_extendedprice)))")
+        .as("items"))
+      .filter(size(col("items")) >= 2)
+    events
+      .withColumn("n_items", size(col("items")))
+      .withColumn("best", expr(
+        """array_min(flatten(transform(sequence(1, size(items) - 1),
+          | i -> transform(sequence(i + 1, size(items)),
+          |   j -> named_struct(
+          |     'diff', abs(element_at(items, i).pr - element_at(items, j).pr),
+          |     'iln', element_at(items, i).ln,
+          |     'ipr', element_at(items, i).pr,
+          |     'jln', element_at(items, j).ln,
+          |     'jpr', element_at(items, j).pr)))))""".stripMargin))
+      .select(col("event"), col("n_items"),
+        expr("(n_items * (n_items - 1)) div 2").as("n_pairs"),
+        col("best.iln").as("iln"), col("best.jln").as("jln"),
+        col("best.diff").as("min_diff"))
+      .orderBy(col("event"))
+  }
+  private val g04Sql =
+    """WITH it AS (
+      | SELECT l_orderkey AS event, l_linenumber AS ln, l_extendedprice AS pr
+      | FROM lineitem),
+      |cnt AS (SELECT event, COUNT(*) AS n_items FROM it
+      |        GROUP BY event HAVING COUNT(*) >= 2),
+      |p AS (
+      | SELECT a.event, abs(a.pr - b.pr) AS diff,
+      |  a.ln AS iln, a.pr AS ipr, b.ln AS jln, b.pr AS jpr
+      | FROM it a JOIN it b ON a.event = b.event
+      |  AND (a.ln < b.ln OR (a.ln = b.ln AND a.pr < b.pr))),
+      |best AS (
+      | SELECT event, diff, iln, jln,
+      |  ROW_NUMBER() OVER (PARTITION BY event
+      |    ORDER BY diff, iln, ipr, jln, jpr) AS rn
+      | FROM p)
+      |SELECT c.event, CAST(c.n_items AS INT) AS n_items,
+      | (c.n_items * (c.n_items - 1)) // 2 AS n_pairs,
+      | b.iln, b.jln, b.diff AS min_diff
+      |FROM cnt c JOIN best b ON c.event = b.event AND b.rn = 1
+      |ORDER BY c.event""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_jagged_pipeline" -> (g01 _),
     "g02_jagged_index_ref" -> (g02 _),
-    "g03_jagged_renest" -> (g03 _)
+    "g03_jagged_renest" -> (g03 _),
+    "g04_pair_combinations" -> (g04 _)
   )
 
   val oracle: Map[String, String] = Map(
     "g01_jagged_pipeline" -> g01Sql,
     "g02_jagged_index_ref" -> g02Sql,
-    "g03_jagged_renest" -> g03Sql
+    "g03_jagged_renest" -> g03Sql,
+    "g04_pair_combinations" -> g04Sql
   )
 }

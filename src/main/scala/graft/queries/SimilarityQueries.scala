@@ -334,7 +334,61 @@ object SimilarityQueries extends QueryFamily {
        |FROM reassigned ORDER BY vec_id""".stripMargin
   }
 
+  // ---- v06: int8 embedding quantization ----------------------------------
+  // The storage-side compression every 100 TB vector corpus runs before
+  // indexing: per-vector symmetric int8 quantization (scale = max|x|/127),
+  // with reconstruction-quality metrics (max absolute error + cosine
+  // between the original and the reconstruction). One codegen projection,
+  // no shuffle — 4× smaller vectors into every downstream candidate join.
+  // Rounding is the repo's cross-engine floor(x + 0.5) convention; the
+  // dot products are the same left-fold both engines use everywhere else.
+  private def v06(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    val dotS = (x: String, y: String) =>
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    e.withColumn("maxabs",
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+      .withColumn("qvec", expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / nullif(maxabs, 0.0) + 0.5) AS INT))"))
+      .withColumn("recon", expr(
+        "transform(qvec, q -> CAST(q AS DOUBLE) * maxabs / 127.0)"))
+      .select(col("vec_id"),
+        col("maxabs").cast("float").as("maxabs"),
+        expr("array_max(zip_with(embedding, recon, (p, q) -> abs(CAST(p AS DOUBLE) - q)))")
+          .cast("float").as("max_err"),
+        (expr(dotS("embedding", "recon")) /
+          (sqrt(expr(dotS("embedding", "embedding"))) * sqrt(expr(dotS("recon", "recon")))))
+          .cast("float").as("cos_recon"))
+      .orderBy(col("vec_id"))
+  }
+  private val v06Sql = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($x)), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+    s"""WITH m AS (
+       | SELECT vec_id, embedding,
+       |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+       | FROM embeddings),
+       |q AS (
+       | SELECT vec_id, embedding, maxabs,
+       |  list_transform(embedding,
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / NULLIF(maxabs, 0.0) + 0.5) AS INTEGER)) AS qvec
+       | FROM m),
+       |r AS (
+       | SELECT vec_id, embedding, maxabs,
+       |  list_transform(qvec, qq -> CAST(qq AS DOUBLE) * maxabs / 127.0) AS recon
+       | FROM q)
+       |SELECT vec_id, CAST(maxabs AS REAL) AS maxabs,
+       | CAST(list_max(list_transform(generate_series(1, len(embedding)),
+       |   i -> abs(CAST(embedding[i] AS DOUBLE) - recon[i]))) AS REAL) AS max_err,
+       | CAST(${dot("embedding", "recon")} /
+       |  (SQRT(${dot("embedding", "embedding")}) * SQRT(${dot("recon", "recon")})) AS REAL) AS cos_recon
+       |FROM r ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v06_embedding_quantize" -> (v06 _),
     "v01_knn_bruteforce" -> (v01 _),
     "v02_knn_lsh" -> (v02 _),
     "v03_knn_ivf" -> (v03 _),
@@ -343,6 +397,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v06_embedding_quantize" -> v06Sql,
     "v01_knn_bruteforce" -> v01Sql,
     "v02_knn_lsh" -> v02Sql,
     "v03_knn_ivf" -> v03Sql,

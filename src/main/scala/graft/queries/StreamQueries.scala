@@ -17,10 +17,18 @@ object StreamQueries extends QueryFamily {
   private val HourNs = 3600L * 1000 * 1000 * 1000
   private val GapNs = 8L * HourNs
 
+  /** State shards for the stateful queries in this family. The test
+    * corpus has tiny per-key state, so a handful of shards beats the
+    * session's 32-wide batch setting (each micro-batch pays an
+    * open/commit per shard); a production deployment would size this to
+    * its key count. See Streams.withStatePartitions. */
+  private val statePartitions = 8
+
   // ---- n01: streaming windowed aggregation -------------------------------
   private def n01(s: SparkSession, dir: String): DataFrame =
-    Streams.windowedAgg(s, dir, fresh("graft_stream_agg"))
-      .orderBy(col("hour_bucket"), col("event_type"))
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.windowedAgg(s, dir, fresh("graft_stream_agg"))
+    }.orderBy(col("hour_bucket"), col("event_type"))
   private val n01Sql =
     s"""SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
        | COUNT(*) AS n_events, CAST(SUM(value) AS REAL) AS sum_value
@@ -28,7 +36,9 @@ object StreamQueries extends QueryFamily {
 
   // ---- n02: stateful sessionization (flatMapGroupsWithState) -------------
   private def n02(s: SparkSession, dir: String): DataFrame =
-    Streams.sessionize(s, dir, GapNs, fresh("graft_stream_sess"))
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.sessionize(s, dir, GapNs, fresh("graft_stream_sess"))
+    }
       // DuckDB's epoch_ns truncates to microseconds; emit micros on both.
       // sum_value comes from the exact milli-scaled long fold — a plain
       // double fold is order-dependent and DuckDB aggregates in its own
@@ -59,8 +69,9 @@ object StreamQueries extends QueryFamily {
   // The streaming-native form of d01: state keyed by content hash,
   // emitted set equals the batch DISTINCT.
   private def n03(s: SparkSession, dir: String): DataFrame =
-    Streams.streamingDedup(s, dir, fresh("graft_stream_dedup"))
-      .orderBy(col("content_hash"))
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.streamingDedup(s, dir, fresh("graft_stream_dedup"))
+    }.orderBy(col("content_hash"))
   private val n03Sql =
     "SELECT DISTINCT md5(text) AS content_hash FROM documents ORDER BY 1"
 
@@ -69,8 +80,9 @@ object StreamQueries extends QueryFamily {
   // so join state is bounded. AvailableNow emits the batch join exactly.
   private val JoinWindowUs = 4L * 3600 * 1000 * 1000
   private def n04(s: SparkSession, dir: String): DataFrame =
-    Streams.streamStreamJoin(s, dir, JoinWindowUs, fresh("graft_stream_join"))
-      .orderBy(col("click_id"), col("purchase_id"))
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.streamStreamJoin(s, dir, JoinWindowUs, fresh("graft_stream_join"))
+    }.orderBy(col("click_id"), col("purchase_id"))
   private val n04Sql =
     s"""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
        | c.user_id, epoch_ns(p.ts) // 1000 - epoch_ns(c.ts) // 1000 AS lag_us
@@ -86,8 +98,9 @@ object StreamQueries extends QueryFamily {
   // AvailableNow every touched group is emitted once, so the result is
   // the batch aggregate — the low-latency sink shape for dashboards.
   private def n05(s: SparkSession, dir: String): DataFrame =
-    Streams.updateModeAgg(s, dir, fresh("graft_stream_upd"))
-      .orderBy(col("event_type"))
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.updateModeAgg(s, dir, fresh("graft_stream_upd"))
+    }.orderBy(col("event_type"))
   private val n05Sql =
     """SELECT event_type, COUNT(*) AS n_events,
       | CAST(SUM(value) AS REAL) AS sum_value

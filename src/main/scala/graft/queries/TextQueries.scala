@@ -233,7 +233,46 @@ object TextQueries extends QueryFamily {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t10: intra-document repetition ------------------------------------
+  // The "repetitive document" quality signal (Gopher rule family):
+  // fraction of word-3-gram occurrences that are repeats of an earlier
+  // gram, and the highest multiplicity of any single gram. Pure array
+  // HOFs in one projection — scales as a linear scan; the max-multiplicity
+  // probe is O(distinct × total) per DOCUMENT (not per corpus), bounded
+  // by document length. The CASE guards Spark's sequence(1, n<1)
+  // reversal; DuckDB's generate_series is already empty there.
+  private def t10(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val gs = expr(
+      """CASE WHEN size(split(text, ' ')) >= 3
+        | THEN transform(sequence(1, size(split(text, ' ')) - 2),
+        |   i -> array_join(slice(split(text, ' '), i, 3), ' '))
+        | ELSE CAST(array() AS array<string>) END""".stripMargin)
+    d.select(col("doc_id"), gs.as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).as("n_grams"),
+        size(array_distinct(col("gs"))).as("n_distinct"),
+        coalesce((lit(1.0) - size(array_distinct(col("gs"))).cast("double") /
+          nullif(size(col("gs")), lit(0))).cast("float"), lit(0.0f)).as("rep_ratio"),
+        coalesce(expr(
+          "array_max(transform(array_distinct(gs), g -> size(filter(gs, x -> x = g))))"),
+          lit(0)).as("max_rep"))
+      .orderBy(col("doc_id"))
+  }
+  private val t10Sql =
+    """WITH g AS (
+      | SELECT doc_id, list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+      |   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS gs
+      | FROM documents)
+      |SELECT doc_id,
+      | len(gs) AS n_grams,
+      | len(list_distinct(gs)) AS n_distinct,
+      | CAST(COALESCE(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / NULLIF(len(gs), 0), 0.0) AS REAL) AS rep_ratio,
+      | COALESCE(list_max(list_transform(list_distinct(gs), g -> len(list_filter(gs, x -> x = g)))), 0) AS max_rep
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_repetition" -> (t10 _),
     "t09_data_mixture" -> (t09 _),
     "t08_entity_redact" -> (t08 _),
     "d08_keep_best" -> (d08 _),
@@ -246,6 +285,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t10_repetition" -> t10Sql,
     "t09_data_mixture" -> t09Sql,
     "t08_entity_redact" -> t08Sql,
     "d08_keep_best" -> d08Sql,

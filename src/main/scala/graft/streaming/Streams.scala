@@ -25,6 +25,25 @@ object Streams {
     * would corrupt the bucket). */
   private val HourNs = 3600L * 1000 * 1000 * 1000
 
+  /** Run `body` (which starts and drains a streaming query) with
+    * `spark.sql.shuffle.partitions` = n, restoring the previous value
+    * after. A stateful streaming query fixes its state-store shard count
+    * from this setting at FIRST start (it persists in the checkpoint),
+    * independent of the session's later batch setting — so it must be
+    * sized by expected STATE, not by the session's batch shuffle width:
+    * a local AvailableNow drive over test data wants a handful of
+    * partitions (each micro-batch opens/commits one state store per
+    * partition, so 32 shards of near-empty state is pure overhead),
+    * while an always-on deployment with millions of keys wants hundreds.
+    * Not thread-safe (session-global conf) — callers are the sequential
+    * Verify/Bench drivers. */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Windowed weighted aggregation over a file stream: one row per
     * (hour, event_type) with count and value sum. Complete-mode memory
     * sink; AvailableNow processes the backlog and stops. */
