@@ -29,7 +29,8 @@ object SparkEntry {
     CsFrameQueries,
     MiscQueries,
     JaggedQueries,
-    TemporalQueries
+    TemporalQueries,
+    SearchQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-level search / layout / sketch operators for training-data
+  * pipelines: BM25 keyword ranking, Z-order data-layout clustering, and
+  * a Count-Min frequency sketch.
+  *
+  * Scale design notes per operator are inline; the common theme is that
+  * every corpus-wide statistic these need (document frequency, average
+  * length, sketch tables) is either a scalar or a vocab/width-sized
+  * table — broadcast-joined, never shuffled with the fact table.
+  */
+object SearchQueries extends QueryFamily {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  // ---- w01: BM25 keyword ranking -----------------------------------------
+  // The retrieval scorer behind corpus search / quality filtering
+  // (Robertson/Sparck-Jones BM25, k1 = 1.2, b = 0.75). Per-document
+  // term frequencies are array HOFs over the tokenized text (no
+  // (doc, term) explode for a fixed query — the tf columns ride the
+  // scan projection); the only corpus-wide inputs are N, avgdl, and one
+  // df per query term — a single 1-row aggregate broadcast to every
+  // partition. At 100 TB that is a scan + a scalar cross join; nothing
+  // quadratic, nothing keyed by term. Float determinism: the 3-term
+  // score sum is written with identical left-to-right parenthesization
+  // on both engines and cast to float32 before ranking; doc_id breaks
+  // rank ties.
+  private val bmTerms = Seq("join", "hash", "scan")
+  private val bmK1 = "1.2"; private val bmB = "0.75"
+  private val bmTopK = 50
+  private def w01(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
+    }
+    val base = d.select(Seq(col("doc_id"),
+      expr("size(split(text, ' '))").as("dl")) ++ tfCols: _*)
+    val statCols = Seq(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      bmTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val termScore = bmTerms.indices.map { i =>
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))"
+      s"($idf * (tf$i * ($bmK1 + 1.0)) / " +
+        s"(tf$i + $bmK1 * (1.0 - $bmB + $bmB * dl / avgdl)))"
+    }.mkString(" + ") // left-assoc fold, mirrored verbatim in the oracle
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("score", expr(termScore).cast("float"))
+      .filter(col("score") > 0.0f)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bmTopK)
+      .select(col("rank"), col("doc_id"),
+        col("tf0").as("tf_" + bmTerms(0)), col("tf1").as("tf_" + bmTerms(1)),
+        col("tf2").as("tf_" + bmTerms(2)), col("score"))
+      .orderBy(col("rank"))
+  }
+  private val w01Sql = {
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = bmTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val termScore = bmTerms.indices.map { i =>
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))"
+      s"($idf * (tf$i * ($bmK1 + 1.0)) / " +
+        s"(tf$i + $bmK1 * (1.0 - $bmB + $bmB * dl / avgdl)))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       | SELECT doc_id, len(string_split(text, ' ')) AS dl, $tfCols
+       | FROM documents),
+       |stats AS (
+       | SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols
+       | FROM base),
+       |scored AS (
+       | SELECT doc_id, tf0, tf1, tf2,
+       |  CAST($termScore AS REAL) AS score
+       | FROM base CROSS JOIN stats)
+       |SELECT rank, doc_id, tf0 AS tf_${bmTerms(0)}, tf1 AS tf_${bmTerms(1)},
+       | tf2 AS tf_${bmTerms(2)}, score
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM scored WHERE score > 0.0)
+       |WHERE rank <= $bmTopK ORDER BY rank""".stripMargin
+  }
+
+  // ---- w02: Z-order (Morton) layout clustering -----------------------------
+  // The multi-dimensional data-layout key behind OPTIMIZE ZORDER /
+  // range-clustered parquet: interleave the bits of two quantized
+  // dimensions so one range partitioning bounds BOTH columns, and
+  // min/max file stats prune on either. Bit extraction is pure integer
+  // div/mod arithmetic (engine-portable, no bit operators), the bucket
+  // is a fixed-width slice of the z range (z div 2^15) — no global
+  // sort, no window; at scale the same key feeds repartitionByRange +
+  // sortWithinPartitions at write time. The per-bucket min/max report
+  // IS the pruning claim: each z bucket bounds a small sub-rectangle of
+  // (custkey, price) space, which per-dimension range partitioning
+  // cannot do for the second dimension.
+  private val zBits = 10 // 10 bits/dim -> z in [0, 4^10)
+  private val zBuckets = 32
+  private def zExpr(x: String, y: String): String =
+    (0 until zBits).map { i =>
+      val p2 = 1L << i; val p4 = 1L << (2 * i)
+      s"((($x div $p2) % 2) * $p4 + (($y div $p2) % 2) * ${2 * p4})"
+    }.mkString(" + ")
+  private def zExprDuck(x: String, y: String): String =
+    (0 until zBits).map { i =>
+      val p2 = 1L << i; val p4 = 1L << (2 * i)
+      s"((($x // $p2) % 2) * $p4 + (($y // $p2) % 2) * ${2 * p4})"
+    }.mkString(" + ")
+  private def w02(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val base = o.select(
+      (col("o_custkey") % 1024).as("x"),
+      expr("CAST(floor(o_totalprice / 500.0) AS BIGINT) % 1024").as("y"))
+    base.withColumn("z", expr(zExpr("x", "y")))
+      .withColumn("bucket", expr(s"z div ${(1L << (2 * zBits)) / zBuckets}"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("bucket"))
+  }
+  private val w02Sql =
+    s"""WITH base AS (
+       | SELECT o_custkey % 1024 AS x,
+       |  CAST(floor(o_totalprice / 500.0) AS BIGINT) % 1024 AS y
+       | FROM orders),
+       |zz AS (SELECT x, y, ${zExprDuck("x", "y")} AS z FROM base)
+       |SELECT z // ${(1L << (2 * zBits)) / zBuckets} AS bucket,
+       | COUNT(*) AS n_rows,
+       | MIN(x) AS min_x, MAX(x) AS max_x,
+       | MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- k01/k02: Count-Min frequency sketch --------------------------------
+  // The streaming-friendly heavy-hitter counter (Cormode/Muthukrishnan
+  // 2005): d hash rows x w buckets of additive counts. Merge is
+  // addition, so the sketch is exactly what Spark's map-side partial
+  // aggregation produces — the shuffle carries at most d*w rows per
+  // partition regardless of input size, and two sketches built on
+  // different partitions combine without order sensitivity (integer
+  // adds). k01 materializes the sketch table; k02 answers point
+  // queries: est(key) = min over rows of the key's bucket count, an
+  // upper bound on the true count (CMS never underestimates), checked
+  // against the exact count.
+  private val cmsDepth = 4; private val cmsWidth = 32
+  private def cmsHash(k: Int, key: String): String = {
+    val mixed = s"((($key) % $P) * 2654435761) % $P"
+    s"((((${2 * k + 3} * $mixed + ${7919 * k + 1}) % $P) + $P) % $P) % $cmsWidth"
+  }
+  private def k01(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+    val rows = e.select(explode(array((0 until cmsDepth).map(k =>
+      struct(lit(k).as("depth"),
+        expr(cmsHash(k, "user_id")).as("bucket"))): _*)).as("h"))
+    rows.groupBy(col("h.depth").as("depth"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("depth"), col("bucket"))
+  }
+  private val k01Sql = {
+    val sel = (0 until cmsDepth).map(k =>
+      s"SELECT $k AS depth, ${cmsHash(k, "user_id")} AS bucket FROM events")
+      .mkString(" UNION ALL ")
+    s"""SELECT depth, bucket, COUNT(*) AS cnt
+       |FROM ($sel) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  private val cmsProbeKeys = 10
+  private def k02(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+    val sketch = k01(s, dir) // d*w rows -> broadcast to the probe join
+    val keys = e.filter(col("user_id") < cmsProbeKeys)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact"))
+    val probes = keys.select(Seq(col("user_id"), col("exact")) ++
+      (0 until cmsDepth).map(k =>
+        expr(cmsHash(k, "user_id")).as(s"b$k")): _*)
+    val est = (0 until cmsDepth).map { k =>
+      // one broadcast probe per depth row of the sketch
+      (k, sketch.filter(col("depth") === k)
+        .select(col("bucket").as(s"b$k"), col("cnt").as(s"c$k")))
+    }.foldLeft(probes) { case (acc, (k, sk)) => acc.join(broadcast(sk), s"b$k") }
+    est.select(col("user_id"), col("exact"),
+        expr((0 until cmsDepth).map(k => s"c$k").mkString("least(", ", ", ")")).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(col("user_id"))
+  }
+  private val k02Sql = {
+    val sel = (0 until cmsDepth).map(k =>
+      s"SELECT $k AS depth, ${cmsHash(k, "user_id")} AS bucket FROM events")
+      .mkString(" UNION ALL ")
+    val joins = (0 until cmsDepth).map(k =>
+      s"JOIN sketch s$k ON s$k.depth = $k AND s$k.bucket = ${cmsHash(k, "p.user_id")}")
+      .mkString(" ")
+    val estExpr = (0 until cmsDepth).map(k => s"s$k.cnt").mkString("least(", ", ", ")")
+    s"""WITH sketch AS (
+       | SELECT depth, bucket, COUNT(*) AS cnt FROM ($sel) GROUP BY 1, 2),
+       |p AS (SELECT user_id, COUNT(*) AS exact FROM events
+       |      WHERE user_id < $cmsProbeKeys GROUP BY 1)
+       |SELECT p.user_id, p.exact, $estExpr AS est,
+       | $estExpr - p.exact AS overcount
+       |FROM p $joins
+       |ORDER BY p.user_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w01_bm25_rank" -> (w01 _),
+    "w02_zorder_layout" -> (w02 _),
+    "k01_cms_sketch" -> (k01 _),
+    "k02_cms_estimate" -> (k02 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w01_bm25_rank" -> w01Sql,
+    "w02_zorder_layout" -> w02Sql,
+    "k01_cms_sketch" -> k01Sql,
+    "k02_cms_estimate" -> k02Sql
+  )
+}

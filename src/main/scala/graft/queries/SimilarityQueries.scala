@@ -387,7 +387,74 @@ object SimilarityQueries extends QueryFamily {
        |FROM r ORDER BY vec_id""".stripMargin
   }
 
+  // ---- d11: semantic dedup (cluster + representative prune) --------------
+  // The SemDeDup shape (Abbas et al. 2023): cluster the embedding space,
+  // then prune vectors too similar to their cluster's representative.
+  // The representative is the vector nearest its cell centroid (float32
+  // distance, vec_id tie-break), so every non-rep vector needs exactly
+  // ONE cosine — against the rep — not a within-cluster pairwise pass:
+  // O(n) comparisons via a broadcast join of the K-row rep table, where
+  // the naive within-cluster form is O(sum of cluster²) and a hot
+  // cluster at 100 TB is millions of vectors. Cell assignment reuses the
+  // v03 IVF scoring (identical literal centroids on both engines); the
+  // cell table feeds both the rep selection and the probe join, so it is
+  // materialized once.
+  // 0.25 matches d05's near-dup bar and prunes the top few percent of
+  // this corpus's cos_rep distribution (p97 ≈ 0.27, max ≈ 0.45)
+  private val semThresh = "0.25"
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val scored = e.select(Seq(col("vec_id"), col("embedding"), col("norm")) ++
+      (0 until nCells).map(cid =>
+        expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
+    val withCell = scored
+      .withColumn("cell", expr(argminExpr))
+      .withColumn("dist2", expr((0 until nCells)
+        .map(k => s"WHEN cell = $k THEN s$k")
+        .mkString("CASE ", " ", " END")).cast("float"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"), col("dist2"))
+      .localCheckpoint() // feeds rep selection AND the probe join
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("dist2").asc, col("vec_id").asc)
+    val reps = withCell.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell").as("r_cell"), col("vec_id").as("rep_id"),
+        col("embedding").as("r_emb"), col("norm").as("r_norm"))
+    val cos = (expr("array_dot(embedding, r_emb)") / (col("norm") * col("r_norm")))
+      .cast("float")
+    withCell.join(broadcast(reps), col("cell") === col("r_cell"))
+      .withColumn("cos_rep", cos)
+      .select(col("vec_id"), col("cell"), col("rep_id"), col("cos_rep"),
+        (col("vec_id") === col("rep_id") ||
+          col("cos_rep") < expr(s"CAST($semThresh AS DOUBLE)")).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+  private val d11Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid").mkString(", ")
+    val distCase = (0 until nCells).map(k => s"WHEN cell = $k THEN s$k")
+      .mkString("CASE ", " ", " END")
+    val cos = s"${dotDuck("w.embedding", "r.r_emb")} / " +
+      s"(SQRT(${dotDuck("w.embedding", "w.embedding")}) * SQRT(${dotDuck("r.r_emb", "r.r_emb")}))"
+    s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+       |wc0 AS (SELECT *, $argminExpr AS cell FROM scored),
+       |wc AS (SELECT vec_id, embedding, cell,
+       |       CAST($distCase AS REAL) AS dist2 FROM wc0),
+       |reps AS (
+       | SELECT cell AS r_cell, vec_id AS rep_id, embedding AS r_emb
+       | FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |         ORDER BY dist2 ASC, vec_id ASC) AS rn FROM wc)
+       | WHERE rn = 1)
+       |SELECT w.vec_id, w.cell, r.rep_id, CAST($cos AS REAL) AS cos_rep,
+       | (w.vec_id = r.rep_id OR CAST($cos AS REAL) < CAST($semThresh AS DOUBLE)) AS is_kept
+       |FROM wc w JOIN reps r ON w.cell = r.r_cell
+       |ORDER BY w.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_semantic_dedup" -> (d11 _),
     "v06_embedding_quantize" -> (v06 _),
     "v01_knn_bruteforce" -> (v01 _),
     "v02_knn_lsh" -> (v02 _),
@@ -397,6 +464,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d11_semantic_dedup" -> d11Sql,
     "v06_embedding_quantize" -> v06Sql,
     "v01_knn_bruteforce" -> v01Sql,
     "v02_knn_lsh" -> v02Sql,
