@@ -253,7 +253,71 @@ object SearchQueries extends QueryFamily {
        |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- k03: Bloom filter build + membership probe --------------------------
+  // The set-membership sketch behind semi-join pruning and dedup
+  // pre-filters: k hash functions set bits in an m-bit array. The build
+  // is a DISTINCT over set bit positions — an OR-merge, order-independent
+  // by construction, so map-side partial aggregation produces the exact
+  // filter and the shuffle is ≤ m rows total. The probe set is the
+  // documents' source strings tested against a filter built from
+  // orders' clerk ids (modeled as overlapping key domains): a key is
+  // "maybe present" iff ALL k bit probes hit — one broadcast hash probe
+  // per (key, hash), never a join against the keyed data. False
+  // positives are possible BY DESIGN and deterministic given the hash
+  // family; the oracle computes the same bits, so the contract is the
+  // sketch semantics, not a lie about exactness.
+  // m = 2^17 bits for ~13k member keys at sf0.1 -> FP ~ 1.7% with k = 3
+  // (a 256-bit toy filter saturates and answers "maybe" for everything)
+  private val bloomBits = 131072; private val bloomK = 3
+  private def bloomHash(k: Int, key: String): String = {
+    val mixed = s"((($key) % $P) * 2654435761) % $P"
+    s"((((${2 * k + 3} * $mixed + ${7919 * k + 1}) % $P) + $P) % $P) % $bloomBits"
+  }
+  private def k03(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val d = rd(s, dir, "documents")
+    // member domain: custkeys with an urgent order; probe domain: doc ids
+    val bits = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(explode(array((0 until bloomK).map(k =>
+        expr(bloomHash(k, "o_custkey"))): _*)).as("bit"))
+      .distinct()
+      .localCheckpoint() // ≤ m rows; feeds k probe joins below
+    val probes = d.select(col("doc_id"))
+    val joined = (0 until bloomK).foldLeft(
+      probes.withColumn("n_hits", lit(0))) { (acc, k) =>
+      acc.join(broadcast(bits.select(col("bit").as(s"bit$k"))),
+          expr(bloomHash(k, "doc_id")) === col(s"bit$k"), "left")
+        .withColumn("n_hits",
+          col("n_hits") + when(col(s"bit$k").isNotNull, 1).otherwise(0))
+        .drop(s"bit$k")
+    }
+    val exact = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("doc_id")).distinct()
+      .withColumn("present", lit(true))
+    joined.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_hits") === bloomK).as("maybe_present"),
+        coalesce(col("present"), lit(false)).as("actually_present"))
+      .orderBy(col("doc_id"))
+  }
+  private val k03Sql = {
+    val probeHits = (0 until bloomK).map(k =>
+      s"CASE WHEN ${bloomHash(k, "d.doc_id")} IN (SELECT bit FROM bits) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bitSel = (0 until bloomK).map(k =>
+      s"SELECT ${bloomHash(k, "o_custkey")} AS bit FROM orders WHERE o_orderpriority = '1-URGENT'")
+      .mkString(" UNION ")
+    s"""WITH bits AS ($bitSel)
+       |SELECT d.doc_id,
+       | ($probeHits) = $bloomK AS maybe_present,
+       | d.doc_id IN (SELECT o_custkey FROM orders
+       |              WHERE o_orderpriority = '1-URGENT') AS actually_present
+       |FROM documents d
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k03_bloom_filter" -> (k03 _),
     "w03_phrase_search" -> (w03 _),
     "w01_bm25_rank" -> (w01 _),
     "w02_zorder_layout" -> (w02 _),
@@ -262,6 +326,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k03_bloom_filter" -> k03Sql,
     "w03_phrase_search" -> w03Sql,
     "w01_bm25_rank" -> w01Sql,
     "w02_zorder_layout" -> w02Sql,

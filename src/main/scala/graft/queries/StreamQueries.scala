@@ -117,7 +117,37 @@ object StreamQueries extends QueryFamily {
       |FROM events JOIN nation ON user_id % 25 = n_nationkey
       |ORDER BY event_id""".stripMargin
 
+  // ---- n07: first-class streaming session windows -------------------------
+  // The declarative streaming complement to n02's flatMapGroupsWithState:
+  // `session_window(ts, gap)` under readStream with keyed session state.
+  // Update mode + one AvailableNow batch emits the batch sessionization,
+  // so the oracle is u03's gaps-and-islands SQL (same split rule:
+  // a gap STRICTLY greater than 8h starts a new session).
+  private val SessGapUs = 8L * 3600 * 1000 * 1000
+  private def n07(s: SparkSession, dir: String): DataFrame =
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.sessionWindowAgg(s, dir, "8 hours", fresh("graft_stream_sess_win"))
+    }.orderBy(col("user_id"), col("ts_start_us"))
+  private val n07Sql =
+    s"""WITH x AS (
+       | SELECT user_id, epoch_ns(ts) // 1000 AS us,
+       |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+       | FROM events),
+       |marked AS (
+       | SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+       |   OR us - LAG(us) OVER w > $SessGapUs THEN 1 ELSE 0 END AS new_sess
+       | FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+       |sess AS (
+       | SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       | FROM marked)
+       |SELECT user_id, MIN(us) AS ts_start_us, MAX(us) + $SessGapUs AS ts_end_us,
+       | COUNT(*) AS n_events,
+       | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
+       |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n07_stream_session_window" -> (n07 _),
     "n06_stream_static_join" -> (n06 _),
     "n01_stream_window_agg" -> (n01 _),
     "n02_stream_sessionize" -> (n02 _),
@@ -127,6 +157,7 @@ object StreamQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "n07_stream_session_window" -> n07Sql,
     "n06_stream_static_join" -> n06Sql,
     "n01_stream_window_agg" -> n01Sql,
     "n02_stream_sessionize" -> n02Sql,

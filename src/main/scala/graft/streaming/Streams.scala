@@ -95,6 +95,43 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** First-class streaming session windows: the SAME
+    * `session_window(ts, gap)` operator u03 runs in batch, under
+    * readStream, where it maintains keyed session state and merges
+    * overlapping windows per micro-batch. Session aggregation requires
+    * a watermark; update mode is unsupported for session aggregations,
+    * so the oracle-equivalent drive uses complete mode: the sink holds
+    * the full merged session state after the single AvailableNow batch
+    * — exactly the batch sessionization, u03's gaps-and-islands SQL. Sums use the exact
+    * milli-scaled-long convention (a double fold is order-dependent
+    * across engines). */
+  def sessionWindowAgg(spark: SparkSession, dir: String, gap: String,
+                       queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val agg = stream
+      .select(col("user_id"),
+        expr("timestamp_micros(ts div 1000)").as("event_time"),
+        expr("CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withWatermark("event_time", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+      .select(col("user_id"),
+        expr("unix_micros(session_window.start)").as("ts_start_us"),
+        expr("unix_micros(session_window.end)").as("ts_end_us"),
+        col("n_events"),
+        (col("vm_sum") / 1000.0).cast("float").as("sum_value"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Update-mode aggregation: emits rows whose aggregate changed per
     * batch — the low-latency dashboard sink. One AvailableNow batch
     * touches every group once, so the emitted set is the batch answer. */
