@@ -271,7 +271,85 @@ object TextQueries extends QueryFamily {
       | COALESCE(list_max(list_transform(list_distinct(gs), g -> len(list_filter(gs, x -> x = g)))), 0) AS max_rep
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---- t11: sequence packing (concat-and-slice context windows) ----------
+  // GPT-style pretraining packing: per source stream, documents are
+  // concatenated in a deterministic order (doc_id) and sliced into
+  // fixed-token context windows; a document can straddle a window
+  // boundary. The mapping each trainer needs — which sequences does
+  // each doc land in — is a running token total: one window cumsum per
+  // source (a single shuffle keyed by source), no explode, no join.
+  // At 100 TB this is the same plan with range-partitioned sources;
+  // the cumsum is the only order-sensitive step and its order is the
+  // explicit (source, doc_id) sort, not arrival order.
+  private val packBudget = 512
+  private def t11(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.select(col("doc_id"), col("source"),
+        expr("size(split(text, ' '))").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("cum") - col("n_tok")).as("tok_offset"),
+        expr(s"(cum - n_tok) div $packBudget").as("seq_first"),
+        expr(s"(cum - 1) div $packBudget").as("seq_last"))
+      .withColumn("n_seqs", (col("seq_last") - col("seq_first") + 1).cast("int"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  private val t11Sql =
+    s"""WITH x AS (
+       | SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+       |  SUM(len(string_split(text, ' '))) OVER (PARTITION BY source
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       | FROM documents)
+       |SELECT doc_id, source, n_tok,
+       | CAST(cum - n_tok AS BIGINT) AS tok_offset,
+       | CAST((cum - n_tok) // $packBudget AS BIGINT) AS seq_first,
+       | CAST((cum - 1) // $packBudget AS BIGINT) AS seq_last,
+       | CAST((cum - 1) // $packBudget - (cum - n_tok) // $packBudget + 1 AS INTEGER) AS n_seqs
+       |FROM x ORDER BY source, doc_id""".stripMargin
+
+  // ---- t12: overlapping chunking (RAG ingestion) ---------------------------
+  // Fixed-width character chunks with stride overlap — the retrieval
+  // ingestion shape (chunk → embed → index). Chunk count is exact
+  // integer arithmetic (ceil((n-W)/S) + 1, 1 chunk for short docs);
+  // the explode is O(total chunks) and each chunk carries its own
+  // hash, so the downstream embed/index stages never re-touch the
+  // parent document. Purely partition-local — no shuffle at all until
+  // a consumer aggregates.
+  private val chunkW = 200; private val chunkS = 150
+  private def t12(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.select(col("doc_id"), col("text"), col("n_chars"),
+        expr(s"(greatest(n_chars - $chunkW, 0) + $chunkS - 1) div $chunkS + 1")
+          .as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        explode(expr("sequence(0, CAST(n_chunks AS INT) - 1)")).as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, chunk_idx * $chunkS + 1, $chunkW)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+  private val t12Sql =
+    s"""WITH n AS (
+       | SELECT doc_id, text,
+       |  (greatest(n_chars - $chunkW, 0) + $chunkS - 1) // $chunkS + 1 AS n_chunks
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx, text
+       | FROM n)
+       |SELECT doc_id, chunk_idx,
+       | length(substring(text, chunk_idx * $chunkS + 1, $chunkW)) AS chunk_len,
+       | md5(substring(text, chunk_idx * $chunkS + 1, $chunkW)) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_chunk_overlap" -> (t12 _),
+    "t11_sequence_pack" -> (t11 _),
     "t10_repetition" -> (t10 _),
     "t09_data_mixture" -> (t09 _),
     "t08_entity_redact" -> (t08 _),
@@ -285,6 +363,8 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_chunk_overlap" -> t12Sql,
+    "t11_sequence_pack" -> t11Sql,
     "t10_repetition" -> t10Sql,
     "t09_data_mixture" -> t09Sql,
     "t08_entity_redact" -> t08Sql,
