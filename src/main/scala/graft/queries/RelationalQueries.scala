@@ -512,7 +512,129 @@ object RelationalQueries extends QueryFamily {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- r12: full outer join reconciliation ---------------------------------
+  // The two-snapshot diff every pipeline runs after a backfill: which
+  // keys exist only in period A, only in period B, or both — a FULL
+  // OUTER join of two aggregates with coalesced keys. Both sides are
+  // groupBy reductions of the same fact scan, so at scale this is two
+  // map-side-combined aggregations meeting in one shuffle-hash join on
+  // the group key; no side is assumed small.
+  private def r12(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val a = o.filter(col("o_orderdate") < "1995-01-01")
+      .groupBy(col("o_custkey").as("ck_a")).agg(count(lit(1)).as("n_early"))
+    val b = o.filter(col("o_orderdate") >= "1995-01-01")
+      .groupBy(col("o_custkey").as("ck_b")).agg(count(lit(1)).as("n_late"))
+    a.join(b, col("ck_a") === col("ck_b"), "full_outer")
+      .select(coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        when(col("ck_a").isNull, "late_only")
+          .when(col("ck_b").isNull, "early_only")
+          .otherwise("both").as("status"))
+      .orderBy(col("custkey"))
+  }
+  private val r12Sql =
+    """WITH a AS (SELECT o_custkey AS ck_a, COUNT(*) AS n_early FROM orders
+      |           WHERE o_orderdate < '1995-01-01' GROUP BY 1),
+      |b AS (SELECT o_custkey AS ck_b, COUNT(*) AS n_late FROM orders
+      |      WHERE o_orderdate >= '1995-01-01' GROUP BY 1)
+      |SELECT COALESCE(ck_a, ck_b) AS custkey,
+      | COALESCE(n_early, 0) AS n_early,
+      | COALESCE(n_late, 0) AS n_late,
+      | CASE WHEN ck_a IS NULL THEN 'late_only'
+      |      WHEN ck_b IS NULL THEN 'early_only'
+      |      ELSE 'both' END AS status
+      |FROM a FULL JOIN b ON ck_a = ck_b
+      |ORDER BY custkey""".stripMargin
+
+  // ---- r13: EXCEPT set difference ------------------------------------------
+  // Distinct set difference (customers who ordered but never urgently).
+  // EXCEPT plans as a left-anti hash join over distinct keys — one
+  // shuffle each side, no row explosion.
+  private def r13(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    o.select(col("o_custkey").as("custkey")).distinct()
+      .except(o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey")).distinct())
+      .orderBy(col("custkey"))
+  }
+  private val r13Sql =
+    """SELECT DISTINCT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT DISTINCT o_custkey AS custkey FROM orders
+      | WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY custkey""".stripMargin
+
+  // ---- a21: CUBE over two dimensions ---------------------------------------
+  // Every (priority x segment-bucket) slice PLUS both marginals PLUS the
+  // grand total in ONE pass — the full cross-tab a17's ROLLUP only
+  // half-covers. Count/integer-sum aggregates keep the cube
+  // order-insensitive by construction.
+  private def a21(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    o.select(col("o_orderpriority").as("priority"),
+        (col("o_custkey") % 4).as("seg"),
+        col("o_totalprice"))
+      .cube(col("priority"), col("seg"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)")
+          .as("cents"))
+      .select(coalesce(col("priority"), lit("ALL")).as("priority"),
+        coalesce(col("seg").cast("string"), lit("ALL")).as("seg"),
+        col("n"), col("cents"))
+      .orderBy(col("priority"), col("seg"))
+  }
+  private val a21Sql =
+    """SELECT COALESCE(priority, 'ALL') AS priority,
+      | COALESCE(CAST(seg AS VARCHAR), 'ALL') AS seg,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM (SELECT o_orderpriority AS priority, o_custkey % 4 AS seg, o_totalprice
+      |      FROM orders)
+      |GROUP BY CUBE (priority, seg)
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---- a22: analytic window-function suite ---------------------------------
+  // The remaining SQL window functions in one deterministic frame:
+  // lag/lead, percent_rank, cume_dist, and nth_value over each user's
+  // event sequence ordered by (ts, event_id) — rank arithmetic is
+  // integer-derived on both engines, so doubles match exactly.
+  private def a22(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val wf = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    e.select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("us"),
+        col("value").cast("float").as("v"))
+      .select(col("event_id"), col("user_id"),
+        lag(col("v"), 1).over(w).as("prev_v"),
+        lead(col("v"), 1).over(w).as("next_v"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value(col("v"), 3).over(wf).as("third_v"))
+      .orderBy(col("event_id"))
+  }
+  private val a22Sql =
+    """SELECT event_id, user_id,
+      | LAG(v, 1) OVER w AS prev_v,
+      | LEAD(v, 1) OVER w AS next_v,
+      | PERCENT_RANK() OVER w AS pr,
+      | CUME_DIST() OVER w AS cd,
+      | NTH_VALUE(v, 3) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_v
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+      |        CAST(value AS REAL) AS v FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r12_full_outer_reconcile" -> (r12 _),
+    "r13_except" -> (r13 _),
+    "a21_cube_crosstab" -> (a21 _),
+    "a22_window_suite" -> (a22 _),
     "a01_group_sums" -> (a01 _),
     "a02_group_product" -> (a02 _),
     "a04_topk_per_group" -> (a04 _),
@@ -539,6 +661,10 @@ object RelationalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "r12_full_outer_reconcile" -> r12Sql,
+    "r13_except" -> r13Sql,
+    "a21_cube_crosstab" -> a21Sql,
+    "a22_window_suite" -> a22Sql,
     "a01_group_sums" -> a01Sql,
     "a02_group_product" -> a02Sql,
     "a04_topk_per_group" -> a04Sql,
