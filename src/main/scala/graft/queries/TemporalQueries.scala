@@ -364,7 +364,48 @@ object TemporalQueries extends QueryFamily {
       | substr(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), 1, 40) AS norm_prefix
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- u04: CDC changelog apply --------------------------------------------
+  // Materialize current state from a change stream: events are a keyed
+  // changelog (signup = insert, click/view/purchase = update, error =
+  // delete tombstone); the applied table is the LAST operation per key
+  // in (ts, event_id) order, with deleted keys absent. One shuffle
+  // (key-partitioned window, WindowGroupLimit keeps only the top row
+  // per key before the full sort materializes); version counts how many
+  // ops the key absorbed. This is the batch form of the merge every
+  // incremental pipeline runs on a changelog table.
+  private def u04(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    e.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("us").as("last_us"),
+        col("event_type").as("last_op"),
+        col("value").cast("float").as("value"),
+        col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+  private val u04Sql =
+    """WITH log AS (
+      | SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+      |  event_type, value,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn,
+      |  COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      | FROM events)
+      |SELECT user_id, us AS last_us, event_type AS last_op,
+      | CAST(value AS REAL) AS value, n_ops
+      |FROM log WHERE rn = 1 AND event_type != 'error'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u04_cdc_apply" -> (u04 _),
     "u01_funnel_order" -> (u01 _),
     "u02_cohort_retention" -> (u02 _),
     "u03_session_window" -> (u03 _),
@@ -380,6 +421,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u04_cdc_apply" -> u04Sql,
     "u01_funnel_order" -> u01Sql,
     "u02_cohort_retention" -> u02Sql,
     "u03_session_window" -> u03Sql,
