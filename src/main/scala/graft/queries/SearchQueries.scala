@@ -231,9 +231,14 @@ object SearchQueries extends QueryFamily {
   private val phrase = ("hash", "join")
   private def w03(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
+    // ONE tokenize pass: filter to the two query terms during the
+    // explode and materialize the (tiny) posting stream — both join
+    // sides read it, instead of each branch re-exploding the corpus
     val toks = d.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .filter(col("term").isin(phrase._1, phrase._2))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+      .localCheckpoint()
     val a = toks.filter(col("term") === phrase._1)
       .select(col("doc_id"), col("pos"))
     val b = toks.filter(col("term") === phrase._2)
