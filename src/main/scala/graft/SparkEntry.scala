@@ -30,7 +30,8 @@ object SparkEntry {
     MiscQueries,
     JaggedQueries,
     TemporalQueries,
-    SearchQueries
+    SearchQueries,
+    CurationQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

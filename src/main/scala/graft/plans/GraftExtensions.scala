@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("mlp_dense"),
       new ExpressionInfo(classOf[MlpDenseChunked].getName, "mlp_dense"),
       GraftFunctions.mlpDenseBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_minima"),
+      new ExpressionInfo(classOf[KmvMinima].getName, "kmv_minima"),
+      GraftFunctions.kmvMinimaBuilder))
     // whole-operator extension (SURVEY §2.7 path c): as-of join planning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }

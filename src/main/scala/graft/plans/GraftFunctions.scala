@@ -76,6 +76,11 @@ object GraftFunctions {
       children(3).eval(null).asInstanceOf[Boolean])
   }
 
+  val kmvMinimaBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "kmv_minima(hash, k)")
+    KmvMinima(children(0), evalDouble(children(1)).toInt).toAggregateExpression()
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -106,5 +111,9 @@ object GraftFunctions {
       new FunctionIdentifier("mlp_dense"),
       new ExpressionInfo(classOf[MlpDenseChunked].getName, "mlp_dense"),
       mlpDenseBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("kmv_minima"),
+      new ExpressionInfo(classOf[KmvMinima].getName, "kmv_minima"),
+      kmvMinimaBuilder)
   }
 }

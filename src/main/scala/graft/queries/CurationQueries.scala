@@ -1,0 +1,410 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for training-data pipelines: cardinality
+  * sketching, lightweight quality classification, stratified sampling,
+  * and converged duplicate-graph clustering.
+  *
+  * The common scale constraints: per-group state is bounded (the KMV
+  * sketch carries ≤ k longs per group through the shuffle), per-doc
+  * scoring is a single codegen projection (no explode, no join), the
+  * sampler is a stateless hash filter, and the only iterative operator
+  * checkpoints every round and stops on a data-dependent fixpoint
+  * check — the three shapes (bounded sketch / stateless projection /
+  * checkpointed iteration) that survive a 1000-executor 100 TB run.
+  */
+object CurationQueries extends QueryFamily {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** Knuth-multiplicative mix shared with the dedup/sketch families —
+    * identical arithmetic on both engines. */
+  private def mix(h: String) = s"((($h) % $P) * 2654435761) % $P"
+
+  // ---- k04: KMV distinct-count sketch ------------------------------------
+  // Distinct (user, behavior-bucket) pairs per event type via the
+  // k-minimum-values sketch (native kmv_minima aggregate): the buffer is
+  // k=64 longs per group no matter how many rows stream through, merge
+  // is union-and-trim, so map-side partial aggregation reduces every
+  // partition before the exchange — the scale contrast to exact
+  // COUNT(DISTINCT), whose per-group state is unbounded. The estimator
+  // (k-1)·M / h_k and the exact count ride along so the result is its
+  // own accuracy report. Mirrors the reference's per-dataset cardinality
+  // summaries (stage1 pre-scan sample tables) as a sketch.
+  private val kmvK = 64
+  private val kmvKey =
+    s"user_id * 1024 + ((CAST(floor(value * 10) AS BIGINT) % 1024 + 1024) % 1024)"
+  private def k04(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = rd(s, dir, "events")
+    e.groupBy(col("event_type"))
+      .agg(
+        expr(s"kmv_minima(${mix(kmvKey)}, $kmvK)").as("mins"),
+        countDistinct(expr(kmvKey)).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        size(col("mins")).cast("long").as("n_minima"),
+        when(size(col("mins")) < kmvK, size(col("mins")).cast("double"))
+          .otherwise(expr(s"(63.0 * 2147483647) / element_at(mins, $kmvK)"))
+          .cast("float").as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+  private val k04Sql =
+    s"""WITH h AS (
+       | SELECT DISTINCT event_type, ${mix(kmvKey)} AS hv FROM events),
+       |r AS (SELECT event_type, hv,
+       |       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+       |      FROM h),
+       |ex AS (SELECT event_type, COUNT(DISTINCT $kmvKey) AS n_exact
+       |       FROM events GROUP BY 1),
+       |sk AS (SELECT event_type,
+       |        CAST(COUNT(CASE WHEN rn <= $kmvK THEN 1 END) AS BIGINT) AS n_minima,
+       |        MAX(CASE WHEN rn = $kmvK THEN hv END) AS kth
+       |       FROM r GROUP BY 1)
+       |SELECT ex.event_type, ex.n_exact, sk.n_minima,
+       | CAST(CASE WHEN sk.n_minima < $kmvK THEN sk.n_minima
+       |           ELSE (63.0 * 2147483647) / sk.kth END AS REAL) AS est_distinct
+       |FROM ex JOIN sk USING (event_type) ORDER BY 1""".stripMargin
+
+  // ---- t13: hashed-feature linear quality classifier ----------------------
+  // The fasttext-style filter every web-scale curation pipeline runs
+  // (hash tokens into F buckets, average the bucket weights, sigmoid):
+  // one codegen projection per document — tokenize, hash each token
+  // (base-31 Horner mod P, then Knuth mix — the repo's cross-engine hash
+  // family), index a 64-entry literal weight vector, left-fold the sum.
+  // No explode, no join, no shuffle: at 100 TB this is scan-speed. The
+  // label decision uses the raw score sign (exact rational arithmetic,
+  // same fold order both engines); the sigmoid probability is reported
+  // milli-quantized (floor(p*1000 + 0.5)) because exp() is libm-specific
+  // — the repo's established cross-engine convention for transcendentals.
+  private val nFeat = 64
+  private val clsBias = "0.1"
+  private val clsWeights: IndexedSeq[String] = (0 until nFeat).map { i =>
+    val v = (((i.toLong * 2654435761L) % P) % 2001L - 1000L) / 1000.0
+    f"$v%.3f"
+  }
+  private def t13(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val wArr = clsWeights.map(_ + "D").mkString("array(", ", ", ")")
+    val tokHash =
+      s"aggregate(sequence(1, length(tk)), CAST(0 AS BIGINT), " +
+        s"(h, i) -> (h * 31 + ascii(substr(tk, i, 1))) % $P)"
+    val bucket = s"CAST(((${tokHash} * 2654435761) % $P) % $nFeat AS INT)"
+    d.withColumn("toks", expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+      .withColumn("score_raw", expr(
+        s"aggregate(toks, CAST(0 AS DOUBLE), (acc, tk) -> acc + element_at($wArr, $bucket + 1))"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("score",
+        (col("score_raw") / greatest(col("n_tokens"), lit(1L)) + expr(clsBias)))
+      .select(col("doc_id"), col("n_tokens"),
+        col("score").cast("float").as("score"),
+        expr("CAST(floor(1.0 / (1.0 + exp(-score)) * 1000 + 0.5) AS BIGINT)").as("prob_milli"),
+        (col("score") > 0.0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val t13Sql = {
+    val wArr = clsWeights.mkString("[", ", ", "]")
+    val tokHash =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(tk)), i -> CAST(ascii(substr(tk, i, 1)) AS BIGINT))), " +
+        s"(h, c) -> (h * 31 + c) % $P)"
+    val bucket = s"CAST((($tokHash * 2654435761) % $P) % $nFeat AS INTEGER)"
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), tk -> length(tk) > 0) AS tk_list
+       | FROM documents),
+       |scored AS (
+       | SELECT doc_id, CAST(len(tk_list) AS BIGINT) AS n_tokens,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list_transform(tk_list, tk -> ($wArr)[$bucket + 1])),
+       |   (acc, x) -> acc + x) AS score_raw
+       | FROM toks)
+       |SELECT doc_id, n_tokens,
+       | CAST(score_raw / GREATEST(n_tokens, 1) + $clsBias AS REAL) AS score,
+       | CAST(floor(1.0 / (1.0 + exp(-(score_raw / GREATEST(n_tokens, 1) + $clsBias))) * 1000 + 0.5) AS BIGINT) AS prob_milli,
+       | score_raw / GREATEST(n_tokens, 1) + $clsBias > 0.0 AS keep
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t14: language-stratified sampling ----------------------------------
+  // Deterministic inverse-propensity downsampling by language — the
+  // language-rebalancing step of multilingual corpus assembly. Keep
+  // decision = (mix(doc_id) mod 1000 < rate(lang)): a stateless hash
+  // filter that needs no shuffle, no sampling state, and reproduces
+  // byte-identically on any cluster size — unlike rand()-based
+  // sampling, which is neither reproducible nor repartition-stable.
+  // Each kept row carries weight = 1000/rate so downstream weighted
+  // aggregates stay unbiased.
+  private val rates: Seq[(String, Int)] =
+    Seq("en" -> 250, "de" -> 800, "es" -> 800, "fr" -> 900, "zh" -> 600)
+  private val rateCase =
+    rates.map { case (l, r) => s"WHEN '$l' THEN $r" }
+      .mkString("CASE lang ", " ", " ELSE 1000 END")
+  private def t14(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    d.withColumn("rate_millis", expr(rateCase))
+      .filter(expr(s"${mix("doc_id")} % 1000") < col("rate_millis"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("rate_millis").cast("long").as("rate_millis"),
+        (lit(1000.0) / col("rate_millis")).cast("float").as("sample_weight"))
+      .orderBy(col("doc_id"))
+  }
+  private val t14Sql =
+    s"""SELECT doc_id, lang, source,
+       | CAST(($rateCase) AS BIGINT) AS rate_millis,
+       | CAST(1000.0 / ($rateCase) AS REAL) AS sample_weight
+       |FROM documents
+       |WHERE ${mix("doc_id")} % 1000 < ($rateCase)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- d12: connected components to CONVERGENCE ---------------------------
+  // The duplicate-cluster assignment run to an actual fixpoint (d06 is
+  // the fixed-k oracle-contract variant), via the alternating
+  // large-star/small-star algorithm (Kiveris et al., "Connected
+  // Components in MapReduce and Beyond", SoCC 2014): each round rewires
+  // every vertex's larger neighbors to its neighborhood minimum
+  // (large-star) then collapses the smaller neighbors onto it
+  // (small-star), so components contract to stars centered at their
+  // minimum id in O(log²) rounds — diameter-independent, unlike plain
+  // min-label propagation, which needs O(diameter) rounds (measured: a
+  // 250-long chain at sf0.1 was still unconverged after 40 label-prop
+  // rounds; two-phase finishes in a handful). Every phase is one
+  // groupBy + one join + distinct on the edge list; each round
+  // checkpoints with fresh stats (see ckptFresh) and the stop condition
+  // is data-dependent: the edge list is a star forest iff it is stable
+  // under both phases, detected by an order-free (count, hash-sum)
+  // fingerprint. The oracle is iteration-free — a recursive-CTE
+  // reachability closure — so the check proves the CONVERGED answer,
+  // not a step count. Edge graph: consecutive docs in the per-source
+  // length-sorted order with |Δn_chars| ≤ 20 (a cheap deterministic
+  // near-dup graph, same spirit as d06's blocks).
+  private val ccGap = 20
+  private val ccMaxIters = 40
+
+  /** Checkpoint AND reset plan statistics. A plain localCheckpoint
+    * truncates lineage but `LogicalRDD.fromDataset` copies the origin
+    * plan's ESTIMATED stats onto the checkpoint — and a join's size
+    * estimate is the product of its children's. Iterating
+    * join-then-checkpoint therefore squares the inherited sizeInBytes
+    * every round: by round ~20 the estimate is a BigInt with millions
+    * of digits and the stats visitor spends minutes in BigInteger
+    * multiplies (observed: a 9-minute planning stall at sf0.1).
+    * Rebuilding from the checkpointed RDD drops the poisoned stats
+    * while keeping the cached blocks. */
+  private def ckptFresh(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint()
+    c.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** Large-star: connect every neighbor larger than u to
+    * m(u) = min(Γ(u) ∪ {u}). Operates on the symmetrized edge list. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+    sym.join(mins, col("src") === col("u"))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient edges large→small, then connect every smaller
+    * neighbor (and u itself) to m(u) = min of u's smaller neighbors. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val mins = or.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      .select(col("src").as("u"), col("m"))
+    or.join(mins, col("src") === col("u"))
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Order-free edge-list fingerprint: equal fingerprints across rounds
+    * ⇒ the star-contraction reached its fixpoint. */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    // pmod-bound the hash before summing: full-range longs overflow the
+    // ANSI-mode sum
+    val r = e.agg(count(lit(1)).as("n"),
+      coalesce(org.apache.spark.sql.functions.sum(
+        pmod(xxhash64(col("src"), col("dst")), lit(1000000007L))), lit(0L)).as("h"))
+      .head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def d12(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val chained = d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_nc", lag(col("n_chars"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        abs(col("n_chars") - col("prev_nc")) <= ccGap)
+    var edges = ckptFresh(
+      chained.select(col("prev").as("src"), col("doc_id").as("dst")))
+    var fp = fingerprint(edges)
+    var prevFp = (-1L, -1L)
+    var iters = 0
+    while (fp != prevFp && iters < ccMaxIters) {
+      edges = ckptFresh(smallStar(largeStar(edges)))
+      prevFp = fp
+      fp = fingerprint(edges)
+      iters += 1
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[d12] iter=$iters edges=${fp._1} hash=${fp._2}")
+    }
+    // stable edge list = star forest (v, component-min); vertices with no
+    // edge (singletons) label themselves
+    val lbl = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src")).agg(min(col("dst")).as("nbmin"))
+      .select(col("src").as("lid"), col("nbmin"))
+    d.select(col("doc_id")).join(lbl, col("doc_id") === col("lid"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nbmin"), col("doc_id"))).as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+  private val d12Sql =
+    s"""WITH RECURSIVE chained AS (
+       | SELECT doc_id,
+       |  LAG(doc_id) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS prev,
+       |  n_chars,
+       |  LAG(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS prev_nc
+       | FROM documents),
+       |edges AS (
+       | SELECT prev AS src, doc_id AS dst FROM chained
+       | WHERE prev IS NOT NULL AND abs(n_chars - prev_nc) <= $ccGap
+       | UNION ALL
+       | SELECT doc_id AS src, prev AS dst FROM chained
+       | WHERE prev IS NOT NULL AND abs(n_chars - prev_nc) <= $ccGap),
+       |reach AS (
+       | SELECT doc_id AS v, doc_id AS u FROM documents
+       | UNION
+       | SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u)
+       |SELECT v AS doc_id, MIN(u) AS cluster FROM reach
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- t15: bigram-LM quality score ---------------------------------------
+  // The CCNet/Gopher-shape statistical quality filter: train an add-one-
+  // smoothed bigram language model ON the corpus itself, score every
+  // document by its mean bigram log-probability, and let downstream
+  // filters cut the low-likelihood tail. The LM "model" is two
+  // vocab-bounded count tables (bigram contexts and bigram pairs) — at
+  // 100 TB those tables are the only shuffled state (keyed by term,
+  // map-side combined), the vocabulary size is ONE broadcast scalar,
+  // and scoring is a keyed join of the per-doc bigram stream against
+  // them. Per-contribution log-probs are quantized to 1e-4
+  // (floor(x·1e4 + 0.5) longs) before the per-doc sum so the fold is
+  // order-free integer addition — the repo's transcendental-function
+  // convention (ln is libm-specific).
+  private def t15(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks0 = d.select(col("doc_id"),
+      expr("filter(split(text, ' '), tk -> length(tk) > 0)").as("tl"))
+      .localCheckpoint() // feeds vocab count AND the bigram stream
+    val vocab = toks0.select(explode(col("tl")).as("tk"))
+      .agg(countDistinct(col("tk")).as("nv"))
+    val bg = toks0.filter(size(col("tl")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tl) - 1), " +
+          "i -> struct(element_at(tl, i) AS w1, element_at(tl, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint() // feeds the two count tables AND the scoring join
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uc = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr(
+        "CAST(floor(ln((cb + 1.0) / (cu + nv)) * 10000 + 0.5) AS BIGINT)").as("lpq"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (org.apache.spark.sql.functions.sum(col("lpq")) / 10000.0 / count(lit(1)))
+          .cast("float").as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+  private val t15Sql =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> length(tk) > 0) AS tl
+      | FROM documents),
+      |vocab AS (SELECT COUNT(DISTINCT tk) AS nv
+      |          FROM (SELECT unnest(tl) AS tk FROM toks)),
+      |bg AS (SELECT doc_id, unnest(tl[1:len(tl)-1]) AS w1, unnest(tl[2:len(tl)]) AS w2
+      |       FROM toks WHERE len(tl) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+      |contrib AS (
+      | SELECT bg.doc_id,
+      |  CAST(floor(ln((bc.cb + 1.0) / (uc.cu + vocab.nv)) * 10000 + 0.5) AS BIGINT) AS lpq
+      | FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM(lpq) / 10000.0 / COUNT(*) AS REAL) AS avg_logp
+      |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- a23: robust outlier report (median/MAD) ----------------------------
+  // The data-cleaning pass that survives the outliers it hunts: flag
+  // values more than 3 median-absolute-deviations from their group
+  // median (mean/stddev would be dragged by the very tail being
+  // flagged). Exact medians via two grouped percentile passes over the
+  // same keyed shuffle partitioning — the deviation table is
+  // materialized once and feeds both the MAD aggregate and the final
+  // count. All comparisons are on deterministically-derived doubles
+  // (interpolated order statistics, exact subtraction), so no
+  // quantization is needed.
+  private def a23(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = e.select(col("event_type"), col("value"))
+      .join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+      .localCheckpoint() // feeds the MAD aggregate AND the outlier count
+    val madT = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(madT, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).cast("float").as("median_value"),
+        max(col("mad")).cast("float").as("mad_value"),
+        count(lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(
+          when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+  private val a23Sql =
+    """WITH med AS (
+      | SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+      |dev AS (
+      | SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      | FROM events e JOIN med m USING (event_type)),
+      |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      |SELECT d.event_type,
+      | CAST(MAX(d.med) AS REAL) AS median_value,
+      | CAST(MAX(mad.mad) AS REAL) AS mad_value,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k04_kmv_distinct" -> (k04 _),
+    "t13_hashed_classifier" -> (t13 _),
+    "t14_stratified_sample" -> (t14 _),
+    "t15_bigram_lm" -> (t15 _),
+    "a23_robust_outlier" -> (a23 _),
+    "d12_cc_converged" -> (d12 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "k04_kmv_distinct" -> k04Sql,
+    "t13_hashed_classifier" -> t13Sql,
+    "t14_stratified_sample" -> t14Sql,
+    "t15_bigram_lm" -> t15Sql,
+    "a23_robust_outlier" -> a23Sql,
+    "d12_cc_converged" -> d12Sql
+  )
+}

@@ -530,7 +530,109 @@ object DedupQueries extends QueryFamily {
        |WHERE d.doc_id % $contamMod != 0
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- d13: INCREMENTAL dedup (new batch vs existing corpus) --------------
+  // The always-on ingestion shape: dedup an arriving batch (doc_id % 10
+  // == 7, ~10%) against the standing corpus WITHOUT re-pairing the
+  // corpus with itself. Exact layer: content-hash semi-join. Near-dup
+  // layer: the d03 LSH machinery, but the band join is batch-bands ×
+  // corpus-bands — candidate volume is O(batch × bands), independent of
+  // corpus size, which is the property that makes continuous ingestion
+  // feasible at 100 TB (the corpus side is the persisted signature/band
+  // index every production pipeline maintains; here it is built in the
+  // same job from one shared scan). Verification joins only candidate
+  // pairs back to the shingle table, as in d03.
+  private val batchMod = 10; private val batchRem = 7
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents")
+    // one scan builds hash + shingles + signatures for BOTH sides
+    val base0 = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), md5(col("text")).as("chash"), expr(shinglesSpark).as("sh"))
+    val sigs = base0.select(col("doc_id"), col("chash"), col("sh"),
+      expr(s"minhash_sig(sh, $nPerm)").as("sigs"))
+      .localCheckpoint()
+    val isBatch = col("doc_id") % batchMod === batchRem
+    val bandCols = array((0 until nPerm / bandRows).map { j =>
+      concat_ws("_", (0 until bandRows).map(r =>
+        element_at(col("sigs"), j * bandRows + r + 1)): _*)
+    }: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(bandCols).as(Seq("band_idx", "band_val")))
+    val batchBands = bands.filter(col("doc_id") % batchMod === batchRem)
+      .select(col("doc_id").as("b_id"), col("band_idx"), col("band_val"))
+    val corpusBands = bands.filter(col("doc_id") % batchMod =!= batchRem)
+      .select(col("doc_id").as("c_id"),
+        col("band_idx").as("c_idx"), col("band_val").as("c_val"))
+    val cand = batchBands.join(corpusBands,
+        col("band_idx") === col("c_idx") && col("band_val") === col("c_val"))
+      .select(col("b_id"), col("c_id")).distinct()
+    val shdf = sigs.select(col("doc_id"), col("sh"))
+    val withSh = cand
+      .join(shdf.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .join(shdf.select(col("doc_id").as("c_id"), col("sh").as("c_sh")), "c_id")
+    val inter = expr("sorted_intersect_count(b_sh, c_sh)").cast("double")
+    val uni = (size(col("b_sh")) + size(col("c_sh"))).cast("double") - inter
+    val nearIds = withSh.withColumn("jacc", inter / uni)
+      .filter(col("jacc") >= lshThresh)
+      .select(col("b_id")).distinct()
+      .withColumn("near", lit(true))
+    val exactIds = sigs.filter(isBatch).select(col("doc_id"), col("chash"))
+      .join(sigs.filter(!isBatch).select(col("chash")).distinct(), Seq("chash"),
+        "left_semi")
+      .select(col("doc_id")).withColumn("exact", lit(true))
+    sigs.filter(isBatch).select(col("doc_id"))
+      .join(exactIds, Seq("doc_id"), "left")
+      .join(nearIds, col("doc_id") === col("b_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact"), lit(false)).as("exact_dup"),
+        coalesce(col("near"), lit(false)).as("near_dup"),
+        (coalesce(col("exact"), lit(false)) || coalesce(col("near"), lit(false)))
+          .unary_!.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val d13Sql = {
+    val sigK = (0 until nPerm).map { k =>
+      s"list_min(list_transform(sh, " +
+        s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))"
+    }
+    val bandSelects = (0 until nPerm / bandRows).map { j =>
+      val parts = (0 until bandRows)
+        .map(r => s"CAST((${sigK(j * bandRows + r)}) AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, sh, $j AS band_idx, $parts AS band_val FROM docs"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       | SELECT doc_id, text, $shinglesDuck AS sh
+       | FROM documents),
+       |bands AS (BANDS_SQL),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS b_id, y.doc_id AS c_id,
+       |        x.sh AS b_sh, y.sh AS c_sh
+       | FROM bands x JOIN bands y
+       |   ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       | WHERE x.doc_id % $batchMod = $batchRem AND y.doc_id % $batchMod != $batchRem),
+       |near AS (
+       | SELECT DISTINCT b_id FROM cand
+       | WHERE CAST(len(list_intersect(b_sh, c_sh)) AS DOUBLE)
+       |   / (CAST(len(b_sh) + len(c_sh) AS DOUBLE) - len(list_intersect(b_sh, c_sh)))
+       |   >= $lshThresh),
+       |ex AS (
+       | SELECT DISTINCT b.doc_id FROM documents b
+       | WHERE b.doc_id % $batchMod = $batchRem
+       |  AND md5(b.text) IN (SELECT md5(text) FROM documents
+       |                      WHERE doc_id % $batchMod != $batchRem))
+       |SELECT d.doc_id,
+       | d.doc_id IN (SELECT doc_id FROM ex) AS exact_dup,
+       | d.doc_id IN (SELECT b_id FROM near) AS near_dup,
+       | NOT (d.doc_id IN (SELECT doc_id FROM ex)
+       |      OR d.doc_id IN (SELECT b_id FROM near)) AS keep
+       |FROM documents d
+       |WHERE d.doc_id % $batchMod = $batchRem
+       |ORDER BY d.doc_id""".stripMargin.replace("BANDS_SQL", bandSelects)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_incremental_dedup" -> (d13 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_jaccard_neardup" -> (d02 _),
     "d03_minhash_lsh" -> (d03 _),
@@ -542,6 +644,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d13_incremental_dedup" -> d13Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_jaccard_neardup" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
