@@ -453,7 +453,75 @@ object SimilarityQueries extends QueryFamily {
        |ORDER BY w.vec_id""".stripMargin
   }
 
+  // ---- v07: IVF + int8 asymmetric-distance scan (ADC) ---------------------
+  // The memory-side half of a production ANN index: candidates are
+  // stored as per-vector-scaled int8 codes (v06's quantizer), queries
+  // stay full precision, and ranking uses the asymmetric distance —
+  // query · reconstructed-candidate — so the candidate join carries 4×
+  // fewer bytes per vector through the shuffle and the (cell-gated)
+  // scan touches only code bytes. Because the reconstruction is
+  // code · (maxabs/127), the per-vector scale cancels in the cosine, so
+  // the score is computable from the raw codes and one precomputed
+  // code-norm — no dequantization pass. Cell gate and tie-breaks are
+  // identical to v03.
+  private def v07(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val dotS = (x: String, y: String) =>
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    val scored = e.select(Seq(col("vec_id"), col("embedding"), col("norm")) ++
+      (0 until nCells).map(cid =>
+        expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
+    val coded = scored
+      .withColumn("cell", expr(argminExpr))
+      .withColumn("maxabs",
+        expr("array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))"))
+      .withColumn("code", expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 / nullif(maxabs, 0.0) + 0.5) AS INT))"))
+      .withColumn("code_norm", sqrt(expr(dotS("code", "code"))))
+      .localCheckpoint() // feeds the query side AND the candidate side
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val c = coded.select(col("vec_id").as("c_id"), col("code"),
+      col("code_norm"), col("cell").as("c_cell"))
+    val cosAdc = (expr(dotS("q_emb", "code")) / (col("q_norm") * col("code_norm")))
+      .cast("float")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_adc").desc, col("c_id").asc)
+    q.join(c, col("cell") === col("c_cell") && col("q_id") =!= col("c_id"))
+      .withColumn("cos_adc", cosAdc)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= annK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos_adc"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v07Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid").mkString(", ")
+    val cosAdc = s"CAST(${dotDuck("q.embedding", "c.code")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.code", "c.code")})) AS REAL)"
+    s"""WITH scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+       |wc0 AS (SELECT vec_id, embedding, $argminExpr AS cell FROM scored),
+       |coded AS (
+       | SELECT vec_id, embedding, cell,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 /
+       |    NULLIF(list_max(list_transform(embedding, w -> abs(CAST(w AS DOUBLE)))), 0.0)
+       |    + 0.5) AS INTEGER)) AS code
+       | FROM wc0)
+       |SELECT q_id, rank, c_id, cos_adc FROM (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cosAdc AS cos_adc,
+       |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |    ORDER BY $cosAdc DESC, c.vec_id ASC) AS rank
+       | FROM coded q JOIN coded c ON q.cell = c.cell AND q.vec_id != c.vec_id
+       | WHERE q.vec_id < $nQueries)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v07_knn_ivf_adc" -> (v07 _),
     "d11_semantic_dedup" -> (d11 _),
     "v06_embedding_quantize" -> (v06 _),
     "v01_knn_bruteforce" -> (v01 _),
@@ -464,6 +532,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v07_knn_ivf_adc" -> v07Sql,
     "d11_semantic_dedup" -> d11Sql,
     "v06_embedding_quantize" -> v06Sql,
     "v01_knn_bruteforce" -> v01Sql,

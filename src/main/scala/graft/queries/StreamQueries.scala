@@ -93,6 +93,49 @@ object StreamQueries extends QueryFamily {
        | AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + $JoinWindowUs
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- n08: stream-stream LEFT OUTER interval join ------------------------
+  // n04 plus the abandoned side: clicks with no purchase in-window emit
+  // a null-extended row, but ONLY once the global watermark
+  // (min(max click time, max purchase time) − 1h) has passed the
+  // click's whole match window — before that a match could still
+  // arrive, so the row is still in state when AvailableNow drains. The
+  // oracle reproduces that cutoff explicitly; it is the streaming
+  // semantics being checked, not the batch left join.
+  private val OuterDelayUs = 3600L * 1000 * 1000 // "1 hour" watermark delay
+  private def n08(s: SparkSession, dir: String): DataFrame =
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.streamStreamLeftOuter(s, dir, JoinWindowUs, "1 hour",
+        fresh("graft_stream_louter"))
+    }
+      // null-extended rows as -1 sentinels: nullable int64 columns decay
+      // to float64 in pandas-mediated hash compares (nulls force the
+      // cast), so the dtype would differ between engines
+      .select(col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        col("user_id"),
+        coalesce(col("lag_us"), lit(-1L)).as("lag_us"),
+        col("purchase_id").isNotNull.as("matched"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  private val n08Sql =
+    s"""WITH c AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t
+       |           FROM events WHERE event_type = 'click'),
+       |p AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t
+       |      FROM events WHERE event_type = 'purchase'),
+       |wm AS (SELECT LEAST((SELECT MAX(t) FROM c), (SELECT MAX(t) FROM p))
+       |        - $OuterDelayUs AS w),
+       |m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |       c.user_id, p.t - c.t AS lag_us
+       |      FROM c JOIN p ON c.user_id = p.user_id
+       |       AND p.t >= c.t AND p.t <= c.t + $JoinWindowUs)
+       |SELECT click_id, purchase_id, user_id, lag_us, TRUE AS matched FROM m
+       |UNION ALL
+       |SELECT c.event_id, CAST(-1 AS BIGINT), c.user_id, CAST(-1 AS BIGINT),
+       | FALSE AS matched
+       |FROM c CROSS JOIN wm
+       |WHERE c.event_id NOT IN (SELECT click_id FROM m)
+       | AND c.t + $JoinWindowUs < wm.w
+       |ORDER BY 1, 2""".stripMargin
+
   // ---- n05: update-mode aggregation --------------------------------------
   // Update mode emits rows whose aggregate changed in the batch; with
   // AvailableNow every touched group is emitted once, so the result is
@@ -153,7 +196,8 @@ object StreamQueries extends QueryFamily {
     "n02_stream_sessionize" -> (n02 _),
     "n03_stream_dedup" -> (n03 _),
     "n04_stream_stream_join" -> (n04 _),
-    "n05_stream_update_mode" -> (n05 _)
+    "n05_stream_update_mode" -> (n05 _),
+    "n08_stream_left_outer" -> (n08 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +207,7 @@ object StreamQueries extends QueryFamily {
     "n02_stream_sessionize" -> n02Sql,
     "n03_stream_dedup" -> n03Sql,
     "n04_stream_stream_join" -> n04Sql,
-    "n05_stream_update_mode" -> n05Sql
+    "n05_stream_update_mode" -> n05Sql,
+    "n08_stream_left_outer" -> n08Sql
   )
 }

@@ -211,6 +211,49 @@ object Streams {
     spark.table(queryName)
   }
 
+  /** Stream–stream LEFT OUTER interval join: like streamStreamJoin, but
+    * clicks with no purchase in the window are emitted with nulls — the
+    * abandoned-funnel shape. Outer semantics make state eviction
+    * VISIBLE: a null-extended row may only be emitted once the global
+    * watermark (min across both inputs, each max(event_time) − delay)
+    * has passed the click's entire match window, because until then a
+    * matching purchase could still arrive. Clicks newer than that
+    * cutoff are still in state when AvailableNow drains — correct
+    * streaming behavior, and the oracle reproduces exactly that cutoff
+    * rather than pretending the batch left join is the answer. */
+  def streamStreamLeftOuter(spark: SparkSession, dir: String, windowUs: Long,
+                            delay: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src() = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src().filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", delay)
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", delay)
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr(s"INTERVAL $windowUs MICROSECOND"),
+      "leftOuter")
+    val q = joined
+      .select(col("click_id"), col("purchase_id"),
+        col("c_user").as("user_id"),
+        expr("unix_micros(p_time) - unix_micros(c_time)").as("lag_us"))
+      .writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Stream–static enrichment join: each micro-batch joins against a
     * static dimension table — STATELESS (unlike stream–stream joins, no
     * watermark or state store needed; the static side is just re-planned
