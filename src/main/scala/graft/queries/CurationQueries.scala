@@ -238,7 +238,9 @@ object CurationQueries extends QueryFamily {
     (r.getLong(0), r.getLong(1))
   }
 
-  private def d12(s: SparkSession, dir: String): DataFrame = {
+  /** Converged (doc_id, cluster) labels — d12's result, shared with the
+    * leakage-safe splitter (t16). */
+  private def ccLabels(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
     val chained = d.select(col("doc_id"), col("source"), col("n_chars"))
@@ -268,9 +270,13 @@ object CurationQueries extends QueryFamily {
     d.select(col("doc_id")).join(lbl, col("doc_id") === col("lid"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbmin"), col("doc_id"))).as("cluster"))
-      .orderBy(col("doc_id"))
   }
-  private val d12Sql =
+
+  private def d12(s: SparkSession, dir: String): DataFrame =
+    ccLabels(s, dir).orderBy(col("doc_id"))
+
+  /** Shared WITH clause: edge graph + recursive reachability closure. */
+  private val ccWithSql =
     s"""WITH RECURSIVE chained AS (
        | SELECT doc_id,
        |  LAG(doc_id) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS prev,
@@ -286,9 +292,39 @@ object CurationQueries extends QueryFamily {
        |reach AS (
        | SELECT doc_id AS v, doc_id AS u FROM documents
        | UNION
-       | SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u)
+       | SELECT r.v, e.dst FROM reach r JOIN edges e ON e.src = r.u)""".stripMargin
+
+  private val d12Sql =
+    s"""$ccWithSql
        |SELECT v AS doc_id, MIN(u) AS cluster FROM reach
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- t16: leakage-safe train/eval fold split -----------------------------
+  // The split rule that keeps near-duplicates out of each other's
+  // folds: assign folds by DUPLICATE CLUSTER, not by document —
+  // fold(doc) = mix(cluster(doc)) mod nFolds — so every member of a
+  // connected near-dup component lands in the same fold and no
+  // train/eval contamination can cross the boundary. Composes the
+  // converged d12 labels with a stateless hash; zero-leakage is BY
+  // CONSTRUCTION, and the oracle (independent recursive-CTE clustering
+  // + the same hash) re-derives the identical assignment, which is the
+  // check that the construction holds. Reported per fold: document and
+  // cluster counts.
+  private val nFolds = 5
+  private def t16(s: SparkSession, dir: String): DataFrame = {
+    ccLabels(s, dir)
+      .withColumn("fold", expr(s"${mix("cluster")} % $nFolds"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .orderBy(col("fold"))
+  }
+  private val t16Sql =
+    s"""$ccWithSql,
+       |lab AS (SELECT v AS doc_id, MIN(u) AS cluster FROM reach GROUP BY 1)
+       |SELECT ${mix("cluster")} % $nFolds AS fold,
+       | COUNT(*) AS n_docs, COUNT(DISTINCT cluster) AS n_clusters
+       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---- t15: bigram-LM quality score ---------------------------------------
   // The CCNet/Gopher-shape statistical quality filter: train an add-one-
@@ -395,6 +431,7 @@ object CurationQueries extends QueryFamily {
     "t13_hashed_classifier" -> (t13 _),
     "t14_stratified_sample" -> (t14 _),
     "t15_bigram_lm" -> (t15 _),
+    "t16_leakage_safe_split" -> (t16 _),
     "a23_robust_outlier" -> (a23 _),
     "d12_cc_converged" -> (d12 _)
   )
@@ -404,6 +441,7 @@ object CurationQueries extends QueryFamily {
     "t13_hashed_classifier" -> t13Sql,
     "t14_stratified_sample" -> t14Sql,
     "t15_bigram_lm" -> t15Sql,
+    "t16_leakage_safe_split" -> t16Sql,
     "a23_robust_outlier" -> a23Sql,
     "d12_cc_converged" -> d12Sql
   )

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data pipelines over `documents`
   * and `embeddings`: exact, shingle-Jaccard, MinHash+LSH banding, SimHash,
@@ -631,7 +632,62 @@ object DedupQueries extends QueryFamily {
        |ORDER BY d.doc_id""".stripMargin.replace("BANDS_SQL", bandSelects)
   }
 
+  // ---- d14: paragraph-level dedup with document REWRITE -------------------
+  // The segment-granular dedup pass (RefinedWeb/Dolma style): chunk
+  // every document into fixed 10-word segments, keep only the globally
+  // FIRST occurrence of each distinct segment (ordered by doc, then
+  // position — the deterministic "first writer wins" rule), and rebuild
+  // each document from its surviving segments. Unlike d09 (which
+  // reports duplicated-span coverage), this op APPLIES the edit. Plan
+  // shape: explode is O(total segments); the only shuffles are the
+  // first-occurrence window keyed by segment hash and the per-doc
+  // rebuild groupBy — never doc×doc. Rebuilt text is emitted as
+  // md5 + length, not the string, to keep the result compact.
+  private val segWords = 10
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val segs = d
+      .withColumn("toks", expr("filter(split(text, ' '), tk -> length(tk) > 0)"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(size(toks) / ${segWords}.0) AS INT) - 1), " +
+          s"i -> concat_ws(' ', slice(toks, i * $segWords + 1, $segWords)))"))
+        .as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    val kept = segs.withColumn("rk", row_number().over(w))
+    // collect_list skips the null (non-kept) entries, mirroring the
+    // oracle's CASE-WHEN string_agg; sort_array orders by seg_idx
+    // (first struct field) so the rebuild is position-stable no matter
+    // how the shuffle interleaved rows
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        org.apache.spark.sql.functions.sum(when(col("rk") === 1, 1L).otherwise(0L))
+          .as("n_kept"),
+        sort_array(collect_list(when(col("rk") === 1,
+          struct(col("seg_idx"), col("seg"))))).as("ka"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        md5(concat_ws(" ", col("ka.seg"))).as("new_hash"),
+        length(concat_ws(" ", col("ka.seg"))).cast("long").as("new_len"))
+      .orderBy(col("doc_id"))
+  }
+  private val d14Sql =
+    s"""WITH toks AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '), tk -> length(tk) > 0) AS tl
+       | FROM documents),
+       |segs AS (
+       | SELECT doc_id, i - 1 AS seg_idx,
+       |  array_to_string(tl[(i - 1) * $segWords + 1 : (i - 1) * $segWords + $segWords], ' ') AS seg
+       | FROM toks, UNNEST(generate_series(1, CAST(ceil(len(tl) / ${segWords}.0) AS INTEGER))) AS t(i)),
+       |ranked AS (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk
+       | FROM segs)
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       | CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       | md5(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS new_hash,
+       | CAST(length(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS BIGINT) AS new_len
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_paragraph_rewrite" -> (d14 _),
     "d13_incremental_dedup" -> (d13 _),
     "d01_exact_dedup" -> (d01 _),
     "d02_jaccard_neardup" -> (d02 _),
@@ -644,6 +700,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d14_paragraph_rewrite" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d01_exact_dedup" -> d01Sql,
     "d02_jaccard_neardup" -> d02Sql,

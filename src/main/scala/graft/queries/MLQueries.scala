@@ -220,7 +220,56 @@ object MLQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- m05: one distributed logistic-regression gradient step -------------
+  // The training-side primitive the feature-prep ops feed: a full-batch
+  // gradient step of logistic regression, computed as ONE scan with a
+  // global aggregate — per-row, per-dimension contributions
+  // x_j·(σ(w·x) − y) are micro-quantized longs, so the partial sums are
+  // order-free integer adds and map-side combine reduces every
+  // partition to 4 longs before the (single-row) exchange. That is the
+  // data-parallel SGD shape: gradients are mergeable, the model is
+  // broadcast literals. σ uses exp() (libm), hence the quantization —
+  // the repo's transcendental convention.
+  private val lrDims = 4
+  private val lrW0 = IndexedSeq("0.1", "-0.2", "0.3", "0.05")
+  private val lrRate = "0.5"
+  private val lrXs = IndexedSeq(
+    "1.0",
+    "(o_totalprice / 500000.0)",
+    "((o_custkey % 97) / 97.0)",
+    "(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END)")
+  private val lrY = "(CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END)"
+  private def m05(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val z = lrXs.indices.map(j => s"${lrW0(j)} * ${lrXs(j)}").mkString(" + ")
+    val p = s"(1.0 / (1.0 + exp(-($z))))"
+    val gradCols = lrXs.indices.map(j =>
+      org.apache.spark.sql.functions.sum(expr(
+        s"CAST(floor(${lrXs(j)} * ($p - $lrY) * 1000000 + 0.5) AS BIGINT)"))
+        .as(s"g$j"))
+    val agged = o.agg(gradCols.head, gradCols.tail :+ count(lit(1)).as("n"): _*)
+    agged.select(Seq(col("n")) ++ lrXs.indices.flatMap { j =>
+      Seq((col(s"g$j") / 1000000.0 / col("n")).cast("float").as(s"grad$j"),
+        (expr(lrW0(j)) - expr(lrRate) * (col(s"g$j") / 1000000.0 / col("n")))
+          .cast("float").as(s"w_new$j"))
+    }: _*)
+  }
+  private val m05Sql = {
+    val z = lrXs.indices.map(j => s"${lrW0(j)} * ${lrXs(j)}").mkString(" + ")
+    val p = s"(1.0 / (1.0 + exp(-($z))))"
+    val gs = lrXs.indices.map(j =>
+      s"SUM(CAST(floor(${lrXs(j)} * ($p - $lrY) * 1000000 + 0.5) AS BIGINT)) AS g$j")
+      .mkString(", ")
+    val outs = lrXs.indices.map(j =>
+      s"CAST(g$j / 1000000.0 / n AS REAL) AS grad$j, " +
+        s"CAST(${lrW0(j)} - $lrRate * (g$j / 1000000.0 / n) AS REAL) AS w_new$j")
+      .mkString(", ")
+    s"""WITH a AS (SELECT $gs, COUNT(*) AS n FROM orders)
+       |SELECT n, $outs FROM a""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m05_logreg_step" -> (m05 _),
     "m01_fold_split" -> (m01 _),
     "m02_feature_prep" -> (m02 _),
     "m03_mlp_forward" -> (m03 _),
@@ -228,6 +277,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m05_logreg_step" -> m05Sql,
     "m01_fold_split" -> m01Sql,
     "m02_feature_prep" -> m02Sql,
     "m03_mlp_forward" -> m03Sql,

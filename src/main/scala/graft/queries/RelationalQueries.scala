@@ -630,9 +630,50 @@ object RelationalQueries extends QueryFamily {
       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       |ORDER BY event_id""".stripMargin
 
+  // ---- r14: star-schema join (TPC-H Q5 shape) -----------------------------
+  // Revenue per nation for one region's urgent orders: the canonical
+  // fact-plus-dimension-chain plan. lineitem ⋈ orders is the one
+  // genuine big-big shuffle; customer → nation → region collapse to
+  // broadcast hash joins (Catalyst picks them by size; the region/
+  // priority filters push into the dimension scans, so the broadcast
+  // sides shrink BEFORE the join). Revenue terms are micro-quantized
+  // longs before the group sum — the per-group fold order differs
+  // between engines, and l_extendedprice·(1−l_discount) is exact at
+  // 1e-4 resolution.
+  private def r14(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val o = rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    val c = rd(s, dir, "customer")
+    val n = rd(s, dir, "nation")
+    val r = rd(s, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rev_q", expr(
+        "CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("n_name"))
+      .agg((sum(col("rev_q")) / 10000.0).cast("float").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+  private val r14Sql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT))
+      |      / 10000.0 AS REAL) AS revenue,
+      | COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderpriority = '1-URGENT' AND r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r12_full_outer_reconcile" -> (r12 _),
     "r13_except" -> (r13 _),
+    "r14_star_join" -> (r14 _),
     "a21_cube_crosstab" -> (a21 _),
     "a22_window_suite" -> (a22 _),
     "a01_group_sums" -> (a01 _),
@@ -663,6 +704,7 @@ object RelationalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "r12_full_outer_reconcile" -> r12Sql,
     "r13_except" -> r13Sql,
+    "r14_star_join" -> r14Sql,
     "a21_cube_crosstab" -> a21Sql,
     "a22_window_suite" -> a22Sql,
     "a01_group_sums" -> a01Sql,
