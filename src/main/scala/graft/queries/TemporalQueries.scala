@@ -404,7 +404,62 @@ object TemporalQueries extends QueryFamily {
       |FROM log WHERE rn = 1 AND event_type != 'error'
       |ORDER BY user_id""".stripMargin
 
+  // ---- u05: first/last-touch attribution ----------------------------------
+  // Marketing-attribution shape: for every purchase, credit the FIRST
+  // and LAST same-user click within the preceding 24 h. One user-keyed
+  // interval join (clicks only move once), then two row_number
+  // orderings over the SAME purchase partitioning — one exchange, two
+  // in-partition sorts — folded to one row per purchase with
+  // conditional aggregates. Ties at equal timestamps break by click id
+  // on both engines. Purchases with no in-window click are dropped by
+  // the inner join (the unattributed side is n08's territory).
+  private val TouchWindowUs = 24L * 3600 * 1000 * 1000
+  private def u05(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        expr("ts div 1000").as("pt"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"),
+        expr("ts div 1000").as("ct"))
+    val j = p.join(c, col("pu") === col("cu") &&
+      col("ct") <= col("pt") && col("ct") >= col("pt") - TouchWindowUs)
+    val part = Window.partitionBy(col("purchase_id"))
+    val rnF = row_number().over(part.orderBy(col("ct").asc, col("cid").asc))
+    val rnL = row_number().over(part.orderBy(col("ct").desc, col("cid").desc))
+    j.withColumn("rn_f", rnF).withColumn("rn_l", rnL)
+      .groupBy(col("purchase_id"), col("pu"), col("pt"))
+      .agg(count(lit(1)).as("n_touches"),
+        max(when(col("rn_f") === 1, col("cid"))).as("first_click_id"),
+        max(when(col("rn_f") === 1, col("ct"))).as("first_ct"),
+        max(when(col("rn_l") === 1, col("cid"))).as("last_click_id"),
+        max(when(col("rn_l") === 1, col("ct"))).as("last_ct"))
+      .select(col("purchase_id"), col("pu").as("user_id"), col("n_touches"),
+        col("first_click_id"), col("last_click_id"),
+        (col("pt") - col("first_ct")).as("first_lag_us"),
+        (col("pt") - col("last_ct")).as("last_lag_us"))
+      .orderBy(col("purchase_id"))
+  }
+  private val u05Sql =
+    s"""WITH p AS (SELECT event_id AS purchase_id, user_id AS pu,
+       |            epoch_ns(ts) // 1000 AS pt
+       |           FROM events WHERE event_type = 'purchase'),
+       |c AS (SELECT event_id AS cid, user_id AS cu, epoch_ns(ts) // 1000 AS ct
+       |      FROM events WHERE event_type = 'click'),
+       |j AS (
+       | SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ct ASC, cid ASC) AS rn_f,
+       |  ROW_NUMBER() OVER (PARTITION BY purchase_id ORDER BY ct DESC, cid DESC) AS rn_l
+       | FROM p JOIN c ON pu = cu AND ct <= pt AND ct >= pt - $TouchWindowUs)
+       |SELECT purchase_id, pu AS user_id, COUNT(*) AS n_touches,
+       | MAX(CASE WHEN rn_f = 1 THEN cid END) AS first_click_id,
+       | MAX(CASE WHEN rn_l = 1 THEN cid END) AS last_click_id,
+       | MAX(pt) - MAX(CASE WHEN rn_f = 1 THEN ct END) AS first_lag_us,
+       | MAX(pt) - MAX(CASE WHEN rn_l = 1 THEN ct END) AS last_lag_us
+       |FROM j GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u05_touch_attribution" -> (u05 _),
     "u04_cdc_apply" -> (u04 _),
     "u01_funnel_order" -> (u01 _),
     "u02_cohort_retention" -> (u02 _),
@@ -421,6 +476,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u05_touch_attribution" -> u05Sql,
     "u04_cdc_apply" -> u04Sql,
     "u01_funnel_order" -> u01Sql,
     "u02_cohort_retention" -> u02Sql,

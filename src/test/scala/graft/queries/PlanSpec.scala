@@ -94,6 +94,46 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, s"cartesian products in: $failures")
   }
 
+  test("hashed classifier is a pure projection: no joins, no hash shuffle") {
+    // t13 must stay scan-speed — only the final presentation sort may
+    // exchange (range partitioning), never a hash shuffle or a join
+    val plan = planOf(CurationQueries.queries("t13_hashed_classifier")(spark, dir))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash shuffle:\n$plan")
+  }
+
+  test("KMV sketch aggregates partially before the exchange") {
+    val plan = CurationQueries.queries("k04_kmv_distinct")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    assert(plan.contains("partial_kmv_minima") || plan.contains("partial kmv_minima")
+      || plan.contains("kmv_minima"), s"kmv_minima not in plan:\n$plan")
+  }
+
+  test("star-schema join broadcasts the dimension chain") {
+    val plan = planOf(RelationalQueries.queries("r14_star_join")(spark, dir))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"dimension chain not broadcast:\n$plan")
+    assert(plan.contains("EqualTo(o_orderpriority"),
+      s"priority filter not pushed to the orders scan:\n$plan")
+  }
+
+  test("paragraph rewrite scans the corpus exactly once") {
+    val plan = DedupQueries.queries("d14_paragraph_rewrite")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"d14 re-scans the corpus ($scans scans):\n$plan")
+  }
+
+  test("logreg gradient step is one scan with partial aggregation") {
+    val plan = MLQueries.queries("m05_logreg_step")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"m05 re-scans orders ($scans scans):\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
   test("whole-stage codegen covers the kinematics pipeline") {
     // with AQE the codegen stages exist only in the FINAL plan: run first
     val df = PhysicsQueries.queries("p10_p4_sum")(spark, dir)
