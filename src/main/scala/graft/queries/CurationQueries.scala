@@ -345,7 +345,12 @@ object CurationQueries extends QueryFamily {
     var prevFp = (-1L, -1L)
     var iters = 0
     while (fp != prevFp && iters < ccMaxIters) {
-      edges = ckptFresh(smallStar(largeStar(edges)))
+      // two contraction rounds per materialization: the 4-phase plan is
+      // still shallow (stats reset each checkpoint, so no inheritance
+      // blow-up) and it halves the per-iteration job count — the
+      // checkpoint and fingerprint jobs dominate wall time once the
+      // edge list is small
+      edges = ckptFresh(smallStar(largeStar(smallStar(largeStar(edges)))))
       prevFp = fp
       fp = fingerprint(edges)
       iters += 1

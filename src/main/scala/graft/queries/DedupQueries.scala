@@ -686,7 +686,103 @@ object DedupQueries extends QueryFamily {
        | CAST(length(COALESCE(string_agg(CASE WHEN rk = 1 THEN seg END, ' ' ORDER BY seg_idx), '')) AS BIGINT) AS new_len
        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- d15: normalize-then-dedup ------------------------------------------
+  // Exact dedup AFTER canonical normalization (lowercase, strip
+  // non-alphanumerics, collapse whitespace — t07's pass): catches the
+  // near-identical copies raw md5 misses (case/punctuation/whitespace
+  // variants). n_raw_variants counts how many RAW texts each normalized
+  // group collapsed — the measurable win over d01. Same hash-groupBy
+  // shape: one shuffle keyed by digest, map-side combine.
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.select(col("doc_id"), col("text"), md5(norm).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("keeper"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(md5(col("text"))).as("n_raw_variants"))
+      .orderBy(col("norm_hash"))
+  }
+  private val d15Sql =
+    """WITH n AS (
+      | SELECT doc_id, text,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |       ' +', ' ', 'g'))) AS norm_hash
+      | FROM documents)
+      |SELECT norm_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_copies,
+      | COUNT(DISTINCT md5(text)) AS n_raw_variants
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- d16: content-defined chunking (rolling-hash boundaries) ------------
+  // The storage-dedup chunker (Rabin/FastCDC family): a chunk boundary
+  // falls wherever the rolling hash of the last 8 characters ≡ 0
+  // (mod 32), so boundaries are CONTENT-anchored — insert one word at
+  // the front of a document and fixed-stride chunks (t12) all shift
+  // and nothing dedups, while CDC chunks realign after one boundary.
+  // Everything is array HOFs in one projection (positions → window
+  // hashes → boundary filter → slice), then one chunk-hash groupBy for
+  // the cross-document sharing report. Window hash is the repo's
+  // base-31 Horner + Knuth mix.
+  private val cdcW = 8; private val cdcMask = 32
+  private def cdcHash(charAt: Int => String): String =
+    (0 until cdcW).map(charAt)
+      .foldLeft("CAST(0 AS BIGINT)")((acc, ch) => s"($acc * 31 + $ch)")
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    // boundary at i (1-based, i ≥ w) iff mix(horner(text[i-7..i])) % 32 == 0
+    val h = cdcHash(k => s"ascii(substr(text, i - ${cdcW - 1} + $k, 1))")
+    val bounds =
+      s"concat(array(0), filter(transform(sequence($cdcW, length(text)), " +
+        s"i -> IF((${mix(s"(($h) % $P)")}) % $cdcMask = 0, i, -1)), i -> i > 0), array(length(text)))"
+    val chunks =
+      s"filter(transform(sequence(1, size(bnd) - 1), " +
+        s"j -> substring(text, element_at(bnd, j) + 1, " +
+        s"element_at(bnd, j + 1) - element_at(bnd, j))), c -> length(c) > 0)"
+    val perDoc = d.select(col("doc_id"), col("text"))
+      .withColumn("bnd", expr(bounds))
+      .withColumn("chunks", expr(chunks))
+      .select(col("doc_id"), col("chunks"))
+      .localCheckpoint() // feeds the per-doc stats AND the sharing join
+    val chunkRows = perDoc.select(col("doc_id"),
+      explode(col("chunks")).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("ch"))
+    val shared = chunkRows.groupBy(col("ch"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+    chunkRows.join(shared, Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        org.apache.spark.sql.functions.sum(
+          when(col("ndocs").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+  private val d16Sql = {
+    val h = cdcHash(k => s"ascii(substr(text, i - ${cdcW - 1} + $k, 1))")
+    val bounds =
+      s"list_concat(list_concat([CAST(0 AS BIGINT)], " +
+        s"list_filter(list_transform(generate_series($cdcW, length(text)), " +
+        s"i -> CASE WHEN (${mix(s"(($h) % $P)")}) % $cdcMask = 0 THEN i ELSE -1 END), i -> i > 0)), " +
+        s"[CAST(length(text) AS BIGINT)])"
+    s"""WITH b AS (
+       | SELECT doc_id, text, $bounds AS bnd FROM documents),
+       |ch AS (
+       | SELECT doc_id,
+       |  unnest(list_filter(list_transform(generate_series(1, len(bnd) - 1),
+       |    j -> substr(text, bnd[j] + 1, bnd[j + 1] - bnd[j])), c -> length(c) > 0)) AS chunk
+       | FROM b),
+       |rows_ AS (SELECT doc_id, md5(chunk) AS chash FROM ch),
+       |shared AS (SELECT chash, COUNT(DISTINCT doc_id) AS ndocs
+       |           FROM rows_ GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+       |SELECT r.doc_id, COUNT(*) AS n_chunks,
+       | CAST(SUM(CASE WHEN s.ndocs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |FROM rows_ r LEFT JOIN shared s ON r.chash = s.chash
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_normalized_dedup" -> (d15 _),
+    "d16_cdc_chunking" -> (d16 _),
     "d14_paragraph_rewrite" -> (d14 _),
     "d13_incremental_dedup" -> (d13 _),
     "d01_exact_dedup" -> (d01 _),
@@ -700,6 +796,8 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d15_normalized_dedup" -> d15Sql,
+    "d16_cdc_chunking" -> d16Sql,
     "d14_paragraph_rewrite" -> d14Sql,
     "d13_incremental_dedup" -> d13Sql,
     "d01_exact_dedup" -> d01Sql,

@@ -47,6 +47,34 @@ class SinksSpec extends SparkSpec {
       li.join(o, li("l_orderkey") === o("o_orderkey")).count())
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    // a long-lived dataset gains columns over time; readers must union
+    // the per-file schemas instead of failing or silently dropping
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$out/b=1")
+    Seq((2L, "b", 3.5)).toDF("id", "v1", "v2").write.parquet(s"$out/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.sorted.toSeq == Seq("b", "id", "v1", "v2"))
+    assert(merged.count() == 2)
+    val olds = merged.filter(col("id") === 1L).collect()(0)
+    assert(olds.isNullAt(olds.fieldIndex("v2")), "missing column must read as null")
+  }
+
+  test("json source round-trips the documents table with explicit schema") {
+    // S-family: the same tables must load from line-delimited JSON (the
+    // common raw-crawl interchange format) — explicit schema, no
+    // inference pass at scale
+    val out = Files.createTempDirectory("graft_json").toString
+    val docs = spark.read.parquet(sf("sf0.001") + "/documents.parquet")
+    docs.write.mode("overwrite").json(out)
+    val back = spark.read.schema(docs.schema).json(out)
+    assert(back.count() == docs.count())
+    val a = docs.agg(sum(col("n_chars")), count(col("text"))).collect()(0)
+    val b = back.agg(sum(col("n_chars")), count(col("text"))).collect()(0)
+    assert(a == b)
+  }
+
   test("datacard renders yields with one column per channel") {
     val yields = StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
     val cards = Datacards.renderAll(yields)

@@ -104,4 +104,27 @@ class StreamsSpec extends SparkSpec {
       assert(s.getLong(4) == b.getLong(4))   // ts_end
     }
   }
+
+  test("stateful aggregation runs on the RocksDB state store provider") {
+    // the production state backend for large keyed state (heap stores
+    // OOM once state outgrows the executor): same query, same answers,
+    // state spilled to RocksDB. Fresh session so the static-ish provider
+    // conf does not leak into other specs' checkpoints.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = sf("sf0.001")
+    val got = Streams.withStatePartitions(s2, 4) {
+      Streams.windowedAgg(s2, dir, "spec_rocksdb_agg")
+    }.orderBy("hour_bucket", "event_type").collect()
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("hour_bucket", expr(s"ts div $HourNs"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("float").as("sum_value"))
+      .orderBy("hour_bucket", "event_type").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
 }
