@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   *   3. near-dup prune   (d03: minhash band candidates -> verified
   *                        Jaccard -> drop the higher id of each pair)
   *   4. decontamination  (d10: broadcast eval 8-gram probe, drop hits)
-  *   5. sequence packing (t11: concat-and-slice window assignment)
+  *   5. classifier gate  (t13: hashed-feature linear scorer, drop ≤ 0)
+  *   6. lang rebalance   (t14: stratified hash sample + weights)
+  *   7. fold assignment  (t16's rule, degenerate post-dedup form)
+  *   8. sequence packing (t11: concat-and-slice window assignment)
   *
   * Each stage consumes the previous stage's survivors, so the whole
   * run is one lineage over one corpus scan per stage family; survivor
@@ -88,16 +91,50 @@ object DataPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
     stats += ("decontaminated" -> clean.count())
 
-    // 5. packing: context-window assignment per source stream
+    // 5. model-based quality gate: hashed-feature linear classifier
+    // (t13's shape) — drop docs the scorer marks negative. One codegen
+    // projection; weights are 64 deterministic literals.
+    val wArr = (0 until 64).map { i =>
+      (((i.toLong * 2654435761L) % P) % 2001L - 1000L) / 1000.0
+    }.map(v => f"$v%.3fD").mkString("array(", ", ", ")")
+    val tokHash = s"aggregate(sequence(1, length(tk)), CAST(0 AS BIGINT), " +
+      s"(h, i) -> (h * 31 + ascii(substr(tk, i, 1))) % $P)"
+    val bucket = s"CAST((($tokHash * 2654435761) % $P) % 64 AS INT)"
+    val classed = clean.withColumn("cls_score", expr(
+        s"""aggregate(filter(split(text, ' '), tk -> length(tk) > 0),
+           | CAST(0 AS DOUBLE),
+           | (acc, tk) -> acc + element_at($wArr, $bucket + 1))""".stripMargin) /
+        greatest(col("n_tok"), lit(1)) + lit(0.1))
+      .filter(col("cls_score") > 0.0)
+    stats += ("classifier" -> classed.count())
+
+    // 6. language rebalance: deterministic stratified downsampling with
+    // inverse-propensity weights (t14's rule) — reproducible on any
+    // cluster size, no sampling state
+    val rate = "CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 900 " +
+      "WHEN 'es' THEN 900 WHEN 'fr' THEN 950 WHEN 'zh' THEN 700 ELSE 1000 END"
+    val balanced = classed
+      .withColumn("rate_millis", expr(rate))
+      .filter(expr(s"(((doc_id % $P) * 2654435761) % $P) % 1000") < col("rate_millis"))
+      .withColumn("sample_weight", (lit(1000.0) / col("rate_millis")).cast("float"))
+    stats += ("stratified" -> balanced.count())
+
+    // 7. fold assignment: post-dedup every surviving doc is its own
+    // near-dup cluster, so a doc-id hash is leakage-safe (t16's rule
+    // degenerates to this once dedup has removed the clusters)
+    val folded = balanced.withColumn("fold",
+      expr(s"(((doc_id % $P) * 2654435761) % $P) % 10"))
+
+    // 8. packing: context-window assignment per source stream
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val packed = clean
+    val packed = folded
       .withColumn("cum", sum(col("n_tok")).over(w))
       .withColumn("seq_first", expr("(cum - n_tok) div 512"))
       .withColumn("seq_last", expr("(cum - 1) div 512"))
       .select(col("doc_id"), col("source"), col("text"), col("n_tok"),
-        col("seq_first"), col("seq_last"))
+        col("sample_weight"), col("fold"), col("seq_first"), col("seq_last"))
     (packed, stats.result())
   }
 
