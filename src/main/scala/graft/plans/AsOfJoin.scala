@@ -74,9 +74,101 @@ case class AsOfJoinPlan(
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      // the same size-based physical selection BroadcastHashJoin gets
+      // from JoinSelection: a small right side (calibration tables,
+      // quote snapshots, price marks) broadcasts, and the LEFT side —
+      // the 100 TB fact stream — is neither shuffled nor sorted
+      val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (thresh > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= thresh)
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+      else
+        AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
+}
+
+/** Broadcast as-of join: the right side is collected on the driver,
+  * grouped by key and sorted by (ts, tieBreaks), and broadcast as a
+  * hash index of per-key run arrays; each left partition probes by
+  * binary search (rightmost ts ≤ left ts — the same "last eligible in
+  * sort order" contract as the merge walk). No required distribution
+  * or ordering on EITHER child: the left side keeps its partitioning
+  * and never sorts, which against a small right side turns the as-of
+  * join into a map-only operator. */
+case class BroadcastAsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Seq[Expression],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val tsOrdering = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTs = BindReferences.bindReference(rightTs, right.output)
+    val rTie = rightTieBreak.map(BindReferences.bindReference(_, right.output))
+    val tieOrderings = rightTieBreak.map(e =>
+      TypeUtils.getInterpretedOrdering(e.dataType))
+    // driver-side index build: rows are already copies (executeCollect)
+    val rows = right.executeCollect()
+    val byKey = new java.util.HashMap[Any, java.util.ArrayList[InternalRow]]()
+    rows.foreach { r =>
+      byKey.computeIfAbsent(rKey.eval(r), _ => new java.util.ArrayList[InternalRow]())
+        .add(r)
+    }
+    val rowOrd = new java.util.Comparator[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        val c = tsOrdering.compare(rTs.eval(a), rTs.eval(b))
+        if (c != 0) c
+        else rTie.zip(tieOrderings).iterator.map { case (e, o) =>
+          o.compare(e.eval(a), e.eval(b))
+        }.find(_ != 0).getOrElse(0)
+      }
+    }
+    val index = new java.util.HashMap[Any, (Array[Any], Array[InternalRow])]()
+    byKey.forEach { (k, list) =>
+      list.sort(rowOrd)
+      val arr = list.toArray(new Array[InternalRow](list.size()))
+      index.put(k, (arr.map(rTs.eval(_)), arr))
+    }
+    val bc = sparkContext.broadcast(index)
+    val rightWidth = right.output.size
+    val outAttrs = output
+    left.execute().mapPartitions { lIter =>
+      val idx = bc.value
+      val lKey = BindReferences.bindReference(leftKey, left.output)
+      val lTs = BindReferences.bindReference(leftTs, left.output)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val joined = new JoinedRow
+      // bind against the nullability-widened output (see AsOfJoinExec)
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.map { l =>
+        val hit = idx.get(lKey.eval(l))
+        if (hit == null) project(joined(l, nullRight))
+        else {
+          val (tsVals, rRows) = hit
+          val lt = lTs.eval(l)
+          // rightmost index with ts <= lt
+          var lo = 0; var hi = tsVals.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (tsOrdering.compare(tsVals(mid), lt) <= 0) lo = mid + 1 else hi = mid
+          }
+          if (lo == 0) project(joined(l, nullRight))
+          else project(joined(l, rRows(lo - 1)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
 }
 
 case class AsOfJoinExec(

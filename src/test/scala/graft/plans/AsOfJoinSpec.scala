@@ -29,13 +29,31 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     spark.createDataFrame(
       rows.map { case (a, b, c) => Row(a, b, c) }.asJava, rightSchema)
 
+  /** Run `body` with autoBroadcastJoinThreshold = `v`, restoring after. */
+  private def withThreshold[T](v: String)(body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Execute under BOTH physical forms (broadcast index probe and
+    * shuffled merge walk) and require identical answers — every
+    * semantic test in this spec covers both execs. */
   private def run(left: org.apache.spark.sql.DataFrame,
-                  right: org.apache.spark.sql.DataFrame) =
-    AsOf.join(left, right, col("k"), col("lt"), col("rk"), col("rt"),
-        Seq(col("rid")))
-      .select(col("lid"), col("rid"))
-      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
-      .toMap
+                  right: org.apache.spark.sql.DataFrame) = {
+    def once() =
+      AsOf.join(left, right, col("k"), col("lt"), col("rk"), col("rt"),
+          Seq(col("rid")))
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val broadcast = once() // small right side → BroadcastAsOfJoinExec
+    val merged = withThreshold("-1")(once())
+    assert(broadcast == merged,
+      s"broadcast and merge-walk paths disagree: $broadcast vs $merged")
+    merged
+  }
 
   test("picks the most recent prior-or-equal right row per key") {
     val l = leftDf((1L, 10L, 100L), (1L, 20L, 101L), (2L, 15L, 102L))
@@ -121,7 +139,7 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("plans as AsOfJoinExec with hash exchanges on the keys, AQE on") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    try {
+    try withThreshold("-1") {
       val l = leftDf((1L, 10L, 100L), (2L, 20L, 101L))
       val r = rightDf((1L, 5L, 200L), (2L, 25L, 201L))
       val df = AsOf.join(l, r, col("k"), col("lt"), col("rk"), col("rt"), Nil)
@@ -134,5 +152,19 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(planStr.contains("hashpartitioning(k"), s"left not hash-partitioned:\n$planStr")
       assert(planStr.contains("hashpartitioning(rk"), s"right not hash-partitioned:\n$planStr")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("small right side selects the broadcast exec: no exchange, no sort on the left") {
+    val l = leftDf((1L, 10L, 100L), (2L, 20L, 101L), (3L, 5L, 102L))
+    val r = rightDf((1L, 5L, 200L), (2L, 25L, 201L))
+    val df = AsOf.join(l, r, col("k"), col("lt"), col("rk"), col("rt"), Nil)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    val plan = df.queryExecution.executedPlan
+    val execs = collectWithSubqueries(plan) { case e: BroadcastAsOfJoinExec => e }
+    assert(execs.nonEmpty, s"no BroadcastAsOfJoinExec in:\n$plan")
+    val planStr = plan.toString
+    assert(!planStr.contains("Exchange"), s"broadcast as-of still exchanges:\n$planStr")
+    assert(!planStr.contains("Sort "), s"broadcast as-of still sorts:\n$planStr")
   }
 }
