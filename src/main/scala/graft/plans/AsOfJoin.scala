@@ -268,6 +268,10 @@ object AsOf {
         spark.experimental.extraStrategies =
           spark.experimental.extraStrategies :+ AsOfJoinStrategy
       }
+      if (!spark.experimental.extraOptimizations.contains(AsOfJoinPruning)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ AsOfJoinPruning
+      }
     }
     val lPlan = GraftBridge.analyzed(left)
     val rPlan = GraftBridge.analyzed(right)

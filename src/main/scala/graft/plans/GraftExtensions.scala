@@ -51,5 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.kmvMinimaBuilder))
     // whole-operator extension (SURVEY §2.7 path c): as-of join planning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // custom optimizer rule: column pruning through the as-of node
+    ext.injectOptimizerRule(_ => AsOfJoinPruning)
   }
 }

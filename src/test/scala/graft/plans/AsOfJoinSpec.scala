@@ -154,6 +154,29 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("AsOfJoinPruning pushes column pruning through the as-of node to the scans") {
+    // as-of over two wide parquet tables, selecting one column per
+    // side: without the custom rule the node is a pruning barrier and
+    // every column of both tables is scanned
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_linenumber").cast("long").as("lt"),
+        col("l_extendedprice"), col("l_quantity"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"))
+    val o = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+      .select(col("o_orderkey").as("rk"), lit(0L).as("rt"),
+        col("o_totalprice"), col("o_orderstatus"), col("o_orderpriority"))
+    val df = AsOf.join(li, o, col("k"), col("lt"), col("rk"), col("rt"), Nil)
+      .select(col("l_extendedprice"), col("o_totalprice"))
+    assert(df.count() > 0)
+    val scans = df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("l_quantity") && !scans.contains("l_returnflag"),
+      s"lineitem scan not pruned through the as-of node:\n$scans")
+    assert(!scans.contains("o_orderstatus") && !scans.contains("o_orderpriority"),
+      s"orders scan not pruned through the as-of node:\n$scans")
+    assert(scans.contains("l_extendedprice") && scans.contains("o_totalprice"))
+  }
+
   test("small right side selects the broadcast exec: no exchange, no sort on the left") {
     val l = leftDf((1L, 10L, 100L), (2L, 20L, 101L), (3L, 5L, 102L))
     val r = rightDf((1L, 5L, 200L), (2L, 25L, 201L))
