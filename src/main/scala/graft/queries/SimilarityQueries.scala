@@ -520,7 +520,69 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v08: ANN recall@k evaluation ---------------------------------------
+  // The measurement half of index engineering: recall of the IVF+ADC
+  // scan (v07) against the brute-force ground truth (v01), per query
+  // and with the exact hit count. Both rankings are already
+  // deterministic (float32 scores, id tie-breaks), so recall is exact
+  // arithmetic — this is the harness that justifies nprobe/quantization
+  // choices before a 100 TB index build, run on a sampled slice.
+  private def v08(s: SparkSession, dir: String): DataFrame = {
+    val truth = v01(s, dir).select(col("q_id"), col("c_id"))
+    val approx = v07(s, dir)
+      .select(col("q_id").as("a_q"), col("c_id").as("a_c"))
+    truth.join(approx,
+        col("q_id") === col("a_q") && col("c_id") === col("a_c"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k"),
+        org.apache.spark.sql.functions.sum(
+          when(col("a_c").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .select(col("q_id"), col("k"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k")).cast("float").as("recall"))
+      .orderBy(col("q_id"))
+  }
+  private val v08Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid").mkString(", ")
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    val cosAdc = s"CAST(${dotDuck("q.embedding", "c.code")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.code", "c.code")})) AS REAL)"
+    s"""WITH truth AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |     ORDER BY $cos DESC, c.vec_id ASC) AS rank
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $nQueries)
+       | WHERE rank <= $topK),
+       |scored AS (SELECT vec_id, embedding, $scoreCols FROM embeddings),
+       |wc0 AS (SELECT vec_id, embedding, $argminExpr AS cell FROM scored),
+       |coded AS (
+       | SELECT vec_id, embedding, cell,
+       |  list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 127.0 /
+       |    NULLIF(list_max(list_transform(embedding, w -> abs(CAST(w AS DOUBLE)))), 0.0)
+       |    + 0.5) AS INTEGER)) AS code
+       | FROM wc0),
+       |approx AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |     ORDER BY $cosAdc DESC, c.vec_id ASC) AS rank
+       |  FROM coded q JOIN coded c ON q.cell = c.cell AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < $nQueries)
+       | WHERE rank <= $annK)
+       |SELECT t.q_id, COUNT(*) AS k,
+       | CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       | CAST(CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / COUNT(*) AS REAL) AS recall
+       |FROM truth t LEFT JOIN approx a ON t.q_id = a.q_id AND t.c_id = a.c_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v08_ann_recall" -> (v08 _),
     "v07_knn_ivf_adc" -> (v07 _),
     "d11_semantic_dedup" -> (d11 _),
     "v06_embedding_quantize" -> (v06 _),
@@ -532,6 +594,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v08_ann_recall" -> v08Sql,
     "v07_knn_ivf_adc" -> v07Sql,
     "d11_semantic_dedup" -> d11Sql,
     "v06_embedding_quantize" -> v06Sql,
