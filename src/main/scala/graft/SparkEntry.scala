@@ -31,7 +31,8 @@ object SparkEntry {
     JaggedQueries,
     TemporalQueries,
     SearchQueries,
-    CurationQueries
+    CurationQueries,
+    GraphQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Iterative graph analytics over relationship graphs derived from the
+  * fact tables: PageRank (the canonical "driver-iterated joins"
+  * workload) and triangle counting (the canonical "orient-then-close"
+  * self-join workload). Dup-cluster connected components already lives
+  * in `d06`/`d12`; this family adds the two other graph shapes a
+  * curation/link-analysis pipeline reaches for: authority scoring of a
+  * link graph (e.g. URL/domain ranking for crawl prioritization) and
+  * local clustering structure (community/spam signals).
+  *
+  * Determinism across engines: PageRank runs in FIXED-POINT integer
+  * micro-units — rank mass is a long, per-edge contribution is
+  * `prm div outdeg` (integer division), damping is `(85 * inc) div
+  * 100` — so every iteration is exact integer arithmetic and the
+  * cross-engine hash cannot drift no matter the aggregation order.
+  * That is the same order-free-fold discipline the repo uses for
+  * float sums (milli-long quantization), applied to an iterative
+  * algorithm where rounding error would otherwise compound per round.
+  */
+object GraphQueries extends QueryFamily {
+
+  // ---- g05: PageRank (3 fixed-point iterations) ---------------------------
+  // Graph: supplier -> part-bucket hub edges (src = l_suppkey,
+  // dst = l_partkey % 97), deduplicated. The shape mirrors a
+  // domain-link graph: many sources funneling into a bounded hub set.
+  //
+  // Scale design: the edge table (with out-degree attached) is built
+  // ONCE and localCheckpoint'ed — each of the k iterations re-joins the
+  // small rank vector against it, so the lineitem scan happens once and
+  // the per-iteration cost is one shuffle keyed by dst (at cluster
+  // scale: pre-partition edges by src and the rank vector co-locates;
+  // checkpoint per iteration caps lineage exactly as d06/d12 do). The
+  // node count is the only driver-side scalar (one count(), like a14's
+  // collected bin table) and re-enters the plan as a literal.
+  private val prIters = 3
+  private def g05(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"), (col("l_partkey") % 97).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    val nodes = edgesDeg.select(col("src").as("node"))
+      .union(edgesDeg.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val n = nodes.count()
+    val base = 150000L / n // (1 - d) * 1e6 / N, d = 0.85, floor
+    var pr = nodes.withColumn("prm", lit(1000000L / n))
+    for (_ <- 1 to prIters) {
+      val inc = edgesDeg.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("prm div outdeg")).as("inc"))
+      pr = nodes.join(inc, col("node") === col("dst"), "left")
+        .select(col("node"),
+          expr(s"$base + (85 * coalesce(inc, 0)) div 100").as("prm"))
+    }
+    pr.select(col("node"), col("prm"),
+        (col("prm").cast("double") / 1e6).cast("float").as("pr"))
+      .orderBy(col("node"))
+  }
+  private val g05Sql = {
+    val prIter = (i: Int) =>
+      s"""inc$i AS (
+         | SELECT e.dst AS node, CAST(SUM(p.prm // e.outdeg) AS BIGINT) AS inc
+         | FROM edeg e JOIN pr${i - 1} p ON p.node = e.src GROUP BY 1),
+         |pr$i AS (
+         | SELECT nd.node,
+         |  (SELECT 150000 // nn FROM n) + (85 * COALESCE(i.inc, 0)) // 100 AS prm
+         | FROM nodes nd LEFT JOIN inc$i i ON i.node = nd.node)"""
+    s"""WITH edges AS (
+       | SELECT DISTINCT l_suppkey AS src, l_partkey % 97 AS dst
+       | FROM lineitem WHERE l_suppkey != l_partkey % 97),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |edeg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (
+       | SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |n AS (SELECT COUNT(*) AS nn FROM nodes),
+       |pr0 AS (SELECT node, (SELECT 1000000 // nn FROM n) AS prm FROM nodes),
+       |${(1 to prIters).map(prIter).mkString(",\n")}
+       |SELECT node, prm, CAST(CAST(prm AS DOUBLE) / 1e6 AS REAL) AS pr
+       |FROM pr$prIters ORDER BY node""".stripMargin
+  }
+
+  // ---- g06: triangle count over the co-supply graph -----------------------
+  // Edges: supplier pairs ranked by how many distinct parts they both
+  // supply; keep the strongest decile (top n/10 by (shared DESC, u, v)
+  // — deterministic, data-dependent sparsification). Triangles close
+  // wedges in (u < v < w) orientation, so each triangle is counted
+  // exactly once and the heaviest join side is bounded by the oriented
+  // degree, the standard trick that makes triangle counting feasible
+  // on power-law graphs.
+  //
+  // Scale design: the (supplier, part) projection is deduplicated
+  // BEFORE the self-join, so pair generation is the inverted-index
+  // shuffle keyed by part (never doc x doc); the edge list is
+  // checkpointed once and feeds all three triangle-join legs. The
+  // global top-decile rank is a single window over the pair table —
+  // at 100 TB that becomes a threshold on the shared-count
+  // distribution (computed from a sample or sketch) instead of a
+  // global sort; the per-bucket report keeps the same shape.
+  private def g06(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = sp.as("a")
+      .join(sp.as("b"),
+        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("shared"))
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val wRank = Window.orderBy(col("shared").desc, col("u").asc, col("v").asc)
+    val edges = pairs.crossJoin(broadcast(tot))
+      .withColumn("erank", row_number().over(wRank))
+      .filter(col("erank") <= greatest(expr("n_pairs div 10"), lit(1L)))
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val total = tri.agg(count(lit(1)).as("n_triangles"))
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val wTop = Window.orderBy(col("n_tri").desc, col("node").asc)
+    perNode.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("node"), col("n_tri"), col("n_triangles"))
+      .orderBy(col("rank"))
+  }
+  private val g06Sql =
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
+      | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+      |ranked AS (
+      | SELECT u, v,
+      |  ROW_NUMBER() OVER (ORDER BY shared DESC, u ASC, v ASC) AS erank,
+      |  (SELECT COUNT(*) FROM pairs) AS n_pairs
+      | FROM pairs),
+      |edges AS (
+      | SELECT u, v FROM ranked
+      | WHERE erank <= GREATEST(n_pairs // 10, 1)),
+      |tri AS (
+      | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      | FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+      | JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |pernode AS (
+      | SELECT node, COUNT(*) AS n_tri FROM (
+      |  SELECT a AS node FROM tri UNION ALL
+      |  SELECT b FROM tri UNION ALL
+      |  SELECT c FROM tri) GROUP BY 1)
+      |SELECT rank, node, n_tri, (SELECT COUNT(*) FROM tri) AS n_triangles
+      |FROM (SELECT node, n_tri,
+      |       ROW_NUMBER() OVER (ORDER BY n_tri DESC, node ASC) AS rank
+      |      FROM pernode)
+      |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g05_pagerank" -> (g05 _),
+    "g06_triangle_count" -> (g06 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g05_pagerank" -> g05Sql,
+    "g06_triangle_count" -> g06Sql
+  )
+}

@@ -458,7 +458,105 @@ object TemporalQueries extends QueryFamily {
        | MAX(pt) - MAX(CASE WHEN rn_l = 1 THEN ct END) AS last_lag_us
        |FROM j GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  // ---- u06: time-spine gap fill + forward fill -----------------------------
+  // The resampling primitive behind every time-series feature pipeline:
+  // densify each user's activity onto a daily spine (sequence + explode
+  // — a generator, no join against a calendar table) and forward-fill
+  // the last observed daily total across gap days with a last-non-null
+  // window. Day arithmetic stays in integer epoch-day space (ts is
+  // nanos) and per-row values are quantized to milli-longs BEFORE the
+  // daily sum, so the fold is order-free — the repo's standard
+  // cross-engine float discipline (see n02/s06).
+  //
+  // Scale: the spine explode multiplies rows by span/user (bounded by
+  // the date range, not the data); the single window sort is keyed by
+  // user — the same one-shuffle shape as sessionization. No collect,
+  // no calendar broadcast.
+  private val nsPerDay = 86400000000000L
+  private def u06(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val daily = ev
+      .select(col("user_id"), expr(s"ts div $nsPerDay").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("vm")).as("day_vm"), count(lit(1)).as("n_events"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_vm", last(col("day_vm"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"),
+        coalesce(col("day_vm"), lit(-1L)).as("day_vm"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("filled_vm"),
+        col("day_vm").isNull.as("is_gap"))
+      .orderBy(col("user_id"), col("day"))
+  }
+  private val u06Sql =
+    s"""WITH daily AS (
+       | SELECT user_id, epoch_ns(ts) // $nsPerDay AS day,
+       |  CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS day_vm,
+       |  COUNT(*) AS n_events
+       | FROM events GROUP BY 1, 2),
+       |spine AS (
+       | SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day))) AS day
+       | FROM daily GROUP BY user_id)
+       |SELECT s.user_id, s.day,
+       | COALESCE(d.day_vm, -1) AS day_vm,
+       | COALESCE(d.n_events, 0) AS n_events,
+       | LAST_VALUE(d.day_vm IGNORE NULLS)
+       |   OVER (PARTITION BY s.user_id ORDER BY s.day ASC
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_vm,
+       | d.day_vm IS NULL AS is_gap
+       |FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+       |ORDER BY s.user_id, s.day""".stripMargin
+
+  // ---- u07: OHLC resample (downsample to hourly bars) ----------------------
+  // Classic tick -> bar resampling: per (user, hour) take the first
+  // value (open), last value (close), min/max (low/high) and the event
+  // count. Open/close are PICKS (row_number on the (ts, event_id)
+  // order, both directions over ONE partitioning — one shuffle, two
+  // window passes), min/max are exact — no float folds anywhere, so no
+  // quantization is needed.
+  private val nsPerHour = 3600000000000L
+  private def u07(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        expr(s"ts div $nsPerHour").as("hour"))
+    val wA = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wD = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn_a", row_number().over(wA))
+      .withColumn("rn_d", row_number().over(wD))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+  private val u07Sql =
+    s"""WITH base AS (
+       | SELECT user_id, epoch_ns(ts) // $nsPerHour AS hour, value,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // $nsPerHour
+       |    ORDER BY epoch_ns(ts) ASC, event_id ASC) AS rn_a,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id, epoch_ns(ts) // $nsPerHour
+       |    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_d
+       | FROM events)
+       |SELECT user_id, hour, COUNT(*) AS n,
+       | MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       | MAX(value) AS high, MIN(value) AS low,
+       | MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+       |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u06_gap_fill" -> (u06 _),
+    "u07_resample_ohlc" -> (u07 _),
     "u05_touch_attribution" -> (u05 _),
     "u04_cdc_apply" -> (u04 _),
     "u01_funnel_order" -> (u01 _),
@@ -476,6 +574,8 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u06_gap_fill" -> u06Sql,
+    "u07_resample_ohlc" -> u07Sql,
     "u05_touch_attribution" -> u05Sql,
     "u04_cdc_apply" -> u04Sql,
     "u01_funnel_order" -> u01Sql,
