@@ -268,7 +268,107 @@ object MLQueries extends QueryFamily {
        |SELECT n, $outs FROM a""".stripMargin
   }
 
+  // ---- m06 / m07: classifier evaluation harness ----------------------------
+  // The eval side of the t13 quality-classifier story: a
+  // precision/recall/F1 sweep over score thresholds (m06) and exact
+  // rank-based AUC (m07). Both run on a deterministic integer-MILLI
+  // score (an LCG hash of doc_id plus a language prior), so every
+  // comparison and every fold is integer arithmetic — the cross-engine
+  // determinism discipline the repo uses everywhere float order could
+  // drift. Labels: lang = 'en'.
+  private val evalScore =
+    "(600 * ((doc_id * 1103515245 + 12345) % 997)) div 997 + " +
+      "(CASE WHEN lang = 'en' THEN 350 ELSE 0 END)"
+  private val evalScoreDuck = evalScore.replace(" div ", " // ")
+
+  // m06: confusion counts + P/R/F1 at 9 thresholds in one pass. The
+  // 9-row threshold grid fans out via a generator (broadcast-free);
+  // the aggregate is map-side combined, so the full sweep costs one
+  // scan + one 9-group shuffle at any corpus size. F1 uses the
+  // single-division form 2tp/(2tp+fp+fn) — one integer-ratio cast,
+  // no composed float arithmetic.
+  private def m06(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    d.select(col("sm"), col("y"),
+        explode(expr("sequence(100L, 900L, 100L)")).as("thr"))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("sm") >= col("thr"), col("y")).otherwise(0L)).as("tp"),
+        sum(when(col("sm") >= col("thr"), lit(1L) - col("y")).otherwise(0L)).as("fp"),
+        sum(when(col("sm") < col("thr"), col("y")).otherwise(0L)).as("fn"),
+        sum(when(col("sm") < col("thr"), lit(1L) - col("y")).otherwise(0L)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CAST(CASE WHEN tp + fp = 0 THEN -1.0D ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS FLOAT)").as("precision"),
+        expr("CAST(CASE WHEN tp + fn = 0 THEN -1.0D ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS FLOAT)").as("recall"),
+        expr("CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1.0D ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS FLOAT)").as("f1"))
+      .orderBy(col("thr"))
+  }
+  private val m06Sql =
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |conf AS (
+       | SELECT thr,
+       |  CAST(SUM(CASE WHEN sm >= thr THEN y ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN sm >= thr THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN sm < thr THEN y ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN sm < thr THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+       | FROM d CROSS JOIN (SELECT UNNEST(generate_series(100, 900, 100)) AS thr)
+       | GROUP BY thr)
+       |SELECT thr, tp, fp, fn, tn,
+       | CAST(CASE WHEN tp + fp = 0 THEN -1.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS REAL) AS precision,
+       | CAST(CASE WHEN tp + fn = 0 THEN -1.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS REAL) AS recall,
+       | CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1.0 ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS REAL) AS f1
+       |FROM conf ORDER BY thr""".stripMargin
+
+  // m07: exact AUC by the Mann-Whitney rank-sum identity with average
+  // ranks for ties: AUC = (S2 - npos*(npos+1)) / (2*npos*nneg) where
+  // S2 = sum over positives of (2*min_rank + tie_count - 1) — every
+  // term integer, one global sort (distributed range-sort at scale),
+  // one aggregate. This is the exact-AUC shape that needs no
+  // per-threshold sweep and no float accumulation.
+  private def m07(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val wR = Window.orderBy(col("sm").asc)
+    val wT = Window.partitionBy(col("sm"))
+    d.withColumn("rk", rank().over(wR))
+      .withColumn("tie", count(lit(1)).over(wT))
+      .agg(
+        sum(col("y")).as("npos"),
+        (count(lit(1)) - sum(col("y"))).as("nneg"),
+        sum(when(col("y") === 1, lit(2L) * col("rk") + col("tie") - 1L)
+          .otherwise(0L)).as("s2"))
+      .select(col("npos"), col("nneg"),
+        expr("CAST(CAST(s2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) AS FLOAT)")
+          .as("auc"))
+  }
+  private val m07Sql =
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |ranked AS (
+       | SELECT y, RANK() OVER (ORDER BY sm ASC) AS rk,
+       |  COUNT(*) OVER (PARTITION BY sm) AS tie
+       | FROM d),
+       |agg AS (
+       | SELECT CAST(SUM(y) AS BIGINT) AS npos,
+       |  CAST(COUNT(*) - SUM(y) AS BIGINT) AS nneg,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 2 * rk + tie - 1 ELSE 0 END) AS BIGINT) AS s2
+       | FROM ranked)
+       |SELECT npos, nneg,
+       | CAST(CAST(s2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) AS REAL) AS auc
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m06_threshold_sweep" -> (m06 _),
+    "m07_auc_exact" -> (m07 _),
     "m05_logreg_step" -> (m05 _),
     "m01_fold_split" -> (m01 _),
     "m02_feature_prep" -> (m02 _),
@@ -277,6 +377,8 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m06_threshold_sweep" -> m06Sql,
+    "m07_auc_exact" -> m07Sql,
     "m05_logreg_step" -> m05Sql,
     "m01_fold_split" -> m01Sql,
     "m02_feature_prep" -> m02Sql,

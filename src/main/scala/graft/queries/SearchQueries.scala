@@ -32,7 +32,9 @@ object SearchQueries extends QueryFamily {
   private val bmTerms = Seq("join", "hash", "scan")
   private val bmK1 = "1.2"; private val bmB = "0.75"
   private val bmTopK = 50
-  private def w01(s: SparkSession, dir: String): DataFrame = {
+  /** BM25-ranked top-K list, shared by w01 (formatting) and w04 (RRF
+    * fusion). Returns (rank, doc_id, tf0..tf2, score), rank <= bmTopK. */
+  private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
       expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
@@ -62,12 +64,18 @@ object SearchQueries extends QueryFamily {
       .filter(col("score") > 0.0f)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= bmTopK)
+      .select(col("rank"), col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
+        col("score"))
+  }
+  private def w01(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir)
       .select(col("rank"), col("doc_id"),
         col("tf0").as("tf_" + bmTerms(0)), col("tf1").as("tf_" + bmTerms(1)),
         col("tf2").as("tf_" + bmTerms(2)), col("score"))
       .orderBy(col("rank"))
-  }
-  private val w01Sql = {
+  /** DuckDB CTE chain ending in `bmranked(rank, doc_id, tf0..2, score)`
+    * — the SQL twin of [[bm25Ranked]], shared by w01Sql and w04Sql. */
+  private val bm25RankedCtes = {
     val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
     }.mkString(", ")
@@ -78,7 +86,7 @@ object SearchQueries extends QueryFamily {
       s"($idf * (tf$i * ($bmK1 + 1.0)) / " +
         s"(tf$i + $bmK1 * (1.0 - $bmB + $bmB * dl / avgdl)))"
     }.mkString(" + ")
-    s"""WITH base AS (
+    s"""base AS (
        | SELECT doc_id, len(string_split(text, ' ')) AS dl, $tfCols
        | FROM documents),
        |stats AS (
@@ -88,13 +96,18 @@ object SearchQueries extends QueryFamily {
        |scored AS (
        | SELECT doc_id, tf0, tf1, tf2,
        |  CAST($termScore AS REAL) AS score
-       | FROM base CROSS JOIN stats)
+       | FROM base CROSS JOIN stats),
+       |bmranked AS (
+       | SELECT rank, doc_id, tf0, tf1, tf2, score
+       | FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |       FROM scored WHERE score > 0.0)
+       | WHERE rank <= $bmTopK)""".stripMargin
+  }
+  private val w01Sql =
+    s"""WITH $bm25RankedCtes
        |SELECT rank, doc_id, tf0 AS tf_${bmTerms(0)}, tf1 AS tf_${bmTerms(1)},
        | tf2 AS tf_${bmTerms(2)}, score
-       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
-       |      FROM scored WHERE score > 0.0)
-       |WHERE rank <= $bmTopK ORDER BY rank""".stripMargin
-  }
+       |FROM bmranked ORDER BY rank""".stripMargin
 
   // ---- w02: Z-order (Morton) layout clustering -----------------------------
   // The multi-dimensional data-layout key behind OPTIMIZE ZORDER /
@@ -321,7 +334,156 @@ object SearchQueries extends QueryFamily {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- shared cosine retriever (w04 / w05) --------------------------------
+  // Embedding-cosine ranked list for a query vector taken from the
+  // embeddings table itself (vec_id = qId), excluding the query row.
+  // Uses the native codegen'd array_dot (same kernel as v01); the
+  // 1-row query side is broadcast, so the retrieval is one scan of the
+  // candidate table — the brute-force baseline shape. Float32 cast
+  // absorbs ulp; c_id breaks score ties (repo convention).
+  private def dotDuck(x: String, y: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($x)), " +
+      s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE))), (acc, v) -> acc + v)"
+  private def cosRanked(s: SparkSession, dir: String, qId: Int, topK: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = rd(s, dir, "embeddings")
+      .withColumn("norm", sqrt(expr("array_dot(embedding, embedding)")))
+    val q = e.filter(col("vec_id") === qId)
+      .select(col("embedding").as("q_emb"), col("norm").as("q_norm"),
+        col("label").as("q_label"))
+    val cos = (expr("array_dot(q_emb, embedding)") / (col("q_norm") * col("norm")))
+      .cast("float")
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    e.filter(col("vec_id") =!= qId).crossJoin(broadcast(q))
+      .withColumn("cos", cos)
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= topK)
+      .select(col("crank"), col("vec_id"), col("cos"), col("label"),
+        col("q_label"))
+  }
+  private def cosRankedSql(qId: Int, topK: Int): String = {
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * " +
+      s"SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""cosranked AS (
+       | SELECT crank, vec_id, cos, label, q_label FROM (
+       |  SELECT c.vec_id, $cos AS cos, c.label, q.label AS q_label,
+       |   ROW_NUMBER() OVER (ORDER BY $cos DESC, c.vec_id ASC) AS crank
+       |  FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id = $qId) q
+       |  WHERE c.vec_id != $qId)
+       | WHERE crank <= $topK)""".stripMargin
+  }
+
+  // ---- w04: hybrid retrieval — reciprocal-rank fusion ---------------------
+  // The standard two-retriever fusion (Cormack et al. RRF, k = 60):
+  // the lexical BM25 top-50 and the dense cosine top-50 are FULL OUTER
+  // joined on doc id (documents.doc_id ≡ embeddings.vec_id in this
+  // corpus) and each doc scores sum(1 / (60 + rank_i)) over the lists
+  // that retrieved it. Both inputs are rank INTEGERS, so the two-term
+  // double sum is exact IEEE arithmetic with a fixed left-to-right
+  // order — deterministic across engines without quantization.
+  //
+  // Scale: each retriever's top-K is tiny; the fusion join is
+  // broadcast-sized by construction (K rows per list, never corpus-
+  // sized). The expensive parts — BM25 stats, ANN scan — keep their
+  // own family's scale shapes (w01, v01-v07).
+  private val rrfK = 60
+  private val rrfTopN = 20
+  private def w04(s: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Ranked(s, dir).select(col("doc_id"), col("rank").as("bm_rank"))
+    val cs = cosRanked(s, dir, qId = 0, topK = bmTopK)
+      .select(col("vec_id").as("doc_id"), col("crank").as("cos_rank"))
+    val fused = bm.join(cs, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        expr(s"coalesce(1.0D / ($rrfK + bm_rank), 0.0D) + " +
+          s"coalesce(1.0D / ($rrfK + cos_rank), 0.0D)"))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= rrfTopN)
+      .select(col("rank"), col("doc_id"),
+        coalesce(col("bm_rank"), lit(-1)).as("bm_rank"),
+        coalesce(col("cos_rank"), lit(-1)).as("cos_rank"), col("rrf"))
+      .orderBy(col("rank"))
+  }
+  private val w04Sql =
+    s"""WITH $bm25RankedCtes,
+       |${cosRankedSql(0, bmTopK)},
+       |fused AS (
+       | SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id, b.rank AS bm_rank,
+       |  c.crank AS cos_rank,
+       |  COALESCE(CAST(1 AS DOUBLE) / ($rrfK + b.rank), CAST(0 AS DOUBLE)) +
+       |   COALESCE(CAST(1 AS DOUBLE) / ($rrfK + c.crank), CAST(0 AS DOUBLE)) AS rrf
+       | FROM bmranked b FULL OUTER JOIN cosranked c ON b.doc_id = c.vec_id)
+       |SELECT rank, doc_id, COALESCE(bm_rank, -1) AS bm_rank,
+       | COALESCE(cos_rank, -1) AS cos_rank, rrf
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+       |      FROM fused)
+       |WHERE rank <= $rrfTopN ORDER BY rank""".stripMargin
+
+  // ---- w05: retrieval quality — NDCG@10 -----------------------------------
+  // The eval harness that justifies a retriever before an index build
+  // (companion to v08's recall@k): binary relevance = label match
+  // between query and candidate, DCG discounts by 1/log2(rank + 1),
+  // ideal DCG ranks all n_rel relevant docs first. Per-term discounts
+  // are micro-quantized to longs BEFORE summing (the repo's order-free
+  // fold discipline), so the 10-term sum cannot drift across engines.
+  // One output row per query id.
+  private val ndcgK = 10
+  private val ndcgQueries = Seq(0, 1, 2)
+  private def w05one(s: SparkSession, dir: String, qId: Int): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    val ranked = cosRanked(s, dir, qId, ndcgK)
+      .withColumn("rel", when(col("label") === col("q_label"), 1L).otherwise(0L))
+      .withColumn("dterm",
+        expr("CAST(floor(rel * 1e6 / log2(crank + 1) + 0.5) AS BIGINT)"))
+    val nRel = e.filter(col("vec_id") =!= qId)
+      .join(broadcast(e.filter(col("vec_id") === qId)
+        .select(col("label").as("q_label"))))
+      .filter(col("label") === col("q_label"))
+      .agg(count(lit(1)).as("n_rel"))
+    ranked.agg(sum(col("dterm")).as("dcg_micro")).crossJoin(broadcast(nRel))
+      .withColumn("idcg_micro", expr(
+        s"aggregate(sequence(1, CAST(least($ndcgK, n_rel) AS INT)), 0L, " +
+          "(acc, i) -> acc + CAST(floor(1e6 / log2(i + 1) + 0.5) AS BIGINT))"))
+      .select(lit(qId.toLong).as("q_id"), col("n_rel"), col("dcg_micro"),
+        col("idcg_micro"),
+        (col("dcg_micro").cast("double") / col("idcg_micro")).cast("float")
+          .as("ndcg"))
+  }
+  private def w05(s: SparkSession, dir: String): DataFrame =
+    ndcgQueries.map(w05one(s, dir, _)).reduce(_.unionAll(_))
+      .orderBy(col("q_id"))
+  private val w05Sql = {
+    val one = (qId: Int) =>
+      s"""SELECT $qId AS q_id,
+         | (SELECT COUNT(*) FROM embeddings c, embeddings q
+         |  WHERE q.vec_id = $qId AND c.vec_id != $qId AND c.label = q.label) AS n_rel,
+         | (SELECT CAST(SUM(CAST(FLOOR((CASE WHEN label = q_label THEN 1 ELSE 0 END)
+         |     * 1e6 / log2(crank + 1) + 0.5) AS BIGINT)) AS BIGINT)
+         |  FROM q$qId) AS dcg_micro
+         |FROM (SELECT 1)"""
+    val body = ndcgQueries.map { qId =>
+      s"""q$qId AS (${cosRankedSql(qId, ndcgK).replace("cosranked AS (", "").dropRight(1)})"""
+    }.mkString(",\n")
+    val rows = ndcgQueries.map(one).mkString("\nUNION ALL\n")
+    s"""WITH $body,
+       |raw AS ($rows)
+       |SELECT q_id, n_rel, dcg_micro,
+       | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(generate_series(1, LEAST($ndcgK, n_rel)),
+       |     i -> CAST(FLOOR(1e6 / log2(i + 1) + 0.5) AS BIGINT))),
+       |   (acc, v) -> acc + v) AS BIGINT) AS idcg_micro,
+       | CAST(CAST(dcg_micro AS DOUBLE) /
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |   list_transform(generate_series(1, LEAST($ndcgK, n_rel)),
+       |     i -> CAST(FLOOR(1e6 / log2(i + 1) + 0.5) AS BIGINT))),
+       |   (acc, v) -> acc + v) AS BIGINT) AS REAL) AS ndcg
+       |FROM raw ORDER BY q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w04_rrf_fusion" -> (w04 _),
+    "w05_ndcg_eval" -> (w05 _),
     "k03_bloom_filter" -> (k03 _),
     "w03_phrase_search" -> (w03 _),
     "w01_bm25_rank" -> (w01 _),
@@ -331,6 +493,8 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w04_rrf_fusion" -> w04Sql,
+    "w05_ndcg_eval" -> w05Sql,
     "k03_bloom_filter" -> k03Sql,
     "w03_phrase_search" -> w03Sql,
     "w01_bm25_rank" -> w01Sql,

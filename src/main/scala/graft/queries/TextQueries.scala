@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * token counting, quality scoring, language ID, fingerprinting,
@@ -347,7 +348,95 @@ object TextQueries extends QueryFamily {
        | md5(substring(text, chunk_idx * $chunkS + 1, $chunkW)) AS chunk_hash
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---- t17: BPE merge-candidate pair counts --------------------------------
+  // One step of byte-pair-encoding tokenizer TRAINING: count adjacent
+  // character pairs across the corpus, weighted by word frequency —
+  // the argmax pair is the next merge. The corpus collapses to its
+  // word-frequency table FIRST (vocab-sized, tiny vs corpus), so the
+  // per-word character-pair explode runs over |vocab| rows, not |docs|
+  // — at 100 TB the heavy shuffle is the word count (map-side
+  // combined), and the pair stage is effectively free. That
+  // count-then-explode order is the thing that makes distributed BPE
+  // training feasible; counting pairs directly off raw text would
+  // shuffle corpus-sized intermediate data per merge step.
+  private val bpeTopK = 20
+  private def t17(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val words = d.select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    val pairs = words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, CAST(length(word) - 1 AS INT)), " +
+          "i -> substring(word, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("pair").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= bpeTopK)
+      .select(col("rank"), col("pair"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+  private val t17Sql =
+    s"""WITH words AS (
+       | SELECT word, COUNT(*) AS wc FROM (
+       |  SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+       | WHERE LENGTH(word) >= 2 GROUP BY 1),
+       |pairs AS (
+       | SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+       |  SELECT wc, UNNEST(list_transform(generate_series(1, LENGTH(word) - 1),
+       |    i -> substring(word, CAST(i AS INT), 2))) AS pair
+       |  FROM words) GROUP BY 1)
+       |SELECT rank, pair, cnt
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rank
+       |      FROM pairs)
+       |WHERE rank <= $bpeTopK ORDER BY rank""".stripMargin
+
+  // ---- t18: per-document TF-IDF top terms ----------------------------------
+  // The classic keyword-extraction reduction: explode (doc, term),
+  // aggregate term frequency per doc, join the corpus document
+  // frequency (vocab-sized — broadcast), score tf * ln(N / df), keep
+  // the top 3 terms per doc. The (doc, term) explode is the standard
+  // inverted-index shuffle; df and N are the only corpus-wide state.
+  // Score is cast to float32 (absorbs ln() last-ulp differences
+  // between libm and the JVM, the same discipline as w01's BM25).
+  private val tfidfTopK = 3
+  private def t18(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        expr("CAST(tf * ln(CAST(n_docs AS DOUBLE) / df) AS FLOAT)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= tfidfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+  private val t18Sql =
+    s"""WITH tf AS (
+       | SELECT doc_id, term, COUNT(*) AS tf FROM (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+       | WHERE LENGTH(term) > 0 GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       | SELECT t.doc_id, t.term, t.tf,
+       |  CAST(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df) AS REAL) AS tfidf
+       | FROM tf t JOIN df d USING (term) CROSS JOIN n)
+       |SELECT doc_id, rank, term, tf, tfidf
+       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY tfidf DESC, term ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $tfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_bpe_pairs" -> (t17 _),
+    "t18_tfidf_topk" -> (t18 _),
     "t12_chunk_overlap" -> (t12 _),
     "t11_sequence_pack" -> (t11 _),
     "t10_repetition" -> (t10 _),
@@ -363,6 +452,8 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t17_bpe_pairs" -> t17Sql,
+    "t18_tfidf_topk" -> t18Sql,
     "t12_chunk_overlap" -> t12Sql,
     "t11_sequence_pack" -> t11Sql,
     "t10_repetition" -> t10Sql,
