@@ -51,14 +51,21 @@ object GraphQueries extends QueryFamily {
       .distinct().localCheckpoint()
     val n = nodes.count()
     val base = 150000L / n // (1 - d) * 1e6 / N, d = 0.85, floor
+    val srcs = edgesDeg.select(col("src")).distinct()
     var pr = nodes.withColumn("prm", lit(1000000L / n))
     for (_ <- 1 to prIters) {
       val inc = edgesDeg.join(pr, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("prm div outdeg")).as("inc"))
+      // dangling nodes (no out-edges) spread their mass uniformly —
+      // without this, hub-heavy graphs leak rank every round
+      val dang = pr.join(srcs, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("prm")), lit(0L)).as("dm"))
       pr = nodes.join(inc, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
-          expr(s"$base + (85 * coalesce(inc, 0)) div 100").as("prm"))
+          expr(s"$base + (85 * (coalesce(inc, 0) + dm div $n)) div 100")
+            .as("prm"))
     }
     pr.select(col("node"), col("prm"),
         (col("prm").cast("double") / 1e6).cast("float").as("pr"))
@@ -69,9 +76,14 @@ object GraphQueries extends QueryFamily {
       s"""inc$i AS (
          | SELECT e.dst AS node, CAST(SUM(p.prm // e.outdeg) AS BIGINT) AS inc
          | FROM edeg e JOIN pr${i - 1} p ON p.node = e.src GROUP BY 1),
+         |dang$i AS (
+         | SELECT CAST(COALESCE(SUM(p.prm), 0) AS BIGINT) AS dm
+         | FROM pr${i - 1} p LEFT JOIN (SELECT DISTINCT src FROM edges) s
+         |   ON s.src = p.node WHERE s.src IS NULL),
          |pr$i AS (
          | SELECT nd.node,
-         |  (SELECT 150000 // nn FROM n) + (85 * COALESCE(i.inc, 0)) // 100 AS prm
+         |  (SELECT 150000 // nn FROM n) +
+         |   (85 * (COALESCE(i.inc, 0) + (SELECT dm FROM dang$i) // (SELECT nn FROM n))) // 100 AS prm
          | FROM nodes nd LEFT JOIN inc$i i ON i.node = nd.node)"""
     s"""WITH edges AS (
        | SELECT DISTINCT l_suppkey AS src, l_partkey % 97 AS dst

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-4 additions: graph analytics,
+  * retrieval fusion/eval, time-series resampling, and classifier
+  * evaluation. The DuckDB gate proves cross-engine equality; these
+  * tests prove the MATH means what the operator claims (rank mass
+  * conservation, metric bounds, OHLC ordering, monotone recall). */
+class GraphEvalSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+
+  test("g05: PageRank mass is conserved up to fixed-point truncation") {
+    val pr = GraphQueries.queries("g05_pagerank")(spark, dir)
+    val agg = pr.agg(sum("prm").as("mass"), min("prm").as("mn")).collect()(0)
+    val mass = agg.getLong(0)
+    // truncation only loses mass; 3 rounds of floor() stay within 15%
+    assert(mass <= 1000000L, s"mass $mass exceeds 1.0")
+    assert(mass >= 850000L, s"mass $mass lost too much to truncation")
+    assert(agg.getLong(1) > 0L, "every node keeps positive rank")
+  }
+
+  test("g06: triangle report is internally consistent") {
+    val t = GraphQueries.queries("g06_triangle_count")(spark, dir).collect()
+    assert(t.nonEmpty)
+    val total = t.head.getAs[Long]("n_triangles")
+    assert(t.forall(_.getAs[Long]("n_triangles") == total))
+    assert(t.forall(_.getAs[Long]("n_tri") > 0L))
+    // per-node counts are sorted by the rank column
+    val byRank = t.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("n_tri"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("w05: NDCG is bounded and idcg dominates dcg") {
+    val r = SearchQueries.queries("w05_ndcg_eval")(spark, dir).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      val ndcg = row.getAs[Float]("ndcg")
+      assert(ndcg >= 0.0f && ndcg <= 1.0f, s"ndcg out of range: $ndcg")
+      assert(row.getAs[Long]("idcg_micro") >= row.getAs[Long]("dcg_micro"))
+    }
+  }
+
+  test("w04: fused list only contains docs from at least one retriever") {
+    val r = SearchQueries.queries("w04_rrf_fusion")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Int]("bm_rank") > 0 || row.getAs[Int]("cos_rank") > 0)
+      assert(row.getAs[Double]("rrf") > 0.0)
+    }
+  }
+
+  test("m06: recall is monotone non-increasing in the threshold") {
+    val r = MLQueries.queries("m06_threshold_sweep")(spark, dir)
+      .orderBy("thr").collect()
+    assert(r.length == 9)
+    val recalls = r.map(_.getAs[Float]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b })
+    val n = r.map(x => x.getAs[Long]("tp") + x.getAs[Long]("fp") +
+      x.getAs[Long]("fn") + x.getAs[Long]("tn")).distinct
+    assert(n.length == 1, "confusion quadrants must sum to corpus size")
+  }
+
+  test("m07: AUC lies in [0, 1] and beats coin-flip on the biased score") {
+    val row = MLQueries.queries("m07_auc_exact")(spark, dir).collect()(0)
+    val auc = row.getAs[Float]("auc")
+    assert(auc >= 0.0f && auc <= 1.0f)
+    // the score has a +0.35 prior on the positive class
+    assert(auc > 0.5f, s"expected informative score, got auc=$auc")
+  }
+
+  test("u07: OHLC bars order low <= open/close <= high") {
+    val r = TemporalQueries.queries("u07_resample_ohlc")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { b =>
+      val (o, h, l, c) = (b.getAs[Double]("open"), b.getAs[Double]("high"),
+        b.getAs[Double]("low"), b.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
+  test("u06: gap days carry zero events and inherit the last filled value") {
+    val df = TemporalQueries.queries("u06_gap_fill")(spark, dir)
+    val gaps = df.filter(col("is_gap"))
+    assert(gaps.filter(col("n_events") =!= 0L).count() == 0L)
+    // the spine is dense: per user, rows == max(day) - min(day) + 1
+    val spans = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), (max("day") - min("day") + 1L).as("span"))
+    assert(spans.filter(col("n") =!= col("span")).count() == 0L)
+  }
+
+  test("g05: iterations run off the checkpointed edge table, not the scan") {
+    val pr = GraphQueries.queries("g05_pagerank")(spark, dir)
+    val plan = pr.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      "final PageRank plan should iterate over checkpointed edges, " +
+        "not rescan lineitem")
+  }
+}
