@@ -780,7 +780,89 @@ object DedupQueries extends QueryFamily {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- d17: asymmetric containment dedup ----------------------------------
+  // Catches doc-inside-doc duplication that symmetric Jaccard misses: a
+  // 200-char quote fully contained in a 2000-char page has tiny Jaccard
+  // but containment |A∩B| / min(|A|,|B|) ≈ 1. Candidates come from the
+  // d02/d03 minhash machinery WITHOUT the length-bucket gate (the whole
+  // point is pairs of very different lengths); the 12 permutation
+  // minima pack into 3 bands of 4 rows (Horner band key — the d03
+  // multi-row trick) so a collision needs 4 simultaneous minima
+  // matches. On a degenerate near-similar corpus single-row bands
+  // collide half the table and the candidate join explodes; packed
+  // bands keep the ids-only shuffle O(docs × 3) with candidates
+  // tracking true near-containment. Exact verify uses the native merge-walk
+  // intersect over the checkpointed shingle table.
+  private val containThresh = 0.9
+  private val containBandRows = 4
+  private def d17(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents")
+    val docs = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+    val nBands = d02Perms / containBandRows
+    val packExpr = (0 until containBandRows)
+      .map(r => s"element_at(mh, b * $containBandRows + ${r + 1})")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, v) => s"($acc * 31 + $v)")
+    val sigs = docs.select(col("doc_id"), col("sh"),
+      expr(s"minhash_sig(sh, $d02Perms)").as("mh"))
+      .localCheckpoint()
+    val packed = sigs.select(col("doc_id"), posexplode(expr(
+      s"transform(sequence(0, ${nBands - 1}), b -> $packExpr)"))
+      .as(Seq("band_idx", "band_val")))
+    val cand = packed.as("x")
+      .join(packed.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val withSh = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
+    withSh
+      .withColumn("containment",
+        (inter / least(size(col("a_sh")), size(col("b_sh"))).cast("double"))
+          .cast("float"))
+      .filter(col("containment") >= containThresh)
+      .select(col("a_id"), col("b_id"), col("containment"),
+        when(size(col("a_sh")) <= size(col("b_sh")), lit("a_in_b"))
+          .otherwise(lit("b_in_a")).as("direction"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val d17Sql = {
+    val nBands = d02Perms / containBandRows
+    val mh = (k: Int) => s"list_min(list_transform(sh, " +
+      s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))"
+    val bandSelects = (0 until nBands).map { b =>
+      val packed = (0 until containBandRows)
+        .map(r => mh(b * containBandRows + r))
+        .foldLeft("CAST(0 AS BIGINT)")((acc, v) => s"($acc * 31 + $v)")
+      s"SELECT doc_id, $b AS band_idx, $packed AS band_val FROM docs"
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       | SELECT doc_id, $shinglesDuck AS sh FROM documents),
+       |bands AS ($bandSelects),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       | FROM bands x JOIN bands y
+       |   ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  AND x.doc_id < y.doc_id),
+       |scored AS (
+       | SELECT a_id, b_id,
+       |  CAST(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |    / LEAST(len(da.sh), len(db.sh)) AS REAL) AS containment,
+       |  CASE WHEN len(da.sh) <= len(db.sh) THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+       | FROM cand JOIN docs da ON da.doc_id = cand.a_id
+       |  JOIN docs db ON db.doc_id = cand.b_id)
+       |SELECT a_id, b_id, containment, direction
+       |FROM scored WHERE containment >= $containThresh
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_containment" -> (d17 _),
     "d15_normalized_dedup" -> (d15 _),
     "d16_cdc_chunking" -> (d16 _),
     "d14_paragraph_rewrite" -> (d14 _),
@@ -796,6 +878,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d17_containment" -> d17Sql,
     "d15_normalized_dedup" -> d15Sql,
     "d16_cdc_chunking" -> d16Sql,
     "d14_paragraph_rewrite" -> d14Sql,

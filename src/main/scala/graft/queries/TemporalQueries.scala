@@ -554,7 +554,53 @@ object TemporalQueries extends QueryFamily {
        | MAX(CASE WHEN rn_d = 1 THEN value END) AS close
        |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- u08: peak concurrency (sweep line) ----------------------------------
+  // Interval-overlap aggregation: each event opens a session of
+  // value-derived length; the classic sweep line (+1 at start, -1 at
+  // end, running sum over one global (t, delta) order) yields exact
+  // concurrency, and a per-day max reports the daily peak. Half-open
+  // [start, end) semantics: at equal t the -1 sorts first. ONE sort
+  // shuffle for the running sum (a distributed range-sort at scale —
+  // the same shape as any global window) and a tiny per-day aggregate;
+  // session length derives from the milli-quantized value so every
+  // comparison is integer.
+  private def u08(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), col("ts"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("dur_ns", (col("vm") % 30 + 1) * lit(60000000000L))
+    val deltas = ev.select(col("ts").as("t"), lit(1).as("delta"), col("event_id"))
+      .unionAll(ev.select((col("ts") + col("dur_ns")).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    val w = Window.orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("conc", sum(col("delta")).over(w))
+      .withColumn("day", expr(s"t div $nsPerDay"))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+      .orderBy(col("day"))
+  }
+  private val u08Sql =
+    s"""WITH ev AS (
+       | SELECT event_id, epoch_ns(ts) AS t,
+       |  (CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) % 30 + 1) * 60000000000 AS dur_ns
+       | FROM events),
+       |deltas AS (
+       | SELECT t, 1 AS delta, event_id FROM ev
+       | UNION ALL
+       | SELECT t + dur_ns AS t, -1 AS delta, event_id FROM ev),
+       |swept AS (
+       | SELECT t // $nsPerDay AS day, delta,
+       |  CAST(SUM(delta) OVER (ORDER BY t ASC, delta ASC, event_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+       | FROM deltas)
+       |SELECT day, MAX(conc) AS peak_concurrency,
+       | CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+       |FROM swept GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u08_peak_concurrency" -> (u08 _),
     "u06_gap_fill" -> (u06 _),
     "u07_resample_ohlc" -> (u07 _),
     "u05_touch_attribution" -> (u05 _),
@@ -574,6 +620,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u08_peak_concurrency" -> u08Sql,
     "u06_gap_fill" -> u06Sql,
     "u07_resample_ohlc" -> u07Sql,
     "u05_touch_attribution" -> u05Sql,
