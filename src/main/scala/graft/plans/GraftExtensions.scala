@@ -49,6 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_minima"),
       new ExpressionInfo(classOf[KmvMinima].getName, "kmv_minima"),
       GraftFunctions.kmvMinimaBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+      GraftFunctions.cdcBoundsBuilder))
     // whole-operator extension (SURVEY §2.7 path c): as-of join planning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // custom optimizer rule: column pruning through the as-of node

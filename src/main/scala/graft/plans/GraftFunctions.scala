@@ -81,6 +81,12 @@ object GraftFunctions {
     KmvMinima(children(0), evalDouble(children(1)).toInt).toAggregateExpression()
   }
 
+  val cdcBoundsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "cdc_bounds(text, window, mask)")
+    CdcBounds(children(0), evalDouble(children(1)).toInt,
+      evalDouble(children(2)).toInt)
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -115,5 +121,9 @@ object GraftFunctions {
       new FunctionIdentifier("kmv_minima"),
       new ExpressionInfo(classOf[KmvMinima].getName, "kmv_minima"),
       kmvMinimaBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("cdc_bounds"),
+      new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
+      cdcBoundsBuilder)
   }
 }

@@ -729,17 +729,23 @@ object DedupQueries extends QueryFamily {
     (0 until cdcW).map(charAt)
       .foldLeft("CAST(0 AS BIGINT)")((acc, ch) => s"($acc * 31 + $ch)")
   private def d16(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
     // boundary at i (1-based, i ≥ w) iff mix(horner(text[i-7..i])) % 32 == 0
-    val h = cdcHash(k => s"ascii(substr(text, i - ${cdcW - 1} + $k, 1))")
-    val bounds =
-      s"concat(array(0), filter(transform(sequence($cdcW, length(text)), " +
-        s"i -> IF((${mix(s"(($h) % $P)")}) % $cdcMask = 0, i, -1)), i -> i > 0), array(length(text)))"
+    // — native one-pass rolling scan (plans/CdcBounds.scala), arithmetic-
+    // identical to the HOF spelling the Scaladoc there records; the HOF
+    // form recomputed the 8-char window per position and was the
+    // heaviest query in the suite (~7 s at sf0.1 → sub-second)
+    val bounds = s"cdc_bounds(text, $cdcW, $cdcMask)"
     val chunks =
       s"filter(transform(sequence(1, size(bnd) - 1), " +
         s"j -> substring(text, element_at(bnd, j) + 1, " +
         s"element_at(bnd, j + 1) - element_at(bnd, j))), c -> length(c) > 0)"
+    // one small input file = one split, but the per-character rolling
+    // hash is compute-bound: spread rows across cores BEFORE the HOF
+    // projection (same work-not-bytes sizing as d02)
     val perDoc = d.select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("bnd", expr(bounds))
       .withColumn("chunks", expr(chunks))
       .select(col("doc_id"), col("chunks"))

@@ -101,22 +101,24 @@ object GraphQueries extends QueryFamily {
   }
 
   // ---- g06: triangle count over the co-supply graph -----------------------
-  // Edges: supplier pairs ranked by how many distinct parts they both
-  // supply; keep the strongest decile (top n/10 by (shared DESC, u, v)
-  // — deterministic, data-dependent sparsification). Triangles close
-  // wedges in (u < v < w) orientation, so each triangle is counted
-  // exactly once and the heaviest join side is bounded by the oriented
-  // degree, the standard trick that makes triangle counting feasible
-  // on power-law graphs.
+  // Edges: supplier pairs scored by how many distinct parts they both
+  // supply; keep the strongest ~decile via a VALUE threshold on the
+  // shared-count distribution (smallest count whose descending
+  // cumulative frequency stays within n/10, ties included; fallback =
+  // the max count). Triangles close wedges in (u < v < w) orientation,
+  // so each triangle is counted exactly once and the heaviest join
+  // side is bounded by the oriented degree, the standard trick that
+  // makes triangle counting feasible on power-law graphs.
   //
   // Scale design: the (supplier, part) projection is deduplicated
   // BEFORE the self-join, so pair generation is the inverted-index
   // shuffle keyed by part (never doc x doc); the edge list is
   // checkpointed once and feeds all three triangle-join legs. The
-  // global top-decile rank is a single window over the pair table —
-  // at 100 TB that becomes a threshold on the shared-count
-  // distribution (computed from a sample or sketch) instead of a
-  // global sort; the per-bucket report keeps the same shape.
+  // sparsification threshold comes from the count DISTRIBUTION (a
+  // |distinct shared values|-sized table — tens of rows however large
+  // the corpus), never from a global sort of the pair table: ranking
+  // 500k pairs through one window partition was measurably slower at
+  // sf0.1 and would be a straight bottleneck at 100 TB.
   private def g06(s: SparkSession, dir: String): DataFrame = {
     val li = rd(s, dir, "lineitem")
     val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
@@ -127,10 +129,16 @@ object GraphQueries extends QueryFamily {
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
     val tot = pairs.agg(count(lit(1)).as("n_pairs"))
-    val wRank = Window.orderBy(col("shared").desc, col("u").asc, col("v").asc)
-    val edges = pairs.crossJoin(broadcast(tot))
-      .withColumn("erank", row_number().over(wRank))
-      .filter(col("erank") <= greatest(expr("n_pairs div 10"), lit(1L)))
+    val wCum = Window.orderBy(col("shared").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = pairs.groupBy(col("shared")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(
+        min(when(col("cum") <= expr("n_pairs div 10"), col("shared"))),
+        max(col("shared"))).as("thr"))
+    val edges = pairs.crossJoin(broadcast(thr))
+      .filter(col("shared") >= col("thr"))
       .select(col("u"), col("v"))
       .localCheckpoint()
     val tri = edges.as("e1")
@@ -155,14 +163,20 @@ object GraphQueries extends QueryFamily {
       |pairs AS (
       | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
       | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
-      |ranked AS (
-      | SELECT u, v,
-      |  ROW_NUMBER() OVER (ORDER BY shared DESC, u ASC, v ASC) AS erank,
-      |  (SELECT COUNT(*) FROM pairs) AS n_pairs
-      | FROM pairs),
+      |dist AS (
+      | SELECT shared, COUNT(*) AS c FROM pairs GROUP BY 1),
+      |cum AS (
+      | SELECT shared, SUM(c) OVER (ORDER BY shared DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM dist),
+      |thr AS (
+      | SELECT COALESCE(
+      |   MIN(CASE WHEN cum <= (SELECT COUNT(*) FROM pairs) // 10
+      |       THEN shared END),
+      |   (SELECT MAX(shared) FROM pairs)) AS thr
+      | FROM cum),
       |edges AS (
-      | SELECT u, v FROM ranked
-      | WHERE erank <= GREATEST(n_pairs // 10, 1)),
+      | SELECT u, v FROM pairs, thr WHERE pairs.shared >= thr.thr),
       |tri AS (
       | SELECT e1.u AS a, e1.v AS b, e2.v AS c
       | FROM edges e1 JOIN edges e2 ON e1.v = e2.u

@@ -366,7 +366,64 @@ object MLQueries extends QueryFamily {
        | CAST(CAST(s2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) AS REAL) AS auc
        |FROM agg""".stripMargin
 
+  // m08: exact two-sample Kolmogorov-Smirnov statistic between the
+  // positive-class and negative-class score distributions — the
+  // standard drift / separability test over the same integer-milli
+  // score as m06/m07. D = max |F1 - F2| evaluates as the INTEGER
+  // numerator |cum1*N0 - cum0*N1| (exact, order-free) over the
+  // distinct-score table (≤ 997 rows at any corpus size — the
+  // distribution, not the data), divided once at the end. One scan,
+  // one vocabulary-sized cumulative window.
+  private def m08(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val dist = d.groupBy(col("sm"))
+      .agg(sum(col("y")).as("c1"), sum(lit(1L) - col("y")).as("c0"))
+    val tot = d.agg(sum(col("y")).as("n1"),
+      (count(lit(1)) - sum(col("y"))).as("n0"))
+    val wCum = Window.orderBy(col("sm").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum0", sum(col("c0")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(col("cum1") * col("n0") - col("cum0") * col("n1")))
+    val mx = cum.agg(max(col("dnum")).as("d_num"))
+    val at = cum.join(broadcast(mx), col("dnum") === col("d_num"))
+      .agg(min(col("sm")).as("ks_at"))
+    mx.crossJoin(broadcast(at)).crossJoin(broadcast(tot))
+      .select(col("n1").as("n_pos"), col("n0").as("n_neg"), col("d_num"),
+        col("ks_at"),
+        expr("CAST(CAST(d_num AS DOUBLE) / (n1 * n0) AS FLOAT)").as("ks"))
+  }
+  private val m08Sql =
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |dist AS (
+       | SELECT sm, CAST(SUM(y) AS BIGINT) AS c1,
+       |  CAST(SUM(1 - y) AS BIGINT) AS c0
+       | FROM d GROUP BY 1),
+       |tot AS (
+       | SELECT CAST(SUM(y) AS BIGINT) AS n1,
+       |  CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0 FROM d),
+       |cum AS (
+       | SELECT sm,
+       |  ABS(CAST(SUM(c1) OVER w AS BIGINT) * n0
+       |    - CAST(SUM(c0) OVER w AS BIGINT) * n1) AS dnum, n1, n0
+       | FROM dist CROSS JOIN tot
+       | WINDOW w AS (ORDER BY sm ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT ANY_VALUE(n1) AS n_pos, ANY_VALUE(n0) AS n_neg,
+       | MAX(dnum) AS d_num,
+       | CAST(MIN(CASE WHEN dnum = (SELECT MAX(dnum) FROM cum) THEN sm END) AS BIGINT) AS ks_at,
+       | CAST(CAST(MAX(dnum) AS DOUBLE) / (ANY_VALUE(n1) * ANY_VALUE(n0)) AS REAL) AS ks
+       |FROM cum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m08_ks_test" -> (m08 _),
     "m06_threshold_sweep" -> (m06 _),
     "m07_auc_exact" -> (m07 _),
     "m05_logreg_step" -> (m05 _),
@@ -377,6 +434,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m08_ks_test" -> m08Sql,
     "m06_threshold_sweep" -> m06Sql,
     "m07_auc_exact" -> m07Sql,
     "m05_logreg_step" -> m05Sql,

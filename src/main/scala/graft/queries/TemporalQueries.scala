@@ -599,7 +599,57 @@ object TemporalQueries extends QueryFamily {
        | CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
        |FROM swept GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- j13: interval-overlap self join -------------------------------------
+  // Sessions (from u08's value-derived durations) that OVERLAP in time
+  // for the same user — the interval×interval generalization of j11's
+  // point-in-range join. Spark has no native interval join; the naive
+  // theta join is a per-user cross product. Scale shape: explode each
+  // interval into the fixed-width time buckets it spans (bounded by
+  // max duration / bucket width ≤ 2 buckets here), equi-join on
+  // (user, bucket) — candidates are bucket-local — then apply the
+  // exact half-open overlap predicate and dedup pairs that met in
+  // two buckets. Shuffle is O(rows × buckets_per_interval), never
+  // O(rows²); the oracle is the UNBUCKETED theta join, so a green
+  // hash proves the bucketing is lossless.
+  // microsecond resolution throughout: DuckDB reads the ns timestamp
+  // at us precision, so ns-level endpoints would differ (j10 gotcha)
+  private val ovBucketUs = 1860000000L // 31 min >= max session length
+  private def j13(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t0"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("t1", col("t0") + (col("vm") % 30 + 1) * lit(60000000L))
+    val bucketed = ev.select(col("event_id"), col("user_id"), col("t0"),
+      col("t1"), explode(expr(
+        s"sequence(t0 div $ovBucketUs, (t1 - 1) div $ovBucketUs)")).as("bk"))
+    val a = bucketed.select(col("user_id"), col("bk"),
+      col("event_id").as("a_id"), col("t0").as("a_t0"), col("t1").as("a_t1"))
+    val b = bucketed.select(col("user_id"), col("bk"),
+      col("event_id").as("b_id"), col("t0").as("b_t0"), col("t1").as("b_t1"))
+    a.join(b, Seq("user_id", "bk"))
+      .filter(col("a_id") < col("b_id") &&
+        col("a_t0") < col("b_t1") && col("b_t0") < col("a_t1"))
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        (least(col("a_t1"), col("b_t1")) - greatest(col("a_t0"), col("b_t0")))
+          .as("overlap_us"))
+      .distinct()
+      .orderBy(col("user_id"), col("a_id"), col("b_id"))
+  }
+  private val j13Sql =
+    """WITH ev AS (
+      | SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t0,
+      |  epoch_ns(ts) // 1000 + (CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) % 30 + 1)
+      |    * 60000000 AS t1
+      | FROM events)
+      |SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+      | LEAST(a.t1, b.t1) - GREATEST(a.t0, b.t0) AS overlap_us
+      |FROM ev a JOIN ev b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      | AND a.t0 < b.t1 AND b.t0 < a.t1
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j13_interval_overlap" -> (j13 _),
     "u08_peak_concurrency" -> (u08 _),
     "u06_gap_fill" -> (u06 _),
     "u07_resample_ohlc" -> (u07 _),
@@ -620,6 +670,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j13_interval_overlap" -> j13Sql,
     "u08_peak_concurrency" -> u08Sql,
     "u06_gap_fill" -> u06Sql,
     "u07_resample_ohlc" -> u07Sql,

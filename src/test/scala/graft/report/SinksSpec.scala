@@ -75,6 +75,34 @@ class SinksSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("csv source round-trips the customer table with explicit schema") {
+    // S-family: CSV interchange — explicit schema (no inference scan),
+    // header on, round-trip equality on an aggregate fingerprint
+    val out = Files.createTempDirectory("graft_csv").toString
+    val cust = spark.read.parquet(sf("sf0.001") + "/customer.parquet")
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.schema(cust.schema)
+      .option("header", "true").csv(out)
+    assert(back.count() == cust.count())
+    val a = cust.agg(sum(col("c_acctbal")), countDistinct(col("c_mktsegment"))).collect()(0)
+    val b = back.agg(sum(col("c_acctbal")), countDistinct(col("c_mktsegment"))).collect()(0)
+    assert(a == b)
+  }
+
+  test("orc source round-trips the orders table") {
+    // S-family: ORC is Spark-native columnar — predicate pushdown and
+    // column pruning work as with parquet; round-trip plus a pushed
+    // filter read
+    val out = Files.createTempDirectory("graft_orc").toString
+    val ord = spark.read.parquet(sf("sf0.001") + "/orders.parquet")
+    ord.write.mode("overwrite").orc(out)
+    val back = spark.read.orc(out)
+    assert(back.count() == ord.count())
+    val filtered = back.filter(col("o_orderpriority") === "1-URGENT")
+    assert(filtered.count() ==
+      ord.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("datacard renders yields with one column per channel") {
     val yields = StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
     val cards = Datacards.renderAll(yields)
