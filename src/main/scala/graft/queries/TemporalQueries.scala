@@ -648,7 +648,48 @@ object TemporalQueries extends QueryFamily {
       | AND a.t0 < b.t1 AND b.t0 < a.t1
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- u09: SCD Type-2 dimension history -----------------------------------
+  // The warehouse complement to u04's current-state apply: every change
+  // becomes a VERSIONED row with a validity interval [eff_from_us,
+  // eff_to_us) — lead(us) over the per-key change order closes each
+  // version, the last version stays open (NULL → 2^62 sentinel for the
+  // hash compare), and is_current flags it. One key-partitioned window
+  // over the changelog — the same single-shuffle shape as u04; at scale
+  // this is the standard incremental-merge SCD2 build, run here in its
+  // batch form.
+  private def u09(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    e.select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("eff_to_us",
+        coalesce(lead(col("us"), 1).over(w), lit(4611686018427387904L)))
+      .select(col("user_id"), col("version"),
+        col("event_id").as("change_id"), col("event_type").as("op"),
+        col("vm"), col("us").as("eff_from_us"), col("eff_to_us"),
+        (col("eff_to_us") === 4611686018427387904L).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+  private val u09Sql =
+    """WITH log AS (
+      | SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type,
+      |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events)
+      |SELECT user_id,
+      | ROW_NUMBER() OVER w AS version,
+      | event_id AS change_id, event_type AS op, vm,
+      | us AS eff_from_us,
+      | COALESCE(LEAD(us, 1) OVER w, 4611686018427387904) AS eff_to_us,
+      | COALESCE(LEAD(us, 1) OVER w, 4611686018427387904) = 4611686018427387904 AS is_current
+      |FROM log
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+      |ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u09_scd2_history" -> (u09 _),
     "j13_interval_overlap" -> (j13 _),
     "u08_peak_concurrency" -> (u08 _),
     "u06_gap_fill" -> (u06 _),
@@ -670,6 +711,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u09_scd2_history" -> u09Sql,
     "j13_interval_overlap" -> j13Sql,
     "u08_peak_concurrency" -> u08Sql,
     "u06_gap_fill" -> u06Sql,
