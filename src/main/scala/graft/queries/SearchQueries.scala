@@ -481,7 +481,67 @@ object SearchQueries extends QueryFamily {
        |FROM raw ORDER BY q_id""".stripMargin
   }
 
+  // ---- w06: PMI term co-occurrence -----------------------------------------
+  // Pointwise mutual information over term pairs co-occurring in a
+  // document — the collocation/query-expansion statistic. The corpus
+  // collapses to its distinct (doc, term) presence table first; the
+  // pair join is per-doc over DISTINCT terms, so its width is bounded
+  // by vocabulary (not document length), and the aggregate output is
+  // ≤ |vocab|² rows however large the corpus. PMI = ln(c_ab·N /
+  // (c_a·c_b)) from integer counts, float32 at the end; min-support
+  // filter keeps the long tail out.
+  private val pmiMinSupport = 5
+  private val pmiTopK = 30
+  private def w06(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val pres = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .localCheckpoint() // feeds unigram counts AND both pair-join sides
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val uni = pres.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val pairs = pres.as("a")
+      .join(pres.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("t1"), col("b.term").as("t2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= pmiMinSupport)
+    val scored = pairs
+      .join(broadcast(uni.select(col("term").as("t1"), col("c").as("c_a"))), "t1")
+      .join(broadcast(uni.select(col("term").as("t2"), col("c").as("c_b"))), "t2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", expr(
+        "CAST(ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b)) AS FLOAT)"))
+    val w = Window.orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= pmiTopK)
+      .select(col("rank"), col("t1"), col("t2"), col("c_ab"), col("c_a"),
+        col("c_b"), col("pmi"))
+      .orderBy(col("rank"))
+  }
+  private val w06Sql =
+    s"""WITH pres AS (
+       | SELECT DISTINCT doc_id, term FROM (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+       | WHERE LENGTH(term) > 0),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |uni AS (SELECT term, COUNT(*) AS c FROM pres GROUP BY 1),
+       |pairs AS (
+       | SELECT a.term AS t1, b.term AS t2, COUNT(*) AS c_ab
+       | FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.term < b.term
+       | GROUP BY 1, 2 HAVING COUNT(*) >= $pmiMinSupport),
+       |scored AS (
+       | SELECT t1, t2, c_ab, ua.c AS c_a, ub.c AS c_b,
+       |  CAST(ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(ua.c AS DOUBLE) * ub.c)) AS REAL) AS pmi
+       | FROM pairs JOIN uni ua ON ua.term = t1 JOIN uni ub ON ub.term = t2
+       | CROSS JOIN n)
+       |SELECT rank, t1, t2, c_ab, c_a, c_b, pmi
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, t1 ASC, t2 ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $pmiTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w06_pmi_cooccur" -> (w06 _),
     "w04_rrf_fusion" -> (w04 _),
     "w05_ndcg_eval" -> (w05 _),
     "k03_bloom_filter" -> (k03 _),
@@ -493,6 +553,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w06_pmi_cooccur" -> w06Sql,
     "w04_rrf_fusion" -> w04Sql,
     "w05_ndcg_eval" -> w05Sql,
     "k03_bloom_filter" -> k03Sql,

@@ -581,7 +581,114 @@ object SimilarityQueries extends QueryFamily {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- v09: product quantization + ADC lookup tables ----------------------
+  // The other production ANN memory layout (vs v07's flat int8): split
+  // the 64-dim vector into 4 subspaces of 16 dims, code each subspace
+  // as its nearest of 8 literal centroids (2^12 distinct codes from
+  // 3 bits × 4 — 64 floats become 4 small ints), and rank with the
+  // classic ADC trick: the QUERY precomputes a 4×8 dot-product lookup
+  // table once, and every candidate scores as 4 table lookups + 4 adds
+  // — no per-candidate dot product at all. Reconstruction norms are
+  // compile-time literals (centroid property, not data). Tie-break and
+  // top-k shape identical to v01/v03/v07; composes with the IVF cell
+  // gate in production (v07 shows the gate; this shows the codec).
+  // Coding argmin drops the Σx² term (constant per subspace across
+  // centroids), the same algebra as scoreExpr.
+  private val pqM = 4; private val pqSub = 16; private val pqK = 8
+  private def pqC(j: Int, k: Int, d: Int): Double =
+    math.sin(2000 + j * 512 + k * 64 + d + 0.75) * 0.3
+  private def pqN2(j: Int, k: Int): Double =
+    (0 until pqSub).map(d => pqC(j, k, d) * pqC(j, k, d)).sum
+  private def pqDistExpr(j: Int, k: Int, emb: String,
+                         elemAt: (String, Int) => String): String = {
+    val dot = (0 until pqSub)
+      .map(d => s"CAST(${elemAt(emb, j * pqSub + d + 1)} AS DOUBLE) * ${pqC(j, k, d)}")
+      .mkString(" + ")
+    s"(${pqN2(j, k)} - 2.0 * ($dot))"
+  }
+  private def pqArgmin(j: Int): String =
+    (0 until pqK).map { k =>
+      val isMin = (0 until pqK).filter(_ != k)
+        .map(o => s"pq${j}_s$k <= pq${j}_s$o").mkString(" AND ")
+      s"WHEN $isMin THEN $k"
+    }.mkString("(CASE ", " ", " ELSE 0 END)")
+  private def pqQdotExpr(j: Int, k: Int, emb: String,
+                         elemAt: (String, Int) => String): String =
+    (0 until pqSub)
+      .map(d => s"CAST(${elemAt(emb, j * pqSub + d + 1)} AS DOUBLE) * ${pqC(j, k, d)}")
+      .mkString("(", " + ", ")")
+  private def v09(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val distCols = for (j <- 0 until pqM; k <- 0 until pqK)
+      yield expr(pqDistExpr(j, k, "embedding", sparkElem)).as(s"pq${j}_s$k")
+    // checkpoint BETWEEN the distance projection and the argmin CASEs:
+    // CollapseProject would otherwise inline all 32 16-term distance
+    // expressions into every CASE comparison (~60k expression nodes —
+    // codegen bails to interpreted). With the barrier each stage stays
+    // a compact codegen'd projection; the coded table that feeds the
+    // join is the persisted PQ index, 4 small ints per vector.
+    val dists = e.select(Seq(col("vec_id")) ++ distCols: _*).localCheckpoint()
+    val coded = dists.select(Seq(col("vec_id")) ++
+      (0 until pqM).map(j => expr(pqArgmin(j)).as(s"code$j")): _*)
+    val lutCols = for (j <- 0 until pqM; k <- 0 until pqK)
+      yield expr(pqQdotExpr(j, k, "embedding", sparkElem)).as(s"qd${j}_$k")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(Seq(col("vec_id").as("q_id"), col("norm").as("q_norm")) ++ lutCols: _*)
+    val adcDot = (0 until pqM).map { j =>
+      s"element_at(array(${(0 until pqK).map(k => s"qd${j}_$k").mkString(", ")}), " +
+        s"CAST(code$j + 1 AS INT))"
+    }.mkString(" + ")
+    val reconN2 = (0 until pqM).map { j =>
+      s"element_at(array(${(0 until pqK).map(k => pqN2(j, k)).mkString(", ")}), " +
+        s"CAST(code$j + 1 AS INT))"
+    }.mkString(" + ")
+    val c = coded.select(Seq(col("vec_id").as("c_id")) ++
+      (0 until pqM).map(j => col(s"code$j")): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_pq").desc, col("c_id").asc)
+    q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos_pq",
+        expr(s"CAST(($adcDot) / (q_norm * sqrt($reconN2)) AS FLOAT)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= annK)
+      .select(Seq(col("q_id"), col("rank"), col("c_id")) ++
+        (0 until pqM).map(j => col(s"code$j")) :+ col("cos_pq"): _*)
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v09Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val distCols = (for (j <- 0 until pqM; k <- 0 until pqK)
+      yield s"${pqDistExpr(j, k, "embedding", duckElem)} AS pq${j}_s$k").mkString(", ")
+    val codeCols = (0 until pqM).map(j => s"${pqArgmin(j)} AS code$j").mkString(", ")
+    val lutCols = (for (j <- 0 until pqM; k <- 0 until pqK)
+      yield s"${pqQdotExpr(j, k, "embedding", duckElem)} AS qd${j}_$k").mkString(", ")
+    val adcDot = (0 until pqM).map { j =>
+      s"(LIST_VALUE(${(0 until pqK).map(k => s"qd${j}_$k").mkString(", ")}))[code$j + 1]"
+    }.mkString(" + ")
+    val reconN2 = (0 until pqM).map { j =>
+      s"(LIST_VALUE(${(0 until pqK).map(k => pqN2(j, k)).mkString(", ")}))[code$j + 1]"
+    }.mkString(" + ")
+    s"""WITH dists AS (SELECT vec_id, $distCols FROM embeddings),
+       |coded AS (SELECT vec_id, $codeCols FROM dists),
+       |q AS (
+       | SELECT vec_id AS q_id,
+       |  SQRT(${dotDuck("embedding", "embedding")}) AS q_norm, $lutCols
+       | FROM embeddings WHERE vec_id < $nQueries)
+       |SELECT q_id, rank, c_id, ${(0 until pqM).map(j => s"code$j").mkString(", ")}, cos_pq
+       |FROM (
+       | SELECT q.q_id, c.vec_id AS c_id,
+       |  ${(0 until pqM).map(j => s"c.code$j").mkString(", ")},
+       |  CAST(($adcDot) / (q_norm * SQRT($reconN2)) AS REAL) AS cos_pq,
+       |  ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |    ORDER BY CAST(($adcDot) / (q_norm * SQRT($reconN2)) AS REAL) DESC,
+       |             c.vec_id ASC) AS rank
+       | FROM q JOIN coded c ON q.q_id != c.vec_id)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v09_knn_pq_adc" -> (v09 _),
     "v08_ann_recall" -> (v08 _),
     "v07_knn_ivf_adc" -> (v07 _),
     "d11_semantic_dedup" -> (d11 _),
@@ -594,6 +701,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v09_knn_pq_adc" -> v09Sql,
     "v08_ann_recall" -> v08Sql,
     "v07_knn_ivf_adc" -> v07Sql,
     "d11_semantic_dedup" -> d11Sql,

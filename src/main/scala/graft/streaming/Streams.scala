@@ -338,4 +338,66 @@ object Streams {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  final case class UserTotals(user_id: Long, n_events: Long, vm_sum: Long,
+                              vm_max: Long)
+
+  /** Per-user running totals on transformWithState (Spark 4's
+    * arbitrary-state v2): explicit ValueState, update-mode emission of
+    * the refreshed totals each micro-batch. This is the successor API
+    * to flatMapGroupsWithState (typed state handles, TTL, timers,
+    * multiple state variables per processor) and REQUIRES the RocksDB
+    * state store provider — the caller sets it (see StreamsSpec).
+    * Milli-long value quantization keeps the fold order-free, as
+    * everywhere else in the repo. */
+  private class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, UserTotals] {
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        E.product[UserTotals], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[UserTotals] = {
+      val prev = Option(totals.get())
+        .getOrElse(UserTotals(key, 0L, 0L, Long.MinValue))
+      var (n, s, m) = (prev.n_events, prev.vm_sum, prev.vm_max)
+      rows.foreach { e =>
+        val vm = math.floor(e.value * 1000 + 0.5).toLong
+        n += 1; s += vm; m = math.max(m, vm)
+      }
+      val next = UserTotals(key, n, s, m)
+      totals.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** Drive the transformWithState totals over the events backlog;
+    * update-mode memory sink — the LAST row per user is the converged
+    * total (equal to the batch groupBy; asserted in StreamsSpec). */
+  def runningTotals(spark: SparkSession, dir: String,
+                    queryName: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select(col("user_id").cast("long"), col("ts").cast("long"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[Ev]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+    val q = out.toDF().writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 }

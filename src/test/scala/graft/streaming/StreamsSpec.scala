@@ -105,6 +105,37 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState running totals converge to the batch groupBy") {
+    // Spark 4 arbitrary-state v2: explicit ValueState handles, TTL
+    // config, update-mode emission. Requires RocksDB state store.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = sf("sf0.001")
+    val updates = Streams.withStatePartitions(s2, 4) {
+      Streams.runningTotals(s2, dir, "spec_tws_totals")
+    }
+    // update mode may emit one row per key per micro-batch; the LAST
+    // row per key is the converged total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(monotonically_increasing_id().desc)
+    val got = updates
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events", "vm_sum", "vm_max")
+      .orderBy("user_id").collect()
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"),
+        max(col("vm")).as("vm_max"))
+      .orderBy("user_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w2) => assert(g == w2) }
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // the production state backend for large keyed state (heap stores
     // OOM once state outgrows the executor): same query, same answers,
