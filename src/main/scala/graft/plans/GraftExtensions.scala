@@ -57,5 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // custom optimizer rule: column pruning through the as-of node
     ext.injectOptimizerRule(_ => AsOfJoinPruning)
+    // custom optimizer rule: bucketed range-join rewrite (gated on
+    // spark.graft.rangeJoin.bucketWidth — inactive unless set)
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
   }
 }

@@ -688,7 +688,106 @@ object TemporalQueries extends QueryFamily {
       |WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
       |ORDER BY user_id, version""".stripMargin
 
+  // ---- u10: per-key EWMA (typed mapGroups) ---------------------------------
+  // Exponentially weighted moving average is a per-key RECURSION
+  // (ew_t = α·x_t + (1−α)·ew_{t−1}) — not expressible as a window
+  // aggregate, the textbook case for SURVEY §2's path (d): typed
+  // groupByKey + mapGroups with an explicit in-order fold. α = 0.5 and
+  // milli-long inputs keep every step exact-IEEE, and the oracle folds
+  // the SAME order (list_reduce over the (ts, event_id)-ordered list),
+  // so the recursion matches bit-for-bit. Scale: state is one double
+  // per key; for corpus-scale keys the same fold runs as
+  // repartition-by-key + sortWithinPartitions + mapPartitions without
+  // materializing groups — this form documents the semantics.
+  private def u10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = rd(s, dir, "events")
+      .select(col("user_id").cast("long"), expr("ts div 1000").as("us"),
+        col("event_id").cast("long"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val sorted = rows.toVector.sortBy(e => (e._2, e._3))
+        var ew = 0.0
+        var first = true
+        sorted.foreach { e =>
+          val x = e._4.toDouble / 1000.0
+          ew = if (first) { first = false; x } else 0.5 * x + 0.5 * ew
+        }
+        (user, sorted.size.toLong, ew.toFloat)
+      }
+      .toDF("user_id", "n_events", "ewma")
+      .orderBy(col("user_id"))
+  }
+  private val u10Sql =
+    """WITH x AS (
+      | SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+      |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events),
+      |ord AS (
+      | SELECT user_id, COUNT(*) AS n_events,
+      |  list(CAST(vm AS DOUBLE) / 1000.0 ORDER BY us ASC, event_id ASC) AS vs
+      | FROM x GROUP BY 1)
+      |SELECT user_id, n_events,
+      | CAST(list_reduce(vs, (acc, v) -> 0.5 * v + 0.5 * acc) AS REAL) AS ewma
+      |FROM ord ORDER BY user_id""".stripMargin
+
+  // ---- j14: range join via the OPTIMIZER RULE ------------------------------
+  // The same interval containment as j11, but written as the NAIVE
+  // theta join — `lo <= x AND x < hi`, no manual bucketing — and
+  // rewritten to the Generate + equi-join form by
+  // plans.RangeJoinRewrite (activated through its width conf for the
+  // duration of the build; the localCheckpoint forces execution inside
+  // that window, so the returned frame is the rewritten plan's
+  // result). The oracle is the identical naive SQL — green hash +
+  // RangeJoinRewriteSpec's plan assertions = the rule is lossless AND
+  // actually firing. Intervals: part price bands; points: event
+  // milli-values.
+  private def j14(s: SparkSession, dir: String): DataFrame = {
+    val iv = rd(s, dir, "part")
+      .select(col("p_partkey").as("iv_id"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT)").as("lo"),
+        expr("CAST(floor(p_retailprice * 100) AS BIGINT) + (p_size + 1) * 40")
+          .as("hi"))
+    val pt = rd(s, dir, "events")
+      .select(col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("x"))
+    val key = graft.plans.RangeJoinRewrite.WidthConf
+    val prev = s.conf.getOption(key)
+    s.experimental.synchronized {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.RangeJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.RangeJoinRewrite
+    }
+    s.conf.set(key, "4096") // ~ median band width: ≤ 2 buckets/interval
+    try {
+      iv.join(pt, col("lo") <= col("x") && col("x") < col("hi"))
+        .groupBy(col("iv_id"))
+        .agg(count(lit(1)).as("n_points"), sum(col("x")).as("x_sum"))
+        .orderBy(col("iv_id"))
+        .localCheckpoint() // execute while the rewrite is active
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+  private val j14Sql =
+    """WITH iv AS (
+      | SELECT p_partkey AS iv_id,
+      |  CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS lo,
+      |  CAST(FLOOR(p_retailprice * 100) AS BIGINT) + (p_size + 1) * 40 AS hi
+      | FROM part),
+      |pt AS (
+      | SELECT event_id, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS x
+      | FROM events)
+      |SELECT iv_id, COUNT(*) AS n_points, CAST(SUM(x) AS BIGINT) AS x_sum
+      |FROM iv JOIN pt ON iv.lo <= pt.x AND pt.x < iv.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j14_range_join_rule" -> (j14 _),
+    "u10_ewma" -> (u10 _),
     "u09_scd2_history" -> (u09 _),
     "j13_interval_overlap" -> (j13 _),
     "u08_peak_concurrency" -> (u08 _),
@@ -711,6 +810,8 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j14_range_join_rule" -> j14Sql,
+    "u10_ewma" -> u10Sql,
     "u09_scd2_history" -> u09Sql,
     "j13_interval_overlap" -> j13Sql,
     "u08_peak_concurrency" -> u08Sql,
