@@ -53,6 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
       GraftFunctions.cdcBoundsBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+      GraftFunctions.hllRegistersBuilder))
     // whole-operator extension (SURVEY §2.7 path c): as-of join planning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // custom optimizer rule: column pruning through the as-of node

@@ -87,6 +87,12 @@ object GraftFunctions {
       evalDouble(children(2)).toInt)
   }
 
+  val hllRegistersBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "hll_registers(hash, p)")
+    HllRegisters(children(0), evalDouble(children(1)).toInt)
+      .toAggregateExpression()
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -125,5 +131,9 @@ object GraftFunctions {
       new FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
       cdcBoundsBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
+      hllRegistersBuilder)
   }
 }

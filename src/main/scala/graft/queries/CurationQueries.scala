@@ -522,7 +522,78 @@ object CurationQueries extends QueryFamily {
       |FROM dev d JOIN mad USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- k06: HyperLogLog distinct count (native register aggregate) --------
+  // The industry-standard distributed distinct count, as a native
+  // TypedImperativeAggregate (plans/HllRegisters.scala): m = 2^9 byte
+  // registers per group, element-wise-max merge — map-side combine
+  // reduces each partition to 512 bytes per group before the exchange
+  // (KMV's k04 keeps k longs; HLL's register vector is the
+  // constant-size, union-mergeable industry default). The oracle
+  // rebuilds the registers relationally (bucket = hash % m, rho via an
+  // integer CASE ladder — no float log2) and the estimator folds the
+  // SAME register array on both engines: E = α_m·m²/Σ2^(−M_j), with
+  // the small-range linear-counting correction m·ln(m/V) when E ≤ 2.5m
+  // and V > 0. Registers ride in the output — the sketches themselves
+  // are hash-compared, not just the estimate.
+  private val hllP = 9
+  private val hllM = 1 << hllP // 512
+  private val hllAlpha = 0.7213 / (1.0 + 1.079 / hllM)
+  private def k06(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = rd(s, dir, "events")
+    val sumExpr = // Σ 2^-M_j : every term a power of two — exact in double
+      "aggregate(regs, CAST(0 AS DOUBLE), (acc, r) -> acc + power(2.0D, -r))"
+    val zerosExpr = "size(filter(regs, r -> r = 0))"
+    val rawExpr = s"$hllAlpha * ${hllM.toDouble * hllM} / ($sumExpr)"
+    e.groupBy(col("event_type"))
+      .agg(
+        expr(s"hll_registers(${mix(kmvKey)}, $hllP)").as("regs"),
+        countDistinct(expr(kmvKey)).as("n_exact"))
+      .select(col("event_type"), col("regs"), col("n_exact"),
+        expr(s"CAST($rawExpr AS FLOAT)").as("est_raw"),
+        expr(
+          s"""CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND ($zerosExpr) > 0
+             | THEN $hllM.0D * ln(${hllM.toDouble} / ($zerosExpr))
+             | ELSE ($rawExpr) END AS FLOAT)""".stripMargin).as("est"))
+      .orderBy(col("event_type"))
+  }
+  private val k06Sql = {
+    val maxLog = 31 - hllP - 1 // w < 2^(31-p); floor(log2 w) <= 30-p
+    val ladder = (maxLog to 0 by -1)
+      .map(k => s"WHEN w >= ${1L << k} THEN ${31 - hllP - k}")
+      .mkString("CASE ", " ", s" ELSE ${32 - hllP} END") // w = 0 falls through
+    val sumExpr = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(regs, r -> power(2.0, -r))), (acc, v) -> acc + v)"
+    val zerosExpr = "len(list_filter(regs, r -> r = 0))"
+    // explicit DOUBLE casts: DuckDB parses the alpha literal as DECIMAL
+    // and the DECIMAL·DECIMAL product overflows at 18 digits
+    val rawExpr = s"CAST($hllAlpha AS DOUBLE) * " +
+      s"CAST(${hllM.toDouble * hllM} AS DOUBLE) / ($sumExpr)"
+    s"""WITH h AS (
+       | SELECT event_type, ${mix(kmvKey)} AS hv FROM events),
+       |b AS (SELECT event_type, hv % $hllM AS j, hv // $hllM AS w FROM h),
+       |r AS (SELECT event_type, j, MAX($ladder) AS rho FROM b GROUP BY 1, 2),
+       |spine AS (
+       | SELECT et.event_type, gs.j FROM
+       |  (SELECT DISTINCT event_type FROM events) et
+       |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${hllM - 1})) AS j) gs),
+       |regs_t AS (
+       | SELECT s.event_type,
+       |  list(CAST(COALESCE(r.rho, 0) AS INTEGER) ORDER BY s.j) AS regs
+       | FROM spine s LEFT JOIN r ON r.event_type = s.event_type AND r.j = s.j
+       | GROUP BY 1),
+       |ex AS (SELECT event_type, COUNT(DISTINCT $kmvKey) AS n_exact
+       |       FROM events GROUP BY 1)
+       |SELECT regs_t.event_type, regs_t.regs, ex.n_exact,
+       | CAST($rawExpr AS REAL) AS est_raw,
+       | CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND ($zerosExpr) > 0
+       |  THEN ${hllM.toDouble} * ln(${hllM.toDouble} / ($zerosExpr))
+       |  ELSE ($rawExpr) END AS REAL) AS est
+       |FROM regs_t JOIN ex USING (event_type) ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k06_hll_distinct" -> (k06 _),
     "k04_kmv_distinct" -> (k04 _),
     "k05_kmv_set_ops" -> (k05 _),
     "t13_hashed_classifier" -> (t13 _),
@@ -534,6 +605,7 @@ object CurationQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k06_hll_distinct" -> k06Sql,
     "k04_kmv_distinct" -> k04Sql,
     "k05_kmv_set_ops" -> k05Sql,
     "t13_hashed_classifier" -> t13Sql,
