@@ -192,13 +192,98 @@ object GraphQueries extends QueryFamily {
       |      FROM pernode)
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---- g07: PERSONALIZED PageRank (teleport to a seed set) -----------------
+  // The recommendation / relevance-propagation variant: restart mass
+  // teleports to the SEED nodes (hub buckets < 5) instead of
+  // uniformly, so rank measures proximity to the seeds. Same graph,
+  // same checkpointed edge table, same integer fixed-point discipline
+  // as g05 — the only change is where the (1−d) mass and the dangling
+  // mass land (seeds only). Scale shape identical to g05.
+  private val pprSeedMax = 5L
+  private def g07(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"), (col("l_partkey") % 97).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    val nodes = edgesDeg.select(col("src").as("node"))
+      .union(edgesDeg.select(col("dst").as("node")))
+      .distinct()
+      .withColumn("seed", col("node") < pprSeedMax)
+      .localCheckpoint()
+    val srcs = edgesDeg.select(col("src")).distinct()
+    val nSeeds = nodes.filter(col("seed")).count()
+    require(nSeeds > 0, "g07: empty seed set")
+    // start all mass on the seeds
+    var pr = nodes.withColumn("prm",
+      when(col("seed"), lit(1000000L / nSeeds)).otherwise(lit(0L)))
+    for (_ <- 1 to prIters) {
+      val inc = edgesDeg.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("prm div outdeg")).as("inc"))
+      val dang = pr.join(srcs, col("node") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("prm")), lit(0L)).as("dm"))
+      pr = nodes.join(inc, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("seed"),
+          expr(
+            s"""(CASE WHEN seed THEN ${150000L / nSeeds} ELSE 0 END) +
+               | (85 * (coalesce(inc, 0) +
+               |        (CASE WHEN seed THEN dm div $nSeeds ELSE 0 END))) div 100"""
+              .stripMargin).as("prm"))
+    }
+    pr.select(col("node"), col("seed"), col("prm"),
+        (col("prm").cast("double") / 1e6).cast("float").as("ppr"))
+      .orderBy(col("node"))
+  }
+  private val g07Sql = {
+    val prIter = (i: Int) =>
+      s"""inc$i AS (
+         | SELECT e.dst AS node, CAST(SUM(p.prm // e.outdeg) AS BIGINT) AS inc
+         | FROM edeg e JOIN pr${i - 1} p ON p.node = e.src GROUP BY 1),
+         |dang$i AS (
+         | SELECT CAST(COALESCE(SUM(p.prm), 0) AS BIGINT) AS dm
+         | FROM pr${i - 1} p LEFT JOIN (SELECT DISTINCT src FROM edges) s
+         |   ON s.src = p.node WHERE s.src IS NULL),
+         |pr$i AS (
+         | SELECT nd.node, nd.seed,
+         |  (CASE WHEN nd.seed THEN 150000 // (SELECT ns FROM nseeds) ELSE 0 END) +
+         |   (85 * (COALESCE(i.inc, 0) +
+         |      (CASE WHEN nd.seed
+         |       THEN (SELECT dm FROM dang$i) // (SELECT ns FROM nseeds)
+         |       ELSE 0 END))) // 100 AS prm
+         | FROM nodes nd LEFT JOIN inc$i i ON i.node = nd.node)"""
+    s"""WITH edges AS (
+       | SELECT DISTINCT l_suppkey AS src, l_partkey % 97 AS dst
+       | FROM lineitem WHERE l_suppkey != l_partkey % 97),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |edeg AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (
+       | SELECT node, node < $pprSeedMax AS seed FROM (
+       |  SELECT DISTINCT node FROM (
+       |   SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))),
+       |nseeds AS (SELECT COUNT(*) AS ns FROM nodes WHERE seed),
+       |pr0 AS (
+       | SELECT node, seed,
+       |  CASE WHEN seed THEN 1000000 // (SELECT ns FROM nseeds) ELSE 0 END AS prm
+       | FROM nodes),
+       |${(1 to prIters).map(prIter).mkString(",\n")}
+       |SELECT node, seed, prm,
+       | CAST(CAST(prm AS DOUBLE) / 1e6 AS REAL) AS ppr
+       |FROM pr$prIters ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g05_pagerank" -> (g05 _),
-    "g06_triangle_count" -> (g06 _)
+    "g06_triangle_count" -> (g06 _),
+    "g07_personalized_pr" -> (g07 _)
   )
 
   val oracle: Map[String, String] = Map(
     "g05_pagerank" -> g05Sql,
-    "g06_triangle_count" -> g06Sql
+    "g06_triangle_count" -> g06Sql,
+    "g07_personalized_pr" -> g07Sql
   )
 }

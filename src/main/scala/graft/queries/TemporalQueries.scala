@@ -785,7 +785,58 @@ object TemporalQueries extends QueryFamily {
       |FROM iv JOIN pt ON iv.lo <= pt.x AND pt.x < iv.hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- a24: exact WEIGHTED quantiles ---------------------------------------
+  // a18 covers unweighted interpolated quantiles; reweighted samples
+  // (physics event weights, importance-sampled corpora) need the
+  // weighted form: decile k = the value at the first row whose running
+  // weight crosses ceil(k·W/10). Weights are milli-longs, targets are
+  // exact integer arithmetic, and the crossing row is unique by
+  // construction (prev_cum < target <= cum) — no interpolation, no
+  // float comparisons anywhere. One per-group sort-window plus a
+  // broadcast 9-row-per-group target join.
+  private def a24(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT)").as("wm"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("v").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = li.withColumn("cumw", sum(col("wm")).over(w))
+    val tot = li.groupBy(col("grp")).agg(sum(col("wm")).as("tw"))
+    val targets = tot.select(col("grp").as("t_grp"), col("tw"),
+      explode(expr("sequence(1, 9)")).as("k"))
+      .withColumn("target", expr("(k * tw + 9) div 10"))
+    cum.join(broadcast(targets),
+        col("grp") === col("t_grp") &&
+          col("cumw") >= col("target") &&
+          (col("cumw") - col("wm")) < col("target"))
+      .select(col("grp"), col("k"), col("v").as("quantile_value"),
+        col("target"), col("tw"))
+      .orderBy(col("grp"), col("k"))
+  }
+  private val a24Sql =
+    """WITH li AS (
+      | SELECT l_returnflag AS grp, l_extendedprice AS v, l_orderkey,
+      |  l_linenumber, CAST(FLOOR(l_quantity * 1000 + 0.5) AS BIGINT) AS wm
+      | FROM lineitem),
+      |cum AS (
+      | SELECT grp, v, wm,
+      |  CAST(SUM(wm) OVER (PARTITION BY grp
+      |    ORDER BY v ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+      | FROM li),
+      |tot AS (SELECT grp, CAST(SUM(wm) AS BIGINT) AS tw FROM li GROUP BY 1),
+      |targets AS (
+      | SELECT t_grp, tw, k, (k * tw + 9) // 10 AS target FROM (
+      |  SELECT grp AS t_grp, tw, UNNEST(generate_series(1, 9)) AS k FROM tot))
+      |SELECT c.grp, t.k, c.v AS quantile_value, t.target, t.tw
+      |FROM cum c JOIN targets t
+      |  ON c.grp = t.t_grp AND c.cumw >= t.target AND c.cumw - c.wm < t.target
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a24_weighted_quantiles" -> (a24 _),
     "j14_range_join_rule" -> (j14 _),
     "u10_ewma" -> (u10 _),
     "u09_scd2_history" -> (u09 _),
@@ -810,6 +861,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "a24_weighted_quantiles" -> a24Sql,
     "j14_range_join_rule" -> j14Sql,
     "u10_ewma" -> u10Sql,
     "u09_scd2_history" -> u09Sql,

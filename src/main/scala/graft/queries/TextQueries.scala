@@ -434,7 +434,64 @@ object TextQueries extends QueryFamily {
        |      FROM scored)
        |WHERE rank <= $tfidfTopK ORDER BY doc_id, rank""".stripMargin
 
+  // ---- t19: composite quality GATE (Gopher-style accept/reject) ------------
+  // The decision stage that consumes t02-style signals: each document
+  // passes or fails a battery of bounds, with machine-readable reject
+  // reasons. Every threshold is an INTEGER cross-multiplication
+  // (alpha_chars * 100 < n_chars * 55, never a float ratio), so the
+  // gate is exact and engine-portable; reasons concatenate in a fixed
+  // order into one string column. One scan, one projection — the gate
+  // adds zero shuffles to a curation pipeline.
+  private def t19(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val base = d.select(col("doc_id"), col("n_chars"),
+      expr("size(split(text, ' '))").as("n_words"),
+      expr("length(regexp_replace(text, '[^a-zA-Z]', ''))").as("alpha_chars"),
+      expr("length(regexp_replace(text, '[^0-9]', ''))").as("digit_chars"))
+    base.select(col("doc_id"), col("n_chars"), col("n_words"),
+        (col("n_chars") < 50).as("r_short"),
+        (col("n_chars") > 20000).as("r_long"),
+        (col("alpha_chars") * 100 < col("n_chars") * 55).as("r_low_alpha"),
+        (col("digit_chars") * 100 > col("n_chars") * 20).as("r_digits"),
+        (col("n_words") > 0 && col("n_chars") > col("n_words") * 15)
+          .as("r_long_words"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        (!col("r_short") && !col("r_long") && !col("r_low_alpha") &&
+          !col("r_digits") && !col("r_long_words")).as("pass"),
+        concat_ws(",",
+          when(col("r_short"), lit("short")),
+          when(col("r_long"), lit("long")),
+          when(col("r_low_alpha"), lit("low_alpha")),
+          when(col("r_digits"), lit("digits")),
+          when(col("r_long_words"), lit("long_words"))).as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+  private val t19Sql =
+    """WITH base AS (
+      | SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_words,
+      |  LENGTH(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+      |  LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+      | FROM documents),
+      |flags AS (
+      | SELECT doc_id, n_chars, n_words,
+      |  n_chars < 50 AS r_short,
+      |  n_chars > 20000 AS r_long,
+      |  alpha_chars * 100 < n_chars * 55 AS r_low_alpha,
+      |  digit_chars * 100 > n_chars * 20 AS r_digits,
+      |  n_words > 0 AND n_chars > n_words * 15 AS r_long_words
+      | FROM base)
+      |SELECT doc_id, n_chars, n_words,
+      | NOT (r_short OR r_long OR r_low_alpha OR r_digits OR r_long_words) AS pass,
+      | concat_ws(',',
+      |  CASE WHEN r_short THEN 'short' END,
+      |  CASE WHEN r_long THEN 'long' END,
+      |  CASE WHEN r_low_alpha THEN 'low_alpha' END,
+      |  CASE WHEN r_digits THEN 'digits' END,
+      |  CASE WHEN r_long_words THEN 'long_words' END) AS reasons
+      |FROM flags ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_quality_gate" -> (t19 _),
     "t17_bpe_pairs" -> (t17 _),
     "t18_tfidf_topk" -> (t18 _),
     "t12_chunk_overlap" -> (t12 _),
@@ -452,6 +509,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t19_quality_gate" -> t19Sql,
     "t17_bpe_pairs" -> t17Sql,
     "t18_tfidf_topk" -> t18Sql,
     "t12_chunk_overlap" -> t12Sql,
