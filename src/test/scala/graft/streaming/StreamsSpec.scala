@@ -105,6 +105,41 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("native HLL aggregate runs under streaming and matches batch registers") {
+    // mergeable-sketch + streaming composition: the TypedImperativeAggregate
+    // participates in streaming state like any built-in agg — per-batch
+    // partials merge into the state store by the element-wise max
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.GraftFunctions.register(s2)
+    val dir = sf("sf0.001")
+    val schema = s2.read.parquet(s"$dir/events.parquet").schema
+    val hashExpr = "((user_id * 1024 + ((CAST(floor(value * 10) AS BIGINT) % 1024 " +
+      "+ 1024) % 1024)) * 2654435761) % 2147483647"
+    val got = graft.streaming.Streams.withStatePartitions(s2, 4) {
+      val q = s2.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(expr(s"hll_registers($hashExpr, 9)").as("regs"))
+        .writeStream.format("memory").queryName("spec_hll_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table("spec_hll_stream").orderBy("event_type").collect()
+    }
+    graft.plans.GraftFunctions.register(spark)
+    val want = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(expr(s"hll_registers($hashExpr, 9)").as("regs"))
+      .orderBy("event_type").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getSeq[Int](1) == w.getSeq[Int](1))
+    }
+  }
+
   test("transformWithState running totals converge to the batch groupBy") {
     // Spark 4 arbitrary-state v2: explicit ValueState handles, TTL
     // config, update-mode emission. Requires RocksDB state store.
