@@ -141,4 +141,51 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"no codegen span:\n$plan")
   }
+
+  test("BPE pair counting explodes the VOCAB table, not the corpus") {
+    // t17's count-then-explode order: the Generate must sit above the
+    // word-count aggregate (vocab-sized input), never directly on the
+    // corpus scan
+    val plan = TextQueries.queries("t17_bpe_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(genIdx >= 0 && aggIdx >= 0, s"missing operator:\n$plan")
+    // executedPlan prints top-down: the Generate appears ABOVE (before)
+    // at least one aggregate it consumes
+    assert(plan.indexOf("HashAggregate", genIdx) > genIdx,
+      s"no aggregate below the pair explode (corpus-sized explode?):\n$plan")
+  }
+
+  test("threshold sweep is one scan with partial aggregation") {
+    val plan = MLQueries.queries("m06_threshold_sweep")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"m06 re-scans documents ($scans scans):\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("PQ-ADC distance coding stays inside whole-stage codegen") {
+    // the checkpoint barrier exists precisely so the 32-distance
+    // projection does not collapse into the argmin CASEs and bail out
+    // of codegen — assert no fallback happened by checking the coded
+    // plan retains codegen spans
+    val df = SimilarityQueries.queries("v09_knn_pq_adc")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in v09:\n$plan")
+  }
+
+  test("RRF fusion joins only top-K lists (no corpus-sized join input)") {
+    val df = SearchQueries.queries("w04_rrf_fusion")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in w04:\n$plan")
+    // the fusion's full-outer join sides are rank-filtered windows, so
+    // a broadcast/sort-merge on tiny inputs is fine; the guard is that
+    // the plan has no nested-loop over the corpus
+    assert(!plan.contains("BroadcastNestedLoopJoin Inner"),
+      s"nested loop join in w04:\n$plan")
+  }
 }
