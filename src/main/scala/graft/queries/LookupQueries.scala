@@ -410,7 +410,78 @@ object LookupQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- l11: 2-D BILINEAR interpolation ------------------------------------
+  // The smooth-surface companion to the binned 2-D lookup (l02): scale
+  // factors defined on a coarse (x, y) grid, interpolated bilinearly —
+  // the standard treatment for smooth correction maps (vs l02's
+  // step-function bins). The 50-cell grid table broadcasts with its 4
+  // corner values per cell; the join is the same clipped
+  // point-in-rectangle equi-ish probe as l03, and the blend
+  // (1−t)(1−u)z00 + t(1−u)z10 + (1−t)u·z01 + t·u·z11 is written with
+  // identical parenthesization on both engines, float32 at the end.
+  private val blxNodes = (0 to 10).map(_ * 50.0) // x: 0..500
+  private val blyNodes = (0 to 5).map(_ * 2.0) // y: 0..10
+  private def blz(i: Int, j: Int): Double =
+    1.0 + math.sin(i * 0.9 + j * 1.7) / 20.0
+  private def l11(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), col("value").as("xr"),
+        (col("event_id") % 97).cast("double").as("yr0"))
+      .withColumn("yr", col("yr0") / 10.0)
+    val cells = {
+      import s.implicits._
+      (for {
+        i <- 0 until blxNodes.size - 1
+        j <- 0 until blyNodes.size - 1
+      } yield (blxNodes(i), blxNodes(i + 1), blyNodes(j), blyNodes(j + 1),
+        blz(i, j), blz(i + 1, j), blz(i, j + 1), blz(i + 1, j + 1)))
+        .toDF("x0", "x1", "y0", "y1", "z00", "z10", "z01", "z11")
+    }
+    val xMax = blxNodes.last; val yMax = blyNodes.last
+    val xc = least(greatest(col("xr"), lit(0.0)), lit(xMax))
+    val yc = least(greatest(col("yr"), lit(0.0)), lit(yMax))
+    val t = (xc - col("x0")) / (col("x1") - col("x0"))
+    val u = (yc - col("y0")) / (col("y1") - col("y0"))
+    val z = (lit(1.0) - t) * (lit(1.0) - u) * col("z00") +
+      t * (lit(1.0) - u) * col("z10") +
+      (lit(1.0) - t) * u * col("z01") + t * u * col("z11")
+    ev.join(broadcast(cells),
+        xc >= col("x0") &&
+          (xc < col("x1") || col("x1") === lit(xMax) && xc === lit(xMax)) &&
+          yc >= col("y0") &&
+          (yc < col("y1") || col("y1") === lit(yMax) && yc === lit(yMax)))
+      .select(col("event_id"), z.cast("float").as("sf_bilinear"))
+      .orderBy(col("event_id"))
+  }
+  private val l11Sql = {
+    val cellRows = (for {
+      i <- 0 until blxNodes.size - 1
+      j <- 0 until blyNodes.size - 1
+    } yield s"(${blxNodes(i)}, ${blxNodes(i + 1)}, ${blyNodes(j)}, " +
+      s"${blyNodes(j + 1)}, ${blz(i, j)}, ${blz(i + 1, j)}, " +
+      s"${blz(i, j + 1)}, ${blz(i + 1, j + 1)})").mkString(", ")
+    val xMax = blxNodes.last; val yMax = blyNodes.last
+    val xc = s"LEAST(GREATEST(xr, 0.0), $xMax)"
+    val yc = s"LEAST(GREATEST(yr, 0.0), $yMax)"
+    s"""WITH ev AS (
+       | SELECT event_id, value AS xr,
+       |  CAST(event_id % 97 AS DOUBLE) / 10.0 AS yr
+       | FROM events),
+       |cells(x0, x1, y0, y1, z00, z10, z01, z11) AS (VALUES $cellRows)
+       |SELECT event_id,
+       | CAST((1.0 - ($xc - x0) / (x1 - x0)) * (1.0 - ($yc - y0) / (y1 - y0)) * z00
+       |  + (($xc - x0) / (x1 - x0)) * (1.0 - ($yc - y0) / (y1 - y0)) * z10
+       |  + (1.0 - ($xc - x0) / (x1 - x0)) * (($yc - y0) / (y1 - y0)) * z01
+       |  + (($xc - x0) / (x1 - x0)) * (($yc - y0) / (y1 - y0)) * z11 AS REAL)
+       |  AS sf_bilinear
+       |FROM ev JOIN cells
+       |  ON $xc >= x0 AND ($xc < x1 OR (x1 = $xMax AND $xc = $xMax))
+       | AND $yc >= y0 AND ($yc < y1 OR (y1 = $yMax AND $yc = $yMax))
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l11_bilinear_2d" -> (l11 _),
     "l09_bucketed_equi_lookup" -> (l09 _),
     "l08_binned_3d_resolution" -> (l08 _),
     "l01_binned_1d" -> (l01 _),
@@ -424,6 +495,7 @@ object LookupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "l11_bilinear_2d" -> l11Sql,
     "l09_bucketed_equi_lookup" -> l09Sql,
     "l08_binned_3d_resolution" -> l08Sql,
     "l01_binned_1d" -> l01Sql,

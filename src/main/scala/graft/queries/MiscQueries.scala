@@ -296,7 +296,41 @@ object MiscQueries extends QueryFamily {
       |  AS d(d_key, factor) ON l_orderkey % 5 = d_key
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- a25: GROUPING SETS with grouping() flags ----------------------------
+  // Completes the multi-grouping surface (a17 ROLLUP, a21 CUBE) with
+  // arbitrary GROUPING SETS through the SQL API — one scan, one
+  // Expand, and grouping() flags so consumers can tell a real NULL
+  // from a super-aggregate row. The NULL slots coalesce to 'ALL' for
+  // the cross-engine hash.
+  private def a25(s: SparkSession, dir: String): DataFrame = {
+    rd(s, dir, "orders").createOrReplaceTempView("graft_a25_orders")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        | coalesce(o_orderpriority, 'ALL') AS priority,
+        | grouping(o_orderstatus) AS g_status,
+        | grouping(o_orderpriority) AS g_priority,
+        | count(1) AS n,
+        | CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS cents
+        |FROM graft_a25_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |  (o_orderstatus, o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+  private val a25Sql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      | COALESCE(o_orderpriority, 'ALL') AS priority,
+      | CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      | CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+      |  (o_orderstatus, o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a25_grouping_sets" -> (a25 _),
     "j09_salted_skew_join" -> (j09 _),
     "a17_rollup_yields" -> (a17 _),
     "d06_dup_clusters" -> (d06 _),
@@ -307,6 +341,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "a25_grouping_sets" -> a25Sql,
     "j09_salted_skew_join" -> j09Sql,
     "a17_rollup_yields" -> a17Sql,
     "d06_dup_clusters" -> d06Sql,
