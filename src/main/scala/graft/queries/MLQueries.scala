@@ -422,7 +422,46 @@ object MLQueries extends QueryFamily {
        | CAST(CAST(MAX(dnum) AS DOUBLE) / (ANY_VALUE(n1) * ANY_VALUE(n0)) AS REAL) AS ks
        |FROM cum""".stripMargin
 
+  // m09: decile lift/gain chart — the ranking-eval complement to m07's
+  // AUC: sort by score descending, cut into 10 equal-population
+  // deciles (ntile), report per-decile positives, response rate, and
+  // lift vs the base rate. ntile over the (score, doc_id)-ordered rows
+  // is deterministic; rates and lift are single integer-ratio
+  // divisions cast to float32 (lift = (tp_d · N) / (n_d · P) — one
+  // division, no composed float arithmetic).
+  private def m09(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(col("doc_id"), expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val w = Window.orderBy(col("sm").desc, col("doc_id").asc)
+    val tot = d.agg(count(lit(1)).as("n_all"), sum(col("y")).as("p_all"))
+    d.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("tp"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("tp"),
+        expr("CAST(CAST(tp AS DOUBLE) / n AS FLOAT)").as("rate"),
+        expr("CAST(CAST(tp * n_all AS DOUBLE) / (n * p_all) AS FLOAT)").as("lift"))
+      .orderBy(col("decile"))
+  }
+  private val m09Sql =
+    s"""WITH d AS (
+       | SELECT doc_id, CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |tot AS (SELECT COUNT(*) AS n_all, CAST(SUM(y) AS BIGINT) AS p_all FROM d),
+       |dec AS (
+       | SELECT NTILE(10) OVER (ORDER BY sm DESC, doc_id ASC) AS decile, y
+       | FROM d)
+       |SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS tp,
+       | CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS REAL) AS rate,
+       | CAST(CAST(SUM(y) * n_all AS DOUBLE) / (COUNT(*) * p_all) AS REAL) AS lift
+       |FROM dec CROSS JOIN tot
+       |GROUP BY decile, n_all, p_all ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
     "m06_threshold_sweep" -> (m06 _),
     "m07_auc_exact" -> (m07 _),
@@ -434,6 +473,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
     "m06_threshold_sweep" -> m06Sql,
     "m07_auc_exact" -> m07Sql,

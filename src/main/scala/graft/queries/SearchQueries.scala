@@ -540,7 +540,60 @@ object SearchQueries extends QueryFamily {
        |      FROM scored)
        |WHERE rank <= $pmiTopK ORDER BY rank""".stripMargin
 
+  // ---- w07: snippet extraction (densest query-term window) -----------------
+  // The search-result highlighter: for each document matching any query
+  // term, find the 10-token window (anchored at a matching occurrence)
+  // covering the most query-term occurrences. Occurrence positions come
+  // from one tokenize-explode (the w03 posting shape); density is a
+  // positions-to-positions self-join BOUNDED by (doc, window span) —
+  // O(occurrences × window density), never doc-length-quadratic.
+  // Tie-break: earliest window start. Scale: postings shuffle keyed by
+  // doc, the same inverted layout every stage here shares.
+  private val snipTerms = Seq("join", "hash", "scan")
+  private val snipWin = 10
+  private def w07(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val occ = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(snipTerms: _*))
+      .select(col("doc_id"), col("pos"))
+      .localCheckpoint() // both sides of the density join
+    val dens = occ.as("a")
+      .join(occ.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.pos") >= col("a.pos") &&
+          col("b.pos") < col("a.pos") + snipWin)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.pos").as("win_start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("n_hits").desc, col("win_start").asc)
+    dens.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("win_start"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+  private val w07Sql = {
+    val inList = snipTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH occ AS (
+       | SELECT doc_id, pos FROM (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok,
+       |   UNNEST(generate_series(0, len(string_split(text, ' ')) - 1)) AS pos
+       |  FROM documents)
+       | WHERE tok IN ($inList)),
+       |dens AS (
+       | SELECT a.doc_id, a.pos AS win_start, COUNT(*) AS n_hits
+       | FROM occ a JOIN occ b
+       |   ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + $snipWin
+       | GROUP BY 1, 2)
+       |SELECT doc_id, win_start, n_hits FROM (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |   ORDER BY n_hits DESC, win_start ASC) AS rn
+       | FROM dens)
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w07_snippet_window" -> (w07 _),
     "w06_pmi_cooccur" -> (w06 _),
     "w04_rrf_fusion" -> (w04 _),
     "w05_ndcg_eval" -> (w05 _),
@@ -553,6 +606,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w07_snippet_window" -> w07Sql,
     "w06_pmi_cooccur" -> w06Sql,
     "w04_rrf_fusion" -> w04Sql,
     "w05_ndcg_eval" -> w05Sql,
