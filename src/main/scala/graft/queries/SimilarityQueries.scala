@@ -687,7 +687,102 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v10: two-stage retrieval — PQ candidates, exact re-rank ------------
+  // The production ANN serving pattern end-to-end: stage 1 scores ALL
+  // candidates with v09's cheap PQ-ADC lookups and keeps a top-50
+  // shortlist; stage 2 re-ranks ONLY the shortlist with the exact
+  // full-precision cosine (native array_dot) and emits the top-10.
+  // The expensive exact math touches 50 rows per query instead of the
+  // corpus — the cost asymmetry that makes billion-vector serving
+  // work. Oracle mirrors both stages; final order is exact-cosine
+  // with c_id tie-break.
+  private val rerankShortlist = 50
+  private def v10(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val distCols = for (j <- 0 until pqM; k <- 0 until pqK)
+      yield expr(pqDistExpr(j, k, "embedding", sparkElem)).as(s"pq${j}_s$k")
+    val dists = e.select(Seq(col("vec_id")) ++ distCols: _*).localCheckpoint()
+    val coded = dists.select(Seq(col("vec_id")) ++
+      (0 until pqM).map(j => expr(pqArgmin(j)).as(s"code$j")): _*)
+    val lutCols = for (j <- 0 until pqM; k <- 0 until pqK)
+      yield expr(pqQdotExpr(j, k, "embedding", sparkElem)).as(s"qd${j}_$k")
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm")) ++ lutCols: _*)
+    val adcDot = (0 until pqM).map { j =>
+      s"element_at(array(${(0 until pqK).map(k => s"qd${j}_$k").mkString(", ")}), " +
+        s"CAST(code$j + 1 AS INT))"
+    }.mkString(" + ")
+    val reconN2 = (0 until pqM).map { j =>
+      s"element_at(array(${(0 until pqK).map(k => pqN2(j, k)).mkString(", ")}), " +
+        s"CAST(code$j + 1 AS INT))"
+    }.mkString(" + ")
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_pq").desc, col("c_id").asc)
+    val shortlist = q
+      .join(coded.select(Seq(col("vec_id").as("c_id")) ++
+        (0 until pqM).map(j => col(s"code$j")): _*), col("q_id") =!= col("c_id"))
+      .withColumn("cos_pq",
+        expr(s"CAST(($adcDot) / (q_norm * sqrt($reconN2)) AS FLOAT)"))
+      .withColumn("prank", row_number().over(wAdc))
+      .filter(col("prank") <= rerankShortlist)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("c_id"))
+    val exact = shortlist
+      .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("norm").as("c_norm")), "c_id")
+      .withColumn("cos",
+        (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+          .cast("float"))
+    val wEx = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    exact.withColumn("rank", row_number().over(wEx))
+      .filter(col("rank") <= annK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v10Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val distCols = (for (j <- 0 until pqM; k <- 0 until pqK)
+      yield s"${pqDistExpr(j, k, "embedding", duckElem)} AS pq${j}_s$k").mkString(", ")
+    val codeCols = (0 until pqM).map(j => s"${pqArgmin(j)} AS code$j").mkString(", ")
+    val lutCols = (for (j <- 0 until pqM; k <- 0 until pqK)
+      yield s"${pqQdotExpr(j, k, "embedding", duckElem)} AS qd${j}_$k").mkString(", ")
+    val adcDot = (0 until pqM).map { j =>
+      s"(LIST_VALUE(${(0 until pqK).map(k => s"qd${j}_$k").mkString(", ")}))[code$j + 1]"
+    }.mkString(" + ")
+    val reconN2 = (0 until pqM).map { j =>
+      s"(LIST_VALUE(${(0 until pqK).map(k => pqN2(j, k)).mkString(", ")}))[code$j + 1]"
+    }.mkString(" + ")
+    val cosExact = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * " +
+      s"SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""WITH dists AS (SELECT vec_id, $distCols FROM embeddings),
+       |coded AS (SELECT vec_id, $codeCols FROM dists),
+       |qlut AS (
+       | SELECT vec_id AS q_id,
+       |  SQRT(${dotDuck("embedding", "embedding")}) AS q_norm, $lutCols
+       | FROM embeddings WHERE vec_id < $nQueries),
+       |shortlist AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q.q_id, c.vec_id AS c_id,
+       |   ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |     ORDER BY CAST(($adcDot) / (q_norm * SQRT($reconN2)) AS REAL) DESC,
+       |              c.vec_id ASC) AS prank
+       |  FROM qlut q JOIN coded c ON q.q_id != c.vec_id)
+       | WHERE prank <= $rerankShortlist)
+       |SELECT q_id, rank, c_id, cos FROM (
+       | SELECT s.q_id, s.c_id, $cosExact AS cos,
+       |  ROW_NUMBER() OVER (PARTITION BY s.q_id
+       |    ORDER BY $cosExact DESC, s.c_id ASC) AS rank
+       | FROM shortlist s
+       |  JOIN embeddings q ON q.vec_id = s.q_id
+       |  JOIN embeddings c ON c.vec_id = s.c_id)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_pq_rerank" -> (v10 _),
     "v09_knn_pq_adc" -> (v09 _),
     "v08_ann_recall" -> (v08 _),
     "v07_knn_ivf_adc" -> (v07 _),
@@ -701,6 +796,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v10_pq_rerank" -> v10Sql,
     "v09_knn_pq_adc" -> v09Sql,
     "v08_ann_recall" -> v08Sql,
     "v07_knn_ivf_adc" -> v07Sql,
