@@ -53,7 +53,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    rightTieBreak: Seq[Expression]) extends BinaryNode {
+    rightTieBreak: Seq[Expression],
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -64,7 +65,9 @@ case class AsOfJoinPlan(
   override lazy val resolved: Boolean = childrenResolved &&
     (Seq(leftKey, rightKey, leftTs, rightTs) ++ rightTieBreak).forall(_.resolved) &&
     leftKey.dataType.catalogString == rightKey.dataType.catalogString &&
-    leftTs.dataType.catalogString == rightTs.dataType.catalogString
+    leftTs.dataType.catalogString == rightTs.dataType.catalogString &&
+    // a staleness bound subtracts timestamps, so it needs an integral ts
+    (tolerance.isEmpty || leftTs.dataType == org.apache.spark.sql.types.LongType)
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
@@ -73,16 +76,16 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, tol) =>
       // the same size-based physical selection BroadcastHashJoin gets
       // from JoinSelection: a small right side (calibration tables,
       // quote snapshots, price marks) broadcasts, and the LEFT side —
       // the 100 TB fact stream — is neither shuffled nor sorted
       val thresh = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (thresh > 0 && r.stats.sizeInBytes >= 0 && r.stats.sizeInBytes <= thresh)
-        BroadcastAsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+        BroadcastAsOfJoinExec(lk, rk, lt, rt, tb, tol, planLater(l), planLater(r)) :: Nil
       else
-        AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+        AsOfJoinExec(lk, rk, lt, rt, tb, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -99,6 +102,7 @@ case class BroadcastAsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[Expression],
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -160,7 +164,15 @@ case class BroadcastAsOfJoinExec(
             if (tsOrdering.compare(tsVals(mid), lt) <= 0) lo = mid + 1 else hi = mid
           }
           if (lo == 0) project(joined(l, nullRight))
-          else project(joined(l, rRows(lo - 1)))
+          else {
+            // staleness bound: the rightmost eligible match must also be
+            // recent enough; too-stale matches emit the null row, the
+            // same contract as no match at all
+            val ok = tolerance.forall(tol =>
+              lt.asInstanceOf[Long] - tsVals(lo - 1).asInstanceOf[Long] <= tol)
+            if (ok) project(joined(l, rRows(lo - 1)))
+            else project(joined(l, nullRight))
+          }
         }
       }
     }
@@ -175,6 +187,7 @@ case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
     rightTieBreak: Seq[Expression],
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -236,7 +249,10 @@ case class AsOfJoinExec(
             walking = false // right side is ahead of this left row
           }
         }
-        if (lastMatch != null && keyOrdering.compare(lastMatchKey, lk) == 0) {
+        if (lastMatch != null && keyOrdering.compare(lastMatchKey, lk) == 0 &&
+            tolerance.forall(tol =>
+              lt.asInstanceOf[Long] -
+                rTs.eval(lastMatch).asInstanceOf[Long] <= tol)) {
           project(joined(l, lastMatch))
         } else {
           project(joined(l, nullRight))
@@ -257,7 +273,8 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame,
            leftKey: Column, leftTs: Column,
            rightKey: Column, rightTs: Column,
-           rightTieBreak: Seq[Column] = Nil): DataFrame = {
+           rightTieBreak: Seq[Column] = Nil,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     // GraftExtensions-built sessions already carry the strategy via
     // injectPlannerStrategy; this is the fallback for plain sessions.
@@ -299,7 +316,13 @@ object AsOf {
           s"vs right ${r.dataType.simpleString}")
     requireSameType("key", lk, rk)
     requireSameType("ordering", lt, rt)
+    tolerance.foreach { tol =>
+      require(tol >= 0, s"as-of tolerance must be >= 0, got $tol")
+      if (lt.dataType != org.apache.spark.sql.types.LongType)
+        throw new IllegalArgumentException(
+          s"as-of tolerance needs a LONG ordering column, got ${lt.dataType.simpleString}")
+    }
     GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      lk, rk, lt, rt, rightTieBreak.map(resolve(rPlan, _))))
+      lk, rk, lt, rt, rightTieBreak.map(resolve(rPlan, _)), tolerance))
   }
 }

@@ -835,7 +835,50 @@ object TemporalQueries extends QueryFamily {
       |  ON c.grp = t.t_grp AND c.cumw >= t.target AND c.cumw - c.wm < t.target
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- j15: as-of join WITH a staleness bound (ASOF ... WITHIN) ------------
+  // j12's native operator plus the tolerance every trading/telemetry
+  // as-of carries in practice: a prior click older than 1 hour is no
+  // match (NULL → -1), enforced INSIDE the merge walk / broadcast
+  // probe (plans/AsOfJoin.scala `tolerance`), not by post-filtering —
+  // a post-filter cannot express "too stale means NO match" without a
+  // second pass over the candidate ranks. Oracle: the same
+  // argmax-with-bound in independent SQL.
+  private val asofTolUs = 3600000000L // 1 hour in µs
+  private def j15(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        expr("ts div 1000").as("c_us"))
+    graft.plans.AsOf.join(purchases, clicks,
+        col("user_id"), col("p_us"), col("c_user"), col("c_us"),
+        Seq(col("click_id")), tolerance = Some(asofTolUs))
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("click_id"), lit(-1L)).as("asof_click"))
+      .orderBy(col("purchase_id"))
+  }
+  private val j15Sql =
+    s"""WITH c AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+       |  FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+       |  FROM events WHERE event_type = 'purchase'),
+       |best AS (
+       | SELECT purchase_id, click_id FROM (
+       |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       |   ROW_NUMBER() OVER (PARTITION BY p.event_id
+       |     ORDER BY c.us DESC, c.event_id DESC) AS rn
+       |  FROM p JOIN c ON p.user_id = c.user_id AND c.us <= p.us
+       |   AND p.us - c.us <= $asofTolUs)
+       | WHERE rn = 1)
+       |SELECT p.event_id AS purchase_id, p.user_id,
+       | COALESCE(b.click_id, -1) AS asof_click
+       |FROM p LEFT JOIN best b ON p.event_id = b.purchase_id
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j15_asof_tolerance" -> (j15 _),
     "a24_weighted_quantiles" -> (a24 _),
     "j14_range_join_rule" -> (j14 _),
     "u10_ewma" -> (u10 _),
@@ -861,6 +904,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j15_asof_tolerance" -> j15Sql,
     "a24_weighted_quantiles" -> a24Sql,
     "j14_range_join_rule" -> j14Sql,
     "u10_ewma" -> u10Sql,

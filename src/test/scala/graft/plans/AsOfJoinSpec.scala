@@ -55,6 +55,53 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     merged
   }
 
+  /** Tolerance variant of [[run]]: both physical forms must agree. */
+  private def runTol(left: org.apache.spark.sql.DataFrame,
+                     right: org.apache.spark.sql.DataFrame, tol: Long) = {
+    def once() =
+      AsOf.join(left, right, col("k"), col("lt"), col("rk"), col("rt"),
+          Seq(col("rid")), tolerance = Some(tol))
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val broadcast = once()
+    val merged = withThreshold("-1")(once())
+    assert(broadcast == merged,
+      s"broadcast and merge-walk tolerance paths disagree: $broadcast vs $merged")
+    merged
+  }
+
+  test("tolerance: matches inside the bound, NULL for staler ones") {
+    val l = leftDf((1L, 100L, 1L), (1L, 200L, 2L), (2L, 500L, 3L))
+    val r = rightDf((1L, 95L, 10L), (1L, 150L, 11L), (2L, 100L, 12L))
+    // tol = 60: lid1 matches rid10 (gap 5), lid2 matches rid11 (gap 50),
+    // lid3's only prior click is 400 stale -> NULL
+    assert(runTol(l, r, 60L) == Map(1L -> 10L, 2L -> 11L, 3L -> -1L))
+    // tol = 0: only exact-time matches survive
+    val r0 = rightDf((1L, 100L, 20L), (1L, 150L, 21L), (2L, 100L, 22L))
+    assert(runTol(l, r0, 0L) == Map(1L -> 20L, 2L -> -1L, 3L -> -1L))
+  }
+
+  test("tolerance: too-stale means NO match, not the next-older candidate") {
+    // two candidates: a stale-but-latest one and an even older in-bound
+    // one CANNOT exist (ts ordering) — but verify the operator does not
+    // fall back to any older row once the latest eligible is too stale
+    val l = leftDf((1L, 1000L, 1L))
+    val r = rightDf((1L, 100L, 10L), (1L, 900L, 11L))
+    assert(runTol(l, r, 50L) == Map(1L -> -1L))
+    assert(runTol(l, r, 100L) == Map(1L -> 11L))
+  }
+
+  test("tolerance on a non-LONG ordering column fails at construction") {
+    val l = leftDf((1L, 100L, 1L)).withColumn("lt", col("lt").cast("string"))
+    val r = rightDf((1L, 95L, 10L)).withColumn("rt", col("rt").cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, col("k"), col("lt"), col("rk"), col("rt"),
+        Seq(col("rid")), tolerance = Some(10L))
+    }
+    assert(e.getMessage.contains("LONG ordering"))
+  }
+
   test("picks the most recent prior-or-equal right row per key") {
     val l = leftDf((1L, 10L, 100L), (1L, 20L, 101L), (2L, 15L, 102L))
     val r = rightDf((1L, 5L, 200L), (1L, 10L, 201L), (1L, 18L, 202L),
