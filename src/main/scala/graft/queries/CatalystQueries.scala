@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.plans.GraftExtensions
+import graft.sources.GenSource
 
 /** Queries exercising graft's native Catalyst functions (delta_r with
   * doGenCode, the single-pass TypedImperativeAggregate histogram),
@@ -56,13 +57,44 @@ object CatalystQueries extends QueryFamily {
        |FROM events ORDER BY event_id""".stripMargin
   }
 
+  // ---- c04: DataSource V2 generator scan ---------------------------------
+  // A full custom connector (sources/GenSource.scala): the id-range
+  // predicate is pushed into the scan and prunes whole input partitions
+  // at planning time; only (bucket, v) are generated per row (column
+  // pruning). The oracle rebuilds the identical table from range(n) —
+  // v is an integer multiple of 2^-31, so SUM(v) is bit-exact in any
+  // aggregation order.
+  private val c04Rows = 200000L
+  private val c04Lo = 50000L
+  private val c04Hi = 150000L
+  private def c04(s: SparkSession, dir: String): DataFrame = {
+    s.read.format("graft.sources.GenSource")
+      .option("rows", c04Rows).option("slices", 16).load()
+      .filter(col("id") >= c04Lo && col("id") < c04Hi)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"),
+        min(col("tag")).as("min_tag"))
+      .orderBy(col("bucket"))
+  }
+  private val c04Sql =
+    s"""SELECT ((range * ${GenSource.A} + ${GenSource.C}) % ${GenSource.M}) % 50 AS bucket,
+       | COUNT(*) AS n,
+       | SUM(((range * ${GenSource.A} + ${GenSource.C}) % ${GenSource.M})
+       |     / ${GenSource.M}.0) AS sum_v,
+       | MIN('t' || (((range * ${GenSource.A} + ${GenSource.C}) % ${GenSource.M}) % 7)) AS min_tag
+       |FROM range($c04Rows)
+       |WHERE range >= $c04Lo AND range < $c04Hi
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_native_histogram" -> (c01 _),
-    "c02_native_delta_r" -> (c02 _)
+    "c02_native_delta_r" -> (c02 _),
+    "c04_gen_source" -> (c04 _)
   )
 
   val oracle: Map[String, String] = Map(
     "c01_native_histogram" -> c01Sql,
-    "c02_native_delta_r" -> c02Sql
+    "c02_native_delta_r" -> c02Sql,
+    "c04_gen_source" -> c04Sql
   )
 }
