@@ -331,20 +331,28 @@ object CurationQueries extends QueryFamily {
     ccMemo.computeIfAbsent((System.identityHashCode(s), dir),
       _ => ccLabelsCompute(s, dir))
 
-  private def ccLabelsCompute(s: SparkSession, dir: String): DataFrame = {
-    val d = rd(s, dir, "documents")
-    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
-    val chained = d.select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("prev", lag(col("doc_id"), 1).over(w))
-      .withColumn("prev_nc", lag(col("n_chars"), 1).over(w))
-      .filter(col("prev").isNotNull &&
-        abs(col("n_chars") - col("prev_nc")) <= ccGap)
-    var edges = ckptFresh(
-      chained.select(col("prev").as("src"), col("doc_id").as("dst")))
+  /** Component labels for every vertex that appears in `edges`:
+    * (lid, nbmin) with nbmin = min doc_id of the vertex's component.
+    *
+    * Two-level design. Star-contraction shrinks the edge list
+    * geometrically, so after a handful of distributed rounds the
+    * residual graph is tiny relative to the cluster — at that point
+    * more distributed rounds are pure scheduler overhead (each round is
+    * ~8 shuffle stages over a few thousand rows). Once the fingerprint
+    * count drops to `driverThreshold` (1M edges ≈ 16 MB of pairs, far
+    * below any driver heap), the remainder is finished with a
+    * min-rooted union-find on the driver — the same finish a
+    * 1000-executor job would want, because contraction has already done
+    * the data-parallel part. `driverThreshold = 0` forces pure
+    * distributed convergence (exercised in ConnectedComponentsSpec,
+    * which proves both paths produce identical labels). */
+  private[graft] def ccConverge(s: SparkSession, edges0: DataFrame,
+                                driverThreshold: Long): DataFrame = {
+    var edges = ckptFresh(edges0.select(col("src"), col("dst")))
     var fp = fingerprint(edges)
     var prevFp = (-1L, -1L)
     var iters = 0
-    while (fp != prevFp && iters < ccMaxIters) {
+    while (fp != prevFp && fp._1 > driverThreshold && iters < ccMaxIters) {
       // two contraction rounds per materialization: the 4-phase plan is
       // still shallow (stats reset each checkpoint, so no inheritance
       // blow-up) and it halves the per-iteration job count — the
@@ -357,12 +365,51 @@ object CurationQueries extends QueryFamily {
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         System.err.println(s"[d12] iter=$iters edges=${fp._1} hash=${fp._2}")
     }
-    // stable edge list = star forest (v, component-min); vertices with no
-    // edge (singletons) label themselves
-    val lbl = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .groupBy(col("src")).agg(min(col("dst")).as("nbmin"))
-      .select(col("src").as("lid"), col("nbmin"))
+    if (fp._1 <= driverThreshold && fp != prevFp) {
+      // finish on the driver: min-rooted union-find with path compression
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // min root everywhere ⇒ find() IS the component minimum
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(v => labels += ((v, find(v))))
+      import s.implicits._
+      labels.toSeq.toDF("lid", "nbmin")
+    } else {
+      // stable edge list = star forest (v, component-min)
+      edges
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src")).agg(min(col("dst")).as("nbmin"))
+        .select(col("src").as("lid"), col("nbmin"))
+    }
+  }
+
+  private def ccLabelsCompute(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    val chained = d.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .withColumn("prev_nc", lag(col("n_chars"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        abs(col("n_chars") - col("prev_nc")) <= ccGap)
+    val lbl = ccConverge(s,
+      chained.select(col("prev").as("src"), col("doc_id").as("dst")),
+      driverThreshold = 1000000L)
+    // vertices with no edge (singletons) label themselves
     d.select(col("doc_id")).join(lbl, col("doc_id") === col("lid"), "left")
       .select(col("doc_id"),
         least(col("doc_id"), coalesce(col("nbmin"), col("doc_id"))).as("cluster"))
