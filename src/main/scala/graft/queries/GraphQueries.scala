@@ -123,11 +123,15 @@ object GraphQueries extends QueryFamily {
     val li = rd(s, dir, "lineitem")
     val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
       .distinct()
+    // materialize the pair table once: three consumers (total count,
+    // threshold distribution, edge filter) would otherwise each re-run
+    // the inverted-index self-join — the dominant cost of the query
     val pairs = sp.as("a")
       .join(sp.as("b"),
         col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
       .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
       .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
     val tot = pairs.agg(count(lit(1)).as("n_pairs"))
     val wCum = Window.orderBy(col("shared").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

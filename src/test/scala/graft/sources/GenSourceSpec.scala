@@ -72,6 +72,57 @@ class GenSourceSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(joined.count() === 40000) // 2 gen rows per bucket on average
   }
 
+  test("aggregate pushdown answers COUNT/MIN/MAX/SUM without generating rows") {
+    // a BILLION-row table: only closed-form per-partition answers can
+    // return quickly — generating rows would take minutes
+    val rows = 1000000000L
+    val df = read(rows, 8).agg(
+      count(lit(1)).as("n"), min("id").as("mn"),
+      max("id").as("mx"), sum("id").as("s"))
+    val scan = genScan(df)
+    assert(scan.aggSpec.nonEmpty, s"aggregates not pushed: ${scan.description()}")
+    val r = df.collect().head
+    assert(r.getLong(0) === rows)
+    assert(r.getLong(1) === 0L && r.getLong(2) === rows - 1)
+    assert(r.getLong(3) === rows * ((rows - 1) / 2) + (rows / 2) * ((rows - 1) % 2))
+  }
+
+  test("aggregate pushdown composes with filter pushdown bounds") {
+    val df = read(1000000000L, 8)
+      .filter(col("id") >= 10 && col("id") < 1000010)
+      .agg(count(lit(1)).as("n"), sum("id").as("s"))
+    assert(genScan(df).aggSpec === Seq("count", "sum"))
+    val r = df.collect().head
+    assert(r.getLong(0) === 1000000L)
+    // sum of [10, 1000010) = sum[0,1000010) - sum[0,10)
+    assert(r.getLong(1) === 1000009L * 1000010L / 2 - 45L)
+  }
+
+  test("grouped aggregation is NOT pushed and still computes correctly") {
+    val df = read(1000, 4).groupBy("bucket").agg(count(lit(1)).as("n"))
+    assert(genScan(df).aggSpec.isEmpty)
+    assert(df.agg(sum("n")).collect().head.getLong(0) === 1000L)
+  }
+
+  test("micro-batch stream replays the same table as the batch read") {
+    val tmp = java.nio.file.Files.createTempDirectory("gen-stream").toString
+    val stream = spark.readStream.format("graft.sources.GenSource")
+      .option("rows", 5000).option("slices", 4).load()
+      .groupBy("bucket").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val q = stream.writeStream.format("memory").queryName("gen_stream_agg")
+      .outputMode("complete")
+      .option("checkpointLocation", tmp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("gen_stream_agg")
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val want = read(5000, 4).groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === want) // v sums are bit-exact by construction
+  }
+
   test("non-id predicates stay post-scan and still evaluate correctly") {
     val df = read(1000, 4).filter(col("bucket") === 3)
     val scan = genScan(df)
