@@ -93,6 +93,11 @@ object GraftFunctions {
       .toAggregateExpression()
   }
 
+  val qsketchBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "qsketch_buckets(value)")
+    LogQuantileSketch(children(0)).toAggregateExpression()
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -135,5 +140,9 @@ object GraftFunctions {
       new FunctionIdentifier("hll_registers"),
       new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
       hllRegistersBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("qsketch_buckets"),
+      new ExpressionInfo(classOf[LogQuantileSketch].getName, "qsketch_buckets"),
+      qsketchBuilder)
   }
 }

@@ -592,7 +592,72 @@ object SearchQueries extends QueryFamily {
        |WHERE rn = 1 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- k07: mergeable log-bucket quantile sketch ---------------------------
+  // DDSketch-family relative-error quantiles via the native
+  // qsketch_buckets aggregate (plans/LogQuantileSketch.scala): 512
+  // integer-exact (msb, next-3-bits) buckets per group, merged
+  // element-wise — map-side combine reduces every partition to one
+  // bounded vector per group, the only single-pass quantile shape that
+  // survives 100 TB (a18/a24's exact forms sort or window all rows).
+  // The oracle rebuilds the identical buckets relationally (printf('%b')
+  // msb + shifts) and both engines select p50/p90/p99 from the same
+  // cumulative-count crossing in exact integer arithmetic; answers are
+  // bucket LOWER BOUNDS, within gamma^2 ~ 18% of the true quantile by
+  // construction (accuracy against exact quantiles is asserted in
+  // LogQuantileSketchSpec).
+  private def k07(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    rd(s, dir, "lineitem").createOrReplaceTempView("k07_li")
+    s.sql(
+      """WITH sk AS (
+        | SELECT l_returnflag AS flag,
+        |  qsketch_buckets(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS m
+        | FROM k07_li GROUP BY 1),
+        |ex AS (
+        | SELECT flag, idx, cnt FROM sk LATERAL VIEW explode(m) t AS idx, cnt),
+        |cum AS (
+        | SELECT flag, idx, cnt,
+        |  SUM(cnt) OVER (PARTITION BY flag ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |  SUM(cnt) OVER (PARTITION BY flag) AS tot,
+        |  CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+        |   ELSE SHIFTLEFT(CAST(8 + idx % 8 AS BIGINT), CAST(idx / 8 AS INT) - 3)
+        |  END AS lb
+        | FROM ex)
+        |SELECT flag, COUNT(*) AS n_buckets, MAX(tot) AS total,
+        | MIN(CASE WHEN 2 * c >= tot THEN lb END) AS p50,
+        | MIN(CASE WHEN 10 * c >= 9 * tot THEN lb END) AS p90,
+        | MIN(CASE WHEN 100 * c >= 99 * tot THEN lb END) AS p99
+        |FROM cum GROUP BY flag ORDER BY flag""".stripMargin)
+  }
+  private val k07Sql =
+    """WITH v AS (
+      | SELECT l_returnflag AS flag, CAST(FLOOR(l_extendedprice) AS BIGINT) AS x
+      | FROM lineitem
+      | WHERE CAST(FLOOR(l_extendedprice) AS BIGINT) > 0),
+      |b AS (
+      | SELECT flag,
+      |  (length(printf('%b', x)) - 1) * 8 +
+      |   ((x >> greatest(length(printf('%b', x)) - 4, 0)) & 7) AS idx,
+      |  COUNT(*) AS cnt
+      | FROM v GROUP BY 1, 2),
+      |cum AS (
+      | SELECT flag, idx, cnt,
+      |  SUM(cnt) OVER (PARTITION BY flag ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+      |  SUM(cnt) OVER (PARTITION BY flag) AS tot,
+      |  CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+      |   ELSE CAST((8 + idx % 8) * power(2, idx // 8 - 3) AS BIGINT)
+      |  END AS lb
+      | FROM b)
+      |SELECT flag, COUNT(*) AS n_buckets, CAST(MAX(tot) AS BIGINT) AS total,
+      | MIN(CASE WHEN 2 * c >= tot THEN lb END) AS p50,
+      | MIN(CASE WHEN 10 * c >= 9 * tot THEN lb END) AS p90,
+      | MIN(CASE WHEN 100 * c >= 99 * tot THEN lb END) AS p99
+      |FROM cum GROUP BY flag ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k07_quantile_sketch" -> (k07 _),
     "w07_snippet_window" -> (w07 _),
     "w06_pmi_cooccur" -> (w06 _),
     "w04_rrf_fusion" -> (w04 _),
@@ -606,6 +671,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k07_quantile_sketch" -> k07Sql,
     "w07_snippet_window" -> w07Sql,
     "w06_pmi_cooccur" -> w06Sql,
     "w04_rrf_fusion" -> w04Sql,
