@@ -13,7 +13,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxTaskFailures]: allow one retry so specs can
+      // exercise task-retry semantics (AuditSinkSpec injects a failure)
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
