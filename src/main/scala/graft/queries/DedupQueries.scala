@@ -867,7 +867,54 @@ object DedupQueries extends QueryFamily {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- d18: edit-distance join via deletion-neighborhood indexing ----------
+  // SymSpell-style (Garbe's symmetric delete algorithm; same family as
+  // FastSS, Schulz/Mihov "Fast string correction with Levenshtein
+  // automata" for the k-bounded framing): two strings are within
+  // Levenshtein distance 1 iff they share an entry in their
+  // {self} ∪ {one-char deletions} neighborhoods — substitution pairs
+  // share the deletion at the differing position, insert/delete pairs
+  // hit each other's self entry. Candidates therefore come from an
+  // EQUI-join on the exploded neighborhood (|s|+1 index rows per
+  // string — O(n·len) total, never the O(n²) all-pairs), and an exact
+  // levenshtein verify removes the false positives (shared deletion
+  // but distance 2, e.g. "ab"/"ba"). The oracle is the unfiltered
+  // all-pairs join: equal results prove the neighborhood index is
+  // LOSSLESS at k = 1. The typo-variant dedup every text corpus needs,
+  // in the shape that survives 100 TB.
+  /** Lev-≤1 pairs from a single-column ("w") DataFrame of distinct
+    * strings — the deletion-neighborhood index join + exact verify.
+    * Shared with SymSpellSpec, which proves losslessness against brute
+    * force on insert/delete/substitute cases the supplier data lacks. */
+  private[graft] def symspellPairs(names: DataFrame): DataFrame = {
+    val idx = names.select(col("w"), explode(concat(
+      array(col("w")),
+      expr("transform(sequence(1, length(w)), " +
+        "i -> concat(substring(w, 1, i - 1), substring(w, i + 1)))"))).as("v"))
+    idx.as("a").join(idx.as("b"),
+        col("a.v") === col("b.v") && col("a.w") < col("b.w"))
+      .select(col("a.w").as("a_name"), col("b.w").as("b_name"))
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_name"), col("b_name"),
+        levenshtein(col("a_name"), col("b_name")).as("dist"))
+  }
+
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val names = rd(s, dir, "supplier")
+      .select(lower(col("s_name")).as("w")).distinct()
+      .localCheckpoint() // feeds the index build and both verify sides
+    symspellPairs(names).orderBy(col("a_name"), col("b_name"))
+  }
+  private val d18Sql =
+    """WITH n AS (SELECT DISTINCT lower(s_name) AS w FROM supplier)
+      |SELECT a.w AS a_name, b.w AS b_name,
+      | CAST(levenshtein(a.w, b.w) AS INT) AS dist
+      |FROM n a JOIN n b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_symspell_join" -> (d18 _),
     "d17_containment" -> (d17 _),
     "d15_normalized_dedup" -> (d15 _),
     "d16_cdc_chunking" -> (d16 _),
@@ -884,6 +931,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d18_symspell_join" -> d18Sql,
     "d17_containment" -> d17Sql,
     "d15_normalized_dedup" -> d15Sql,
     "d16_cdc_chunking" -> d16Sql,
