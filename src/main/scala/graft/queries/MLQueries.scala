@@ -460,7 +460,66 @@ object MLQueries extends QueryFamily {
        |FROM dec CROSS JOIN tot
        |GROUP BY decile, n_all, p_all ORDER BY decile""".stripMargin
 
+  // ---- m10: out-of-fold target encoding ------------------------------------
+  // The leak-proof categorical encoder (Micci-Barreca, "A preprocessing
+  // scheme for high-cardinality categorical attributes", SIGKDD
+  // Explorations 2001, plus the out-of-fold discipline every gradient-
+  // boosting pipeline uses): the encoding a row in fold f sees for
+  // category c is built from the OTHER folds' rows only —
+  //   te(c, f) = (y_oof + m·prior_oof) / (n_oof + m)
+  // with n_oof/y_oof = category totals minus fold-own counts and
+  // prior_oof the same subtraction globally. One groupBy builds the
+  // (category, fold) cell table; totals come from windows over it — no
+  // second scan, no per-row join here (the encoder TABLE is the
+  // operator's output; consumers broadcast-join it). All counts are
+  // integers, smoothing arithmetic is one fixed parenthesization of
+  // IEEE ops, so both engines agree bit-for-bit.
+  private val teSmooth = 10.0
+  private def m10(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = rd(s, dir, "events")
+      .select(col("event_type").as("cat"), (col("event_id") % 4).as("fold"),
+        expr("CASE WHEN value > 5.0D THEN 1L ELSE 0L END").as("y"))
+    val cells = e.groupBy(col("cat"), col("fold"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("yy"))
+    val wc = Window.partitionBy(col("cat"))
+    val wg = Window.partitionBy(lit(1))
+    cells
+      .withColumn("n_oof", sum(col("n")).over(wc) - col("n"))
+      .withColumn("y_oof", sum(col("yy")).over(wc) - col("yy"))
+      .withColumn("n_g", sum(col("n")).over(wg) - col("n"))
+      .withColumn("y_g", sum(col("yy")).over(wg) - col("yy"))
+      .select(col("cat"), col("fold"), col("n_oof"), col("y_oof"),
+        expr(s"""CAST((CAST(y_oof AS DOUBLE) +
+                 | $teSmooth * (CAST(y_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                 | / (CAST(n_oof AS DOUBLE) + $teSmooth) AS FLOAT)""".stripMargin)
+          .as("te"))
+      .orderBy(col("cat"), col("fold"))
+  }
+  private val m10Sql =
+    s"""WITH e AS (
+       | SELECT event_type AS cat, event_id % 4 AS fold,
+       |  CASE WHEN value > 5.0 THEN 1 ELSE 0 END AS y
+       | FROM events),
+       |cells AS (
+       | SELECT cat, fold, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS yy
+       | FROM e GROUP BY 1, 2),
+       |oof AS (
+       | SELECT cat, fold, n, yy,
+       |  SUM(n) OVER (PARTITION BY cat) - n AS n_oof,
+       |  SUM(yy) OVER (PARTITION BY cat) - yy AS y_oof,
+       |  SUM(n) OVER () - n AS n_g,
+       |  SUM(yy) OVER () - yy AS y_g
+       | FROM cells)
+       |SELECT cat, fold, CAST(n_oof AS BIGINT) AS n_oof,
+       | CAST(y_oof AS BIGINT) AS y_oof,
+       | CAST((CAST(y_oof AS DOUBLE) +
+       |   $teSmooth * (CAST(y_g AS DOUBLE) / CAST(n_g AS DOUBLE)))
+       |  / (CAST(n_oof AS DOUBLE) + $teSmooth) AS REAL) AS te
+       |FROM oof ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
     "m06_threshold_sweep" -> (m06 _),
@@ -473,6 +532,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
     "m06_threshold_sweep" -> m06Sql,

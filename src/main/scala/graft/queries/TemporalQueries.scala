@@ -835,6 +835,54 @@ object TemporalQueries extends QueryFamily {
       |  ON c.grp = t.t_grp AND c.cumw >= t.target AND c.cumw - c.wm < t.target
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- u11: TWAP / VWAP over irregular observation times -------------------
+  // The two standard interval aggregates a mark-to-market or metering
+  // pipeline computes per (entity, hour): volume-weighted average
+  // (Σ p·v / Σ v) and TIME-weighted average, where each observation
+  // holds its value until the next one and the last holds to the hour
+  // boundary — one LEAD over a single (user, hour) partitioning, no
+  // self-join. Everything folds in exact integers (price in cents,
+  // durations in µs, volumes derived deterministically from event_id),
+  // so both engines' sums are order-free and the final divisions are
+  // identical IEEE ops — the same micro-quantization discipline as
+  // m05/w05.
+  private val usPerHour = 3600000000L
+  private def u11(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"),
+        expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").as("cents"),
+        (col("event_id") % 9 + 1).as("vol"))
+      .withColumn("hr", expr(s"us div $usPerHour"))
+    val w = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("us"), col("event_id"))
+    e.withColumn("dur",
+        coalesce(lead(col("us"), 1).over(w), (col("hr") + 1) * usPerHour) - col("us"))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("cents") * col("vol")).cast("double") /
+          sum(col("vol")) / 100.0).cast("float").as("vwap"),
+        (sum(col("cents") * col("dur")).cast("double") /
+          sum(col("dur")) / 100.0).cast("float").as("twap"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+  private val u11Sql =
+    s"""WITH e AS (
+       | SELECT user_id, event_id,
+       |  epoch_ns(ts) // 1000 AS us,
+       |  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       |  event_id % 9 + 1 AS vol,
+       |  (epoch_ns(ts) // 1000) // $usPerHour AS hr
+       | FROM events),
+       |d AS (
+       | SELECT *, COALESCE(LEAD(us) OVER (PARTITION BY user_id, hr
+       |    ORDER BY us, event_id), (hr + 1) * $usPerHour) - us AS dur
+       | FROM e)
+       |SELECT user_id, hr, COUNT(*) AS n_events,
+       | CAST(CAST(SUM(cents * vol) AS DOUBLE) / SUM(vol) / 100.0 AS REAL) AS vwap,
+       | CAST(CAST(SUM(cents * dur) AS DOUBLE) / SUM(dur) / 100.0 AS REAL) AS twap
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---- j15: as-of join WITH a staleness bound (ASOF ... WITHIN) ------------
   // j12's native operator plus the tolerance every trading/telemetry
   // as-of carries in practice: a prior click older than 1 hour is no
@@ -878,6 +926,7 @@ object TemporalQueries extends QueryFamily {
        |ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u11_twap_vwap" -> (u11 _),
     "j15_asof_tolerance" -> (j15 _),
     "a24_weighted_quantiles" -> (a24 _),
     "j14_range_join_rule" -> (j14 _),
@@ -904,6 +953,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u11_twap_vwap" -> u11Sql,
     "j15_asof_tolerance" -> j15Sql,
     "a24_weighted_quantiles" -> a24Sql,
     "j14_range_join_rule" -> j14Sql,
