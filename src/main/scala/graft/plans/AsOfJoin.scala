@@ -274,7 +274,16 @@ object AsOf {
            leftKey: Column, leftTs: Column,
            rightKey: Column, rightTs: Column,
            rightTieBreak: Seq[Column] = Nil,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None): DataFrame =
+    joinInternal(left, right, leftKey, leftTs, rightKey, rightTs,
+      rightTieBreak, tolerance, negateTs = false)
+
+  private def joinInternal(left: DataFrame, right: DataFrame,
+           leftKey: Column, leftTs: Column,
+           rightKey: Column, rightTs: Column,
+           rightTieBreak: Seq[Column],
+           tolerance: Option[Long],
+           negateTs: Boolean): DataFrame = {
     val spark = left.sparkSession
     // GraftExtensions-built sessions already carry the strategy via
     // injectPlannerStrategy; this is the fallback for plain sessions.
@@ -296,20 +305,28 @@ object AsOf {
     // (same resolver the analyzer uses) and refuses ambiguous names
     // instead of silently taking the first match
     val resolverFn = spark.sessionState.conf.resolver
+    def resolveAttr(plan: LogicalPlan, u: UnresolvedAttribute): Expression =
+      plan.output.filter(a => resolverFn(a.name, u.name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column ${u.name} not found in [${plan.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"column ${u.name} is ambiguous: matches [${many.map(_.name).mkString(", ")}]")
+      }
+    // resolve nested references too, so computed ordering columns (e.g.
+    // the negation joinForward builds) work like plain names
     def resolve(plan: LogicalPlan, c: Column): Expression =
-      GraftBridge.expression(c) match {
-        case u: UnresolvedAttribute =>
-          plan.output.filter(a => resolverFn(a.name, u.name)) match {
-            case Seq(one) => one
-            case Seq() => throw new IllegalArgumentException(
-              s"column ${u.name} not found in [${plan.output.map(_.name).mkString(", ")}]")
-            case many => throw new IllegalArgumentException(
-              s"column ${u.name} is ambiguous: matches [${many.map(_.name).mkString(", ")}]")
-          }
-        case other => other
+      GraftBridge.expression(c).transformUp {
+        case u: UnresolvedAttribute => resolveAttr(plan, u)
       }
     val (lk, rk) = (resolve(lPlan, leftKey), resolve(rPlan, rightKey))
-    val (lt, rt) = (resolve(lPlan, leftTs), resolve(rPlan, rightTs))
+    def ts(plan: LogicalPlan, c: Column): Expression = {
+      val e = resolve(plan, c)
+      // forward direction: most-recent-prior of −t = earliest-later of t
+      if (negateTs) org.apache.spark.sql.catalyst.expressions.UnaryMinus(e)
+      else e
+    }
+    val (lt, rt) = (ts(lPlan, leftTs), ts(rPlan, rightTs))
     def requireSameType(what: String, l: Expression, r: Expression): Unit =
       if (l.dataType.catalogString != r.dataType.catalogString) throw new IllegalArgumentException(
         s"as-of join $what types must match: left ${l.dataType.simpleString} " +
@@ -325,4 +342,20 @@ object AsOf {
     GraftBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       lk, rk, lt, rt, rightTieBreak.map(resolve(rPlan, _)), tolerance))
   }
+
+  /** FORWARD as-of: match each left row to the EARLIEST right row at or
+    * after it (per key), optionally within `tolerance`. Implemented by
+    * running the backward operator on negated ordering columns — the
+    * most-recent-prior of −t is the earliest-later of t, and the
+    * staleness bound (−lt) − (−rt) = rt − lt becomes the forward
+    * window. Both physical forms (merge walk, broadcast probe) are
+    * reused unchanged; among equal timestamps the max tie-break wins,
+    * the same contract as the backward direction. */
+  def joinForward(left: DataFrame, right: DataFrame,
+                  leftKey: Column, leftTs: Column,
+                  rightKey: Column, rightTs: Column,
+                  rightTieBreak: Seq[Column] = Nil,
+                  tolerance: Option[Long] = None): DataFrame =
+    joinInternal(left, right, leftKey, leftTs, rightKey, rightTs,
+      rightTieBreak, tolerance, negateTs = true)
 }

@@ -670,7 +670,35 @@ object RelationalQueries extends QueryFamily {
       |WHERE o_orderpriority = '1-URGENT' AND r_name = 'ASIA'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- a26: deterministic mode (most frequent value) per group -------------
+  // Spark's built-in `mode` leaves ties unspecified; the reproducible
+  // form every pipeline actually wants is count-then-argmax with a
+  // total tie order (highest count, then smallest value). One groupBy
+  // + one tiny window over the (group, value) cell table — the window
+  // sorts |groups|·|distinct values| cells, never input rows.
+  private def a26(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val cells = o.groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("status"))
+      .orderBy(col("cnt").desc, col("prio").asc)
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("status"), col("prio").as("mode_prio"), col("cnt"))
+      .orderBy(col("status"))
+  }
+  private val a26Sql =
+    """SELECT status, prio AS mode_prio, cnt FROM (
+      | SELECT o_orderstatus AS status, o_orderpriority AS prio,
+      |  COUNT(*) AS cnt,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |    ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+      | FROM orders GROUP BY 1, 2)
+      |WHERE rn = 1 ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a26_mode_per_group" -> (a26 _),
     "r12_full_outer_reconcile" -> (r12 _),
     "r13_except" -> (r13 _),
     "r14_star_join" -> (r14 _),
@@ -702,6 +730,7 @@ object RelationalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "a26_mode_per_group" -> a26Sql,
     "r12_full_outer_reconcile" -> r12Sql,
     "r13_except" -> r13Sql,
     "r14_star_join" -> r14Sql,

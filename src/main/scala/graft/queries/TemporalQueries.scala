@@ -925,7 +925,49 @@ object TemporalQueries extends QueryFamily {
        |FROM p LEFT JOIN best b ON p.event_id = b.purchase_id
        |ORDER BY 1""".stripMargin
 
+  // ---- j16: FORWARD as-of join (earliest later event, bounded) -------------
+  // The mirror of j15 the other attribution direction needs: for every
+  // purchase, the FIRST error event from the same user within the next
+  // 2 hours (purchase→problem attribution). Runs through the same
+  // native operator via ordering negation (AsOf.joinForward) — merge
+  // walk or broadcast probe, no new physical form — with the tolerance
+  // becoming a forward window. Oracle: independent argmin-with-bound.
+  private val fwdTolUs = 7200000000L // 2 hours in µs
+  private def j16(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        expr("ts div 1000").as("p_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        expr("ts div 1000").as("e_us"))
+    graft.plans.AsOf.joinForward(purchases, errors,
+        col("user_id"), col("p_us"), col("e_user"), col("e_us"),
+        Seq(col("error_id")), tolerance = Some(fwdTolUs))
+      .select(col("purchase_id"), col("user_id"),
+        coalesce(col("error_id"), lit(-1L)).as("next_error"))
+      .orderBy(col("purchase_id"))
+  }
+  private val j16Sql =
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+       |  FROM events WHERE event_type = 'error'),
+       |p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id
+       |  FROM events WHERE event_type = 'purchase'),
+       |best AS (
+       | SELECT purchase_id, error_id FROM (
+       |  SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+       |   ROW_NUMBER() OVER (PARTITION BY p.event_id
+       |     ORDER BY e.us ASC, e.event_id DESC) AS rn
+       |  FROM p JOIN e ON p.user_id = e.user_id AND e.us >= p.us
+       |   AND e.us - p.us <= $fwdTolUs)
+       | WHERE rn = 1)
+       |SELECT p.event_id AS purchase_id, p.user_id,
+       | COALESCE(b.error_id, -1) AS next_error
+       |FROM p LEFT JOIN best b ON p.event_id = b.purchase_id
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j16_asof_forward" -> (j16 _),
     "u11_twap_vwap" -> (u11 _),
     "j15_asof_tolerance" -> (j15 _),
     "a24_weighted_quantiles" -> (a24 _),
@@ -953,6 +995,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j16_asof_forward" -> j16Sql,
     "u11_twap_vwap" -> u11Sql,
     "j15_asof_tolerance" -> j15Sql,
     "a24_weighted_quantiles" -> a24Sql,

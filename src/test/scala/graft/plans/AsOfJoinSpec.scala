@@ -102,6 +102,26 @@ class AsOfJoinSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(e.getMessage.contains("LONG ordering"))
   }
 
+  test("forward direction picks the earliest later-or-equal right row") {
+    def once(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame,
+             tol: Option[Long]) =
+      AsOf.joinForward(l, r, col("k"), col("lt"), col("rk"), col("rt"),
+          Seq(col("rid")), tolerance = tol)
+        .select(col("lid"), col("rid"))
+        .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+    val l = leftDf((1L, 100L, 1L), (1L, 250L, 2L), (2L, 500L, 3L))
+    val r = rightDf((1L, 150L, 10L), (1L, 300L, 11L), (2L, 400L, 12L))
+    // lid1 -> next at 150; lid2 -> next at 300; lid3: nothing later -> NULL
+    val expect = Map(1L -> 10L, 2L -> 11L, 3L -> -1L)
+    assert(once(l, r, None) === expect)
+    assert(withThreshold("-1")(once(l, r, None)) === expect)
+    // forward tolerance: within 60 only lid1 qualifies (gap 50 vs 50/100)
+    val expectTol = Map(1L -> 10L, 2L -> 11L, 3L -> -1L)
+    assert(once(l, r, Some(50L)) === expectTol)
+    assert(once(l, r, Some(49L)) === Map(1L -> -1L, 2L -> -1L, 3L -> -1L))
+  }
+
   test("picks the most recent prior-or-equal right row per key") {
     val l = leftDf((1L, 10L, 100L), (1L, 20L, 101L), (2L, 15L, 102L))
     val r = rightDf((1L, 5L, 200L), (1L, 10L, 201L), (1L, 18L, 202L),

@@ -67,6 +67,35 @@ class LogQuantileSketchSpec extends SparkSpec {
     }
   }
 
+  test("qsketch runs under streaming and matches the batch buckets") {
+    // same composition guarantee as the HLL parity test: the
+    // TypedImperativeAggregate's per-batch partials merge through the
+    // state store exactly as map-side partials merge in batch
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftFunctions.register(s2)
+    val dir = sf("sf0.001")
+    val schema = s2.read.parquet(s"$dir/events.parquet").schema
+    val agg = "qsketch_buckets(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+    val got = graft.streaming.Streams.withStatePartitions(s2, 4) {
+      val q = s2.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(expr(agg).as("m"))
+        .writeStream.format("memory").queryName("spec_qsketch_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s2.table("spec_qsketch_stream").orderBy("event_type")
+        .collect().map(r => r.getString(0) -> r.getMap[Int, Long](1).toMap).toMap
+    }
+    val want = s2.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("event_type")).agg(expr(agg).as("m"))
+      .collect().map(r => r.getString(0) -> r.getMap[Int, Long](1).toMap).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("octave boundaries land in the right buckets") {
     // v = 2^k maps to sub=0 of octave k; v = 2^k - 1 to the top sub-bucket
     // of octave k-1 — the off-by-one that float-log bucketing gets wrong
