@@ -94,6 +94,50 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, s"cartesian products in: $failures")
   }
 
+  test("symspell candidate generation is an equi-join on the deletion index") {
+    // the edit-distance join must never fall back to an all-pairs
+    // comparison: candidates come from a hash/merge join on the
+    // neighborhood key, levenshtein runs only on candidates
+    val plan = planOf(DedupQueries.queries("d18_symspell_join")(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"symspell degenerated to all-pairs:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"no equi-join on the index:\n$plan")
+  }
+
+  test("quantile sketch is one scan with partial object aggregation") {
+    val plan = SearchQueries.queries("k07_quantile_sketch")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"k07 re-scans lineitem ($scans scans):\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    assert(plan.contains("qsketch_buckets"), s"sketch agg not in plan:\n$plan")
+  }
+
+  test("TWAP/VWAP shares one partitioning between the window and the groupBy") {
+    // LEAD partitions by (user, hr); the groupBy keys are the same —
+    // the aggregation must reuse the window's exchange, not add another
+    val plan = TemporalQueries.queries("u11_twap_vwap")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$plan")
+  }
+
+  test("target encoding scans events once and works off the cell table") {
+    val plan = MLQueries.queries("m10_target_encoding")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"m10 re-scans events ($scans scans):\n$plan")
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("forward as-of runs through the native operator") {
+    val plan = TemporalQueries.queries("j16_asof_forward")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin") || plan.contains("BroadcastAsOfJoin"),
+      s"forward as-of not on the native exec:\n$plan")
+  }
+
   test("hashed classifier is a pure projection: no joins, no hash shuffle") {
     // t13 must stay scan-speed — only the final presentation sort may
     // exchange (range partitioning), never a hash shuffle or a join
