@@ -867,6 +867,121 @@ object DedupQueries extends QueryFamily {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- d19: LSH (bands × rows) tuning harness ------------------------------
+  // Before an index build at corpus scale you pick (b, r) from DATA,
+  // not from the S-curve alone: this harness runs every divisor config
+  // of a K = 12 signature off ONE signature build (the persisted table
+  // d03 writes), pools the union of all configs' candidates, exact-
+  // verifies the pool ONCE, and reports per config the candidate count,
+  // verified-hit count, and recall against the pooled hits — the
+  // standard most-permissive-reference methodology (same role v08
+  // plays for ANN nprobe/quantization). Bounded to one source bucket
+  // so the most permissive config (r = 1) stays small; counts are
+  // integers and recall is one division, so both engines agree exactly.
+  private val d19Perms = 12
+  private val d19Confs = Seq((12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12))
+  private val d19Thresh = 0.5
+  private def d19(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents").filter(col("source") === "src0")
+    val base0 = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"))
+    val sigs = base0.select(col("doc_id"), col("sh"),
+      expr(s"minhash_sig(sh, $d19Perms)").as("sigs"))
+      .localCheckpoint() // one signature build feeds every config
+    val cands = d19Confs.map { case (b, r) =>
+      val bands = array((0 until b).map { j =>
+        concat_ws("_", (0 until r).map(i =>
+          element_at(col("sigs"), j * r + i + 1)): _*)
+      }: _*)
+      val exploded = sigs.select(col("doc_id"),
+        posexplode(bands).as(Seq("band_idx", "band_val")))
+      val x = exploded.select(col("doc_id").as("a_id"), col("band_idx"), col("band_val"))
+      val y = exploded.select(col("doc_id").as("b_id"),
+        col("band_idx").as("b_idx"), col("band_val").as("b_val"))
+      x.join(y, col("band_idx") === col("b_idx") &&
+          col("band_val") === col("b_val") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .select(lit(b).as("n_bands"), lit(r).as("band_rows"),
+          col("a_id"), col("b_id"))
+    }.reduce(_ unionAll _).localCheckpoint()
+    val pool = cands.select(col("a_id"), col("b_id")).distinct()
+    val withSh = pool
+      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    val verified = withSh
+      .select(col("a_id"), col("b_id"),
+        when(inter / uni >= d19Thresh, 1L).otherwise(0L).as("hit"))
+      .localCheckpoint() // the pool is verified exactly once
+    val poolHits = verified.agg(sum(col("hit")).as("pool_hits"))
+    val perConf = cands.join(verified, Seq("a_id", "b_id"))
+      .groupBy(col("n_bands"), col("band_rows"))
+      .agg(count(lit(1)).as("n_cand0"), sum(col("hit")).as("n_hits0"))
+    // a config so strict it yields NO candidates must still appear in
+    // the report (that's the finding) — join the sweep spine back on
+    import s.implicits._
+    val spine = d19Confs.toDF("n_bands", "band_rows")
+    spine.join(perConf, Seq("n_bands", "band_rows"), "left")
+      .select(col("n_bands"), col("band_rows"),
+        coalesce(col("n_cand0"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hits0"), lit(0L)).as("n_hits"))
+      .crossJoin(broadcast(poolHits))
+      .select(col("n_bands"), col("band_rows"), col("n_cand"), col("n_hits"),
+        expr("CAST(CASE WHEN pool_hits = 0 THEN 0.0D " +
+          "ELSE CAST(n_hits AS DOUBLE) / pool_hits END AS FLOAT)").as("recall"))
+      .orderBy(col("n_bands").desc)
+  }
+  private val d19Sql = {
+    val sigK = (0 until d19Perms).map { k =>
+      s"list_min(list_transform(sh, " +
+        s"w -> ((${2L * k + 3L}) * ${mix("w")} + (${7919L * k + 1L})) % $P))"
+    }
+    val bandSelects = d19Confs.flatMap { case (b, r) =>
+      (0 until b).map { j =>
+        val parts = (0 until r)
+          .map(i => s"CAST((${sigK(j * r + i)}) AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $b AS n_bands, $r AS band_rows, $j AS band_idx, $parts AS band_val FROM docs"
+      }
+    }.mkString(" UNION ALL ")
+    s"""WITH docs AS (
+       | SELECT doc_id, $shinglesDuck AS sh FROM documents WHERE source = 'src0'),
+       |bands AS (BANDS_SQL),
+       |cand AS (
+       | SELECT DISTINCT x.n_bands, x.band_rows, x.doc_id AS a_id, y.doc_id AS b_id
+       | FROM bands x JOIN bands y
+       |   ON x.n_bands = y.n_bands AND x.band_rows = y.band_rows
+       |  AND x.band_idx = y.band_idx AND x.band_val = y.band_val
+       |  AND x.doc_id < y.doc_id),
+       |pool AS (SELECT DISTINCT a_id, b_id FROM cand),
+       |ver AS (
+       | SELECT p.a_id, p.b_id,
+       |  CASE WHEN CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+       |    / (CAST(len(da.sh) + len(db.sh) AS DOUBLE)
+       |       - len(list_intersect(da.sh, db.sh))) >= $d19Thresh
+       |   THEN 1 ELSE 0 END AS hit
+       | FROM pool p
+       | JOIN docs da ON da.doc_id = p.a_id
+       | JOIN docs db ON db.doc_id = p.b_id),
+       |ph AS (SELECT CAST(SUM(hit) AS BIGINT) AS pool_hits FROM ver),
+       |per AS (
+       | SELECT n_bands, band_rows, COUNT(*) AS n_cand,
+       |  CAST(SUM(hit) AS BIGINT) AS n_hits
+       | FROM cand JOIN ver USING (a_id, b_id)
+       | GROUP BY 1, 2),
+       |spine AS (SELECT * FROM (VALUES ${d19Confs
+        .map { case (b, r) => s"($b, $r)" }.mkString(", ")}) AS t(n_bands, band_rows))
+       |SELECT spine.n_bands, spine.band_rows,
+       | COALESCE(per.n_cand, 0) AS n_cand,
+       | COALESCE(per.n_hits, 0) AS n_hits,
+       | CAST(CASE WHEN pool_hits = 0 THEN 0.0
+       |  ELSE CAST(COALESCE(per.n_hits, 0) AS DOUBLE) / pool_hits END AS REAL) AS recall
+       |FROM spine LEFT JOIN per USING (n_bands, band_rows) CROSS JOIN ph
+       |ORDER BY n_bands DESC""".stripMargin.replace("BANDS_SQL", bandSelects)
+  }
+
   // ---- d18: edit-distance join via deletion-neighborhood indexing ----------
   // SymSpell-style (Garbe's symmetric delete algorithm; same family as
   // FastSS, Schulz/Mihov "Fast string correction with Levenshtein
@@ -914,6 +1029,7 @@ object DedupQueries extends QueryFamily {
       |ORDER BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_lsh_tuning" -> (d19 _),
     "d18_symspell_join" -> (d18 _),
     "d17_containment" -> (d17 _),
     "d15_normalized_dedup" -> (d15 _),
@@ -931,6 +1047,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d19_lsh_tuning" -> d19Sql,
     "d18_symspell_join" -> d18Sql,
     "d17_containment" -> d17Sql,
     "d15_normalized_dedup" -> d15Sql,
