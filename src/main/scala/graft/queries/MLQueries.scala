@@ -518,7 +518,41 @@ object MLQueries extends QueryFamily {
        |  / (CAST(n_oof AS DOUBLE) + $teSmooth) AS REAL) AS te
        |FROM oof ORDER BY 1, 2""".stripMargin
 
+  // ---- m11: calibration curve (reliability diagram) ------------------------
+  // The third leg of the m06/m07 eval harness: bucket the integer-MILLI
+  // score into 10 equal-width probability bins and report, per bin, the
+  // count, positive count, mean predicted probability and observed
+  // positive fraction — the reliability diagram + the per-bin terms of
+  // expected calibration error. One scan, one 10-group map-side-combined
+  // shuffle at any corpus size. Sums stay integer (milli-score and 0/1
+  // labels); the two means are single divisions cast to float32.
+  private def m11(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    d.select(expr("least(sm div 100, 9L)").as("bin"), col("sm"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("y")).as("n_pos"),
+        sum(col("sm")).as("sum_sm"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(CAST(sum_sm AS DOUBLE) / (1000 * n) AS FLOAT)").as("mean_pred"),
+        expr("CAST(CAST(n_pos AS DOUBLE) / n AS FLOAT)").as("frac_pos"))
+      .orderBy(col("bin"))
+  }
+  private val m11Sql =
+    s"""WITH e AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents)
+       |SELECT LEAST(sm // 100, 9) AS bin, COUNT(*) AS n,
+       | CAST(SUM(y) AS BIGINT) AS n_pos,
+       | CAST(CAST(SUM(sm) AS DOUBLE) / (1000 * COUNT(*)) AS REAL) AS mean_pred,
+       | CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS REAL) AS frac_pos
+       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_calibration_curve" -> (m11 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -532,6 +566,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m11_calibration_curve" -> m11Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,

@@ -670,6 +670,50 @@ object RelationalQueries extends QueryFamily {
       |WHERE o_orderpriority = '1-URGENT' AND r_name = 'ASIA'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- r15: 2-D skyline (Pareto frontier) ----------------------------------
+  // Non-dominated rows under (maximize quantity, minimize price) —
+  // the skyline operator (Borzsony/Kossmann/Stocker, ICDE 2001).
+  // Spark-first shape exploits the 2-D case's sort order: collapse to
+  // the per-price max quantity (one map-side-combined shuffle whose
+  // key count is |distinct prices|, not |rows|), then a price-ordered
+  // strictly-preceding running max picks exactly the prices whose best
+  // quantity improves on everything cheaper; a semi-join back tags
+  // surviving rows (equal-price/equal-quantity duplicates are mutually
+  // non-dominating and all kept). The ordered window runs over the
+  // REDUCED per-price table, and skyline is decomposable (skyline of
+  // partition skylines = global skyline) if that table ever outgrew
+  // one task. Oracle is the O(n^2) NOT EXISTS dominance definition —
+  // independent algebra, same set. Input is a deterministic 1/41
+  // orderkey slice so the quadratic oracle stays cheap at sf scale.
+  private def r15(s: SparkSession, dir: String): DataFrame = {
+    val pts = rd(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 41 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+    val perPrice = pts.groupBy(col("price")).agg(max(col("qty")).as("mq"))
+    val wPrice = Window.orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val skyPrices = perPrice
+      .withColumn("best_cheaper", max(col("mq")).over(wPrice))
+      .filter(col("best_cheaper").isNull || col("mq") > col("best_cheaper"))
+      .select(col("price"), col("mq"))
+    pts.join(skyPrices, Seq("price"))
+      .filter(col("qty") === col("mq"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price"))
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+  }
+  private val r15Sql =
+    """WITH pts AS (
+      | SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |  l_extendedprice AS price
+      | FROM lineitem WHERE l_orderkey % 41 = 0)
+      |SELECT l_orderkey, l_linenumber, qty, price FROM pts a
+      |WHERE NOT EXISTS (
+      | SELECT 1 FROM pts b
+      | WHERE b.price <= a.price AND b.qty >= a.qty
+      |  AND (b.price < a.price OR b.qty > a.qty))
+      |ORDER BY price, l_orderkey, l_linenumber""".stripMargin
+
   // ---- a26: deterministic mode (most frequent value) per group -------------
   // Spark's built-in `mode` leaves ties unspecified; the reproducible
   // form every pipeline actually wants is count-then-argmax with a
@@ -698,6 +742,7 @@ object RelationalQueries extends QueryFamily {
       |WHERE rn = 1 ORDER BY status""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r15_skyline_2d" -> (r15 _),
     "a26_mode_per_group" -> (a26 _),
     "r12_full_outer_reconcile" -> (r12 _),
     "r13_except" -> (r13 _),
@@ -730,6 +775,7 @@ object RelationalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "r15_skyline_2d" -> r15Sql,
     "a26_mode_per_group" -> a26Sql,
     "r12_full_outer_reconcile" -> r12Sql,
     "r13_except" -> r13Sql,

@@ -966,7 +966,108 @@ object TemporalQueries extends QueryFamily {
        |FROM p LEFT JOIN best b ON p.event_id = b.purchase_id
        |ORDER BY 1""".stripMargin
 
+  // ---- u12: gaps-and-islands run compression -------------------------------
+  // Collapse each user's event stream into maximal runs of the SAME
+  // event_type (run-length encoding of a sorted log — the classic
+  // "islands" problem; sessionization's order-sensitive cousin). The
+  // Spark form is the single-partitioning shape: ONE hash shuffle on
+  // user_id feeds a lag() boundary flag and a running-sum island id
+  // over the SAME window spec, so the whole operator is one exchange +
+  // one sort regardless of corpus size; the groupBy that follows
+  // re-shuffles only (user, island) — already clustered by user, and
+  // map-side combined. The oracle deliberately uses the OTHER
+  // textbook formulation (row_number difference) so the two engines
+  // agree via different algebra. (ts, event_id) makes the order total,
+  // so island boundaries are deterministic.
+  private def u12(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    ev.withColumn("boundary",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("boundary")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(
+        min(col("event_type")).as("event_type"), // constant within an island
+        expr("min(ts) div 1000").as("start_us"),
+        expr("max(ts) div 1000").as("end_us"),
+        count(lit(1)).as("run_len"),
+        min(col("event_id")).as("first_event_id"))
+      .select(col("user_id"), col("event_type"), col("start_us"),
+        col("end_us"), col("run_len"), col("first_event_id"))
+      .orderBy(col("user_id"), col("start_us"), col("first_event_id"))
+  }
+  private val u12Sql =
+    """WITH base AS (
+      | SELECT user_id, event_type, epoch_ns(ts) AS ts, event_id,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts), event_id) AS rn,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY epoch_ns(ts), event_id) AS rn_t
+      | FROM events)
+      |SELECT user_id, event_type, MIN(ts) // 1000 AS start_us,
+      | MAX(ts) // 1000 AS end_us,
+      | COUNT(*) AS run_len, MIN(event_id) AS first_event_id
+      |FROM base GROUP BY user_id, event_type, rn - rn_t
+      |ORDER BY user_id, start_us, first_event_id""".stripMargin
+
+  // ---- u13: seasonal count anomaly flags -----------------------------------
+  // Seasonal-profile anomaly detection on event volume: bucket events
+  // to (event_type, day, hour-of-day), compare each bucket's count to
+  // the mean count of its (event_type, hour-of-day) seasonal slot
+  // across days, and flag >2x ("spike") or <0.5x ("drop") deviations.
+  // ALL-INTEGER: the threshold test is cross-multiplied
+  // (2*cnt*n_buckets < total etc.), so no division or float fold
+  // exists anywhere — the cross-engine determinism discipline. Scale
+  // shape: the raw scan collapses to an (event_type, day, hod) bucket
+  // table in one map-side-combined shuffle; the seasonal profile is a
+  // window over (event_type, hod) on that ALREADY-TINY table (buckets,
+  // not events), so the second exchange carries ~|types|x|days|x24
+  // rows however large the raw log is.
+  private def u13(s: SparkSession, dir: String): DataFrame = {
+    val nsHour = 3600000000000L
+    val ev = rd(s, dir, "events").select(
+      col("event_type"),
+      expr(s"ts div ${nsHour * 24}").as("day"),
+      expr(s"(ts div $nsHour) % 24").as("hod"))
+    val buckets = ev.groupBy(col("event_type"), col("day"), col("hod"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSeason = Window.partitionBy(col("event_type"), col("hod"))
+    buckets
+      .withColumn("total", sum(col("cnt")).over(wSeason))
+      .withColumn("n_buckets", count(lit(1)).over(wSeason))
+      .withColumn("verdict",
+        when(col("cnt") * col("n_buckets") > col("total") * 2, "spike")
+          .when(col("cnt") * col("n_buckets") * 2 < col("total"), "drop"))
+      .filter(col("verdict").isNotNull)
+      .select(col("event_type"), col("day"), col("hod"), col("cnt"),
+        col("total"), col("n_buckets"), col("verdict"))
+      .orderBy(col("event_type"), col("day"), col("hod"))
+  }
+  private val u13Sql =
+    """WITH b AS (
+      | SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |  (epoch_ns(ts) // 3600000000000) % 24 AS hod, COUNT(*) AS cnt
+      | FROM events GROUP BY 1, 2, 3),
+      |prof AS (
+      | SELECT *,
+      |  CAST(SUM(cnt) OVER (PARTITION BY event_type, hod) AS BIGINT) AS total,
+      |  COUNT(*) OVER (PARTITION BY event_type, hod) AS n_buckets
+      | FROM b)
+      |SELECT event_type, day, hod, cnt, total, n_buckets,
+      | CASE WHEN cnt * n_buckets > total * 2 THEN 'spike'
+      |      WHEN cnt * n_buckets * 2 < total THEN 'drop' END AS verdict
+      |FROM prof
+      |WHERE cnt * n_buckets > total * 2 OR cnt * n_buckets * 2 < total
+      |ORDER BY event_type, day, hod""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u12_gaps_islands" -> (u12 _),
+    "u13_seasonal_anomaly" -> (u13 _),
     "j16_asof_forward" -> (j16 _),
     "u11_twap_vwap" -> (u11 _),
     "j15_asof_tolerance" -> (j15 _),
@@ -995,6 +1096,8 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u12_gaps_islands" -> u12Sql,
+    "u13_seasonal_anomaly" -> u13Sql,
     "j16_asof_forward" -> j16Sql,
     "u11_twap_vwap" -> u11Sql,
     "j15_asof_tolerance" -> j15Sql,

@@ -490,7 +490,56 @@ object TextQueries extends QueryFamily {
       |  CASE WHEN r_long_words THEN 'long_words' END) AS reasons
       |FROM flags ORDER BY doc_id""".stripMargin
 
+  // ---- t20: vocabulary coverage / OOV rate ---------------------------------
+  // The tokenizer-readiness report every training pipeline runs before
+  // committing to a vocabulary: build the top-V corpus vocabulary by
+  // frequency (deterministic tie-break: count desc, term asc) and
+  // measure each document's out-of-vocabulary token rate against it.
+  // Scale shape: the (doc, term) explode feeds ONE map-side-combined
+  // count shuffle whose key space is the VOCABULARY (tiny), the top-V
+  // cut is a sort of that vocab-sized table, and the per-doc pass
+  // re-derives tokens and probes the vocab via a BROADCAST left semi
+  // lookup — the raw corpus is scanned twice but shuffled never
+  // (per-doc agg keys on doc_id, collapsed map-side). The OOV rate is
+  // one integer division cast to float32.
+  private val vocabTopV = 24
+  private def t20(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val wV = Window.orderBy(col("n").desc, col("term").asc)
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("vrank", row_number().over(wV))
+      .filter(col("vrank") <= vocabTopV)
+      .select(col("term"))
+    toks.join(broadcast(vocab).withColumn("in_vocab", lit(1)),
+        Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        expr("CAST(CAST(n_oov AS DOUBLE) / n_tokens AS FLOAT)").as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+  private val t20Sql =
+    s"""WITH toks AS (
+       | SELECT doc_id, term FROM (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents)
+       | WHERE LENGTH(term) > 0),
+       |vocab AS (
+       | SELECT term FROM (
+       |  SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS vrank
+       |  FROM toks GROUP BY term)
+       | WHERE vrank <= $vocabTopV)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       | CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       | CAST(CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / COUNT(*) AS REAL) AS oov_rate
+       |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_vocab_coverage" -> (t20 _),
     "t19_quality_gate" -> (t19 _),
     "t17_bpe_pairs" -> (t17 _),
     "t18_tfidf_topk" -> (t18 _),
@@ -509,6 +558,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t20_vocab_coverage" -> t20Sql,
     "t19_quality_gate" -> t19Sql,
     "t17_bpe_pairs" -> t17Sql,
     "t18_tfidf_topk" -> t18Sql,
