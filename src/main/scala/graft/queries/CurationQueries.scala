@@ -238,6 +238,51 @@ object CurationQueries extends QueryFamily {
        |WHERE ${mix("doc_id")} % 1000 < ($rateCase)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- t21: weighted sampling (sequential Poisson) -------------------------
+  // Deterministic weighted sampling without replacement: each document
+  // draws a hash-uniform u ∈ [1, 2^20] and competes on priority = u / w
+  // (w = n_chars), smallest k per language stratum win — Ohlsson's
+  // sequential Poisson sampling, the order-sampling scheme whose
+  // inclusion probability is ≈ proportional to weight. The
+  // reproducibility discipline of t14 extended to WEIGHTED draws:
+  // priorities derive from the id hash, not rand(), so the sample is
+  // byte-identical on any cluster size or partitioning. Scale shape:
+  // the priority is a stateless projection (scan-pushed); the only
+  // shuffle is the per-stratum top-k window keyed by lang — and at
+  // 100 TB that window would swap for the a04-style per-partition
+  // top-k pre-reduce. Determinism across engines: u and w are exact
+  // integers, priority is ONE correctly-rounded IEEE division, and the
+  // (priority, doc_id) ordering breaks the (measure-zero) ties.
+  private val wsK = 12
+  private def t21(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        expr(s"(${mix("doc_id")} % 1048576) + 1").as("u"))
+      .withColumn("priority", expr("CAST(u AS DOUBLE) / n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("priority").asc, col("doc_id").asc)
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= wsK)
+      .select(col("lang"), col("rk"), col("doc_id"),
+        col("n_chars").as("weight"),
+        col("priority").cast("float").as("priority"))
+      .orderBy(col("lang"), col("rk"))
+  }
+  private val t21Sql =
+    s"""WITH p AS (
+       | SELECT doc_id, lang, n_chars,
+       |  CAST((${mix("doc_id")} % 1048576) + 1 AS DOUBLE) / n_chars AS priority
+       | FROM documents),
+       |r AS (
+       | SELECT lang, doc_id, n_chars, priority,
+       |  ROW_NUMBER() OVER (PARTITION BY lang
+       |    ORDER BY priority ASC, doc_id ASC) AS rk
+       | FROM p)
+       |SELECT lang, rk, doc_id, n_chars AS weight,
+       | CAST(priority AS REAL) AS priority
+       |FROM r WHERE rk <= $wsK ORDER BY lang, rk""".stripMargin
+
   // ---- d12: connected components to CONVERGENCE ---------------------------
   // The duplicate-cluster assignment run to an actual fixpoint (d06 is
   // the fixed-k oracle-contract variant), via the alternating
@@ -645,6 +690,7 @@ object CurationQueries extends QueryFamily {
     "k05_kmv_set_ops" -> (k05 _),
     "t13_hashed_classifier" -> (t13 _),
     "t14_stratified_sample" -> (t14 _),
+    "t21_weighted_sample" -> (t21 _),
     "t15_bigram_lm" -> (t15 _),
     "t16_leakage_safe_split" -> (t16 _),
     "a23_robust_outlier" -> (a23 _),
@@ -657,6 +703,7 @@ object CurationQueries extends QueryFamily {
     "k05_kmv_set_ops" -> k05Sql,
     "t13_hashed_classifier" -> t13Sql,
     "t14_stratified_sample" -> t14Sql,
+    "t21_weighted_sample" -> t21Sql,
     "t15_bigram_lm" -> t15Sql,
     "t16_leakage_safe_split" -> t16Sql,
     "a23_robust_outlier" -> a23Sql,

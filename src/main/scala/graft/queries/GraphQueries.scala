@@ -279,15 +279,78 @@ object GraphQueries extends QueryFamily {
        |FROM pr$prIters ORDER BY node""".stripMargin
   }
 
+  // ---- g08: multi-source BFS hop distance ---------------------------------
+  // Frontier-expansion breadth-first search: minimum hop count from a
+  // seed set over the sparsified supplier–part bipartite graph
+  // (supplier ↔ part edges where l_quantity < 3; part ids offset by
+  // 1e6 so the two node spaces stay disjoint). The k-hop neighborhood
+  // primitive under "find everything within N links of these nodes" —
+  // crawl frontier scheduling, contamination blast-radius, account
+  // link analysis.
+  //
+  // Scale design: the undirected edge list is built ONCE and
+  // localCheckpoint'ed; each round joins the CURRENT FRONTIER ONLY
+  // (not the full visited set) against it, anti-joins out already-
+  // visited nodes, and checkpoints — so round h costs one shuffle
+  // proportional to the frontier's edge neighborhood, the visited set
+  // grows monotonically, and lineage stays flat (the d06/d12
+  // discipline). All-integer (node ids and hop counts), so the
+  // cross-engine hash cannot drift. The oracle is an independent
+  // algebra: DuckDB's WITH RECURSIVE fixpoint with the same hop cap,
+  // min-hop per node.
+  private val bfsMaxHops = 6
+  private def g08(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val fwd = li.filter(col("l_quantity") < 3)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+      .distinct()
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .distinct()
+      .filter(col("node") < 5L)
+      .withColumn("hop", lit(0L))
+      .localCheckpoint()
+    for (h <- 1 to bfsMaxHops) {
+      val frontier = dist.filter(col("hop") === (h - 1).toLong)
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+      dist = dist.union(next).localCheckpoint()
+    }
+    dist.orderBy(col("node"))
+  }
+  private val g08Sql =
+    s"""WITH RECURSIVE edges AS (
+       | SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+       | FROM lineitem WHERE l_quantity < 3),
+       |und AS (
+       | SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |seeds AS (
+       | SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+       | WHERE node < 5),
+       |walk(node, hop) AS (
+       | SELECT node, CAST(0 AS BIGINT) AS hop FROM seeds
+       | UNION
+       | SELECT u.dst, w.hop + 1 FROM walk w JOIN und u ON u.src = w.node
+       | WHERE w.hop < $bfsMaxHops)
+       |SELECT node, MIN(hop) AS hop FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g05_pagerank" -> (g05 _),
     "g06_triangle_count" -> (g06 _),
-    "g07_personalized_pr" -> (g07 _)
+    "g07_personalized_pr" -> (g07 _),
+    "g08_bfs_hops" -> (g08 _)
   )
 
   val oracle: Map[String, String] = Map(
     "g05_pagerank" -> g05Sql,
     "g06_triangle_count" -> g06Sql,
-    "g07_personalized_pr" -> g07Sql
+    "g07_personalized_pr" -> g07Sql,
+    "g08_bfs_hops" -> g08Sql
   )
 }

@@ -551,7 +551,66 @@ object MLQueries extends QueryFamily {
        | CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS REAL) AS frac_pos
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- m12: full confusion report at the operating point -------------------
+  // The single-threshold companion to m06's sweep: confusion counts
+  // plus the chance-corrected metrics a model card reports — accuracy,
+  // balanced accuracy, Matthews correlation, Cohen's kappa. One scan,
+  // one global 4-long aggregate (map-side combined). Counts are
+  // integers; MCC's numerator tp·tn − fp·fn stays in BIGINT, its
+  // 4-factor denominator product would NOT (n⁴), so it multiplies in
+  // DOUBLE with fixed parenthesization — identical correctly-rounded
+  // ops on both engines; kappa's denominator stays integer. Each
+  // metric is a closed-form expression over the same four exact longs.
+  private val m12Thr = 500L
+  private def m12(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    d.agg(
+        sum(when(col("sm") >= m12Thr, col("y")).otherwise(0L)).as("tp"),
+        sum(when(col("sm") >= m12Thr, lit(1L) - col("y")).otherwise(0L)).as("fp"),
+        sum(when(col("sm") < m12Thr, col("y")).otherwise(0L)).as("fn"),
+        sum(when(col("sm") < m12Thr, lit(1L) - col("y")).otherwise(0L)).as("tn"))
+      .select(lit(m12Thr).as("thr"),
+        col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("CAST(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS FLOAT)")
+          .as("accuracy"),
+        expr("""CAST((CAST(tp AS DOUBLE) / (tp + fn)
+               | + CAST(tn AS DOUBLE) / (tn + fp)) / 2 AS FLOAT)""".stripMargin)
+          .as("balanced_accuracy"),
+        expr("""CAST(CAST(tp * tn - fp * fn AS DOUBLE)
+               | / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+               |   * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS FLOAT)"""
+          .stripMargin).as("mcc"),
+        expr("""CAST(CAST(2 * (tp * tn - fp * fn) AS DOUBLE)
+               | / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)) AS FLOAT)"""
+          .stripMargin).as("kappa"))
+  }
+  private val m12Sql =
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |c AS (
+       | SELECT
+       |  CAST(SUM(CASE WHEN sm >= $m12Thr THEN y ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN sm >= $m12Thr THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN sm < $m12Thr THEN y ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN sm < $m12Thr THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+       | FROM d)
+       |SELECT CAST($m12Thr AS BIGINT) AS thr, tp, fp, fn, tn,
+       | CAST(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS REAL) AS accuracy,
+       | CAST((CAST(tp AS DOUBLE) / (tp + fn)
+       |  + CAST(tn AS DOUBLE) / (tn + fp)) / 2 AS REAL) AS balanced_accuracy,
+       | CAST(CAST(tp * tn - fp * fn AS DOUBLE)
+       |  / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+       |    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)) AS REAL) AS mcc,
+       | CAST(CAST(2 * (tp * tn - fp * fn) AS DOUBLE)
+       |  / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)) AS REAL) AS kappa
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_confusion_mcc" -> (m12 _),
     "m11_calibration_curve" -> (m11 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
@@ -566,6 +625,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m12_confusion_mcc" -> m12Sql,
     "m11_calibration_curve" -> m11Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,

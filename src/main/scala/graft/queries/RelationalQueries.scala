@@ -741,7 +741,48 @@ object RelationalQueries extends QueryFamily {
       | FROM orders GROUP BY 1, 2)
       |WHERE rn = 1 ORDER BY status""".stripMargin
 
+  // ---- a27: column profiling report ----------------------------------------
+  // The schema-quality summary every ingestion pipeline runs first:
+  // per column — null count, exact distinct count, min and max — in
+  // ONE scan of the table. Spark plans the multi-distinct aggregate
+  // via Expand (one pass, k× row multiplication map-side, partials
+  // combined before the single exchange), which is the right trade at
+  // 100 TB versus k separate scans; min/max aggregate on the NATIVE
+  // type and cast to string only at the end (lexicographic min of a
+  // stringified number would be wrong). Profiled columns are the
+  // BIGINT/VARCHAR ones so the stringified extremes render identically
+  // on both engines. The oracle computes each column's row
+  // independently — different algebra, same table.
+  private val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+  private def a27(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val aggs = profCols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stackArgs = profCols
+      .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${profCols.length}, $stackArgs)" +
+          " as (col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+  private val a27Sql = profCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       | COUNT(DISTINCT $c) AS n_distinct,
+       | CAST(MIN($c) AS VARCHAR) AS min_val,
+       | CAST(MAX($c) AS VARCHAR) AS max_val
+       |FROM orders""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a27_column_profile" -> (a27 _),
     "r15_skyline_2d" -> (r15 _),
     "a26_mode_per_group" -> (a26 _),
     "r12_full_outer_reconcile" -> (r12 _),
@@ -775,6 +816,7 @@ object RelationalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "a27_column_profile" -> a27Sql,
     "r15_skyline_2d" -> r15Sql,
     "a26_mode_per_group" -> a26Sql,
     "r12_full_outer_reconcile" -> r12Sql,

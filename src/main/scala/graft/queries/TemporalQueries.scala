@@ -1065,7 +1065,161 @@ object TemporalQueries extends QueryFamily {
       |WHERE cnt * n_buckets > total * 2 OR cnt * n_buckets * 2 < total
       |ORDER BY event_type, day, hod""".stripMargin
 
+  // ---- u14: Markov transition matrix ---------------------------------------
+  // First-order next-event transition model over per-user event
+  // streams: lag() pairs each event with its predecessor (total order
+  // (ts, event_id) within user), then one tiny groupBy counts each
+  // (prev → next) transition and row-normalizes into probabilities.
+  // The training step of every next-action / session-simulation model.
+  // Scale shape: ONE hash shuffle on user_id feeds the lag window; the
+  // transition table that leaves it has |types|² rows however large
+  // the log, so the normalizing window runs over ~25 rows. Counts are
+  // integers; the probability is a single division cast to float32.
+  private def u14(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val wPrev = Window.partitionBy(col("prev_type"))
+    pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(wPrev))
+      .select(col("prev_type"), col("next_type"), col("n"), col("row_total"),
+        expr("CAST(CAST(n AS DOUBLE) / row_total AS FLOAT)").as("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+  private val u14Sql =
+    """WITH pairs AS (
+      | SELECT LAG(event_type, 1) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts), event_id) AS prev_type,
+      |  event_type AS next_type
+      | FROM events),
+      |t AS (
+      | SELECT prev_type, next_type, COUNT(*) AS n
+      | FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      | CAST(SUM(n) OVER (PARTITION BY prev_type) AS BIGINT) AS row_total,
+      | CAST(CAST(n AS DOUBLE) /
+      |   SUM(n) OVER (PARTITION BY prev_type) AS REAL) AS p
+      |FROM t ORDER BY prev_type, next_type""".stripMargin
+
+  // ---- u15: top-k session entry paths --------------------------------------
+  // The "what do users do first" report: each user's first 5 events
+  // (total order (ts, event_id)) concatenated into a path string, then
+  // the 20 most common paths ranked (count desc, path asc — fully
+  // deterministic). Scale shape: ONE user_id shuffle for the
+  // row_number window, a per-user fold into the path string (map-side
+  // clustered by the same partitioning), and a count shuffle keyed by
+  // PATH STRING whose cardinality is bounded by |types|^5, not users;
+  // the final top-20 window runs over that path-count table. Ordered
+  // assembly is explicit on both engines: Spark array_sorts the
+  // (rn, type) structs before joining, DuckDB string_aggs ORDER BY rn.
+  private val pathLen = 5
+  private val topPaths = 20
+  private def u15(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val paths = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pathLen)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        expr("transform(array_sort(collect_list(struct(rn, event_type)))," +
+          " x -> x.event_type)")).as("path"))
+    val wTop = Window.orderBy(col("n_users").desc, col("path").asc)
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topPaths)
+      .select(col("rank"), col("path"), col("n_users"))
+      .orderBy(col("rank"))
+  }
+  private val u15Sql =
+    s"""WITH r AS (
+       | SELECT user_id, event_type,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY epoch_ns(ts), event_id) AS rn
+       | FROM events),
+       |p AS (
+       | SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+       | FROM r WHERE rn <= $pathLen GROUP BY user_id),
+       |c AS (SELECT path, COUNT(*) AS n_users FROM p GROUP BY 1)
+       |SELECT rank, path, n_users FROM (
+       | SELECT path, n_users,
+       |  ROW_NUMBER() OVER (ORDER BY n_users DESC, path ASC) AS rank
+       | FROM c)
+       |WHERE rank <= $topPaths ORDER BY rank""".stripMargin
+
+  // ---- u16: per-key OLS trend + correlation --------------------------------
+  // Grouped simple linear regression: per user, the least-squares
+  // slope and Pearson correlation of event value against time — the
+  // distributed form of "fit a trend line per entity" (drift
+  // detection, per-account usage trajectories). All five moment sums
+  // (Σx, Σy, Σxy, Σx², Σy²) are INTEGER: x is seconds since the
+  // user's first event (window min over the same user partitioning the
+  // groupBy reuses), y is milli-quantized value (floor(v·1000) — the
+  // repo's order-free float discipline), so the one map-side-combined
+  // shuffle is exact whatever the fold order, and slope/r are single
+  // closed-form double expressions over exact integers, cast float32.
+  // Degenerate groups (n < 3 or zero variance either axis) are
+  // filtered on both engines.
+  private def u16(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"))
+    val wUser = Window.partitionBy(col("user_id"))
+    ev.withColumn("t0", min(col("ts")).over(wUser))
+      .select(col("user_id"),
+        expr("(ts - t0) div 1000000000").as("x"),
+        expr("CAST(floor(value * 1000) AS BIGINT)").as("y"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 3 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+        col("n") * col("syy") - col("sy") * col("sy") > 0)
+      .select(col("user_id"), col("n"),
+        expr("""CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+               | / (n * sxx - sx * sx) AS FLOAT)""".stripMargin)
+          .as("slope_milli_per_s"),
+        expr("""CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+               | / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               |    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS FLOAT)"""
+          .stripMargin).as("r"))
+      .orderBy(col("user_id"))
+  }
+  private val u16Sql =
+    """WITH b AS (
+      | SELECT user_id,
+      |  (epoch_ns(ts) - MIN(epoch_ns(ts)) OVER (PARTITION BY user_id))
+      |    // 1000000000 AS x,
+      |  CAST(FLOOR(value * 1000) AS BIGINT) AS y
+      | FROM events),
+      |m AS (
+      | SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |  CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |  CAST(SUM(y * y) AS BIGINT) AS syy,
+      |  CAST(SUM(x * y) AS BIGINT) AS sxy
+      | FROM b GROUP BY 1)
+      |SELECT user_id, n,
+      | CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+      |  / (n * sxx - sx * sx) AS REAL) AS slope_milli_per_s,
+      | CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+      |  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS REAL) AS r
+      |FROM m
+      |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u14_markov_transitions" -> (u14 _),
+    "u15_top_paths" -> (u15 _),
+    "u16_group_ols" -> (u16 _),
     "u12_gaps_islands" -> (u12 _),
     "u13_seasonal_anomaly" -> (u13 _),
     "j16_asof_forward" -> (j16 _),
@@ -1096,6 +1250,9 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u14_markov_transitions" -> u14Sql,
+    "u15_top_paths" -> u15Sql,
+    "u16_group_ols" -> u16Sql,
     "u12_gaps_islands" -> u12Sql,
     "u13_seasonal_anomaly" -> u13Sql,
     "j16_asof_forward" -> j16Sql,
