@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvMinima].getName, "kmv_minima"),
       GraftFunctions.kmvMinimaBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("topk_max"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_max"),
+      GraftFunctions.topkMaxBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),
       GraftFunctions.cdcBoundsBuilder))

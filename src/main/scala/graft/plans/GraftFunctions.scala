@@ -81,6 +81,12 @@ object GraftFunctions {
     KmvMinima(children(0), evalDouble(children(1)).toInt).toAggregateExpression()
   }
 
+  val topkMaxBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 3, "topk_max(sort, payload, k)")
+    TopKPairs(children(0), children(1), evalDouble(children(2)).toInt)
+      .toAggregateExpression()
+  }
+
   val cdcBoundsBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 3, "cdc_bounds(text, window, mask)")
     CdcBounds(children(0), evalDouble(children(1)).toInt,
@@ -132,6 +138,10 @@ object GraftFunctions {
       new FunctionIdentifier("kmv_minima"),
       new ExpressionInfo(classOf[KmvMinima].getName, "kmv_minima"),
       kmvMinimaBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("topk_max"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "topk_max"),
+      topkMaxBuilder)
     reg.registerFunction(
       new FunctionIdentifier("cdc_bounds"),
       new ExpressionInfo(classOf[CdcBounds].getName, "cdc_bounds"),

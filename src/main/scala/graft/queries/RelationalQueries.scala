@@ -741,6 +741,85 @@ object RelationalQueries extends QueryFamily {
       | FROM orders GROUP BY 1, 2)
       |WHERE rn = 1 ORDER BY status""".stripMargin
 
+  // ---- a28: top-k per group via the NATIVE bounded aggregate ---------------
+  // a04's semantics (two leading rows per order — the reference's
+  // leading-muons/jets extraction) re-planned through plans.TopKPairs:
+  // `topk_max(sort, payload, k)` keeps k pairs of state PER GROUP and
+  // merges map-side, so the plan is ObjectHashAggregate partial →
+  // exchange (groups × k pairs) → final — where a04's window form
+  // shuffles and sorts EVERY input row. At 100 TB that is the
+  // difference between a full-data range sort and a groups-sized
+  // shuffle. Price is centi-quantized to a long (exact compare);
+  // ranking is over DISTINCT (price_cents, linenumber) pairs — the
+  // aggregate's set semantics, mirrored in the oracle (the synthetic
+  // lineitem can repeat (orderkey, linenumber, price)).
+  private def a28(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val li = rd(s, dir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(expr(
+        "topk_max(CAST(floor(l_extendedprice * 100) AS BIGINT), l_linenumber, 2)")
+        .as("top"))
+      .select(col("l_orderkey"), posexplode(col("top")))
+      .select(col("l_orderkey"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.payload").as("l_linenumber"), col("col.sort").as("price_cents"))
+      .orderBy(col("l_orderkey"), col("rank"))
+  }
+  private val a28Sql =
+    """WITH d AS (
+      | SELECT DISTINCT l_orderkey,
+      |  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS price_cents,
+      |  l_linenumber
+      | FROM lineitem),
+      |r AS (
+      | SELECT l_orderkey, price_cents, l_linenumber,
+      |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |    ORDER BY price_cents DESC, l_linenumber ASC) AS rank
+      | FROM d)
+      |SELECT l_orderkey, rank, l_linenumber, price_cents
+      |FROM r WHERE rank <= 2 ORDER BY l_orderkey, rank""".stripMargin
+
+  // ---- r16: referential-integrity audit ------------------------------------
+  // The foreign-key orphan report a warehouse runs after every load:
+  // for each declared FK edge (lineitem→orders, lineitem→part,
+  // lineitem→supplier, orders→customer), the child row count, the
+  // count of child rows whose key has no parent (LEFT ANTI join), and
+  // the distinct orphan key count. Spark-first shape: each relation is
+  // one anti-join; the parent side projects ONLY the key column (so
+  // the scan prunes to one column and the join build side is minimal —
+  // small dims broadcast), and the four audits union into one report.
+  // The oracle spells the same audit as NOT-IN subqueries — different
+  // join algebra, same counts.
+  private val fkEdges = Seq(
+    ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"))
+  private def r16(s: SparkSession, dir: String): DataFrame = {
+    fkEdges.map { case (rel, child, ck, parent, pk) =>
+      // audit is over NON-NULL child keys on both engines: anti-join
+      // keeps a null-keyed row (no match) while NOT IN drops it, so a
+      // shared null filter pins the two algebras to the same universe
+      val c = rd(s, dir, child).select(col(ck).as("k")).filter(col("k").isNotNull)
+      val p = rd(s, dir, parent).select(col(pk).as("k"))
+      val orphans = c.join(p, Seq("k"), "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("k")).as("n_orphan_keys")))
+        .select(lit(rel).as("relation"), col("n_child"),
+          col("n_orphans"), col("n_orphan_keys"))
+    }.reduce(_ union _).orderBy(col("relation"))
+  }
+  private val r16Sql = fkEdges.map { case (rel, child, ck, parent, pk) =>
+    s"""SELECT '$rel' AS relation,
+       | (SELECT COUNT($ck) FROM $child) AS n_child,
+       | COUNT(*) AS n_orphans,
+       | COUNT(DISTINCT $ck) AS n_orphan_keys
+       |FROM $child WHERE $ck IS NOT NULL
+       |  AND $ck NOT IN (SELECT $pk FROM $parent)""".stripMargin
+  }.mkString("SELECT relation, n_child, n_orphans, n_orphan_keys FROM (\n",
+    "\nUNION ALL\n", "\n) ORDER BY relation")
+
   // ---- a27: column profiling report ----------------------------------------
   // The schema-quality summary every ingestion pipeline runs first:
   // per column — null count, exact distinct count, min and max — in
@@ -783,6 +862,8 @@ object RelationalQueries extends QueryFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a27_column_profile" -> (a27 _),
+    "a28_native_topk" -> (a28 _),
+    "r16_fk_orphans" -> (r16 _),
     "r15_skyline_2d" -> (r15 _),
     "a26_mode_per_group" -> (a26 _),
     "r12_full_outer_reconcile" -> (r12 _),
@@ -817,6 +898,8 @@ object RelationalQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "a27_column_profile" -> a27Sql,
+    "a28_native_topk" -> a28Sql,
+    "r16_fk_orphans" -> r16Sql,
     "r15_skyline_2d" -> r15Sql,
     "a26_mode_per_group" -> a26Sql,
     "r12_full_outer_reconcile" -> r12Sql,

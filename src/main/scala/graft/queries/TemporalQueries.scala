@@ -733,6 +733,76 @@ object TemporalQueries extends QueryFamily {
       | CAST(list_reduce(vs, (acc, v) -> 0.5 * v + 0.5 * acc) AS REAL) AS ewma
       |FROM ord ORDER BY user_id""".stripMargin
 
+  // ---- u17: CUSUM drift detection ------------------------------------------
+  // Per-key cumulative-sum change detection (Page 1954): the running
+  // statistic S_t = max(0, S_{t−1} + (x_t − target)) alarms when a
+  // stream's level drifts above target for long enough. S looks like a
+  // per-key recursion (u10's mapGroups territory) but has a WINDOW
+  // identity — S_t = P_t − min(0, min_{j≤t} P_j) over the deviation
+  // prefix sums P — so the Spark form is two running windows over ONE
+  // (user) partitioning + one already-clustered groupBy: fully
+  // declarative, no typed fold, and every quantity is an exact integer
+  // (milli-quantized deviations), so no fold-order hazard exists. The
+  // oracle computes the peak/alarm columns through the same identity
+  // but cross-checks the FINAL statistic by the independent textbook
+  // recursion (list_reduce over the ordered deviations) — two algebras
+  // agreeing that the identity is right.
+  private val cusumTarget = 40000L // milli-units: drift target 40.0 (~median)
+  private val cusumH = 500000L // alarm threshold 500.0
+  private def u17(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr(s"CAST(floor(value * 1000) AS BIGINT) - $cusumTarget").as("d"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("p", sum(col("d")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("s")).as("peak_s"),
+        expr("max_by(s, struct(ts, event_id))").as("final_s"),
+        sum(when(col("s") > cusumH, 1L).otherwise(0L)).as("n_over"))
+      .select(col("user_id"), col("n_events"), col("peak_s"),
+        col("final_s"), col("n_over"),
+        (col("peak_s") > cusumH).as("drifted"))
+      .orderBy(col("user_id"))
+  }
+  private val u17Sql =
+    s"""WITH d AS (
+       | SELECT user_id, epoch_ns(ts) AS ts, event_id,
+       |  CAST(FLOOR(value * 1000) AS BIGINT) - $cusumTarget AS d
+       | FROM events),
+       |pre AS (
+       | SELECT user_id, ts, event_id, d,
+       |  CAST(SUM(d) OVER w AS BIGINT) AS p
+       | FROM d
+       | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |runs AS (
+       | SELECT user_id, ts, event_id, p,
+       |  p - LEAST(CAST(MIN(p) OVER w AS BIGINT), 0) AS s
+       | FROM pre
+       | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |identity_form AS (
+       | SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(MAX(s) AS BIGINT) AS peak_s,
+       |  CAST(LAST(s ORDER BY ts, event_id) AS BIGINT) AS final_s,
+       |  CAST(SUM(CASE WHEN s > $cusumH THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+       | FROM runs GROUP BY 1),
+       |recursion_check AS (
+       | SELECT user_id,
+       |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list(d ORDER BY ts, event_id)),
+       |    (acc, v) -> GREATEST(acc + v, 0)) AS BIGINT) AS final_s_rec
+       | FROM d GROUP BY 1)
+       |SELECT i.user_id, i.n_events, i.peak_s, i.final_s, i.n_over,
+       | i.peak_s > $cusumH AS drifted
+       |FROM identity_form i JOIN recursion_check r
+       |  ON i.user_id = r.user_id AND i.final_s = r.final_s_rec
+       |ORDER BY i.user_id""".stripMargin
+
   // ---- j14: range join via the OPTIMIZER RULE ------------------------------
   // The same interval containment as j11, but written as the NAIVE
   // theta join — `lo <= x AND x < hi`, no manual bucketing — and
@@ -1217,6 +1287,7 @@ object TemporalQueries extends QueryFamily {
       |ORDER BY user_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u17_cusum" -> (u17 _),
     "u14_markov_transitions" -> (u14 _),
     "u15_top_paths" -> (u15 _),
     "u16_group_ols" -> (u16 _),
@@ -1250,6 +1321,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u17_cusum" -> u17Sql,
     "u14_markov_transitions" -> u14Sql,
     "u15_top_paths" -> u15Sql,
     "u16_group_ols" -> u16Sql,

@@ -150,6 +150,44 @@ class ProfileTrendSpec extends SparkSpec {
     }
   }
 
+  test("u17: CUSUM window identity matches the textbook recursion") {
+    val d = TemporalQueries.queries("u17_cusum")(spark, dir).collect()
+    assert(d.nonEmpty)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    d.foreach { row =>
+      val uid = row.getAs[Long]("user_id")
+      val ds = raw.filter(_._1 == uid).sortBy(e => (e._2, e._3))
+        .map(e => math.floor(e._4 * 1000).toLong - 40000L)
+      var s = 0L; var peak = 0L; var nOver = 0L
+      ds.foreach { dev =>
+        s = math.max(0L, s + dev)
+        peak = math.max(peak, s)
+        if (s > 500000L) nOver += 1
+      }
+      assert(row.getAs[Long]("final_s") == s, s"user $uid final")
+      assert(row.getAs[Long]("peak_s") == peak, s"user $uid peak")
+      assert(row.getAs[Long]("n_over") == nOver, s"user $uid n_over")
+      assert(row.getAs[Boolean]("drifted") == (peak > 500000L))
+    }
+  }
+
+  test("r16: orphan counts are bounded and match a direct EXCEPT probe") {
+    val d = RelationalQueries.queries("r16_fk_orphans")(spark, dir).collect()
+    assert(d.length == 4)
+    d.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") <= r.getAs[Long]("n_child"))
+      assert(r.getAs[Long]("n_orphan_keys") <= r.getAs[Long]("n_orphans"))
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val direct = li.select(col("l_orderkey")).filter(col("l_orderkey").isNotNull)
+      .distinct().except(o.select(col("o_orderkey"))).count()
+    val row = d.find(_.getAs[String]("relation").startsWith("lineitem.l_orderkey")).get
+    assert(row.getAs[Long]("n_orphan_keys") == direct)
+  }
+
   test("u12: islands partition each user's stream with consistent run lengths") {
     val d = TemporalQueries.queries("u12_gaps_islands")(spark, dir).collect()
     assert(d.nonEmpty)
