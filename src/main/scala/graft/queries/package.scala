@@ -1,21 +1,45 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 package object queries {
+
+  /** The engine's internal clock domain is an epoch-NANOSECOND long
+    * (`ts div 1000` → µs everywhere; the DuckDB oracles mirror it with
+    * `epoch_ns(ts)`). Test data has shipped `ts` both as INT64
+    * TIMESTAMP(NANOS) (read as long via nanosAsLong) and as plain
+    * TIMESTAMP/TIMESTAMP_NTZ; normalize any timestamp-typed `ts` back
+    * to epoch nanos so every query and every oracle sees one domain.
+    * The NTZ→epoch cast goes through the session timezone, which the
+    * readers below pin to UTC — the same interpretation DuckDB's
+    * `epoch_ns(TIMESTAMP)` uses for naive timestamps. Works on batch
+    * and streaming DataFrames alike (pure projection). */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn(
+          "ts", (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+      case _ => df
+    }
+
   /** A query family contributes driver-checkable queries + DuckDB oracles. */
   trait QueryFamily {
     def queries: Map[String, (SparkSession, String) => DataFrame]
     def oracle: Map[String, String]
     protected def t(dir: String, name: String): String = s"$dir/$name.parquet"
 
-    /** Read a test table. `events.parquet` carries an INT64
+    /** Read a test table. `events.parquet` has carried an INT64
       * TIMESTAMP(NANOS) column that Spark 4 refuses by default
       * (PARQUET_TYPE_ILLEGAL); nanosAsLong is a runtime SQLConf, so set
-      * it here to stay robust however the session was built. */
+      * it here to stay robust however the session was built. Timestamp
+      * columns named `ts` are normalized to the epoch-nanos long domain
+      * (see [[normalizeEventTs]]); UTC pins that conversion. */
     protected def rd(s: SparkSession, dir: String, name: String): DataFrame = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(t(dir, name))
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      normalizeEventTs(s.read.parquet(t(dir, name)))
     }
   }
 }

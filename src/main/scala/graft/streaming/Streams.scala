@@ -49,10 +49,12 @@ object Streams {
     * sink; AvailableNow processes the backlog and stops. */
   def windowedAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source needs a directory; glob-filter to the events table
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
     val agg = stream
       .withColumn("hour_bucket", expr(s"ts div $HourNs"))
       .groupBy(col("hour_bucket"), col("event_type"))
@@ -77,9 +79,11 @@ object Streams {
   def windowedAggWatermarked(spark: SparkSession, dir: String, delay: String,
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
     val agg = stream
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", delay)
@@ -108,9 +112,11 @@ object Streams {
   def sessionWindowAgg(spark: SparkSession, dir: String, gap: String,
                        queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
     val agg = stream
       .select(col("user_id"),
         expr("timestamp_micros(ts div 1000)").as("event_time"),
@@ -137,9 +143,11 @@ object Streams {
     * touches every group once, so the emitted set is the batch answer. */
   def updateModeAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
     val agg = stream.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
            sum(col("value")).cast("float").as("sum_value"))
@@ -159,6 +167,7 @@ object Streams {
     * batch-order-dependent, so callers project the key columns). */
   def streamingDedup(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -183,9 +192,11 @@ object Streams {
   def streamStreamJoin(spark: SparkSession, dir: String, windowUs: Long,
                        queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -224,9 +235,11 @@ object Streams {
   def streamStreamLeftOuter(spark: SparkSession, dir: String, windowUs: Long,
                             delay: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
     val clicks = src().filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
@@ -262,9 +275,11 @@ object Streams {
   def streamStaticJoin(spark: SparkSession, dir: String,
                        queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
     val dim = spark.read.parquet(s"$dir/nation.parquet")
       .select(col("n_nationkey"), col("n_name"))
     val joined = stream
@@ -296,9 +311,11 @@ object Streams {
                  queryName: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
       .select(col("user_id").cast("long"), col("ts").cast("long"),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[Ev]
@@ -382,9 +399,11 @@ object Streams {
                     queryName: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
       .select(col("user_id").cast("long"), col("ts").cast("long"),
         col("event_id").cast("long"), col("value").cast("double"))
       .as[Ev]

@@ -90,7 +90,7 @@ class LogQuantileSketchSpec extends SparkSpec {
       s2.table("spec_qsketch_stream").orderBy("event_type")
         .collect().map(r => r.getString(0) -> r.getMap[Int, Long](1).toMap).toMap
     }
-    val want = s2.read.parquet(s"$dir/events.parquet")
+    val want = graft.queries.normalizeEventTs(s2.read.parquet(s"$dir/events.parquet"))
       .groupBy(col("event_type")).agg(expr(agg).as("m"))
       .collect().map(r => r.getString(0) -> r.getMap[Int, Long](1).toMap).toMap
     assert(got === want && got.nonEmpty)

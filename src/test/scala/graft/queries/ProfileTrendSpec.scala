@@ -67,7 +67,7 @@ class ProfileTrendSpec extends SparkSpec {
     d.foreach(r => assert(math.abs(r.getAs[Float]("r")) <= 1.0f + 1e-6f))
     // recompute one group naively from the raw table
     val uid = d.head.getAs[Long]("user_id")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .filter(col("user_id") === uid)
       .select(col("ts").cast("long"), col("value")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
@@ -153,7 +153,7 @@ class ProfileTrendSpec extends SparkSpec {
   test("u17: CUSUM window identity matches the textbook recursion") {
     val d = TemporalQueries.queries("u17_cusum")(spark, dir).collect()
     assert(d.nonEmpty)
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val raw = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), col("ts").cast("long"), col("event_id"), col("value"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     d.foreach { row =>
@@ -191,7 +191,7 @@ class ProfileTrendSpec extends SparkSpec {
   test("u12: islands partition each user's stream with consistent run lengths") {
     val d = TemporalQueries.queries("u12_gaps_islands")(spark, dir).collect()
     assert(d.nonEmpty)
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     val evCount = ev.count()
     assert(d.map(_.getAs[Long]("run_len")).sum == evCount,
       "island run lengths must cover every event exactly once")

@@ -13,7 +13,7 @@ class StreamsSpec extends SparkSpec {
     val dir = sf("sf0.001")
     val streamed = Streams.windowedAgg(spark, dir, "spec_agg")
       .orderBy("hour_bucket", "event_type").collect()
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .withColumn("hour_bucket", expr(s"ts div $HourNs"))
       .groupBy("hour_bucket", "event_type")
       .agg(count(lit(1)).as("n_events"), sum(col("value")).cast("float").as("sum_value"))
@@ -27,7 +27,7 @@ class StreamsSpec extends SparkSpec {
     val streamed = Streams.windowedAggWatermarked(spark, dir, "2 hours", "spec_wm")
       .selectExpr("window.start AS w_start", "event_type", "n_events", "sum_value")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val ev = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     val maxTs = ev.agg(max(col("ts"))).head.getLong(0)
     val watermarkUs = maxTs / 1000 - 2L * 3600 * 1000 * 1000
     val batch = ev
@@ -61,7 +61,7 @@ class StreamsSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     val back = spark.read.parquet(out)
-    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val batch = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
     assert(back.count() == batch.count())
     assert(back.agg(sum(col("value"))).head.getDouble(0) ==
       batch.agg(sum(col("value"))).head.getDouble(0))
@@ -81,7 +81,7 @@ class StreamsSpec extends SparkSpec {
     val gap = 8L * HourNs
     val streamed = Streams.sessionize(spark, dir, gap, "spec_sess")
       .orderBy("user_id", "session_idx").collect()
-    spark.read.parquet(s"$dir/events.parquet").createOrReplaceTempView("ev_spec")
+    graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")).createOrReplaceTempView("ev_spec")
     val batch = spark.sql(
       s"""WITH marked AS (
          | SELECT user_id, ts, value,
@@ -129,7 +129,7 @@ class StreamsSpec extends SparkSpec {
       s2.table("spec_hll_stream").orderBy("event_type").collect()
     }
     graft.plans.GraftFunctions.register(spark)
-    val want = spark.read.parquet(s"$dir/events.parquet")
+    val want = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(col("event_type"))
       .agg(expr(s"hll_registers($hashExpr, 9)").as("regs"))
       .orderBy("event_type").collect()
@@ -160,7 +160,7 @@ class StreamsSpec extends SparkSpec {
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("user_id", "n_events", "vm_sum", "vm_max")
       .orderBy("user_id").collect()
-    val want = spark.read.parquet(s"$dir/events.parquet")
+    val want = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"),
         expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
       .groupBy("user_id")
@@ -184,7 +184,7 @@ class StreamsSpec extends SparkSpec {
     val got = Streams.withStatePartitions(s2, 4) {
       Streams.windowedAgg(s2, dir, "spec_rocksdb_agg")
     }.orderBy("hour_bucket", "event_type").collect()
-    val want = spark.read.parquet(s"$dir/events.parquet")
+    val want = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
       .withColumn("hour_bucket", expr(s"ts div $HourNs"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
