@@ -626,7 +626,10 @@ object CurationQueries extends QueryFamily {
   // SAME register array on both engines: E = α_m·m²/Σ2^(−M_j), with
   // the small-range linear-counting correction m·ln(m/V) when E ≤ 2.5m
   // and V > 0. Registers ride in the output — the sketches themselves
-  // are hash-compared, not just the estimate.
+  // are hash-compared, not just the estimate. They travel as a
+  // '-'-joined STRING (not array<int>): the driver's pandas row-sort
+  // cannot hash list cells, and a joined string is an equally lossless
+  // fingerprint of the register vector.
   private val hllP = 9
   private val hllM = 1 << hllP // 512
   private val hllAlpha = 0.7213 / (1.0 + 1.079 / hllM)
@@ -634,14 +637,17 @@ object CurationQueries extends QueryFamily {
     graft.plans.GraftFunctions.register(s)
     val e = rd(s, dir, "events")
     val sumExpr = // Σ 2^-M_j : every term a power of two — exact in double
-      "aggregate(regs, CAST(0 AS DOUBLE), (acc, r) -> acc + power(2.0D, -r))"
-    val zerosExpr = "size(filter(regs, r -> r = 0))"
+      "aggregate(regs_arr, CAST(0 AS DOUBLE), (acc, r) -> acc + power(2.0D, -r))"
+    val zerosExpr = "size(filter(regs_arr, r -> r = 0))"
     val rawExpr = s"$hllAlpha * ${hllM.toDouble * hllM} / ($sumExpr)"
     e.groupBy(col("event_type"))
       .agg(
-        expr(s"hll_registers(${mix(kmvKey)}, $hllP)").as("regs"),
+        expr(s"hll_registers(${mix(kmvKey)}, $hllP)").as("regs_arr"),
         countDistinct(expr(kmvKey)).as("n_exact"))
-      .select(col("event_type"), col("regs"), col("n_exact"),
+      .select(col("event_type"),
+        expr("array_join(transform(regs_arr, r -> cast(r AS STRING)), '-')")
+          .as("regs"),
+        col("n_exact"),
         expr(s"CAST($rawExpr AS FLOAT)").as("est_raw"),
         expr(
           s"""CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND ($zerosExpr) > 0
@@ -655,8 +661,8 @@ object CurationQueries extends QueryFamily {
       .map(k => s"WHEN w >= ${1L << k} THEN ${31 - hllP - k}")
       .mkString("CASE ", " ", s" ELSE ${32 - hllP} END") // w = 0 falls through
     val sumExpr = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      "list_transform(regs, r -> power(2.0, -r))), (acc, v) -> acc + v)"
-    val zerosExpr = "len(list_filter(regs, r -> r = 0))"
+      "list_transform(regs_arr, r -> power(2.0, -r))), (acc, v) -> acc + v)"
+    val zerosExpr = "len(list_filter(regs_arr, r -> r = 0))"
     // explicit DOUBLE casts: DuckDB parses the alpha literal as DECIMAL
     // and the DECIMAL·DECIMAL product overflows at 18 digits
     val rawExpr = s"CAST($hllAlpha AS DOUBLE) * " +
@@ -671,12 +677,13 @@ object CurationQueries extends QueryFamily {
        |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${hllM - 1})) AS j) gs),
        |regs_t AS (
        | SELECT s.event_type,
-       |  list(CAST(COALESCE(r.rho, 0) AS INTEGER) ORDER BY s.j) AS regs
+       |  list(CAST(COALESCE(r.rho, 0) AS INTEGER) ORDER BY s.j) AS regs_arr
        | FROM spine s LEFT JOIN r ON r.event_type = s.event_type AND r.j = s.j
        | GROUP BY 1),
        |ex AS (SELECT event_type, COUNT(DISTINCT $kmvKey) AS n_exact
        |       FROM events GROUP BY 1)
-       |SELECT regs_t.event_type, regs_t.regs, ex.n_exact,
+       |SELECT regs_t.event_type,
+       | array_to_string(regs_arr, '-') AS regs, ex.n_exact,
        | CAST($rawExpr AS REAL) AS est_raw,
        | CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND ($zerosExpr) > 0
        |  THEN ${hllM.toDouble} * ln(${hllM.toDouble} / ($zerosExpr))

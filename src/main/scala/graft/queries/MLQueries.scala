@@ -326,24 +326,28 @@ object MLQueries extends QueryFamily {
 
   // m07: exact AUC by the Mann-Whitney rank-sum identity with average
   // ranks for ties: AUC = (S2 - npos*(npos+1)) / (2*npos*nneg) where
-  // S2 = sum over positives of (2*min_rank + tie_count - 1) — every
-  // term integer, one global sort (distributed range-sort at scale),
-  // one aggregate. This is the exact-AUC shape that needs no
-  // per-threshold sweep and no float accumulation.
+  // S2 = sum over positives of (2*min_rank + tie_count - 1). Computed
+  // from the DISTINCT-SCORE distribution table (the m08 shape): one
+  // groupBy collapses the corpus to ≤ 997 milli-score rows, the
+  // exclusive cumulative count over that table gives each tie group's
+  // min rank (rk = cum_prev + 1, tie = c), and the per-group
+  // contribution is c1·(2·cum_prev + c + 1) — every term integer, NO
+  // per-row global window (no Exchange SinglePartition): the only
+  // unpartitioned window runs over the score-vocabulary-sized table.
   private def m07(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = rd(s, dir, "documents")
       .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
         expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
-    val wR = Window.orderBy(col("sm").asc)
-    val wT = Window.partitionBy(col("sm"))
-    d.withColumn("rk", rank().over(wR))
-      .withColumn("tie", count(lit(1)).over(wT))
+    val dist = d.groupBy(col("sm"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    val wCum = Window.orderBy(col("sm").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist.withColumn("cum_prev", coalesce(sum(col("c")).over(wCum), lit(0L)))
       .agg(
-        sum(col("y")).as("npos"),
-        (count(lit(1)) - sum(col("y"))).as("nneg"),
-        sum(when(col("y") === 1, lit(2L) * col("rk") + col("tie") - 1L)
-          .otherwise(0L)).as("s2"))
+        sum(col("c1")).as("npos"),
+        (sum(col("c")) - sum(col("c1"))).as("nneg"),
+        sum(col("c1") * (lit(2L) * col("cum_prev") + col("c") + 1L)).as("s2"))
       .select(col("npos"), col("nneg"),
         expr("CAST(CAST(s2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) AS FLOAT)")
           .as("auc"))
@@ -424,22 +428,42 @@ object MLQueries extends QueryFamily {
 
   // m09: decile lift/gain chart — the ranking-eval complement to m07's
   // AUC: sort by score descending, cut into 10 equal-population
-  // deciles (ntile), report per-decile positives, response rate, and
-  // lift vs the base rate. ntile over the (score, doc_id)-ordered rows
-  // is deterministic; rates and lift are single integer-ratio
-  // divisions cast to float32 (lift = (tp_d · N) / (n_d · P) — one
-  // division, no composed float arithmetic).
+  // deciles (ntile semantics), report per-decile positives, response
+  // rate, and lift vs the base rate. The global ntile window is
+  // REPLACED by arithmetic over a two-phase rank: a per-score-group
+  // window (partitioned by sm — distributed) numbers rows within each
+  // tie group by doc_id, the exclusive cumulative count over the
+  // distinct-score table (vocab-sized, broadcast) supplies the group
+  // offset, and global position p = cum_prev + rn. ntile(10)'s bucket
+  // assignment is then pure integer arithmetic: with q = N div 10,
+  // r = N mod 10, the first r buckets take q+1 rows — identical row
+  // placement, no Exchange SinglePartition. Rates and lift are single
+  // integer-ratio divisions cast to float32.
   private def m09(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = rd(s, dir, "documents")
       .select(col("doc_id"), expr(s"CAST($evalScore AS BIGINT)").as("sm"),
         expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
-    val w = Window.orderBy(col("sm").desc, col("doc_id").asc)
+    val dist = d.groupBy(col("sm")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("sm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = dist
+      .withColumn("cum_prev", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .select(col("sm"), col("cum_prev"))
     val tot = d.agg(count(lit(1)).as("n_all"), sum(col("y")).as("p_all"))
-    d.withColumn("decile", ntile(10).over(w))
-      .groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("tp"))
+    val wLoc = Window.partitionBy(col("sm")).orderBy(col("doc_id").asc)
+    d.withColumn("rn", row_number().over(wLoc))
+      .join(broadcast(offs), Seq("sm"))
       .crossJoin(broadcast(tot))
+      .withColumn("p", col("cum_prev") + col("rn"))
+      .withColumn("decile", expr(
+        """CAST(CASE WHEN p <= (n_all % 10) * (n_all div 10 + 1)
+          | THEN (p + n_all div 10) div (n_all div 10 + 1)
+          | ELSE n_all % 10
+          |  + (p - (n_all % 10) * (n_all div 10 + 1) + n_all div 10 - 1)
+          |    div (n_all div 10) END AS INT)""".stripMargin))
+      .groupBy(col("decile"), col("n_all"), col("p_all"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("tp"))
       .select(col("decile"), col("n"), col("tp"),
         expr("CAST(CAST(tp AS DOUBLE) / n AS FLOAT)").as("rate"),
         expr("CAST(CAST(tp * n_all AS DOUBLE) / (n * p_all) AS FLOAT)").as("lift"))

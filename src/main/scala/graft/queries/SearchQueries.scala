@@ -59,11 +59,17 @@ object SearchQueries extends QueryFamily {
       s"($idf * (tf$i * ($bmK1 + 1.0)) / " +
         s"(tf$i + $bmK1 * (1.0 - $bmB + $bmB * dl / avgdl)))"
     }.mkString(" + ") // left-assoc fold, mirrored verbatim in the oracle
-    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
-    scored.withColumn("score", expr(termScore).cast("float"))
+    // top-k via orderBy+limit => TakeOrderedAndProject: each partition
+    // keeps a k-row heap, the driver merges k·P rows — no corpus-wide
+    // single-partition sort. row_number ran here before; limit(k) on the
+    // same total order (score desc, doc_id asc) selects identical rows.
+    // The rank window then runs over <= bmTopK rows, not the corpus.
+    val top = scored.withColumn("score", expr(termScore).cast("float"))
       .filter(col("score") > 0.0f)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= bmTopK)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(bmTopK)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
         col("score"))
   }
@@ -353,11 +359,14 @@ object SearchQueries extends QueryFamily {
         col("label").as("q_label"))
     val cos = (expr("array_dot(q_emb, embedding)") / (col("q_norm") * col("norm")))
       .cast("float")
+    // distributed top-k (TakeOrderedAndProject), then rank over <= topK
+    // rows — the corpus-wide table never funnels through one partition
     val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
     e.filter(col("vec_id") =!= qId).crossJoin(broadcast(q))
       .withColumn("cos", cos)
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(topK)
       .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= topK)
       .select(col("crank"), col("vec_id"), col("cos"), col("label"),
         col("q_label"))
   }
@@ -512,9 +521,13 @@ object SearchQueries extends QueryFamily {
       .crossJoin(broadcast(n))
       .withColumn("pmi", expr(
         "CAST(ln(CAST(c_ab AS DOUBLE) * n_docs / (CAST(c_a AS DOUBLE) * c_b)) AS FLOAT)"))
+    // vocab²-bounded but still potentially large: take the top-30 with
+    // a distributed TakeOrderedAndProject, then rank the 30 survivors
     val w = Window.orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= pmiTopK)
+    scored
+      .orderBy(col("pmi").desc, col("t1").asc, col("t2").asc)
+      .limit(pmiTopK)
+      .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("t1"), col("t2"), col("c_ab"), col("c_a"),
         col("c_b"), col("pmi"))
       .orderBy(col("rank"))

@@ -559,10 +559,14 @@ object TemporalQueries extends QueryFamily {
   // value-derived length; the classic sweep line (+1 at start, -1 at
   // end, running sum over one global (t, delta) order) yields exact
   // concurrency, and a per-day max reports the daily peak. Half-open
-  // [start, end) semantics: at equal t the -1 sorts first. ONE sort
-  // shuffle for the running sum (a distributed range-sort at scale —
-  // the same shape as any global window) and a tiny per-day aggregate;
-  // session length derives from the milli-quantized value so every
+  // [start, end) semantics: at equal t the -1 sorts first. The running
+  // sum is a TWO-PHASE prefix sum (the g06 shape): a per-day window
+  // (distributed — partitioned by day) computes local running sums, a
+  // prefix over the tiny per-day totals table yields each day's
+  // carried-in offset, and the exact global running sum is
+  // offset + local. No Exchange SinglePartition anywhere: the only
+  // unpartitioned window runs over the day-count-sized totals table.
+  // Session length derives from the milli-quantized value so every
   // comparison is integer.
   private def u08(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
@@ -572,10 +576,19 @@ object TemporalQueries extends QueryFamily {
     val deltas = ev.select(col("ts").as("t"), lit(1).as("delta"), col("event_id"))
       .unionAll(ev.select((col("ts") + col("dur_ns")).as("t"),
         lit(-1).as("delta"), col("event_id")))
-    val w = Window.orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("conc", sum(col("delta")).over(w))
       .withColumn("day", expr(s"t div $nsPerDay"))
+    val wLocal = Window.partitionBy(col("day"))
+      .orderBy(col("t").asc, col("delta").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrefix = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).cast("long").as("day_sum"))
+      .withColumn("carry", coalesce(sum(col("day_sum")).over(wPrefix), lit(0L)))
+      .select(col("day"), col("carry"))
+    deltas.withColumn("local", sum(col("delta")).over(wLocal))
+      .join(broadcast(offsets), Seq("day"))
+      .withColumn("conc", col("carry") + col("local"))
       .groupBy(col("day"))
       .agg(max(col("conc")).as("peak_concurrency"),
         sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
@@ -1199,10 +1212,13 @@ object TemporalQueries extends QueryFamily {
       .agg(concat_ws(">",
         expr("transform(array_sort(collect_list(struct(rn, event_type)))," +
           " x -> x.event_type)")).as("path"))
+    // distributed top-20 (TakeOrderedAndProject) instead of a global
+    // window over the |types|^5-bounded path table; rank over 20 rows
     val wTop = Window.orderBy(col("n_users").desc, col("path").asc)
     paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topPaths)
       .withColumn("rank", row_number().over(wTop))
-      .filter(col("rank") <= topPaths)
       .select(col("rank"), col("path"), col("n_users"))
       .orderBy(col("rank"))
   }

@@ -221,6 +221,48 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), s"no codegen span in v09:\n$plan")
   }
 
+  test("every SinglePartition exchange funnels only bounded (aggregated/limited) data") {
+    // An unpartitioned Window/Sort plans `Exchange SinglePartition`:
+    // every row through ONE task — fine on a distribution table or a
+    // top-k survivor set, a scale-killer on a corpus-sized input. The
+    // invariant: any SinglePartition shuffle must have, somewhere below
+    // it, a node that bounds cardinality independent of corpus size —
+    // an aggregate (partial aggs bound global aggregates; groupBys
+    // bound distribution tables) or a limit (TakeOrderedAndProject /
+    // GlobalLimit bound top-k). A raw scan/join/project feeding a
+    // SinglePartition exchange fails the suite.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: BaseAggregateExec        => true
+      case _: GlobalLimitExec          => true
+      case _: LocalLimitExec           => true
+      case _: TakeOrderedAndProjectExec => true
+      case _: CollectLimitExec         => true
+      case _: ReusedExchangeExec       => true // checked where defined
+      case _                           => false
+    }
+    // AQE off: the static physical tree is traversable (no Adaptive wrapper)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val failures = graft.SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(_.startsWith("n0")) // constructing a stream executes it
+        .flatMap { name =>
+          val plan = graft.SparkEntry.queries(name)(spark, dir)
+            .queryExecution.executedPlan
+          val bad = plan.collect {
+            case e: ShuffleExchangeExec
+              if e.outputPartitioning == SinglePartition && !bounded(e.child) => e
+          }
+          if (bad.nonEmpty) Some(name) else None
+        }
+      assert(failures.isEmpty,
+        s"corpus-sized SinglePartition exchange in: $failures")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("RRF fusion joins only top-K lists (no corpus-sized join input)") {
     val df = SearchQueries.queries("w04_rrf_fusion")(spark, dir)
     df.collect()
