@@ -42,7 +42,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Two spellings of the same record: the driver's log parser greps a
+    // stable `BENCH_JSON ` marker (sbt interleaves [info] noise around a
+    // bare line); the trailing bare line keeps the original one-JSON-line
+    // contract for anything tailing stdout.
+    println(s"BENCH_JSON $json")
+    println(json)
     spark.stop()
   }
 }

@@ -298,29 +298,44 @@ object PhysicsQueries extends QueryFamily {
   }
 
   // ---- p17: derived VBF kinematics (P17) ---------------------------------
-  // reference: stage1/jets.py:115-147 — zeppenfeld, rpt, log variables.
+  // reference: stage1/jets.py:115-147 — zeppenfeld, rpt, log variables,
+  // mmj_min_dEta/dPhi. NOTE the reference's mmj_min has an np.where
+  // ARG-ORDER BUG (`stage1/jets.py:137-147`: np.where(a, b, a < b) —
+  // condition and branches swapped, yielding b wherever a != 0). This
+  // port implements the INTENDED semantics — elementwise min of the two
+  // dimuon-jet distances — and the oracle locks the corrected form
+  // (LEAST on both engines). See COVERAGE.md §2.2 P17.
   private def p17(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
     val v = ev.select((Seq(col("event_id"), col("value")) ++ vecCols): _*)
     val etaLL = (col("value") % 5.0) - lit(2.5)
+    val phiLL = (col("value") % 6.2) - lit(3.1)
     val ptSum = K.p4SumPt(col("pt1"), col("phi1"), col("pt2"), col("phi2"))
     v.select(col("event_id"),
         K.zeppenfeld(etaLL, col("eta1"), col("eta2")).cast("float").as("zeppenfeld"),
         K.rPt(ptSum, col("value") + 1.0, col("pt1"), col("pt2")).cast("float").as("rpt"),
         log(col("value") + lit(1.0)).cast("float").as("jj_mass_log"),
         log(abs(K.zeppenfeld(etaLL, col("eta1"), col("eta2"))) + lit(1e-9))
-          .cast("float").as("ll_zstar_log"))
+          .cast("float").as("ll_zstar_log"),
+        least(K.deltaEta(etaLL, col("eta1")), K.deltaEta(etaLL, col("eta2")))
+          .cast("float").as("mmj_min_deta"),
+        least(K.deltaPhi(phiLL, col("phi1")), K.deltaPhi(phiLL, col("phi2")))
+          .cast("float").as("mmj_min_dphi"))
       .orderBy(col("event_id"))
   }
   private val p17Sql = {
     val zep = "(((value % 5.0) - 2.5) - (eta1 + eta2) / 2.0)"
     val (sx, sy) = (s"${pxS("pt1", "phi1")} + ${pxS("pt2", "phi2")}",
                     s"${pyS("pt1", "phi1")} + ${pyS("pt2", "phi2")}")
+    val etaLL = "((value % 5.0) - 2.5)"
+    val phiLL = "((value % 6.2) - 3.1)"
     s"""SELECT event_id,
        | CAST($zep AS REAL) AS zeppenfeld,
        | CAST(SQRT(($sx) * ($sx) + ($sy) * ($sy)) / ((value + 1.0) + pt1 + pt2) AS REAL) AS rpt,
        | CAST(LN(value + 1.0) AS REAL) AS jj_mass_log,
-       | CAST(LN(ABS($zep) + 1e-9) AS REAL) AS ll_zstar_log
+       | CAST(LN(ABS($zep) + 1e-9) AS REAL) AS ll_zstar_log,
+       | CAST(LEAST(ABS($etaLL - eta1), ABS($etaLL - eta2)) AS REAL) AS mmj_min_deta,
+       | CAST(LEAST(${dphiS(phiLL, "phi1")}, ${dphiS(phiLL, "phi2")}) AS REAL) AS mmj_min_dphi
        |FROM (SELECT event_id, value, $vecSql FROM events)
        |ORDER BY event_id""".stripMargin
   }

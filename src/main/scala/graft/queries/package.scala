@@ -12,13 +12,19 @@ package object queries {
     * TIMESTAMP(NANOS) (read as long via nanosAsLong) and as plain
     * TIMESTAMP/TIMESTAMP_NTZ; normalize any timestamp-typed `ts` back
     * to epoch nanos so every query and every oracle sees one domain.
-    * The NTZ→epoch cast goes through the session timezone, which the
-    * readers below pin to UTC — the same interpretation DuckDB's
-    * `epoch_ns(TIMESTAMP)` uses for naive timestamps. Works on batch
-    * and streaming DataFrames alike (pure projection). */
+    * The NTZ→epoch cast goes through the session timezone at ANALYSIS
+    * time, so the conversion pins the owning session to UTC itself —
+    * the same interpretation DuckDB's `epoch_ns(TIMESTAMP)` uses for
+    * naive timestamps — instead of relying on every caller (fresh
+    * `newSession()`s in specs included) to have done it. Sessions built
+    * by GraftSession/Verify/Bench/SparkSpec pin UTC at construction as
+    * the documented invariant; this is the belt-and-braces for any
+    * other session. Works on batch and streaming DataFrames alike
+    * (pure projection). */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
         df.withColumn(
           "ts", (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
       case _ => df
@@ -35,10 +41,9 @@ package object queries {
       * (PARQUET_TYPE_ILLEGAL); nanosAsLong is a runtime SQLConf, so set
       * it here to stay robust however the session was built. Timestamp
       * columns named `ts` are normalized to the epoch-nanos long domain
-      * (see [[normalizeEventTs]]); UTC pins that conversion. */
+      * (see [[normalizeEventTs]], which pins UTC when it converts). */
     protected def rd(s: SparkSession, dir: String, name: String): DataFrame = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.conf.set("spark.sql.session.timeZone", "UTC")
       normalizeEventTs(s.read.parquet(t(dir, name)))
     }
   }

@@ -49,7 +49,6 @@ object Streams {
     * sink; AvailableNow processes the backlog and stops. */
   def windowedAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source needs a directory; glob-filter to the events table
     val stream = spark.readStream.schema(schema)
@@ -79,7 +78,6 @@ object Streams {
   def windowedAggWatermarked(spark: SparkSession, dir: String, delay: String,
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -112,7 +110,6 @@ object Streams {
   def sessionWindowAgg(spark: SparkSession, dir: String, gap: String,
                        queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -143,7 +140,6 @@ object Streams {
     * touches every group once, so the emitted set is the batch answer. */
   def updateModeAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -167,7 +163,6 @@ object Streams {
     * batch-order-dependent, so callers project the key columns). */
   def streamingDedup(spark: SparkSession, dir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
@@ -192,7 +187,6 @@ object Streams {
   def streamStreamJoin(spark: SparkSession, dir: String, windowUs: Long,
                        queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -235,7 +229,6 @@ object Streams {
   def streamStreamLeftOuter(spark: SparkSession, dir: String, windowUs: Long,
                             delay: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def src() = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -275,7 +268,6 @@ object Streams {
   def streamStaticJoin(spark: SparkSession, dir: String,
                        queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -311,7 +303,6 @@ object Streams {
                  queryName: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -399,7 +390,6 @@ object Streams {
                     queryName: String): DataFrame = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)

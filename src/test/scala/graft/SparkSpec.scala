@@ -20,6 +20,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // repo invariant: sessions pin UTC at construction so timestamp
+      // casts (NTZ→epoch in normalizeEventTs) are timezone-stable
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -22,7 +22,7 @@ class SearchSpec extends SparkSpec {
 
   test("CMS sketch mass equals depth x input rows") {
     val sketch = SearchQueries.queries("k01_cms_sketch")(spark, dir)
-    val nEvents = graft.queries.normalizeEventTs(spark.read.parquet(s"$dir/events.parquet")).count()
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
     val perDepth = sketch.groupBy(col("depth")).agg(sum(col("cnt")).as("m"))
       .select(col("m")).collect().map(_.getLong(0)).toSet
     assert(perDepth == Set(nEvents),
