@@ -71,9 +71,59 @@ case class HllRegisters(
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  /** Wire format (what rides the shuffle between partial and final
+    * aggregation — the cost that matters when grouping by a
+    * high-cardinality key, where dense vectors are millions × m bytes
+    * through the exchange). The public HLL++ refinement (Heule,
+    * Nunkesser, Hall, EDBT 2013): below m/4 occupancy most registers
+    * are zero, so ship only the set ones.
+    *   tag 0: dense  — [0, r_0 .. r_{m-1}]            (1 + m bytes)
+    *   tag 1: sparse — [1, (idx_hi, idx_lo, rho)...]  (1 + 3·occ bytes)
+    * p ≤ 16 keeps every index in two bytes. The in-memory buffer stays
+    * a dense m-byte array either way (update/merge are O(1)/O(m) array
+    * ops on 512 B — sparsifying those would cost more than it saves);
+    * only serialize/deserialize translate. */
+  override def serialize(buf: Array[Byte]): Array[Byte] = {
+    var occ = 0
+    var i = 0
+    while (i < m) { if (buf(i) != 0) occ += 1; i += 1 }
+    if (occ >= m / 4) {
+      val out = new Array[Byte](1 + m)
+      out(0) = 0
+      System.arraycopy(buf, 0, out, 1, m)
+      out
+    } else {
+      val out = new Array[Byte](1 + 3 * occ)
+      out(0) = 1
+      var k = 1
+      i = 0
+      while (i < m) {
+        if (buf(i) != 0) {
+          out(k) = ((i >> 8) & 0xff).toByte
+          out(k + 1) = (i & 0xff).toByte
+          out(k + 2) = buf(i)
+          k += 3
+        }
+        i += 1
+      }
+      out
+    }
+  }
 
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = {
+    val buf = new Array[Byte](m)
+    if (bytes(0) == 0) {
+      System.arraycopy(bytes, 1, buf, 0, m)
+    } else {
+      var k = 1
+      while (k + 3 <= bytes.length) {
+        val idx = ((bytes(k) & 0xff) << 8) | (bytes(k + 1) & 0xff)
+        buf(idx) = bytes(k + 2)
+        k += 3
+      }
+    }
+    buf
+  }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

@@ -220,6 +220,62 @@ object MLQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- m13: MULTICLASS tree-ensemble scorer (M4, multiclass branch) -------
+  // reference: stage2/mva_evaluators.py:357-361 — the "multiclass"
+  // model takes `predict_proba(X)[:, 5]`. A boosted multiclass
+  // ensemble in eval mode keeps one forest PER CLASS: margin_c =
+  // Σ leaf_c(x) over that class's trees, and predict_proba is the
+  // softmax over the six margins; m04 ports the binary `[:, 1]`
+  // sigmoid path, this ports the class-5 softmax path. Same execution
+  // discipline as m04: every tree is a nested CASE over literal
+  // thresholds (fully codegen'd, single scan, zero shuffle before the
+  // presentation sort), the softmax is ONE fixed left-to-right
+  // parenthesization shared verbatim with the oracle, and the class-5
+  // probability is cast float32 to absorb libm ulp. pred_class is the
+  // deterministic argmax (first max wins — ties broken by class order
+  // with an identical >= chain on both engines).
+  private val mcClasses = 6
+  private val mcTargetClass = 5
+  private def mcMargin(c: Int): String = {
+    def l(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
+    def tree(f1: String, t1: String, f2: String, t2: String,
+             ll: String, lr: String, rl: String, rr: String): String =
+      s"(CASE WHEN $f1 < $t1 THEN (CASE WHEN $f2 < $t2 THEN $ll ELSE $lr END)" +
+        s" ELSE (CASE WHEN $f2 < $t2 THEN $rl ELSE $rr END) END)"
+    val a = tree("f0", "0.5", "f1", "0.3",
+      l(-0.30 + 0.07 * c), l(0.05 + 0.02 * c), l(-0.10 + 0.03 * c), l(0.20 - 0.04 * c))
+    val b = tree("f2", "0.6", "f3", "0.5",
+      l(0.10 - 0.03 * c), l(-0.20 + 0.05 * c), l(0.15 - 0.02 * c), l(-0.05 + 0.04 * c))
+    s"($a + $b)"
+  }
+  private val mcSoftmaxDen =
+    (0 until mcClasses).map(c => s"EXP(m$c)").mkString(" + ")
+  private val mcPredCase = "CASE " + (0 until mcClasses).map { c =>
+    val conds = (0 until mcClasses).filter(_ != c)
+      .map(o => s"m$c >= m$o").mkString(" AND ")
+    s"WHEN $conds THEN $c"
+  }.mkString(" ") + " ELSE -1 END"
+  private def m13(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val feats = ev.select((col("event_id") +: rawFeatures): _*)
+    val margins = feats.select(col("event_id") +:
+      (0 until mcClasses).map(c => expr(mcMargin(c)).as(s"m$c")): _*)
+    margins.select(col("event_id"),
+        expr(s"CAST(EXP(m$mcTargetClass) / ($mcSoftmaxDen) AS FLOAT)")
+          .as("mc_score"),
+        expr(s"CAST($mcPredCase AS INT)").as("pred_class"))
+      .orderBy(col("event_id"))
+  }
+  private val m13Sql = {
+    val ms = (0 until mcClasses).map(c => s"${mcMargin(c)} AS m$c").mkString(", ")
+    s"""SELECT event_id,
+       | CAST(EXP(m$mcTargetClass) / ($mcSoftmaxDen) AS REAL) AS mc_score,
+       | CAST($mcPredCase AS INT) AS pred_class
+       |FROM (SELECT event_id, $ms
+       |      FROM (SELECT event_id, $rawFeaturesSql FROM events))
+       |ORDER BY event_id""".stripMargin
+  }
+
   // ---- m05: one distributed logistic-regression gradient step -------------
   // The training-side primitive the feature-prep ops feed: a full-batch
   // gradient step of logistic regression, computed as ONE scan with a
@@ -645,7 +701,8 @@ object MLQueries extends QueryFamily {
     "m01_fold_split" -> (m01 _),
     "m02_feature_prep" -> (m02 _),
     "m03_mlp_forward" -> (m03 _),
-    "m04_tree_ensemble" -> (m04 _)
+    "m04_tree_ensemble" -> (m04 _),
+    "m13_multiclass_bdt" -> (m13 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -660,6 +717,7 @@ object MLQueries extends QueryFamily {
     "m01_fold_split" -> m01Sql,
     "m02_feature_prep" -> m02Sql,
     "m03_mlp_forward" -> m03Sql,
-    "m04_tree_ensemble" -> m04Sql
+    "m04_tree_ensemble" -> m04Sql,
+    "m13_multiclass_bdt" -> m13Sql
   )
 }

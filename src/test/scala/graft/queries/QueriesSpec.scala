@@ -23,6 +23,14 @@ class QueriesSpec extends SparkSpec {
     assert(df.columns.toSet == Set("region", "bin", "value", "sumw2"))
   }
 
+  test("m13 multiclass score is a probability and pred_class a valid argmax") {
+    import org.apache.spark.sql.functions.col
+    val df = MLQueries.queries("m13_multiclass_bdt")(spark, dir)
+    val bad = df.filter(col("mc_score") < 0.0f || col("mc_score") > 1.0f ||
+      col("pred_class") < 0 || col("pred_class") > 5).count()
+    assert(bad == 0, "mc_score outside [0,1] or pred_class outside 0..5")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"query $name runs on sf0.001 with stable schema") {
       val df = fn(spark, dir)
