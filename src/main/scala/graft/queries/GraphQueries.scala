@@ -340,17 +340,87 @@ object GraphQueries extends QueryFamily {
        | WHERE w.hop < $bfsMaxHops)
        |SELECT node, MIN(hop) AS hop FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- g09: synchronous label propagation (3 iterations) -------------------
+  // Community detection over the undirected supplier–hub graph — the
+  // label-propagation algorithm (Raghavan et al. 2007) in its
+  // deterministic synchronous form: every node starts as its own
+  // community, and each round adopts the label most frequent among its
+  // neighbors, ties broken by SMALLEST label (the random tie-break of
+  // the paper is replaced by a total order so both engines agree
+  // bit-for-bit). Fixed iteration count mirrors g05's discipline —
+  // convergence detection would be a driver-side count, the rounds
+  // themselves are pure integer relational algebra.
+  //
+  // Scale design: the symmetrized edge table is checkpointed ONCE; a
+  // round is one join keyed by neighbor + one (node,label) aggregate +
+  // one per-node argmax window PARTITIONED by node (distributed — never
+  // a global window); labels checkpoint per round to cap lineage
+  // exactly as d12's contraction rounds do. At 100 TB this is the
+  // textbook Pregel-on-relations shape: per-round cost is one shuffle
+  // of the edge table, state is one row per node.
+  private val lpIters = 3
+  private def g09(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val e0 = li
+      .select(col("l_suppkey").as("a"), (col("l_partkey") % 97).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var lab = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to lpIters) {
+      val cnt = edges.join(lab, col("b") === col("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      lab = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "label")
+      .select(col("node"), col("label"), col("community_size"))
+      .orderBy(col("node"))
+  }
+  private val g09Sql = {
+    val iter = (i: Int) =>
+      s"""lab$i AS (
+         | SELECT node, label FROM (
+         |  SELECT e.a AS node, l.label, COUNT(*) AS cnt,
+         |   ROW_NUMBER() OVER (PARTITION BY e.a
+         |     ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |  FROM edges e JOIN lab${i - 1} l ON l.node = e.b
+         |  GROUP BY e.a, l.label)
+         | WHERE rn = 1)"""
+    s"""WITH e0 AS (
+       | SELECT DISTINCT l_suppkey AS a, l_partkey % 97 AS b
+       | FROM lineitem WHERE l_suppkey != l_partkey % 97),
+       |edges AS (
+       | SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)),
+       |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+       |${(1 to lpIters).map(iter).mkString(",\n")},
+       |sizes AS (SELECT label, COUNT(*) AS community_size
+       |          FROM lab$lpIters GROUP BY 1)
+       |SELECT t.node, t.label, s.community_size
+       |FROM lab$lpIters t JOIN sizes s USING (label) ORDER BY t.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g05_pagerank" -> (g05 _),
     "g06_triangle_count" -> (g06 _),
     "g07_personalized_pr" -> (g07 _),
-    "g08_bfs_hops" -> (g08 _)
+    "g08_bfs_hops" -> (g08 _),
+    "g09_label_propagation" -> (g09 _)
   )
 
   val oracle: Map[String, String] = Map(
     "g05_pagerank" -> g05Sql,
     "g06_triangle_count" -> g06Sql,
     "g07_personalized_pr" -> g07Sql,
-    "g08_bfs_hops" -> g08Sql
+    "g08_bfs_hops" -> g08Sql,
+    "g09_label_propagation" -> g09Sql
   )
 }

@@ -115,6 +115,71 @@ object SearchQueries extends QueryFamily {
        | tf2 AS tf_${bmTerms(2)}, score
        |FROM bmranked ORDER BY rank""".stripMargin
 
+  // ---- w08: query-likelihood ranking, Dirichlet smoothing ------------------
+  // The language-modeling retrieval scorer (Zhai & Lafferty, SIGIR 2001):
+  // score(q, d) = Σ_t ln((tf_t + μ·p(t|C)) / (dl + μ)) with Dirichlet
+  // prior μ = 2000 and collection model p(t|C) = cf_t / total_tokens.
+  // Same scale shape as BM25 (w01): per-doc tf via array HOFs on the
+  // scan projection, corpus statistics (3 collection frequencies +
+  // total token count) as ONE 1-row aggregate broadcast, top-k through
+  // the distributed TakeOrderedAndProject — no corpus-wide funnel.
+  // Determinism: the 3-term sum is a fixed left-to-right fold shared
+  // verbatim with the oracle, cast float32; doc_id breaks ties.
+  private val qlMu = "2000.0"
+  private val qlTopK = 50
+  private def w08(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
+    }
+    val base = d.select(Seq(col("doc_id"),
+      expr("size(split(text, ' '))").as("dl")) ++ tfCols: _*)
+      .localCheckpoint() // one tokenize: feeds the stats agg AND scoring
+    val statCols = sum(col("dl")).cast("double").as("c_tokens") +:
+      bmTerms.indices.map(i => sum(col(s"tf$i")).cast("double").as(s"cf$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val termScore = bmTerms.indices.map { i =>
+      s"ln((tf$i + $qlMu * (cf$i / c_tokens)) / (dl + $qlMu))"
+    }.mkString(" + ")
+    val matched = bmTerms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    val top = base.crossJoin(broadcast(stats))
+      .filter(expr(matched))
+      .withColumn("score", expr(termScore).cast("float"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(qlTopK)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"),
+        col("tf0").as("tf_" + bmTerms(0)), col("tf1").as("tf_" + bmTerms(1)),
+        col("tf2").as("tf_" + bmTerms(2)), col("score"))
+      .orderBy(col("rank"))
+  }
+  private val w08Sql = {
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+    }.mkString(", ")
+    val cfCols = bmTerms.indices.map(i =>
+      s"CAST(SUM(tf$i) AS DOUBLE) AS cf$i").mkString(", ")
+    val termScore = bmTerms.indices.map { i =>
+      s"ln((tf$i + $qlMu * (cf$i / c_tokens)) / (dl + $qlMu))"
+    }.mkString(" + ")
+    val matched = bmTerms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""WITH base AS (
+       | SELECT doc_id, len(string_split(text, ' ')) AS dl, $tfCols
+       | FROM documents),
+       |stats AS (
+       | SELECT CAST(SUM(dl) AS DOUBLE) AS c_tokens, $cfCols FROM base),
+       |scored AS (
+       | SELECT doc_id, tf0, tf1, tf2,
+       |  CAST($termScore AS REAL) AS score
+       | FROM base CROSS JOIN stats WHERE $matched)
+       |SELECT rank, doc_id, tf0 AS tf_${bmTerms(0)}, tf1 AS tf_${bmTerms(1)},
+       | tf2 AS tf_${bmTerms(2)}, score
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $qlTopK ORDER BY rank""".stripMargin
+  }
+
   // ---- w02: Z-order (Morton) layout clustering -----------------------------
   // The multi-dimensional data-layout key behind OPTIMIZE ZORDER /
   // range-clustered parquet: interleave the bits of two quantized
@@ -678,6 +743,7 @@ object SearchQueries extends QueryFamily {
     "k03_bloom_filter" -> (k03 _),
     "w03_phrase_search" -> (w03 _),
     "w01_bm25_rank" -> (w01 _),
+    "w08_ql_dirichlet" -> (w08 _),
     "w02_zorder_layout" -> (w02 _),
     "k01_cms_sketch" -> (k01 _),
     "k02_cms_estimate" -> (k02 _)
@@ -692,6 +758,7 @@ object SearchQueries extends QueryFamily {
     "k03_bloom_filter" -> k03Sql,
     "w03_phrase_search" -> w03Sql,
     "w01_bm25_rank" -> w01Sql,
+    "w08_ql_dirichlet" -> w08Sql,
     "w02_zorder_layout" -> w02Sql,
     "k01_cms_sketch" -> k01Sql,
     "k02_cms_estimate" -> k02Sql

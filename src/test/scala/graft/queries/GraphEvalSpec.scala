@@ -33,6 +33,35 @@ class GraphEvalSpec extends SparkSpec {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
 
+  test("g09: label propagation yields valid communities") {
+    val lp = GraphQueries.queries("g09_label_propagation")(spark, dir)
+    val rows = lp.collect()
+    val nodes = rows.map(_.getAs[Long]("node")).toSet
+    // every label is a real node id (labels only ever copy node ids)
+    val labels = rows.map(_.getAs[Long]("label")).toSet
+    assert(labels.subsetOf(nodes), s"labels not node ids: ${labels -- nodes}")
+    // community sizes are consistent: size column = actual member count
+    val bySize = rows.groupBy(_.getAs[Long]("label")).map { case (l, rs) =>
+      l -> (rs.length.toLong, rs.map(_.getAs[Long]("community_size")).toSet)
+    }
+    bySize.foreach { case (l, (n, sizes)) =>
+      assert(sizes == Set(n), s"community $l: reported $sizes vs actual $n")
+    }
+    // propagation coarsens: fewer (or equal) communities than nodes
+    assert(labels.size <= nodes.size)
+  }
+
+  test("w08: Dirichlet QL scores are negative log-likelihoods, ranked") {
+    val ql = SearchQueries.queries("w08_ql_dirichlet")(spark, dir).collect()
+    assert(ql.nonEmpty && ql.length <= 50)
+    // each score is a sum of ln(p), p in (0,1) -> strictly negative
+    assert(ql.forall(_.getAs[Float]("score") < 0.0f), "QL score must be < 0")
+    // rank order agrees with score order (desc)
+    val scores = ql.sortBy(_.getAs[Int]("rank")).map(_.getAs[Float]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending in rank")
+  }
+
   test("w05: NDCG is bounded and idcg dominates dcg") {
     val r = SearchQueries.queries("w05_ndcg_eval")(spark, dir).collect()
     assert(r.length == 3)
