@@ -538,7 +538,78 @@ object TextQueries extends QueryFamily {
        |FROM toks t LEFT JOIN vocab v ON t.term = v.term
        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---- t22: Zipf rank-frequency fit ----------------------------------------
+  // Corpus-statistics report: OLS fit of ln(freq) vs ln(rank) over the
+  // top-N terms. Natural text follows Zipf's law with slope ≈ −1;
+  // strong deviation (flat or cliff-shaped curves) flags templated /
+  // machine-generated corpora — a standard curation diagnostic. Scale
+  // shape: the term-frequency table is vocab-bounded, the top-N cut is
+  // a distributed TakeOrderedAndProject, and the fit consumes N = 100
+  // rows. Cross-engine float discipline: ln(rank)/ln(freq) are
+  // micro-quantized to longs BEFORE summation (order-free integer
+  // adds, the u16 OLS pattern), and slope/intercept/r are single
+  // fixed-parenthesization double expressions over those exact sums.
+  private val zipfTopN = 100
+  private def t22(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val tf = d.select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val wR = Window.orderBy(col("freq").desc, col("term").asc)
+    val pts = tf.orderBy(col("freq").desc, col("term").asc).limit(zipfTopN)
+      .withColumn("r", row_number().over(wR))
+      .select(
+        expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("xq"),
+        expr("CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)").as("yq"))
+    pts.agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .select(col("n"),
+        expr("CAST(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS FLOAT)")
+          .as("zipf_slope"),
+        expr("""CAST((CAST(sy AS DOUBLE) / 1000000.0
+            | - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+            |   * (CAST(sx AS DOUBLE) / 1000000.0)) / n AS FLOAT)""".stripMargin)
+          .as("zipf_intercept"),
+        expr("""CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+            | / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+            |        * CAST(n * syy - sy * sy AS DOUBLE)) AS FLOAT)""".stripMargin)
+          .as("pearson_r"))
+  }
+  private val t22Sql =
+    s"""WITH tf AS (
+       | SELECT term, COUNT(*) AS freq FROM (
+       |  SELECT UNNEST(string_split(text, ' ')) AS term FROM documents)
+       | WHERE LENGTH(term) > 0 GROUP BY term),
+       |pts AS (
+       | SELECT CAST(FLOOR(LN(CAST(r AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS xq,
+       |  CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS yq
+       | FROM (SELECT freq,
+       |        ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS r
+       |       FROM tf)
+       | WHERE r <= $zipfTopN),
+       |agg AS (
+       | SELECT COUNT(*) AS n,
+       |  CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+       |  CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+       |  CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+       |  CAST(SUM(yq * yq) AS BIGINT) AS syy
+       | FROM pts)
+       |SELECT n,
+       | CAST(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS REAL)
+       |   AS zipf_slope,
+       | CAST((CAST(sy AS DOUBLE) / 1000000.0
+       |   - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+       |     * (CAST(sx AS DOUBLE) / 1000000.0)) / n AS REAL) AS zipf_intercept,
+       | CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+       |  / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+       |         * CAST(n * syy - sy * sy AS DOUBLE)) AS REAL) AS pearson_r
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_zipf_fit" -> (t22 _),
     "t20_vocab_coverage" -> (t20 _),
     "t19_quality_gate" -> (t19 _),
     "t17_bpe_pairs" -> (t17 _),
@@ -558,6 +629,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t22_zipf_fit" -> t22Sql,
     "t20_vocab_coverage" -> t20Sql,
     "t19_quality_gate" -> t19Sql,
     "t17_bpe_pairs" -> t17Sql,
