@@ -145,17 +145,66 @@ object MultimodalQueries extends QueryFamily {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x05: byte-budget shard planning -------------------------------------
+  // The dataloader-prep step after resize: assign each media row to a
+  // fixed-size-target shard (webdataset-style tar planning). Rows are
+  // packed per SOURCE stream in deterministic doc_id order; a shard is
+  // the set of rows whose cumulative byte offset starts in the same
+  // budget window — whole rows never split, a shard may overflow by at
+  // most one row (the standard fixed-target-with-overflow strategy).
+  // Scale shape is t11's: ONE window cumsum partitioned by source (a
+  // single keyed shuffle — never a global funnel), sizes from x04's
+  // integer resize arithmetic, everything exact longs.
+  private val shardBudget = 65536L
+  private def x05(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val w0 = lit(32) + expr(byteSpark(1)) % 64
+    val h0 = lit(32) + expr(byteSpark(2)) % 64
+    val den = greatest(w0, h0)
+    val w1 = greatest((w0 * lit(maxEdge)) / den, lit(1)).cast("long")
+    val h1 = greatest((h0 * lit(maxEdge)) / den, lit(1)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    d.select(col("doc_id"), col("source"), (w1 * h1 * 3).as("out_bytes"))
+      .withColumn("cum", sum(col("out_bytes")).over(w))
+      .select(col("doc_id"), col("source"), col("out_bytes"),
+        (col("cum") - col("out_bytes")).as("byte_offset"),
+        expr(s"(cum - out_bytes) div $shardBudget").as("shard_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+  private val x05Sql = {
+    val w0 = s"(32 + ${byteDuck(1)} % 64)"
+    val h0 = s"(32 + ${byteDuck(2)} % 64)"
+    val den = s"GREATEST($w0, $h0)"
+    val w1 = s"CAST(GREATEST(($w0 * $maxEdge) // $den, 1) AS BIGINT)"
+    val h1 = s"CAST(GREATEST(($h0 * $maxEdge) // $den, 1) AS BIGINT)"
+    s"""WITH sized AS (
+       | SELECT doc_id, source, $w1 * $h1 * 3 AS out_bytes FROM documents),
+       |packed AS (
+       | SELECT doc_id, source, out_bytes,
+       |  CAST(SUM(out_bytes) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       | FROM sized)
+       |SELECT doc_id, source, out_bytes,
+       | cum - out_bytes AS byte_offset,
+       | (cum - out_bytes) // $shardBudget AS shard_id
+       |FROM packed ORDER BY source, doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_binary_meta" -> (x01 _),
     "x02_frame_sample" -> (x02 _),
     "x03_decode_features" -> (x03 _),
-    "x04_resize_shape" -> (x04 _)
+    "x04_resize_shape" -> (x04 _),
+    "x05_shard_plan" -> (x05 _)
   )
 
   val oracle: Map[String, String] = Map(
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,
     "x03_decode_features" -> x03Sql,
-    "x04_resize_shape" -> x04Sql
+    "x04_resize_shape" -> x04Sql,
+    "x05_shard_plan" -> x05Sql
   )
 }
