@@ -189,7 +189,46 @@ object StreamQueries extends QueryFamily {
        | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
        |FROM sess GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin
 
+  // ---- n09: transformWithState running totals (arbitrary state v2) --------
+  // Spark 4's successor API to flatMapGroupsWithState — explicit typed
+  // ValueState handles on the RocksDB state store, update-mode emission
+  // per micro-batch (Streams.RunningTotalsProcessor). Driven
+  // AvailableNow, the LAST emission per user (max n_events — the count
+  // strictly increases with every batch that touches the key) must
+  // equal the batch groupBy exactly; milli-long value quantization
+  // keeps the fold order-free, so the DuckDB oracle is the plain batch
+  // aggregate. The per-user window is key-partitioned (distributed).
+  private def n09(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = Streams.withStatePartitions(s, statePartitions) {
+        Streams.runningTotals(s, dir, fresh("graft_stream_tws"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      updates.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), col("vm_sum"), col("vm_max"),
+          expr("CAST(vm_sum / 1000.0 AS FLOAT)").as("sum_value"))
+        .orderBy(col("user_id"))
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+  private val n09Sql =
+    """WITH q AS (
+      | SELECT user_id, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(vm) AS BIGINT) AS vm_sum, MAX(vm) AS vm_max,
+      | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
+      |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n09_stream_running_totals" -> (n09 _),
     "n07_stream_session_window" -> (n07 _),
     "n06_stream_static_join" -> (n06 _),
     "n01_stream_window_agg" -> (n01 _),
@@ -201,6 +240,7 @@ object StreamQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "n09_stream_running_totals" -> n09Sql,
     "n07_stream_session_window" -> n07Sql,
     "n06_stream_static_join" -> n06Sql,
     "n01_stream_window_agg" -> n01Sql,
