@@ -631,6 +631,78 @@ object MLQueries extends QueryFamily {
        | CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS REAL) AS frac_pos
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- m14: isotonic calibration (minimax closed form) ---------------------
+  // The standard monotone recalibration (the sklearn IsotonicRegression
+  // step after m11's reliability diagram), computed WITHOUT the
+  // sequential pool-adjacent-violators sweep: the isotonic fit has the
+  // exact minimax characterization ŷ_i = max_{j≤i} min_{k≥i} A(j,k),
+  // A(j,k) = weighted mean of the observed positive fraction over bins
+  // j..k = (Σ n_pos) / (Σ n) — a pure-integer ratio off prefix sums.
+  // The corpus collapses to 10 bins in one scan; the minimax is O(B³)
+  // relational algebra over that 10-row table (range self-join + two
+  // grouped extrema), so the "sequential" algorithm costs nothing and
+  // distributes trivially. Every A is one correctly-rounded division
+  // of exact longs — both engines order identical doubles identically,
+  // so min/max agree bit-for-bit; float32 cast at the end.
+  private def m14(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val bins = d.select(expr("least(sm div 100, 9L)").as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val wCum = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one scan: the windowed bin table is materialized once and feeds
+    // the self-join, the coverage join, and the final projection
+    val pre = bins
+      .withColumn("cn", sum(col("n")).over(wCum))
+      .withColumn("cp", sum(col("n_pos")).over(wCum))
+      .localCheckpoint()
+    val rng = pre.as("a").join(pre.as("b"), col("a.bin") <= col("b.bin"))
+      .select(col("a.bin").as("j"), col("b.bin").as("k"),
+        ((col("b.cp") - col("a.cp") + col("a.n_pos")).cast("double") /
+          (col("b.cn") - col("a.cn") + col("a.n"))).as("avg"))
+    val fit = rng
+      .join(pre.select(col("bin")),
+        col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy(col("bin"), col("j")).agg(min(col("avg")).as("mn"))
+      .groupBy(col("bin")).agg(max(col("mn")).as("iso"))
+    pre.join(fit, "bin")
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("CAST(CAST(n_pos AS DOUBLE) / n AS FLOAT)").as("frac_pos"),
+        col("iso").cast("float").as("iso_fit"))
+      .orderBy(col("bin"))
+  }
+  private val m14Sql =
+    s"""WITH e AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |bins AS (
+       | SELECT LEAST(sm // 100, 9) AS bin, COUNT(*) AS n,
+       |  CAST(SUM(y) AS BIGINT) AS n_pos
+       | FROM e GROUP BY 1),
+       |pre AS (
+       | SELECT bin, n, n_pos,
+       |  CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+       |  CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+       | FROM bins),
+       |rng AS (
+       | SELECT a.bin AS j, b.bin AS k,
+       |  CAST(b.cp - a.cp + a.n_pos AS DOUBLE) / (b.cn - a.cn + a.n) AS avg
+       | FROM pre a JOIN pre b ON a.bin <= b.bin),
+       |fit AS (
+       | SELECT i.bin, r.j, MIN(r.avg) AS mn
+       | FROM rng r JOIN pre i ON r.j <= i.bin AND r.k >= i.bin
+       | GROUP BY 1, 2),
+       |iso AS (SELECT bin, MAX(mn) AS iso FROM fit GROUP BY 1)
+       |SELECT p.bin, p.n, p.n_pos,
+       | CAST(CAST(p.n_pos AS DOUBLE) / p.n AS REAL) AS frac_pos,
+       | CAST(i.iso AS REAL) AS iso_fit
+       |FROM pre p JOIN iso i USING (bin) ORDER BY p.bin""".stripMargin
+
   // ---- m12: full confusion report at the operating point -------------------
   // The single-threshold companion to m06's sweep: confusion counts
   // plus the chance-corrected metrics a model card reports — accuracy,
@@ -692,6 +764,7 @@ object MLQueries extends QueryFamily {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m12_confusion_mcc" -> (m12 _),
     "m11_calibration_curve" -> (m11 _),
+    "m14_isotonic_calibration" -> (m14 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -708,6 +781,7 @@ object MLQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "m12_confusion_mcc" -> m12Sql,
     "m11_calibration_curve" -> m11Sql,
+    "m14_isotonic_calibration" -> m14Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,

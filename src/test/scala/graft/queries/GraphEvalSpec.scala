@@ -62,6 +62,17 @@ class GraphEvalSpec extends SparkSpec {
       "scores not descending in rank")
   }
 
+  test("m14: isotonic fit is monotone and within the observed range") {
+    val iso = MLQueries.queries("m14_isotonic_calibration")(spark, dir)
+      .orderBy(col("bin")).collect()
+    val fits = iso.map(_.getAs[Float]("iso_fit"))
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b },
+      s"isotonic fit not monotone: ${fits.mkString(",")}")
+    val fracs = iso.map(_.getAs[Float]("frac_pos"))
+    assert(fits.forall(f => f >= fracs.min && f <= fracs.max),
+      "fit outside the observed positive-fraction range")
+  }
+
   test("w05: NDCG is bounded and idcg dominates dcg") {
     val r = SearchQueries.queries("w05_ndcg_eval")(spark, dir).collect()
     assert(r.length == 3)
