@@ -608,7 +608,42 @@ object TextQueries extends QueryFamily {
        |         * CAST(n * syy - sy * sy AS DOUBLE)) AS REAL) AS pearson_r
        |FROM agg""".stripMargin
 
+  // ---- t23: deterministic epoch shuffle ------------------------------------
+  // Reproducible training-order planning: epoch e's data order is a
+  // SEEDED permutation — every row gets a hash position, lands in
+  // shard = h mod S, and takes its within-shard position from the
+  // (shard)-partitioned rank over (h, doc_id). Changing the epoch seed
+  // permutes everything; re-running the same epoch reproduces the order
+  // byte-for-byte on any cluster layout (the property dataloader
+  // resumption needs — arrival order never participates). Scale: one
+  // hash projection + one rank window PARTITIONED by shard; no global
+  // funnel, shards scale with S.
+  private val epochSeed = 7L
+  private val epochShards = 8L
+  private val epochP = 2147483647L
+  private def t23(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val h = s"(((doc_id * 2654435761) + $epochSeed) % $epochP)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    d.select(col("doc_id"), expr(h).as("h"))
+      .withColumn("shard", expr(s"h % $epochShards"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+  private val t23Sql = {
+    val h = s"(((doc_id * 2654435761) + $epochSeed) % $epochP)"
+    s"""WITH hashed AS (
+       | SELECT doc_id, $h AS h, $h % $epochShards AS shard FROM documents)
+       |SELECT doc_id, shard,
+       | CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h ASC, doc_id ASC)
+       |   AS BIGINT) AS pos
+       |FROM hashed ORDER BY shard, pos""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_epoch_shuffle" -> (t23 _),
     "t22_zipf_fit" -> (t22 _),
     "t20_vocab_coverage" -> (t20 _),
     "t19_quality_gate" -> (t19 _),
@@ -629,6 +664,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t23_epoch_shuffle" -> t23Sql,
     "t22_zipf_fit" -> t22Sql,
     "t20_vocab_coverage" -> t20Sql,
     "t19_quality_gate" -> t19Sql,
