@@ -377,8 +377,11 @@ object GraphQueries extends QueryFamily {
       lab = cnt.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("a").as("node"), col("label"))
-        .localCheckpoint()
     }
+    // one checkpoint after the fixed 3 rounds: lineage depth is bounded
+    // by the iteration constant, so per-round materialization (d12's
+    // convergence-loop necessity) would only add scheduler overhead here
+    lab = lab.localCheckpoint()
     val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
     lab.join(sizes, "label")
       .select(col("node"), col("label"), col("community_size"))
