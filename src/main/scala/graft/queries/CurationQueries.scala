@@ -655,11 +655,17 @@ object CurationQueries extends QueryFamily {
              | ELSE ($rawExpr) END AS FLOAT)""".stripMargin).as("est"))
       .orderBy(col("event_type"))
   }
-  private val k06Sql = {
+  /** rho(w) as an integer CASE ladder over w = hv div m — no float
+    * log2, whose edge-of-power rounding could differ per libm. Shared
+    * by the k06 and k08 oracles. */
+  private val hllLadder = {
     val maxLog = 31 - hllP - 1 // w < 2^(31-p); floor(log2 w) <= 30-p
-    val ladder = (maxLog to 0 by -1)
+    (maxLog to 0 by -1)
       .map(k => s"WHEN w >= ${1L << k} THEN ${31 - hllP - k}")
       .mkString("CASE ", " ", s" ELSE ${32 - hllP} END") // w = 0 falls through
+  }
+  private val k06Sql = {
+    val ladder = hllLadder
     val sumExpr = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       "list_transform(regs_arr, r -> power(2.0, -r))), (acc, v) -> acc + v)"
     val zerosExpr = "len(list_filter(regs_arr, r -> r = 0))"
@@ -691,7 +697,84 @@ object CurationQueries extends QueryFamily {
        |FROM regs_t JOIN ex USING (event_type) ORDER BY 1""".stripMargin
   }
 
+  // ---- k08: HLL distinct under CUBE grouping sets --------------------------
+  // The sketch-rollup composition a reporting pipeline runs at scale:
+  // approximate distinct counts for EVERY cell of a dimension cube —
+  // (event_type × segment), per-type, per-segment, grand total — in
+  // ONE scan. Spark plans cube as Expand + the native hll_registers
+  // TypedImperativeAggregate: partials combine map-side per grouping
+  // set, so the exchange carries one register vector per output cell
+  // (24 rows here) no matter the corpus size — the reason sketches,
+  // not exact distinct, power cube reports at 100 TB. The sketches
+  // ride as SPARSE "j:rho" strings (hit buckets only, bucket-ordered)
+  // — spine-free to rebuild relationally, and the estimator needs only
+  // hit buckets: Σ2^-rho + (m − hits) 1-terms, zeros = m − hits; every
+  // 2^-rho term is a power of two so the fold is order-free exact.
+  // n_exact (exact COUNT DISTINCT per cell) rides along as the
+  // accuracy witness. gid mirrors Spark's grouping_id() bit order,
+  // derived from output nulls (source dims are never null).
+  private def k08(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = rd(s, dir, "events").withColumn("seg", col("user_id") % 3)
+    val sumExpr =
+      "aggregate(regs_arr, CAST(0 AS DOUBLE), (acc, r) -> acc + power(2.0D, -r))"
+    val zerosExpr = "size(filter(regs_arr, r -> r = 0))"
+    val rawExpr = s"$hllAlpha * ${hllM.toDouble * hllM} / ($sumExpr)"
+    val sparse = "array_join(filter(transform(regs_arr, (r, i) -> " +
+      "IF(r != 0, concat(CAST(i AS STRING), ':', CAST(r AS STRING)), NULL)), " +
+      "x -> x IS NOT NULL), '-')"
+    e.cube(col("event_type"), col("seg"))
+      .agg(expr(s"hll_registers(${mix(kmvKey)}, $hllP)").as("regs_arr"),
+        countDistinct(expr(kmvKey)).as("n_exact"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("seg"), lit(-1L)).as("seg"),
+        (when(col("event_type").isNull, 2).otherwise(0) +
+          when(col("seg").isNull, 1).otherwise(0)).cast("int").as("gid"),
+        expr(sparse).as("regs"), col("n_exact"),
+        expr(
+          s"""CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND ($zerosExpr) > 0
+             | THEN $hllM.0D * ln(${hllM.toDouble} / ($zerosExpr))
+             | ELSE ($rawExpr) END AS FLOAT)""".stripMargin).as("est"))
+      .orderBy(col("gid"), col("event_type"), col("seg"))
+  }
+  private val k08Sql = {
+    val raw = s"CAST($hllAlpha AS DOUBLE) * " +
+      s"CAST(${hllM.toDouble * hllM} AS DOUBLE) / s"
+    s"""WITH base AS (
+       | SELECT event_type, user_id % 3 AS seg, ${mix(kmvKey)} AS hv,
+       |  $kmvKey AS k
+       | FROM events),
+       |b AS (SELECT event_type, seg, hv % $hllM AS j, hv // $hllM AS w
+       |      FROM base),
+       |r AS (SELECT event_type, seg, j, MAX($hllLadder) AS rho FROM b
+       |      GROUP BY GROUPING SETS ((event_type, seg, j), (event_type, j),
+       |                              (seg, j), (j))),
+       |regs_t AS (
+       | SELECT event_type, seg,
+       |  string_agg(j || ':' || rho, '-' ORDER BY j) AS regs,
+       |  CAST(SUM(power(2.0, -rho)) + ($hllM - COUNT(*)) AS DOUBLE) AS s,
+       |  $hllM - COUNT(*) AS zeros
+       | FROM r GROUP BY event_type, seg),
+       |ex AS (SELECT event_type, seg, COUNT(DISTINCT k) AS n_exact FROM base
+       |       GROUP BY GROUPING SETS ((event_type, seg), (event_type),
+       |                               (seg), ()))
+       |SELECT COALESCE(t.event_type, '(all)') AS event_type,
+       | COALESCE(t.seg, -1) AS seg,
+       | (CASE WHEN t.event_type IS NULL THEN 2 ELSE 0 END
+       |  + CASE WHEN t.seg IS NULL THEN 1 ELSE 0 END) AS gid,
+       | t.regs, ex.n_exact,
+       | CAST(CASE WHEN ($raw) <= ${2.5 * hllM} AND t.zeros > 0
+       |  THEN ${hllM.toDouble} * ln(${hllM.toDouble} / t.zeros)
+       |  ELSE ($raw) END AS REAL) AS est
+       |FROM regs_t t JOIN ex
+       |  ON t.event_type IS NOT DISTINCT FROM ex.event_type
+       | AND t.seg IS NOT DISTINCT FROM ex.seg
+       |ORDER BY gid, t.event_type, t.seg""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k08_hll_cube" -> (k08 _),
     "k06_hll_distinct" -> (k06 _),
     "k04_kmv_distinct" -> (k04 _),
     "k05_kmv_set_ops" -> (k05 _),
@@ -705,6 +788,7 @@ object CurationQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k08_hll_cube" -> k08Sql,
     "k06_hll_distinct" -> k06Sql,
     "k04_kmv_distinct" -> k04Sql,
     "k05_kmv_set_ops" -> k05Sql,
