@@ -773,7 +773,78 @@ object CurationQueries extends QueryFamily {
        |ORDER BY gid, t.event_type, t.seg""".stripMargin
   }
 
+  // ---- k09: sketch-table maintenance — merge daily HLLs --------------------
+  // The production pattern that justifies sketches at 100 TB: persist a
+  // SMALL sketch row per (key, partition) — here one register vector
+  // per (event_type, day) — and answer cross-partition distinct
+  // questions by MERGING sketches, never rescanning the data (a11's
+  // histogram-merge story, for cardinality). The merge is pure
+  // relational algebra on the sketch table: posexplode the register
+  // arrays, per-(key, bucket) MAX, refold — 512·|days| rows per key,
+  // independent of corpus size. Register max-merge is exactly HLL
+  // union, so the merged vector equals the direct single-pass sketch
+  // bucket-for-bucket; the oracle computes the DIRECT rebuild, making
+  // the green hash a proof that re-aggregation is lossless. Σ2^-rho
+  // terms are powers of two (order-free exact; every partial sum fits
+  // 53 bits), so the estimator agrees bit-for-bit too.
+  private val nsPerDayK = 86400000000000L
+  private def k09(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val e = rd(s, dir, "events")
+      .withColumn("day", expr(s"ts div $nsPerDayK"))
+    val daily = e.groupBy(col("event_type"), col("day"))
+      .agg(expr(s"hll_registers(${mix(kmvKey)}, $hllP)").as("regs_arr"))
+      .localCheckpoint() // the persisted sketch table: feeds merge + day count
+    val perBucket = daily
+      .select(col("event_type"), posexplode(col("regs_arr")).as(Seq("j", "rho")))
+      .groupBy(col("event_type"), col("j")).agg(max(col("rho")).as("rho"))
+    val rawExpr = s"$hllAlpha * ${hllM.toDouble * hllM} / ssum"
+    val folded = perBucket.groupBy(col("event_type"))
+      .agg(sum(expr("power(2.0D, -rho)")).as("ssum"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).as("zeros"),
+        expr("array_join(transform(array_sort(collect_list(struct(j, rho)))," +
+          " x -> CAST(x.rho AS STRING)), '-')").as("regs"))
+    val nd = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    folded.join(nd, "event_type")
+      .select(col("event_type"), col("n_days"), col("regs"),
+        expr(
+          s"""CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND zeros > 0
+             | THEN $hllM.0D * ln(${hllM.toDouble} / zeros)
+             | ELSE ($rawExpr) END AS FLOAT)""".stripMargin).as("est"))
+      .orderBy(col("event_type"))
+  }
+  private val k09Sql = {
+    val sumExpr = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(regs_arr, r -> power(2.0, -r))), (acc, v) -> acc + v)"
+    val zerosExpr = "len(list_filter(regs_arr, r -> r = 0))"
+    val rawExpr = s"CAST($hllAlpha AS DOUBLE) * " +
+      s"CAST(${hllM.toDouble * hllM} AS DOUBLE) / ($sumExpr)"
+    s"""WITH h AS (
+       | SELECT event_type, ${mix(kmvKey)} AS hv FROM events),
+       |b AS (SELECT event_type, hv % $hllM AS j, hv // $hllM AS w FROM h),
+       |r AS (SELECT event_type, j, MAX($hllLadder) AS rho FROM b GROUP BY 1, 2),
+       |spine AS (
+       | SELECT et.event_type, gs.j FROM
+       |  (SELECT DISTINCT event_type FROM events) et
+       |  CROSS JOIN (SELECT UNNEST(generate_series(0, ${hllM - 1})) AS j) gs),
+       |regs_t AS (
+       | SELECT s.event_type,
+       |  list(CAST(COALESCE(r.rho, 0) AS INTEGER) ORDER BY s.j) AS regs_arr
+       | FROM spine s LEFT JOIN r ON r.event_type = s.event_type AND r.j = s.j
+       | GROUP BY 1),
+       |nd AS (SELECT event_type,
+       |        COUNT(DISTINCT epoch_ns(ts) // $nsPerDayK) AS n_days
+       |       FROM events GROUP BY 1)
+       |SELECT regs_t.event_type, nd.n_days,
+       | array_to_string(regs_arr, '-') AS regs,
+       | CAST(CASE WHEN ($rawExpr) <= ${2.5 * hllM} AND ($zerosExpr) > 0
+       |  THEN ${hllM.toDouble} * ln(${hllM.toDouble} / ($zerosExpr))
+       |  ELSE ($rawExpr) END AS REAL) AS est
+       |FROM regs_t JOIN nd USING (event_type) ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k09_hll_merge" -> (k09 _),
     "k08_hll_cube" -> (k08 _),
     "k06_hll_distinct" -> (k06 _),
     "k04_kmv_distinct" -> (k04 _),
@@ -788,6 +859,7 @@ object CurationQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k09_hll_merge" -> k09Sql,
     "k08_hll_cube" -> k08Sql,
     "k06_hll_distinct" -> k06Sql,
     "k04_kmv_distinct" -> k04Sql,
