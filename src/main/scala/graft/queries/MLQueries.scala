@@ -631,6 +631,56 @@ object MLQueries extends QueryFamily {
        | CAST(CAST(SUM(y) AS DOUBLE) / COUNT(*) AS REAL) AS frac_pos
        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- m15: exact average precision (PR-AUC) -------------------------------
+  // The imbalanced-data companion to m07's ROC-AUC: area under the
+  // precision-recall curve as average precision, with ties handled by
+  // TIE-BLOCK (every row of a score group shares the block-end
+  // precision — the deterministic variant, no within-tie order).
+  // Computed entirely from the distinct-score distribution table
+  // (≤ 997 rows): cumulative pos/count descending by score give each
+  // block's precision; the per-block term pos_b · P@block is
+  // micro-quantized by INTEGER division (pos_b · cum_pos · 10^6 div
+  // cum_n — exact longs, order-free sum), and AP divides once at the
+  // end. No per-row global window anywhere.
+  private def m15(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val dist = d.groupBy(col("sm"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    val wCum = Window.orderBy(col("sm").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dist
+      .withColumn("cum_n", sum(col("c")).over(wCum))
+      .withColumn("cum_pos", sum(col("c1")).over(wCum))
+      .agg(sum(col("c1")).as("npos"),
+        (sum(col("c")) - sum(col("c1"))).as("nneg"),
+        sum(expr("(c1 * cum_pos * 1000000L) div cum_n")).as("ap_q"))
+      .select(col("npos"), col("nneg"),
+        expr("CAST(CAST(ap_q AS DOUBLE) / (1000000.0 * npos) AS FLOAT)")
+          .as("avg_precision"))
+  }
+  private val m15Sql =
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |dist AS (
+       | SELECT sm, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS c1
+       | FROM d GROUP BY 1),
+       |cum AS (
+       | SELECT c, c1,
+       |  CAST(SUM(c) OVER w AS BIGINT) AS cum_n,
+       |  CAST(SUM(c1) OVER w AS BIGINT) AS cum_pos
+       | FROM dist
+       | WINDOW w AS (ORDER BY sm DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT CAST(SUM(c1) AS BIGINT) AS npos,
+       | CAST(SUM(c) - SUM(c1) AS BIGINT) AS nneg,
+       | CAST(CAST(SUM((c1 * cum_pos * 1000000) // cum_n) AS DOUBLE)
+       |   / (1000000.0 * SUM(c1)) AS REAL) AS avg_precision
+       |FROM cum""".stripMargin
+
   // ---- m14: isotonic calibration (minimax closed form) ---------------------
   // The standard monotone recalibration (the sklearn IsotonicRegression
   // step after m11's reliability diagram), computed WITHOUT the
@@ -765,6 +815,7 @@ object MLQueries extends QueryFamily {
     "m12_confusion_mcc" -> (m12 _),
     "m11_calibration_curve" -> (m11 _),
     "m14_isotonic_calibration" -> (m14 _),
+    "m15_average_precision" -> (m15 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -782,6 +833,7 @@ object MLQueries extends QueryFamily {
     "m12_confusion_mcc" -> m12Sql,
     "m11_calibration_curve" -> m11Sql,
     "m14_isotonic_calibration" -> m14Sql,
+    "m15_average_precision" -> m15Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
