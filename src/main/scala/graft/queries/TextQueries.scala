@@ -642,7 +642,50 @@ object TextQueries extends QueryFamily {
        |FROM hashed ORDER BY shard, pos""".stripMargin
   }
 
+  // ---- t24: temperature (alpha) mixture reweighting ------------------------
+  // The multilingual-corpus sampling rule (mC4 / XLM-R): source s is
+  // drawn with probability ∝ n_s^α, α < 1 flattening the head so
+  // low-resource sources are upsampled. Shares and integer target
+  // allocations for a fixed budget, all from the |sources|-sized count
+  // table. Float discipline: n^α (libm pow) is micro-quantized to a
+  // long IMMEDIATELY (one op, then exact integer sums — the order-free
+  // rule), shares are single divisions of exact longs, and the budget
+  // allocation is pure integer floor division.
+  private val mixAlpha = "0.3"
+  private val mixBudget = 1000L
+  private def t24(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("wq",
+        expr(s"CAST(floor(power(CAST(n_docs AS DOUBLE), $mixAlpha) * 1000000 + 0.5) AS BIGINT)"))
+    val tot = counts.agg(sum(col("wq")).as("wsum"), sum(col("n_docs")).as("ntot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        expr("CAST(CAST(n_docs AS DOUBLE) / ntot AS FLOAT)").as("raw_share"),
+        expr("CAST(CAST(wq AS DOUBLE) / wsum AS FLOAT)").as("alpha_share"),
+        expr(s"(wq * $mixBudget) div wsum").as("target_docs"),
+        expr(s"CAST(CAST(wq * $mixBudget AS DOUBLE) / (wsum * n_docs) AS FLOAT)")
+          .as("sample_factor"))
+      .orderBy(col("source"))
+  }
+  private val t24Sql =
+    s"""WITH counts AS (
+       | SELECT source, COUNT(*) AS n_docs,
+       |  CAST(FLOOR(POWER(CAST(COUNT(*) AS DOUBLE), $mixAlpha) * 1000000 + 0.5)
+       |    AS BIGINT) AS wq
+       | FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wsum,
+       |         CAST(SUM(n_docs) AS BIGINT) AS ntot FROM counts)
+       |SELECT source, n_docs,
+       | CAST(CAST(n_docs AS DOUBLE) / ntot AS REAL) AS raw_share,
+       | CAST(CAST(wq AS DOUBLE) / wsum AS REAL) AS alpha_share,
+       | (wq * $mixBudget) // wsum AS target_docs,
+       | CAST(CAST(wq * $mixBudget AS DOUBLE) / (wsum * n_docs) AS REAL)
+       |   AS sample_factor
+       |FROM counts CROSS JOIN tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_temperature_mixture" -> (t24 _),
     "t23_epoch_shuffle" -> (t23 _),
     "t22_zipf_fit" -> (t22 _),
     "t20_vocab_coverage" -> (t20 _),
@@ -664,6 +707,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t24_temperature_mixture" -> t24Sql,
     "t23_epoch_shuffle" -> t23Sql,
     "t22_zipf_fit" -> t22Sql,
     "t20_vocab_coverage" -> t20Sql,
