@@ -753,6 +753,77 @@ object MLQueries extends QueryFamily {
        | CAST(i.iso AS REAL) AS iso_fit
        |FROM pre p JOIN iso i USING (bin) ORDER BY p.bin""".stripMargin
 
+  // ---- m16: Brier score + Murphy decomposition -----------------------------
+  // The proper-scoring-rule health check: Brier = mean (p − y)² plus
+  // Murphy's REL − RES + UNC decomposition over the m11 bins
+  // (reliability = calibration gap, resolution = how much the bins
+  // separate, uncertainty = base-rate variance). Brier itself is an
+  // exact integer sum ((sm − 1000y)² per row, map-side combined).
+  // The decomposition's per-bin terms are doubles, so the 10-bin
+  // reduction uses the repo's ORDERED-FOLD rule (u10's trick): terms
+  // are collected WITH their bin key, sorted, and folded left-to-right
+  // — both engines add identical doubles in identical order, so the
+  // hash cannot drift. One scan; everything after is 10-row algebra.
+  private def m16(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val bins = d.select(expr("least(sm div 100, 9L)").as("bin"), col("sm"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("p"), sum(col("sm")).as("ss"),
+        sum(expr("(sm - 1000 * y) * (sm - 1000 * y)")).as("sq"))
+    val tot = bins.agg(sum(col("n")).as("nn"), sum(col("p")).as("pp"),
+      sum(col("sq")).as("sqq"))
+    val relT = "n * ((CAST(ss AS DOUBLE) / (1000.0 * n)) - (CAST(p AS DOUBLE) / n))" +
+      " * ((CAST(ss AS DOUBLE) / (1000.0 * n)) - (CAST(p AS DOUBLE) / n))"
+    val resT = "n * ((CAST(p AS DOUBLE) / n) - (CAST(pp AS DOUBLE) / nn))" +
+      " * ((CAST(p AS DOUBLE) / n) - (CAST(pp AS DOUBLE) / nn))"
+    def fold(term: String) =
+      s"aggregate(transform(array_sort(collect_list(struct(bin, $term)))," +
+        s" x -> x.$term), 0.0D, (acc, v) -> acc + v)"
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("nn"), col("pp"), col("sqq"),
+        expr(relT).as("rel_term"), expr(resT).as("res_term"))
+      .groupBy(col("nn"), col("pp"), col("sqq"))
+      .agg(expr(fold("rel_term")).as("rel_sum"),
+        expr(fold("res_term")).as("res_sum"))
+      .select(col("nn").as("n_rows"),
+        expr("CAST(CAST(sqq AS DOUBLE) / (1000000.0 * nn) AS FLOAT)").as("brier"),
+        expr("CAST(rel_sum / nn AS FLOAT)").as("reliability"),
+        expr("CAST(res_sum / nn AS FLOAT)").as("resolution"),
+        expr("CAST((CAST(pp AS DOUBLE) / nn) * (1.0 - CAST(pp AS DOUBLE) / nn) AS FLOAT)")
+          .as("uncertainty"))
+  }
+  private val m16Sql = {
+    val relT = "n * ((CAST(ss AS DOUBLE) / (1000.0 * n)) - (CAST(p AS DOUBLE) / n))" +
+      " * ((CAST(ss AS DOUBLE) / (1000.0 * n)) - (CAST(p AS DOUBLE) / n))"
+    val resT = "n * ((CAST(p AS DOUBLE) / n) - (CAST(pp AS DOUBLE) / nn))" +
+      " * ((CAST(p AS DOUBLE) / n) - (CAST(pp AS DOUBLE) / nn))"
+    def fold(c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list($c ORDER BY bin)), (acc, v) -> acc + v)"
+    s"""WITH e AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |bins AS (
+       | SELECT LEAST(sm // 100, 9) AS bin, COUNT(*) AS n,
+       |  CAST(SUM(y) AS BIGINT) AS p, CAST(SUM(sm) AS BIGINT) AS ss,
+       |  CAST(SUM((sm - 1000 * y) * (sm - 1000 * y)) AS BIGINT) AS sq
+       | FROM e GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp,
+       |         CAST(SUM(sq) AS BIGINT) AS sqq FROM bins),
+       |terms AS (
+       | SELECT bin, nn, pp, sqq, $relT AS rel_term, $resT AS res_term
+       | FROM bins CROSS JOIN tot)
+       |SELECT nn AS n_rows,
+       | CAST(CAST(sqq AS DOUBLE) / (1000000.0 * nn) AS REAL) AS brier,
+       | CAST(${fold("rel_term")} / nn AS REAL) AS reliability,
+       | CAST(${fold("res_term")} / nn AS REAL) AS resolution,
+       | CAST((CAST(pp AS DOUBLE) / nn) * (1.0 - CAST(pp AS DOUBLE) / nn) AS REAL)
+       |   AS uncertainty
+       |FROM terms GROUP BY nn, pp, sqq""".stripMargin
+  }
+
   // ---- m12: full confusion report at the operating point -------------------
   // The single-threshold companion to m06's sweep: confusion counts
   // plus the chance-corrected metrics a model card reports — accuracy,
@@ -816,6 +887,7 @@ object MLQueries extends QueryFamily {
     "m11_calibration_curve" -> (m11 _),
     "m14_isotonic_calibration" -> (m14 _),
     "m15_average_precision" -> (m15 _),
+    "m16_brier_decomposition" -> (m16 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -834,6 +906,7 @@ object MLQueries extends QueryFamily {
     "m11_calibration_curve" -> m11Sql,
     "m14_isotonic_calibration" -> m14Sql,
     "m15_average_precision" -> m15Sql,
+    "m16_brier_decomposition" -> m16Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,

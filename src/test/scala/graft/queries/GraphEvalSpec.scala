@@ -62,6 +62,17 @@ class GraphEvalSpec extends SparkSpec {
       "scores not descending in rank")
   }
 
+  test("m16: Murphy decomposition reassembles the Brier score") {
+    val r = MLQueries.queries("m16_brier_decomposition")(spark, dir).collect()(0)
+    val (brier, rel, res, unc) = (r.getAs[Float]("brier"),
+      r.getAs[Float]("reliability"), r.getAs[Float]("resolution"),
+      r.getAs[Float]("uncertainty"))
+    assert(math.abs(brier - (rel - res + unc)) < 1e-4f,
+      s"identity broken: $brier vs $rel - $res + $unc")
+    assert(brier >= 0f && brier <= 1f && rel >= 0f && res >= 0f &&
+      unc >= 0f && unc <= 0.25f)
+  }
+
   test("m14: isotonic fit is monotone and within the observed range") {
     val iso = MLQueries.queries("m14_isotonic_calibration")(spark, dir)
       .orderBy(col("bin")).collect()
