@@ -1302,7 +1302,62 @@ object TemporalQueries extends QueryFamily {
       |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---- u18: bitemporal snapshot (valid time × transaction time) ------------
+  // The two-axis time query SCD2 (u09) cannot answer: "what did we
+  // BELIEVE at transaction time T_t the state was AS OF valid time
+  // T_v" — the reproducibility primitive for restated data (late
+  // corrections, backfills, audit). Facts carry valid_from (event
+  // time) and recorded_at (when the pipeline learned it — here a
+  // value-derived ingest delay); the snapshot keeps, per entity, the
+  // latest valid fact among those already recorded, both cutoffs
+  // data-anchored scalars (min-ts offsets — deterministic on both
+  // engines). One broadcast of the 1-row anchor, one entity-keyed
+  // window: the same distributed shape at any corpus size.
+  private val nsPerHourB = 3600000000000L
+  private def u18(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("recorded_at",
+        col("ts") + (col("vm") % 7 + 1) * lit(nsPerHourB))
+    val anchors = ev.agg(min(col("ts")).as("t0"))
+      .select((col("t0") + lit(3L * nsPerDay)).as("tv"),
+        (col("t0") + lit(4L * nsPerDay)).as("tt"))
+    val known = ev.crossJoin(broadcast(anchors))
+      .filter(col("ts") <= col("tv") && col("recorded_at") <= col("tt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val wN = Window.partitionBy(col("user_id"))
+    known
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_known", count(lit(1)).over(wN))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("valid_from"), col("recorded_at"),
+        col("vm").as("fact_value"), col("n_known"))
+      .orderBy(col("user_id"))
+  }
+  private val u18Sql =
+    s"""WITH ev AS (
+       | SELECT user_id, epoch_ns(ts) AS t, event_id,
+       |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+       |  epoch_ns(ts) + (CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) % 7 + 1)
+       |    * $nsPerHourB AS recorded_at
+       | FROM events),
+       |anch AS (SELECT MIN(t) + 3 * $nsPerDay AS tv,
+       |          MIN(t) + 4 * $nsPerDay AS tt FROM ev),
+       |known AS (
+       | SELECT ev.* FROM ev CROSS JOIN anch
+       | WHERE t <= tv AND recorded_at <= tt)
+       |SELECT user_id, t AS valid_from, recorded_at, vm AS fact_value, n_known
+       |FROM (SELECT *,
+       |       ROW_NUMBER() OVER (PARTITION BY user_id
+       |         ORDER BY t DESC, event_id DESC) AS rn,
+       |       COUNT(*) OVER (PARTITION BY user_id) AS n_known
+       |      FROM known)
+       |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u18_bitemporal" -> (u18 _),
     "u17_cusum" -> (u17 _),
     "u14_markov_transitions" -> (u14 _),
     "u15_top_paths" -> (u15 _),
@@ -1337,6 +1392,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u18_bitemporal" -> u18Sql,
     "u17_cusum" -> u17Sql,
     "u14_markov_transitions" -> u14Sql,
     "u15_top_paths" -> u15Sql,
