@@ -1028,7 +1028,57 @@ object DedupQueries extends QueryFamily {
       |FROM n a JOIN n b ON a.w < b.w AND levenshtein(a.w, b.w) <= 1
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- d20: cross-source contamination matrix ------------------------------
+  // Which corpus slices leak into which: pairwise shingle overlap
+  // between SOURCES (the source-level analog of d10's eval-set
+  // decontamination — run it before mixing to find feeds that are
+  // re-crawls of each other). The corpus collapses to its distinct
+  // (source, shingle) presence table first — the w06 inverted-presence
+  // shape — so the pair join is keyed by shingle, candidates are
+  // bounded by per-shingle source lists (≤ |sources|), and the output
+  // is ≤ |sources|² rows at any corpus size. Jaccard from three exact
+  // integers, one division, float32.
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents")
+    val sg = d.select(col("source"), explode(expr(shinglesSpark)).as("g"))
+      .distinct()
+      .localCheckpoint() // one tokenize: feeds totals AND both join sides
+    val tot = sg.groupBy(col("source")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = sg.as("a")
+      .join(sg.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(tot.select(col("source").as("src_a"),
+        col("n_shingles").as("na"))), "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"),
+        col("n_shingles").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("na"), col("nb"),
+        expr("CAST(CAST(shared AS DOUBLE) / (na + nb - shared) AS FLOAT)")
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  private val d20Sql =
+    s"""WITH sg AS (
+       | SELECT DISTINCT source, g FROM (
+       |  SELECT source, UNNEST($shinglesDuck) AS g FROM documents)),
+       |tot AS (SELECT source, COUNT(*) AS n_shingles FROM sg GROUP BY 1),
+       |pairs AS (
+       | SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+       | FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       | GROUP BY 1, 2)
+       |SELECT p.src_a, p.src_b, p.shared, ta.n_shingles AS na,
+       | tb.n_shingles AS nb,
+       | CAST(CAST(p.shared AS DOUBLE) / (ta.n_shingles + tb.n_shingles - p.shared)
+       |   AS REAL) AS jaccard
+       |FROM pairs p JOIN tot ta ON ta.source = p.src_a
+       | JOIN tot tb ON tb.source = p.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_source_overlap" -> (d20 _),
     "d19_lsh_tuning" -> (d19 _),
     "d18_symspell_join" -> (d18 _),
     "d17_containment" -> (d17 _),
@@ -1047,6 +1097,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d20_source_overlap" -> d20Sql,
     "d19_lsh_tuning" -> d19Sql,
     "d18_symspell_join" -> d18Sql,
     "d17_containment" -> d17Sql,
