@@ -860,7 +860,62 @@ object RelationalQueries extends QueryFamily {
        |FROM orders""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  // ---- a32: declarative data-expectations audit ----------------------------
+  // The Deequ/Great-Expectations-style quality gate an ingestion
+  // pipeline runs before publishing a table: a declared check suite
+  // (completeness, uniqueness, range conformance, domain membership,
+  // volume floor) evaluated in ONE scan — every violation counter is a
+  // column of a single aggregate (map-side combined; the uniqueness
+  // check rides the same Expand as a27's multi-distinct), then
+  // unpivoted into one row per check with the observed value and the
+  // pass verdict. At 100 TB this is exactly one pass over the table
+  // however many checks are declared.
+  private def a32(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val agged = o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_null_key"),
+      countDistinct(col("o_orderkey")).as("n_distinct_key"),
+      sum(when(col("o_totalprice") < 0.0 || col("o_totalprice") > 1000000.0, 1L)
+        .otherwise(0L)).as("n_price_oob"),
+      sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L).otherwise(1L))
+        .as("n_status_bad"))
+    agged.select(expr(
+      """stack(5,
+        | 'orderkey_not_null', n_null_key, n_null_key = 0,
+        | 'orderkey_unique', n_rows - n_distinct_key, n_rows - n_distinct_key = 0,
+        | 'totalprice_in_range', n_price_oob, n_price_oob = 0,
+        | 'status_in_domain', n_status_bad, n_status_bad = 0,
+        | 'min_row_count', n_rows, n_rows >= 1000
+        |) AS (check_name, observed, passed)""".stripMargin))
+      .orderBy(col("check_name"))
+  }
+  private val a32Sql =
+    """WITH a AS (
+      | SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+      |  COUNT(DISTINCT o_orderkey) AS n_distinct_key,
+      |  CAST(SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 1000000.0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_price_oob,
+      |  CAST(SUM(CASE WHEN o_orderstatus IN ('F', 'O', 'P') THEN 0 ELSE 1 END)
+      |    AS BIGINT) AS n_status_bad
+      | FROM orders)
+      |SELECT check_name, observed, passed FROM (
+      | SELECT 'orderkey_not_null' AS check_name, n_null_key AS observed,
+      |  n_null_key = 0 AS passed FROM a
+      | UNION ALL
+      | SELECT 'orderkey_unique', n_rows - n_distinct_key,
+      |  n_rows - n_distinct_key = 0 FROM a
+      | UNION ALL
+      | SELECT 'totalprice_in_range', n_price_oob, n_price_oob = 0 FROM a
+      | UNION ALL
+      | SELECT 'status_in_domain', n_status_bad, n_status_bad = 0 FROM a
+      | UNION ALL
+      | SELECT 'min_row_count', n_rows, n_rows >= 1000 FROM a)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a32_expectations" -> (a32 _),
     "a27_column_profile" -> (a27 _),
     "a28_native_topk" -> (a28 _),
     "r16_fk_orphans" -> (r16 _),
@@ -897,6 +952,7 @@ object RelationalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "a32_expectations" -> a32Sql,
     "a27_column_profile" -> a27Sql,
     "a28_native_topk" -> a28Sql,
     "r16_fk_orphans" -> r16Sql,
