@@ -753,6 +753,73 @@ object MLQueries extends QueryFamily {
        | CAST(i.iso AS REAL) AS iso_fit
        |FROM pre p JOIN iso i USING (bin) ORDER BY p.bin""".stripMargin
 
+  // ---- m17: chi-square feature selection ------------------------------------
+  // The classic supervised term-selection step before training a text
+  // classifier: per term, the 2×2 contingency (document presence ×
+  // label) yields χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)); the
+  // top-k most label-discriminative terms survive. Scale shape: the
+  // corpus collapses to its distinct (doc, term) presence table (the
+  // w06/t20 inverted shape), per-term counts are one vocab-bounded
+  // aggregate with the 1-row label totals broadcast, and the top-k is
+  // a distributed TakeOrderedAndProject. χ² is ONE fixed-
+  // parenthesization double expression over five exact longs, so both
+  // engines order candidates identically; term breaks ties.
+  private val chiTopK = 20
+  private def m17(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(col("doc_id"), expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"),
+        col("text"))
+    val pres = d.select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+      .select(col("doc_id"), col("y"), col("term")).distinct()
+    val tot = d.select(col("doc_id"), col("y")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    val counts = pres.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("y")).as("a"))
+    val chi = "CAST(n_docs AS DOUBLE) * ((a * d2 - b * c) * (a * d2 - b * c))" +
+      " / ((CAST(a + b AS DOUBLE)) * (c + d2) * (a + c) * (b + d2))"
+    val w = Window.orderBy(col("chi2").desc, col("term").asc)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("b", col("df") - col("a"))                // term, not en
+      .withColumn("c", col("n_pos") - col("a"))             // no term, en
+      .withColumn("d2", col("n_docs") - col("n_pos") - col("b")) // neither
+      .withColumn("chi2", expr(chi).cast("float"))
+      .orderBy(col("chi2").desc, col("term").asc)
+      .limit(chiTopK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("term"), col("df"), col("a"), col("b"),
+        col("c"), col("d2"), col("chi2"))
+      .orderBy(col("rank"))
+  }
+  private val m17Sql = {
+    val chi = "CAST(n_docs AS DOUBLE) * ((a * d2 - b * c) * (a * d2 - b * c))" +
+      " / ((CAST(a + b AS DOUBLE)) * (c + d2) * (a + c) * (b + d2))"
+    s"""WITH d AS (
+       | SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+       | FROM documents),
+       |pres AS (
+       | SELECT DISTINCT doc_id, y, term FROM (
+       |  SELECT doc_id, y, UNNEST(string_split(text, ' ')) AS term FROM d)
+       | WHERE LENGTH(term) > 0),
+       |tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos
+       |        FROM d),
+       |counts AS (
+       | SELECT term, COUNT(*) AS df, CAST(SUM(y) AS BIGINT) AS a
+       | FROM pres GROUP BY 1),
+       |cells AS (
+       | SELECT term, df, a, df - a AS b, n_pos - a AS c,
+       |  n_docs - n_pos - (df - a) AS d2, n_docs
+       | FROM counts CROSS JOIN tot),
+       |scored AS (SELECT term, df, a, b, c, d2,
+       |  CAST($chi AS REAL) AS chi2 FROM cells)
+       |SELECT rank, term, df, a, b, c, d2, chi2 FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2 DESC, term ASC) AS rank
+       | FROM scored)
+       |WHERE rank <= $chiTopK ORDER BY rank""".stripMargin
+  }
+
   // ---- m16: Brier score + Murphy decomposition -----------------------------
   // The proper-scoring-rule health check: Brier = mean (p − y)² plus
   // Murphy's REL − RES + UNC decomposition over the m11 bins
@@ -888,6 +955,7 @@ object MLQueries extends QueryFamily {
     "m14_isotonic_calibration" -> (m14 _),
     "m15_average_precision" -> (m15 _),
     "m16_brier_decomposition" -> (m16 _),
+    "m17_chi2_features" -> (m17 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -907,6 +975,7 @@ object MLQueries extends QueryFamily {
     "m14_isotonic_calibration" -> m14Sql,
     "m15_average_precision" -> m15Sql,
     "m16_brier_decomposition" -> m16Sql,
+    "m17_chi2_features" -> m17Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
