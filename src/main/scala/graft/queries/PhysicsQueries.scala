@@ -340,6 +340,56 @@ object PhysicsQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- p25: tag-and-probe efficiency (extension) ---------------------------
+  // The standard data-driven efficiency measurement (trigger/ID
+  // efficiency vs pT): events where leg 1 passes a TIGHT tag selection
+  // contribute leg 2 as an unbiased probe; per probe-pT bin, the
+  // passing fraction estimates the per-leg efficiency, reported with
+  // the Wilson score interval (z = 2). Counts are exact integers from
+  // one scan + one bin-keyed aggregate; the efficiency and interval
+  // bounds are single fixed-parenthesization double expressions over
+  // (n, k) — identical correctly-rounded ops on both engines, float32
+  // at the end.
+  private def p25(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val v = ev.select((Seq(col("event_id"), col("user_id")) ++ vecCols): _*)
+    val tagged = v.filter(col("pt1") > 20.0 && abs(col("eta1")) < 1.5)
+      .select(expr("CAST(floor(pt2 / 5.0) AS BIGINT)").as("pt_bin"),
+        expr("CASE WHEN user_id % 10 < 7 THEN 1L ELSE 0L END").as("pass"))
+    val eff = "CAST(k AS DOUBLE) / n"
+    val wilson = (sign: String) =>
+      s"((CAST(k AS DOUBLE) / n + 2.0 / n) $sign " +
+        s"2.0 * SQRT((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n" +
+        s" + 1.0 / (n * CAST(n AS DOUBLE)))) / (1.0 + 4.0 / n)"
+    tagged.groupBy(col("pt_bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pass")).as("k"))
+      .select(col("pt_bin"), col("n"), col("k"),
+        expr(s"CAST($eff AS FLOAT)").as("eff"),
+        expr(s"CAST(${wilson("-")} AS FLOAT)").as("eff_lo"),
+        expr(s"CAST(${wilson("+")} AS FLOAT)").as("eff_hi"))
+      .orderBy(col("pt_bin"))
+  }
+  private val p25Sql = {
+    val eff = "CAST(k AS DOUBLE) / n"
+    val wilson = (sign: String) =>
+      s"((CAST(k AS DOUBLE) / n + 2.0 / n) $sign " +
+        s"2.0 * SQRT((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n" +
+        s" + 1.0 / (n * CAST(n AS DOUBLE)))) / (1.0 + 4.0 / n)"
+    s"""WITH v AS (SELECT event_id, user_id, $vecSql FROM events),
+       |probes AS (
+       | SELECT CAST(FLOOR(pt2 / 5.0) AS BIGINT) AS pt_bin,
+       |  CASE WHEN user_id % 10 < 7 THEN 1 ELSE 0 END AS pass
+       | FROM v WHERE pt1 > 20.0 AND ABS(eta1) < 1.5),
+       |agg AS (
+       | SELECT pt_bin, COUNT(*) AS n, CAST(SUM(pass) AS BIGINT) AS k
+       | FROM probes GROUP BY 1)
+       |SELECT pt_bin, n, k,
+       | CAST($eff AS REAL) AS eff,
+       | CAST(${wilson("-")} AS REAL) AS eff_lo,
+       | CAST(${wilson("+")} AS REAL) AS eff_hi
+       |FROM agg ORDER BY pt_bin""".stripMargin
+  }
+
   // ---- p18: FSR recovery — conditional indexed merge (P18/J1) ------------
   // reference: stage1/corrections/fsr_recovery.py:5-49 — muon's
   // fsrPhotonIdx picks an event-local photon; if the photon passes
@@ -501,6 +551,7 @@ object PhysicsQueries extends QueryFamily {
     "p13_cs_angles" -> (p13 _),
     "p17_vbf_kinematics" -> (p17 _),
     "p18_fsr_recovery" -> (p18 _),
+    "p25_tag_probe" -> (p25 _),
     "p19_geofit_piecewise" -> (p19 _),
     "p21_gen_split" -> (p21 _),
     "p22_relabel" -> (p22 _),
@@ -522,6 +573,7 @@ object PhysicsQueries extends QueryFamily {
     "p13_cs_angles" -> p13Sql,
     "p17_vbf_kinematics" -> p17Sql,
     "p18_fsr_recovery" -> p18Sql,
+    "p25_tag_probe" -> p25Sql,
     "p19_geofit_piecewise" -> p19Sql,
     "p21_gen_split" -> p21Sql,
     "p22_relabel" -> p22Sql,
