@@ -1302,6 +1302,64 @@ object TemporalQueries extends QueryFamily {
       |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---- u19: Holt linear-trend smoothing (double exponential) ---------------
+  // u10's EWMA tracks level only; Holt's method adds a TREND state —
+  // the standard short-horizon forecaster (capacity planning, rate
+  // projection): l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+  // b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, α = β = 0.5, init
+  // (l₁, b₁) = (x₁, 0). A TWO-state per-key recursion — still SURVEY
+  // §2 path (d): typed mapGroups folds in explicit (ts, event_id)
+  // order, and the oracle folds the IDENTICAL order with a list-pair
+  // accumulator (list_reduce over [x, 0] pairs), so every IEEE step
+  // matches bit-for-bit. State is two doubles per key at any scale.
+  private def u19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = rd(s, dir, "events")
+      .select(col("user_id").cast("long"), expr("ts div 1000").as("us"),
+        col("event_id").cast("long"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .as[(Long, Long, Long, Long)]
+    ev.groupByKey(_._1)
+      .mapGroups { (user, rows) =>
+        val sorted = rows.toVector.sortBy(e => (e._2, e._3))
+        var l = 0.0; var b = 0.0; var first = true
+        sorted.foreach { e =>
+          val x = e._4.toDouble / 1000.0
+          if (first) { first = false; l = x; b = 0.0 }
+          else {
+            val lp = 0.5 * x + 0.5 * (l + b)
+            b = 0.5 * (lp - l) + 0.5 * b
+            l = lp
+          }
+        }
+        (user, sorted.size.toLong, l.toFloat, b.toFloat, (l + b).toFloat)
+      }
+      .toDF("user_id", "n_events", "level", "trend", "forecast_1")
+      .orderBy(col("user_id"))
+  }
+  private val u19Sql =
+    """WITH x AS (
+      | SELECT user_id, epoch_ns(ts) // 1000 AS us, event_id,
+      |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events),
+      |ord AS (
+      | SELECT user_id, COUNT(*) AS n_events,
+      |  list(CAST(vm AS DOUBLE) / 1000.0 ORDER BY us ASC, event_id ASC) AS vs
+      | FROM x GROUP BY 1),
+      |fold AS (
+      | SELECT user_id, n_events,
+      |  list_reduce(
+      |   list_prepend([vs[1], CAST(0 AS DOUBLE)],
+      |    list_transform(vs[2:], v -> [v, CAST(0 AS DOUBLE)])),
+      |   (acc, v) -> [0.5 * v[1] + 0.5 * (acc[1] + acc[2]),
+      |    0.5 * ((0.5 * v[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+      |     + 0.5 * acc[2]]) AS st
+      | FROM ord)
+      |SELECT user_id, n_events,
+      | CAST(st[1] AS REAL) AS level, CAST(st[2] AS REAL) AS trend,
+      | CAST(st[1] + st[2] AS REAL) AS forecast_1
+      |FROM fold ORDER BY user_id""".stripMargin
+
   // ---- u18: bitemporal snapshot (valid time × transaction time) ------------
   // The two-axis time query SCD2 (u09) cannot answer: "what did we
   // BELIEVE at transaction time T_t the state was AS OF valid time
@@ -1358,6 +1416,7 @@ object TemporalQueries extends QueryFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u18_bitemporal" -> (u18 _),
+    "u19_holt_trend" -> (u19 _),
     "u17_cusum" -> (u17 _),
     "u14_markov_transitions" -> (u14 _),
     "u15_top_paths" -> (u15 _),
@@ -1393,6 +1452,7 @@ object TemporalQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "u18_bitemporal" -> u18Sql,
+    "u19_holt_trend" -> u19Sql,
     "u17_cusum" -> u17Sql,
     "u14_markov_transitions" -> u14Sql,
     "u15_top_paths" -> u15Sql,
