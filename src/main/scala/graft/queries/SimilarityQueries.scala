@@ -781,8 +781,80 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v11: maximum-inner-product search via Simple-LSH --------------------
+  // MIPS is the retrieval objective recommender/reranker towers
+  // actually optimize (unnormalized dot, not cosine) — and plain
+  // hyperplane LSH does NOT work for it. The public reduction
+  // (Neyshabur & Srebro, "Simple-LSH", ICML 2015): augment every
+  // corpus vector with sqrt(M² − ‖x‖²) (M = corpus max norm) and the
+  // query with 0 — inner products on the augmented unit ball order
+  // exactly as raw dots — then bucket with the SAME v02 hyperplane
+  // family (queries use the plain signature: their augmented
+  // coordinate is 0). Candidates come from the bucket equi-join, the
+  // exact dot re-ranks them. M² rides as a 1-row broadcast; signatures
+  // are one codegen projection; no cross product anywhere.
+  // Determinism: sqrt/sign arithmetic from array_dot's exact fold,
+  // dot cast float32 before ranking, c_id tie-break.
+  private def v11(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val base = rd(s, dir, "embeddings")
+      .withColumn("norm_sq", expr("array_dot(embedding, embedding)"))
+    val m2 = base.agg(max(col("norm_sq")).as("m2"))
+    val wb = base.crossJoin(broadcast(m2))
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val candBits = (0 until nPlanes).map { p =>
+      val dot = (0 until nDims)
+        .map(j => s"CAST(${sparkElem("embedding", j + 1)} AS DOUBLE) * ${planeCoef(p, j)}")
+        .mkString(" + ")
+      s"(CASE WHEN (($dot) + ${planeCoef(p, nDims)} * SQRT(m2 - norm_sq)) >= 0.0" +
+        s" THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val c = wb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      expr(candBits).as("bucket"))
+    val q = wb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        expr(bucketExpr("embedding", sparkElem)).as("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("c_id").asc)
+    q.join(c, Seq("bucket")).filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot", expr("array_dot(q_emb, c_emb)").cast("float"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= annK)
+      .select(col("q_id"), col("rank"), col("c_id"), col("dot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v11Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val candBits = (0 until nPlanes).map { p =>
+      val dot = (0 until nDims)
+        .map(j => s"CAST(${duckElem("embedding", j + 1)} AS DOUBLE) * ${planeCoef(p, j)}")
+        .mkString(" + ")
+      s"(CASE WHEN (($dot) + ${planeCoef(p, nDims)} * SQRT(m2 - norm_sq)) >= 0.0" +
+        s" THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val qBits = bucketExpr("embedding", duckElem)
+    val dot = s"CAST(${dotDuck("q.q_emb", "c.c_emb")} AS REAL)"
+    s"""WITH base AS (
+       | SELECT vec_id, embedding,
+       |  ${dotDuck("embedding", "embedding")} AS norm_sq
+       | FROM embeddings),
+       |m AS (SELECT MAX(norm_sq) AS m2 FROM base),
+       |wb AS (SELECT vec_id, embedding, norm_sq, m2 FROM base CROSS JOIN m),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_emb, $candBits AS bucket
+       |      FROM wb),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, $qBits AS bucket
+       |      FROM wb WHERE vec_id < $nQueries)
+       |SELECT q_id, rank, c_id, dot FROM (
+       | SELECT q.q_id, c.c_id, $dot AS dot,
+       |  ROW_NUMBER() OVER (PARTITION BY q.q_id
+       |    ORDER BY $dot DESC, c.c_id ASC) AS rank
+       | FROM q JOIN c USING (bucket) WHERE q.q_id != c.c_id)
+       |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v10_pq_rerank" -> (v10 _),
+    "v11_mips_lsh" -> (v11 _),
     "v09_knn_pq_adc" -> (v09 _),
     "v08_ann_recall" -> (v08 _),
     "v07_knn_ivf_adc" -> (v07 _),
@@ -797,6 +869,7 @@ object SimilarityQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "v10_pq_rerank" -> v10Sql,
+    "v11_mips_lsh" -> v11Sql,
     "v09_knn_pq_adc" -> v09Sql,
     "v08_ann_recall" -> v08Sql,
     "v07_knn_ivf_adc" -> v07Sql,
