@@ -411,7 +411,80 @@ object GraphQueries extends QueryFamily {
        |FROM lab$lpIters t JOIN sizes s USING (label) ORDER BY t.node""".stripMargin
   }
 
+  // ---- g10: HITS hubs & authorities (2 fixed-point iterations) -------------
+  // Kleinberg's HITS — the two mutually recursive scores PageRank
+  // collapses into one: authorities are pointed at by good hubs,
+  // hubs point at good authorities. On the supplier→part-hub graph
+  // this splits "widely-sourced parts" (authorities) from
+  // "broad-catalog suppliers" (hubs). Same determinism discipline as
+  // g05: scores are integer micro-units, each half-step is one
+  // edge-keyed join + sum, and the per-round max-normalization
+  // (score·10⁶ div max — HITS's usual L∞ choice phrased in integer
+  // division) keeps every value exact however the partial sums merge.
+  // One checkpointed edge table; per-round cost is two keyed shuffles.
+  private val hitsIters = 2
+  private def g10(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val edges = li
+      .select(col("l_suppkey").as("src"), (col("l_partkey") % 97).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 1 to hitsIters) {
+      val aRaw = edges.join(hub, col("src") === col("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+      val aFull = nodes.join(aRaw, col("node") === col("dst"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      auth = aFull.crossJoin(broadcast(aFull.agg(max(col("raw")).as("mx"))))
+        .select(col("node"), expr("(raw * 1000000) div mx").as("a"))
+      val hRaw = edges.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+      val hFull = nodes.join(hRaw, col("node") === col("src"), "left")
+        .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+      hub = hFull.crossJoin(broadcast(hFull.agg(max(col("raw")).as("mx"))))
+        .select(col("node"), expr("(raw * 1000000) div mx").as("h"))
+    }
+    auth.join(hub, "node")
+      .select(col("node"), col("a").as("auth_m"), col("h").as("hub_m"),
+        (col("a").cast("double") / 1e6).cast("float").as("auth"),
+        (col("h").cast("double") / 1e6).cast("float").as("hub"))
+      .orderBy(col("node"))
+  }
+  private val g10Sql = {
+    val iter = (i: Int) =>
+      s"""a${i}r AS (
+         | SELECT n.node, CAST(COALESCE(SUM(t.h), 0) AS BIGINT) AS r
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst, h.h FROM edges e JOIN h${i - 1} h ON h.node = e.src) t
+         |  ON t.dst = n.node GROUP BY 1),
+         |a$i AS (SELECT node,
+         |  (r * 1000000) // (SELECT MAX(r) FROM a${i}r) AS a FROM a${i}r),
+         |h${i}r AS (
+         | SELECT n.node, CAST(COALESCE(SUM(t.a), 0) AS BIGINT) AS r
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.src, a.a FROM edges e JOIN a$i a ON a.node = e.dst) t
+         |  ON t.src = n.node GROUP BY 1),
+         |h$i AS (SELECT node,
+         |  (r * 1000000) // (SELECT MAX(r) FROM h${i}r) AS h FROM h${i}r)"""
+    s"""WITH edges AS (
+       | SELECT DISTINCT l_suppkey AS src, l_partkey % 97 AS dst
+       | FROM lineitem WHERE l_suppkey != l_partkey % 97),
+       |nodes AS (
+       | SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |h0 AS (SELECT node, 1000000 AS h FROM nodes),
+       |${(1 to hitsIters).map(iter).mkString(",\n")}
+       |SELECT a.node, a.a AS auth_m, h.h AS hub_m,
+       | CAST(CAST(a.a AS DOUBLE) / 1e6 AS REAL) AS auth,
+       | CAST(CAST(h.h AS DOUBLE) / 1e6 AS REAL) AS hub
+       |FROM a$hitsIters a JOIN h$hitsIters h USING (node)
+       |ORDER BY node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_hits" -> (g10 _),
     "g05_pagerank" -> (g05 _),
     "g06_triangle_count" -> (g06 _),
     "g07_personalized_pr" -> (g07 _),
@@ -424,6 +497,7 @@ object GraphQueries extends QueryFamily {
     "g06_triangle_count" -> g06Sql,
     "g07_personalized_pr" -> g07Sql,
     "g08_bfs_hops" -> g08Sql,
-    "g09_label_propagation" -> g09Sql
+    "g09_label_propagation" -> g09Sql,
+    "g10_hits" -> g10Sql
   )
 }
