@@ -33,6 +33,29 @@ class GraphEvalSpec extends SparkSpec {
     assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
 
+  test("g10: HITS scores are normalized to [0, 1] with the max at 1") {
+    val r = GraphQueries.queries("g10_hits")(spark, dir).collect()
+    val auths = r.map(_.getAs[Long]("auth_m"))
+    val hubs = r.map(_.getAs[Long]("hub_m"))
+    assert(auths.max == 1000000L && hubs.max == 1000000L,
+      "L-inf normalization must pin the max score to 1.0")
+    assert(auths.forall(a => a >= 0L && a <= 1000000L))
+    assert(hubs.forall(h => h >= 0L && h <= 1000000L))
+    // bipartite-ish src->hub graph: some node must be hub-only (auth 0)
+    assert(auths.contains(0L) || hubs.contains(0L),
+      "expected at least one single-role node on the directed graph")
+  }
+
+  test("v11: MIPS ranking is by raw dot, descending per query") {
+    val r = SimilarityQueries.queries("v11_mips_lsh")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val dots = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Float]("dot"))
+      assert(dots.zip(dots.tail).forall { case (a, b) => a >= b },
+        "dots not descending in rank")
+    }
+  }
+
   test("g09: label propagation yields valid communities") {
     val lp = GraphQueries.queries("g09_label_propagation")(spark, dir)
     val rows = lp.collect()
