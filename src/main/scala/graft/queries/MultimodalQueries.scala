@@ -192,7 +192,74 @@ object MultimodalQueries extends QueryFamily {
        |FROM packed ORDER BY source, doc_id""".stripMargin
   }
 
+  // ---- x06: perceptual-hash (aHash) image near-duplicate -------------------
+  // The image-dedup analog of MinHash: a 60-bit average hash (bit i set
+  // when "pixel" byte i exceeds the image mean — here over the fake
+  // decode's first 60 bytes, the same stand-in x01-x04 use), candidate
+  // pairs from 4×15-bit BAND buckets (two near-dups differing in ≤ 6
+  // bits must agree on at least one band by pigeonhole... at ≤ 3 per-
+  // band corruptions — the standard banding recall trade), then the
+  // exact Hamming distance (bit_count of xor) verifies candidates.
+  // Scale: hash is one codegen projection, the band join shuffles
+  // (band, value) ids only — never image × image — and verification
+  // touches candidates alone. All integer; both engines build the
+  // identical hash.
+  private val ahashBits = 60
+  private val ahashBands = 4 // 15 bits each
+  private val hammingMax = 6
+  private def x06(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val bytesSum = (1 to ahashBits).map(byteSpark).mkString(" + ")
+    val hash = (0 until ahashBits)
+      .map(i => s"(CASE WHEN ${byteSpark(i + 1)} > bmean THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val hashed = d.filter(octet_length(expr("encode(text, 'UTF-8')")) >= ahashBits)
+      .withColumn("bmean", expr(s"($bytesSum) div $ahashBits"))
+      .select(col("doc_id"), expr(s"CAST($hash AS BIGINT)").as("ah"))
+      .localCheckpoint() // feeds all band projections + both verify sides
+    val bands = (0 until ahashBands).map { k =>
+      hashed.select(col("doc_id"), col("ah"), lit(k).as("band"),
+        expr(s"(ah div ${1L << (k * 15)}) % ${1L << 15}").as("bval"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("band"), col("bval"), col("doc_id").as("a_id"),
+      col("ah").as("a_hash"))
+    val b = bands.select(col("band"), col("bval"), col("doc_id").as("b_id"),
+      col("ah").as("b_hash"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+      .distinct() // pairs meeting in several bands counted once
+      .withColumn("hamming", expr("bit_count(a_hash ^ b_hash)"))
+      .filter(col("hamming") <= hammingMax)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val x06Sql = {
+    val bytesSum = (1 to ahashBits).map(byteDuck).mkString(" + ")
+    val hash = (0 until ahashBits)
+      .map(i => s"(CASE WHEN ${byteDuck(i + 1)} > bmean THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSel = (0 until ahashBands).map { k =>
+      s"SELECT doc_id, ah, $k AS band, (ah // ${1L << (k * 15)}) % ${1L << 15} AS bval FROM hashed"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH pre AS (
+       | SELECT doc_id, ($bytesSum) // $ahashBits AS bmean, text
+       | FROM documents WHERE octet_length(encode(text)) >= $ahashBits),
+       |hashed AS (SELECT doc_id, CAST($hash AS BIGINT) AS ah FROM pre),
+       |bands AS (
+       | $bandSel),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  a.ah AS a_hash, b.ah AS b_hash
+       | FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, a_hash, b_hash,
+       | CAST(bit_count(xor(a_hash, b_hash)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(a_hash, b_hash)) <= $hammingMax
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x06_image_neardup" -> (x06 _),
     "x01_binary_meta" -> (x01 _),
     "x02_frame_sample" -> (x02 _),
     "x03_decode_features" -> (x03 _),
@@ -201,6 +268,7 @@ object MultimodalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "x06_image_neardup" -> x06Sql,
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,
     "x03_decode_features" -> x03Sql,
