@@ -61,6 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hll_registers"),
       new ExpressionInfo(classOf[HllRegisters].getName, "hll_registers"),
       GraftFunctions.hllRegistersBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      GraftFunctions.hllEstimateBuilder))
     // whole-operator extension (SURVEY §2.7 path c): as-of join planning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // custom optimizer rule: column pruning through the as-of node
@@ -68,5 +72,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom optimizer rule: bucketed range-join rewrite (gated on
     // spark.graft.rangeJoin.bucketWidth — inactive unless set)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    // custom optimizer rule: exact COUNT(DISTINCT) -> HLL estimate
+    // (gated on spark.graft.approxDistinct — inactive unless true)
+    ext.injectOptimizerRule(_ => ApproxDistinctRewrite)
   }
 }

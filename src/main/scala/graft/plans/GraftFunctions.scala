@@ -104,6 +104,11 @@ object GraftFunctions {
     LogQuantileSketch(children(0)).toAggregateExpression()
   }
 
+  val hllEstimateBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "hll_estimate(regs)")
+    HllEstimate(children(0))
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -154,5 +159,9 @@ object GraftFunctions {
       new FunctionIdentifier("qsketch_buckets"),
       new ExpressionInfo(classOf[LogQuantileSketch].getName, "qsketch_buckets"),
       qsketchBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("hll_estimate"),
+      new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
+      hllEstimateBuilder)
   }
 }
