@@ -329,7 +329,70 @@ object MiscQueries extends QueryFamily {
       |  (o_orderstatus, o_orderpriority), ())
       |ORDER BY status, priority""".stripMargin
 
+  // ---- j17: geo radius join (haversine, cell-bucketed) ---------------------
+  // The spatial "all pairs within D km" join — the classic geo-data
+  // shape Spark has no native operator for. Naive is a full cross
+  // product with a trig predicate; the scale shape is GRID BUCKETING:
+  // assign every point its 1°×1° cell, explode ONE side into the 3×3
+  // neighbor cells (9 ids-only rows — a 50 km radius cannot escape the
+  // neighborhood below |lat| ≤ 60°), equi-join on the cell, and run the
+  // exact haversine only on cell-local candidates. Each (A-neighbor,
+  // B-cell) pair meets exactly once, so no dedup pass. The ORACLE is
+  // the UNBUCKETED theta join — a green hash proves the bucketing is
+  // lossless. Point set restricted to user_id < 30 so the oracle's
+  // quadratic form stays feasible at sf0.1; distances are one shared
+  // expression tree cast float32.
+  private val geoRadiusKm = 50.0
+  private def j17(s: SparkSession, dir: String): DataFrame = {
+    val pts = rd(s, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(col("event_id").as("id"),
+        expr("((event_id % 1200) / 10.0) - 60.0").as("lat"),
+        expr("((user_id * 97 + event_id % 3600) % 3600) / 10.0 - 180.0").as("lon"))
+      .localCheckpoint() // both join sides + the cell projections
+    val hav = "CAST(2.0 * 6371.0 * ASIN(SQRT(" +
+      "SIN(RADIANS(b_lat - a_lat) / 2.0) * SIN(RADIANS(b_lat - a_lat) / 2.0)" +
+      " + COS(RADIANS(a_lat)) * COS(RADIANS(b_lat))" +
+      " * SIN(RADIANS(b_lon - a_lon) / 2.0) * SIN(RADIANS(b_lon - a_lon) / 2.0)" +
+      ")) AS FLOAT)"
+    val a = pts.select(col("id").as("a_id"), col("lat").as("a_lat"),
+        col("lon").as("a_lon"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("a_id"), col("a_lat"), col("a_lon"), col("dy"),
+        explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("a_id"), col("a_lat"), col("a_lon"),
+        (expr("CAST(floor(a_lat) AS BIGINT)") + col("dy")).as("cy"),
+        (expr("CAST(floor(a_lon) AS BIGINT)") + col("dx")).as("cx"))
+    val b = pts.select(col("id").as("b_id"), col("lat").as("b_lat"),
+      col("lon").as("b_lon"),
+      expr("CAST(floor(b_lat) AS BIGINT)").as("cy"),
+      expr("CAST(floor(b_lon) AS BIGINT)").as("cx"))
+    a.join(b, Seq("cy", "cx"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist_km", expr(hav))
+      .filter(col("dist_km") <= geoRadiusKm)
+      .select(col("a_id"), col("b_id"), col("dist_km"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val j17Sql = {
+    val hav = "CAST(2.0 * 6371.0 * ASIN(SQRT(" +
+      "SIN(RADIANS(b.lat - a.lat) / 2.0) * SIN(RADIANS(b.lat - a.lat) / 2.0)" +
+      " + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))" +
+      " * SIN(RADIANS(b.lon - a.lon) / 2.0) * SIN(RADIANS(b.lon - a.lon) / 2.0)" +
+      ")) AS REAL)"
+    s"""WITH pts AS (
+       | SELECT event_id AS id,
+       |  ((event_id % 1200) / 10.0) - 60.0 AS lat,
+       |  ((user_id * 97 + event_id % 3600) % 3600) / 10.0 - 180.0 AS lon
+       | FROM events WHERE user_id < 30)
+       |SELECT a.id AS a_id, b.id AS b_id, $hav AS dist_km
+       |FROM pts a JOIN pts b ON a.id < b.id
+       |WHERE $hav <= $geoRadiusKm
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j17_geo_radius_join" -> (j17 _),
     "a25_grouping_sets" -> (a25 _),
     "j09_salted_skew_join" -> (j09 _),
     "a17_rollup_yields" -> (a17 _),
@@ -341,6 +404,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j17_geo_radius_join" -> j17Sql,
     "a25_grouping_sets" -> a25Sql,
     "j09_salted_skew_join" -> j09Sql,
     "a17_rollup_yields" -> a17Sql,
