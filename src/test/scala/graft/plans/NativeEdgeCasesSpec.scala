@@ -51,6 +51,37 @@ class NativeEdgeCasesSpec extends SparkSpec {
     assert(r.length == 16 && r.forall(_ == 0))
   }
 
+  test("hll_estimate: all-zero registers estimate zero (linear counting)") {
+    GraftFunctions.register(spark)
+    // V = m zeros -> m·ln(m/m) = 0: an empty sketch reads as 0 distinct
+    val r = spark.sql(
+      "SELECT hll_estimate(array_repeat(0, 512)) AS est").collect()(0)
+    assert(r.getDouble(0) == 0.0, s"empty sketch estimated ${r.getDouble(0)}")
+  }
+
+  test("hll_estimate agrees with the SQL estimator fold on real registers") {
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5000L).map(i => (i % 3, (i * 2654435761L) % 2147483647L))
+      .toDF("g", "hv")
+      .groupBy("g").agg(expr("hll_registers(hv, 9)").as("regs"))
+    val m = 512.0
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val sqlEst = s"""CASE WHEN ($alpha * ${m * m} / aggregate(regs,
+        CAST(0 AS DOUBLE), (acc, r) -> acc + power(2.0D, -r))) <= ${2.5 * m}
+        AND size(filter(regs, r -> r = 0)) > 0
+       THEN $m * ln($m / size(filter(regs, r -> r = 0)))
+       ELSE $alpha * ${m * m} / aggregate(regs,
+        CAST(0 AS DOUBLE), (acc, r) -> acc + power(2.0D, -r)) END"""
+    val rows = df.select(expr("hll_estimate(regs)").as("native"),
+      expr(sqlEst).as("hof")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9,
+        s"native ${r.getDouble(0)} vs HOF ${r.getDouble(1)}")
+    }
+  }
+
   test("shingle_set: sub-k strings yield an empty array") {
     val r = docs("", "ab", "abcd")
       .select(expr("shingle_set(text, 5)").as("sh")).collect()
