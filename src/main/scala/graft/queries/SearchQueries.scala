@@ -180,6 +180,88 @@ object SearchQueries extends QueryFamily {
        |WHERE rank <= $qlTopK ORDER BY rank""".stripMargin
   }
 
+  // ---- w10: tiered retrieval via champion lists ----------------------------
+  // The impact-ordered-postings trick production search engines use to
+  // avoid scoring the whole matching set: per query term, keep only
+  // its CHAMPION LIST (the top-C docs by that term's tf); the
+  // candidate set is the union of champion lists, and full BM25 runs
+  // on candidates only. The approximation contract is explicit (a doc
+  // outside every champion list cannot be retrieved — recall is traded
+  // for a candidate set bounded by |terms|·C however large the
+  // corpus), and the ORACLE MIRRORS THE GATE, so the driver checks the
+  // gated operator exactly (the LSH-family convention). Champion
+  // selection is a per-term distributed top-C (orderBy+limit per term
+  // — three tiny TakeOrderedAndProjects), never a corpus-wide window.
+  private val champC = 100
+  private val champTopK = 10
+  private def w10(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
+    }
+    val base = d.select(Seq(col("doc_id"),
+      expr("size(split(text, ' '))").as("dl")) ++ tfCols: _*)
+      .localCheckpoint()
+    val statCols = Seq(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      bmTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val champions = bmTerms.indices.map { i =>
+      base.filter(col(s"tf$i") > 0)
+        .orderBy(col(s"tf$i").desc, col("doc_id").asc)
+        .limit(champC)
+        .select(col("doc_id"))
+    }.reduce(_ unionAll _).distinct()
+    val termScore = bmTerms.indices.map { i =>
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))"
+      s"($idf * (tf$i * ($bmK1 + 1.0)) / " +
+        s"(tf$i + $bmK1 * (1.0 - $bmB + $bmB * dl / avgdl)))"
+    }.mkString(" + ")
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    base.join(champions, Seq("doc_id"), "left_semi")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", expr(termScore).cast("float"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(champTopK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+  private val w10Sql = {
+    val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(string_split(text, ' '), w -> w = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfCols = bmTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val champs = bmTerms.indices.map(i =>
+      s"(SELECT doc_id FROM base WHERE tf$i > 0 ORDER BY tf$i DESC, doc_id ASC LIMIT $champC)")
+      .mkString("\n  UNION\n  ")
+    val termScore = bmTerms.indices.map { i =>
+      val idf = s"ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (df$i + 0.5))"
+      s"($idf * (tf$i * ($bmK1 + 1.0)) / " +
+        s"(tf$i + $bmK1 * (1.0 - $bmB + $bmB * dl / avgdl)))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       | SELECT doc_id, len(string_split(text, ' ')) AS dl, $tfCols
+       | FROM documents),
+       |stats AS (
+       | SELECT COUNT(*) AS n_docs,
+       |  CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, $dfCols
+       | FROM base),
+       |champs AS (
+       |  $champs),
+       |scored AS (
+       | SELECT b.doc_id, CAST($termScore AS REAL) AS score
+       | FROM base b JOIN (SELECT DISTINCT doc_id FROM champs) c USING (doc_id)
+       | CROSS JOIN stats)
+       |SELECT rank, doc_id, score
+       |FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM scored)
+       |WHERE rank <= $champTopK ORDER BY rank""".stripMargin
+  }
+
   // ---- w02: Z-order (Morton) layout clustering -----------------------------
   // The multi-dimensional data-layout key behind OPTIMIZE ZORDER /
   // range-clustered parquet: interleave the bits of two quantized
@@ -744,6 +826,7 @@ object SearchQueries extends QueryFamily {
     "w03_phrase_search" -> (w03 _),
     "w01_bm25_rank" -> (w01 _),
     "w08_ql_dirichlet" -> (w08 _),
+    "w10_champion_lists" -> (w10 _),
     "w02_zorder_layout" -> (w02 _),
     "k01_cms_sketch" -> (k01 _),
     "k02_cms_estimate" -> (k02 _)
@@ -759,6 +842,7 @@ object SearchQueries extends QueryFamily {
     "w03_phrase_search" -> w03Sql,
     "w01_bm25_rank" -> w01Sql,
     "w08_ql_dirichlet" -> w08Sql,
+    "w10_champion_lists" -> w10Sql,
     "w02_zorder_layout" -> w02Sql,
     "k01_cms_sketch" -> k01Sql,
     "k02_cms_estimate" -> k02Sql
