@@ -1302,6 +1302,60 @@ object TemporalQueries extends QueryFamily {
       |WHERE n >= 3 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
       |ORDER BY user_id""".stripMargin
 
+  // ---- u21: time-weighted allocation across calendar buckets ---------------
+  // The metering/billing primitive: a session spanning bucket
+  // boundaries contributes to EACH hour proportionally to its overlap
+  // (u07's OHLC assigns whole rows to buckets; this splits them).
+  // Sessions reuse u08's value-derived durations; each explodes into
+  // the ≤ 2 hour buckets it spans (sequence over bucket ids — the j13
+  // bounded-explode shape), the overlap is exact integer microseconds,
+  // and the per-hour allocation sums vm·overlap_us as exact longs
+  // (≤ 2^63 at any row count by the milli/µs bounds) before ONE double
+  // division to value-hours. Shuffle is keyed by hour bucket.
+  private val usPerHourA = 3600000000L
+  private def u21(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), expr("ts div 1000").as("t0"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .withColumn("t1", col("t0") + (col("vm") % 30 + 1) * lit(60000000L))
+    val spanned = ev.select(col("event_id"), col("t0"), col("t1"), col("vm"),
+      explode(expr(s"sequence(t0 div $usPerHourA, (t1 - 1) div $usPerHourA)"))
+        .as("hour"))
+    spanned
+      .withColumn("overlap_us",
+        least(col("t1"), (col("hour") + 1) * usPerHourA) -
+          greatest(col("t0"), col("hour") * usPerHourA))
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("overlap_us")).as("busy_us"),
+        sum(col("vm") * col("overlap_us")).as("alloc_q"))
+      .select(col("hour"), col("n_spans"), col("busy_us"),
+        expr(s"CAST(CAST(alloc_q AS DOUBLE) / (1000.0 * $usPerHourA) AS FLOAT)")
+          .as("value_hours"))
+      .orderBy(col("hour"))
+  }
+  private val u21Sql =
+    s"""WITH ev AS (
+       | SELECT event_id, epoch_ns(ts) // 1000 AS t0,
+       |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm,
+       |  epoch_ns(ts) // 1000
+       |   + (CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) % 30 + 1) * 60000000 AS t1
+       | FROM events),
+       |spanned AS (
+       | SELECT event_id, t0, t1, vm,
+       |  UNNEST(generate_series(t0 // $usPerHourA, (t1 - 1) // $usPerHourA)) AS hour
+       | FROM ev),
+       |o AS (
+       | SELECT hour, vm,
+       |  LEAST(t1, (hour + 1) * $usPerHourA) - GREATEST(t0, hour * $usPerHourA)
+       |    AS overlap_us
+       | FROM spanned)
+       |SELECT hour, COUNT(*) AS n_spans,
+       | CAST(SUM(overlap_us) AS BIGINT) AS busy_us,
+       | CAST(CAST(SUM(vm * overlap_us) AS DOUBLE) / (1000.0 * $usPerHourA) AS REAL)
+       |   AS value_hours
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- u19: Holt linear-trend smoothing (double exponential) ---------------
   // u10's EWMA tracks level only; Holt's method adds a TREND state —
   // the standard short-horizon forecaster (capacity planning, rate
@@ -1417,6 +1471,7 @@ object TemporalQueries extends QueryFamily {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u18_bitemporal" -> (u18 _),
     "u19_holt_trend" -> (u19 _),
+    "u21_time_weighted_alloc" -> (u21 _),
     "u17_cusum" -> (u17 _),
     "u14_markov_transitions" -> (u14 _),
     "u15_top_paths" -> (u15 _),
@@ -1453,6 +1508,7 @@ object TemporalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "u18_bitemporal" -> u18Sql,
     "u19_holt_trend" -> u19Sql,
+    "u21_time_weighted_alloc" -> u21Sql,
     "u17_cusum" -> u17Sql,
     "u14_markov_transitions" -> u14Sql,
     "u15_top_paths" -> u15Sql,
