@@ -820,6 +820,57 @@ object MLQueries extends QueryFamily {
        |WHERE rank <= $chiTopK ORDER BY rank""".stripMargin
   }
 
+  // ---- m18: cross-validated AUC (per-fold metric stability) ----------------
+  // The eval-rigor companion to m07: the SAME exact tie-averaged AUC,
+  // computed independently per m01-style fold (doc_id mod 4) so metric
+  // SPREAD across folds is visible — the standard check that a single
+  // headline AUC is not fold luck. Everything runs per fold in one
+  // plan: the distribution table gains a fold key, the cumulative
+  // window is PARTITIONED by fold (distributed — never a global
+  // funnel), and the rank-sum identity folds per group. Four rows out
+  // at any corpus size.
+  private def m18(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select((col("doc_id") % 4).as("fold"),
+        expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val dist = d.groupBy(col("fold"), col("sm"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("c1"))
+    val wCum = Window.partitionBy(col("fold")).orderBy(col("sm").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dist.withColumn("cum_prev", coalesce(sum(col("c")).over(wCum), lit(0L)))
+      .groupBy(col("fold"))
+      .agg(
+        sum(col("c1")).as("npos"),
+        (sum(col("c")) - sum(col("c1"))).as("nneg"),
+        sum(col("c1") * (lit(2L) * col("cum_prev") + col("c") + 1L)).as("s2"))
+      .select(col("fold"), col("npos"), col("nneg"),
+        expr("CAST(CAST(s2 - npos * (npos + 1) AS DOUBLE) / (2 * npos * nneg) AS FLOAT)")
+          .as("auc"))
+      .orderBy(col("fold"))
+  }
+  private val m18Sql =
+    s"""WITH d AS (
+       | SELECT doc_id % 4 AS fold, CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |dist AS (
+       | SELECT fold, sm, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS c1
+       | FROM d GROUP BY 1, 2),
+       |cum AS (
+       | SELECT fold, c, c1,
+       |  CAST(COALESCE(SUM(c) OVER (PARTITION BY fold ORDER BY sm ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_prev
+       | FROM dist)
+       |SELECT fold, CAST(SUM(c1) AS BIGINT) AS npos,
+       | CAST(SUM(c) - SUM(c1) AS BIGINT) AS nneg,
+       | CAST(CAST(SUM(c1 * (2 * cum_prev + c + 1))
+       |   - SUM(c1) * (SUM(c1) + 1) AS DOUBLE)
+       |  / (2 * SUM(c1) * (SUM(c) - SUM(c1))) AS REAL) AS auc
+       |FROM cum GROUP BY fold ORDER BY fold""".stripMargin
+
   // ---- m16: Brier score + Murphy decomposition -----------------------------
   // The proper-scoring-rule health check: Brier = mean (p − y)² plus
   // Murphy's REL − RES + UNC decomposition over the m11 bins
@@ -956,6 +1007,7 @@ object MLQueries extends QueryFamily {
     "m15_average_precision" -> (m15 _),
     "m16_brier_decomposition" -> (m16 _),
     "m17_chi2_features" -> (m17 _),
+    "m18_cv_auc" -> (m18 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -976,6 +1028,7 @@ object MLQueries extends QueryFamily {
     "m15_average_precision" -> m15Sql,
     "m16_brier_decomposition" -> m16Sql,
     "m17_chi2_features" -> m17Sql,
+    "m18_cv_auc" -> m18Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
