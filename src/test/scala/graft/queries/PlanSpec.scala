@@ -263,6 +263,36 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("runtime bloom-filter join pruning engages on selective shuffle joins") {
+    // Spark's row-level runtime filter: a selective dimension filter
+    // builds a bloom filter that prunes the fact side BEFORE the join
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the matching slice. Local
+    // thresholds are sized for big data; pin them so the tiny test
+    // corpus qualifies, and force the shuffle join (broadcast joins
+    // don't need the filter).
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("RRF fusion joins only top-K lists (no corpus-sized join input)") {
     val df = SearchQueries.queries("w04_rrf_fusion")(spark, dir)
     df.collect()
