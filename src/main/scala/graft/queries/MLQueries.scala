@@ -820,6 +820,109 @@ object MLQueries extends QueryFamily {
        |WHERE rank <= $chiTopK ORDER BY rank""".stripMargin
   }
 
+  // ---- m19: exact Kendall tau-b between two scorers ------------------------
+  // The rank-correlation check between two scoring functions (model
+  // refresh vs incumbent, heuristic vs learned) — exact, WITHOUT the
+  // O(n²) pair join: both scores are integer-milli, so the corpus
+  // collapses to the JOINT score grid (≤ |A|·|B| ≈ 10⁶ cells at any
+  // corpus size; densified by a broadcast cross of the two value
+  // lists), concordant/discordant pair counts come from 2-D prefix
+  // sums over that grid (two KEYED cumulative windows — row prefix per
+  // sa, then column prefix per sb — never a global funnel), and tie
+  // terms from the per-axis marginals. Every count is an exact long;
+  // tau-b's sqrt runs once on exact inputs.
+  private val evalScoreB =
+    "(500 * ((doc_id * 1103515245 + 12345) % 997)) div 997 + " +
+      "(300 * ((doc_id * 69069 + 1) % 991)) div 991"
+  private val evalScoreBDuck = evalScoreB.replace(" div ", " // ")
+  private def m19(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sa"),
+        expr(s"CAST($evalScoreB AS BIGINT)").as("sb"))
+    val cells = d.groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n"))
+    val avals = cells.select(col("sa")).distinct()
+    val bvals = cells.select(col("sb")).distinct()
+    val grid = avals.crossJoin(broadcast(bvals))
+      .join(cells, Seq("sa", "sb"), "left")
+      .select(col("sa"), col("sb"), coalesce(col("n"), lit(0L)).as("n"))
+    val wRow = Window.partitionBy(col("sa")).orderBy(col("sb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCol = Window.partitionBy(col("sb")).orderBy(col("sa"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = grid
+      .withColumn("rowcum", sum(col("n")).over(wRow))
+      .withColumn("colcum", sum(col("n")).over(wCol))
+      .withColumn("p", sum(col("rowcum")).over(wCol))
+    val rowTots = d.groupBy(col("sa")).agg(count(lit(1)).as("rt"))
+    val wA = Window.orderBy(col("sa"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val below = rowTots
+      .withColumn("below", sum(col("rt")).over(wA) - col("rt"))
+      .select(col("sa"), col("below"))
+    val cd = pre.filter(col("n") > 0)
+      .join(broadcast(below), Seq("sa"))
+      .agg(
+        sum(col("n") * (col("p") - col("rowcum") - col("colcum") + col("n")))
+          .as("conc"),
+        sum(col("n") * (col("below") - (col("p") - col("rowcum"))))
+          .as("disc"))
+    val tieA = d.groupBy(col("sa")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n1"), sum(col("t")).as("nn"))
+    val tieB = d.groupBy(col("sb")).agg(count(lit(1)).as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    cd.crossJoin(broadcast(tieA)).crossJoin(broadcast(tieB))
+      .select(col("nn").as("n_rows"), col("conc"), col("disc"),
+        col("n1"), col("n2"),
+        expr("""CAST(CAST(conc - disc AS DOUBLE) /
+            | SQRT(CAST(nn * (nn - 1) div 2 - n1 AS DOUBLE)
+            |       * CAST(nn * (nn - 1) div 2 - n2 AS DOUBLE)) AS FLOAT)"""
+          .stripMargin).as("tau_b"))
+  }
+  private val m19Sql =
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sa,
+       |  CAST($evalScoreBDuck AS BIGINT) AS sb
+       | FROM documents),
+       |cells AS (SELECT sa, sb, COUNT(*) AS n FROM d GROUP BY 1, 2),
+       |grid AS (
+       | SELECT av.sa, bv.sb, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+       | FROM (SELECT DISTINCT sa FROM cells) av
+       | CROSS JOIN (SELECT DISTINCT sb FROM cells) bv
+       | LEFT JOIN cells c ON c.sa = av.sa AND c.sb = bv.sb),
+       |pre AS (
+       | SELECT sa, sb, n,
+       |  CAST(SUM(n) OVER (PARTITION BY sa ORDER BY sb
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rowcum,
+       |  CAST(SUM(n) OVER (PARTITION BY sb ORDER BY sa
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS colcum
+       | FROM grid),
+       |pre2 AS (
+       | SELECT sa, sb, n, rowcum, colcum,
+       |  CAST(SUM(rowcum) OVER (PARTITION BY sb ORDER BY sa
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       | FROM pre),
+       |rt AS (SELECT sa, COUNT(*) AS t FROM d GROUP BY 1),
+       |bel AS (
+       | SELECT sa,
+       |  CAST(SUM(t) OVER (ORDER BY sa
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS BIGINT) AS below
+       | FROM rt),
+       |cd AS (
+       | SELECT
+       |  CAST(SUM(n * (p - rowcum - colcum + n)) AS BIGINT) AS conc,
+       |  CAST(SUM(n * (below - (p - rowcum))) AS BIGINT) AS disc
+       | FROM pre2 JOIN bel USING (sa) WHERE n > 0),
+       |tA AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n1,
+       |        CAST(SUM(t) AS BIGINT) AS nn FROM rt),
+       |tB AS (SELECT CAST(SUM(t * (t - 1) // 2) AS BIGINT) AS n2
+       |       FROM (SELECT sb, COUNT(*) AS t FROM d GROUP BY 1))
+       |SELECT nn AS n_rows, conc, disc, n1, n2,
+       | CAST(CAST(conc - disc AS DOUBLE) /
+       |  SQRT(CAST(nn * (nn - 1) // 2 - n1 AS DOUBLE)
+       |       * CAST(nn * (nn - 1) // 2 - n2 AS DOUBLE)) AS REAL) AS tau_b
+       |FROM cd CROSS JOIN tA CROSS JOIN tB""".stripMargin
+
   // ---- m18: cross-validated AUC (per-fold metric stability) ----------------
   // The eval-rigor companion to m07: the SAME exact tie-averaged AUC,
   // computed independently per m01-style fold (doc_id mod 4) so metric
@@ -1008,6 +1111,7 @@ object MLQueries extends QueryFamily {
     "m16_brier_decomposition" -> (m16 _),
     "m17_chi2_features" -> (m17 _),
     "m18_cv_auc" -> (m18 _),
+    "m19_kendall_tau" -> (m19 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -1029,6 +1133,7 @@ object MLQueries extends QueryFamily {
     "m16_brier_decomposition" -> m16Sql,
     "m17_chi2_features" -> m17Sql,
     "m18_cv_auc" -> m18Sql,
+    "m19_kendall_tau" -> m19Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
