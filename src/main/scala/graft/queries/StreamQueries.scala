@@ -227,7 +227,35 @@ object StreamQueries extends QueryFamily {
       | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
       |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- n10: hopping (sliding) window aggregation ---------------------------
+  // window(event_time, '1 hour', '15 minutes'): every event belongs to
+  // FOUR overlapping windows — the streaming state shape tumbling
+  // buckets never exercise. The batch oracle explodes each event into
+  // its 4 hop starts (pure integer µs arithmetic, identical to Spark's
+  // epoch-aligned slide assignment) and aggregates; AvailableNow must
+  // reproduce it exactly.
+  private def n10(s: SparkSession, dir: String): DataFrame =
+    Streams.withStatePartitions(s, statePartitions) {
+      Streams.hoppingAgg(s, dir, fresh("graft_stream_hop"))
+    }.select(expr("unix_micros(window.start)").as("win_start_us"),
+        col("event_type"), col("n_events"),
+        expr("CAST(vm_sum / 1000.0 AS FLOAT)").as("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+  private val n10Sql =
+    """WITH ev AS (
+      | SELECT event_type, epoch_ns(ts) // 1000 AS us,
+      |  CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vm
+      | FROM events),
+      |hops AS (
+      | SELECT event_type, vm,
+      |  ((us // 900000000) - k) * 900000000 AS win_start_us
+      | FROM ev CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k))
+      |SELECT win_start_us, event_type, COUNT(*) AS n_events,
+      | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
+      |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n10_stream_hopping" -> (n10 _),
     "n09_stream_running_totals" -> (n09 _),
     "n07_stream_session_window" -> (n07 _),
     "n06_stream_static_join" -> (n06 _),
@@ -240,6 +268,7 @@ object StreamQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "n10_stream_hopping" -> n10Sql,
     "n09_stream_running_totals" -> n09Sql,
     "n07_stream_session_window" -> n07Sql,
     "n06_stream_static_join" -> n06Sql,

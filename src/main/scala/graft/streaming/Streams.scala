@@ -75,6 +75,32 @@ object Streams {
     * max(event_time) - delay at the batch boundary, so emitted windows
     * are exactly the batch windows strictly below that line (checked in
     * StreamsSpec). */
+  /** HOPPING (sliding) windowed aggregation: 1-hour windows every
+    * 15 minutes — each event lands in 4 overlapping windows, the state
+    * shape tumbling windows never exercise. Milli-long quantization
+    * keeps the overlapping sums order-free; Complete-mode memory sink,
+    * AvailableNow ≡ the batch explode-4-hops answer. */
+  def hoppingAgg(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.queries.normalizeEventTs)
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("vm", expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+    val agg = stream
+      .groupBy(window(col("event_time"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("vm")).as("vm_sum"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   def windowedAggWatermarked(spark: SparkSession, dir: String, delay: String,
                              queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
