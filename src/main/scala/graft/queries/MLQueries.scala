@@ -820,6 +820,72 @@ object MLQueries extends QueryFamily {
        |WHERE rank <= $chiTopK ORDER BY rank""".stripMargin
   }
 
+  // ---- m20: population stability index (score drift monitor) ---------------
+  // The standard MLOps drift report between a reference and a serving
+  // score distribution (here: fold 0 as reference vs folds 1-3, the
+  // m01 split): per m11-style decile bin, PSI_i = (p_i − q_i)·ln(p_i/q_i)
+  // and the headline PSI is the sum (rule of thumb: < 0.1 stable,
+  // > 0.25 shifted). Counts are exact integers from ONE scan; shares
+  // are single divisions; the 10 double terms sum via the ordered-fold
+  // rule (m16's discipline) so both engines add identically. Empty
+  // bins contribute 0 by convention (documented, mirrored in the
+  // oracle).
+  private def m20(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = rd(s, dir, "documents")
+      .select(expr("least(CAST(" + evalScore + " AS BIGINT) div 100, 9L)").as("bin"),
+        expr("CASE WHEN doc_id % 4 = 0 THEN 1L ELSE 0L END").as("is_ref"))
+    val bins = d.groupBy(col("bin"))
+      .agg(sum(col("is_ref")).as("e_n"),
+        (count(lit(1)) - sum(col("is_ref"))).as("a_n"))
+    val tot = bins.agg(sum(col("e_n")).as("et"), sum(col("a_n")).as("at"))
+    val term = """CASE WHEN e_n = 0 OR a_n = 0 THEN 0.0D
+      | ELSE ((CAST(e_n AS DOUBLE) / et) - (CAST(a_n AS DOUBLE) / at))
+      |  * ln((CAST(e_n AS DOUBLE) / et) / (CAST(a_n AS DOUBLE) / at))
+      | END""".stripMargin
+    val terms = bins.crossJoin(broadcast(tot))
+      .withColumn("psi_term", expr(term))
+    val total = terms
+      .agg(expr("aggregate(transform(array_sort(collect_list(struct(bin, psi_term)))," +
+        " x -> x.psi_term), 0.0D, (acc, v) -> acc + v)").as("psi"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("e_n"), col("a_n"),
+        expr("CAST(CAST(e_n AS DOUBLE) / et AS FLOAT)").as("p_ref"),
+        expr("CAST(CAST(a_n AS DOUBLE) / at AS FLOAT)").as("p_act"),
+        col("psi_term").cast("float").as("psi_term"),
+        col("psi").cast("float").as("psi_total"))
+      .orderBy(col("bin"))
+  }
+  private val m20Sql = {
+    val term = """CASE WHEN e_n = 0 OR a_n = 0 THEN 0.0
+      | ELSE ((CAST(e_n AS DOUBLE) / et) - (CAST(a_n AS DOUBLE) / at))
+      |  * ln((CAST(e_n AS DOUBLE) / et) / (CAST(a_n AS DOUBLE) / at))
+      | END""".stripMargin
+    s"""WITH d AS (
+       | SELECT LEAST(CAST($evalScoreDuck AS BIGINT) // 100, 9) AS bin,
+       |  CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS is_ref
+       | FROM documents),
+       |bins AS (
+       | SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS e_n,
+       |  CAST(COUNT(*) - SUM(is_ref) AS BIGINT) AS a_n
+       | FROM d GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(e_n) AS BIGINT) AS et,
+       |         CAST(SUM(a_n) AS BIGINT) AS at FROM bins),
+       |terms AS (
+       | SELECT bin, e_n, a_n, et, at, $term AS psi_term
+       | FROM bins CROSS JOIN tot),
+       |total AS (
+       | SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list(psi_term ORDER BY bin)), (acc, v) -> acc + v) AS psi
+       | FROM terms)
+       |SELECT bin, e_n, a_n,
+       | CAST(CAST(e_n AS DOUBLE) / et AS REAL) AS p_ref,
+       | CAST(CAST(a_n AS DOUBLE) / at AS REAL) AS p_act,
+       | CAST(psi_term AS REAL) AS psi_term,
+       | CAST(psi AS REAL) AS psi_total
+       |FROM terms CROSS JOIN total ORDER BY bin""".stripMargin
+  }
+
   // ---- m19: exact Kendall tau-b between two scorers ------------------------
   // The rank-correlation check between two scoring functions (model
   // refresh vs incumbent, heuristic vs learned) — exact, WITHOUT the
@@ -1112,6 +1178,7 @@ object MLQueries extends QueryFamily {
     "m17_chi2_features" -> (m17 _),
     "m18_cv_auc" -> (m18 _),
     "m19_kendall_tau" -> (m19 _),
+    "m20_psi_drift" -> (m20 _),
     "m10_target_encoding" -> (m10 _),
     "m09_decile_lift" -> (m09 _),
     "m08_ks_test" -> (m08 _),
@@ -1134,6 +1201,7 @@ object MLQueries extends QueryFamily {
     "m17_chi2_features" -> m17Sql,
     "m18_cv_auc" -> m18Sql,
     "m19_kendall_tau" -> m19Sql,
+    "m20_psi_drift" -> m20Sql,
     "m10_target_encoding" -> m10Sql,
     "m09_decile_lift" -> m09Sql,
     "m08_ks_test" -> m08Sql,
