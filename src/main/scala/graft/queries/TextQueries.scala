@@ -684,7 +684,51 @@ object TextQueries extends QueryFamily {
        |   AS sample_factor
        |FROM counts CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ---- t25: readability scoring (Flesch reading ease) ----------------------
+  // The classic text-difficulty feature (quality filtering, audience
+  // bucketing): 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+  // words). All three counts are EXACT integer string algebra shared
+  // by both engines — words from the token split, sentences from the
+  // period count (length-difference trick), syllables approximated by
+  // VOWEL GROUPS (the standard heuristic: length delta between
+  // replacing each [aeiou]+ run with one char vs none — RE2 and Java
+  // regex agree on this pattern). Zero-guards via GREATEST(·, 1); the
+  // formula is one fixed parenthesization, float32 at the end. Pure
+  // per-row projection — zero shuffle.
+  private def t25(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val words = "size(split(text, ' '))"
+    val sents = "GREATEST(length(text) - length(replace(text, '.', '')), 1)"
+    val syll = "GREATEST(length(regexp_replace(lower(text), '[aeiou]+', '#'))" +
+      " - length(regexp_replace(lower(text), '[aeiou]+', '')), 1)"
+    d.select(col("doc_id"),
+        expr(words).cast("long").as("n_words"),
+        expr(sents).cast("long").as("n_sentences"),
+        expr(syll).cast("long").as("n_syllables"),
+        expr(s"""CAST(206.835
+            | - 1.015 * (CAST($words AS DOUBLE) / ($sents))
+            | - 84.6 * (CAST($syll AS DOUBLE) / GREATEST($words, 1))
+            | AS FLOAT)""".stripMargin).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+  private val t25Sql = {
+    val words = "len(string_split(text, ' '))"
+    val sents = "GREATEST(length(text) - length(replace(text, '.', '')), 1)"
+    val syll = "GREATEST(length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))" +
+      " - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')), 1)"
+    s"""SELECT doc_id,
+       | CAST($words AS BIGINT) AS n_words,
+       | CAST($sents AS BIGINT) AS n_sentences,
+       | CAST($syll AS BIGINT) AS n_syllables,
+       | CAST(206.835
+       |  - 1.015 * (CAST($words AS DOUBLE) / ($sents))
+       |  - 84.6 * (CAST($syll AS DOUBLE) / GREATEST($words, 1))
+       |  AS REAL) AS flesch
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_readability" -> (t25 _),
     "t24_temperature_mixture" -> (t24 _),
     "t23_epoch_shuffle" -> (t23 _),
     "t22_zipf_fit" -> (t22 _),
@@ -707,6 +751,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t25_readability" -> t25Sql,
     "t24_temperature_mixture" -> t24Sql,
     "t23_epoch_shuffle" -> t23Sql,
     "t22_zipf_fit" -> t22Sql,
