@@ -44,12 +44,23 @@ object Bench {
     val total = results.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Two spellings of the same record: the driver's log parser greps a
-    // stable `BENCH_JSON ` marker (sbt interleaves [info] noise around a
-    // bare line); the trailing bare line keeps the original one-JSON-line
-    // contract for anything tailing stdout.
-    println(s"BENCH_JSON $json")
+    // The driver retains only a ~2 KB stdout TAIL, and the per-query map
+    // is ~8 KB — so the full record goes out first (bare line, for
+    // anything tailing stdout, and BENCH_LOCAL.json on disk), and the
+    // FINAL stdout line is a compact totals-only `BENCH_JSON ` marker
+    // that is guaranteed to survive the tail and parse.
     println(json)
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","total":$total,""" +
+        s""""n_queries":${results.size},"sf":"$sfDir"}"""
+    println(s"BENCH_JSON $compact")
   }
 }

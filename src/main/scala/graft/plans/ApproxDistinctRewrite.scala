@@ -48,9 +48,14 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
             case ae @ AggregateExpression(Count(Seq(child)), _, true, _, _)
                 if child.deterministic =>
               // the repo-wide 31-bit non-negative hash domain the
-              // register contract expects (bucket = h % m, w = h div m)
-              val hashed = Pmod(Cast(new Murmur3Hash(Seq(child)), LongType),
-                Literal(2147483647L))
+              // register contract expects (bucket = h % m, w = h div m).
+              // NULL inputs must stay NULL: Murmur3Hash(null) returns the
+              // seed, which would register a phantom distinct element,
+              // while exact COUNT(DISTINCT) ignores NULLs — so gate the
+              // hash on the child's nullity (HllRegisters skips nulls).
+              val hashed = If(IsNull(child), Literal(null, LongType),
+                Pmod(Cast(new Murmur3Hash(Seq(child)), LongType),
+                  Literal(2147483648L)))
               val regs = ae.copy(
                 aggregateFunction = HllRegisters(hashed, p),
                 isDistinct = false)

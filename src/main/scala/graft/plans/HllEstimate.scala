@@ -19,10 +19,14 @@ case class HllEstimate(child: Expression)
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
+  // an empty register array estimates to null even when the child is
+  // non-nullable, so nullability cannot be inherited from the child
+  override def nullable: Boolean = true
 
   protected override def nullSafeEval(input: Any): Any = {
     val regs = input.asInstanceOf[ArrayData]
     val m = regs.numElements()
+    if (m == 0) return null
     var sum = 0.0
     var zeros = 0
     var i = 0

@@ -362,11 +362,18 @@ object MiscQueries extends QueryFamily {
         explode(expr("sequence(-1, 1)")).as("dx"))
       .select(col("a_id"), col("a_lat"), col("a_lon"),
         (expr("CAST(floor(a_lat) AS BIGINT)") + col("dy")).as("cy"),
-        (expr("CAST(floor(a_lon) AS BIGINT)") + col("dx")).as("cx"))
+        // wrap the neighbor cell across the antimeridian: lon cells
+        // -180 and 179 are adjacent on the sphere (the haversine's
+        // sin(Δlon/2) is periodic, so such pairs DO pass the exact
+        // predicate) — without the wrap the equi-join can never
+        // produce them and the bucketing is lossy at ±180°
+        expr("((CAST(floor(a_lon) AS BIGINT) + dx + 540) % 360) - 180")
+          .as("cx"))
     val b = pts.select(col("id").as("b_id"), col("lat").as("b_lat"),
       col("lon").as("b_lon"),
       expr("CAST(floor(b_lat) AS BIGINT)").as("cy"),
-      expr("CAST(floor(b_lon) AS BIGINT)").as("cx"))
+      // same normalization as the a side so the key domains coincide
+      expr("((CAST(floor(b_lon) AS BIGINT) + 540) % 360) - 180").as("cx"))
     a.join(b, Seq("cy", "cx"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("dist_km", expr(hav))

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -12,21 +14,24 @@ package object queries {
     * TIMESTAMP(NANOS) (read as long via nanosAsLong) and as plain
     * TIMESTAMP/TIMESTAMP_NTZ; normalize any timestamp-typed `ts` back
     * to epoch nanos so every query and every oracle sees one domain.
-    * The NTZ→epoch cast goes through the session timezone at ANALYSIS
-    * time, so the conversion pins the owning session to UTC itself —
-    * the same interpretation DuckDB's `epoch_ns(TIMESTAMP)` uses for
-    * naive timestamps — instead of relying on every caller (fresh
-    * `newSession()`s in specs included) to have done it. Sessions built
-    * by GraftSession/Verify/Bench/SparkSpec pin UTC at construction as
-    * the documented invariant; this is the belt-and-braces for any
-    * other session. Works on batch and streaming DataFrames alike
-    * (pure projection). */
+    * A plain NTZ→TIMESTAMP cast would interpret the naive wall time in
+    * the SESSION timezone, so this builds the Cast with an explicit
+    * `timeZoneId = UTC` instead — the same interpretation DuckDB's
+    * `epoch_ns(TIMESTAMP)` uses for naive timestamps — making the
+    * conversion self-contained: correct on any session regardless of
+    * its timezone, with no session-state mutation. (Sessions built by
+    * GraftSession/Verify/Bench/SparkSpec still pin UTC at construction
+    * as the documented invariant for user-written time logic.) The
+    * analyzer's ResolveTimeZone only fills EMPTY timeZoneIds, so the
+    * explicit UTC survives analysis. Works on batch and streaming
+    * DataFrames alike (pure projection). */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(TimestampNTZType) | Some(TimestampType) =>
-        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        val utcInstant = GraftBridge.column(
+          Cast(GraftBridge.expression(col("ts")), TimestampType, Some("UTC")))
         df.withColumn(
-          "ts", (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+          "ts", (unix_micros(utcInstant) * 1000L).cast(LongType))
       case _ => df
     }
 
@@ -38,10 +43,11 @@ package object queries {
 
     /** Read a test table. `events.parquet` has carried an INT64
       * TIMESTAMP(NANOS) column that Spark 4 refuses by default
-      * (PARQUET_TYPE_ILLEGAL); nanosAsLong is a runtime SQLConf, so set
-      * it here to stay robust however the session was built. Timestamp
-      * columns named `ts` are normalized to the epoch-nanos long domain
-      * (see [[normalizeEventTs]], which pins UTC when it converts). */
+      * (PARQUET_TYPE_ILLEGAL); nanosAsLong is a runtime SQLConf with no
+      * per-read option form, so set it here to stay robust however the
+      * session was built. Timestamp columns named `ts` are normalized
+      * to the epoch-nanos long domain (see [[normalizeEventTs]], which
+      * carries its own UTC cast — no session mutation). */
     protected def rd(s: SparkSession, dir: String, name: String): DataFrame = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeEventTs(s.read.parquet(t(dir, name)))

@@ -22,6 +22,11 @@ object GraftBridge {
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
 
+  // the reverse direction: wrap a catalyst Expression as a Column, so
+  // expressions the public API cannot spell (e.g. a Cast carrying an
+  // explicit timeZoneId) can enter a DataFrame projection
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 }

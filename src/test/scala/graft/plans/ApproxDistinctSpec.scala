@@ -51,6 +51,26 @@ class ApproxDistinctSpec extends SparkSpec {
     }
   }
 
+  test("NULL inputs do not register phantom distinct elements") {
+    // exact COUNT(DISTINCT) ignores NULLs; Murmur3Hash(null) returns the
+    // seed, so an unguarded rewrite registers a phantom element. On a
+    // 2-distinct + NULLs column the estimate is exact at p=12, so any
+    // off-by-one is the phantom.
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, java.lang.Long)](
+      (0L, 1L), (0L, 2L), (0L, null), (0L, null),
+      (1L, null), (1L, null), (1L, null)
+    ).toDF("g", "v")
+    val approx = withRule(enabled = true) {
+      val out = df.groupBy(col("g")).agg(countDistinct(col("v")).as("nd"))
+      assert(out.queryExecution.optimizedPlan.toString.contains("hll_registers"))
+      out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(approx(0L) == 2L, s"all-null group contaminated: ${approx(0L)}")
+    assert(approx(1L) == 0L, s"all-null group must estimate 0: ${approx(1L)}")
+  }
+
   test("multi-column distinct counts are out of scope and stay exact") {
     withRule(enabled = true) {
       val out = data.groupBy(col("g"))
