@@ -143,19 +143,35 @@ object LookupQueries extends QueryFamily {
        |  ON pt_jec >= u.lo AND pt_jec < u.hi
        |ORDER BY 1, 2, 3""".stripMargin
 
+  // ---- l10/l12 shared: the scanned JEC correction tables -----------------
+  // reference: stage1/corrections/jec.py:6-181 — every correction level,
+  // uncertainty bin and per-source magnitude is DATA (txt tables fed to
+  // extractor factories), never code. The engine mirrors that: one tiny
+  // CSV fixture (kind, source, lo, hi, val) scanned once per query and
+  // broadcast; the DuckDB oracle reads the SAME file, so the magnitudes
+  // cross the engine boundary as data, not as duplicated literals.
+  private[queries] val jecCsvPath: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+      "/root/repo/src/main/resources/fixtures") + "/jec_tables.csv"
+  private def jecTables(s: SparkSession): DataFrame =
+    s.read.schema("kind STRING, source STRING, lo DOUBLE, hi DOUBLE, val DOUBLE")
+      .option("header", "true").csv(jecCsvPath)
+  private val jecCsvSql =
+    s"""(SELECT * FROM read_csv('$jecCsvPath', header=true,
+       |  columns={'kind':'VARCHAR','source':'VARCHAR','lo':'DOUBLE','hi':'DOUBLE','val':'DOUBLE'}))""".stripMargin
+  private val jesNames: Seq[String] = (1 to 11).map(i => s"jes$i")
+  private val jerNames: Seq[String] = (1 to 6).map(i => s"jer$i")
+
   // ---- l10: JEC chain at reference variant breadth (L4, wide form) -------
   // reference: stage1/processor.py:447-463 + config/jec_parameters.py —
   // every jet carries 22 JES + 12 JER variant COLUMNS of the corrected
   // pt, not 34 copies of the table. The chain (two binned corrections +
   // one binned uncertainty) runs ONCE; each source then scales the
-  // shared binned uncertainty by its own literal magnitude, so the plan
-  // stays three broadcast range-joins regardless of source count. Source
-  // magnitudes ride the 4-decimal-string trick (both engines parse the
-  // identical double).
-  private val jesSrc: Seq[(String, String)] =
-    (1 to 11).map(i => (s"jes$i", "%.4f".formatLocal(java.util.Locale.ROOT, i / 10.0)))
-  private val jerSrc: Seq[(String, String)] =
-    (1 to 6).map(i => (s"jer$i", "%.4f".formatLocal(java.util.Locale.ROOT, i / 20.0)))
+  // shared binned uncertainty by its own magnitude from the scanned
+  // kind∈{jes,jer} rows of the fixture, pivoted in-plan to ONE map row
+  // and broadcast — so the plan stays three broadcast range-joins plus
+  // one single-row broadcast regardless of source count, and adding a
+  // source is a data change, not a code change.
   private def l10(s: SparkSession, dir: String): DataFrame = {
     val li = rd(s, dir, "lineitem")
     val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
@@ -171,24 +187,32 @@ object LookupQueries extends QueryFamily {
     val j3 = j2.withColumn("pt_jec", ptJec)
       .join(broadcast(bins1DF(s, jecUnc).withColumnRenamed("sf", "unc")),
         col("pt_jec") >= col("lo") && col("pt_jec") < col("hi"), "left")
+    // source → magnitude as a 1-row broadcast map (the whitelisted
+    // broadcast-1-row-aggregate shape): stays in-plan, no driver collect
+    val mags = jecTables(s).filter(col("kind").isin("jes", "jer"))
+      .agg(map_from_entries(collect_list(struct(col("source"), col("val"))))
+        .as("jmag"))
+    val j4 = j3.crossJoin(broadcast(mags))
     val unc = coalesce(col("unc"), lit(0.0))
-    val variantCols = (jesSrc ++ jerSrc).flatMap { case (n, mag) =>
-      val delta = unc * expr(s"CAST('$mag' AS DOUBLE)")
+    val variantCols = (jesNames ++ jerNames).flatMap { n =>
+      val delta = unc * element_at(col("jmag"), lit(n))
       Seq(
         (col("pt_jec") * (lit(1.0) + delta)).cast("float").as(s"pt_${n}_up"),
         (col("pt_jec") * (lit(1.0) - delta)).cast("float").as(s"pt_${n}_down"))
     }
-    j3.select(Seq(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+    j4.select(Seq(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
         col("pt_jec").cast("float").as("pt_jec")) ++ variantCols: _*)
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
   private val l10Sql = {
-    val variantCols = (jesSrc ++ jerSrc).flatMap { case (n, mag) =>
+    val variantCols = (jesNames ++ jerNames).flatMap { n =>
+      val mag = s"(SELECT val FROM jec WHERE source = '$n')"
       Seq(
-        s"CAST(pt_jec * (1.0 + COALESCE(u.sf, 0.0) * CAST('$mag' AS DOUBLE)) AS REAL) AS pt_${n}_up",
-        s"CAST(pt_jec * (1.0 - COALESCE(u.sf, 0.0) * CAST('$mag' AS DOUBLE)) AS REAL) AS pt_${n}_down")
+        s"CAST(pt_jec * (1.0 + COALESCE(u.sf, 0.0) * $mag) AS REAL) AS pt_${n}_up",
+        s"CAST(pt_jec * (1.0 - COALESCE(u.sf, 0.0) * $mag) AS REAL) AS pt_${n}_down")
     }.mkString(",\n ")
-    s"""WITH base AS (
+    s"""WITH jec AS (SELECT * FROM $jecCsvSql WHERE kind IN ('jes', 'jer')),
+       |base AS (
        | SELECT l_orderkey, l_linenumber, l_extendedprice,
        |   l_extendedprice / 1000.0 AS pt_raw,
        |   ABS(l_discount * 94.0 - 4.7) AS abseta
@@ -208,6 +232,76 @@ object LookupQueries extends QueryFamily {
        |  ON pt_jec >= u.lo AND pt_jec < u.hi
        |ORDER BY 1, 2, 3""".stripMargin
   }
+
+  // ---- l12: fully table-driven JEC, per-source |eta|-binned (L4) ---------
+  // reference: stage1/corrections/jec.py:6-181 — the UncertaintySources
+  // txt table gives each JES source its own |eta|-binned magnitude; the
+  // factory builds one lookup per source from the same file. Here the
+  // WHOLE chain is data: L1/L2 corrections, the shared uncertainty and
+  // the per-source kind='jes_eta' magnitudes all come from one scanned
+  // CSV, each level a broadcast range join. Long form (one row per
+  // jet × source) — the wide variant-column shape is l10's subject; what
+  // l12 adds is that a new source or re-binned table changes NO code.
+  // The jet side is thinned with a deterministic key filter (pushed to
+  // the scan) to keep the oracle compare light.
+  private def l12(s: SparkSession, dir: String): DataFrame = {
+    val tabs = jecTables(s)
+    def kindTab(k: String, valName: String): DataFrame =
+      tabs.filter(col("kind") === k)
+        .select(col("lo"), col("hi"), col("val").as(valName))
+    val li = rd(s, dir, "lineitem").filter(col("l_orderkey") % 7 === 0)
+    val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+      (col("l_extendedprice") / lit(1000.0)).as("pt_raw"),
+      abs(col("l_discount") * 94.0 - 4.7).as("abseta"))
+    val j1 = base.join(broadcast(kindTab("l1", "sf1")),
+      col("pt_raw") >= col("lo") && col("pt_raw") < col("hi"), "left")
+      .drop("lo", "hi")
+    val j2 = j1.join(broadcast(kindTab("l2", "sf2")),
+      col("abseta") >= col("lo") && col("abseta") < col("hi"), "left")
+      .drop("lo", "hi")
+    val ptJec = col("pt_raw") * coalesce(col("sf1"), lit(1.0)) * coalesce(col("sf2"), lit(1.0))
+    val j3 = j2.withColumn("pt_jec", ptJec)
+      .join(broadcast(kindTab("unc", "unc")),
+        col("pt_jec") >= col("lo") && col("pt_jec") < col("hi"), "left")
+      .drop("lo", "hi")
+    val srcTab = tabs.filter(col("kind") === "jes_eta")
+      .select(col("source"), col("lo"), col("hi"), col("val").as("mag"))
+    val unc = coalesce(col("unc"), lit(0.0))
+    j3.join(broadcast(srcTab),
+        col("abseta") >= col("lo") && col("abseta") < col("hi"), "inner")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("source"),
+        col("pt_jec").cast("float").as("pt_jec"),
+        (col("pt_jec") * (lit(1.0) + unc * col("mag"))).cast("float").as("pt_up"),
+        (col("pt_jec") * (lit(1.0) - unc * col("mag"))).cast("float").as("pt_down"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("source"))
+  }
+  private val l12Sql =
+    s"""WITH jec AS (SELECT * FROM $jecCsvSql),
+       |base AS (
+       | SELECT l_orderkey, l_linenumber, l_extendedprice,
+       |   l_extendedprice / 1000.0 AS pt_raw,
+       |   ABS(l_discount * 94.0 - 4.7) AS abseta
+       | FROM lineitem WHERE l_orderkey % 7 = 0),
+       |j AS (
+       | SELECT b.*,
+       |   b.pt_raw * COALESCE(s1.val, 1.0) * COALESCE(s2.val, 1.0) AS pt_jec
+       | FROM base b
+       | LEFT JOIN (SELECT * FROM jec WHERE kind = 'l1') s1
+       |   ON b.pt_raw >= s1.lo AND b.pt_raw < s1.hi
+       | LEFT JOIN (SELECT * FROM jec WHERE kind = 'l2') s2
+       |   ON b.abseta >= s2.lo AND b.abseta < s2.hi)
+       |SELECT j.l_orderkey, j.l_linenumber, j.l_extendedprice, e.source,
+       | CAST(pt_jec AS REAL) AS pt_jec,
+       | CAST(pt_jec * (1.0 + COALESCE(u.val, 0.0) * e.val) AS REAL) AS pt_up,
+       | CAST(pt_jec * (1.0 - COALESCE(u.val, 0.0) * e.val) AS REAL) AS pt_down
+       |FROM j
+       |LEFT JOIN (SELECT * FROM jec WHERE kind = 'unc') u
+       |  ON pt_jec >= u.lo AND pt_jec < u.hi
+       |JOIN (SELECT * FROM jec WHERE kind = 'jes_eta') e
+       |  ON j.abseta >= e.lo AND j.abseta < e.hi
+       |ORDER BY 1, 2, 3, 4""".stripMargin
 
   // ---- l05: per-flavor piecewise polynomial SF (L5, btag-style) ----------
   // reference: stage1/corrections/btag_weights.py:4-61 — SF = poly(x)
@@ -491,7 +585,8 @@ object LookupQueries extends QueryFamily {
     "l05_flavor_poly" -> (l05 _),
     "l06_qgl_norm_poly" -> (l06 _),
     "l07_rochester_branch" -> (l07 _),
-    "l10_jec_variant_columns" -> (l10 _)
+    "l10_jec_variant_columns" -> (l10 _),
+    "l12_jec_table_driven" -> (l12 _)
   )
 
   val oracle: Map[String, String] = Map(
@@ -505,6 +600,7 @@ object LookupQueries extends QueryFamily {
     "l05_flavor_poly" -> l05Sql,
     "l06_qgl_norm_poly" -> l06Sql,
     "l07_rochester_branch" -> l07Sql,
-    "l10_jec_variant_columns" -> l10Sql
+    "l10_jec_variant_columns" -> l10Sql,
+    "l12_jec_table_driven" -> l12Sql
   )
 }

@@ -41,6 +41,22 @@ class PlanSpec extends SparkSpec {
       s"lookup not broadcast:\n$plan")
   }
 
+  test("table-driven JEC chain broadcasts every scanned lookup level") {
+    // l12 reads all four correction levels (l1/l2/unc/jes_eta) from the
+    // CSV fixture; each must reach the jet side as a broadcast range
+    // join — a shuffle of the 600k-jet side against a 66-row table
+    // would be the classic scale inversion
+    val plan = planOf(LookupQueries.queries("l12_jec_table_driven")(spark, dir))
+    val nBnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBnl >= 4, s"expected 4 broadcast range joins, got $nBnl:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"lookup side shuffled:\n$plan")
+    // and the jet-side key filter is pushed into the parquet scan
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey)")
+      || plan.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_orderkey")),
+      s"key filter not pushed down:\n$plan")
+  }
+
   test("group sums use map-side partial aggregation") {
     val plan = planOf(RelationalQueries.queries("a01_group_sums")(spark, dir))
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
