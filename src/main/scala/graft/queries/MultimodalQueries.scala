@@ -258,8 +258,129 @@ object MultimodalQueries extends QueryFamily {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- x07: DCT perceptual-hash (pHash) image near-duplicate ---------------
+  // The robust upgrade of x06's aHash: instead of per-byte vs mean, hash
+  // the LOW-FREQUENCY structure. Classic pHash resizes to 32×32, takes
+  // the 2-D DCT, keeps the top-left 8×8 coefficients and thresholds
+  // against their median. Scaled to the fake-decode stand-in x01-x06
+  // use: the "image" is the first 64 blob bytes as an 8×8 block, the
+  // 2-D DCT-II (orthonormal) is taken, the top-left 4×4 low-frequency
+  // block kept, and each of the 15 AC coefficients thresholds against
+  // the AC MEAN (15*c_i > Σc — multiply, never divide: Spark `div`
+  // truncates where DuckDB `//` floors on negatives).
+  //
+  // Determinism across engines: the DCT basis is QUANTIZED — K[u][r] =
+  // round(α(u)·cos((2r+1)uπ/16)·4096) — so every coefficient is an
+  // exact integer dot product Σ W·byte with W = K[u][r]·K[v][c]
+  // precomputed on the driver and embedded as identical literals in
+  // both the Spark plan and the oracle SQL (the l11 fixed-
+  // parenthesization discipline, taken all the way to integers).
+  // |coeff| ≤ 2048²·255·64 < 2⁶³ — no overflow.
+  //
+  // Candidate generation is x06's banding: 3 bands × 5 bits over the
+  // 15-bit hash; two images within Hamming ≤ 2 must agree on ≥ 1 band
+  // (pigeonhole), exact bit_count verify on candidates only. Scale
+  // shape: one codegen projection per image, band join ships
+  // (band, bval, id, hash) only — never pixels.
+  private val phashN = 8 // pixel block is 8×8 = 64 bytes
+  private val phashKeep = 4 // keep top-left 4×4 coefficients
+  private val phashBands = 3 // 5 bits each over the 15 AC bits
+  private val phashHammingMax = 2
+  /** Quantized orthonormal DCT-II basis, K(u)(r) = round(α·cos·4096). */
+  private val phashBasis: Array[Array[Long]] = Array.tabulate(phashKeep, phashN) {
+    (u, r) =>
+      val alpha = if (u == 0) math.sqrt(1.0 / phashN) else math.sqrt(2.0 / phashN)
+      math.round(alpha * math.cos((2 * r + 1) * u * math.Pi / (2 * phashN)) * 4096.0)
+  }
+  /** coeff(u,v) as a sum of 64 integer terms over byte columns b1..b64. */
+  private def phashCoeffExpr(u: Int, v: Int): String =
+    (for { r <- 0 until phashN; c <- 0 until phashN } yield {
+      val w = phashBasis(u)(r) * phashBasis(v)(c)
+      s"($w) * b${r * phashN + c + 1}"
+    }).mkString(" + ")
+  // AC coefficient order: (u,v) row-major over the kept block, DC skipped.
+  private val phashAc: Seq[(Int, Int)] =
+    for { u <- 0 until phashKeep; v <- 0 until phashKeep; if u + v > 0 } yield (u, v)
+
+  /** Per-doc (doc_id, ph) pHash table — x07's first stage, public so
+    * MediaPipelineSpec can brute-force-verify the banding is lossless. */
+  private[graft] def phashHashes(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val nBytes = phashN * phashN
+    val withBytes = d
+      .filter(octet_length(expr("encode(text, 'UTF-8')")) >= nBytes)
+      .select(col("doc_id") +: (1 to nBytes).map(i => expr(byteSpark(i)).as(s"b$i")): _*)
+    val withCoeffs = withBytes.select(
+      col("doc_id") +: phashAc.zipWithIndex.map { case ((u, v), i) =>
+        expr(phashCoeffExpr(u, v)).as(s"c${i + 1}")
+      }: _*)
+    val acSum = (1 to phashAc.size).map(i => s"c$i").mkString(" + ")
+    val hash = (0 until phashAc.size)
+      .map(i => s"(CASE WHEN ${phashAc.size} * c${i + 1} > acsum THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    withCoeffs
+      .withColumn("acsum", expr(acSum))
+      .select(col("doc_id"), expr(s"CAST($hash AS BIGINT)").as("ph"))
+  }
+
+  private def x07(s: SparkSession, dir: String): DataFrame = {
+    val hashed = phashHashes(s, dir)
+      .localCheckpoint() // feeds all band projections + both verify sides
+    val bands = (0 until phashBands).map { k =>
+      hashed.select(col("doc_id"), col("ph"), lit(k).as("band"),
+        expr(s"(ph div ${1L << (k * 5)}) % ${1L << 5}").as("bval"))
+    }.reduce(_ unionAll _)
+    val a = bands.select(col("band"), col("bval"), col("doc_id").as("a_id"),
+      col("ph").as("a_hash"))
+    val b = bands.select(col("band"), col("bval"), col("doc_id").as("b_id"),
+      col("ph").as("b_hash"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_hash"), col("b_hash"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(a_hash ^ b_hash)"))
+      .filter(col("hamming") <= phashHammingMax)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+  private val x07Sql = {
+    val nBytes = phashN * phashN
+    val byteCols = (1 to nBytes).map(i => s"${byteDuck(i)} AS b$i").mkString(",\n  ")
+    val coeffCols = phashAc.zipWithIndex
+      .map { case ((u, v), i) => s"${phashCoeffExpr(u, v)} AS c${i + 1}" }
+      .mkString(",\n  ")
+    val acSum = (1 to phashAc.size).map(i => s"c$i").mkString(" + ")
+    val hash = (0 until phashAc.size)
+      .map(i => s"(CASE WHEN ${phashAc.size} * c${i + 1} > acsum THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSel = (0 until phashBands).map { k =>
+      s"SELECT doc_id, ph, $k AS band, (ph // ${1L << (k * 5)}) % ${1L << 5} AS bval FROM hashed"
+    }.mkString("\n UNION ALL\n ")
+    s"""WITH pixels AS (
+       | SELECT doc_id,
+       |  $byteCols
+       | FROM documents WHERE octet_length(encode(text)) >= $nBytes),
+       |coeffs AS (
+       | SELECT doc_id,
+       |  $coeffCols
+       | FROM pixels),
+       |summed AS (SELECT *, $acSum AS acsum FROM coeffs),
+       |hashed AS (SELECT doc_id, CAST($hash AS BIGINT) AS ph FROM summed),
+       |bands AS (
+       | $bandSel),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  a.ph AS a_hash, b.ph AS b_hash
+       | FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT a_id, b_id, a_hash, b_hash,
+       | CAST(bit_count(xor(a_hash, b_hash)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(a_hash, b_hash)) <= $phashHammingMax
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_image_neardup" -> (x06 _),
+    "x07_phash_neardup" -> (x07 _),
     "x01_binary_meta" -> (x01 _),
     "x02_frame_sample" -> (x02 _),
     "x03_decode_features" -> (x03 _),
@@ -269,6 +390,7 @@ object MultimodalQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "x06_image_neardup" -> x06Sql,
+    "x07_phash_neardup" -> x07Sql,
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,
     "x03_decode_features" -> x03Sql,

@@ -391,6 +391,82 @@ object TextQueries extends QueryFamily {
        |      FROM pairs)
        |WHERE rank <= $bpeTopK ORDER BY rank""".stripMargin
 
+  // ---- t26: full BPE encode with a frozen merge vocabulary -----------------
+  // Closes t17's loop: t17 computes ONE training step (pair counts);
+  // graft.text.BpeTrainer iterates it to a merge list, and this query
+  // APPLIES the trained vocabulary — the tokenizer's encode path. The
+  // 64 merges below are the artifact BpeTrainMain produced on sf0.01
+  // (a tokenizer vocabulary is a frozen, versioned artifact at encode
+  // time — exactly how production pipelines ship tokenizers), embedded
+  // as identical literals in the Spark plan and the oracle, so the
+  // oracle REPLAYS the same merge list.
+  //
+  // Scale shape (the property that makes BPE encode distributable):
+  // the corpus collapses to its DISTINCT-WORD vocabulary first, the
+  // 64-merge replace chain runs once per distinct word (vocab-sized,
+  // tiny), and token counts re-attach to docs via a broadcast join —
+  // the only corpus-sized stages are the word explode and the final
+  // per-doc aggregation. Merge application is the |sym| wrapper
+  // rewrite documented on BpeTrainer: `|a||b|` → `|ab|`, leftmost
+  // non-overlapping single sweep per merge — semantics shared by
+  // Spark's and DuckDB's `replace`, proven equivalent to the
+  // sequential reference implementation in BpeSpec.
+  private val bpeMerges: Seq[graft.text.BpeTrainer.Merge] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"), ("in", "e"),
+    ("l", "ine"), ("a", "b"), ("ab", "l"), ("abl", "e"), ("at", "a"),
+    ("d", "ata"), ("t", "able"), ("u", "p"), ("a", "g"), ("ag", "g"),
+    ("a", "lu"), ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey")
+  ).map { case (l, r) => graft.text.BpeTrainer.Merge(l, r) }
+
+  private def t26(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeTrainer
+    val d = rd(s, dir, "documents")
+    val words = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("w0", expr("regexp_replace(word, '(.)', '|$1|')"))
+      .withColumn("tok", expr(BpeTrainer.applySqlExpr("w0", bpeMerges)))
+      .select(col("word"),
+        expr("size(split(trim(BOTH '|' FROM tok), '\\\\|\\\\|'))")
+          .cast("long").as("nt"))
+    words.join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars_words"),
+        sum(col("nt")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+  private val t26Sql = {
+    val chain = graft.text.BpeTrainer.applySqlExpr("w0", bpeMerges)
+    s"""WITH words AS (
+       | SELECT doc_id, word FROM (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents)
+       | WHERE LENGTH(word) > 0),
+       |vocab AS (SELECT DISTINCT word FROM words),
+       |wrapped AS (
+       | SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS w0 FROM vocab),
+       |tok AS (SELECT word, $chain AS tok FROM wrapped),
+       |cnt AS (
+       | SELECT word, len(string_split(trim(tok, '|'), '||')) AS nt FROM tok)
+       |SELECT doc_id,
+       | COUNT(*) AS n_words,
+       | CAST(SUM(LENGTH(word)) AS BIGINT) AS n_chars_words,
+       | CAST(SUM(nt) AS BIGINT) AS n_tokens
+       |FROM words JOIN cnt USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- t18: per-document TF-IDF top terms ----------------------------------
   // The classic keyword-extraction reduction: explode (doc, term),
   // aggregate term frequency per doc, join the corpus document
@@ -735,6 +811,7 @@ object TextQueries extends QueryFamily {
     "t20_vocab_coverage" -> (t20 _),
     "t19_quality_gate" -> (t19 _),
     "t17_bpe_pairs" -> (t17 _),
+    "t26_bpe_encode" -> (t26 _),
     "t18_tfidf_topk" -> (t18 _),
     "t12_chunk_overlap" -> (t12 _),
     "t11_sequence_pack" -> (t11 _),
@@ -758,6 +835,7 @@ object TextQueries extends QueryFamily {
     "t20_vocab_coverage" -> t20Sql,
     "t19_quality_gate" -> t19Sql,
     "t17_bpe_pairs" -> t17Sql,
+    "t26_bpe_encode" -> t26Sql,
     "t18_tfidf_topk" -> t18Sql,
     "t12_chunk_overlap" -> t12Sql,
     "t11_sequence_pack" -> t11Sql,
