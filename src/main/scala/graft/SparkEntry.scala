@@ -32,7 +32,8 @@ object SparkEntry {
     TemporalQueries,
     SearchQueries,
     CurationQueries,
-    GraphQueries
+    GraphQueries,
+    FitQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parametric fitting — the engine-side half of the reference's fit
+  * stage (reference: stage3/fitter.py fits unbinned mass columns the
+  * engine delivers; SURVEY scopes the RooFit numerics out-of-engine).
+  * This family closes the gap Spark-natively: an UNBINNED maximum-
+  * likelihood fit whose per-iteration work is ONE distributed
+  * aggregation over the event sample, with the driver holding only the
+  * O(1) parameter vector between rounds — the a14 converge-loop shape,
+  * which is exactly how a fit survives a 100 TB unbinned sample (the
+  * sample is scanned/cached once; each EM round is a map-side-combined
+  * 4-scalar reduce, never a collect of events).
+  *
+  * Model: Gaussian signal + uniform background on a fixed window,
+  * fit by expectation-maximization with a FIXED iteration count and
+  * fixed deterministic initialization — closed-form E and M steps, so
+  * the DuckDB oracle replays the identical schedule as chained CTEs.
+  * All constants (√2π, the window, inits) are shared literals; final
+  * parameters cast to float32 to absorb libm-vs-JVM exp() last-ulp
+  * drift (the t18/w01 discipline).
+  */
+object FitQueries extends QueryFamily {
+
+  // fit window and deterministic init — shared by plan and oracle
+  private val fitLo = 0.0
+  private val fitHi = 500.0
+  private val initF = 0.5
+  private val initMu = 250.0
+  private val initSig = 100.0
+  private val emIters = 5
+  private val sqrt2pi = "2.5066282746310002"
+  private val bgDens = s"(1.0 / (${fitHi - fitLo}))"
+
+  /** Gaussian density formula as a SQL string over column/param refs —
+    * ONE shared spelling so both engines build the identical
+    * expression tree (fixed parenthesization, literal √2π). */
+  private def gaussSql(x: String, mu: String, sig: String): String =
+    s"(exp(-(($x - $mu) * ($x - $mu)) / (2.0 * $sig * $sig)) / ($sig * $sqrt2pi))"
+
+  private def respSql(x: String, f: String, mu: String, sig: String): String = {
+    val g = gaussSql(x, mu, sig)
+    s"(($f * $g) / ($f * $g + (1.0 - $f) * $bgDens))"
+  }
+
+  // ---- f01: unbinned EM fit (Gaussian signal + uniform background) --------
+  private def f01(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    // one pass to the cached unbinned sample; every EM round re-reads
+    // THIS, not the source (at scale: a checkpointed/cached column)
+    val pts = o.select((col("o_totalprice") / 1000.0).as("x"))
+      .filter(col("x") >= fitLo && col("x") < fitHi)
+      .localCheckpoint()
+    var (f, mu, sig) = (initF, initMu, initSig)
+    var n = 0L
+    for (_ <- 1 to emIters) {
+      // E+M in one aggregation: responsibilities never materialize
+      val r = expr(respSql("x", s"CAST($f AS DOUBLE)",
+        s"CAST($mu AS DOUBLE)", s"CAST($sig AS DOUBLE)"))
+      val row = pts.agg(
+        sum(r).as("sr"),
+        sum(r * col("x")).as("srx"),
+        sum(r * col("x") * col("x")).as("srx2"),
+        count(lit(1)).as("n")).head()
+      val (sr, srx, srx2) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      n = row.getLong(3)
+      f = sr / n
+      mu = srx / sr
+      sig = math.sqrt(srx2 / sr - mu * mu)
+    }
+    // emit from the data (1-row aggregate), params as driver literals —
+    // the a14 convention for converge-loop outputs
+    pts.agg(count(lit(1)).as("n_events"))
+      .select(col("n_events"),
+        lit(f).cast("float").as("sig_frac"),
+        lit(mu).cast("float").as("sig_mean"),
+        lit(sig).cast("float").as("sig_sigma"))
+  }
+  private val f01Sql = {
+    val iters = (1 to emIters).map { k =>
+      val p = s"p${k - 1}"
+      val r = respSql("x", s"$p.f", s"$p.mu", s"$p.sig")
+      s"""it$k AS (
+         | SELECT SUM($r) AS sr, SUM($r * x) AS srx, SUM($r * x * x) AS srx2,
+         |        COUNT(*) AS n
+         | FROM pts, $p),
+         |p$k AS (
+         | SELECT sr / n AS f, srx / sr AS mu,
+         |        sqrt(srx2 / sr - (srx / sr) * (srx / sr)) AS sig
+         | FROM it$k)"""
+    }.mkString(",\n").stripMargin
+    s"""WITH pts AS (
+       | SELECT o_totalprice / 1000.0 AS x FROM orders
+       | WHERE o_totalprice / 1000.0 >= $fitLo AND o_totalprice / 1000.0 < $fitHi),
+       |p0 AS (SELECT CAST($initF AS DOUBLE) AS f, CAST($initMu AS DOUBLE) AS mu,
+       |              CAST($initSig AS DOUBLE) AS sig),
+       |$iters
+       |SELECT (SELECT COUNT(*) FROM pts) AS n_events,
+       | CAST(f AS REAL) AS sig_frac,
+       | CAST(mu AS REAL) AS sig_mean,
+       | CAST(sig AS REAL) AS sig_sigma
+       |FROM p$emIters""".stripMargin
+  }
+
+  // ---- f02: closed-form chi-square template fit ---------------------------
+  // The binned least-squares companion of TemplateFit's Poisson Newton
+  // fit: with per-bin variance σ²_b the χ² optimum for obs ≈ μ·sig+bkg
+  // is LINEAR in μ —
+  //     μ̂ = Σ s_b(d_b−b_b)/σ²_b  /  Σ s²_b/σ²_b
+  // so the whole fit is ONE aggregation over the binned table: scan →
+  // (bin × template) conditional sums → 1-row reduce. The templates
+  // here are the three l_returnflag populations of lineitem (obs='A',
+  // sig='R', bkg='N'), σ² = max(d_b, 1) — Neyman weighting. At 100 TB
+  // the histogram reduce is the only corpus-sized stage; the fit math
+  // rides the same 1-row aggregate.
+  private val chi2Bins = 20
+  private def f02(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val hist = li
+      .select(least(floor(col("l_extendedprice") / 5000.0), lit(chi2Bins - 1))
+          .cast("long").as("bin"),
+        col("l_returnflag").as("fl"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("fl") === "A", 1.0).otherwise(0.0)).as("d"),
+        sum(when(col("fl") === "R", 1.0).otherwise(0.0)).as("s0"),
+        sum(when(col("fl") === "N", 1.0).otherwise(0.0)).as("b"))
+      .withColumn("var", greatest(col("d"), lit(1.0)))
+    val muNum = sum(col("s0") * (col("d") - col("b")) / col("var"))
+    val muDen = sum(col("s0") * col("s0") / col("var"))
+    val agg = hist.agg(muNum.as("num"), muDen.as("den"),
+      count(lit(1)).as("n_bins"),
+      sum((col("d") - col("b")) * (col("d") - col("b")) / col("var")).as("chi2_mu0"))
+    agg.select(col("n_bins"),
+      (col("num") / col("den")).cast("float").as("mu_hat"),
+      // χ²(μ̂) = χ²(0) − μ̂·num (expanding the quadratic at the optimum)
+      (col("chi2_mu0") - (col("num") / col("den")) * col("num"))
+        .cast("float").as("chi2_min"))
+  }
+  private val f02Sql =
+    s"""WITH hist AS (
+       | SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT), ${chi2Bins - 1}) AS bin,
+       |  SUM(CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END) AS d,
+       |  SUM(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS s0,
+       |  SUM(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END) AS b
+       | FROM lineitem GROUP BY 1),
+       |v AS (SELECT *, GREATEST(d, 1.0) AS var FROM hist),
+       |agg AS (
+       | SELECT SUM(s0 * (d - b) / var) AS num, SUM(s0 * s0 / var) AS den,
+       |  COUNT(*) AS n_bins,
+       |  SUM((d - b) * (d - b) / var) AS chi2_mu0
+       | FROM v)
+       |SELECT n_bins,
+       | CAST(num / den AS REAL) AS mu_hat,
+       | CAST(chi2_mu0 - (num / den) * num AS REAL) AS chi2_min
+       |FROM agg""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_em_mixture_fit" -> (f01 _),
+    "f02_chi2_template_fit" -> (f02 _)
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f01_em_mixture_fit" -> f01Sql,
+    "f02_chi2_template_fit" -> f02Sql
+  )
+}
