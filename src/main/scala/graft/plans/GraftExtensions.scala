@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
       GraftFunctions.hllEstimateBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("phash_hash"),
+      new ExpressionInfo(classOf[PhashHash].getName, "phash_hash"),
+      GraftFunctions.phashHashBuilder))
     // whole-operator extension (SURVEY §2.7 path c): as-of join planning
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     // custom optimizer rule: column pruning through the as-of node

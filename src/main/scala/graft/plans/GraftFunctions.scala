@@ -109,6 +109,11 @@ object GraftFunctions {
     HllEstimate(children(0))
   }
 
+  val phashHashBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "phash_hash(blob)")
+    PhashHash(children(0))
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
@@ -163,5 +168,9 @@ object GraftFunctions {
       new FunctionIdentifier("hll_estimate"),
       new ExpressionInfo(classOf[HllEstimate].getName, "hll_estimate"),
       hllEstimateBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("phash_hash"),
+      new ExpressionInfo(classOf[PhashHash].getName, "phash_hash"),
+      phashHashBuilder)
   }
 }

@@ -282,45 +282,39 @@ object MultimodalQueries extends QueryFamily {
   // (pigeonhole), exact bit_count verify on candidates only. Scale
   // shape: one codegen projection per image, band join ships
   // (band, bval, id, hash) only — never pixels.
-  private val phashN = 8 // pixel block is 8×8 = 64 bytes
-  private val phashKeep = 4 // keep top-left 4×4 coefficients
+  private val phashN = graft.plans.PhashHash.blockN // pixel block is 8×8 = 64 bytes
   private val phashBands = 3 // 5 bits each over the 15 AC bits
   private val phashHammingMax = 2
-  /** Quantized orthonormal DCT-II basis, K(u)(r) = round(α·cos·4096). */
-  private val phashBasis: Array[Array[Long]] = Array.tabulate(phashKeep, phashN) {
-    (u, r) =>
-      val alpha = if (u == 0) math.sqrt(1.0 / phashN) else math.sqrt(2.0 / phashN)
-      math.round(alpha * math.cos((2 * r + 1) * u * math.Pi / (2 * phashN)) * 4096.0)
-  }
-  /** coeff(u,v) as a sum of 64 integer terms over byte columns b1..b64. */
-  private def phashCoeffExpr(u: Int, v: Int): String =
+  /** coeff(u,v) as a sum of 64 integer terms over byte columns b1..b64 —
+    * the ORACLE-side spelling of PhashHash's generated loop; the basis
+    * is single-sourced from the native expression's companion. */
+  private def phashCoeffExpr(u: Int, v: Int): String = {
+    val basis = graft.plans.PhashHash.basis
     (for { r <- 0 until phashN; c <- 0 until phashN } yield {
-      val w = phashBasis(u)(r) * phashBasis(v)(c)
+      val w = basis(u)(r) * basis(v)(c)
       s"($w) * b${r * phashN + c + 1}"
     }).mkString(" + ")
+  }
   // AC coefficient order: (u,v) row-major over the kept block, DC skipped.
-  private val phashAc: Seq[(Int, Int)] =
-    for { u <- 0 until phashKeep; v <- 0 until phashKeep; if u + v > 0 } yield (u, v)
+  private val phashAc: Seq[(Int, Int)] = graft.plans.PhashHash.acPairs
 
   /** Per-doc (doc_id, ph) pHash table — x07's first stage, public so
-    * MediaPipelineSpec can brute-force-verify the banding is lossless. */
+    * MediaPipelineSpec can brute-force-verify the banding is lossless.
+    *
+    * The hash is the native `phash_hash` expression (plans/PhashHash):
+    * the identical integer math as stacked Column projections would be
+    * a single ~960-term expression tree after CollapseProject — past
+    * janino's 64 KB method limit, silently dropping the projection to
+    * interpreted eval with per-reference subtree recomputation. The
+    * native expression generates a compact LOOP over the referenced
+    * weight matrix and stays inside whole-stage codegen. */
   private[graft] def phashHashes(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
     val nBytes = phashN * phashN
-    val withBytes = d
-      .filter(octet_length(expr("encode(text, 'UTF-8')")) >= nBytes)
-      .select(col("doc_id") +: (1 to nBytes).map(i => expr(byteSpark(i)).as(s"b$i")): _*)
-    val withCoeffs = withBytes.select(
-      col("doc_id") +: phashAc.zipWithIndex.map { case ((u, v), i) =>
-        expr(phashCoeffExpr(u, v)).as(s"c${i + 1}")
-      }: _*)
-    val acSum = (1 to phashAc.size).map(i => s"c$i").mkString(" + ")
-    val hash = (0 until phashAc.size)
-      .map(i => s"(CASE WHEN ${phashAc.size} * c${i + 1} > acsum THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
-    withCoeffs
-      .withColumn("acsum", expr(acSum))
-      .select(col("doc_id"), expr(s"CAST($hash AS BIGINT)").as("ph"))
+    d.filter(octet_length(expr("encode(text, 'UTF-8')")) >= nBytes)
+      .select(col("doc_id"),
+        expr("phash_hash(encode(text, 'UTF-8'))").as("ph"))
   }
 
   private def x07(s: SparkSession, dir: String): DataFrame = {
@@ -378,9 +372,59 @@ object MultimodalQueries extends QueryFamily {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ---- x08: audio feature extraction (PCM-shaped) --------------------------
+  // The audio half of the media pipeline: treat the blob as 16-bit
+  // little-endian signed PCM and extract the standard clip features —
+  // sample count, total energy, zero-crossing count, peak amplitude.
+  // Everything is integer-exact (energy is Σs² over int16 — no floats
+  // anywhere), one scan, array HOFs only: the same shape a real
+  // feature extractor has after the decoder (which for real codecs
+  // lives behind MediaPipeline's injectable decoder; PCM IS the
+  // decoded form, so this path is fully real).
+  private def x08(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val nb = "octet_length(encode(text, 'UTF-8'))"
+    // sample i (1-based): bytes 2i-1 (lo) and 2i (hi), signed int16
+    val raw = s"(CAST(conv(substring($hexSpark, i * 4 - 3, 2), 16, 10) AS BIGINT)" +
+      s" + 256 * CAST(conv(substring($hexSpark, i * 4 - 1, 2), 16, 10) AS BIGINT))"
+    val samples = s"transform(sequence(1, CAST($nb div 2 AS INT)), " +
+      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    d.filter(expr(nb) >= 2)
+      .select(col("doc_id"), expr(samples).as("smp"))
+      .select(col("doc_id"),
+        size(col("smp")).cast("long").as("n_samples"),
+        expr("aggregate(smp, 0L, (acc, v) -> acc + v * v)").as("energy"),
+        // CASE guard: Spark's sequence(1, 0) DESCENDS instead of being
+        // empty, so a 1-sample clip must not reach the pair walk
+        expr("CASE WHEN size(smp) < 2 THEN 0L ELSE " +
+          "aggregate(transform(sequence(1, size(smp) - 1), " +
+          "i -> CASE WHEN (smp[i - 1] >= 0) != (smp[i] >= 0) THEN 1L ELSE 0L END), " +
+          "0L, (acc, v) -> acc + v) END").as("n_zero_cross"),
+        expr("array_max(transform(smp, v -> abs(v)))").as("peak"))
+      .orderBy(col("doc_id"))
+  }
+  private val x08Sql = {
+    val nb = "octet_length(encode(text))"
+    val raw = s"(CAST('0x' || substr($hexDuck, i * 4 - 3, 2) AS BIGINT)" +
+      s" + 256 * CAST('0x' || substr($hexDuck, i * 4 - 1, 2) AS BIGINT))"
+    val samples = s"list_transform(generate_series(1, CAST($nb // 2 AS BIGINT)), " +
+      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    s"""WITH pcm AS (
+       | SELECT doc_id, $samples AS smp FROM documents WHERE $nb >= 2)
+       |SELECT doc_id,
+       | CAST(len(smp) AS BIGINT) AS n_samples,
+       | CAST(list_sum(list_transform(smp, v -> v * v)) AS BIGINT) AS energy,
+       | CAST(COALESCE(list_sum(list_transform(generate_series(2, len(smp)),
+       |   i -> CASE WHEN (smp[i - 1] >= 0) != (smp[i] >= 0) THEN 1 ELSE 0 END)), 0)
+       |   AS BIGINT) AS n_zero_cross,
+       | list_max(list_transform(smp, v -> abs(v))) AS peak
+       |FROM pcm ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_image_neardup" -> (x06 _),
     "x07_phash_neardup" -> (x07 _),
+    "x08_pcm_features" -> (x08 _),
     "x01_binary_meta" -> (x01 _),
     "x02_frame_sample" -> (x02 _),
     "x03_decode_features" -> (x03 _),
@@ -391,6 +435,7 @@ object MultimodalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "x06_image_neardup" -> x06Sql,
     "x07_phash_neardup" -> x07Sql,
+    "x08_pcm_features" -> x08Sql,
     "x01_binary_meta" -> x01Sql,
     "x02_frame_sample" -> x02Sql,
     "x03_decode_features" -> x03Sql,

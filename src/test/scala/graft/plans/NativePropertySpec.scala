@@ -67,4 +67,36 @@ class NativePropertySpec extends AnyFunSuite {
       assert(b.drop(1).dropRight(1).forall(x => x >= 8 && x <= s.length))
     }
   }
+
+  /** Naive pHash: the oracle's spelling — explicit 4-loop DCT from the
+    * quantized basis, AC-mean threshold. */
+  private def naivePhash(bytes: Array[Byte]): Long = {
+    val k = PhashHash.basis
+    val coeffs = for { u <- 0 until 4; v <- 0 until 4; if u + v > 0 } yield {
+      (for { r <- 0 until 8; c <- 0 until 8 }
+        yield k(u)(r) * k(v)(c) * (bytes(8 * r + c) & 0xff).toLong).sum
+    }
+    val acsum = coeffs.sum
+    coeffs.zipWithIndex.foldLeft(0L) { case (h, (cv, i)) =>
+      if (15L * cv > acsum) h | (1L << i) else h
+    }
+  }
+
+  test("phash_hash loop kernel == naive 4-loop DCT (500 random cases)") {
+    val expr = PhashHash(org.apache.spark.sql.catalyst.expressions.Literal(
+      Array.empty[Byte], org.apache.spark.sql.types.BinaryType))
+    for (_ <- 1 to 500) {
+      val bytes = new Array[Byte](64 + rnd.nextInt(64))
+      rnd.nextBytes(bytes)
+      assert(expr.nullSafeEval(bytes) == naivePhash(bytes))
+    }
+    // short inputs hash to null, hash is always within 15 bits
+    assert(expr.nullSafeEval(new Array[Byte](63)) == null)
+    for (_ <- 1 to 100) {
+      val bytes = new Array[Byte](64)
+      rnd.nextBytes(bytes)
+      val h = expr.nullSafeEval(bytes).asInstanceOf[Long]
+      assert(h >= 0L && h < (1L << 15))
+    }
+  }
 }
