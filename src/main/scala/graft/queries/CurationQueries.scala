@@ -207,6 +207,91 @@ object CurationQueries extends QueryFamily {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t28: k-anonymity / l-diversity profile -----------------------------
+  // Privacy audit of a training table before release (Sweeney,
+  // "k-anonymity: a model for protecting privacy", 2002; Machanavajjhala
+  // et al., "l-diversity", 2007 — both public). Quasi-identifier =
+  // (c_nationkey, c_mktsegment); sensitive attribute = the account-
+  // balance band. One hash-shuffle groupBy on the QI tuple produces the
+  // equivalence classes; class size = the k each row enjoys, distinct
+  // sensitive bands = its l. At 100 TB this is a single map-side-
+  // combined aggregation — the same shape as d01 — and the at-risk flag
+  // lets a downstream suppression pass filter without a second scan.
+  private val kAnonK = 5
+  private def t28(s: SparkSession, dir: String): DataFrame = {
+    val c = rd(s, dir, "customer")
+    c.select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("bal_band")).as("l_diversity"))
+      .withColumn("at_risk", col("class_size") < kAnonK)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+  private val t28Sql =
+    s"""SELECT c_nationkey, c_mktsegment,
+       | COUNT(*) AS class_size,
+       | COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS l_diversity,
+       | COUNT(*) < $kAnonK AS at_risk
+       |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- t29: DSIR importance weights ---------------------------------------
+  // Data Selection via Importance Resampling (Xie et al., arXiv:2302.03169):
+  // score every document by how target-like its hashed n-gram feature
+  // distribution is. Target = the src0 slice; raw = the whole corpus.
+  // Plan shape: ONE tokenize+explode scan -> two 64-row bucket count
+  // aggregates (map-side combined) -> per-doc score via a BROADCAST join
+  // of the exploded tokens against the 64-row log-ratio dim + one
+  // groupBy(doc_id). No collect, no driver loop: at 100 TB the explode
+  // is the only corpus-sized stage and both dims stay O(nFeat).
+  // Laplace +1 smoothing keeps empty buckets finite; same base-31
+  // token hash + Knuth bucket spelling as t13.
+  private def t29(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val tokHash =
+      s"aggregate(sequence(1, length(tok)), CAST(0 AS BIGINT), " +
+        s"(h, i) -> (h * 31 + ascii(substr(tok, i, 1))) % $P)"
+    val toks = d
+      .select(col("doc_id"), col("source"),
+        explode(expr("filter(split(text, ' '), tk -> length(tk) > 0)")).as("tok"))
+      .select(col("doc_id"), col("source"),
+        expr(s"CAST((($tokHash * 2654435761) % $P) % $nFeat AS INT)").as("bucket"))
+      .localCheckpoint() // feeds the dim build AND the scoring join
+    val dim = toks.groupBy(col("bucket")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_s"))
+      .select(col("bucket"), (log((col("c_t") + lit(1.0))) - log((col("c_s") + lit(1.0))))
+        .as("log_ratio"))
+    toks.join(broadcast(dim), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("log_ratio")).as("lr_sum"))
+      // subtract the corpus-size offset ln(N_t/N_s) once per token so the
+      // weight is scale-free; fold it via the per-doc token count
+      .select(col("doc_id"), col("n_tokens"),
+        (col("lr_sum") / col("n_tokens")).cast("float").as("avg_log_ratio"))
+      .orderBy(col("doc_id"))
+  }
+  private val t29Sql = {
+    val tokHash =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(tok)), i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT))), " +
+        s"(h, c) -> (h * 31 + c) % $P)"
+    s"""WITH toks AS (
+       | SELECT doc_id, source,
+       |  CAST((($tokHash * 2654435761) % $P) % $nFeat AS INTEGER) AS bucket
+       | FROM (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '),
+       |        tk -> length(tk) > 0)) AS tok FROM documents)),
+       |dim AS (
+       | SELECT bucket,
+       |  LN((SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1.0))
+       |   - LN((COUNT(*) + 1.0)) AS log_ratio
+       | FROM toks GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_tokens,
+       | CAST(SUM(log_ratio) / COUNT(*) AS REAL) AS avg_log_ratio
+       |FROM toks JOIN dim USING (bucket)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- t14: language-stratified sampling ----------------------------------
   // Deterministic inverse-propensity downsampling by language — the
   // language-rebalancing step of multilingual corpus assembly. Keep
@@ -850,6 +935,8 @@ object CurationQueries extends QueryFamily {
     "k04_kmv_distinct" -> (k04 _),
     "k05_kmv_set_ops" -> (k05 _),
     "t13_hashed_classifier" -> (t13 _),
+    "t28_k_anonymity" -> (t28 _),
+    "t29_dsir_importance" -> (t29 _),
     "t14_stratified_sample" -> (t14 _),
     "t21_weighted_sample" -> (t21 _),
     "t15_bigram_lm" -> (t15 _),
@@ -865,6 +952,8 @@ object CurationQueries extends QueryFamily {
     "k04_kmv_distinct" -> k04Sql,
     "k05_kmv_set_ops" -> k05Sql,
     "t13_hashed_classifier" -> t13Sql,
+    "t28_k_anonymity" -> t28Sql,
+    "t29_dsir_importance" -> t29Sql,
     "t14_stratified_sample" -> t14Sql,
     "t21_weighted_sample" -> t21Sql,
     "t15_bigram_lm" -> t15Sql,

@@ -1077,7 +1077,68 @@ object DedupQueries extends QueryFamily {
        | JOIN tot tb ON tb.source = p.src_b
        |ORDER BY p.src_a, p.src_b""".stripMargin
 
+  // ---- d21: sketched source-similarity matrix -----------------------------
+  // The sketch counterpart of d20: d20 inventories every distinct shingle
+  // per source (exact, but the inventory is corpus-sized); d21 keeps only
+  // a K-permutation MinHash signature per source and estimates Jaccard as
+  // the fraction of matching minima (Broder, "On the resemblance and
+  // containment of documents", 1997). Because min is associative, the
+  // signature of a source's shingle UNION is the element-wise min of its
+  // documents' signatures — so the whole matrix costs one scan + a
+  // groupBy(source) partial-min aggregate (K longs per group, map-side
+  // combined) + a pairwise join of #sources rows. At 100 TB: corpus
+  // touched once, cross stage is sketch-sized — the d20 inventory is
+  // exactly what you can NOT afford there. Broadcast NLJ on the tiny
+  // aggregated side; estimator error ~1/sqrt(K).
+  private val srcPerms = 16
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents")
+    val base = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"), expr(shinglesSpark).as("sh"))
+      .select(col("source"), expr(s"minhash_sig(sh, $srcPerms)").as("sigs"))
+    val mins = (0 until srcPerms).map(k =>
+      min(element_at(col("sigs"), k + 1)).as(s"m$k"))
+    val sigs = base.groupBy(col("source"))
+      .agg(mins.head, mins.tail: _*)
+    val a = sigs.toDF(sigs.columns.map("a_" + _): _*)
+    val b = sigs.toDF(sigs.columns.map("b_" + _): _*)
+    val matches = (0 until srcPerms)
+      .map(k => when(col(s"a_m$k") === col(s"b_m$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(broadcast(b), col("a_source") < col("b_source"))
+      .select(col("a_source").as("src_a"), col("b_source").as("src_b"),
+        matches.cast("long").as("n_match"),
+        (matches.cast("double") / srcPerms).cast("float").as("est_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+  private val d21Sql = {
+    // extra parens around mix(): force the 31-bit mod BEFORE the permA
+    // multiply (same value — mod distributes over the affine map — but
+    // without it DuckDB's left-assoc `a * x % P` overflows INT64 once
+    // permA(k) ≥ 29, i.e. k ≥ 13)
+    val sigK = (0 until srcPerms).map { k =>
+      s"MIN(list_min(list_transform(sh, " +
+        s"w -> (${permA(k)} * (${mix("w")}) + ${permB(k)}) % $P))) AS m$k"
+    }.mkString(",\n |  ")
+    val matches = (0 until srcPerms)
+      .map(k => s"CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH docs AS (
+       | SELECT source, $shinglesDuck AS sh FROM documents),
+       |sigs AS (
+       | SELECT source,
+       |  $sigK
+       | FROM docs GROUP BY source)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       | CAST($matches AS BIGINT) AS n_match,
+       | CAST(CAST($matches AS DOUBLE) / $srcPerms AS REAL) AS est_jaccard
+       |FROM sigs a JOIN sigs b ON a.source < b.source
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_source_similarity" -> (d21 _),
     "d20_source_overlap" -> (d20 _),
     "d19_lsh_tuning" -> (d19 _),
     "d18_symspell_join" -> (d18 _),
@@ -1097,6 +1158,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d21_source_similarity" -> d21Sql,
     "d20_source_overlap" -> d20Sql,
     "d19_lsh_tuning" -> d19Sql,
     "d18_symspell_join" -> d18Sql,

@@ -157,13 +157,99 @@ object FitQueries extends QueryFamily {
        | CAST(chi2_mu0 - (num / den) * num AS REAL) AS chi2_min
        |FROM agg""".stripMargin
 
+  // ---- f03: profile-likelihood discovery significance ---------------------
+  // The asymptotic q0 of Cowan/Cranmer/Gross/Vitells (arXiv:1007.1727),
+  // the quantity the reference's fit stage ultimately reports for a
+  // signal search (reference: stage3/fitter.py builds the workspace
+  // whose profile-likelihood ratio an external fitter maximizes).
+  // Engine-side this is the a14/f01 converge-loop shape: ONE
+  // corpus-sized aggregation builds the binned (obs, sig, bkg)
+  // templates; each Newton round for the signal strength μ̂ is then a
+  // 3-scalar reduce over the 20-bin table — O(1) driver state, no
+  // event ever collected. Binned Poisson logL:
+  //     lnL(μ) = Σ_b [ d_b·ln(μ·s_b + b_b) − (μ·s_b + b_b) ]
+  //     g(μ)   = Σ d·s/(μs+b) − Σ s          (gradient)
+  //     h(μ)   = Σ d·s²/(μs+b)²              (−Hessian, > 0)
+  //     q0     = 2·[lnL(μ̂) − lnL(0)] = 2·Σ[ d·ln((μ̂s+b)/b) − μ̂·s ]
+  // Roles (the standard Asimov closure construction, Cowan et al. §3):
+  // obs = ALL rows, sig template = the 'R' population, bkg = 'A'+'N' —
+  // so d ≡ 1·s + b by construction, μ̂ = 1 exactly, and Newton from
+  // μ₀ = 0.5 walks a genuine (monotone, quadratically converging)
+  // trajectory both engines must reproduce bit-for-bit. μ is clamped
+  // ≥ 0 each step (discovery-test convention: q0 ≔ 0 for downward
+  // fluctuations), b clamped ≥ 0.5 (empty-bin guard). Fixed 4 Newton
+  // iterations, replayed by the oracle as chained CTEs; outputs cast
+  // to float32 to absorb libm-vs-JVM log() last-ulp drift.
+  private val newtonIters = 4
+  private def f03(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val hist = li
+      .select(least(floor(col("l_extendedprice") / 5000.0), lit(chi2Bins - 1))
+          .cast("long").as("bin"),
+        col("l_returnflag").as("fl"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(lit(1.0)).as("d"),
+        sum(when(col("fl") === "R", 1.0).otherwise(0.0)).as("s0"),
+        greatest(sum(when(col("fl") =!= "R", 1.0).otherwise(0.0)), lit(0.5)).as("b"))
+      .localCheckpoint() // 20 rows; every Newton round re-reads THIS
+    var mu = 0.5
+    for (_ <- 1 to newtonIters) {
+      val pred = expr(s"(CAST($mu AS DOUBLE) * s0 + b)")
+      val row = hist.agg(
+        sum(col("d") * col("s0") / pred).as("g1"),
+        sum(col("s0")).as("stot"),
+        sum(col("d") * col("s0") * col("s0") / (pred * pred)).as("h")).head()
+      mu = math.max(mu + (row.getDouble(0) - row.getDouble(1)) / row.getDouble(2), 0.0)
+    }
+    val muC = lit(mu)
+    hist.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("d") * log(((muC * col("s0") + col("b")) / col("b"))) - muC * col("s0"))
+          .as("half_q0"))
+      .select(col("n_bins"),
+        lit(mu).cast("float").as("mu_hat"),
+        (lit(2.0) * col("half_q0")).cast("float").as("q0"),
+        sqrt(greatest(lit(2.0) * col("half_q0"), lit(0.0))).cast("float").as("z"))
+  }
+  private val f03Sql = {
+    val iters = (1 to newtonIters).map { k =>
+      val p = s"m${k - 1}"
+      s"""n$k AS (
+         | SELECT SUM(d * s0 / (mu * s0 + b)) AS g1, SUM(s0) AS stot,
+         |        SUM(d * s0 * s0 / ((mu * s0 + b) * (mu * s0 + b))) AS h
+         | FROM hist, $p),
+         |m$k AS (SELECT GREATEST(mu + (g1 - stot) / h, 0.0) AS mu FROM n$k, $p)"""
+    }.mkString(",\n").stripMargin
+    s"""WITH raw AS (
+       | SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT), ${chi2Bins - 1}) AS bin,
+       |  CAST(SUM(1.0) AS DOUBLE) AS d,
+       |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS s0,
+       |  CAST(GREATEST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1.0 ELSE 0.0 END), 0.5) AS DOUBLE) AS b
+       | FROM lineitem GROUP BY 1),
+       |hist AS (SELECT * FROM raw),
+       |m0 AS (SELECT CAST(0.5 AS DOUBLE) AS mu),
+       |$iters,
+       |q AS (
+       | SELECT COUNT(*) AS n_bins,
+       |  SUM(d * LN(((mu * s0 + b) / b)) - mu * s0) AS half_q0
+       | FROM hist, m$newtonIters)
+       |SELECT n_bins,
+       | (SELECT CAST(mu AS REAL) FROM m$newtonIters) AS mu_hat,
+       | CAST(2.0 * half_q0 AS REAL) AS q0,
+       | CAST(SQRT(GREATEST(2.0 * half_q0, 0.0)) AS REAL) AS z
+       |FROM q""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_em_mixture_fit" -> (f01 _),
-    "f02_chi2_template_fit" -> (f02 _)
+    "f02_chi2_template_fit" -> (f02 _),
+    "f03_profile_significance" -> (f03 _)
   )
 
   val oracle: Map[String, String] = Map(
     "f01_em_mixture_fit" -> f01Sql,
-    "f02_chi2_template_fit" -> f02Sql
+    "f02_chi2_template_fit" -> f02Sql,
+    "f03_profile_significance" -> f03Sql
   )
 }
