@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),
       GraftFunctions.deltaRBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      GraftFunctions.jaroWinklerBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("weighted_histogram"),
       new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),
       GraftFunctions.weightedHistogramBuilder))

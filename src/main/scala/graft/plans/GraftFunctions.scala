@@ -114,8 +114,17 @@ object GraftFunctions {
     PhashHash(children(0))
   }
 
+  val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "jaro_winkler(a, b)")
+    JaroWinklerExpr(children(0), children(1))
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
+    reg.registerFunction(
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
+      jaroWinklerBuilder)
     reg.registerFunction(
       new FunctionIdentifier("delta_r"),
       new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),

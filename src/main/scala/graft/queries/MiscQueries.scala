@@ -398,7 +398,53 @@ object MiscQueries extends QueryFamily {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- j18: fuzzy lookup join (record linkage) ----------------------------
+  // The verify half of a Fellegi–Sunter linkage: resolve dirty entity
+  // names against the catalog by Jaro–Winkler similarity (native
+  // `jaro_winkler` expression — Spark ships levenshtein but no JW;
+  // DuckDB's jaro_winkler_similarity is the oracle twin, bitwise-matched
+  // in StringSimSpec). Plan shape: the probe list is a broadcast literal
+  // dim (r08 convention), the catalog side is a DISTINCT projection of
+  // the scan, a |Δlen| ≤ 2 band gates the comparisons, and the argmax
+  // per probe is a partial-aggregated max(struct) — one corpus scan, no
+  // all-pairs, no shuffle wider than the distinct. At 100 TB the probe
+  // table stays broadcast and the argmax combines map-side. Similarity
+  // is compared on basis points (t13's floor(x·10⁴+0.5) discipline) so
+  // the argmax never ties on a float.
+  private val fuzzyProbes = Seq("smal ring", "red wdget", "blu bolt",
+    "hot gera", "large pltae", "cold palte", "new gzmo", "smal plate",
+    "bleu gear", "hot plat")
+  private def j18(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import s.implicits._
+    val probes = fuzzyProbes.toDF("probe")
+    val names = rd(s, dir, "part").select(col("p_name").as("name")).distinct()
+    names.join(broadcast(probes),
+        abs(length(col("name")) - length(col("probe"))) <= 2)
+      .withColumn("jw_bp",
+        expr("CAST(floor(jaro_winkler(probe, name) * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(col("probe"))
+      .agg(max(struct(col("jw_bp"), col("name"))).as("best"))
+      .select(col("probe"), col("best.name").as("best_name"),
+        col("best.jw_bp").as("jw_bp"))
+      .orderBy(col("probe"))
+  }
+  private val j18Sql = {
+    val probeRows = fuzzyProbes.map(p => s"('$p')").mkString(", ")
+    s"""WITH probes(probe) AS (VALUES $probeRows),
+       |names AS (SELECT DISTINCT p_name AS name FROM part),
+       |scored AS (
+       | SELECT probe, name,
+       |  CAST(floor(jaro_winkler_similarity(probe, name) * 10000 + 0.5) AS BIGINT) AS jw_bp
+       | FROM names JOIN probes ON abs(length(name) - length(probe)) <= 2)
+       |SELECT probe, name AS best_name, jw_bp
+       |FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY probe ORDER BY jw_bp DESC, name DESC) = 1
+       |ORDER BY probe""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j18_fuzzy_lookup" -> (j18 _),
     "j17_geo_radius_join" -> (j17 _),
     "a25_grouping_sets" -> (a25 _),
     "j09_salted_skew_join" -> (j09 _),
@@ -411,6 +457,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j18_fuzzy_lookup" -> j18Sql,
     "j17_geo_radius_join" -> j17Sql,
     "a25_grouping_sets" -> a25Sql,
     "j09_salted_skew_join" -> j09Sql,
