@@ -240,8 +240,11 @@ object MiscQueries extends QueryFamily {
       .orderBy(col("doc_id"))
   }
   private val d06Sql = {
+    // AS MATERIALIZED: each l$i reads l${i-1} twice, so DuckDB's default
+    // inlining would expand the chain 2^k times (cheap base here, but
+    // the same pattern with an expensive base is forever — see d22)
     val iter = (i: Int) =>
-      s"""l$i AS (
+      s"""l$i AS MATERIALIZED (
          | SELECT l.doc_id,
          |  LEAST(l.label, COALESCE(n.nbmin, l.label)) AS label
          | FROM l${i - 1} l LEFT JOIN (
@@ -443,7 +446,140 @@ object MiscQueries extends QueryFamily {
        |ORDER BY probe""".stripMargin
   }
 
+  // ---- d22: grid-bucketed DBSCAN ------------------------------------------
+  // Density clustering (Ester/Kriegel/Sander/Xu, KDD 1996) as a relational
+  // pipeline: ε-neighbor pairs via j17's grid trick (cell width = ε, one
+  // side exploded into its 3×3 neighborhood, exact distance only on
+  // cell-local candidates — the ORACLE is the UNBUCKETED quadratic join,
+  // so a green hash proves the bucketing lossless), degree count → core
+  // flag, then d06's fixed-k min-label propagation over core-core edges
+  // (both engines run exactly k rounds, so outputs match even for an
+  // unconverged component). Border points take the MIN cluster label
+  // among their core neighbors (the deterministic variant of DBSCAN's
+  // order-dependent border assignment — documented deviation, same
+  // convention both sides). Points are a hash scatter of event ids
+  // (Knuth mix — the synthetic lat/lon lattice of j17 would percolate
+  // along diagonals). At 100 TB: neighbor join is cell-equi-keyed, the
+  // propagation loop is checkpointed per round, nothing is quadratic.
+  private val dbEps = 1.5
+  private val dbMinPts = 4
+  private val dbIters = 8
+  private def d22(s: SparkSession, dir: String): DataFrame = {
+    val pts = rd(s, dir, "events")
+      .filter(col("user_id") < 50)
+      .select(col("event_id").as("id"),
+        expr(s"CAST(((event_id * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0").as("x"),
+        expr(s"CAST((((event_id * 31 + 7) * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0").as("y"))
+      .localCheckpoint() // feeds both join sides + the final assembly
+    val a = pts.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("a_id"), col("ax"), col("ay"), col("dy"),
+        explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("a_id"), col("ax"), col("ay"),
+        (expr(s"CAST(floor(ax / $dbEps) AS BIGINT)") + col("dx")).as("cx"),
+        (expr(s"CAST(floor(ay / $dbEps) AS BIGINT)") + col("dy")).as("cy"))
+    val b = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+      expr(s"CAST(floor(x / $dbEps) AS BIGINT)").as("cx"),
+      expr(s"CAST(floor(y / $dbEps) AS BIGINT)").as("cy"))
+    val pairs = a.join(b, Seq("cx", "cy"))
+      .filter(col("a_id") < col("b_id") &&
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")) <= lit(dbEps * dbEps))
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint() // feeds degree, core edges, and border assembly
+    val deg = pairs.select(col("a_id").as("id"))
+      .union(pairs.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg((count(lit(1)) + 1).as("n"))
+    val core = deg.filter(col("n") >= dbMinPts).select(col("id")).localCheckpoint()
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), "a_id")
+      .join(core.select(col("id").as("b_id")), "b_id")
+    val sym = coreEdges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(coreEdges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = core.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to dbIters) {
+      val nb = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbmin"))
+      labels = labels.join(nb, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    val coreOut = labels.select(col("id"), lit("core").as("role"),
+      col("label").as("cluster"))
+    // border: non-core endpoint of a pair whose other endpoint is core
+    val borderNb = pairs.select(col("a_id").as("id"), col("b_id").as("nb"))
+      .union(pairs.select(col("b_id").as("id"), col("a_id").as("nb")))
+      .join(labels.select(col("id").as("nb"), col("label")), "nb")
+      .join(core.select(col("id"), lit(1).as("is_core")), Seq("id"), "left")
+      .filter(col("is_core").isNull)
+      .groupBy(col("id")).agg(min(col("label")).as("cluster"))
+    val borderOut = borderNb.select(col("id"), lit("border").as("role"), col("cluster"))
+    val assigned = coreOut.union(borderOut)
+    pts.select(col("id"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        // -1 (not NULL) for noise: a nullable int column round-trips as
+        // float64 through the pandas leg of the oracle harness
+        coalesce(col("cluster"), lit(-1L)).as("cluster"))
+      .orderBy(col("id"))
+  }
+  private val d22Sql = {
+    // AS MATERIALIZED everywhere a CTE is referenced twice: each l$i
+    // reads l${i-1} TWICE, so DuckDB's default inlining would expand the
+    // chain 2^k times — with the quadratic pairs join at its base that
+    // turned the oracle from seconds into forever
+    val iter = (i: Int) =>
+      s"""l$i AS MATERIALIZED (
+         | SELECT l.id, LEAST(l.label, COALESCE(n.nbmin, l.label)) AS label
+         | FROM l${i - 1} l LEFT JOIN (
+         |  SELECT e.src, MIN(x.label) AS nbmin
+         |  FROM sym e JOIN l${i - 1} x ON e.dst = x.id
+         |  GROUP BY 1) n ON l.id = n.src)"""
+    s"""WITH pts AS (
+       | SELECT event_id AS id,
+       |  CAST(((event_id * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0 AS x,
+       |  CAST((((event_id * 31 + 7) * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0 AS y
+       | FROM events WHERE user_id < 50),
+       |pairs AS MATERIALIZED (
+       | SELECT a.id AS a_id, b.id AS b_id
+       | FROM pts a JOIN pts b ON a.id < b.id
+       |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${dbEps * dbEps}),
+       |deg AS (
+       | SELECT id, COUNT(*) + 1 AS n FROM (
+       |  SELECT a_id AS id FROM pairs UNION ALL SELECT b_id FROM pairs)
+       | GROUP BY 1),
+       |core AS MATERIALIZED (SELECT id FROM deg WHERE n >= $dbMinPts),
+       |ce AS (
+       | SELECT a_id, b_id FROM pairs
+       | WHERE a_id IN (SELECT id FROM core) AND b_id IN (SELECT id FROM core)),
+       |sym AS MATERIALIZED (
+       | SELECT a_id AS src, b_id AS dst FROM ce
+       | UNION ALL SELECT b_id, a_id FROM ce),
+       |l0 AS (SELECT id, id AS label FROM core),
+       |${(1 to dbIters).map(iter).mkString(",\n")},
+       |border AS (
+       | SELECT nbs.id, MIN(x.label) AS cluster
+       | FROM (SELECT a_id AS id, b_id AS nb FROM pairs
+       |       UNION ALL SELECT b_id, a_id FROM pairs) nbs
+       | JOIN l$dbIters x ON x.id = nbs.nb
+       | WHERE nbs.id NOT IN (SELECT id FROM core)
+       | GROUP BY 1)
+       |SELECT p.id,
+       | CASE WHEN c.label IS NOT NULL THEN 'core'
+       |      WHEN b.cluster IS NOT NULL THEN 'border'
+       |      ELSE 'noise' END AS role,
+       | COALESCE(c.label, b.cluster, -1) AS cluster
+       |FROM pts p
+       |LEFT JOIN l$dbIters c ON c.id = p.id
+       |LEFT JOIN border b ON b.id = p.id
+       |ORDER BY p.id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_dbscan_grid" -> (d22 _),
     "j18_fuzzy_lookup" -> (j18 _),
     "j17_geo_radius_join" -> (j17 _),
     "a25_grouping_sets" -> (a25 _),
@@ -457,6 +593,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d22_dbscan_grid" -> d22Sql,
     "j18_fuzzy_lookup" -> j18Sql,
     "j17_geo_radius_join" -> j17Sql,
     "a25_grouping_sets" -> a25Sql,
