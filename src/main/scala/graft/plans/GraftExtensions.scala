@@ -26,6 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
       GraftFunctions.jaroWinklerBuilder))
     ext.injectFunction((
+      new FunctionIdentifier("within_radius"),
+      new ExpressionInfo(classOf[WithinRadius].getName, "within_radius"),
+      GraftFunctions.withinRadiusBuilder))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      GraftFunctions.hyperplaneBandsBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("weighted_histogram"),
       new ExpressionInfo(classOf[WeightedHistogramAgg].getName, "weighted_histogram"),
       GraftFunctions.weightedHistogramBuilder))
@@ -80,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom optimizer rule: bucketed range-join rewrite (gated on
     // spark.graft.rangeJoin.bucketWidth — inactive unless set)
     ext.injectOptimizerRule(_ => RangeJoinRewrite)
+    ext.injectOptimizerRule(_ => SpatialJoinRewrite)
     // custom optimizer rule: exact COUNT(DISTINCT) -> HLL estimate
     // (gated on spark.graft.approxDistinct — inactive unless true)
     ext.injectOptimizerRule(_ => ApproxDistinctRewrite)

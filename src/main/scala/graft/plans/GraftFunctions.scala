@@ -119,12 +119,33 @@ object GraftFunctions {
     JaroWinklerExpr(children(0), children(1))
   }
 
+  val withinRadiusBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 5, "within_radius(ax, ay, bx, by, r)")
+    WithinRadius(children(0), children(1), children(2), children(3), children(4))
+  }
+
+  val hyperplaneBandsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 5,
+      "hyperplane_bands(embedding, n_tables, band_bits, dims, seed_base)")
+    HyperplaneBands(children(0), evalDouble(children(1)).toInt,
+      evalDouble(children(2)).toInt, evalDouble(children(3)).toInt,
+      evalDouble(children(4)).toInt)
+  }
+
   def register(s: SparkSession): Unit = synchronized {
     val reg = s.sessionState.functionRegistry
     reg.registerFunction(
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
       jaroWinklerBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("within_radius"),
+      new ExpressionInfo(classOf[WithinRadius].getName, "within_radius"),
+      withinRadiusBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("hyperplane_bands"),
+      new ExpressionInfo(classOf[HyperplaneBands].getName, "hyperplane_bands"),
+      hyperplaneBandsBuilder)
     reg.registerFunction(
       new FunctionIdentifier("delta_r"),
       new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),

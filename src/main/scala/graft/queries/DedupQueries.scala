@@ -376,11 +376,15 @@ object DedupQueries extends QueryFamily {
   }
   private def d05(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    // native loop (plans.HyperplaneBands): the unrolled array(CASE…)
+    // form is 8·2·16 element_at multiply terms — ONE projection method
+    // past janino's 64 KB limit, which silently dropped 4 of d05's 5
+    // stages to interpreted eval. Same arithmetic (ascending-j left
+    // fold, float→double widening), verified by the unchanged oracle.
     val e = rd(s, dir, "embeddings")
       .withColumn("norm", sqrt(expr("array_dot(embedding, embedding)")))
-      .withColumn("bands", array((0 until d05Tables).map(t =>
-        expr(d05Band(t, "embedding", sparkElem))): _*))
+      .withColumn("bands",
+        expr(s"hyperplane_bands(embedding, $d05Tables, $d05BandBits, $d05Dims, 1000)"))
     val exploded = e.select(col("vec_id"), col("label"),
       posexplode(col("bands")).as(Seq("tbl", "bv")))
     val x = exploded.select(col("vec_id").as("a_id"), col("label"),

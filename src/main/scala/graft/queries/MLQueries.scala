@@ -260,6 +260,11 @@ object MLQueries extends QueryFamily {
     val feats = ev.select((col("event_id") +: rawFeatures): _*)
     val margins = feats.select(col("event_id") +:
       (0 until mcClasses).map(c => expr(mcMargin(c)).as(s"m$c")): _*)
+      // stage barrier (the v09 convention): margins + softmax + argmax +
+      // a fused count() in ONE generated method crosses janino's 64 KB
+      // limit and the whole stage silently drops to interpreted eval;
+      // materializing the 6 margin doubles splits the codegen in two
+      .localCheckpoint()
     margins.select(col("event_id"),
         expr(s"CAST(EXP(m$mcTargetClass) / ($mcSoftmaxDen) AS FLOAT)")
           .as("mc_score"),

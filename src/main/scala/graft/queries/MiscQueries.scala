@@ -578,7 +578,58 @@ object MiscQueries extends QueryFamily {
        |ORDER BY p.id""".stripMargin
   }
 
+  // ---- j19: automatic spatial-join rewrite --------------------------------
+  // d22's grid trick as an OPTIMIZER RULE instead of hand-written plan
+  // shape: the query below is the NAIVE radius self-join — a single
+  // `within_radius` theta predicate, no manual bucketing — and
+  // plans.SpatialJoinRewrite turns it into the 9-cell explode +
+  // equi-join with the original predicate as residual (j14's contract:
+  // the oracle is the identical naive SQL, so a green hash + the
+  // SpatialJoinRewriteSpec plan assertions prove the rule lossless AND
+  // firing). Same hash-scattered point cloud as d22, smaller slice.
+  private val spatialR = 1.5
+  private def j19(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val pts = rd(s, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(col("event_id").as("id"),
+        expr(s"CAST(((event_id * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0").as("x"),
+        expr(s"CAST((((event_id * 31 + 7) * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0").as("y"))
+    val a = pts.select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"))
+    val b = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"))
+    val key = graft.plans.SpatialJoinRewrite.EnabledConf
+    val prev = s.conf.getOption(key)
+    s.experimental.synchronized {
+      if (!s.experimental.extraOptimizations.contains(graft.plans.SpatialJoinRewrite))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.plans.SpatialJoinRewrite
+    }
+    s.conf.set(key, "true")
+    try {
+      a.join(b, expr(s"within_radius(ax, ay, bx, by, ${spatialR}D)") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+        .localCheckpoint() // execute while the rewrite is active
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+  private val j19Sql =
+    s"""WITH pts AS (
+       | SELECT event_id AS id,
+       |  CAST(((event_id * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0 AS x,
+       |  CAST((((event_id * 31 + 7) * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0 AS y
+       | FROM events WHERE user_id < 30)
+       |SELECT a.id AS a_id, b.id AS b_id
+       |FROM pts a JOIN pts b
+       | ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= ${spatialR * spatialR}
+       | AND a.id < b.id
+       |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j19_spatial_rule" -> (j19 _),
     "d22_dbscan_grid" -> (d22 _),
     "j18_fuzzy_lookup" -> (j18 _),
     "j17_geo_radius_join" -> (j17 _),
@@ -593,6 +644,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j19_spatial_rule" -> j19Sql,
     "d22_dbscan_grid" -> d22Sql,
     "j18_fuzzy_lookup" -> j18Sql,
     "j17_geo_radius_join" -> j17Sql,
