@@ -258,13 +258,17 @@ object MLQueries extends QueryFamily {
   private def m13(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
     val feats = ev.select((col("event_id") +: rawFeatures): _*)
+    // NOTE the fused margins+softmax+argmax(+count) stage exceeds
+    // janino's 64 KB method limit, so WHOLE-STAGE codegen falls back —
+    // benignly: each operator then compiles its own (method-split)
+    // UnsafeProjection, and the measured cost is identical to the fused
+    // form (0.15 s at sf0.1). A localCheckpoint barrier "fixes" the log
+    // line but trades it for a real materialization (3× slower here and
+    // a corpus-sized cache at 100 TB) — deliberately NOT done. Contrast
+    // d05, where ONE un-splittable 512-term expression forced true
+    // row-interpreted eval and a native loop expression was the fix.
     val margins = feats.select(col("event_id") +:
       (0 until mcClasses).map(c => expr(mcMargin(c)).as(s"m$c")): _*)
-      // stage barrier (the v09 convention): margins + softmax + argmax +
-      // a fused count() in ONE generated method crosses janino's 64 KB
-      // limit and the whole stage silently drops to interpreted eval;
-      // materializing the 6 margin doubles splits the codegen in two
-      .localCheckpoint()
     margins.select(col("event_id"),
         expr(s"CAST(EXP(m$mcTargetClass) / ($mcSoftmaxDen) AS FLOAT)")
           .as("mc_score"),
