@@ -816,7 +816,97 @@ object SearchQueries extends QueryFamily {
       | MIN(CASE WHEN 100 * c >= 99 * tot THEN lb END) AS p99
       |FROM cum GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---- w09: Rocchio pseudo-relevance feedback ------------------------------
+  // Query expansion (Rocchio 1971, the classic PRF loop): rank with BM25,
+  // take the top-Dr docs as pseudo-relevant, add the E strongest centroid
+  // terms to the query (β/|Dr| scaled), rescore by the expanded weighted
+  // dot product. Pipeline shape: the (doc, term, tf) inverted table is
+  // built ONCE (explode + groupBy — the only corpus-sized stages) and
+  // feeds df-stats, the centroid, and the rescore; the pseudo-relevant id
+  // set, the expansion terms, and the query-weight table are all tiny
+  // broadcasts; both top-k cuts are orderBy+limit (TakeOrderedAndProject,
+  // per-partition heaps). Determinism: idf is micro-quantized
+  // (⌊ln·10⁶⌋) so every downstream weight — tf·idfm, the centroid sum,
+  // the β-scaled integer-div expansion weights, the final scores — is
+  // EXACT integer arithmetic, order-free on both engines; magnitudes
+  // bounded by 10⁶·10⁷·terms ≪ 2⁶³.
+  private val prfDr = 10
+  private val prfE = 3
+  private val prfAlpha = 1000000L
+  private val prfTopK = 10
+  private def w09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = rd(s, dir, "documents")
+    val toks = d.select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), w -> length(w) > 0)")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df stats, centroid, and rescoring
+    val dfT = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n1 = d.agg(count(lit(1)).as("n_docs"))
+    val idfT = dfT.crossJoin(broadcast(n1)).select(col("term"),
+      expr("CAST(FLOOR(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000.0) AS BIGINT)")
+        .as("idfm"))
+    val wdt = toks.join(idfT, "term")
+      .select(col("doc_id"), col("term"), (col("tf") * col("idfm")).as("wdt"))
+      .localCheckpoint() // centroid + rescore both read this
+    val drIds = bm25Ranked(s, dir).filter(col("rank") <= prfDr).select(col("doc_id"))
+    val cent = wdt.join(broadcast(drIds), "doc_id")
+      .filter(!col("term").isin(bmTerms: _*))
+      .groupBy(col("term")).agg(sum(col("wdt")).as("cent"))
+    val expn = cent.orderBy(col("cent").desc, col("term").asc).limit(prfE)
+      .select(col("term"), expr(s"(75 * cent) DIV ${10 * prfDr * 100}").as("qw"))
+    val orig = bmTerms.toDF("term").select(col("term"), lit(prfAlpha).as("qw"))
+    val qw = orig.union(expn)
+    val scores = wdt.join(broadcast(qw), "term")
+      .groupBy(col("doc_id")).agg(sum(col("wdt") * col("qw")).as("score"))
+    val top = scores.orderBy(col("score").desc, col("doc_id").asc).limit(prfTopK)
+    val win = Window.orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(win))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+  private val w09Sql = {
+    val origRows = bmTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH toks AS (
+       | SELECT doc_id, tok AS term, COUNT(*) AS tf
+       | FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |        w -> length(w) > 0)) AS tok FROM documents)
+       | GROUP BY 1, 2),
+       |dfs AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY 1),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |idft AS (
+       | SELECT term,
+       |  CAST(FLOOR(LN(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * 1000000.0) AS BIGINT) AS idfm
+       | FROM dfs CROSS JOIN nd),
+       |wdt AS MATERIALIZED (
+       | SELECT doc_id, t.term, tf * idfm AS wdt
+       | FROM toks t JOIN idft USING (term)),
+       |$bm25RankedCtes,
+       |dr AS (SELECT doc_id FROM bmranked WHERE rank <= $prfDr),
+       |cent AS (
+       | SELECT term, SUM(w.wdt) AS cent
+       | FROM wdt w JOIN dr USING (doc_id)
+       | WHERE term NOT IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
+       | GROUP BY 1),
+       |expn AS (
+       | SELECT term, (75 * cent) // ${10 * prfDr * 100} AS qw
+       | FROM cent ORDER BY cent DESC, term ASC LIMIT $prfE),
+       |qws AS (
+       | SELECT term, CAST($prfAlpha AS BIGINT) AS qw
+       | FROM (VALUES $origRows) v(term)
+       | UNION ALL SELECT term, qw FROM expn),
+       |scores AS (
+       | SELECT doc_id, CAST(SUM(w.wdt * q.qw) AS BIGINT) AS score
+       | FROM wdt w JOIN qws q USING (term) GROUP BY 1)
+       |SELECT rank, doc_id, score
+       |FROM (SELECT doc_id, score,
+       |       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |      FROM scores)
+       |WHERE rank <= $prfTopK ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w09_rocchio_prf" -> (w09 _),
     "k07_quantile_sketch" -> (k07 _),
     "w07_snippet_window" -> (w07 _),
     "w06_pmi_cooccur" -> (w06 _),
@@ -833,6 +923,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w09_rocchio_prf" -> w09Sql,
     "k07_quantile_sketch" -> k07Sql,
     "w07_snippet_window" -> w07Sql,
     "w06_pmi_cooccur" -> w06Sql,
