@@ -574,7 +574,109 @@ object LookupQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- l13: natural cubic spline lookup, DATA-derived knots ---------------
+  // l03 interpolates a literal node table linearly; the production form
+  // of a correction curve is a SPLINE FIT TO DATA (the shape of the
+  // reference's smoothed corrections): bin the corpus (10 knots), solve
+  // the natural-spline tridiagonal system (Thomas algorithm) for the
+  // knot second-derivatives M_i, evaluate the piecewise cubic on every
+  // row. Scale split: the knot table is O(10) AT ANY CORPUS SIZE (one
+  // map-side-combined aggregation), the solve is O(knots) driver work
+  // (a14 convention), and the evaluation is one codegen'd CASE over
+  // broadcast-literal coefficients — the corpus is touched exactly
+  // twice (knot build + evaluate). Determinism chain: knot y are exact
+  // integer-sum ratios; the driver's Thomas recurrence and the oracle's
+  // lateral-alias CTE replay spell the IDENTICAL double ops in the
+  // IDENTICAL order; literals round-trip via Double.toString (shortest
+  // round-trip repr, parsed correctly-rounded by both engines); the
+  // evaluation polynomial is one shared template; float32 output.
+  private val splN = 10 // knots; x_i = 25 + 50 i on value in [0, 500)
+  private def splX(i: Int): Double = 25.0 + 50.0 * i
+  /** Piecewise cubic on [x_i, x_{i+1}] — ONE template for both engines
+    * (m/y substituted with driver literals or CTE column refs). */
+  private def splEval(xc: String, i: Int, m: Int => String, y: Int => String): String = {
+    val x0 = splX(i); val x1 = splX(i + 1)
+    s"((${m(i)} * ($x1 - $xc) * ($x1 - $xc) * ($x1 - $xc) + " +
+      s"${m(i + 1)} * ($xc - $x0) * ($xc - $x0) * ($xc - $x0)) / 300.0 + " +
+      s"(${y(i)} / 50.0 - ${m(i)} * 50.0 / 6.0) * ($x1 - $xc) + " +
+      s"(${y(i + 1)} / 50.0 - ${m(i + 1)} * 50.0 / 6.0) * ($xc - $x0))"
+  }
+  private def splCase(xc: String, m: Int => String, y: Int => String): String = {
+    val branches = (0 until splN - 2).map(i =>
+      s"WHEN $xc < ${splX(i + 1)} THEN ${splEval(xc, i, m, y)}").mkString(" ")
+    s"(CASE $branches ELSE ${splEval(xc, splN - 2, m, y)} END)"
+  }
+  private def l13(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val rows = ev.filter(col("value") >= 0.0 && col("value") < 500.0)
+      .groupBy(floor(col("value") / 50.0).cast("long").as("bin"))
+      .agg(sum(col("user_id")).as("sy"), count(lit(1)).as("cnt"))
+      .collect()
+    val ys = Array.fill(splN)(0.0)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      if (b >= 0 && b < splN) ys(b) = r.getLong(1).toDouble / r.getLong(2)
+    }
+    // Thomas solve for natural-spline M (mirrored op-for-op in l13Sql):
+    // h = 50 everywhere, diagonal 2(h+h) = 200, off-diagonals 50
+    val d = Array.fill(splN)(0.0)
+    for (i <- 1 to splN - 2)
+      d(i) = 6.0 * ((ys(i + 1) - ys(i)) / 50.0 - (ys(i) - ys(i - 1)) / 50.0)
+    val cp = Array.fill(splN)(0.0); val dp = Array.fill(splN)(0.0)
+    cp(1) = 50.0 / 200.0; dp(1) = d(1) / 200.0
+    for (i <- 2 to splN - 2) {
+      val den = 200.0 - 50.0 * cp(i - 1)
+      cp(i) = 50.0 / den
+      dp(i) = (d(i) - 50.0 * dp(i - 1)) / den
+    }
+    val ms = Array.fill(splN)(0.0)
+    ms(splN - 2) = dp(splN - 2)
+    for (i <- splN - 3 to 1 by -1) ms(i) = dp(i) - cp(i) * ms(i + 1)
+    val xc = s"LEAST(GREATEST(value, ${splX(0)}), ${splX(splN - 1)})"
+    ev.select(col("event_id"),
+        expr(s"CAST(${splCase(xc, i => ms(i).toString, i => ys(i).toString)} AS FLOAT)")
+          .as("spline_corr"))
+      .orderBy(col("event_id"))
+  }
+  private val l13Sql = {
+    val interior = 1 to splN - 2
+    // forward sweep + back substitution as LATERAL column aliases (one
+    // 1-row CTE), each term spelled exactly as the driver loop
+    val dCols = interior.map(i =>
+      s"6.0 * ((y${i + 1} - y$i) / 50.0 - (y$i - y${i - 1}) / 50.0) AS d$i").mkString(",\n |  ")
+    val fwd = (s"50.0 / 200.0 AS cp1, d1 / 200.0 AS dp1" +:
+      (2 to splN - 2).map(i =>
+        s"50.0 / (200.0 - 50.0 * cp${i - 1}) AS cp$i, " +
+          s"(d$i - 50.0 * dp${i - 1}) / (200.0 - 50.0 * cp${i - 1}) AS dp$i")).mkString(",\n |  ")
+    val back = (s"dp${splN - 2} AS m${splN - 2}" +:
+      (splN - 3 to 1 by -1).map(i => s"dp$i - cp$i * m${i + 1} AS m$i"))
+      .mkString(",\n |  ")
+    val yCols = (0 until splN).map(i =>
+      s"COALESCE(MAX(CASE WHEN bin = $i THEN sy / cnt END), 0.0) AS y$i").mkString(",\n |  ")
+    val xc = s"LEAST(GREATEST(value, ${splX(0)}), ${splX(splN - 1)})"
+    val mRef = (i: Int) => if (i == 0 || i == splN - 1) "0.0" else s"m$i"
+    s"""WITH knots AS (
+       | SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+       |  CAST(SUM(user_id) AS DOUBLE) AS sy, COUNT(*) AS cnt
+       | FROM events WHERE value >= 0.0 AND value < 500.0 GROUP BY 1),
+       |ky AS (
+       | SELECT
+       |  $yCols
+       | FROM knots),
+       |ms AS (
+       | SELECT *,
+       |  $dCols,
+       |  $fwd,
+       |  $back
+       | FROM ky)
+       |SELECT event_id,
+       | CAST(${splCase(xc, mRef, i => s"y$i")} AS REAL) AS spline_corr
+       |FROM events CROSS JOIN ms
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
     "l09_bucketed_equi_lookup" -> (l09 _),
     "l08_binned_3d_resolution" -> (l08 _),
@@ -590,6 +692,7 @@ object LookupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,
     "l09_bucketed_equi_lookup" -> l09Sql,
     "l08_binned_3d_resolution" -> l08Sql,
