@@ -421,7 +421,76 @@ object MultimodalQueries extends QueryFamily {
        |FROM pcm ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x09: voice-activity segmentation (energy VAD) ----------------------
+  // The segmentation step after x08's feature extraction: frame the PCM
+  // stream (8 samples/frame), mark frames voiced by an energy gate, and
+  // merge voiced runs into segments — the standard energy-VAD shape
+  // every speech pipeline runs before ASR. Relational form: frame
+  // energies via ONE array transform (integer Σs², no floats), a
+  // doc-partitioned gaps-and-islands window (u12's trick: island id =
+  // frame − row_number) and a per-doc groupBy — every window is keyed
+  // by doc_id, nothing corpus-wide. Threshold 5.25e9 ≈ the corpus
+  // median frame energy, so both segment classes actually occur.
+  private val vadFrame = 8
+  private val vadThresh = 5250000000L
+  private def x09(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val nb = "octet_length(encode(text, 'UTF-8'))"
+    val raw = s"(CAST(conv(substring($hexSpark, i * 4 - 3, 2), 16, 10) AS BIGINT)" +
+      s" + 256 * CAST(conv(substring($hexSpark, i * 4 - 1, 2), 16, 10) AS BIGINT))"
+    val samples = s"transform(sequence(1, CAST($nb div 2 AS INT)), " +
+      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    val frames = d.filter(expr(nb) >= 2 * vadFrame)
+      .select(col("doc_id"), expr(samples).as("smp"))
+      .select(col("doc_id"), expr(
+        s"transform(sequence(0, CAST(size(smp) div $vadFrame AS INT) - 1), " +
+          s"f -> aggregate(slice(smp, f * $vadFrame + 1, $vadFrame), 0L, " +
+          s"(acc, v) -> acc + v * v))").as("fe"))
+      .select(col("doc_id"), posexplode(col("fe")).as(Seq("fidx", "fenergy")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fidx"))
+    val islands = frames.filter(col("fenergy") >= vadThresh)
+      .withColumn("grp", col("fidx") - row_number().over(w))
+    val segs = islands.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("fidx")).as("start_frame"), max(col("fidx")).as("end_frame"),
+        count(lit(1)).as("n_frames"), sum(col("fenergy")).as("seg_energy"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start_frame"))
+    segs.withColumn("seg_idx", row_number().over(w2))
+      .select(col("doc_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("seg_energy"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+  }
+  private val x09Sql = {
+    val nb = "octet_length(encode(text))"
+    val raw = s"(CAST('0x' || substr($hexDuck, i * 4 - 3, 2) AS BIGINT)" +
+      s" + 256 * CAST('0x' || substr($hexDuck, i * 4 - 1, 2) AS BIGINT))"
+    val samples = s"list_transform(generate_series(1, CAST($nb // 2 AS BIGINT)), " +
+      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    s"""WITH pcm AS (
+       | SELECT doc_id, $samples AS smp FROM documents WHERE $nb >= ${2 * vadFrame}),
+       |fr AS (
+       | SELECT doc_id, f AS fidx,
+       |  CAST(list_sum(list_transform(smp[(f * $vadFrame + 1):(f * $vadFrame + $vadFrame)],
+       |    v -> v * v)) AS BIGINT) AS fenergy
+       | FROM pcm, unnest(generate_series(0, CAST(len(smp) // $vadFrame AS BIGINT) - 1)) AS t(f)),
+       |islands AS (
+       | SELECT doc_id, fidx, fenergy,
+       |  fidx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fidx) AS grp
+       | FROM fr WHERE fenergy >= $vadThresh),
+       |segs AS (
+       | SELECT doc_id, grp, MIN(fidx) AS start_frame, MAX(fidx) AS end_frame,
+       |  COUNT(*) AS n_frames, CAST(SUM(fenergy) AS BIGINT) AS seg_energy
+       | FROM islands GROUP BY 1, 2)
+       |SELECT doc_id,
+       | ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start_frame) AS seg_idx,
+       | start_frame, end_frame, n_frames, seg_energy
+       |FROM segs
+       |ORDER BY doc_id, seg_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x09_vad_segments" -> (x09 _),
     "x06_image_neardup" -> (x06 _),
     "x07_phash_neardup" -> (x07 _),
     "x08_pcm_features" -> (x08 _),
@@ -433,6 +502,7 @@ object MultimodalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "x09_vad_segments" -> x09Sql,
     "x06_image_neardup" -> x06Sql,
     "x07_phash_neardup" -> x07Sql,
     "x08_pcm_features" -> x08Sql,
