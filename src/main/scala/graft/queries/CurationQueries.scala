@@ -292,6 +292,43 @@ object CurationQueries extends QueryFamily {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t30: differentially-private count release --------------------------
+  // The Laplace mechanism (Dwork et al., TCC 2006): release per-group
+  // counts of a sensitive table with Lap(Δf/ε) noise, Δf = 1 for
+  // counting queries. Production DP pipelines need the noise SEEDED so
+  // a re-release of the same cut is identical (and so this oracle can
+  // check the machinery bit-for-bit): u ∈ (0,1) comes from the t13
+  // base-31 hash of the group key (Knuth-mixed, 2²⁰ grid, zero
+  // excluded so ln(1−2|u−½|) is finite), and the inverse-CDF transform
+  //   noise = −(1/ε)·sign(u−½)·ln(1 − 2|u−½|)
+  // is one shared spelling. Plan: ONE map-side-combined groupBy; the
+  // noise is a scalar projection on the (tiny) group table. ε = 1.
+  private val dpEps = "1.0"
+  private def t30(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val keyHash =
+      s"aggregate(sequence(1, length(grp)), CAST(0 AS BIGINT), " +
+        s"(h, i) -> (h * 31 + ascii(substr(grp, i, 1))) % $P)"
+    val u = s"(CAST((($keyHash * 2654435761) % $P) % 1048575 + 1 AS DOUBLE) / 1048576.0)"
+    val noise = s"(-(1.0 / $dpEps) * SIGN($u - 0.5) * LN(1.0 - 2.0 * ABS($u - 0.5)))"
+    d.groupBy(col("lang").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("grp").as("lang"),
+        expr(s"CAST(n + $noise AS FLOAT)").as("noisy_count"))
+      .orderBy(col("lang"))
+  }
+  private val t30Sql = {
+    val keyHash =
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(generate_series(1, length(grp)), i -> CAST(ascii(substr(grp, i, 1)) AS BIGINT))), " +
+        s"(h, c) -> (h * 31 + c) % $P)"
+    val u = s"(CAST((($keyHash * 2654435761) % $P) % 1048575 + 1 AS DOUBLE) / 1048576.0)"
+    val noise = s"(-(1.0 / $dpEps) * SIGN($u - 0.5) * LN(1.0 - 2.0 * ABS($u - 0.5)))"
+    s"""WITH g AS (SELECT lang AS grp, COUNT(*) AS n FROM documents GROUP BY 1)
+       |SELECT grp AS lang, CAST(n + $noise AS REAL) AS noisy_count
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
   // ---- t14: language-stratified sampling ----------------------------------
   // Deterministic inverse-propensity downsampling by language — the
   // language-rebalancing step of multilingual corpus assembly. Keep
@@ -937,6 +974,7 @@ object CurationQueries extends QueryFamily {
     "t13_hashed_classifier" -> (t13 _),
     "t28_k_anonymity" -> (t28 _),
     "t29_dsir_importance" -> (t29 _),
+    "t30_dp_release" -> (t30 _),
     "t14_stratified_sample" -> (t14 _),
     "t21_weighted_sample" -> (t21 _),
     "t15_bigram_lm" -> (t15 _),
@@ -954,6 +992,7 @@ object CurationQueries extends QueryFamily {
     "t13_hashed_classifier" -> t13Sql,
     "t28_k_anonymity" -> t28Sql,
     "t29_dsir_importance" -> t29Sql,
+    "t30_dp_release" -> t30Sql,
     "t14_stratified_sample" -> t14Sql,
     "t21_weighted_sample" -> t21Sql,
     "t15_bigram_lm" -> t15Sql,

@@ -241,15 +241,112 @@ object FitQueries extends QueryFamily {
        |FROM q""".stripMargin
   }
 
+  // ---- f04: nuisance impact ranking ---------------------------------------
+  // The "ranking plot" input every fit report leads with (reference:
+  // stage3's systematics treatment feeds exactly this): for each
+  // systematic source, re-fit with the background template shifted
+  // ±1σ and report Δμ̂. Because f02's χ² optimum is CLOSED-FORM
+  // (μ̂ = Σ s(d−b)/σ² / Σ s²/σ², with σ² fixed by the data), the
+  // whole 6-source × 2-direction scan is: ONE corpus histogram
+  // aggregation (20 bins) → cross join with the literal source dim →
+  // per-source 1-row reduces. No per-variation corpus re-scan — the
+  // s06 fanout discipline. Shift model: source k tilts the background
+  // linearly in the bin index, b_k±(bin) = b·(1 ± a_k·(bin−10)/20).
+  // Ordering is on the micro-quantized |Δμ| (order-free), float32 out.
+  private val impactSources: Seq[(String, Double)] = Seq(
+    "jes_tilt" -> 0.08, "jer_slope" -> 0.05, "btag_shape" -> 0.035,
+    "pu_profile" -> 0.025, "lumi_band" -> 0.015, "qgl_morph" -> 0.01)
+  private def f04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = rd(s, dir, "lineitem")
+    val hist = li
+      .select(least(floor(col("l_extendedprice") / 5000.0), lit(chi2Bins - 1))
+          .cast("long").as("bin"),
+        col("l_returnflag").as("fl"))
+      .groupBy(col("bin"))
+      .agg(
+        sum(when(col("fl") === "A", 1.0).otherwise(0.0)).as("d"),
+        sum(when(col("fl") === "R", 1.0).otherwise(0.0)).as("s0"),
+        sum(when(col("fl") === "N", 1.0).otherwise(0.0)).as("b"))
+      .withColumn("var", greatest(col("d"), lit(1.0)))
+      .localCheckpoint() // 20 rows; feeds the nominal and all 12 variants
+    val srcDim = impactSources.toDF("src", "amp")
+    val tilt = expr("(CAST(bin AS DOUBLE) - 10.0) / 20.0")
+    def muHat(bCol: org.apache.spark.sql.Column) = {
+      val num = sum(col("s0") * (col("d") - bCol) / col("var"))
+      val den = sum(col("s0") * col("s0") / col("var"))
+      (num, den)
+    }
+    val (numN, denN) = muHat(col("b"))
+    val (numU, _) = muHat(col("b") * (lit(1.0) + col("amp") * tilt))
+    val (numD, _) = muHat(col("b") * (lit(1.0) - col("amp") * tilt))
+    val agg = hist.crossJoin(broadcast(srcDim))
+      .groupBy(col("src"))
+      .agg(numN.as("num_n"), denN.as("den"), numU.as("num_u"), numD.as("num_d"))
+      .select(col("src"),
+        (col("num_n") / col("den")).as("mu_nom"),
+        (col("num_u") / col("den") - col("num_n") / col("den")).as("d_up"),
+        (col("num_d") / col("den") - col("num_n") / col("den")).as("d_dn"))
+    val ranked = agg
+      .withColumn("impact_micro",
+        expr("CAST(floor(GREATEST(ABS(d_up), ABS(d_dn)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .orderBy(col("impact_micro").desc, col("src").asc)
+      .limit(impactSources.size)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("impact_micro").desc, col("src").asc)
+    ranked.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("src"),
+        col("mu_nom").cast("float").as("mu_nom"),
+        col("d_up").cast("float").as("delta_mu_up"),
+        col("d_dn").cast("float").as("delta_mu_down"),
+        col("impact_micro"))
+      .orderBy(col("rank"))
+  }
+  private val f04Sql = {
+    val srcRows = impactSources.map { case (n, a) => s"('$n', $a)" }.mkString(", ")
+    s"""WITH hist AS (
+       | SELECT LEAST(CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT), ${chi2Bins - 1}) AS bin,
+       |  SUM(CASE WHEN l_returnflag = 'A' THEN 1.0 ELSE 0.0 END) AS d,
+       |  SUM(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS s0,
+       |  SUM(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END) AS b
+       | FROM lineitem GROUP BY 1),
+       |v AS (SELECT *, GREATEST(d, 1.0) AS var,
+       |       (CAST(bin AS DOUBLE) - 10.0) / 20.0 AS tilt FROM hist),
+       |srcs(src, amp) AS (VALUES $srcRows),
+       |agg AS (
+       | SELECT src,
+       |  SUM(s0 * (d - b) / var) AS num_n,
+       |  SUM(s0 * s0 / var) AS den,
+       |  SUM(s0 * (d - b * (1.0 + amp * tilt)) / var) AS num_u,
+       |  SUM(s0 * (d - b * (1.0 - amp * tilt)) / var) AS num_d
+       | FROM v CROSS JOIN srcs GROUP BY 1),
+       |im AS (
+       | SELECT src, num_n / den AS mu_nom,
+       |  num_u / den - num_n / den AS d_up,
+       |  num_d / den - num_n / den AS d_dn
+       | FROM agg),
+       |ranked AS (
+       | SELECT src, mu_nom, d_up, d_dn,
+       |  CAST(FLOOR(GREATEST(ABS(d_up), ABS(d_dn)) * 1000000.0 + 0.5) AS BIGINT) AS impact_micro
+       | FROM im)
+       |SELECT ROW_NUMBER() OVER (ORDER BY impact_micro DESC, src ASC) AS rank,
+       | src, CAST(mu_nom AS REAL) AS mu_nom,
+       | CAST(d_up AS REAL) AS delta_mu_up,
+       | CAST(d_dn AS REAL) AS delta_mu_down, impact_micro
+       |FROM ranked ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_em_mixture_fit" -> (f01 _),
     "f02_chi2_template_fit" -> (f02 _),
-    "f03_profile_significance" -> (f03 _)
+    "f03_profile_significance" -> (f03 _),
+    "f04_impact_ranking" -> (f04 _)
   )
 
   val oracle: Map[String, String] = Map(
     "f01_em_mixture_fit" -> f01Sql,
     "f02_chi2_template_fit" -> f02Sql,
-    "f03_profile_significance" -> f03Sql
+    "f03_profile_significance" -> f03Sql,
+    "f04_impact_ranking" -> f04Sql
   )
 }
