@@ -1178,7 +1178,77 @@ object MLQueries extends QueryFamily {
        |  / ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)) AS REAL) AS kappa
        |FROM c""".stripMargin
 
+  // ---- m21: exact SHAP attribution for the linear model --------------------
+  // Model explainability at corpus scale: for a linear model the
+  // Shapley values are CLOSED FORM, φ_j(x) = w_j·(x_j − E[x_j])
+  // (Lundberg & Lee 2017, §4 "Linear SHAP") — so the whole attribution
+  // table is one 1-row feature-means aggregate broadcast back onto one
+  // scan. The additivity identity Σφ_j = logit(x) − logit(E[x]) is
+  // emitted as a column so downstream checks need no recomputation.
+  // Reuses m05's model (weights) and feature spellings; means are
+  // plain double sums whose last-ulp order drift the float32 cast
+  // absorbs (the f02 convention).
+  // m05's feature spellings with ALL arithmetic forced into the double
+  // domain: decimal-point literals parse as DECIMAL in both engines,
+  // and a BIGINT/DECIMAL division is DECIMAL division whose result
+  // SCALE differs between Spark and DuckDB (each rounds to a different
+  // number of fraction digits) — x2's inner cast makes it float
+  // division; unquantized outputs (unlike m05's micro-quantized
+  // gradients) would expose that divergence directly.
+  private val shapXs = IndexedSeq(
+    "CAST(1.0 AS DOUBLE)",
+    "(o_totalprice / 500000.0)",
+    "(CAST(o_custkey % 97 AS DOUBLE) / 97.0)",
+    "(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)")
+  private def m21(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val featCols = shapXs.indices.map(j => expr(shapXs(j)).as(s"x$j"))
+    val base = o.select(col("o_orderkey") +: featCols: _*)
+    // feature means from EXACT integer sums (cents / residues / flags):
+    // a plain AVG's partial-sum order differs between engines, and with
+    // UNquantized phi outputs a last-ulp mean drift can straddle a
+    // float32 rounding boundary; integer sums make every mean
+    // bit-identical by construction
+    val means = o.agg(
+        expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)").as("s1"),
+        expr("CAST(SUM(o_custkey % 97) AS DOUBLE)").as("s2"),
+        expr("CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE)").as("s3"),
+        count(lit(1)).cast("double").as("cnt"))
+      .select(expr("CAST(1.0 AS DOUBLE)").as("mu0"),
+        expr("s1 / cnt / 100.0 / 500000.0").as("mu1"),
+        expr("s2 / cnt / 97.0").as("mu2"),
+        expr("s3 / cnt").as("mu3"))
+    val phiCols = shapXs.indices.map(j =>
+      expr(s"CAST(${lrW0(j)} * (x$j - mu$j) AS FLOAT)").as(s"phi$j"))
+    val logit = shapXs.indices.map(j => s"${lrW0(j)} * x$j").mkString(" + ")
+    base.crossJoin(broadcast(means))
+      .select(Seq(col("o_orderkey")) ++ phiCols :+
+        expr(s"CAST($logit AS FLOAT)").as("logit"): _*)
+      .orderBy(col("o_orderkey"))
+  }
+  private val m21Sql = {
+    val feats = shapXs.indices.map(j => s"${shapXs(j)} AS x$j").mkString(", ")
+    val phis = shapXs.indices.map(j =>
+      s"CAST(${lrW0(j)} * (x$j - mu$j) AS REAL) AS phi$j").mkString(",\n | ")
+    val logit = shapXs.indices.map(j => s"${lrW0(j)} * x$j").mkString(" + ")
+    s"""WITH base AS (SELECT o_orderkey, $feats FROM orders),
+       |sums AS (
+       | SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS s1,
+       |  CAST(SUM(o_custkey % 97) AS DOUBLE) AS s2,
+       |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS DOUBLE) AS s3,
+       |  CAST(COUNT(*) AS DOUBLE) AS cnt
+       | FROM orders),
+       |mu AS (SELECT CAST(1.0 AS DOUBLE) AS mu0, s1 / cnt / 100.0 / 500000.0 AS mu1,
+       |        s2 / cnt / 97.0 AS mu2, s3 / cnt AS mu3 FROM sums)
+       |SELECT o_orderkey,
+       | $phis,
+       | CAST($logit AS REAL) AS logit
+       |FROM base CROSS JOIN mu
+       |ORDER BY o_orderkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m21_linear_shap" -> (m21 _),
     "m12_confusion_mcc" -> (m12 _),
     "m11_calibration_curve" -> (m11 _),
     "m14_isotonic_calibration" -> (m14 _),
@@ -1216,6 +1286,7 @@ object MLQueries extends QueryFamily {
     "m08_ks_test" -> m08Sql,
     "m06_threshold_sweep" -> m06Sql,
     "m07_auc_exact" -> m07Sql,
+    "m21_linear_shap" -> m21Sql,
     "m05_logreg_step" -> m05Sql,
     "m01_fold_split" -> m01Sql,
     "m02_feature_prep" -> m02Sql,
