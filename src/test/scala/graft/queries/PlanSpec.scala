@@ -110,6 +110,31 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, s"cartesian products in: $failures")
   }
 
+  test("j18 fuzzy lookup broadcasts the probe dim and argmaxes map-side") {
+    // the catalog side is the scan; probes are a literal dim: the join
+    // must be a BROADCAST (the length band makes it NLJ, which is fine
+    // for a 10-row build side) and the per-probe argmax must carry a
+    // partial_max before the exchange
+    val plan = planOf(MiscQueries.queries("j18_fuzzy_lookup")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"probe dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in j18:\n$plan")
+    assert(plan.contains("partial_max"), s"argmax not map-side combined:\n$plan")
+  }
+
+  test("t29 DSIR joins the log-ratio dim by broadcast, never shuffling it") {
+    val plan = planOf(CurationQueries.queries("t29_dsir_importance")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"t29 shuffled a 64-row dim:\n$plan")
+  }
+
+  test("w09 rescoring cuts top-k per partition, no corpus-wide sort") {
+    val plan = planOf(SearchQueries.queries("w09_rocchio_prf")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"w09 top-k is not a per-partition heap:\n$plan")
+  }
+
   test("symspell candidate generation is an equi-join on the deletion index") {
     // the edit-distance join must never fall back to an all-pairs
     // comparison: candidates come from a hash/merge join on the
