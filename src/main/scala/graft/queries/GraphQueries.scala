@@ -483,7 +483,70 @@ object GraphQueries extends QueryFamily {
        |ORDER BY node""".stripMargin
   }
 
+  // ---- g11: k-core decomposition (fixed-round peeling) --------------------
+  // The density filter of community mining (Seidman 1983): repeatedly
+  // delete every node of degree < k; what survives is the k-core.
+  // Simultaneous deletion per round is deterministic (no tie-break
+  // order), so the d06 fixed-round contract applies: BOTH engines run
+  // exactly `kcoreRounds` peels and match even if a long cascade has
+  // not converged. Graph: supplier ↔ part-bucket co-purchase edges
+  // (≥ 2 lineitems), hub ids offset so the two node namespaces never
+  // collide. Per round: one semi-join of the (checkpointed) symmetric
+  // edge list against the survivor set per side + one degree groupBy —
+  // at scale both are key-partitioned shuffles of the EDGE table, and
+  // the survivor set only shrinks. Output: the k-core with in-core
+  // degrees.
+  private val kcoreK = 8
+  private val kcoreRounds = 6
+  private def g11(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val e = li.groupBy(col("l_suppkey").as("src"),
+        (col("l_partkey") % 997 + 100000L).as("dst"))
+      .agg(count(lit(1)).as("m")).filter(col("m") >= 2)
+      .select(col("src"), col("dst"))
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // every peel round re-reads THIS
+    var surv = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var deg = surv // placeholder; rebound each round
+    for (_ <- 1 to kcoreRounds) {
+      deg = sym
+        .join(surv.select(col("node").as("src")), "src")
+        .join(surv.select(col("node").as("dst")), "dst")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      surv = deg.filter(col("deg") >= kcoreK).select(col("node")).localCheckpoint()
+    }
+    // final in-core degrees over the surviving node set
+    sym.join(surv.select(col("node").as("src")), "src")
+      .join(surv.select(col("node").as("dst")), "dst")
+      .groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("node"), col("core_deg"))
+      .orderBy(col("node"))
+  }
+  private val g11Sql = {
+    val round = (r: Int) =>
+      s"""d$r AS MATERIALIZED (
+         | SELECT e.src AS node, COUNT(*) AS deg
+         | FROM sym e JOIN s${r - 1} a ON e.src = a.node
+         |            JOIN s${r - 1} b ON e.dst = b.node
+         | GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $kcoreK)"""
+    s"""WITH e AS (
+       | SELECT l_suppkey AS src, l_partkey % 997 + 100000 AS dst
+       | FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |sym AS MATERIALIZED (
+       | SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+       |${(1 to kcoreRounds).map(round).mkString(",\n")}
+       |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM sym e JOIN s$kcoreRounds a ON e.src = a.node
+       |           JOIN s$kcoreRounds b ON e.dst = b.node
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_kcore" -> (g11 _),
     "g10_hits" -> (g10 _),
     "g05_pagerank" -> (g05 _),
     "g06_triangle_count" -> (g06 _),
@@ -493,6 +556,7 @@ object GraphQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "g11_kcore" -> g11Sql,
     "g05_pagerank" -> g05Sql,
     "g06_triangle_count" -> g06Sql,
     "g07_personalized_pr" -> g07Sql,

@@ -1247,7 +1247,59 @@ object MLQueries extends QueryFamily {
        |ORDER BY o_orderkey""".stripMargin
   }
 
+  // ---- m22: weight-of-evidence encoding + information value ---------------
+  // The credit-scoring categorical encoder (Siddiqi, "Credit Risk
+  // Scorecards"): per category c of a feature,
+  //   WOE_c = ln( (bad_c/B) / (good_c/G) )   (0.5-smoothed)
+  //   IV    = Σ_c (bad_c/B − good_c/G) · WOE_c
+  // Feature = o_orderpriority, target = (o_orderstatus = 'F'). ONE
+  // map-side-combined groupBy + a broadcast 1-row totals dim; counts
+  // are exact longs, the single ln per category is cast float32, and
+  // the IV sum is micro-quantized (⌊term·10⁹⌋ longs) so the 5-term
+  // fold is order-free on both engines.
+  private def m22(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val cats = o.groupBy(col("o_orderpriority").as("category"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_bad"),
+        sum(when(col("o_orderstatus") =!= "F", 1L).otherwise(0L)).as("n_good"))
+    val tot = cats.agg(sum(col("n_bad")).as("tb"), sum(col("n_good")).as("tg"))
+    val woe = "LN(((CAST(n_bad AS DOUBLE) + 0.5) / tb) / ((CAST(n_good AS DOUBLE) + 0.5) / tg))"
+    val term = s"((CAST(n_bad AS DOUBLE) / tb - CAST(n_good AS DOUBLE) / tg) * $woe)"
+    val scored = cats.crossJoin(broadcast(tot))
+      .select(col("category"), col("n_bad"), col("n_good"),
+        expr(s"CAST($woe AS FLOAT)").as("woe"),
+        expr(s"CAST(FLOOR($term * 1000000000.0) AS BIGINT)").as("iv_term_nano"))
+      .localCheckpoint() // tiny; feeds its own IV total
+    val iv = scored.agg(sum(col("iv_term_nano")).as("iv_nano"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("category"), col("n_bad"), col("n_good"), col("woe"),
+        col("iv_term_nano"), col("iv_nano"))
+      .orderBy(col("category"))
+  }
+  private val m22Sql = {
+    val woe = "LN(((CAST(n_bad AS DOUBLE) + 0.5) / tb) / ((CAST(n_good AS DOUBLE) + 0.5) / tg))"
+    val term = s"((CAST(n_bad AS DOUBLE) / tb - CAST(n_good AS DOUBLE) / tg) * $woe)"
+    s"""WITH cats AS (
+       | SELECT o_orderpriority AS category,
+       |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_bad,
+       |  SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS n_good
+       | FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_bad) AS DOUBLE) AS tb,
+       |               CAST(SUM(n_good) AS DOUBLE) AS tg FROM cats),
+       |scored AS (
+       | SELECT category, CAST(n_bad AS BIGINT) AS n_bad,
+       |  CAST(n_good AS BIGINT) AS n_good,
+       |  CAST($woe AS REAL) AS woe,
+       |  CAST(FLOOR($term * 1000000000.0) AS BIGINT) AS iv_term_nano
+       | FROM cats CROSS JOIN tot),
+       |iv AS (SELECT CAST(SUM(iv_term_nano) AS BIGINT) AS iv_nano FROM scored)
+       |SELECT category, n_bad, n_good, woe, iv_term_nano, iv_nano
+       |FROM scored CROSS JOIN iv
+       |ORDER BY category""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m22_woe_iv" -> (m22 _),
     "m21_linear_shap" -> (m21 _),
     "m12_confusion_mcc" -> (m12 _),
     "m11_calibration_curve" -> (m11 _),
@@ -1286,6 +1338,7 @@ object MLQueries extends QueryFamily {
     "m08_ks_test" -> m08Sql,
     "m06_threshold_sweep" -> m06Sql,
     "m07_auc_exact" -> m07Sql,
+    "m22_woe_iv" -> m22Sql,
     "m21_linear_shap" -> m21Sql,
     "m05_logreg_step" -> m05Sql,
     "m01_fold_split" -> m01Sql,
