@@ -381,16 +381,35 @@ object MultimodalQueries extends QueryFamily {
   // feature extractor has after the decoder (which for real codecs
   // lives behind MediaPipeline's injectable decoder; PCM IS the
   // decoded form, so this path is fully real).
-  private def x08(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, smp) with smp = the int16-LE PCM view of the text bytes,
+    * materialized and partition-spread. Two structural points both
+    * measured on the 5000-doc sf0.1 corpus:
+    *  - the hex string is its OWN materialized column, NOT re-spelled
+    *    inside the per-sample lambda: CollapseProject inlines a
+    *    single-referenced alias, and the inlined form recomputes
+    *    hex(text) (O(n)) for every SAMPLE — O(n²)/doc, 22 s for the
+    *    corpus vs sub-second with the hoist;
+    *  - the one-file parquet source is ONE input split, so the
+    *    (interpreted-lambda) sample build is repartitioned across
+    *    cores first — the d02 repartition-before-compute rule.
+    * The localCheckpoint is the inline barrier; at cluster scale it is
+    * the materialized decode output every media pipeline persists. */
+  private def pcmSamples(s: SparkSession, dir: String, minBytes: Int): DataFrame = {
     val d = rd(s, dir, "documents")
     val nb = "octet_length(encode(text, 'UTF-8'))"
-    // sample i (1-based): bytes 2i-1 (lo) and 2i (hi), signed int16
-    val raw = s"(CAST(conv(substring($hexSpark, i * 4 - 3, 2), 16, 10) AS BIGINT)" +
-      s" + 256 * CAST(conv(substring($hexSpark, i * 4 - 1, 2), 16, 10) AS BIGINT))"
-    val samples = s"transform(sequence(1, CAST($nb div 2 AS INT)), " +
+    val raw = s"(CAST(conv(substring(hx, i * 4 - 3, 2), 16, 10) AS BIGINT)" +
+      s" + 256 * CAST(conv(substring(hx, i * 4 - 1, 2), 16, 10) AS BIGINT))"
+    val samples = s"transform(sequence(1, CAST(nbv div 2 AS INT)), " +
       s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
-    d.filter(expr(nb) >= 2)
+    d.filter(expr(nb) >= minBytes)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(hexSpark).as("hx"), expr(nb).as("nbv"))
+      .localCheckpoint()
       .select(col("doc_id"), expr(samples).as("smp"))
+      .localCheckpoint()
+  }
+  private def x08(s: SparkSession, dir: String): DataFrame = {
+    pcmSamples(s, dir, minBytes = 2)
       .select(col("doc_id"),
         size(col("smp")).cast("long").as("n_samples"),
         expr("aggregate(smp, 0L, (acc, v) -> acc + v * v)").as("energy"),
@@ -434,19 +453,20 @@ object MultimodalQueries extends QueryFamily {
   private val vadFrame = 8
   private val vadThresh = 5250000000L
   private def x09(s: SparkSession, dir: String): DataFrame = {
-    val d = rd(s, dir, "documents")
-    val nb = "octet_length(encode(text, 'UTF-8'))"
-    val raw = s"(CAST(conv(substring($hexSpark, i * 4 - 3, 2), 16, 10) AS BIGINT)" +
-      s" + 256 * CAST(conv(substring($hexSpark, i * 4 - 1, 2), 16, 10) AS BIGINT))"
-    val samples = s"transform(sequence(1, CAST($nb div 2 AS INT)), " +
-      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
-    val frames = d.filter(expr(nb) >= 2 * vadFrame)
-      .select(col("doc_id"), expr(samples).as("smp"))
-      .select(col("doc_id"), expr(
-        s"transform(sequence(0, CAST(size(smp) div $vadFrame AS INT) - 1), " +
-          s"f -> aggregate(slice(smp, f * $vadFrame + 1, $vadFrame), 0L, " +
-          s"(acc, v) -> acc + v * v))").as("fe"))
-      .select(col("doc_id"), posexplode(col("fe")).as(Seq("fidx", "fenergy")))
+    // decode via the shared materialized PCM view (see pcmSamples for
+    // the two structural lessons — hex hoist + repartition — that took
+    // this query from 487 s to sub-second at sf0.1). Framing is
+    // RELATIONAL (posexplode + integer-div groupBy), not a nested
+    // aggregate-in-transform lambda: the frame energy is an order-free
+    // integer sum, so the map-side-combined groupBy is both the fast
+    // local form and the honest 100 TB shape.
+    val frames = pcmSamples(s, dir, minBytes = 2 * vadFrame)
+      .select(col("doc_id"),
+        expr(s"CAST(size(smp) div $vadFrame AS INT) * $vadFrame").as("nfull"),
+        posexplode(col("smp")).as(Seq("pos", "v")))
+      .filter(col("pos") < col("nfull"))
+      .groupBy(col("doc_id"), expr(s"pos div $vadFrame").cast("int").as("fidx"))
+      .agg(sum(col("v") * col("v")).as("fenergy"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("fidx"))
     val islands = frames.filter(col("fenergy") >= vadThresh)
