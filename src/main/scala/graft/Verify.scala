@@ -25,9 +25,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // stderr timing of the FULL write path (driver reads stdout
+        // only). Bench measures count(), which prunes unreferenced
+        // projections — this is the number that catches a query whose
+        // cost hides in pruned columns (how x09's O(n^2) decode was
+        // found: 487 s here, 0.3 s under count).
+        System.err.println(
+          f"[verify] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       }

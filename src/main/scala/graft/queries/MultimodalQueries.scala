@@ -88,14 +88,20 @@ object MultimodalQueries extends QueryFamily {
   private def x03(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val nb = "octet_length(encode(text, 'UTF-8'))"
-    val bytes = s"transform(sequence(1, $nb), " +
-      s"i -> CAST(conv(substring($hexSpark, i * 2 - 1, 2), 16, 10) AS BIGINT))"
-    d.select(col("doc_id"),
-        expr(nb).as("n_bytes"),
+    // hex hoist + repartition + barrier (the pcmSamples lessons): the
+    // inlined form recomputed hex(text) per BYTE on one input split —
+    // 19 s at sf0.1 under the write path, sub-second hoisted
+    val base = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(hexSpark).as("hx"), expr(nb).as("nbv"),
         (lit(32) + expr(byteSpark(1)) % 64).as("width"),
-        (lit(32) + expr(byteSpark(2)) % 64).as("height"),
+        (lit(32) + expr(byteSpark(2)) % 64).as("height"))
+      .localCheckpoint()
+    val bytes = "transform(sequence(1, nbv), " +
+      "i -> CAST(conv(substring(hx, i * 2 - 1, 2), 16, 10) AS BIGINT))"
+    base.select(col("doc_id"),
+        col("nbv").as("n_bytes"), col("width"), col("height"),
         (expr(s"aggregate($bytes, 0L, (acc, v) -> acc + v)").cast("double") /
-          expr(nb)).cast("float").as("mean_luma"))
+          col("nbv")).cast("float").as("mean_luma"))
       .orderBy(col("doc_id"))
   }
   private val x03Sql = {
