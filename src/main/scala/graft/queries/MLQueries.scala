@@ -131,7 +131,9 @@ object MLQueries extends QueryFamily {
   private val mlpBOut: Double = 0.1
   private def m03(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val ev = rd(s, dir, "events")
+    // repartition: the 128/64/32 forward pass is compute-bound and the
+    // one-file source gives ONE input split
+    val ev = rd(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
     // Layers run through the native mlp_dense expression (a generated
     // loop over a referenced weight array) instead of one expression
     // node per multiply-add: the spelled-out ~11k-node network kept the
