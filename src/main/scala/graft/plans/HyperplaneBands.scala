@@ -29,7 +29,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * `c0·e0 + c1·e1 + …` left fold, so results are bit-for-bit the same
   * as the expression-tree form. Elements are read as float and widened
   * to double exactly like `CAST(element_at(e, j+1) AS DOUBLE)`.
-  * Arrays shorter than `dims` yield NULL.
+  * Arrays shorter than `dims` yield NULL. NULL ELEMENTS are read as
+  * 0.0 (primitive `getFloat` on a null slot) rather than propagating
+  * null like the element_at form would — callers feed non-null
+  * embedding vectors; the divergence is documented, not defended,
+  * because a per-element null scan would cost more than the dot.
   */
 case class HyperplaneBands(child: Expression, nTables: Int, bandBits: Int,
     dims: Int, seedBase: Int)

@@ -807,6 +807,108 @@ object TextQueries extends QueryFamily {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t31: T5-style span corruption --------------------------------------
+  // Denoising-objective sample prep (Raffel et al., JMLR 2020 §3.1.4):
+  // mask ~15% of tokens with a deterministic hash coin, merge adjacent
+  // masked tokens into spans, replace each span in the INPUT with a
+  // numbered sentinel, and emit the TARGET as sentinel-prefixed span
+  // contents. Fully relational string surgery: tokenize+posexplode once
+  // (the only corpus-sized stage), u12's gaps-and-islands for spans, and
+  // ONE ordered-struct aggregation per (doc, side) whose sort key makes
+  // the reassembly deterministic on both engines (Spark sort_array of
+  // (k1, k2, piece) structs ≡ DuckDB string_agg ORDER BY k1, k2). The
+  // hash coin is the Knuth mix over doc_id·131 + pos, so masking is
+  // reproducible on any cluster layout.
+  private val spanMaskPct = 15
+  private def t31(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks = d
+      .select(col("doc_id"),
+        posexplode(expr("filter(split(text, ' '), t -> length(t) > 0)"))
+          .as(Seq("pos", "tok")))
+      .withColumn("masked",
+        expr(s"((doc_id * 131 + pos) * 2654435761) % 100") < spanMaskPct)
+      .localCheckpoint() // feeds spans, input pieces, target pieces
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = toks.filter(col("masked"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"))
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("span_start"))) - 1)
+      .select(col("doc_id"), col("span_start"),
+        concat(lit("<extra_id_"), col("k"), lit(">")).as("sentinel"))
+    val inputPieces = toks.filter(!col("masked"))
+        .select(col("doc_id"), lit("i").as("side"), col("pos").as("k1"),
+          lit(0).as("k2"), col("tok").as("piece"))
+      .union(spans.select(col("doc_id"), lit("i").as("side"),
+        col("span_start").as("k1"), lit(0).as("k2"), col("sentinel").as("piece")))
+    val targetPieces = spans.select(col("doc_id"), lit("t").as("side"),
+        col("span_start").as("k1"), lit(0).as("k2"), col("sentinel").as("piece"))
+      .union(toks.filter(col("masked")).select(col("doc_id"), lit("t").as("side"),
+        col("pos").as("k1"), lit(1).as("k2"), col("tok").as("piece")))
+    val joined = inputPieces.union(targetPieces)
+      .groupBy(col("doc_id"), col("side"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(k1, k2, piece))), x -> x.piece), ' ')")
+        .as("txt"))
+    val stats = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+    stats
+      .join(joined.filter(col("side") === "i")
+        .select(col("doc_id"), col("txt").as("input_text")), Seq("doc_id"), "left")
+      .join(joined.filter(col("side") === "t")
+        .select(col("doc_id"), col("txt").as("target_text")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val t31Sql =
+    s"""WITH lists AS (
+       | SELECT doc_id, list_filter(string_split(text, ' '),
+       |        t -> length(t) > 0) AS lst
+       | FROM documents),
+       |toks AS MATERIALIZED (
+       | SELECT doc_id, i - 1 AS pos, lst[i] AS tok,
+       |  ((doc_id * 131 + (i - 1)) * 2654435761) % 100 < $spanMaskPct AS masked
+       | FROM lists, unnest(generate_series(1, len(lst))) AS t(i)),
+       |spans AS MATERIALIZED (
+       | SELECT doc_id, span_start,
+       |  '<extra_id_' || CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start) - 1 AS VARCHAR) || '>' AS sentinel
+       | FROM (
+       |  SELECT doc_id, MIN(pos) AS span_start
+       |  FROM (SELECT doc_id, pos,
+       |         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM toks WHERE masked)
+       |  GROUP BY doc_id, grp)),
+       |pieces AS (
+       | SELECT doc_id, 'i' AS side, pos AS k1, 0 AS k2, tok AS piece
+       | FROM toks WHERE NOT masked
+       | UNION ALL
+       | SELECT doc_id, 'i', span_start, 0, sentinel FROM spans
+       | UNION ALL
+       | SELECT doc_id, 't', span_start, 0, sentinel FROM spans
+       | UNION ALL
+       | SELECT doc_id, 't', pos, 1, tok FROM toks WHERE masked),
+       |joined AS (
+       | SELECT doc_id, side, string_agg(piece, ' ' ORDER BY k1, k2) AS txt
+       | FROM pieces GROUP BY 1, 2),
+       |stats AS (
+       | SELECT doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+       | FROM toks GROUP BY 1)
+       |SELECT s.doc_id, s.n_tokens, s.n_masked,
+       | COALESCE(i.txt, '') AS input_text,
+       | COALESCE(t.txt, '') AS target_text
+       |FROM stats s
+       |LEFT JOIN joined i ON i.doc_id = s.doc_id AND i.side = 'i'
+       |LEFT JOIN joined t ON t.doc_id = s.doc_id AND t.side = 't'
+       |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_readability" -> (t25 _),
     "t24_temperature_mixture" -> (t24 _),
@@ -823,6 +925,7 @@ object TextQueries extends QueryFamily {
     "t09_data_mixture" -> (t09 _),
     "t08_entity_redact" -> (t08 _),
     "d08_keep_best" -> (d08 _),
+    "t31_span_corruption" -> (t31 _),
     "t01_token_count" -> (t01 _),
     "t02_quality_score" -> (t02 _),
     "t03_lang_id" -> (t03 _),
@@ -847,6 +950,7 @@ object TextQueries extends QueryFamily {
     "t09_data_mixture" -> t09Sql,
     "t08_entity_redact" -> t08Sql,
     "d08_keep_best" -> d08Sql,
+    "t31_span_corruption" -> t31Sql,
     "t01_token_count" -> t01Sql,
     "t02_quality_score" -> t02Sql,
     "t03_lang_id" -> t03Sql,
