@@ -515,7 +515,47 @@ object MultimodalQueries extends QueryFamily {
        |ORDER BY doc_id, seg_idx""".stripMargin
   }
 
+  // ---- x10: image tiling statistics ---------------------------------------
+  // The patch-extraction pass of a ViT-style pipeline: split the 8×8
+  // pixel block (x07's phash block) into four 4×4 tiles and emit
+  // per-tile sum and peak luma. Tiles address FIXED byte offsets, so
+  // the whole op is one codegen projection over 2×…×2-char substrings —
+  // no lambdas, no explode, integer-exact, and the per-tile layout is
+  // what a patch embedder's batch planner consumes. Docs shorter than
+  // the block are filtered (x07 convention).
+  private def x10(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val nb = "octet_length(encode(text, 'UTF-8'))"
+    def tileBytes(ty: Int, tx: Int): Seq[String] =
+      for (r <- 0 until 4; c <- 0 until 4)
+        yield byteSpark(8 * (4 * ty + r) + (4 * tx + c) + 1)
+    val cols = for (ty <- 0 to 1; tx <- 0 to 1) yield {
+      val bs = tileBytes(ty, tx)
+      Seq(expr(bs.mkString("(", " + ", ")")).as(s"t${ty}${tx}_sum"),
+        expr(bs.mkString("GREATEST(", ", ", ")")).as(s"t${ty}${tx}_max"))
+    }
+    d.filter(expr(nb) >= 64)
+      .select(col("doc_id") +: cols.flatten: _*)
+      .orderBy(col("doc_id"))
+  }
+  private val x10Sql = {
+    val nb = "octet_length(encode(text))"
+    def tileBytes(ty: Int, tx: Int): Seq[String] =
+      (for (r <- 0 until 4; c <- 0 until 4)
+        yield byteDuck(8 * (4 * ty + r) + (4 * tx + c) + 1)).toSeq
+    val cols = (for (ty <- 0 to 1; tx <- 0 to 1) yield {
+      val bs = tileBytes(ty, tx)
+      Seq(s"${bs.mkString("(", " + ", ")")} AS t${ty}${tx}_sum",
+        s"${bs.mkString("GREATEST(", ", ", ")")} AS t${ty}${tx}_max")
+    }).flatten.mkString(",\n | ")
+    s"""SELECT doc_id,
+       | $cols
+       |FROM documents WHERE $nb >= 64
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x10_tile_stats" -> (x10 _),
     "x09_vad_segments" -> (x09 _),
     "x06_image_neardup" -> (x06 _),
     "x07_phash_neardup" -> (x07 _),
@@ -528,6 +568,7 @@ object MultimodalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "x10_tile_stats" -> x10Sql,
     "x09_vad_segments" -> x09Sql,
     "x06_image_neardup" -> x06Sql,
     "x07_phash_neardup" -> x07Sql,
