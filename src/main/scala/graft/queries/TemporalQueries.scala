@@ -1468,9 +1468,85 @@ object TemporalQueries extends QueryFamily {
        |      FROM known)
        |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ---- u23: RFM segmentation ------------------------------------------------
+  // Recency/Frequency/Monetary scoring (Hughes, "Strategic Database
+  // Marketing") the scale-honest way: per-user RFM is ONE groupBy; the
+  // quintile cutoffs are a 1-ROW percentile aggregate broadcast back —
+  // NOT a corpus-wide ntile sort, which would funnel every user through
+  // one partition. Scores are threshold comparisons (shared spelling;
+  // Spark `percentile` ≡ DuckDB `quantile_cont`, identical interpolation
+  // over exact integer inputs), M is exact cents, R exact integer days
+  // against the data's own max timestamp. Segment labels are one shared
+  // CASE over (r_score, f_score).
+  private def u23(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val perUser = ev.groupBy(col("user_id")).agg(
+        count(lit(1)).as("f_cnt"),
+        expr("CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)").as("m_cents"),
+        max(col("ts")).as("last_ts"))
+      .localCheckpoint() // feeds the anchor, the cutoffs, and the scoring
+    val anchored = perUser.crossJoin(broadcast(
+        perUser.agg(max(col("last_ts")).as("gmax"))))
+      .select(col("user_id"), col("f_cnt"), col("m_cents"),
+        expr("CAST((gmax - last_ts) DIV 86400000000000 AS BIGINT)").as("r_days"))
+      .localCheckpoint()
+    val cuts = anchored.agg(
+      expr("percentile(r_days, array(0.2D, 0.4D, 0.6D, 0.8D))").as("rq"),
+      expr("percentile(f_cnt, array(0.2D, 0.4D, 0.6D, 0.8D))").as("fq"),
+      expr("percentile(m_cents, array(0.2D, 0.4D, 0.6D, 0.8D))").as("mq"))
+    def hi(m: String, q: String) = // 1..5, higher metric -> higher score
+      s"(1 + CAST($m > element_at($q, 1) AS INT) + CAST($m > element_at($q, 2) AS INT)" +
+        s" + CAST($m > element_at($q, 3) AS INT) + CAST($m > element_at($q, 4) AS INT))"
+    val scored = anchored.crossJoin(broadcast(cuts))
+      .select(col("user_id"), col("r_days"), col("f_cnt"), col("m_cents"),
+        expr(s"6 - ${hi("r_days", "rq")}").as("r_score"), // recent = low days
+        expr(hi("f_cnt", "fq")).as("f_score"),
+        expr(hi("m_cents", "mq")).as("m_score"))
+    scored.withColumn("segment", expr(
+        """CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+          | WHEN f_score >= 4 THEN 'loyal'
+          | WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+          | WHEN r_score <= 2 THEN 'hibernating'
+          | ELSE 'regular' END""".stripMargin))
+      .orderBy(col("user_id"))
+  }
+  private val u23Sql = {
+    def hi(m: String, q: String) =
+      s"(1 + CAST($m > $q[1] AS INT) + CAST($m > $q[2] AS INT)" +
+        s" + CAST($m > $q[3] AS INT) + CAST($m > $q[4] AS INT))"
+    s"""WITH per_user AS MATERIALIZED (
+       | SELECT user_id, COUNT(*) AS f_cnt,
+       |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m_cents,
+       |  MAX(epoch_ns(ts)) AS last_ts
+       | FROM events GROUP BY 1),
+       |anchored AS MATERIALIZED (
+       | SELECT user_id, f_cnt, m_cents,
+       |  CAST(((SELECT MAX(last_ts) FROM per_user) - last_ts) // 86400000000000 AS BIGINT) AS r_days
+       | FROM per_user),
+       |cuts AS (
+       | SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+       |  quantile_cont(f_cnt, [0.2, 0.4, 0.6, 0.8]) AS fq,
+       |  quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+       | FROM anchored),
+       |scored AS (
+       | SELECT user_id, r_days, f_cnt, m_cents,
+       |  6 - ${hi("r_days", "rq")} AS r_score,
+       |  ${hi("f_cnt", "fq")} AS f_score,
+       |  ${hi("m_cents", "mq")} AS m_score
+       | FROM anchored CROSS JOIN cuts)
+       |SELECT user_id, r_days, f_cnt, m_cents, r_score, f_score, m_score,
+       | CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+       |      WHEN f_score >= 4 THEN 'loyal'
+       |      WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+       |      WHEN r_score <= 2 THEN 'hibernating'
+       |      ELSE 'regular' END AS segment
+       |FROM scored ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u18_bitemporal" -> (u18 _),
     "u19_holt_trend" -> (u19 _),
+    "u23_rfm_segments" -> (u23 _),
     "u21_time_weighted_alloc" -> (u21 _),
     "u17_cusum" -> (u17 _),
     "u14_markov_transitions" -> (u14 _),
@@ -1508,6 +1584,7 @@ object TemporalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "u18_bitemporal" -> u18Sql,
     "u19_holt_trend" -> u19Sql,
+    "u23_rfm_segments" -> u23Sql,
     "u21_time_weighted_alloc" -> u21Sql,
     "u17_cusum" -> u17Sql,
     "u14_markov_transitions" -> u14Sql,
