@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.logging.log4j.LogManager
+import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.logging.log4j.core.config.Property
+import scala.collection.mutable
+
+/** Structural lock on the "zero codegen fallbacks" claim: run every
+  * query and FAIL if Spark's CodeGenerator logs a compile error (the
+  * janino 64 KB path) anywhere outside the documented-benign
+  * allowlist. This is how d05's silent 4.8× interpreted-eval
+  * regression would have been caught the round it was introduced —
+  * the ERROR line scrolls by harmlessly in test logs otherwise.
+  *
+  * Queries are driven through `toRdd` (the write-shaped path): a
+  * count() would let the optimizer prune the output projections, which
+  * is exactly where oversized codegen hides. A self-emitted event
+  * inside the run guards against the probe going deaf.
+  *
+  * Allowlist: m13's fused filter+count stage exceeds the limit when a
+  * downstream filter keeps its projection alive inside an aggregate;
+  * that fallback is per-OPERATOR codegen (method-split projections,
+  * measured cost-identical) and a barrier was measured 3× slower — see
+  * MLQueries.m13. Its plain projection path compiles fine. */
+class CodegenHealthSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private val benign = Set("m13_multiclass_bdt")
+
+  test("no query falls out of codegen except the documented m13 stage") {
+    val errors = mutable.Map.empty[String, Int]
+    var current = "(none)"
+    val appender = new AbstractAppender(
+      "graft-codegen-probe", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(event: LogEvent): Unit = {
+        if (event.getLoggerName.contains("CodeGenerator") &&
+          event.getLevel.toString == "ERROR") {
+          errors.synchronized {
+            errors(current) = errors.getOrElse(current, 0) + 1
+          }
+        }
+      }
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(appender, null, null)
+    ctx.updateLoggers()
+    try {
+      current = "wire-check"
+      LogManager.getLogger(
+        "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
+        .error("probe wiring self-test")
+      assert(errors.contains("wire-check"),
+        "appender did not even capture a self-emitted CodeGenerator error")
+      errors.remove("wire-check")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        current = name
+        // toRdd, not count(): a count would let the optimizer PRUNE the
+        // output projections — exactly where oversized codegen hides
+        // (m13's error only fires when the projection survives)
+        fn(spark, dir).queryExecution.toRdd.count()
+      }
+    } finally {
+      cfg.getRootLogger.removeAppender("graft-codegen-probe")
+      ctx.updateLoggers()
+      appender.stop()
+    }
+    val offenders = errors.keySet -- benign
+    assert(offenders.isEmpty,
+      s"codegen compile failures outside the allowlist: " +
+        s"${offenders.toSeq.sorted.map(k => s"$k(${errors(k)})").mkString(", ")}")
+  }
+}
