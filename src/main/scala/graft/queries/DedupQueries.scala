@@ -1141,7 +1141,40 @@ object DedupQueries extends QueryFamily {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- d23: streaming-order novelty score ----------------------------------
+  // The contribution scorer of dedup-aware curation (the "how much NEW
+  // text does this doc add" signal used to order ingestion): a gram is
+  // NOVEL in the first doc (lowest doc_id — the ingestion order) that
+  // contains it; a doc's novelty is its fraction of distinct grams that
+  // are first-seen there. One explode over the d09 gram machinery, a
+  // gram-keyed MIN(doc_id) inverted index (map-side combined), and one
+  // broadcast-free equi-join back — never doc × doc, never a rescan. At
+  // 100 TB this is the d09 shuffle with a min instead of a count.
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val grams = wordGrams(d).distinct().localCheckpoint() // (doc, gram) once
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).cast("float").as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+  private val d23Sql =
+    s"""WITH $wordGramsDuck,
+       |dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
+       |first_seen AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       | CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       | CAST(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / COUNT(*) AS REAL) AS novelty
+       |FROM dg JOIN first_seen USING (g)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_novelty_score" -> (d23 _),
     "d21_source_similarity" -> (d21 _),
     "d20_source_overlap" -> (d20 _),
     "d19_lsh_tuning" -> (d19 _),
@@ -1162,6 +1195,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d23_novelty_score" -> d23Sql,
     "d21_source_similarity" -> d21Sql,
     "d20_source_overlap" -> d20Sql,
     "d19_lsh_tuning" -> d19Sql,
