@@ -254,7 +254,42 @@ object StreamQueries extends QueryFamily {
       | CAST(CAST(SUM(vm) AS BIGINT) / 1000.0 AS REAL) AS sum_value
       |FROM hops GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- n11: streaming trending top-k ---------------------------------------
+  // The live-dashboard query: the streaming windowed aggregation keeps
+  // per-(hour, type) counts in state (n01's machinery; complete-mode
+  // memory sink), and the top-3-per-hour ranking runs over the
+  // FINALIZED aggregate table — a window over aggregated (bounded)
+  // input, so the per-hour rank never touches raw events. At deploy
+  // scale the sink is a keyed store and the rank is the reader's query;
+  // AvailableNow makes the whole pipeline ≡ the batch oracle.
+  private val trendK = 3
+  private def n11(s: SparkSession, dir: String): DataFrame =
+    Streams.withStatePartitions(s, statePartitions) {
+      val t = Streams.windowedAgg(s, dir, fresh("graft_stream_topk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour_bucket"))
+        .orderBy(col("n_events").desc, col("event_type").asc)
+      t.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= trendK)
+        .select(col("hour_bucket"), col("rank"), col("event_type"),
+          col("n_events"))
+        .orderBy(col("hour_bucket"), col("rank"))
+    }
+  private val n11Sql =
+    s"""WITH agg AS (
+       | SELECT epoch_ns(ts) // $HourNs AS hour_bucket, event_type,
+       |  COUNT(*) AS n_events
+       | FROM events GROUP BY 1, 2)
+       |SELECT hour_bucket, rank, event_type, n_events FROM (
+       | SELECT hour_bucket, event_type, n_events,
+       |  ROW_NUMBER() OVER (PARTITION BY hour_bucket
+       |    ORDER BY n_events DESC, event_type ASC) AS rank
+       | FROM agg)
+       |WHERE rank <= $trendK
+       |ORDER BY hour_bucket, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n11_stream_topk" -> (n11 _),
     "n10_stream_hopping" -> (n10 _),
     "n09_stream_running_totals" -> (n09 _),
     "n07_stream_session_window" -> (n07 _),
@@ -272,6 +307,7 @@ object StreamQueries extends QueryFamily {
     "n09_stream_running_totals" -> n09Sql,
     "n07_stream_session_window" -> n07Sql,
     "n06_stream_static_join" -> n06Sql,
+    "n11_stream_topk" -> n11Sql,
     "n01_stream_window_agg" -> n01Sql,
     "n02_stream_sessionize" -> n02Sql,
     "n03_stream_dedup" -> n03Sql,
