@@ -905,7 +905,107 @@ object SearchQueries extends QueryFamily {
        |WHERE rank <= $prfTopK ORDER BY rank""".stripMargin
   }
 
+  // ---- w11: MMR diversified re-ranking -------------------------------------
+  // Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR 1998): from
+  // the BM25 top-N, greedily pick k docs maximizing
+  //   λ·rel(d) − (1−λ)·max_{p∈picked} sim(d, p)
+  // — the standard de-duplicating reranker between retrieval and an
+  // LLM's context window. Scale split: retrieval and the candidate
+  // pairwise similarities are distributed (top-N via per-partition
+  // heaps; N² = 400 sim pairs via the native sorted-merge intersect);
+  // the greedy loop runs on the COLLECTED ≤N-row candidate table — the
+  // d12/a14 size-gated driver-finish convention, since MMR's argmax is
+  // sequentially dependent by definition. Everything is integer basis
+  // points (λ = 0.7 ⇒ score = 7·rel_bp − 3·max_sim_bp), so the oracle's
+  // k chained argmax CTEs replay the identical picks with no float
+  // comparisons anywhere; ties break on doc_id.
+  private val mmrN = 20
+  private val mmrK = 5
+  private def w11(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import s.implicits._
+    val cands = bm25Ranked(s, dir).filter(col("rank") <= mmrN)
+      .select(col("doc_id"),
+        expr("CAST(floor(score * 10000 + 0.5) AS BIGINT)").as("rel_bp"))
+      .join(rd(s, dir, "documents").select(col("doc_id"),
+        expr("shingle_set(text, 5)").as("sh")), "doc_id")
+      .localCheckpoint() // feeds both sim-join sides + the greedy table
+    val a = cands.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = cands.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    val sims = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(floor(10000.0 * CAST(sorted_intersect_count(a_sh, b_sh) AS DOUBLE) / " +
+          "(CAST(size(a_sh) + size(b_sh) AS DOUBLE) - sorted_intersect_count(a_sh, b_sh)) + 0.5) AS BIGINT)")
+          .as("sim_bp"))
+      .collect().flatMap(r => Seq(
+        (r.getLong(0), r.getLong(1)) -> r.getLong(2),
+        (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap
+    val rels = cands.select(col("doc_id"), col("rel_bp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    // greedy loop over the <=N-row driver table
+    var picked = Vector.empty[(Int, Long, Long, Long)] // (pick, doc, rel, mmr)
+    var remaining = rels
+    for (k <- 1 to math.min(mmrK, rels.size)) {
+      val best = remaining.map { case (d, rel) =>
+        val maxSim = if (picked.isEmpty) 0L
+          else picked.map(p => sims.getOrElse((d, p._2), 0L)).max
+        (d, rel, 7L * rel - 3L * maxSim)
+      }.maxBy { case (d, _, m) => (m, -d) } // mmr desc, doc_id asc
+      picked :+= ((k, best._1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    picked.toDF("pick", "doc_id", "rel_bp", "mmr_bp").orderBy(col("pick"))
+  }
+  private val w11Sql = {
+    val steps = (2 to mmrK).map { k =>
+      s"""c$k AS MATERIALIZED (
+         | SELECT c.doc_id, c.rel_bp,
+         |  7 * c.rel_bp - 3 * COALESCE((
+         |    SELECT MAX(s.sim_bp) FROM sims s
+         |    JOIN sel${k - 1} p ON s.b_id = p.doc_id
+         |    WHERE s.a_id = c.doc_id), 0) AS mmr_bp
+         | FROM cands c
+         | WHERE c.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})),
+         |p$k AS MATERIALIZED (
+         | SELECT $k AS pick, doc_id, rel_bp, mmr_bp
+         | FROM c$k ORDER BY mmr_bp DESC, doc_id ASC LIMIT 1),
+         |sel$k AS MATERIALIZED (
+         | SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM p$k)"""
+    }.mkString(",\n")
+    s"""WITH $bm25RankedCtes,
+       |cands AS MATERIALIZED (
+       | SELECT b.doc_id,
+       |  CAST(floor(b.score * 10000 + 0.5) AS BIGINT) AS rel_bp,
+       |  $shinglesDuckW11 AS sh
+       | FROM bmranked b JOIN documents d ON d.doc_id = b.doc_id
+       | WHERE b.rank <= $mmrN),
+       |sims AS MATERIALIZED (
+       | SELECT a_id, b_id, sim_bp FROM (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |   CAST(floor(10000.0 * CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+       |     / (CAST(len(x.sh) + len(y.sh) AS DOUBLE) - len(list_intersect(x.sh, y.sh))) + 0.5) AS BIGINT) AS sim_bp
+       |  FROM cands x JOIN cands y ON x.doc_id <> y.doc_id)),
+       |p1 AS MATERIALIZED (
+       | SELECT 1 AS pick, doc_id, rel_bp, 7 * rel_bp AS mmr_bp
+       | FROM cands ORDER BY 7 * rel_bp DESC, doc_id ASC LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT * FROM p1),
+       |$steps
+       |SELECT pick, doc_id, rel_bp, mmr_bp FROM sel$mmrK ORDER BY pick""".stripMargin
+  }
+  /** Char-5 shingle set over the joined document text — d02's spelling
+    * with the `d.text` column reference. */
+  private def shinglesDuckW11: String = {
+    def h(expr: Int => String) =
+      (0 until 5).map(k => s"${expr(k)} * ${math.pow(31, 4 - k).toLong}").mkString(" + ")
+    val horner = h(k => s"ascii(substr(d.text, i + $k, 1))")
+    s"list_sort(list_distinct(list_transform(generate_series(1, length(d.text) - 4), " +
+      s"i -> CAST($horner AS INTEGER))))"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_mmr_rerank" -> (w11 _),
     "w09_rocchio_prf" -> (w09 _),
     "k07_quantile_sketch" -> (k07 _),
     "w07_snippet_window" -> (w07 _),
@@ -923,6 +1023,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w11_mmr_rerank" -> w11Sql,
     "w09_rocchio_prf" -> w09Sql,
     "k07_quantile_sketch" -> k07Sql,
     "w07_snippet_window" -> w07Sql,
