@@ -1300,7 +1300,67 @@ object MLQueries extends QueryFamily {
        |ORDER BY category""".stripMargin
   }
 
+  // ---- m23: partial-dependence plot (tree ensemble) ------------------------
+  // The model-explainability companion of m21's SHAP: PD(g) = the mean
+  // prediction with feature f0 FORCED to grid value g over the whole
+  // corpus (Friedman 2001 §8.2). Scale shape: the 10-point literal grid
+  // broadcasts onto ONE scan (a 10× row fan-out — the s06 variation
+  // discipline, never 10 re-scans), per-row probabilities are
+  // micro-quantized to exact milli-longs so the per-grid-point mean is
+  // an order-free integer sum, and the output is 10 rows. Trees are
+  // m04's (same thresholds/leaves, f0 replaced by g).
+  private val pdpGrid: Seq[String] =
+    (0 until 10).map(i => "%.2f".formatLocal(java.util.Locale.ROOT, 0.05 + 0.1 * i))
+  private def m23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = rd(s, dir, "events")
+    val feats = ev.select(rawFeatures: _*)
+    val grid = pdpGrid.map(_.toDouble).toDF("g")
+    def tree(f1c: Column, t1: Double, f2c: Column, t2: Double,
+             ll: Double, lr: Double, rl: Double, rr: Double): Column =
+      when(f1c < t1, when(f2c < t2, ll).otherwise(lr))
+        .otherwise(when(f2c < t2, rl).otherwise(rr))
+    val sumLeaf = tree(col("g"), 0.5, col("f1"), 0.3, -0.2, 0.1, 0.05, 0.3) +
+      tree(col("f2"), 0.6, col("f3"), 0.5, -0.15, 0.02, 0.1, 0.25) +
+      tree(col("f1"), 0.4, col("g"), 0.7, -0.1, 0.12, -0.02, 0.2)
+    val probMilli = floor(lit(1.0) / (lit(1.0) + exp(negate(sumLeaf))) *
+      1000000.0 + 0.5).cast("long")
+    feats.crossJoin(broadcast(grid))
+      .select(col("g"), probMilli.as("pm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("pm")).as("pm_sum"))
+      .select(col("g"), col("n_rows"),
+        (col("pm_sum").cast("double") / col("n_rows") / 1000000.0)
+          .cast("float").as("pdp"))
+      .orderBy(col("g"))
+  }
+  private val m23Sql = {
+    // leaves cast to DOUBLE: decimal-point literals are DECIMAL in
+    // DuckDB and the 3-tree sum would run in exact decimal before EXP,
+    // a (tiny) different value than Spark's double fold — the milli
+    // floor makes that worth closing, not just absorbing
+    def tree(f1: String, t1: Double, f2: String, t2: Double,
+             ll: Double, lr: Double, rl: Double, rr: Double): String =
+      s"(CASE WHEN $f1 < $t1 THEN (CASE WHEN $f2 < $t2 THEN CAST($ll AS DOUBLE) ELSE CAST($lr AS DOUBLE) END)" +
+        s" ELSE (CASE WHEN $f2 < $t2 THEN CAST($rl AS DOUBLE) ELSE CAST($rr AS DOUBLE) END) END)"
+    val sumLeaf = Seq(
+      tree("g", 0.5, "f1", 0.3, -0.2, 0.1, 0.05, 0.3),
+      tree("f2", 0.6, "f3", 0.5, -0.15, 0.02, 0.1, 0.25),
+      tree("f1", 0.4, "g", 0.7, -0.1, 0.12, -0.02, 0.2)).mkString(" + ")
+    val gridRows = pdpGrid.map(g => s"($g)").mkString(", ")
+    s"""WITH feats AS (SELECT $rawFeaturesSql FROM events),
+       |grid AS (SELECT CAST(g0 AS DOUBLE) AS g FROM (VALUES $gridRows) AS gr(g0)),
+       |fanned AS (
+       | SELECT g,
+       |  CAST(FLOOR(1.0 / (1.0 + EXP(-($sumLeaf))) * 1000000.0 + 0.5) AS BIGINT) AS pm
+       | FROM feats CROSS JOIN grid)
+       |SELECT g, COUNT(*) AS n_rows,
+       | CAST(CAST(CAST(SUM(pm) AS BIGINT) AS DOUBLE) / COUNT(*) / 1000000.0 AS REAL) AS pdp
+       |FROM fanned GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m23_pdp_tree" -> (m23 _),
     "m22_woe_iv" -> (m22 _),
     "m21_linear_shap" -> (m21 _),
     "m12_confusion_mcc" -> (m12 _),
@@ -1340,6 +1400,7 @@ object MLQueries extends QueryFamily {
     "m08_ks_test" -> m08Sql,
     "m06_threshold_sweep" -> m06Sql,
     "m07_auc_exact" -> m07Sql,
+    "m23_pdp_tree" -> m23Sql,
     "m22_woe_iv" -> m22Sql,
     "m21_linear_shap" -> m21Sql,
     "m05_logreg_step" -> m05Sql,
