@@ -628,7 +628,61 @@ object MiscQueries extends QueryFamily {
        | AND a.id < b.id
        |ORDER BY 1, 2""".stripMargin
 
+  // ---- j20: point-in-polygon classification --------------------------------
+  // The geofence test (ray casting / even-odd rule): a point is inside
+  // iff a ray eastward crosses the boundary an odd number of times.
+  // Polygons are tiny literal vertex lists (a geofence config dim), so
+  // the classifier is ONE codegen projection per point — the crossing
+  // test for each edge is a fixed expression over literal coordinates,
+  // no join at all; at 100 TB this is a broadcast-free map-side scan.
+  // Vertex coordinates sit OFF the 0.1 point grid (…37, …53) so no
+  // point ever lies exactly on an edge line and the strict inequalities
+  // are unambiguous on both engines. Same hash-scattered points as d22.
+  private val polys: Seq[(String, Seq[(Double, Double)])] = Seq(
+    "pentagon" -> Seq((20.37, 10.53), (50.11, 5.77), (70.23, 30.41),
+      (45.67, 55.13), (15.29, 40.87)),
+    "quad" -> Seq((55.17, 55.31), (90.43, 60.19), (85.61, 90.77), (60.07, 85.23)))
+  private def rayCases(poly: Seq[(Double, Double)], px: String, py: String): String =
+    poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.size)
+      s"(CASE WHEN (($y1 > $py) != ($y2 > $py)) AND " +
+        s"($px < ($x2 - $x1) * ($py - $y1) / ($y2 - $y1) + $x1) THEN 1 ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  private def j20(s: SparkSession, dir: String): DataFrame = {
+    val pts = rd(s, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(col("event_id").as("id"),
+        expr(s"CAST(((event_id * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0").as("x"),
+        expr(s"CAST((((event_id * 31 + 7) * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0").as("y"))
+    val cols = polys.map { case (name, poly) =>
+      expr(s"${rayCases(poly, "x", "y")} % 2 = 1").as(s"in_$name")
+    }
+    pts.select(Seq(col("id")) ++ cols: _*)
+      .filter(polys.map(p => col(s"in_${p._1}")).reduce(_ || _))
+      .orderBy(col("id"))
+  }
+  private val j20Sql = {
+    val cols = polys.map { case (name, poly) =>
+      s"${rayCases(poly, "x", "y")} % 2 = 1 AS in_$name"
+    }.mkString(",\n | ")
+    val anyIn = polys.map { case (name, poly) =>
+      s"${rayCases(poly, "x", "y")} % 2 = 1"
+    }.mkString(" OR ")
+    s"""WITH pts AS (
+       | SELECT event_id AS id,
+       |  CAST(((event_id * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0 AS x,
+       |  CAST((((event_id * 31 + 7) * 2654435761) % ${2147483647L}) % 1000 AS DOUBLE) / 10.0 AS y
+       | FROM events WHERE user_id < 30)
+       |SELECT id,
+       | $cols
+       |FROM pts
+       |WHERE $anyIn
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j20_point_in_polygon" -> (j20 _),
     "j19_spatial_rule" -> (j19 _),
     "d22_dbscan_grid" -> (d22 _),
     "j18_fuzzy_lookup" -> (j18 _),
@@ -644,6 +698,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "j20_point_in_polygon" -> j20Sql,
     "j19_spatial_rule" -> j19Sql,
     "d22_dbscan_grid" -> d22Sql,
     "j18_fuzzy_lookup" -> j18Sql,
