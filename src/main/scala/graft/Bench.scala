@@ -42,15 +42,37 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Load-factor self-stamp: median per-query ratio of THIS run vs the
+    // last committed quiet run (BENCH_LOCAL.json, read BEFORE we
+    // overwrite it). A loaded driver run (concurrent oracle sweep,
+    // round-6 saw median 1.10 / dedup-family 9.5×) then self-identifies
+    // machine-readably instead of needing a by-hand postmortem.
+    val loadFactor: Option[Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (java.nio.file.Files.exists(p)) {
+        val prior = java.nio.file.Files.readString(p)
+        val pat = """"([a-z0-9_]+)":([0-9.Ee+-]+)""".r
+        val priorQ = pat.findAllMatchIn(prior)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = results.collect {
+          case (k, v) if priorQ.get(k).exists(_ > 1e-9) => v / priorQ(k)
+        }.sorted
+        if (ratios.size >= 10) Some(ratios(ratios.size / 2)) else None
+      } else None
+    } catch { case _: Throwable => None }
+    val lfField = loadFactor
+      .map(lf => f""","load_factor":$lf%.3f""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$lfField}"""
     // The driver retains only a ~2 KB stdout TAIL, and the per-query map
     // is ~8 KB — so the full record goes out first (bare line, for
     // anything tailing stdout, and BENCH_LOCAL.json on disk), and the
     // FINAL stdout line is a compact totals-only `BENCH_JSON ` marker
     // that is guaranteed to survive the tail and parse.
     println(json)
-    try {
+    // subset runs (SPARK_GRAFT_ONLY) must not clobber the committed
+    // full-suite quiet baseline that load_factor compares against
+    if (only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -60,7 +82,27 @@ object Bench {
     spark.stop()
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","total":$total,""" +
-        s""""n_queries":${results.size},"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"sf":"$sfDir"$lfField}"""
+    // Defeat sbt's stdout decoration three ways (round-6 verdict: the
+    // driver's parser got `[info] BENCH_JSON {...}` + a trailing
+    // `[success]` line and recorded parsed:null):
+    //  1. stderr — sbt leaves stderr undecorated;
+    //  2. BENCH_MARKER.txt on disk — the marker as the whole file;
+    //  3. a JVM shutdown hook re-println — runs after sbt's runner has
+    //     printed its own epilogue, so the marker is the true last line
+    //     when the driver captures the process tail.
     println(s"BENCH_JSON $compact")
+    System.err.println(s"BENCH_JSON $compact")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_MARKER.txt"),
+        (s"BENCH_JSON $compact\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_MARKER.txt write failed: ${e.getMessage}")
+    }
+    sys.addShutdownHook {
+      println(s"BENCH_JSON $compact")
+      System.out.flush()
+    }
   }
 }

@@ -25,7 +25,12 @@ object Verify {
     // warm the session once (Bench's convention) so the first query's
     // stderr timing is not inflated by codegen/broadcast machinery
     // startup — j18 measured 7.2 s cold vs 0.5 s warm for this reason
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // tolerate a dataset dir without lineitem (e.g. an --only run over a
+    // fixture dir) — the warm-up is an optimization, never a gate
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] warm-up skipped: ${e.getMessage}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -24,7 +24,10 @@ case class WithinRadius(ax: Expression, ay: Expression,
   extends Expression with Predicate {
 
   override def children: Seq[Expression] = Seq(ax, ay, bx, by, r)
-  override def nullable: Boolean = children.take(4).exists(_.nullable)
+  // r participates in the null guard: a foldable NULL radius must yield
+  // NULL identically under interpreted eval and codegen (a guard only on
+  // the coordinates would unbox null to 0.0 in one path but not the other)
+  override def nullable: Boolean = children.exists(_.nullable)
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -36,9 +39,10 @@ case class WithinRadius(ax: Expression, ay: Expression,
   override def eval(input: InternalRow): Any = {
     val a1 = ax.eval(input); val a2 = ay.eval(input)
     val b1 = bx.eval(input); val b2 = by.eval(input)
-    if (a1 == null || a2 == null || b1 == null || b2 == null) null
+    val rvv = r.eval(input)
+    if (a1 == null || a2 == null || b1 == null || b2 == null || rvv == null) null
     else {
-      val rv = r.eval(input).asInstanceOf[Double]
+      val rv = rvv.asInstanceOf[Double]
       val dx = a1.asInstanceOf[Double] - b1.asInstanceOf[Double]
       val dy = a2.asInstanceOf[Double] - b2.asInstanceOf[Double]
       java.lang.Boolean.valueOf(dx * dx + dy * dy <= rv * rv)
@@ -57,7 +61,7 @@ case class WithinRadius(ax: Expression, ay: Expression,
       ${byC.code}
       ${rC.code}
       boolean ${ev.isNull} = ${axC.isNull} || ${ayC.isNull} ||
-        ${bxC.isNull} || ${byC.isNull};
+        ${bxC.isNull} || ${byC.isNull} || ${rC.isNull};
       boolean ${ev.value} = false;
       if (!${ev.isNull}) {
         final double $dx = ${axC.value} - ${bxC.value};

@@ -1173,7 +1173,72 @@ object DedupQueries extends QueryFamily {
        |FROM dg JOIN first_seen USING (g)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- d24: exact arbitrary-length duplicated-span extraction --------------
+  // The full form of Lee et al. 2022 ("Deduplicating Training Data"):
+  // remove every substring repeated ≥ threshold anywhere in the corpus
+  // (their suffix-array pass), re-expressed relationally: POSITIONAL
+  // 8-gram seeds (a repeat of length L ≥ 8 tokens contributes L−7
+  // consecutive repeated 8-grams), dup-marked by corpus occurrence
+  // count ≥ 2 (unlike d09's cross-doc-only rule this also catches a
+  // within-document repeat — exactly Lee et al.'s criterion), then
+  // merged into MAXIMAL spans by gaps-and-islands (u12's pos −
+  // row_number trick) over each doc's hit positions. Output is one row
+  // per maximal duplicated span with token bounds — the actionable
+  // "cut these bytes" form, arbitrary length by construction.
+  // Scale: the window partitions BY DOC (bounded by doc length, never
+  // global); the only corpus-sized shuffles are the gram-count groupBy
+  // (map-side combined) and one gram-keyed semi-join — d09's shape.
+  private def posWordGrams(d: DataFrame): DataFrame = {
+    val gs = expr(
+      s"""CASE WHEN size(split(text, ' ')) >= $gramN
+         | THEN transform(sequence(1, size(split(text, ' ')) - ${gramN - 1}),
+         |   i -> md5(array_join(slice(split(text, ' '), i, $gramN), ' ')))
+         | ELSE CAST(array() AS array<string>) END""".stripMargin)
+    d.select(col("doc_id"), posexplode(gs).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+  }
+  private val posWordGramsDuck =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |pgrams AS (
+       | SELECT doc_id, i AS pos,
+       |  md5(array_to_string(ts[i:i+${gramN - 1}], ' ')) AS g
+       | FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - ${gramN - 1})) AS i
+       |       FROM toks WHERE len(ts) >= $gramN))""".stripMargin
+  private def d24(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val grams = posWordGrams(docs).localCheckpoint() // (doc, pos, gram)
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("g"))
+    val hits = grams.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(gramN - 1)).as("span_end"),
+        count(lit(1)).as("n_seeds"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_seeds"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+  private val d24Sql =
+    s"""WITH $posWordGramsDuck,
+       |dup AS (SELECT g FROM pgrams GROUP BY g HAVING COUNT(*) >= 2),
+       |hits AS (
+       | SELECT doc_id, pos,
+       |  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       | FROM pgrams WHERE g IN (SELECT g FROM dup))
+       |SELECT doc_id, MIN(pos) AS span_start,
+       | MAX(pos) + ${gramN - 1} AS span_end,
+       | MAX(pos) + ${gramN - 1} - MIN(pos) + 1 AS span_tokens,
+       | COUNT(*) AS n_seeds
+       |FROM hits GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_substring_exact" -> (d24 _),
     "d23_novelty_score" -> (d23 _),
     "d21_source_similarity" -> (d21 _),
     "d20_source_overlap" -> (d20 _),
@@ -1195,6 +1260,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d24_substring_exact" -> d24Sql,
     "d23_novelty_score" -> d23Sql,
     "d21_source_similarity" -> d21Sql,
     "d20_source_overlap" -> d20Sql,

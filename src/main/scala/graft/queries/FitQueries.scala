@@ -336,17 +336,145 @@ object FitQueries extends QueryFamily {
        |FROM ranked ORDER BY rank""".stripMargin
   }
 
+  // ---- f05: multi-family parametric fit + min-chi2/dof selection ----------
+  // The reference's pdf-family scan (stage3/fitter.py:36-51 fits six
+  // families per (channel, category) via fit_models.py:6-392 and keeps
+  // the minimum chi2/dof family). Engine-side with three public
+  // families whose fits are CLOSED-FORM weighted-least-squares normal
+  // equations — so the DuckDB oracle replays the identical algebra:
+  //   bernstein1  m(x) = p + q·x            (deg-1 Bernstein span; 2 par)
+  //   chebyshev2  m(x) = c0 + c1·x + c2·x²  (deg-2 Chebyshev span; 3 par)
+  //   explin      m(x) = exp(a + b·x)       (log-linear exponential; 2 par)
+  // Scale shape: ONE corpus aggregation builds the per-channel binned
+  // spectrum (3 channels × ≤20 bins, checkpointed); moments, Cramer
+  // solves, per-bin chi2 and the r9-style min-rank window all ride the
+  // ≤60-row table. The three solves share ONE moment aggregation — the
+  // family scan costs zero extra corpus scans (the s06/f04 fanout
+  // discipline). Selection orders on micro-quantized chi2/dof
+  // (order-free across engines); reported chi2 cast to float32.
+  private val xSql = s"((CAST(bin AS DOUBLE) + 0.5) / $chi2Bins)"
+  private val lySql = "LN(GREATEST(d, 1.0))"
+  // closed-form 2x2 and 3x3 (Cramer) solves over the moment columns —
+  // ONE spelling, shared by both engines verbatim
+  private val detL = "(nb * s2 - s1 * s1)"
+  private val pSql = s"((t0 * s2 - t1 * s1) / $detL)"
+  private val qSql = s"((nb * t1 - s1 * t0) / $detL)"
+  private val aSql = s"((l0 * s2 - l1 * s1) / $detL)"
+  private val bSql = s"((nb * l1 - s1 * l0) / $detL)"
+  private val det3 =
+    "(nb * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2))"
+  private val c0Sql =
+    s"((t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2)) / $det3)"
+  private val c1Sql =
+    s"((nb * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)) / $det3)"
+  private val c2Sql =
+    s"((nb * (s2 * t2 - t1 * s3) - s1 * (s1 * t2 - t1 * s2) + t0 * (s1 * s3 - s2 * s2)) / $det3)"
+  private def chiSql(model: String): String =
+    s"SUM((d - $model) * (d - $model) / GREATEST(d, 1.0))"
+  private val modLin = "(p + q * x)"
+  private val modQuad = "(c0 + c1 * x + c2 * x * x)"
+  private val modExp = "EXP(a0 + b0 * x)"
+
+  private def f05(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val hist = li
+      .select(col("l_returnflag").as("ch"),
+        least(floor(col("l_extendedprice") / 5000.0), lit(chi2Bins - 1))
+          .cast("long").as("bin"))
+      .groupBy(col("ch"), col("bin"))
+      .agg(sum(lit(1.0)).as("d"))
+      .withColumn("x", expr(xSql))
+      .localCheckpoint() // ≤60 rows; feeds moments AND the chi2 pass
+    val mom = hist.groupBy(col("ch")).agg(
+      expr("CAST(COUNT(*) AS DOUBLE)").as("nb"),
+      expr("SUM(x)").as("s1"), expr("SUM(x * x)").as("s2"),
+      expr("SUM(x * x * x)").as("s3"), expr("SUM(x * x * x * x)").as("s4"),
+      expr("SUM(d)").as("t0"), expr("SUM(d * x)").as("t1"),
+      expr("SUM(d * x * x)").as("t2"),
+      expr(s"SUM($lySql)").as("l0"), expr(s"SUM($lySql * x)").as("l1"))
+    val coef = mom.select(col("ch"), col("nb"),
+      expr(pSql).as("p"), expr(qSql).as("q"),
+      expr(c0Sql).as("c0"), expr(c1Sql).as("c1"), expr(c2Sql).as("c2"),
+      expr(aSql).as("a0"), expr(bSql).as("b0"))
+    val chi = hist.join(broadcast(coef), "ch")
+      .groupBy(col("ch"))
+      .agg(max(col("nb")).as("nb"),
+        expr(chiSql(modLin)).as("chi2_lin"),
+        expr(chiSql(modQuad)).as("chi2_quad"),
+        expr(chiSql(modExp)).as("chi2_exp"))
+    val fams = chi.selectExpr("ch", "nb",
+      "stack(3, 'bernstein1', 2, chi2_lin, " +
+        "'chebyshev2', 3, chi2_quad, " +
+        "'explin', 2, chi2_exp) AS (family, n_params, chi2)")
+      .withColumn("chi2_dof", col("chi2") / (col("nb") - col("n_params")))
+      .withColumn("cd_micro",
+        expr("CAST(FLOOR(chi2 / (nb - n_params) * 1000000.0 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ch"))
+      .orderBy(col("cd_micro").asc, col("family").asc)
+    fams.withColumn("rank", row_number().over(w))
+      .select(col("ch"), col("rank"), col("family"), col("n_params"),
+        col("nb").cast("long").as("n_bins"),
+        col("chi2").cast("float").as("chi2"),
+        col("chi2_dof").cast("float").as("chi2_dof"),
+        col("cd_micro"))
+      .orderBy(col("ch"), col("rank"))
+  }
+  private val f05Sql =
+    s"""WITH hist AS (
+       | SELECT l_returnflag AS ch,
+       |  LEAST(CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT), ${chi2Bins - 1}) AS bin,
+       |  CAST(SUM(1.0) AS DOUBLE) AS d
+       | FROM lineitem GROUP BY 1, 2),
+       |hx AS (SELECT *, $xSql AS x FROM hist),
+       |mom AS (
+       | SELECT ch, CAST(COUNT(*) AS DOUBLE) AS nb,
+       |  SUM(x) AS s1, SUM(x * x) AS s2, SUM(x * x * x) AS s3,
+       |  SUM(x * x * x * x) AS s4,
+       |  SUM(d) AS t0, SUM(d * x) AS t1, SUM(d * x * x) AS t2,
+       |  SUM($lySql) AS l0, SUM($lySql * x) AS l1
+       | FROM hx GROUP BY 1),
+       |coef AS (
+       | SELECT ch, nb, $pSql AS p, $qSql AS q,
+       |  $c0Sql AS c0, $c1Sql AS c1, $c2Sql AS c2,
+       |  $aSql AS a0, $bSql AS b0
+       | FROM mom),
+       |chi AS (
+       | SELECT h.ch, MAX(c.nb) AS nb,
+       |  ${chiSql(modLin)} AS chi2_lin,
+       |  ${chiSql(modQuad)} AS chi2_quad,
+       |  ${chiSql(modExp)} AS chi2_exp
+       | FROM hx h JOIN coef c USING (ch) GROUP BY 1),
+       |fams AS (
+       | SELECT ch, nb, 'bernstein1' AS family, 2 AS n_params, chi2_lin AS chi2 FROM chi
+       | UNION ALL
+       | SELECT ch, nb, 'chebyshev2', 3, chi2_quad FROM chi
+       | UNION ALL
+       | SELECT ch, nb, 'explin', 2, chi2_exp FROM chi),
+       |scored AS (
+       | SELECT ch, family, n_params, nb,
+       |  chi2, chi2 / (nb - n_params) AS chi2_dof,
+       |  CAST(FLOOR(chi2 / (nb - n_params) * 1000000.0 + 0.5) AS BIGINT) AS cd_micro
+       | FROM fams)
+       |SELECT ch,
+       | ROW_NUMBER() OVER (PARTITION BY ch ORDER BY cd_micro ASC, family ASC) AS rank,
+       | family, n_params, CAST(nb AS BIGINT) AS n_bins,
+       | CAST(chi2 AS REAL) AS chi2, CAST(chi2_dof AS REAL) AS chi2_dof, cd_micro
+       |FROM scored ORDER BY ch, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f01_em_mixture_fit" -> (f01 _),
     "f02_chi2_template_fit" -> (f02 _),
     "f03_profile_significance" -> (f03 _),
-    "f04_impact_ranking" -> (f04 _)
+    "f04_impact_ranking" -> (f04 _),
+    "f05_pdf_selection" -> (f05 _)
   )
 
   val oracle: Map[String, String] = Map(
     "f01_em_mixture_fit" -> f01Sql,
     "f02_chi2_template_fit" -> f02Sql,
     "f03_profile_significance" -> f03Sql,
-    "f04_impact_ranking" -> f04Sql
+    "f04_impact_ranking" -> f04Sql,
+    "f05_pdf_selection" -> f05Sql
   )
 }

@@ -1306,7 +1306,7 @@ object MLQueries extends QueryFamily {
   // corpus (Friedman 2001 §8.2). Scale shape: the 10-point literal grid
   // broadcasts onto ONE scan (a 10× row fan-out — the s06 variation
   // discipline, never 10 re-scans), per-row probabilities are
-  // micro-quantized to exact milli-longs so the per-grid-point mean is
+  // micro-quantized (1e6) to exact longs so the per-grid-point mean is
   // an order-free integer sum, and the output is 10 rows. Trees are
   // m04's (same thresholds/leaves, f0 replaced by g).
   private val pdpGrid: Seq[String] =
@@ -1323,12 +1323,12 @@ object MLQueries extends QueryFamily {
     val sumLeaf = tree(col("g"), 0.5, col("f1"), 0.3, -0.2, 0.1, 0.05, 0.3) +
       tree(col("f2"), 0.6, col("f3"), 0.5, -0.15, 0.02, 0.1, 0.25) +
       tree(col("f1"), 0.4, col("g"), 0.7, -0.1, 0.12, -0.02, 0.2)
-    val probMilli = floor(lit(1.0) / (lit(1.0) + exp(negate(sumLeaf))) *
+    val probMicro = floor(lit(1.0) / (lit(1.0) + exp(negate(sumLeaf))) *
       1000000.0 + 0.5).cast("long")
     feats.crossJoin(broadcast(grid))
-      .select(col("g"), probMilli.as("pm"))
+      .select(col("g"), probMicro.as("pm_micro"))
       .groupBy(col("g"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("pm")).as("pm_sum"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("pm_micro")).as("pm_sum"))
       .select(col("g"), col("n_rows"),
         (col("pm_sum").cast("double") / col("n_rows") / 1000000.0)
           .cast("float").as("pdp"))
@@ -1337,8 +1337,8 @@ object MLQueries extends QueryFamily {
   private val m23Sql = {
     // leaves cast to DOUBLE: decimal-point literals are DECIMAL in
     // DuckDB and the 3-tree sum would run in exact decimal before EXP,
-    // a (tiny) different value than Spark's double fold — the milli
-    // floor makes that worth closing, not just absorbing
+    // a (tiny) different value than Spark's double fold — the micro
+    // (1e6) quantization floor makes that worth closing, not absorbing
     def tree(f1: String, t1: Double, f2: String, t2: Double,
              ll: Double, lr: Double, rl: Double, rr: Double): String =
       s"(CASE WHEN $f1 < $t1 THEN (CASE WHEN $f2 < $t2 THEN CAST($ll AS DOUBLE) ELSE CAST($lr AS DOUBLE) END)" +

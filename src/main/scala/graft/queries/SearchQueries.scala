@@ -936,9 +936,7 @@ object SearchQueries extends QueryFamily {
     val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
     val sims = a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr("CAST(floor(10000.0 * CAST(sorted_intersect_count(a_sh, b_sh) AS DOUBLE) / " +
-          "(CAST(size(a_sh) + size(b_sh) AS DOUBLE) - sorted_intersect_count(a_sh, b_sh)) + 0.5) AS BIGINT)")
-          .as("sim_bp"))
+        floor(lit(10000.0) * inter / uni + 0.5).cast("long").as("sim_bp"))
       .collect().flatMap(r => Seq(
         (r.getLong(0), r.getLong(1)) -> r.getLong(2),
         (r.getLong(1), r.getLong(0)) -> r.getLong(2))).toMap

@@ -909,7 +909,80 @@ object TextQueries extends QueryFamily {
        |LEFT JOIN joined t ON t.doc_id = s.doc_id AND t.side = 't'
        |ORDER BY s.doc_id""".stripMargin
 
+  // ---- t32: HTML boilerplate extraction ------------------------------------
+  // Main-content extraction (the trafilatura/jusText step of web-corpus
+  // curation): strip <head>, inline <script>s, <nav>/<aside>/<footer>
+  // boilerplate blocks, then all residual markup, and report the main
+  // text + markup-to-content ratio. Pure tag-aware string algebra —
+  // regexp_replace chains, no parser dependency — so it stays inside
+  // whole-stage codegen and costs one projection per doc at any scale.
+  // The corpus is plain text, so the page is SYNTHESIZED first
+  // (deterministic per-doc boilerplate from doc_id; both engines build
+  // the identical string), which also makes the extraction fully
+  // oracle-checkable: the recovered main text must equal the original
+  // `text` verbatim, a stronger check than any similarity score.
+  // Patterns are RE2-safe (no backreferences — one replace per block
+  // tag) with inline (?s) dotall; DuckDB needs the explicit 'g' flag,
+  // Spark's regexp_replace is global by default.
+  private def t32(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script>var t=\""), (col("doc_id") % 13).cast("string"),
+      lit("\";track()</script></head><body><nav><a href=\"/\">home</a> <a href=\"/s"),
+      (col("doc_id") % 7).cast("string"),
+      lit("\">sec</a></nav><div class=\"main\"><p>"), col("text"),
+      lit("</p><script>inline()</script></div><aside>related "),
+      (col("doc_id") % 5).cast("string"),
+      lit("</aside><footer>(c) corpus "), (col("doc_id") % 3).cast("string"),
+      lit("</footer></body></html>"))
+    val stripped = Seq("head", "script", "nav", "aside", "footer")
+      .foldLeft(html) { (c, tag) =>
+        regexp_replace(c, s"(?s)<$tag>.*?</$tag>", "")
+      }
+    val main = trim(regexp_replace(
+      regexp_replace(stripped, "<[^>]*>", " "), " +", " "))
+    d.select(col("doc_id"), col("text"), html.as("html"), main.as("main_text"))
+      .select(col("doc_id"),
+        length(col("html")).as("html_chars"),
+        length(col("main_text")).as("main_chars"),
+        (col("main_text") === col("text")).as("roundtrip_ok"),
+        (length(col("main_text")).cast("double") /
+          length(col("html"))).cast("float").as("content_ratio"),
+        col("main_text"))
+      .orderBy(col("doc_id"))
+  }
+  private val t32Sql = {
+    val html =
+      """'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        | '</title><script>var t="' || CAST(doc_id % 13 AS VARCHAR) ||
+        | '";track()</script></head><body><nav><a href="/">home</a> <a href="/s' ||
+        | CAST(doc_id % 7 AS VARCHAR) ||
+        | '">sec</a></nav><div class="main"><p>' || text ||
+        | '</p><script>inline()</script></div><aside>related ' ||
+        | CAST(doc_id % 5 AS VARCHAR) ||
+        | '</aside><footer>(c) corpus ' || CAST(doc_id % 3 AS VARCHAR) ||
+        | '</footer></body></html>'""".stripMargin.replace("\n", "")
+    val stripped = Seq("head", "script", "nav", "aside", "footer")
+      .foldLeft("html") { (c, tag) =>
+        s"regexp_replace($c, '(?s)<$tag>.*?</$tag>', '', 'g')"
+      }
+    s"""WITH pages AS (SELECT doc_id, text, $html AS html FROM documents),
+       |ext AS (
+       | SELECT doc_id, text, html,
+       |  TRIM(regexp_replace(regexp_replace($stripped,
+       |    '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS main_text
+       | FROM pages)
+       |SELECT doc_id, LENGTH(html) AS html_chars,
+       | LENGTH(main_text) AS main_chars,
+       | main_text = text AS roundtrip_ok,
+       | CAST(CAST(LENGTH(main_text) AS DOUBLE) / LENGTH(html) AS REAL) AS content_ratio,
+       | main_text
+       |FROM ext ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_html_extract" -> (t32 _),
     "t25_readability" -> (t25 _),
     "t24_temperature_mixture" -> (t24 _),
     "t23_epoch_shuffle" -> (t23 _),
@@ -935,6 +1008,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t32_html_extract" -> t32Sql,
     "t25_readability" -> t25Sql,
     "t24_temperature_mixture" -> t24Sql,
     "t23_epoch_shuffle" -> t23Sql,
