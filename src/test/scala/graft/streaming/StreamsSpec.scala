@@ -171,6 +171,79 @@ class StreamsSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w2) => assert(g == w2) }
   }
 
+  test("crash-recovery golden: killed and restarted stateful dedup equals the batch oracle") {
+    // The checkpoint contract across restarts: a stateful streaming
+    // dedup (RocksDB state) is stopped MID-INPUT and resumed from its
+    // checkpoint; the final sink must equal the uninterrupted batch
+    // answer — exactly-once across the restart. The recovered state is
+    // LOAD-BEARING, not incidental: file f2 duplicates rows first seen
+    // in f0 (a different run, before the kill), so if the restart lost
+    // RocksDB state the duplicates would be re-emitted and the count
+    // assert below would fail.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val dir = sf("sf0.001")
+    val staging = java.nio.file.Files.createTempDirectory("graft_crash_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_crash_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_crash_ck").toString
+    // base rows: unique event_id, canonical full row per id (so
+    // "keep any" dedup is deterministic at the full-row level)
+    val base = graft.queries.normalizeEventTs(
+        s2.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .dropDuplicates("event_id")
+      .localCheckpoint()
+    val nBase = base.count()
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_slice").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, staging.resolve(name))
+    }
+    def slice(k: Int) = base.filter(col("event_id") % 4 === k)
+    stage(slice(0), "f0.parquet")
+    stage(slice(1), "f1.parquet")
+    val schema = base.schema
+    def start(trigger: org.apache.spark.sql.streaming.Trigger,
+              onePerBatch: Boolean) = {
+      val rs = s2.readStream.schema(schema)
+      val src = (if (onePerBatch) rs.option("maxFilesPerTrigger", 1) else rs)
+        .parquet(staging.toString)
+      src.dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(trigger).start()
+    }
+    // run 1: drain f0+f1, stop — state now holds their event_ids
+    val q1 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow(), false)
+    q1.awaitTermination()
+    // more input lands: f2 duplicates f0's rows, f3 is new
+    stage(slice(2).union(slice(0)), "f2.parquet")
+    stage(slice(3), "f3.parquet")
+    // run 2: one file per micro-batch on a 60 s trigger — the first
+    // batch fires immediately, then we KILL the query with the second
+    // file still unprocessed (deterministically mid-input)
+    val q2 = start(org.apache.spark.sql.streaming.Trigger
+      .ProcessingTime("60 seconds"), true)
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (q2.recentProgress.count(_.numInputRows > 0) < 1 &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    q2.stop()
+    // run 3: recover from the checkpoint, drain what remains
+    val q3 = start(org.apache.spark.sql.streaming.Trigger.AvailableNow(), true)
+    q3.awaitTermination()
+    // golden check: sink == batch-distinct of everything staged == base
+    val got = s2.read.parquet(out)
+    assert(got.count() == nBase,
+      s"exactly-once violated: sink has ${got.count()} rows, batch oracle $nBase")
+    val batchOracle = s2.read.parquet(staging.toString).distinct()
+    assert(got.exceptAll(batchOracle).isEmpty && batchOracle.exceptAll(got).isEmpty,
+      "sink rows differ from the uninterrupted batch answer")
+  }
+
   test("stateful aggregation runs on the RocksDB state store provider") {
     // the production state backend for large keyed state (heap stores
     // OOM once state outgrows the executor): same query, same answers,
