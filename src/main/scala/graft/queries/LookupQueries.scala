@@ -675,7 +675,72 @@ object LookupQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- l14: 2-D scale-factor lookup fed DIRECTLY from a ROOT file ----------
+  // The reference's muon-ID efficiency correction end-to-end
+  // (reference: the stage1 correction loaders consume exactly
+  // data/muon_sf/year2018/RunABCD_SF_ID.root): the TH2D SF map is read
+  // through the native ROOT DataSource V2 connector (sources/
+  // RootHistSource.scala), its 24 interior (pt × |eta|) cells broadcast,
+  // and each pseudo-muon picks its cell by range predicates — the L1
+  // binned-lookup shape with a 24-row broadcast build side, so the probe
+  // is a map-side nested-loop over a tiny table at any corpus size. The
+  // DuckDB oracle replays the map as a LITERAL VALUES table produced by
+  // an independent from-scratch parser of the same binary file, so a
+  // green hash validates reader + join semantics together. Per-cell
+  // yield is n · sf (sf constant within a cell — no order-dependent
+  // float summation anywhere).
+  private def l14(s: SparkSession, dir: String): DataFrame = {
+    val sfMap = s.read.format("graft.sources.RootHistSource")
+      .option("path",
+        "/root/reference/data/muon_sf/year2018/RunABCD_SF_ID.root").load()
+      .filter(col("hist") === "NUM_TightID_DEN_genTracks_pt_abseta" &&
+        col("binx").between(1, 6) && col("biny").between(1, 4))
+      .select(col("x_low"), col("x_high"), col("y_low"), col("y_high"),
+        col("content").as("sf"))
+    val mu = rd(s, dir, "lineitem")
+      .select((col("l_extendedprice") / 1000.0).as("pt"),
+        (col("l_discount") * 24.0).as("abseta"))
+      .filter(col("pt") >= 20.0 && col("pt") < 120.0 && col("abseta") < 2.4)
+    mu.join(broadcast(sfMap),
+        col("pt") >= col("x_low") && col("pt") < col("x_high") &&
+          col("abseta") >= col("y_low") && col("abseta") < col("y_high"))
+      .groupBy(col("x_low"), col("y_low"))
+      .agg(count(lit(1)).as("n_mu"), max(col("sf")).as("sf_d"))
+      .select(col("x_low"), col("y_low"), col("n_mu"),
+        col("sf_d").cast("float").as("sf"),
+        (col("n_mu").cast("double") * col("sf_d")).cast("float")
+          .as("expected_yield"))
+      .orderBy(col("x_low"), col("y_low"))
+  }
+  private val l14Sql =
+    """WITH sfmap(x_low, x_high, y_low, y_high, sf) AS (VALUES
+      |(20.0, 25.0, 0.0, 0.9, 0.9809958066072726), (25.0, 30.0, 0.0, 0.9, 0.9907079683443358),
+      |(30.0, 40.0, 0.0, 0.9, 0.9940930519333433), (40.0, 50.0, 0.0, 0.9, 0.9924862189236762),
+      |(50.0, 60.0, 0.0, 0.9, 0.9911617044225287), (60.0, 120.0, 0.0, 0.9, 0.9940931417433392),
+      |(20.0, 25.0, 0.9, 1.2, 0.9927448660377257), (25.0, 30.0, 0.9, 1.2, 0.9817290215523836),
+      |(30.0, 40.0, 0.9, 1.2, 0.98761982168), (40.0, 50.0, 0.9, 1.2, 0.9852413448471883),
+      |(50.0, 60.0, 0.9, 1.2, 0.9814141639875774), (60.0, 120.0, 0.9, 1.2, 0.9845977669390539),
+      |(20.0, 25.0, 1.2, 2.1, 1.0001274426420794), (25.0, 30.0, 1.2, 2.1, 0.9904054835527193),
+      |(30.0, 40.0, 1.2, 2.1, 0.9907256636939671), (40.0, 50.0, 1.2, 2.1, 0.991264560433235),
+      |(50.0, 60.0, 1.2, 2.1, 0.9894760750958966), (60.0, 120.0, 1.2, 2.1, 0.9891039904226423),
+      |(20.0, 25.0, 2.1, 2.4, 0.9905134702464216), (25.0, 30.0, 2.1, 2.4, 0.9730892211605638),
+      |(30.0, 40.0, 2.1, 2.4, 0.9769037952277815), (40.0, 50.0, 2.1, 2.4, 0.9759341667700446),
+      |(50.0, 60.0, 2.1, 2.4, 0.9703150553676495), (60.0, 120.0, 2.1, 2.4, 0.9741669907616599)),
+      |mu AS (
+      | SELECT l_extendedprice / 1000.0 AS pt, l_discount * 24.0 AS abseta
+      | FROM lineitem
+      | WHERE l_extendedprice / 1000.0 >= 20.0 AND l_extendedprice / 1000.0 < 120.0
+      |   AND l_discount * 24.0 < 2.4)
+      |SELECT CAST(x_low AS DOUBLE) AS x_low, CAST(y_low AS DOUBLE) AS y_low,
+      | COUNT(*) AS n_mu,
+      | CAST(CAST(MAX(sf) AS DOUBLE) AS REAL) AS sf,
+      | CAST(CAST(COUNT(*) AS DOUBLE) * CAST(MAX(sf) AS DOUBLE) AS REAL) AS expected_yield
+      |FROM mu JOIN sfmap
+      | ON pt >= x_low AND pt < x_high AND abseta >= y_low AND abseta < y_high
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
     "l09_bucketed_equi_lookup" -> (l09 _),
@@ -692,6 +757,7 @@ object LookupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,
     "l09_bucketed_equi_lookup" -> l09Sql,

@@ -334,7 +334,68 @@ object StageQueries extends QueryFamily {
     s"""SELECT event, dimuon_mass, mu1_pt FROM (${s01Sql.replace("ORDER BY event", "")})
        |WHERE region = 'h-peak' ORDER BY event""".stripMargin
 
+  // ---- s10: native ROOT TH1 ingestion --------------------------------------
+  // The engine reads a ROOT calibration histogram DIRECTLY (the
+  // reference's own data/pileup/mcPileup2018.root — reference:
+  // run_stage1.py's pileup-correction loader consumes exactly this
+  // file) through the pure-JVM DataSource V2 connector
+  // (sources/RootHistFile.scala + RootHistSource.scala), no conversion
+  // step. The oracle is a LITERAL replay of the file's 102 bins
+  // produced by an INDEPENDENT from-scratch parser of the public ROOT
+  // format — so a green hash means two separate implementations agree
+  // on every bin of a real-world binary file. DuckDB cannot read ROOT;
+  // a literal-values oracle is the strongest cross-check available and
+  // is exact because the file is static test data.
+  private val rootFixture = "/root/reference/data/pileup/mcPileup2018.root"
+  private def s10(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RootHistSource")
+      .option("path", rootFixture).load()
+      .filter(col("hist") === "pu_mc")
+      .select(col("bin"), col("x_low"), col("x_high"),
+        col("content").cast("float").as("content"))
+      .orderBy(col("bin"))
+  private val s10Sql =
+    """SELECT bin, x_low, x_high, CAST(content AS REAL) AS content
+      |FROM (VALUES
+      |(0, CAST(NULL AS DOUBLE), 0.0, 0.0), (1, 0.0, 1.0, 4.695341e-10), (2, 1.0, 2.0, 1.206213e-06),
+      |(3, 2.0, 3.0, 1.162593e-06), (4, 3.0, 4.0, 6.118058e-06), (5, 4.0, 5.0, 1.626767e-05),
+      |(6, 5.0, 6.0, 3.508135e-05), (7, 6.0, 7.0, 7.12608e-05), (8, 7.0, 8.0, 0.0001400641),
+      |(9, 8.0, 9.0, 0.0002663403), (10, 9.0, 10.0, 0.0004867473), (11, 10.0, 11.0, 0.0008469),
+      |(12, 11.0, 12.0, 0.001394142), (13, 12.0, 13.0, 0.002169081), (14, 13.0, 14.0, 0.003198514),
+      |(15, 14.0, 15.0, 0.004491138), (16, 15.0, 16.0, 0.006036423), (17, 16.0, 17.0, 0.007806509),
+      |(18, 17.0, 18.0, 0.00976048), (19, 18.0, 19.0, 0.0118498), (20, 19.0, 20.0, 0.01402411),
+      |(21, 20.0, 21.0, 0.01623639), (22, 21.0, 22.0, 0.01844593), (23, 22.0, 23.0, 0.02061956),
+      |(24, 23.0, 24.0, 0.02273221), (25, 24.0, 25.0, 0.02476554), (26, 25.0, 26.0, 0.02670494),
+      |(27, 26.0, 27.0, 0.02853662), (28, 27.0, 28.0, 0.03024538), (29, 28.0, 29.0, 0.03181323),
+      |(30, 29.0, 30.0, 0.03321895), (31, 30.0, 31.0, 0.03443884), (32, 31.0, 32.0, 0.035448),
+      |(33, 32.0, 33.0, 0.03622242), (34, 33.0, 34.0, 0.03674106), (35, 34.0, 35.0, 0.0369877),
+      |(36, 35.0, 36.0, 0.03695224), (37, 36.0, 37.0, 0.03663157), (38, 37.0, 38.0, 0.03602986),
+      |(39, 38.0, 39.0, 0.03515857), (40, 39.0, 40.0, 0.03403612), (41, 40.0, 41.0, 0.0326868),
+      |(42, 41.0, 42.0, 0.03113936), (43, 42.0, 43.0, 0.02942582), (44, 43.0, 44.0, 0.02757999),
+      |(45, 44.0, 45.0, 0.02563551), (46, 45.0, 46.0, 0.02362497), (47, 46.0, 47.0, 0.02158003),
+      |(48, 47.0, 48.0, 0.01953143), (49, 48.0, 49.0, 0.01750863), (50, 49.0, 50.0, 0.01553934),
+      |(51, 50.0, 51.0, 0.01364905), (52, 51.0, 52.0, 0.01186035), (53, 52.0, 53.0, 0.01019246),
+      |(54, 53.0, 54.0, 0.008660705), (55, 54.0, 55.0, 0.007275915), (56, 55.0, 56.0, 0.006043917),
+      |(57, 56.0, 57.0, 0.004965276), (58, 57.0, 58.0, 0.004035611), (59, 58.0, 59.0, 0.003246373),
+      |(60, 59.0, 60.0, 0.002585932), (61, 60.0, 61.0, 0.002040746), (62, 61.0, 62.0, 0.001596402),
+      |(63, 62.0, 63.0, 0.001238498), (64, 63.0, 64.0, 0.0009533139), (65, 64.0, 65.0, 0.0007282885),
+      |(66, 65.0, 66.0, 0.000552306), (67, 66.0, 67.0, 0.0004158005), (68, 67.0, 68.0, 0.0003107302),
+      |(69, 68.0, 69.0, 0.0002304612), (70, 69.0, 70.0, 0.0001696012), (71, 70.0, 71.0, 0.0001238161),
+      |(72, 71.0, 72.0, 8.96531e-05), (73, 72.0, 73.0, 6.438087e-05), (74, 73.0, 74.0, 4.585302e-05),
+      |(75, 74.0, 75.0, 3.23949e-05), (76, 75.0, 76.0, 2.271048e-05), (77, 76.0, 77.0, 1.580622e-05),
+      |(78, 77.0, 78.0, 1.09286e-05), (79, 78.0, 79.0, 7.512748e-06), (80, 79.0, 80.0, 5.140304e-06),
+      |(81, 80.0, 81.0, 3.505254e-06), (82, 81.0, 82.0, 2.386437e-06), (83, 82.0, 83.0, 1.625859e-06),
+      |(84, 83.0, 84.0, 1.111865e-06), (85, 84.0, 85.0, 7.663272e-07), (86, 85.0, 86.0, 5.350694e-07),
+      |(87, 86.0, 87.0, 3.808318e-07), (88, 87.0, 88.0, 2.781785e-07), (89, 88.0, 89.0, 2.098661e-07),
+      |(90, 89.0, 90.0, 1.642811e-07), (91, 90.0, 91.0, 1.312835e-07), (92, 91.0, 92.0, 1.081326e-07),
+      |(93, 92.0, 93.0, 9.141993e-08), (94, 93.0, 94.0, 7.890983e-08), (95, 94.0, 95.0, 6.91468e-08),
+      |(96, 95.0, 96.0, 6.119019e-08), (97, 96.0, 97.0, 5.443693e-08), (98, 97.0, 98.0, 4.85036e-08),
+      |(99, 98.0, 99.0, 4.31486e-08), (100, 99.0, 100.0, 3.822112e-08), (101, 100.0, CAST(NULL AS DOUBLE), 0.0)
+      |) AS t(bin, x_low, x_high, content)
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_root_scan" -> (s10 _),
     "s01_stage1_pipeline" -> (s01 _),
     "s02_metadata_prescan" -> (s02 _),
     "s03_stage2_histograms" -> (s03 _),
@@ -344,6 +405,7 @@ object StageQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_root_scan" -> s10Sql,
     "s01_stage1_pipeline" -> s01Sql,
     "s02_metadata_prescan" -> s02Sql,
     "s03_stage2_histograms" -> s03Sql,

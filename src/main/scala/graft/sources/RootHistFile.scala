@@ -1,0 +1,295 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.zip.Inflater
+
+/** Pure-JVM reader for TH1 histograms inside ROOT files — the engine-side
+  * slice of the reference's ROOT ingestion (reference: run_stage1.py reads
+  * NanoAOD TTrees; config/branches.py and the correction loaders read TH1
+  * calibration files like data/pileup/mcPileup2018.root and the
+  * muon-SF/resolution files, which are exactly the inputs this reader
+  * covers). Format knowledge is the public ROOT I/O documentation
+  * (root.cern "ROOT files" spec + TFile/TKey/TBuffer headers): big-endian
+  * throughout, a TKey record chain from fBEGIN, 9-byte compression block
+  * headers ("ZL" = zlib, inflatable with java.util.zip), and TBuffer
+  * byte-count framing (uint32 | 0x40000000) around every streamed object
+  * — which is what makes a minimal reader robust: anything we do not
+  * model (TAttLine, TList of functions, later-version trailing members)
+  * is SKIPPED by its own byte count instead of parsed.
+  *
+  * Scope: TH1D / TH1F / TH1I keys (streamer version 4+; the reference's
+  * files are v7), fixed or variable binning, optional fSumw2. TH2/TGraph
+  * and other classes are skipped — the reader never throws on them.
+  */
+object RootHistFile {
+
+  /** One histogram axis: fixed binning when `edges` is empty. */
+  final case class HistAxis(nbins: Int, xmin: Double, xmax: Double,
+      edges: Array[Double]) {
+    def low(b: Int): Double =
+      if (edges.nonEmpty) edges(b - 1)
+      else xmin + (xmax - xmin) * (b - 1) / nbins
+    def high(b: Int): Double =
+      if (edges.nonEmpty) edges(b)
+      else xmin + (xmax - xmin) * b / nbins
+  }
+
+  /** One TH1/TH2/TH3, fully decoded. `dir` is the in-file TDirectory
+    * path ("" at top level) — the discriminator for files that store the
+    * same histogram name in several directories (the muon-SF layout).
+    * `axes` has `dim` entries (x, then y, then z); `sumw2` is empty when
+    * the histogram never stored errors. `contents`/`sumw2` are ROOT's
+    * flat cell layout — Π(nbins_i + 2) entries, global cell =
+    * binx + (nx+2)·(biny + (ny+2)·binz), under/overflow included. */
+  final case class RootHist(
+      file: String, dir: String, cls: String, name: String, cycle: Int,
+      keyPos: Long, title: String, dim: Int, axes: IndexedSeq[HistAxis],
+      entries: Double, contents: Array[Double], sumw2: Array[Double]) {
+    def nbins: Int = axes(0).nbins
+    def xmin: Double = axes(0).xmin
+    def xmax: Double = axes(0).xmax
+  }
+
+  private val ByteCountMask = 0x40000000
+
+  private final class Cursor(val b: ByteBuffer) {
+    def u8(): Int = b.get() & 0xff
+    def i16(): Int = b.getShort().toInt
+    def i32(): Int = b.getInt()
+    def i64(): Long = b.getLong()
+    def f32(): Float = b.getFloat()
+    def f64(): Double = b.getDouble()
+    def pos: Int = b.position()
+    def seek(p: Int): Unit = b.position(p)
+    def skip(n: Int): Unit = b.position(b.position() + n)
+
+    def tString(): String = {
+      var n = u8()
+      if (n == 255) n = i32()
+      val arr = new Array[Byte](n)
+      b.get(arr)
+      new String(arr, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+
+    /** TBuffer byte-count framing: returns (version, endPosition). The
+      * count excludes its own 4 bytes; end = countPos + 4 + count. */
+    def byteCountVersion(): (Int, Int) = {
+      val cntPos = pos
+      val raw = i32()
+      require((raw & ByteCountMask) != 0, s"no byte-count at $cntPos")
+      val cnt = raw & (ByteCountMask - 1)
+      val ver = i16() & 0xffff
+      (ver, cntPos + 4 + cnt)
+    }
+
+    /** Skip one byte-count-framed object entirely. */
+    def skipFramed(): Unit = { val (_, end) = byteCountVersion(); seek(end) }
+
+    /** TNamed: returns (name, title), cursor left at the object end. */
+    def tNamed(): (String, String) = {
+      val (_, end) = byteCountVersion()
+      i16() // TObject streamer version
+      i32() // fUniqueID
+      val bits = i32()
+      if ((bits & 0x00000002) != 0) i16() // kIsReferenced → pidf
+      val name = tString()
+      val title = tString()
+      seek(end)
+      (name, title)
+    }
+
+    def tArrayD(): Array[Double] = {
+      val n = i32()
+      val a = new Array[Double](n)
+      var i = 0; while (i < n) { a(i) = f64(); i += 1 }
+      a
+    }
+    def tArrayF(): Array[Double] = {
+      val n = i32()
+      val a = new Array[Double](n)
+      var i = 0; while (i < n) { a(i) = f32().toDouble; i += 1 }
+      a
+    }
+    def tArrayI(): Array[Double] = {
+      val n = i32()
+      val a = new Array[Double](n)
+      var i = 0; while (i < n) { a(i) = i32().toDouble; i += 1 }
+      a
+    }
+  }
+
+  private def tAxis(c: Cursor): HistAxis = {
+    val (_, end) = c.byteCountVersion()
+    c.tNamed()
+    c.skipFramed() // TAttAxis
+    val nbins = c.i32()
+    val xmin = c.f64()
+    val xmax = c.f64()
+    val edges = c.tArrayD()
+    c.seek(end) // fFirst/fLast/labels/time fields all version-dependent — skip
+    HistAxis(nbins, xmin, xmax, edges)
+  }
+
+  /** Parse one decompressed TH1/TH2/TH3 object buffer. The byte-count
+    * frames make dimensionality uniform: a TH2 is
+    * [TH2x outer [TH2 base [TH1 base ...] 4 doubles] TArray], a TH3 adds
+    * one more nesting level — so the TH1 base parse is shared and each
+    * enclosing frame is exited by its recorded end, never by modelling
+    * the THn members. */
+  private def parseTHn(buf: Array[Byte], cls: String, file: String,
+      keyName: String, cycle: Int): RootHist = {
+    val dim = cls.charAt(2) - '0' // TH1*/TH2*/TH3*
+    val c = new Cursor(ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN))
+    c.byteCountVersion()                        // THnX outer frame
+    // ONE intermediate base frame for 2-D/3-D (TH2 inside TH2D, TH3
+    // inside TH3D — both inherit TH1 directly; TH3's TAtt3D base and
+    // the THn members live inside this frame, after the TH1 base)
+    val midEnds = if (dim > 1) Seq(c.byteCountVersion()._2) else Nil
+    val (baseVer, baseEnd) = c.byteCountVersion() // TH1 base frame
+    require(baseVer >= 4, s"TH1 streamer v$baseVer unsupported (need >= 4)")
+    val (name, title) = c.tNamed()
+    c.skipFramed(); c.skipFramed(); c.skipFramed() // TAttLine/Fill/Marker
+    c.i32() // fNcells (redundant with the axis product; asserted below)
+    val xAxis = tAxis(c)
+    val yAxis = tAxis(c)
+    val zAxis = tAxis(c)
+    c.skip(4) // fBarOffset, fBarWidth (two int16)
+    val entries = c.f64()
+    c.skip(7 * 8) // fTsumw..fNormFactor
+    c.tArrayD() // fContour
+    val sumw2 = c.tArrayD()
+    // everything after fSumw2 (fOption, fFunctions TList, buffers, and
+    // any members newer streamer versions appended) is skipped via the
+    // base frame's byte count; likewise the THn members (fScalefactor,
+    // fTsumwy..., TAtt3D) via the intermediate frame ends — then the
+    // payload array follows the OUTERMOST base frame's end
+    c.seek((baseEnd +: midEnds).max)
+    val contents = cls.substring(3) match {
+      case "D" => c.tArrayD()
+      case "F" => c.tArrayF()
+      case "I" => c.tArrayI()
+    }
+    val axes = IndexedSeq(xAxis, yAxis, zAxis).take(dim)
+    val cells = axes.map(_.nbins + 2).product
+    require(contents.length == cells,
+      s"$cls $keyName: ${contents.length} cells, axes say $cells")
+    RootHist(file, "", cls, if (name.nonEmpty) name else keyName, cycle,
+      0L, title, dim, axes, entries, contents, sumw2)
+  }
+
+  /** Decompress a ROOT key payload: a sequence of 9-byte-headed blocks.
+    * Only "ZL" (zlib) is supported — every file the reference ships uses
+    * it; other algos raise with the algo tag in the message. */
+  private def decompress(blob: Array[Byte], objLen: Int): Array[Byte] = {
+    val out = new Array[Byte](objLen)
+    var q = 0
+    var w = 0
+    while (q < blob.length && w < objLen) {
+      val algo = new String(blob, q, 2, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val csz = (blob(q + 3) & 0xff) | ((blob(q + 4) & 0xff) << 8) |
+        ((blob(q + 5) & 0xff) << 16)
+      require(algo == "ZL", s"unsupported ROOT compression '$algo'")
+      val inf = new Inflater()
+      inf.setInput(blob, q + 9, csz)
+      var n = 1
+      while (n > 0 && !inf.finished()) {
+        n = inf.inflate(out, w, objLen - w)
+        w += n
+      }
+      inf.end()
+      q += 9 + csz
+    }
+    require(w == objLen, s"decompressed $w of $objLen bytes")
+    out
+  }
+
+  private val Supported = Set("TH1D", "TH1F", "TH1I",
+    "TH2D", "TH2F", "TH2I", "TH3D", "TH3F", "TH3I")
+
+  private val DirClasses = Set("TDirectory", "TDirectoryFile")
+
+  /** Read every supported TH1 from one ROOT file. Two passes over the
+    * in-memory key chain: pass 1 maps each TDirectory key's seekKey to
+    * its (name, parent) — children reference their directory by that
+    * offset in seekPdir — so pass 2 can stamp every histogram with its
+    * full in-file path. Unsupported classes are skipped silently; a
+    * malformed supported object raises. */
+  def read(path: String): Seq[RootHist] = {
+    val raw = Files.readAllBytes(Paths.get(path))
+    val c = new Cursor(ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN))
+    val magic = new Array[Byte](4); c.b.get(magic)
+    require(new String(magic) == "root", s"$path: not a ROOT file")
+    val fVersion = c.i32()
+    val fBegin = c.i32()
+    val large = fVersion > 1000000
+    val fEnd = if (large) c.i64() else c.i32().toLong
+
+    /** Walk the TKey chain, calling f(pos, nbytes, cls, keyName, cycle,
+      * keyLen, objLen, seekPdir). */
+    def walk(f: (Long, Int, String, String, Int, Int, Int, Long) => Unit): Unit = {
+      var pos = fBegin.toLong
+      var guard = 0
+      while (pos < fEnd && pos + 4 <= raw.length && guard < 1000000) {
+        guard += 1
+        c.seek(pos.toInt)
+        val nbytes = c.i32()
+        if (nbytes == 0) { pos = fEnd }
+        else if (nbytes < 0) { pos += -nbytes } // gap record
+        else {
+          val kver = c.i16()
+          val objLen = c.i32()
+          c.i32() // datime
+          val keyLen = c.i16()
+          val cycle = c.i16()
+          val seekPdir =
+            if (kver > 1000) { c.i64(); c.i64() }
+            else { c.i32(); c.i32().toLong }
+          val cls = c.tString()
+          val keyName = c.tString()
+          c.tString() // key title
+          f(pos, nbytes, cls, keyName, cycle, keyLen, objLen, seekPdir)
+          pos += nbytes
+        }
+      }
+    }
+
+    // pass 1: directory tree (seekKey == record position for the files
+    // this reader targets; robust because unresolvable parents fall back
+    // to top level rather than failing)
+    val dirs = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    walk { (pos, _, cls, name, _, _, _, seekPdir) =>
+      if (DirClasses(cls)) dirs(pos) = (name, seekPdir)
+    }
+    def dirPath(seekPdir: Long): String = {
+      val parts = List.newBuilder[String]
+      var at = seekPdir
+      var hops = 0
+      while (at != 0 && at != fBegin.toLong && hops < 64) {
+        hops += 1
+        dirs.get(at) match {
+          case Some((name, parent)) => parts += name; at = parent
+          case None => at = 0
+        }
+      }
+      parts.result().reverse.mkString("/")
+    }
+
+    // pass 2: histograms
+    val out = Seq.newBuilder[RootHist]
+    walk { (pos, nbytes, cls, keyName, cycle, keyLen, objLen, seekPdir) =>
+      if (Supported(cls)) {
+        val dataOff = pos.toInt + keyLen
+        val dataLen = nbytes - keyLen
+        val blob = java.util.Arrays.copyOfRange(raw, dataOff, dataOff + dataLen)
+        val obj = if (objLen > dataLen) decompress(blob, objLen) else blob
+        // keyPos (the record's file offset) uniquely identifies a key
+        // even when a file stores several copies of one histogram under
+        // the SAME name and cycle (GoldenJSON pileup does)
+        out += parseTHn(obj, cls, path, keyName, cycle)
+          .copy(dir = dirPath(seekPdir), keyPos = pos)
+      }
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,151 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden checks for the pure-JVM ROOT TH1 reader against the
+  * reference's own calibration files. The expected numbers come from an
+  * INDEPENDENT parse (a from-scratch Python struct/zlib implementation
+  * of the public ROOT format, written separately from the Scala reader)
+  * — two implementations agreeing bin-for-bin on real-world files from
+  * three ROOT eras is the correctness evidence a format reader needs. */
+class RootHistSourceSpec extends SparkSpec {
+
+  private val refData = "/root/reference/data"
+  private def rootDf(path: String) =
+    spark.read.format("graft.sources.RootHistSource")
+      .option("path", path).load()
+
+  test("TH1D fixed-bin pileup profile parses with exact shape and unit integral") {
+    val df = rootDf(s"$refData/pileup/mcPileup2018.root").cache()
+    val hists = df.select("hist", "cls", "nbins", "xmin", "xmax", "entries")
+      .distinct().collect()
+    assert(hists.length == 1)
+    val h = hists.head
+    assert(h.getString(0) == "pu_mc" && h.getString(1) == "TH1D")
+    assert(h.getInt(2) == 100 && h.getDouble(3) == 0.0 && h.getDouble(4) == 100.0)
+    assert(h.getDouble(5) == 100.0) // fEntries golden from independent parse
+    assert(df.count() == 102) // nbins + under/overflow
+    // MC pileup profile is normalized: integral over all cells == 1
+    val s = df.agg(sum(col("content"))).head.getDouble(0)
+    // the file itself is normalized to ~2e-8 (float accumulation at
+    // creation time), not to the last ulp
+    assert(math.abs(s - 1.0) < 1e-6, s"integral $s")
+    // no stored errors in this file -> sumw2 all null
+    assert(df.filter(col("sumw2").isNotNull).count() == 0)
+    // under/overflow bounds are open
+    assert(df.filter(col("bin") === 0 && col("x_low").isNull).count() == 1)
+    assert(df.filter(col("bin") === 101 && col("x_high").isNull).count() == 1)
+    // interior edges are the linear grid
+    val b1 = df.filter(col("bin") === 1).select("x_low", "x_high").head
+    assert(b1.getDouble(0) == 0.0 && b1.getDouble(1) == 1.0)
+  }
+
+  test("TH1D data profile with stored sumw2 matches independent-parse goldens") {
+    val df = rootDf(s"$refData/pileup/puData2018_withVar.root").cache()
+    val names = df.select("hist").distinct().collect().map(_.getString(0)).sorted
+    assert(names.toSeq == Seq("pileup", "pileup_minus", "pileup_plus"))
+    val h = df.filter(col("hist") === "pileup")
+      .agg(max("nbins"), max("entries"), sum("content"),
+        count(when(col("sumw2").isNotNull, 1)))
+      .head
+    assert(h.getInt(0) == 100)
+    assert(h.getDouble(1) == 23296690.0) // golden fEntries
+    assert(math.abs(h.getDouble(2) / 5.99651e10 - 1.0) < 1e-5) // golden integral
+    assert(h.getLong(3) == 102) // sumw2 stored for every cell
+  }
+
+  test("TH1F variable-bin scale-factor histograms carry their edge arrays") {
+    val df = rootDf(
+      s"$refData/muon_sf/year2016/RunBCDEF_SF_Trigger.root").cache()
+    val eta = df.filter(col("hist") === "eta_DATA")
+    // 2016 trigger SF binning: 14 eta bins on [-2.4, 2.4], variable
+    // edges; the same histogram name lives under two trigger-path
+    // TDirectories, which the `dir` column separates
+    assert(eta.select("nbins").distinct().head.getInt(0) == 14)
+    val nDirs = eta.select("dir").distinct().count()
+    assert(nDirs == 2, s"expected eta_DATA under 2 directories, got $nDirs")
+    assert(eta.filter(col("dir").startsWith(
+      "IsoMu24_OR_IsoTkMu24_EtaBins/efficienciesDATA")).count() > 0)
+    val byDir = eta.filter(col("bin").between(1, 14))
+      .orderBy("dir", "cycle", "bin")
+      .select("dir", "x_low", "x_high").collect()
+      .groupBy(_.getString(0))
+    byDir.values.foreach { rows =>
+      rows.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getDouble(2) == w(1).getDouble(1),
+            "adjacent bins must share an edge")
+      }
+    }
+    assert(eta.filter(col("bin") === 1).head.getDouble(
+      eta.schema.fieldIndex("x_low")) == -2.4)
+    assert(eta.filter(col("bin") === 14).head.getDouble(
+      eta.schema.fieldIndex("x_high")) == 2.4)
+    // SF files store errors
+    assert(df.filter(col("sumw2").isNotNull).count() > 0)
+  }
+
+  test("TH2D muon-ID scale-factor map parses with independent-parse goldens") {
+    val df = rootDf(s"$refData/muon_sf/year2018/RunABCD_SF_ID.root").cache()
+    val h = df.filter(col("hist") === "NUM_LooseID_DEN_genTracks_pt_abseta")
+    // goldens from the independent Python parse: 6x4 (pt, |eta|) map,
+    // ncells (6+2)*(4+2) = 48, entries 24, integral 23.9667725
+    val m = h.agg(max("ndim"), max("nbins"), max("nbinsy"),
+      min("xmin"), max("xmax"), max("entries"),
+      sum("content"), count(lit(1))).head
+    assert(m.getInt(0) == 2 && m.getInt(1) == 6 && m.getInt(2) == 4)
+    assert(m.getDouble(3) == 20.0 && m.getDouble(4) == 120.0)
+    assert(m.getDouble(5) == 24.0)
+    assert(math.abs(m.getDouble(6) - 23.9667725) < 1e-6)
+    assert(m.getLong(7) == 48)
+    // cell decomposition: every (binx, biny) pair appears exactly once
+    assert(h.select("binx", "biny").distinct().count() == 48)
+    // y edges span [0, 2.4] with open flow bounds
+    val y = h.filter(col("biny") === 4).select("y_low", "y_high").distinct().head
+    assert(y.getDouble(0) < 2.4 && y.getDouble(1) == 2.4)
+    assert(h.filter(col("biny") === 5 && col("y_high").isNotNull).count() == 0)
+  }
+
+  test("TH3D resolution calibration parses with independent-parse goldens") {
+    val df = rootDf(s"$refData/res_calib/res_calib_Data_2018.root").cache()
+    // golden: 4x3x3 (pt, |eta1|, |eta2|), 150 cells, entries 36,
+    // integral 40.4808673
+    val m = df.agg(max("ndim"), max("nbins"), max("nbinsy"), max("nbinsz"),
+      max("entries"), sum("content"), count(lit(1))).head
+    assert(m.getInt(0) == 3 && m.getInt(1) == 4 && m.getInt(2) == 3 &&
+      m.getInt(3) == 3)
+    assert(m.getDouble(4) == 36.0)
+    assert(math.abs(m.getDouble(5) - 40.4808673) < 1e-6)
+    assert(m.getLong(6) == 150)
+    assert(df.select("binx", "biny", "binz").distinct().count() == 150)
+    // this is the 3-D lookup table the l08 ebe-resolution query models:
+    // every interior cell carries a positive calibration factor
+    assert(df.filter(col("binx").between(1, 4) && col("biny").between(1, 3) &&
+      col("binz").between(1, 3) && col("content") <= 0.0).count() == 0)
+  }
+
+  test("directory scan expands recursively, one partition per file, pruning works") {
+    val df = rootDf(refData)
+    // every TH1 in the reference's data tree parses (TH2/TGraph skipped)
+    val nHists = df.filter(col("bin") === 0).count()
+    assert(nHists >= 100, s"expected >= 100 TH1s across the tree, got $nHists")
+    // every supported dimensionality and precision shows up in the tree
+    val clss = df.select("cls").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("TH1D", "TH1F", "TH2D", "TH2F", "TH3D").subsetOf(clss), clss)
+    // partition count == file count (parallel scan at scale)
+    val files = RootHistSource.expand(refData)
+    assert(files.size >= 10)
+    val pruned = df.select("content")
+    assert(pruned.queryExecution.executedPlan.toString.contains("content"))
+    assert(pruned.count() > 0)
+    // per-hist invariant: cell count == Π(nbins_i + 2) (ROOT's ncells
+    // contract, all dimensionalities)
+    val bad = df.groupBy("file", "key_pos", "nbins", "nbinsy", "nbinsz")
+      .agg(count(lit(1)).as("cells"))
+      .filter(col("cells") =!= (col("nbins") + 2) *
+        coalesce(col("nbinsy") + 2, lit(1)) *
+        coalesce(col("nbinsz") + 2, lit(1)))
+    assert(bad.count() == 0)
+  }
+}
