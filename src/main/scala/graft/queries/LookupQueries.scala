@@ -739,7 +739,83 @@ object LookupQueries extends QueryFamily {
       | ON pt >= x_low AND pt < x_high AND abseta >= y_low AND abseta < y_high
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- l15: TGraph linear interpolation lookup from a ROOT file ------------
+  // The reference's NNLOPS reweighting (reference: the stage1 NNLOPS
+  // corrector interpolates data/NNLOPS_reweight.root's ratio-vs-pt
+  // TGraphErrors with np.interp semantics: linear between points,
+  // clamped to the endpoint values outside the domain). Engine side:
+  // the 17-point curve arrives through the TGraph DataSource V2
+  // connector, points become SEGMENTS via an i→i+1 self-join (17×17
+  // equi-join — no global-order window, keeping the suite's
+  // no-SinglePartition invariant), two clamp segments extend the ends
+  // (y1 = y0, so the slope term is exactly 0 — no divide hazard), and
+  // each event picks its segment from the broadcast 18-row table. The
+  // DuckDB oracle rebuilds the identical segments from a literal copy
+  // of the points produced by the independent parser. Per-row weights
+  // are micro-quantized before summing (order-free integer sums).
+  private val l15W =
+    "(y0 + (y1 - y0) * (pt - x0) / (x1 - x0))"
+  private def l15(s: SparkSession, dir: String): DataFrame = {
+    val pts = s.read.format("graft.sources.RootGraphSource")
+      .option("path", "/root/reference/data/NNLOPS_reweight.root").load()
+      .filter(col("graph") === "gr_NNLOPSratio_pt_powheg_0jet")
+      .select(col("i"), col("x"), col("y"))
+      .localCheckpoint() // 17 rows; feeds segments + both clamps
+    val interior = pts.as("a").join(pts.as("b"),
+        col("a.i") + 1 === col("b.i"))
+      .select(col("a.x").as("x0"), col("b.x").as("x1"),
+        col("a.y").as("y0"), col("b.y").as("y1"))
+    val maxI = pts.agg(max(col("i")).as("mi"))
+    val lo = pts.filter(col("i") === 0)
+      .select(lit(-1e18).as("x0"), col("x").as("x1"),
+        col("y").as("y0"), col("y").as("y1"))
+    val hi = pts.crossJoin(broadcast(maxI)).filter(col("i") === col("mi"))
+      .select(col("x").as("x0"), lit(1e18).as("x1"),
+        col("y").as("y0"), col("y").as("y1"))
+    val segs = interior.unionByName(lo).unionByName(hi)
+    val mu = rd(s, dir, "lineitem")
+      .select((col("l_extendedprice") / 1000.0).as("pt"))
+    mu.join(broadcast(segs),
+        col("pt") >= col("x0") && col("pt") < col("x1"))
+      .select(col("x0"),
+        expr(s"CAST(FLOOR($l15W * 1000000.0 + 0.5) AS BIGINT)").as("wq"))
+      .groupBy(col("x0"))
+      .agg(count(lit(1)).as("n_ev"), sum(col("wq")).as("w_micro_sum"))
+      .select(col("x0"), col("n_ev"), col("w_micro_sum"),
+        (col("w_micro_sum").cast("double") / col("n_ev") / 1000000.0)
+          .cast("float").as("avg_weight"))
+      .orderBy(col("x0"))
+  }
+  private val l15Sql =
+    s"""WITH pts(i, x, y) AS (VALUES
+       |(0, 2.5, 1.1658884286880493), (1, 7.5, 1.006809949874878),
+       |(2, 12.5, 0.9281306862831116), (3, 17.5, 0.9306548237800598),
+       |(4, 22.5, 0.8971056342124939), (5, 27.5, 0.9189392924308777),
+       |(6, 32.5, 0.9419706463813782), (7, 37.5, 0.9572471976280212),
+       |(8, 42.5, 0.9615933895111084), (9, 47.5, 1.0141770839691162),
+       |(10, 55.0, 0.9375), (11, 65.0, 1.047379732131958),
+       |(12, 75.0, 1.1114500761032104), (13, 85.0, 1.1284558773040771),
+       |(14, 95.0, 0.6185693144798279), (15, 110.0, 1.2326494455337524),
+       |(16, 125.0, 4.512904167175293)),
+       |ptsd AS (SELECT i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM pts),
+       |segs AS (
+       | SELECT a.x AS x0, b.x AS x1, a.y AS y0, b.y AS y1
+       | FROM ptsd a JOIN ptsd b ON a.i + 1 = b.i
+       | UNION ALL
+       | SELECT CAST(-1e18 AS DOUBLE), x, y, y FROM ptsd WHERE i = 0
+       | UNION ALL
+       | SELECT x, CAST(1e18 AS DOUBLE), y, y FROM ptsd
+       | WHERE i = (SELECT MAX(i) FROM ptsd)),
+       |mu AS (SELECT l_extendedprice / 1000.0 AS pt FROM lineitem),
+       |wq AS (
+       | SELECT x0, CAST(FLOOR($l15W * 1000000.0 + 0.5) AS BIGINT) AS wq
+       | FROM mu JOIN segs ON pt >= x0 AND pt < x1)
+       |SELECT x0, COUNT(*) AS n_ev, CAST(SUM(wq) AS BIGINT) AS w_micro_sum,
+       | CAST(CAST(SUM(wq) AS DOUBLE) / COUNT(*) / 1000000.0 AS REAL) AS avg_weight
+       |FROM wq GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l15_nnlops_interp" -> (l15 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -757,6 +833,7 @@ object LookupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "l15_nnlops_interp" -> l15Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,

@@ -207,15 +207,73 @@ object RootHistFile {
   private val Supported = Set("TH1D", "TH1F", "TH1I",
     "TH2D", "TH2F", "TH2I", "TH3D", "TH3F", "TH3I")
 
+  /** One TGraph/TGraphErrors/TGraphAsymmErrors: n points with optional
+    * asymmetric errors (empty arrays when the class has none). */
+  final case class RootGraph(
+      file: String, dir: String, cls: String, name: String, cycle: Int,
+      keyPos: Long, title: String, n: Int,
+      xs: Array[Double], ys: Array[Double],
+      exLow: Array[Double], exHigh: Array[Double],
+      eyLow: Array[Double], eyHigh: Array[Double])
+
+  /** A Double_t* member with a //[fNpoints] count: 1-byte presence flag
+    * then n doubles. */
+  private def starArray(c: Cursor, n: Int): Array[Double] = {
+    val flag = c.u8()
+    if (flag == 0) Array.empty
+    else { val a = new Array[Double](n); var i = 0
+      while (i < n) { a(i) = c.f64(); i += 1 }; a }
+  }
+
+  private def parseGraph(buf: Array[Byte], cls: String, file: String,
+      keyName: String, cycle: Int): RootGraph = {
+    val c = new Cursor(ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN))
+    // TGraphErrors/AsymmErrors wrap a TGraph base frame; plain TGraph's
+    // outer frame IS the base
+    if (cls != "TGraph") c.byteCountVersion()
+    val (_, baseEnd) = c.byteCountVersion() // TGraph frame
+    val (name, title) = c.tNamed()
+    c.skipFramed(); c.skipFramed(); c.skipFramed() // TAttLine/Fill/Marker
+    val n = c.i32()
+    val xs = starArray(c, n)
+    val ys = starArray(c, n)
+    c.seek(baseEnd) // fFunctions/fHistogram/fMin/fMax skipped by frame
+    val (exl, exh, eyl, eyh) = cls match {
+      case "TGraphErrors" =>
+        val ex = starArray(c, n); val ey = starArray(c, n)
+        (ex, ex, ey, ey) // symmetric
+      case "TGraphAsymmErrors" =>
+        (starArray(c, n), starArray(c, n), starArray(c, n), starArray(c, n))
+      case _ => (Array.empty[Double], Array.empty[Double],
+        Array.empty[Double], Array.empty[Double])
+    }
+    RootGraph(file, "", cls, if (name.nonEmpty) name else keyName, cycle,
+      0L, title, n, xs, ys, exl, exh, eyl, eyh)
+  }
+
+  private val GraphClasses = Set("TGraph", "TGraphErrors", "TGraphAsymmErrors")
+
   private val DirClasses = Set("TDirectory", "TDirectoryFile")
 
-  /** Read every supported TH1 from one ROOT file. Two passes over the
-    * in-memory key chain: pass 1 maps each TDirectory key's seekKey to
-    * its (name, parent) — children reference their directory by that
-    * offset in seekPdir — so pass 2 can stamp every histogram with its
-    * full in-file path. Unsupported classes are skipped silently; a
-    * malformed supported object raises. */
-  def read(path: String): Seq[RootHist] = {
+  /** Read every supported histogram from one ROOT file. */
+  def read(path: String): Seq[RootHist] =
+    readObjects(path, Supported) { (obj, cls, keyName, cycle, dir, pos) =>
+      parseTHn(obj, cls, path, keyName, cycle).copy(dir = dir, keyPos = pos)
+    }
+
+  /** Read every TGraph/TGraphErrors/TGraphAsymmErrors from one file. */
+  def readGraphs(path: String): Seq[RootGraph] =
+    readObjects(path, GraphClasses) { (obj, cls, keyName, cycle, dir, pos) =>
+      parseGraph(obj, cls, path, keyName, cycle).copy(dir = dir, keyPos = pos)
+    }
+
+  /** Generic file scan. Two passes over the in-memory key chain: pass 1
+    * maps each TDirectory key's seekKey to its (name, parent) — children
+    * reference their directory by that offset in seekPdir — so pass 2
+    * can stamp every object with its full in-file path. Unmatched
+    * classes are skipped silently; a malformed matched object raises. */
+  private def readObjects[T](path: String, classes: Set[String])(
+      parse: (Array[Byte], String, String, Int, String, Long) => T): Seq[T] = {
     val raw = Files.readAllBytes(Paths.get(path))
     val c = new Cursor(ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN))
     val magic = new Array[Byte](4); c.b.get(magic)
@@ -275,19 +333,17 @@ object RootHistFile {
       parts.result().reverse.mkString("/")
     }
 
-    // pass 2: histograms
-    val out = Seq.newBuilder[RootHist]
+    // pass 2: matched objects. keyPos (the record's file offset)
+    // uniquely identifies a key even when a file stores several copies
+    // of one object under the SAME name and cycle (GoldenJSON pileup)
+    val out = Seq.newBuilder[T]
     walk { (pos, nbytes, cls, keyName, cycle, keyLen, objLen, seekPdir) =>
-      if (Supported(cls)) {
+      if (classes(cls)) {
         val dataOff = pos.toInt + keyLen
         val dataLen = nbytes - keyLen
         val blob = java.util.Arrays.copyOfRange(raw, dataOff, dataOff + dataLen)
         val obj = if (objLen > dataLen) decompress(blob, objLen) else blob
-        // keyPos (the record's file offset) uniquely identifies a key
-        // even when a file stores several copies of one histogram under
-        // the SAME name and cycle (GoldenJSON pileup does)
-        out += parseTHn(obj, cls, path, keyName, cycle)
-          .copy(dir = dirPath(seekPdir), keyPos = pos)
+        out += parse(obj, cls, keyName, cycle, dirPath(seekPdir), pos)
       }
     }
     out.result()

@@ -198,3 +198,120 @@ class RootHistReader(path: String, cols: Array[String])
 
   override def close(): Unit = ()
 }
+
+/** Companion connector for TGraph/TGraphErrors/TGraphAsymmErrors: one
+  * row per graph POINT with (a)symmetric errors (nulls where the class
+  * stores none). The reference's NNLOPS reweighting curves
+  * (data/NNLOPS_reweight.root) and the tag-and-probe efficiency graphs
+  * inside the muon-SF files land directly joinable for interp lookups
+  * (the L2 family). Same planning shape as [[RootHistSource]]: driver
+  * enumerates files, one partition per file, pruning pushed to the
+  * reader. */
+object RootGraphSource {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("dir", StringType, nullable = false),
+    StructField("graph", StringType, nullable = false),
+    StructField("cls", StringType, nullable = false),
+    StructField("cycle", IntegerType, nullable = false),
+    StructField("key_pos", LongType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("npoints", IntegerType, nullable = false),
+    StructField("i", IntegerType, nullable = false),
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false),
+    StructField("ex_low", DoubleType, nullable = true),
+    StructField("ex_high", DoubleType, nullable = true),
+    StructField("ey_low", DoubleType, nullable = true),
+    StructField("ey_high", DoubleType, nullable = true)))
+}
+
+class RootGraphSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RootGraphSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    RootGraphTable(properties.asScala.getOrElse("path",
+      throw new IllegalArgumentException("RootGraphSource requires a path option")))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+case class RootGraphTable(pathOpt: String) extends Table with SupportsRead {
+  override def name(): String = s"root_graph($pathOpt)"
+  override def schema(): StructType = RootGraphSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    RootGraphScanBuilder(pathOpt)
+}
+
+case class RootGraphScanBuilder(pathOpt: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = RootGraphSource.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = RootGraphScan(pathOpt, required)
+}
+
+case class RootGraphScan(pathOpt: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    RootHistSource.expand(pathOpt)
+      .map(RootHistFilePartition(_): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    RootGraphReaderFactory(required.fieldNames)
+}
+
+case class RootGraphReaderFactory(cols: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RootGraphReader(p.asInstanceOf[RootHistFilePartition].path, cols)
+}
+
+class RootGraphReader(path: String, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val graphs = RootHistFile.readGraphs(path).toIndexedSeq
+  private var g = 0
+  private var pt = -1
+  private val fileU = UTF8String.fromString(path)
+
+  override def next(): Boolean = {
+    if (g >= graphs.length) return false
+    pt += 1
+    if (pt >= graphs(g).n) { g += 1; pt = -1; return next() }
+    true
+  }
+
+  override def get(): InternalRow = {
+    val gr = graphs(g)
+    def e(a: Array[Double]): Any = if (pt < a.length) a(pt) else null
+    val row = new GenericInternalRow(cols.length)
+    var i = 0
+    while (i < cols.length) {
+      val v: Any = cols(i) match {
+        case "file" => fileU
+        case "dir" => UTF8String.fromString(gr.dir)
+        case "graph" => UTF8String.fromString(gr.name)
+        case "cls" => UTF8String.fromString(gr.cls)
+        case "cycle" => gr.cycle
+        case "key_pos" => gr.keyPos
+        case "title" => UTF8String.fromString(gr.title)
+        case "npoints" => gr.n
+        case "i" => pt
+        case "x" => gr.xs(pt)
+        case "y" => gr.ys(pt)
+        case "ex_low" => e(gr.exLow)
+        case "ex_high" => e(gr.exHigh)
+        case "ey_low" => e(gr.eyLow)
+        case "ey_high" => e(gr.eyHigh)
+      }
+      row.update(i, v)
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = ()
+}

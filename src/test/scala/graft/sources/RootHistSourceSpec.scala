@@ -125,6 +125,35 @@ class RootHistSourceSpec extends SparkSpec {
       col("binz").between(1, 3) && col("content") <= 0.0).count() == 0)
   }
 
+  test("TGraphErrors and TGraphAsymmErrors parse with point-level goldens") {
+    val g = spark.read.format("graft.sources.RootGraphSource")
+      .option("path", s"$refData/NNLOPS_reweight.root").load().cache()
+    // the NNLOPS file holds 8 ratio curves
+    assert(g.select("graph").distinct().count() == 8)
+    val zj = g.filter(col("graph") === "gr_NNLOPSratio_pt_powheg_0jet")
+      .orderBy("i").collect()
+    assert(zj.length == 17)
+    val first = zj.head; val last = zj.last
+    // goldens from the independent parse
+    assert(first.getDouble(first.fieldIndex("x")) == 2.5)
+    assert(first.getDouble(first.fieldIndex("y")) == 1.1658884286880493)
+    assert(last.getDouble(last.fieldIndex("x")) == 125.0)
+    assert(last.getDouble(last.fieldIndex("y")) == 4.512904167175293)
+    // symmetric errors: ey_low == ey_high, ex present
+    assert(zj.forall(r => r.getDouble(r.fieldIndex("ey_low")) ==
+      r.getDouble(r.fieldIndex("ey_high"))))
+    // asymmetric: tag-and-probe efficiency graphs in the muon-SF tree
+    val ga = spark.read.format("graft.sources.RootGraphSource")
+      .option("path",
+        s"$refData/muon_sf/year2016/RunBCDEF_SF_Trigger.root").load()
+      .filter(col("cls") === "TGraphAsymmErrors")
+    assert(ga.count() > 0)
+    assert(ga.filter(col("ey_low") =!= col("ey_high")).count() > 0,
+      "tag-and-probe errors should be asymmetric somewhere")
+    // directory attribution carries through for graphs too
+    assert(ga.filter(col("dir").contains("efficienciesDATA")).count() > 0)
+  }
+
   test("directory scan expands recursively, one partition per file, pruning works") {
     val df = rootDf(refData)
     // every TH1 in the reference's data tree parses (TH2/TGraph skipped)
