@@ -394,7 +394,41 @@ object StageQueries extends QueryFamily {
       |) AS t(bin, x_low, x_high, content)
       |ORDER BY bin""".stripMargin
 
+  // ---- s11: TTree event-data scan through the native connector -------------
+  // The reference's primary input path — NanoAOD-style TTree event data
+  // (reference: run_stage1.py:154-166 iterates TTree branches;
+  // config/branches.py:115-134 lists them) — read natively: the TTree
+  // connector decodes the jagged vector branches of muonresolution.root's
+  // 100k-event MyTree and this query reduces the muon_pt branch to its
+  // per-event-multiplicity profile (events and micro-exact summed pt per
+  // muon count). The oracle is a LITERAL replay computed by the
+  // independent Python decoder — and the in-file golden
+  // (RootHistSourceSpec: re-histogrammed muon_eta == the file's own
+  // hEta TH1F) pins the decode semantics separately. Milli-quantized
+  // integer pt sums keep the check order-free and exact.
+  private val treeFixture =
+    "/root/reference/data/mass_res_pisa/muonresolution.root"
+  private def s11(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.RootTreeSource")
+      .option("path", treeFixture).load()
+      .filter(col("tree") === "MyTree" && col("branch") === "muon_pt")
+      .groupBy(col("n").as("n_mu"))
+      .agg(countDistinct(col("entry")).as("n_events"),
+        sum(coalesce(
+          expr("CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT)"), lit(0L)))
+          .as("pt_milli_sum"))
+      .orderBy(col("n_mu"))
+  private val s11Sql =
+    """SELECT n_mu, n_events, pt_milli_sum FROM (VALUES
+      |(0, 68759, 0),
+      |(1, 15308, 459405844),
+      |(2, 15811, 1317004619),
+      |(3, 122, 14277852)
+      |) AS t(n_mu, n_events, pt_milli_sum)
+      |ORDER BY n_mu""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_tree_scan" -> (s11 _),
     "s10_root_scan" -> (s10 _),
     "s01_stage1_pipeline" -> (s01 _),
     "s02_metadata_prescan" -> (s02 _),
@@ -405,6 +439,7 @@ object StageQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "s11_tree_scan" -> s11Sql,
     "s10_root_scan" -> s10Sql,
     "s01_stage1_pipeline" -> s01Sql,
     "s02_metadata_prescan" -> s02Sql,

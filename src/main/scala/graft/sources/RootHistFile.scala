@@ -255,6 +255,97 @@ object RootHistFile {
 
   private val DirClasses = Set("TDirectory", "TDirectoryFile")
 
+  /** One TTree entry of one branch: `values` is the entry's element
+    * array (empty for an empty jagged entry, length 1 for a flat leaf).
+    * The NanoAOD shape — jagged per-event vectors — lands as one
+    * TreeEntry per (branch, event). */
+  final case class TreeEntry(
+      file: String, dir: String, tree: String, branch: String,
+      entry: Long, values: Array[Double])
+
+  /** Decode every TBasket in the file into per-entry value arrays,
+    * grouped by (tree, branch), entries numbered in basket file order
+    * (ROOT writes a branch's baskets in entry order). Two payload
+    * layouts are handled, auto-detected per basket:
+    *
+    *  - FRAMED vector entries (a `vector<double>`/`vector<float>`
+    *    branch): each entry is byte-count-framed — uint32 count with the
+    *    0x40000000 bit, uint16 streamer version, int32 n, n elements —
+    *    so the element width falls out of (count − 6) / n and the walk
+    *    is self-describing; verified against fNevBuf from the basket
+    *    key's trailer (fVersion, fBufferSize, fNevBufSize, fNevBuf,
+    *    fLast — the 19 bytes ROOT appends inside the key header).
+    *  - RAW fixed-width values (a flat `branch/F` or `/D` leaf):
+    *    (fLast − keyLen) == fNevBuf × {4,8} exactly; 4-byte cells are
+    *    read as float32 (the NanoAOD convention for flat leaves).
+    *
+    * This reads the DATA without parsing the TTree metadata object
+    * (whose streamed-pointer machinery is the one part of ROOT I/O a
+    * minimal reader cannot skip by byte counts); the cost is that leaf
+    * names/types come from the basket keys and payload shape instead of
+    * TLeaf records. The golden test proves the trade sound: the decoded
+    * muon_eta stream re-histogrammed matches the SAME FILE's hEta TH1F
+    * bin-for-bin. */
+  def readTree(path: String): Seq[TreeEntry] = {
+    val out = Seq.newBuilder[TreeEntry]
+    val entryCounters = scala.collection.mutable.Map.empty[(String, String), Long]
+    readKeys(path) { (raw, pos, nbytes, cls, keyName, keyTitle, cycle,
+        keyLen, objLen, dir, hdrEnd) =>
+      if (cls == "TBasket") {
+        val c = new Cursor(ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN))
+        c.seek(hdrEnd)
+        c.i16() // basket version
+        c.i32() // fBufferSize
+        c.i32() // fNevBufSize
+        val nevBuf = c.i32()
+        val last = c.i32()
+        val dataOff = pos.toInt + keyLen
+        val dataLen = nbytes - keyLen
+        val blob0 = java.util.Arrays.copyOfRange(raw, dataOff, dataOff + dataLen)
+        val blob = if (objLen > dataLen) decompress(blob0, objLen) else blob0
+        val dataEnd = last - keyLen
+        val key = (keyTitle, keyName)
+        val entry0 = entryCounters.getOrElse(key, 0L)
+        val b = new Cursor(ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN))
+        val framed = dataEnd >= 4 && (b.i32() & ByteCountMask) != 0
+        b.seek(0)
+        if (framed) {
+          var e = 0
+          while (e < nevBuf && b.pos < dataEnd) {
+            val cnt = b.i32() & (ByteCountMask - 1)
+            val entryEnd = b.pos + cnt
+            b.i16() // element streamer version
+            val n = b.i32()
+            val elemSz = if (n > 0) (cnt - 6) / n else 8
+            val vals = new Array[Double](math.max(n, 0))
+            var i = 0
+            while (i < n) {
+              vals(i) = if (elemSz == 8) b.f64() else b.f32().toDouble
+              i += 1
+            }
+            b.seek(entryEnd)
+            out += TreeEntry(path, dir, keyTitle, keyName, entry0 + e, vals)
+            e += 1
+          }
+        } else if (nevBuf > 0 && dataEnd == nevBuf * 8L) {
+          var e = 0
+          while (e < nevBuf) {
+            out += TreeEntry(path, dir, keyTitle, keyName, entry0 + e,
+              Array(b.f64())); e += 1
+          }
+        } else if (nevBuf > 0 && dataEnd == nevBuf * 4L) {
+          var e = 0
+          while (e < nevBuf) {
+            out += TreeEntry(path, dir, keyTitle, keyName, entry0 + e,
+              Array(b.f32().toDouble)); e += 1
+          }
+        } // other layouts (split objects) skipped
+        entryCounters(key) = entry0 + nevBuf
+      }
+    }
+    out.result()
+  }
+
   /** Read every supported histogram from one ROOT file. */
   def read(path: String): Seq[RootHist] =
     readObjects(path, Supported) { (obj, cls, keyName, cycle, dir, pos) =>
@@ -270,10 +361,14 @@ object RootHistFile {
   /** Generic file scan. Two passes over the in-memory key chain: pass 1
     * maps each TDirectory key's seekKey to its (name, parent) — children
     * reference their directory by that offset in seekPdir — so pass 2
-    * can stamp every object with its full in-file path. Unmatched
-    * classes are skipped silently; a malformed matched object raises. */
-  private def readObjects[T](path: String, classes: Set[String])(
-      parse: (Array[Byte], String, String, Int, String, Long) => T): Seq[T] = {
+    * can stamp every object with its full in-file path. The callback
+    * receives (raw, pos, nbytes, cls, keyName, keyTitle, cycle, keyLen,
+    * objLen, dir, hdrEnd) where hdrEnd is the byte offset right after
+    * the key's title TString — where class-specific key trailers (the
+    * TBasket fields) begin. */
+  private def readKeys(path: String)(
+      f: (Array[Byte], Long, Int, String, String, String, Int, Int, Int,
+        String, Int) => Unit): Unit = {
     val raw = Files.readAllBytes(Paths.get(path))
     val c = new Cursor(ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN))
     val magic = new Array[Byte](4); c.b.get(magic)
@@ -283,9 +378,8 @@ object RootHistFile {
     val large = fVersion > 1000000
     val fEnd = if (large) c.i64() else c.i32().toLong
 
-    /** Walk the TKey chain, calling f(pos, nbytes, cls, keyName, cycle,
-      * keyLen, objLen, seekPdir). */
-    def walk(f: (Long, Int, String, String, Int, Int, Int, Long) => Unit): Unit = {
+    def walk(g: (Long, Int, String, String, String, Int, Int, Int, Long,
+        Int) => Unit): Unit = {
       var pos = fBegin.toLong
       var guard = 0
       while (pos < fEnd && pos + 4 <= raw.length && guard < 1000000) {
@@ -305,8 +399,9 @@ object RootHistFile {
             else { c.i32(); c.i32().toLong }
           val cls = c.tString()
           val keyName = c.tString()
-          c.tString() // key title
-          f(pos, nbytes, cls, keyName, cycle, keyLen, objLen, seekPdir)
+          val keyTitle = c.tString()
+          g(pos, nbytes, cls, keyName, keyTitle, cycle, keyLen, objLen,
+            seekPdir, c.pos)
           pos += nbytes
         }
       }
@@ -316,7 +411,7 @@ object RootHistFile {
     // this reader targets; robust because unresolvable parents fall back
     // to top level rather than failing)
     val dirs = scala.collection.mutable.Map.empty[Long, (String, Long)]
-    walk { (pos, _, cls, name, _, _, _, seekPdir) =>
+    walk { (pos, _, cls, name, _, _, _, _, seekPdir, _) =>
       if (DirClasses(cls)) dirs(pos) = (name, seekPdir)
     }
     def dirPath(seekPdir: Long): String = {
@@ -333,17 +428,27 @@ object RootHistFile {
       parts.result().reverse.mkString("/")
     }
 
-    // pass 2: matched objects. keyPos (the record's file offset)
-    // uniquely identifies a key even when a file stores several copies
-    // of one object under the SAME name and cycle (GoldenJSON pileup)
+    walk { (pos, nbytes, cls, keyName, keyTitle, cycle, keyLen, objLen,
+        seekPdir, hdrEnd) =>
+      f(raw, pos, nbytes, cls, keyName, keyTitle, cycle, keyLen, objLen,
+        dirPath(seekPdir), hdrEnd)
+    }
+  }
+
+  /** Key-chain object scan: keyPos (the record's file offset) uniquely
+    * identifies a key even when a file stores several copies of one
+    * object under the SAME name and cycle (GoldenJSON pileup does). */
+  private def readObjects[T](path: String, classes: Set[String])(
+      parse: (Array[Byte], String, String, Int, String, Long) => T): Seq[T] = {
     val out = Seq.newBuilder[T]
-    walk { (pos, nbytes, cls, keyName, cycle, keyLen, objLen, seekPdir) =>
+    readKeys(path) { (raw, pos, nbytes, cls, keyName, _, cycle, keyLen,
+        objLen, dir, _) =>
       if (classes(cls)) {
         val dataOff = pos.toInt + keyLen
         val dataLen = nbytes - keyLen
         val blob = java.util.Arrays.copyOfRange(raw, dataOff, dataOff + dataLen)
         val obj = if (objLen > dataLen) decompress(blob, objLen) else blob
-        out += parse(obj, cls, keyName, cycle, dirPath(seekPdir), pos)
+        out += parse(obj, cls, keyName, cycle, dir, pos)
       }
     }
     out.result()

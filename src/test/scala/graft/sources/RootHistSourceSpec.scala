@@ -154,6 +154,41 @@ class RootHistSourceSpec extends SparkSpec {
     assert(ga.filter(col("dir").contains("efficienciesDATA")).count() > 0)
   }
 
+  test("TTree basket decode: re-histogrammed branch equals the file's own TH1F") {
+    // The strongest possible in-file golden: muonresolution.root carries
+    // BOTH the raw TTree (4 jagged vector<double> branches over 100k
+    // events) and the histograms that were filled FROM it. Decoding the
+    // tree and re-histogramming muon_eta with hEta's exact binning must
+    // reproduce hEta bin for bin — proving basket walk, per-entry frame
+    // decode, and entry accounting in one equality.
+    val f = s"$refData/mass_res_pisa/muonresolution.root"
+    val tree = spark.read.format("graft.sources.RootTreeSource")
+      .option("path", f).load().filter(col("tree") === "MyTree").cache()
+    // 100k events per branch, 47296 muons in the eta branch
+    val eta = tree.filter(col("branch") === "muon_eta")
+    assert(eta.select(max(col("entry"))).head.getLong(0) == 99999L)
+    assert(eta.filter(col("value").isNotNull).count() == 47296L)
+    // jaggedness is real: empty entries exist alongside multi-muon ones
+    assert(eta.filter(col("n") === 0).count() > 0)
+    assert(eta.filter(col("n") >= 2).count() > 0)
+    // rebuild hEta: 100 bins on [-5, 5] + flows, cell index ROOT-style
+    val got = eta.filter(col("value").isNotNull)
+      .select(least(greatest(floor((col("value") + 5.0) / 0.1) + 1, lit(0)),
+        lit(101)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).cast("double").as("content"))
+    val want = rootDf(f).filter(col("hist") === "hEta")
+      .groupBy("bin").agg(max(col("content")).as("content")) // 2 cycles, same fill
+      .filter(col("content") > 0)
+    val diff = got.join(want, Seq("bin"), "full")
+      .filter(coalesce(got("content"), lit(-1.0)) =!=
+        coalesce(want("content"), lit(-1.0)))
+    assert(diff.count() == 0, "tree-decoded eta does not reproduce hEta")
+    // all four branches march in entry lockstep
+    val counts = tree.groupBy("branch")
+      .agg(countDistinct(col("entry")).as("ne")).collect()
+    assert(counts.length == 4 && counts.forall(_.getLong(1) == 100000L))
+  }
+
   test("directory scan expands recursively, one partition per file, pruning works") {
     val df = rootDf(refData)
     // every TH1 in the reference's data tree parses (TH2/TGraph skipped)
