@@ -110,6 +110,28 @@ class PlanSpec extends SparkSpec {
     assert(failures.isEmpty, s"cartesian products in: $failures")
   }
 
+  test("ROOT-fed lookups broadcast the tiny calibration side and prune the scan") {
+    // l14 (24-cell TH2D SF map) and l15 (18-segment TGraph interp) must
+    // join as BROADCASTS of the calibration table — the corpus side
+    // never shuffles for a lookup — and the V2 scan must show only the
+    // pruned columns (a ROOT scan materializing all 25 columns for a
+    // 5-column lookup would be the bug pushdown exists to prevent).
+    for (q <- Seq("l14_root_sf_join", "l15_nnlops_interp")) {
+      val plan = graft.SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), s"$q map side not broadcast:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q cartesian:\n$plan")
+    }
+    val scanPlan = graft.SparkEntry.queries("s10_root_scan")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // s10 selects bin/x_low/x_high/content (+hist filter): sumw2, title,
+    // entries must be pruned out of the BatchScan output
+    assert(scanPlan.contains("BatchScan"), scanPlan)
+    assert(!scanPlan.contains("sumw2") && !scanPlan.contains("title") &&
+      !scanPlan.contains("entries"), s"s10 scan not pruned:\n$scanPlan")
+  }
+
   test("j18 fuzzy lookup broadcasts the probe dim and argmaxes map-side") {
     // the catalog side is the scan; probes are a literal dim: the join
     // must be a BROADCAST (the length band makes it NLJ, which is fine
