@@ -1152,9 +1152,14 @@ object DedupQueries extends QueryFamily {
   // 100 TB this is the d09 shuffle with a min instead of a count.
   private def d23(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
-    val grams = wordGrams(d).distinct().localCheckpoint() // (doc, gram) once
-    val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-    grams.join(firstSeen, "g")
+    val grams = wordGrams(d).distinct() // (doc, gram) once
+    // first-seen attribution as ONE gram-partitioned window MIN instead
+    // of groupBy + join-back: same key, one exchange of the corpus-sized
+    // gram table instead of two (the d24 fusion; locally near
+    // break-even because the window adds an in-partition sort, but the
+    // saved exchange is what dominates at 100 TB).
+    val wg = Window.partitionBy(col("g"))
+    grams.withColumn("first_doc", min(col("doc_id")).over(wg))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
@@ -1206,12 +1211,19 @@ object DedupQueries extends QueryFamily {
        |       FROM toks WHERE len(ts) >= $gramN))""".stripMargin
   private def d24(s: SparkSession, dir: String): DataFrame = {
     val docs = rd(s, dir, "documents")
-    val grams = posWordGrams(docs).localCheckpoint() // (doc, pos, gram)
-    val dup = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("cnt"))
+    val grams = posWordGrams(docs) // (doc, pos, gram)
+    // corpus-frequency dup mark as ONE gram-partitioned window count —
+    // the groupBy + join-back spelling shuffles the gram table twice on
+    // the same key; the window form shuffles once (plus an in-partition
+    // sort — locally about break-even, but at 100 TB one exchange of
+    // the corpus-sized gram table is the difference that matters).
+    // Window partitions by gram: bounded by one gram's occurrence
+    // count, never global.
+    val wg = Window.partitionBy(col("g"))
+    val hits = grams
+      .withColumn("cnt", count(lit(1)).over(wg))
       .filter(col("cnt") >= 2)
-      .select(col("g"))
-    val hits = grams.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+      .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))

@@ -45,7 +45,8 @@ object RootHistFile {
   final case class RootHist(
       file: String, dir: String, cls: String, name: String, cycle: Int,
       keyPos: Long, title: String, dim: Int, axes: IndexedSeq[HistAxis],
-      entries: Double, contents: Array[Double], sumw2: Array[Double]) {
+      entries: Double, contents: Array[Double], sumw2: Array[Double],
+      binEntries: Array[Double] = Array.empty) { // TProfile only
     def nbins: Int = axes(0).nbins
     def xmin: Double = axes(0).xmin
     def xmax: Double = axes(0).xmax
@@ -139,13 +140,16 @@ object RootHistFile {
     * the THn members. */
   private def parseTHn(buf: Array[Byte], cls: String, file: String,
       keyName: String, cycle: Int): RootHist = {
-    val dim = cls.charAt(2) - '0' // TH1*/TH2*/TH3*
+    val isProfile = cls == "TProfile"
+    val dim = if (isProfile) 1 else cls.charAt(2) - '0' // TH1*/TH2*/TH3*
     val c = new Cursor(ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN))
     c.byteCountVersion()                        // THnX outer frame
     // ONE intermediate base frame for 2-D/3-D (TH2 inside TH2D, TH3
     // inside TH3D — both inherit TH1 directly; TH3's TAtt3D base and
-    // the THn members live inside this frame, after the TH1 base)
-    val midEnds = if (dim > 1) Seq(c.byteCountVersion()._2) else Nil
+    // the THn members live inside this frame, after the TH1 base) and
+    // for TProfile (whose base is TH1D; its own members — fBinEntries,
+    // error mode, y sums — follow that frame)
+    val midEnds = if (dim > 1 || isProfile) Seq(c.byteCountVersion()._2) else Nil
     val (baseVer, baseEnd) = c.byteCountVersion() // TH1 base frame
     require(baseVer >= 4, s"TH1 streamer v$baseVer unsupported (need >= 4)")
     val (name, title) = c.tNamed()
@@ -164,18 +168,24 @@ object RootHistFile {
     // base frame's byte count; likewise the THn members (fScalefactor,
     // fTsumwy..., TAtt3D) via the intermediate frame ends — then the
     // payload array follows the OUTERMOST base frame's end
-    c.seek((baseEnd +: midEnds).max)
-    val contents = cls.substring(3) match {
+    // TProfile's payload (Σw·y per bin, a TH1D TArrayD) sits INSIDE the
+    // TH1D mid frame right after the TH1 base; its fBinEntries follows
+    // the mid frame. Plain THn payloads follow the outermost base frame.
+    c.seek(if (isProfile) baseEnd else (baseEnd +: midEnds).max)
+    val contents = (if (isProfile) "D" else cls.substring(3)) match {
       case "D" => c.tArrayD()
       case "F" => c.tArrayF()
       case "I" => c.tArrayI()
     }
+    val binEntries =
+      if (isProfile) { c.seek(midEnds.head); c.tArrayD() }
+      else Array.empty[Double]
     val axes = IndexedSeq(xAxis, yAxis, zAxis).take(dim)
     val cells = axes.map(_.nbins + 2).product
     require(contents.length == cells,
       s"$cls $keyName: ${contents.length} cells, axes say $cells")
     RootHist(file, "", cls, if (name.nonEmpty) name else keyName, cycle,
-      0L, title, dim, axes, entries, contents, sumw2)
+      0L, title, dim, axes, entries, contents, sumw2, binEntries)
   }
 
   /** Decompress a ROOT key payload: a sequence of 9-byte-headed blocks.
@@ -205,7 +215,7 @@ object RootHistFile {
   }
 
   private val Supported = Set("TH1D", "TH1F", "TH1I",
-    "TH2D", "TH2F", "TH2I", "TH3D", "TH3F", "TH3I")
+    "TH2D", "TH2F", "TH2I", "TH3D", "TH3F", "TH3I", "TProfile")
 
   /** One TGraph/TGraphErrors/TGraphAsymmErrors: n points with optional
     * asymmetric errors (empty arrays when the class has none). */

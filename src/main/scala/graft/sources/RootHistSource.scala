@@ -54,7 +54,8 @@ object RootHistSource {
     StructField("z_low", DoubleType, nullable = true),
     StructField("z_high", DoubleType, nullable = true),
     StructField("content", DoubleType, nullable = false),
-    StructField("sumw2", DoubleType, nullable = true)))  // null = not stored
+    StructField("sumw2", DoubleType, nullable = true),   // null = not stored
+    StructField("bin_entries", DoubleType, nullable = true))) // TProfile only
 
   /** Expand the path option: comma-separated entries, each a file or a
     * directory (recursively yielding *.root). Driver-side, once. */
@@ -189,6 +190,8 @@ class RootHistReader(path: String, cols: Array[String])
         case "content" => hist.contents(bin)
         case "sumw2" =>
           if (bin < hist.sumw2.length) hist.sumw2(bin) else null
+        case "bin_entries" =>
+          if (bin < hist.binEntries.length) hist.binEntries(bin) else null
       }
       row.update(i, v)
       i += 1

@@ -189,6 +189,40 @@ class RootHistSourceSpec extends SparkSpec {
     assert(counts.length == 4 && counts.forall(_.getLong(1) == 100000L))
   }
 
+  test("TProfile bin means cross-check against the TH2F they were profiled from") {
+    // in-file cross-golden: hPtErrRel_Pt_pfx is ROOT's own profile of
+    // the TH2F hPtErrRel_Pt — the profile's per-x-bin mean (content /
+    // bin_entries) must equal the TH2's y-center weighted mean in that
+    // x bin up to the y-binning quantization. Two object codecs agree
+    // through a statistical identity neither stores explicitly.
+    val f = s"$refData/mass_res_pisa/muonresolution.root"
+    val df = rootDf(f)
+    val prof = df.filter(col("cls") === "TProfile" &&
+        col("hist") === "hPtErrRel_Pt_pfx" && col("bin_entries") > 0)
+      .groupBy(col("binx"))
+      .agg(max(col("content") / col("bin_entries")).as("prof_mean"))
+    val th2 = df.filter(col("cls") === "TH2F" &&
+        col("hist") === "hPtErrRel_Pt" &&
+        col("binx").between(1, 100) && col("biny").between(1, 100))
+      .withColumn("yc", (col("y_low") + col("y_high")) / 2.0)
+      .groupBy(col("binx"))
+      .agg((sum(col("content") * col("yc")) / sum(col("content")))
+        .as("th2_mean"), sum(col("content")).as("w"))
+      .filter(col("w") > 0)
+    val joined = prof.join(th2, "binx")
+    val n = joined.count()
+    assert(n >= 90, s"only $n populated bins joined")
+    val bad = joined.filter(abs(col("prof_mean") - col("th2_mean")) > 2e-3)
+    assert(bad.count() == 0, "profile means diverge from TH2 column means")
+    // profile payload has both arrays for all 102 cells
+    val cells = df.filter(col("cls") === "TProfile" &&
+      col("hist") === "hPtErrRel_Pt_pfx")
+    assert(cells.filter(col("bin_entries").isNull).count() == 0)
+    // non-profile histograms carry no bin_entries
+    assert(df.filter(col("cls") === "TH2F" &&
+      col("bin_entries").isNotNull).count() == 0)
+  }
+
   test("directory scan expands recursively, one partition per file, pruning works") {
     val df = rootDf(refData)
     // every TH1 in the reference's data tree parses (TH2/TGraph skipped)
