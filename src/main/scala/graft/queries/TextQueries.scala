@@ -981,7 +981,145 @@ object TextQueries extends QueryFamily {
        |FROM ext ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t33: Gopher repetition filters (character-coverage forms) -----------
+  // The two MassiveText repetition signals t10 does not cover (Rae et
+  // al. 2021, "Scaling Language Models", table A1): the fraction of
+  // characters inside the MOST FREQUENT word-2-gram, and the fraction
+  // of characters covered by word-5-grams that occur >= 2 times in the
+  // document. The coverage form needs a positional INTERVAL UNION (a
+  // duplicated gram at position p covers tokens [p, p+4]; overlapping
+  // spans must not double-count), done with the standard running-max
+  // island merge — every window partitions BY DOC, bounded by document
+  // length. Thresholds are Gopher's (0.20 / 0.15). Char counts are
+  // token characters (the corpus' single-space joins carry no signal);
+  // gram length includes its joining spaces — one definition, both
+  // engines.
+  private def posGrams(d: DataFrame, n: Int): DataFrame = {
+    val gs = expr(
+      s"""CASE WHEN size(split(text, ' ')) >= $n
+         | THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+         |   i -> array_join(slice(split(text, ' '), i, $n), ' '))
+         | ELSE CAST(array() AS array<string>) END""".stripMargin)
+    d.select(col("doc_id"), posexplode(gs).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+  }
+  private def t33(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val toks = d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .localCheckpoint() // feeds totals AND the coverage join
+    val totals = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(length(col("tok"))).as("total_chars"))
+    // most-frequent 2-gram: count desc, gram asc tie-break
+    val w2 = Window.partitionBy(col("doc_id"))
+      .orderBy(col("cnt").desc, col("g").asc)
+    val top2 = posGrams(d, 2)
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+      .select(col("doc_id"),
+        (col("cnt") * length(col("g"))).as("top2_chars"))
+    // duplicated-5-gram coverage: interval union via running-max merge
+    val wg = Window.partitionBy(col("doc_id"), col("g"))
+    val hits = posGrams(d, 5)
+      .withColumn("cnt", count(lit(1)).over(wg))
+      .filter(col("cnt") >= 2)
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("pend"))
+    val wp = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = hits
+      .withColumn("prev_end",
+        max(col("pend")).over(wp.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newi",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("newi")).over(
+        wp.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pend")).as("e"))
+    val covered = islands.join(toks, Seq("doc_id"))
+      .filter(col("pos").between(col("s"), col("e")))
+      .groupBy(col("doc_id"))
+      .agg(sum(length(col("tok"))).as("dup5_chars"))
+    totals
+      .join(top2, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("total_chars"),
+        coalesce((col("top2_chars").cast("double") / col("total_chars"))
+          .cast("float"), lit(0.0f)).as("top2_frac"),
+        coalesce((col("dup5_chars").cast("double") / col("total_chars"))
+          .cast("float"), lit(0.0f)).as("dup5_cov_frac"),
+        (coalesce(col("top2_chars").cast("double") / col("total_chars"),
+          lit(0.0)) <= 0.20 &&
+          coalesce(col("dup5_chars").cast("double") / col("total_chars"),
+            lit(0.0)) <= 0.15).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+  private val t33Sql =
+    """WITH toks AS MATERIALIZED (
+      | SELECT doc_id, i AS pos, lst[i] AS tok
+      | FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+      |  unnest(generate_series(1, len(lst))) AS t(i)),
+      |totals AS (
+      | SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(LENGTH(tok)) AS BIGINT) AS total_chars
+      | FROM toks GROUP BY 1),
+      |g2 AS (
+      | SELECT doc_id, i AS pos, array_to_string(lst[i:i+1], ' ') AS g
+      | FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+      |  unnest(generate_series(1, len(lst) - 1)) AS t(i)
+      | WHERE len(lst) >= 2),
+      |top2 AS (
+      | SELECT doc_id, CAST(cnt * LENGTH(g) AS BIGINT) AS top2_chars
+      | FROM (
+      |  SELECT doc_id, g, COUNT(*) AS cnt,
+      |   ROW_NUMBER() OVER (PARTITION BY doc_id
+      |     ORDER BY COUNT(*) DESC, g ASC) AS rk
+      |  FROM g2 GROUP BY 1, 2)
+      | WHERE rk = 1),
+      |g5 AS (
+      | SELECT doc_id, i AS pos, array_to_string(lst[i:i+4], ' ') AS g
+      | FROM (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+      |  unnest(generate_series(1, len(lst) - 4)) AS t(i)
+      | WHERE len(lst) >= 5),
+      |hits AS (
+      | SELECT doc_id, pos, pos + 4 AS pend
+      | FROM (SELECT doc_id, pos,
+      |        COUNT(*) OVER (PARTITION BY doc_id, g) AS cnt FROM g5)
+      | WHERE cnt >= 2),
+      |marked AS (
+      | SELECT doc_id, pos, pend,
+      |  CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS newi
+      | FROM (SELECT doc_id, pos, pend,
+      |        MAX(pend) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      |       FROM hits)),
+      |islands AS (
+      | SELECT doc_id, island, MIN(pos) AS s, MAX(pend) AS e
+      | FROM (SELECT doc_id, pos, pend,
+      |        SUM(newi) OVER (PARTITION BY doc_id ORDER BY pos
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |       FROM marked)
+      | GROUP BY 1, 2),
+      |covered AS (
+      | SELECT i.doc_id, CAST(SUM(LENGTH(t.tok)) AS BIGINT) AS dup5_chars
+      | FROM islands i JOIN toks t
+      |  ON t.doc_id = i.doc_id AND t.pos BETWEEN i.s AND i.e
+      | GROUP BY 1)
+      |SELECT tt.doc_id, tt.n_tokens, tt.total_chars,
+      | CAST(COALESCE(CAST(top2_chars AS DOUBLE) / total_chars, 0.0) AS REAL) AS top2_frac,
+      | CAST(COALESCE(CAST(dup5_chars AS DOUBLE) / total_chars, 0.0) AS REAL) AS dup5_cov_frac,
+      | (COALESCE(CAST(top2_chars AS DOUBLE) / total_chars, 0.0) <= 0.20 AND
+      |  COALESCE(CAST(dup5_chars AS DOUBLE) / total_chars, 0.0) <= 0.15) AS keep
+      |FROM totals tt
+      |LEFT JOIN top2 USING (doc_id)
+      |LEFT JOIN covered USING (doc_id)
+      |ORDER BY tt.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_gopher_coverage" -> (t33 _),
     "t32_html_extract" -> (t32 _),
     "t25_readability" -> (t25 _),
     "t24_temperature_mixture" -> (t24 _),
@@ -1008,6 +1146,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t33_gopher_coverage" -> t33Sql,
     "t32_html_extract" -> t32Sql,
     "t25_readability" -> t25Sql,
     "t24_temperature_mixture" -> t24Sql,

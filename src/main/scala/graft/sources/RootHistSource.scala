@@ -74,7 +74,9 @@ object RootHistSource {
   }
 }
 
-class RootHistSource extends TableProvider {
+class RootHistSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "root-hist"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RootHistSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -229,7 +231,9 @@ object RootGraphSource {
     StructField("ey_high", DoubleType, nullable = true)))
 }
 
-class RootGraphSource extends TableProvider {
+class RootGraphSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "root-graph"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RootGraphSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -341,7 +345,9 @@ object RootTreeSource {
     StructField("value", DoubleType, nullable = true)))
 }
 
-class RootTreeSource extends TableProvider {
+class RootTreeSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "root-tree"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     RootTreeSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

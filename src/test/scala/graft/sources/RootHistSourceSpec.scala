@@ -231,6 +231,10 @@ class RootHistSourceSpec extends SparkSpec {
     // every supported dimensionality and precision shows up in the tree
     val clss = df.select("cls").distinct().collect().map(_.getString(0)).toSet
     assert(Set("TH1D", "TH1F", "TH2D", "TH2F", "TH3D").subsetOf(clss), clss)
+    // the registered short names resolve
+    assert(spark.read.format("root-hist")
+      .option("path", s"$refData/pileup/mcPileup2018.root").load()
+      .count() == 102)
     // partition count == file count (parallel scan at scale)
     val files = RootHistSource.expand(refData)
     assert(files.size >= 10)
