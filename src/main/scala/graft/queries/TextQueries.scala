@@ -1118,7 +1118,45 @@ object TextQueries extends QueryFamily {
       |LEFT JOIN covered USING (doc_id)
       |ORDER BY tt.doc_id""".stripMargin
 
+  // ---- t34: weighted reservoir sample (Efraimidis-Spirakis A-Res) ----------
+  // THE distributed weighted-sampling primitive of data-mixing
+  // pipelines: sampling k documents without replacement with
+  // probability proportional to weight = rank the corpus by
+  // u_i^(1/w_i) (equivalently ln(u_i)/w_i) and keep the top k — a
+  // one-pass, merge-friendly reduction (Efraimidis & Spirakis 2006).
+  // Uniforms are the suite's seeded multiplicative-hash convention
+  // (t13/t23), so the sample is REPRODUCIBLE and oracle-checkable. The
+  // ln-key is quantized at 1e-15 (keys live in (-0.3, 0)) so a last-ulp
+  // libm-vs-JVM ln() difference can never flip the cross-engine
+  // ordering; doc_id breaks exact ties. Plan shape: pure projection +
+  // TakeOrdered (per-partition k-heaps merged on the driver) — no
+  // corpus-wide sort, no shuffle beyond k rows per partition.
+  private val resK = 50
+  private val resUSql =
+    "((CAST((doc_id * 2654435761) % 1000000 AS DOUBLE) + 0.5) / 1000000.0)"
+  private val resKeySql =
+    s"CAST(FLOOR(LN($resUSql) / CAST(n_chars AS DOUBLE) * 1e15) AS BIGINT)"
+  private def t34(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val ranked = d.select(col("doc_id"), col("n_chars"),
+        expr(resKeySql).as("key_q"))
+      .orderBy(col("key_q").desc, col("doc_id").asc)
+      .limit(resK)
+    val w = Window.orderBy(col("key_q").desc, col("doc_id").asc)
+    ranked.withColumn("rank", row_number().over(w)) // 50-row bounded input
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("key_q"))
+      .orderBy(col("rank"))
+  }
+  private val t34Sql =
+    s"""SELECT ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id ASC) AS rank,
+       | doc_id, n_chars, key_q
+       |FROM (
+       | SELECT doc_id, n_chars, $resKeySql AS key_q
+       | FROM documents)
+       |ORDER BY key_q DESC, doc_id ASC LIMIT $resK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_weighted_sample" -> (t34 _),
     "t33_gopher_coverage" -> (t33 _),
     "t32_html_extract" -> (t32 _),
     "t25_readability" -> (t25 _),
@@ -1146,6 +1184,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t34_weighted_sample" -> t34Sql,
     "t33_gopher_coverage" -> t33Sql,
     "t32_html_extract" -> t32Sql,
     "t25_readability" -> t25Sql,

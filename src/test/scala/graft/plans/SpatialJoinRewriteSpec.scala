@@ -99,4 +99,26 @@ class SpatialJoinRewriteSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getBoolean(0))).toSeq
     assert(withNull == Seq(Some(true), Some(true), None))
   }
+
+  test("NULL radius yields NULL identically under codegen and interpreted eval") {
+    // regression for the round-6 advice: a foldable NULL radius must not
+    // diverge by execution path (interpreted eval used to unbox null to
+    // 0.0 while codegen substituted the literal's default). Evaluate the
+    // same expression through a plain projection (whole-stage codegen)
+    // and through a FILTER (which forces the predicate through both
+    // paths during constant-folding + execution): both must be NULL/no-row.
+    GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val df = Seq((0.0, 0.0, 0.1, 0.1)).toDF("ax", "ay", "bx", "by")
+    val proj = df.select(
+      expr("within_radius(ax, ay, bx, by, CAST(NULL AS DOUBLE))").as("v"))
+      .collect()
+    assert(proj.length == 1 && proj.head.isNullAt(0),
+      "codegen path must return NULL for a NULL radius")
+    val filtered = df.filter(
+      expr("within_radius(ax, ay, bx, by, CAST(NULL AS DOUBLE))"))
+    assert(filtered.count() == 0,
+      "a NULL predicate must drop the row, not treat radius as 0.0")
+  }
 }
