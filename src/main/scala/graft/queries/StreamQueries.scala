@@ -288,7 +288,83 @@ object StreamQueries extends QueryFamily {
        |WHERE rank <= $trendK
        |ORDER BY hour_bucket, rank""".stripMargin
 
+  // ---- n12: stream-static join against a ROOT-ingested SF map --------------
+  // The always-on deployment shape of the reference's correction
+  // application: an event STREAM joins the (static, broadcast) TH2D
+  // scale-factor map read natively from the reference's own ROOT file
+  // (l14's map, through the `root-hist` connector) and aggregates
+  // SF-weighted hourly yields. Stream-static joins are stateless — the
+  // static side is planned once and broadcast into every micro-batch —
+  // so AvailableNow must equal the batch answer exactly; per-event SF
+  // is micro-quantized before summing (order-free longs). The oracle is
+  // the batch SQL over the independently parsed literal map.
+  private val sfFixture =
+    "/root/reference/data/muon_sf/year2018/RunABCD_SF_ID.root"
+  private def n12(s: SparkSession, dir: String): DataFrame =
+    Streams.withStatePartitions(s, statePartitions) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val sfMap = s.read.format("root-hist").option("path", sfFixture).load()
+        .filter(col("hist") === "NUM_TightID_DEN_genTracks_pt_abseta" &&
+          col("binx").between(1, 6) && col("biny").between(1, 4))
+        .select(col("x_low"), col("x_high"), col("y_low"), col("y_high"),
+          expr("CAST(FLOOR(content * 1000000.0 + 0.5) AS BIGINT)")
+            .as("sf_micro"))
+      val name = fresh("graft_stream_rootsf")
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.queries.normalizeEventTs)
+        .withColumn("pt", lit(20.0) + col("value") % 100.0)
+        .withColumn("abseta", (col("user_id") % 24).cast("double") / 10.0)
+      val agg = stream.join(broadcast(sfMap),
+          col("pt") >= col("x_low") && col("pt") < col("x_high") &&
+            col("abseta") >= col("y_low") && col("abseta") < col("y_high"))
+        .withColumn("hour_bucket", expr(s"ts div $HourNs"))
+        .groupBy(col("hour_bucket"))
+        .agg(count(lit(1)).as("n_events"), sum(col("sf_micro")).as("sf_sum"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+      .select(col("hour_bucket"), col("n_events"), col("sf_sum"),
+        (col("sf_sum").cast("double") / col("n_events") / 1000000.0)
+          .cast("float").as("avg_sf"))
+      .orderBy(col("hour_bucket"))
+  private val n12Sql =
+    s"""WITH sfmap(x_low, x_high, y_low, y_high, sf) AS (VALUES
+       |(20.0, 25.0, 0.0, 0.9, 0.9809958066072726), (25.0, 30.0, 0.0, 0.9, 0.9907079683443358),
+       |(30.0, 40.0, 0.0, 0.9, 0.9940930519333433), (40.0, 50.0, 0.0, 0.9, 0.9924862189236762),
+       |(50.0, 60.0, 0.0, 0.9, 0.9911617044225287), (60.0, 120.0, 0.0, 0.9, 0.9940931417433392),
+       |(20.0, 25.0, 0.9, 1.2, 0.9927448660377257), (25.0, 30.0, 0.9, 1.2, 0.9817290215523836),
+       |(30.0, 40.0, 0.9, 1.2, 0.98761982168), (40.0, 50.0, 0.9, 1.2, 0.9852413448471883),
+       |(50.0, 60.0, 0.9, 1.2, 0.9814141639875774), (60.0, 120.0, 0.9, 1.2, 0.9845977669390539),
+       |(20.0, 25.0, 1.2, 2.1, 1.0001274426420794), (25.0, 30.0, 1.2, 2.1, 0.9904054835527193),
+       |(30.0, 40.0, 1.2, 2.1, 0.9907256636939671), (40.0, 50.0, 1.2, 2.1, 0.991264560433235),
+       |(50.0, 60.0, 1.2, 2.1, 0.9894760750958966), (60.0, 120.0, 1.2, 2.1, 0.9891039904226423),
+       |(20.0, 25.0, 2.1, 2.4, 0.9905134702464216), (25.0, 30.0, 2.1, 2.4, 0.9730892211605638),
+       |(30.0, 40.0, 2.1, 2.4, 0.9769037952277815), (40.0, 50.0, 2.1, 2.4, 0.9759341667700446),
+       |(50.0, 60.0, 2.1, 2.4, 0.9703150553676495), (60.0, 120.0, 2.1, 2.4, 0.9741669907616599)),
+       |sfm AS (SELECT CAST(x_low AS DOUBLE) AS x_low, CAST(x_high AS DOUBLE) AS x_high,
+       |        CAST(y_low AS DOUBLE) AS y_low, CAST(y_high AS DOUBLE) AS y_high,
+       |        CAST(FLOOR(CAST(sf AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sf_micro
+       |        FROM sfmap),
+       |ev AS (
+       | SELECT epoch_ns(ts) // $HourNs AS hour_bucket,
+       |  20.0 + value % 100.0 AS pt,
+       |  CAST(user_id % 24 AS DOUBLE) / 10.0 AS abseta
+       | FROM events)
+       |SELECT hour_bucket, COUNT(*) AS n_events,
+       | CAST(SUM(sf_micro) AS BIGINT) AS sf_sum,
+       | CAST(CAST(SUM(sf_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS REAL) AS avg_sf
+       |FROM ev JOIN sfm
+       | ON pt >= x_low AND pt < x_high AND abseta >= y_low AND abseta < y_high
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n12_stream_root_sf" -> (n12 _),
     "n11_stream_topk" -> (n11 _),
     "n10_stream_hopping" -> (n10 _),
     "n09_stream_running_totals" -> (n09 _),
@@ -303,6 +379,7 @@ object StreamQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "n12_stream_root_sf" -> n12Sql,
     "n10_stream_hopping" -> n10Sql,
     "n09_stream_running_totals" -> n09Sql,
     "n07_stream_session_window" -> n07Sql,
