@@ -545,7 +545,78 @@ object GraphQueries extends QueryFamily {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- g12: landmark harmonic closeness centrality --------------------------
+  // The sampled-closeness estimator every large-graph toolkit ships
+  // (exact closeness is all-pairs; landmark BFS approximates it with L
+  // sources — Eppstein & Wang 2004): harmonic closeness(v) =
+  // Σ_landmarks 1/d(lm, v). Scale design: all L BFS runs advance as ONE
+  // labeled frontier — state (landmark, node, hop), frontier-only
+  // expansion, (lm, node)-keyed anti-join, checkpoint per round — so
+  // each hop costs one shuffle TOTAL regardless of L (running L
+  // separate BFS loops would cost L× the scans and L× the rounds).
+  // Distances are integers; 1/d is micro-quantized per (lm, v) and
+  // summed exactly. g08's graph and hop cap; landmarks = supplier
+  // nodes 0..3.
+  private def g12(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val fwd = li.filter(col("l_quantity") < 3)
+      .select(col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+      .distinct()
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var dist = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .distinct()
+      .filter(col("node") < 4L)
+      .select(col("node").as("lm"), col("node"), lit(0L).as("hop"))
+      .localCheckpoint()
+    for (h <- 1 to bfsMaxHops) {
+      val frontier = dist.filter(col("hop") === (h - 1).toLong)
+      val next = frontier.join(und, frontier("node") === und("src"))
+        .select(col("lm"), col("dst").as("node")).distinct()
+        .join(dist, Seq("lm", "node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+      dist = dist.union(next).localCheckpoint()
+    }
+    dist.filter(col("hop") >= 1L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_landmarks"),
+        sum(expr("CAST(FLOOR(1000000.0 / CAST(hop AS DOUBLE) + 0.5) AS BIGINT)"))
+          .as("harm_micro"))
+      .select(col("node"), col("n_landmarks"), col("harm_micro"),
+        (col("harm_micro").cast("double") / 1000000.0).cast("float")
+          .as("closeness"))
+      .orderBy(col("node"))
+  }
+  private val g12Sql =
+    s"""WITH RECURSIVE edges AS (
+       | SELECT DISTINCT l_suppkey AS src, 1000000 + l_partkey AS dst
+       | FROM lineitem WHERE l_quantity < 3),
+       |und AS (
+       | SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |lms AS (
+       | SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+       | WHERE node < 4),
+       |walk(lm, node, hop) AS (
+       | SELECT node AS lm, node, CAST(0 AS BIGINT) AS hop FROM lms
+       | UNION
+       | SELECT w.lm, u.dst, w.hop + 1
+       | FROM walk w JOIN und u ON u.src = w.node
+       | WHERE w.hop < $bfsMaxHops),
+       |dmin AS (
+       | SELECT lm, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2)
+       |SELECT node, COUNT(*) AS n_landmarks,
+       | CAST(SUM(CAST(FLOOR(1000000.0 / CAST(hop AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+       |   AS harm_micro,
+       | CAST(CAST(SUM(CAST(FLOOR(1000000.0 / CAST(hop AS DOUBLE) + 0.5) AS BIGINT)) AS DOUBLE)
+       |   / 1000000.0 AS REAL) AS closeness
+       |FROM dmin WHERE hop >= 1
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_landmark_closeness" -> (g12 _),
     "g11_kcore" -> (g11 _),
     "g10_hits" -> (g10 _),
     "g05_pagerank" -> (g05 _),
@@ -556,6 +627,7 @@ object GraphQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "g12_landmark_closeness" -> g12Sql,
     "g11_kcore" -> g11Sql,
     "g05_pagerank" -> g05Sql,
     "g06_triangle_count" -> g06Sql,

@@ -852,7 +852,73 @@ object SimilarityQueries extends QueryFamily {
        |WHERE rank <= $annK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v12: triplet hard-negative mining -----------------------------------
+  // The contrastive-training data miner (FaceNet/SBERT semi-hard
+  // mining): for each anchor, the top-k most-similar vectors with a
+  // DIFFERENT label are its hard negatives, and the margin against the
+  // anchor's HARDEST POSITIVE (lowest-cosine same-label vector) decides
+  // whether the triplet still violates the hinge. ONE brute pass
+  // computes both branches — the candidate join carries an is_pos flag,
+  // a per-anchor min-window extracts the hardest positive, a rank
+  // window cuts the negatives — so the corpus is scanned once and both
+  // windows partition by anchor. At 100 TB the candidate join swaps to
+  // the v02 LSH-bucket path unchanged (the flag and windows ride on
+  // whatever candidate set arrives).
+  private val hnMarginHinge = 0.2
+  private def v12(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("label").as("c_label"))
+    val cos = (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+      .cast("float")
+    val pairs = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos", cos)
+      .withColumn("is_pos", col("q_label") === col("c_label"))
+    val wq = Window.partitionBy(col("q_id"))
+    val wneg = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    pairs
+      .withColumn("hard_pos_cos",
+        min(when(col("is_pos"), col("cos"))).over(wq))
+      .filter(!col("is_pos"))
+      .withColumn("rank", row_number().over(wneg))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("c_id").as("neg_id"),
+        col("cos").as("neg_cos"), col("hard_pos_cos"),
+        (col("hard_pos_cos").cast("double") - col("cos").cast("double"))
+          .cast("float").as("margin"),
+        ((col("hard_pos_cos").cast("double") - col("cos").cast("double")) <
+          hnMarginHinge).as("violates"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val v12Sql = {
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""WITH pairs AS (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos,
+       |  q.label = c.label AS is_pos
+       | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       | WHERE q.vec_id < $nQueries),
+       |flagged AS (
+       | SELECT *, MIN(CASE WHEN is_pos THEN cos END)
+       |   OVER (PARTITION BY q_id) AS hard_pos_cos
+       | FROM pairs),
+       |negs AS (
+       | SELECT q_id, c_id, cos, hard_pos_cos,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id ASC) AS rank
+       | FROM flagged WHERE NOT is_pos)
+       |SELECT q_id, rank, c_id AS neg_id, cos AS neg_cos, hard_pos_cos,
+       | CAST(CAST(hard_pos_cos AS DOUBLE) - CAST(cos AS DOUBLE) AS REAL) AS margin,
+       | (CAST(hard_pos_cos AS DOUBLE) - CAST(cos AS DOUBLE)) < $hnMarginHinge AS violates
+       |FROM negs WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_hard_negatives" -> (v12 _),
     "v10_pq_rerank" -> (v10 _),
     "v11_mips_lsh" -> (v11 _),
     "v09_knn_pq_adc" -> (v09 _),
@@ -868,6 +934,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v12_hard_negatives" -> v12Sql,
     "v10_pq_rerank" -> v10Sql,
     "v11_mips_lsh" -> v11Sql,
     "v09_knn_pq_adc" -> v09Sql,

@@ -132,6 +132,16 @@ class PlanSpec extends SparkSpec {
       !scanPlan.contains("entries"), s"s10 scan not pruned:\n$scanPlan")
   }
 
+  test("weighted reservoir sample plans as TakeOrdered, never a global sort") {
+    // t34's k-of-corpus selection must be per-partition heaps merged on
+    // the driver (TakeOrderedAndProject) — a corpus-wide Sort + Limit
+    // would shuffle everything to rank 50 rows
+    val plan = graft.SparkEntry.queries("t34_weighted_sample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"t34 not a TakeOrdered plan:\n$plan")
+  }
+
   test("j18 fuzzy lookup broadcasts the probe dim and argmaxes map-side") {
     // the catalog side is the scan; probes are a literal dim: the join
     // must be a BROADCAST (the length band makes it NLJ, which is fine
