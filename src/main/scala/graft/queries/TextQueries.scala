@@ -995,10 +995,13 @@ object TextQueries extends QueryFamily {
   // gram length includes its joining spaces — one definition, both
   // engines.
   private def posGrams(d: DataFrame, n: Int): DataFrame = {
+    // d carries the pre-split token array `lst` — gram build is array
+    // algebra only, the regex split runs once per doc (t33 derives
+    // three gram widths from one checkpointed split)
     val gs = expr(
-      s"""CASE WHEN size(split(text, ' ')) >= $n
-         | THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-         |   i -> array_join(slice(split(text, ' '), i, $n), ' '))
+      s"""CASE WHEN size(lst) >= $n
+         | THEN transform(sequence(1, size(lst) - ${n - 1}),
+         |   i -> array_join(slice(lst, i, $n), ' '))
          | ELSE CAST(array() AS array<string>) END""".stripMargin)
     d.select(col("doc_id"), posexplode(gs).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
@@ -1006,9 +1009,10 @@ object TextQueries extends QueryFamily {
   private def t33(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("text")).localCheckpoint()
+      .select(col("doc_id"), split(col("text"), " ").as("lst"))
+      .localCheckpoint() // ONE split; feeds tokens + both gram widths
     val toks = d.select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+        posexplode(col("lst")).as(Seq("p0", "tok")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
       .localCheckpoint() // feeds totals AND the coverage join
     val totals = toks.groupBy(col("doc_id"))

@@ -223,6 +223,43 @@ class RootHistSourceSpec extends SparkSpec {
       col("bin_entries").isNotNull).count() == 0)
   }
 
+  test("malformed input fails fast: wrong magic, truncation, corrupt payload") {
+    // a format reader's failure mode matters as much as its happy path:
+    // bad input must raise promptly (never hang in the key walk, never
+    // return silently wrong data)
+    def tmp(bytes: Array[Byte]): String = {
+      val f = java.nio.file.Files.createTempFile("graft_bad", ".root")
+      java.nio.file.Files.write(f, bytes)
+      f.toString
+    }
+    // not a ROOT file
+    intercept[Exception] {
+      RootHistFile.read(tmp("parquet-not-root-file-content".getBytes))
+    }
+    // valid magic, garbage header: the walk must terminate with either
+    // an exception or an empty result (the bogus fBegin points past the
+    // buffer), never hang or fabricate objects
+    val garbage = try Right(RootHistFile.read(
+      tmp("root".getBytes ++ Array.fill[Byte](40)(0x7f))))
+    catch { case e: Exception => Left(e) }
+    assert(garbage.fold(_ => true, _.isEmpty), s"got $garbage")
+    // truncated real file: cut mid-way through the key chain — the walk
+    // must stop at the buffer edge or raise, not spin
+    val real = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refData/pileup/mcPileup2018.root"))
+    val cut = tmp(java.util.Arrays.copyOfRange(real, 0, real.length / 2))
+    try { RootHistFile.read(cut); () }
+    catch { case _: Exception => () } // either is fine; hanging is not
+    // corrupt compressed payload inside an otherwise-valid file: flip a
+    // block right after the first "ZL" compression header (the TH1D
+    // blob starts ~0x120 in this file; locate it instead of hardcoding)
+    val mangled = real.clone()
+    val zl = (0 until real.length - 1).find(i =>
+      real(i) == 'Z'.toByte && real(i + 1) == 'L'.toByte).get
+    for (i <- zl + 12 until zl + 52) mangled(i) = (mangled(i) ^ 0x55).toByte
+    intercept[Exception] { RootHistFile.read(tmp(mangled)) }
+  }
+
   test("directory scan expands recursively, one partition per file, pruning works") {
     val df = rootDf(refData)
     // every TH1 in the reference's data tree parses (TH2/TGraph skipped)
