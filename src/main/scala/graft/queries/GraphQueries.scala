@@ -615,7 +615,153 @@ object GraphQueries extends QueryFamily {
        |FROM dmin WHERE hop >= 1
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- g13: strongly connected components (directed) ------------------------
+  // The one classic graph decomposition the family lacked: SCC over a
+  // DIRECTED graph, by the coloring / forward-backward algorithm
+  // distributed systems use (Orzan 2004; FW-BW of Fleischer et al.):
+  // per round, (1) propagate the MIN reachable id forward (the color),
+  // (2) mark nodes that reach their color's owner THROUGH their own
+  // color class (backward pass restricted to equal color), (3) every
+  // marked node is classified into SCC(owner) — correct because owner
+  // reaches v (colors flow forward) and v reaches owner — and removed;
+  // repeat. Both passes run a FIXED hop schedule and the round count is
+  // fixed (the suite's deterministic-iteration contract: the oracle
+  // replays the identical schedule as MATERIALIZED CTEs, and at 100 TB
+  // the same loop runs with convergence counters + checkpoints, the
+  // d06/d12 discipline). Directed edges are derived from events
+  // (user_id → (31·user_id + ⌊value⌋) mod 150 for value < 8 — ≤ 8
+  // out-edges per node, cycle-rich); everything is integer.
+  private val sccRounds = 2
+  private val sccHops = 6
+  private def g13(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val edges = ev.filter(col("value") < 8.0)
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31 + expr("CAST(FLOOR(value) AS BIGINT)")) % 150)
+          .as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var active = allNodes
+    var classified = allNodes.filter(lit(false))
+      .withColumn("scc_id", col("node")) // empty, schema (node, scc_id)
+    for (_ <- 1 to sccRounds) {
+      val eAct = edges
+        .join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      // forward min-id color propagation, fixed hops, checkpoint per hop
+      // (these are tiny tables — the checkpoints exist to keep every
+      // plan flat; measured faster than batching lineage 4-deep, because
+      // the cost here is Catalyst planning depth, not I/O)
+      var c = active.select(col("node"), col("node").as("c"))
+      for (_ <- 1 to sccHops) {
+        val inMin = eAct
+          .join(c.withColumnRenamed("node", "src").withColumnRenamed("c", "cs"),
+            Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("cs")).as("cin"))
+        c = c.join(inMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("c"), coalesce(col("cin"), col("c"))).as("c"))
+          .localCheckpoint()
+      }
+      // backward reach to the color owner, restricted to the color class
+      var m = c.withColumn("m", (col("node") === col("c")).cast("int"))
+      for (_ <- 1 to sccHops) {
+        val hits = eAct
+          .join(m.select(col("node").as("dst"), col("c").as("wc"),
+            col("m").as("wm")), Seq("dst"))
+          .filter(col("wm") === 1)
+          .select(col("src").as("node"), col("wc").as("c"))
+          .distinct().withColumn("hit", lit(1))
+        m = m.join(hits, Seq("node", "c"), "left")
+          .select(col("node"), col("c"),
+            greatest(col("m"), coalesce(col("hit"), lit(0))).as("m"))
+          .localCheckpoint()
+      }
+      val cls = m.filter(col("m") === 1)
+        .select(col("node"), col("c").as("scc_id"))
+      classified = classified.union(cls).localCheckpoint()
+      active = active.join(cls, Seq("node"), "left_anti").localCheckpoint()
+    }
+    // unclassified (possible at tiny SF where the sparse graph's chains
+    // exceed the hop cap; the gate-scale graph classifies fully) carry
+    // the -1/0 sentinels — NOT nulls, because a nullable int column's
+    // pandas dtype depends on whether nulls are present, which makes
+    // the driver's dtype probe row-content-dependent
+    val all = classified
+      .union(active.withColumn("scc_id", lit(-1L)))
+    val sizes = classified.groupBy(col("scc_id").as("sid"))
+      .agg(count(lit(1)).as("scc_size"))
+    all.join(sizes, all("scc_id") === sizes("sid"), "left")
+      .select(col("node"), col("scc_id"),
+        coalesce(col("scc_size"), lit(0L)).as("scc_size"))
+      .orderBy(col("node"))
+  }
+  private val g13Sql = {
+    def colorHop(r: Int, k: Int): String = {
+      val p = s"c${r}_${k - 1}"
+      s"""c${r}_$k AS MATERIALIZED (
+         | SELECT c.node, LEAST(c.c, COALESCE(i.cin, c.c)) AS c
+         | FROM $p c LEFT JOIN (
+         |  SELECT e.dst AS node, MIN(s.c) AS cin
+         |  FROM e$r e JOIN $p s ON s.node = e.src GROUP BY 1) i
+         | USING (node))"""
+    }
+    def markHop(r: Int, k: Int): String = {
+      val p = s"m${r}_${k - 1}"
+      s"""m${r}_$k AS MATERIALIZED (
+         | SELECT t.node, t.c, GREATEST(t.m, COALESCE(h.hit, 0)) AS m
+         | FROM $p t LEFT JOIN (
+         |  SELECT DISTINCT e.src AS node, w.c, 1 AS hit
+         |  FROM e$r e JOIN $p w ON w.node = e.dst AND w.m = 1) h
+         | USING (node, c))"""
+    }
+    def round(r: Int): String = {
+      val prevActive = if (r == 1) "a0" else s"a${r - 1}"
+      s"""e$r AS MATERIALIZED (
+         | SELECT src, dst FROM edges
+         | WHERE src IN (SELECT node FROM $prevActive)
+         |   AND dst IN (SELECT node FROM $prevActive)),
+         |c${r}_0 AS MATERIALIZED (SELECT node, node AS c FROM $prevActive),
+         |${(1 to sccHops).map(colorHop(r, _)).mkString(",\n")},
+         |m${r}_0 AS MATERIALIZED (
+         | SELECT node, c, CASE WHEN node = c THEN 1 ELSE 0 END AS m
+         | FROM c${r}_$sccHops),
+         |${(1 to sccHops).map(markHop(r, _)).mkString(",\n")},
+         |cls$r AS MATERIALIZED (
+         | SELECT node, c AS scc_id FROM m${r}_$sccHops WHERE m = 1),
+         |a$r AS MATERIALIZED (
+         | SELECT node FROM $prevActive
+         | WHERE node NOT IN (SELECT node FROM cls$r))"""
+    }
+    s"""WITH edges AS MATERIALIZED (
+       | SELECT DISTINCT user_id AS src,
+       |  (user_id * 31 + CAST(FLOOR(value) AS BIGINT)) % 150 AS dst
+       | FROM events WHERE value < 8.0
+       |   AND user_id != (user_id * 31 + CAST(FLOOR(value) AS BIGINT)) % 150),
+       |a0 AS MATERIALIZED (
+       | SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |${(1 to sccRounds).map(round).mkString(",\n")},
+       |classified AS (
+       | ${(1 to sccRounds).map(r => s"SELECT node, scc_id FROM cls$r")
+            .mkString(" UNION ALL ")}),
+       |allnodes AS (
+       | SELECT node, scc_id FROM classified
+       | UNION ALL
+       | SELECT node, CAST(-1 AS BIGINT) FROM a$sccRounds),
+       |sizes AS (SELECT scc_id AS sid, COUNT(*) AS scc_size
+       |          FROM classified GROUP BY 1)
+       |SELECT a.node, a.scc_id,
+       | CAST(COALESCE(s.scc_size, 0) AS BIGINT) AS scc_size
+       |FROM allnodes a LEFT JOIN sizes s ON a.scc_id = s.sid
+       |ORDER BY a.node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_scc" -> (g13 _),
     "g12_landmark_closeness" -> (g12 _),
     "g11_kcore" -> (g11 _),
     "g10_hits" -> (g10 _),
@@ -627,6 +773,7 @@ object GraphQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "g13_scc" -> g13Sql,
     "g12_landmark_closeness" -> g12Sql,
     "g11_kcore" -> g11Sql,
     "g05_pagerank" -> g05Sql,

@@ -165,6 +165,49 @@ class GraphEvalSpec extends SparkSpec {
     assert(spans.filter(col("n") =!= col("span")).count() == 0L)
   }
 
+  test("g13: classified SCCs are genuinely strongly connected classes") {
+    // sf0.01: the gate-scale graph (857 edges over 150 nodes) — dense
+    // enough to carry a non-trivial SCC; sf0.001's 83-edge graph is a DAG
+    val d01 = sf("sf0.01")
+    val r = GraphQueries.queries("g13_scc")(spark, d01).collect()
+    assert(r.nonEmpty)
+    // rebuild the (tiny, <=150-node) directed graph driver-side and check
+    // mutual reachability inside every classified class by Floyd-Warshall
+    val edges = spark.read.parquet(s"$d01/events.parquet")
+      .filter(col("value") < 8.0)
+      .select(col("user_id").as("src"),
+        ((col("user_id") * 31 + expr("CAST(FLOOR(value) AS BIGINT)")) % 150)
+          .as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().collect()
+      .map(e => (e.getLong(0), e.getLong(1))).toSet
+    val nodes = r.map(_.getAs[Long]("node"))
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val reach = Array.fill(n, n)(false)
+    edges.foreach { case (s, d) => reach(idx(s))(idx(d)) = true }
+    for (k <- 0 until n; i <- 0 until n if reach(i)(k); j <- 0 until n)
+      if (reach(k)(j)) reach(i)(j) = true
+    val byScc = r.filter(_.getAs[Long]("scc_id") >= 0L)
+      .groupBy(_.getAs[Long]("scc_id"))
+    byScc.foreach { case (sid, members) =>
+      // the owner is a member of its own class
+      assert(members.exists(_.getAs[Long]("node") == sid),
+        s"scc $sid lacks its owner")
+      // size column is the actual member count
+      assert(members.forall(_.getAs[Long]("scc_size") == members.length.toLong))
+      // every pair is mutually reachable (soundness of the FW-BW classify)
+      val ids = members.map(m => idx(m.getAs[Long]("node")))
+      for (a <- ids; b <- ids if a != b)
+        assert(reach(a)(b) && reach(b)(a),
+          s"scc $sid members not mutually reachable")
+    }
+    // at least one non-trivial SCC exists on this cycle-rich graph
+    assert(byScc.exists(_._2.length >= 2), "expected a multi-node SCC")
+    // completeness at gate scale: no node is left unclassified (-1)
+    assert(r.forall(_.getAs[Long]("scc_id") >= 0L),
+      "gate-scale graph must classify fully within the fixed schedule")
+  }
+
   test("g05: iterations run off the checkpointed edge table, not the scan") {
     val pr = GraphQueries.queries("g05_pagerank")(spark, dir)
     val plan = pr.queryExecution.executedPlan.toString
