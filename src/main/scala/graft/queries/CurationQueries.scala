@@ -692,6 +692,85 @@ object CurationQueries extends QueryFamily {
       | CAST(SUM(lpq) / 10000.0 / COUNT(*) AS REAL) AS avg_logp
       |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- t35: CCNet perplexity buckets ----------------------------------------
+  // The CCNet corpus-partitioning step (Wenzek et al. 2020 §4.3): score
+  // every document with the corpus LM, cut the score distribution into
+  // terciles, and label each doc head/middle/tail — downstream training
+  // mixes buckets at different rates. The per-doc score is t15's add-one
+  // bigram mean log-prob VERBATIM (same quantized-contribution fold, so
+  // the two queries can never drift); the cuts are exact interpolated
+  // terciles of that per-doc score.
+  //
+  // Scale design: the scored table (one row per doc) is checkpointed
+  // once and feeds both the percentile aggregate and the labeling pass;
+  // the two cut points come back as ONE broadcast row (never a
+  // collect). Exact percentile over per-doc rows is a sort of one row
+  // per document — at 100 TB the swap-in is approx_percentile on the
+  // same keyed shape; exact is kept here because both engines define
+  // interpolated order statistics identically (the a23 pairing), which
+  // an ε-approx sketch would not. Tercile comparisons happen on the
+  // UNROUNDED double score — floats are cast only at the output edge.
+  private def t35(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks0 = d.select(col("doc_id"),
+      expr("filter(split(text, ' '), tk -> length(tk) > 0)").as("tl"))
+      .localCheckpoint()
+    val vocab = toks0.select(explode(col("tl")).as("tk"))
+      .agg(countDistinct(col("tk")).as("nv"))
+    val bg = toks0.filter(size(col("tl")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tl) - 1), " +
+          "i -> struct(element_at(tl, i) AS w1, element_at(tl, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uc = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val scored = bg.join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), expr(
+        "CAST(floor(ln((cb + 1.0) / (cu + nv)) * 10000 + 0.5) AS BIGINT)").as("lpq"))
+      .groupBy(col("doc_id"))
+      .agg((org.apache.spark.sql.functions.sum(col("lpq")) / 10000.0 / count(lit(1)))
+        .as("score"))
+      .localCheckpoint() // feeds the tercile aggregate AND the labeler
+    val cuts = scored.agg(
+      expr("percentile(score, CAST(1.0/3 AS DOUBLE))").as("c1"),
+      expr("percentile(score, CAST(2.0/3 AS DOUBLE))").as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        col("score").cast("float").as("avg_logp"),
+        when(col("score") >= col("c2"), lit("head"))
+          .when(col("score") >= col("c1"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+  private val t35Sql =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split(text, ' '), tk -> length(tk) > 0) AS tl
+      | FROM documents),
+      |vocab AS (SELECT COUNT(DISTINCT tk) AS nv
+      |          FROM (SELECT unnest(tl) AS tk FROM toks)),
+      |bg AS (SELECT doc_id, unnest(tl[1:len(tl)-1]) AS w1, unnest(tl[2:len(tl)]) AS w2
+      |       FROM toks WHERE len(tl) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY 1),
+      |contrib AS (
+      | SELECT bg.doc_id,
+      |  CAST(floor(ln((bc.cb + 1.0) / (uc.cu + vocab.nv)) * 10000 + 0.5) AS BIGINT) AS lpq
+      | FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN vocab),
+      |scored AS (
+      | SELECT doc_id, SUM(lpq) / 10000.0 / COUNT(*) AS score
+      | FROM contrib GROUP BY 1),
+      |cuts AS (
+      | SELECT quantile_cont(score, CAST(1.0/3 AS DOUBLE)) AS c1,
+      |        quantile_cont(score, CAST(2.0/3 AS DOUBLE)) AS c2
+      | FROM scored)
+      |SELECT doc_id, CAST(score AS REAL) AS avg_logp,
+      | CASE WHEN score >= c2 THEN 'head'
+      |      WHEN score >= c1 THEN 'middle'
+      |      ELSE 'tail' END AS bucket
+      |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin
+
   // ---- a23: robust outlier report (median/MAD) ----------------------------
   // The data-cleaning pass that survives the outliers it hunts: flag
   // values more than 3 median-absolute-deviations from their group
@@ -978,6 +1057,7 @@ object CurationQueries extends QueryFamily {
     "t14_stratified_sample" -> (t14 _),
     "t21_weighted_sample" -> (t21 _),
     "t15_bigram_lm" -> (t15 _),
+    "t35_ppl_buckets" -> (t35 _),
     "t16_leakage_safe_split" -> (t16 _),
     "a23_robust_outlier" -> (a23 _),
     "d12_cc_converged" -> (d12 _)
@@ -996,6 +1076,7 @@ object CurationQueries extends QueryFamily {
     "t14_stratified_sample" -> t14Sql,
     "t21_weighted_sample" -> t21Sql,
     "t15_bigram_lm" -> t15Sql,
+    "t35_ppl_buckets" -> t35Sql,
     "t16_leakage_safe_split" -> t16Sql,
     "a23_robust_outlier" -> a23Sql,
     "d12_cc_converged" -> d12Sql

@@ -462,7 +462,135 @@ object FitQueries extends QueryFamily {
        | CAST(chi2 AS REAL) AS chi2, CAST(chi2_dof AS REAL) AS chi2_dof, cd_micro
        |FROM scored ORDER BY ch, rank""".stripMargin
 
+  // ---- f06: sequential F-test order selection ------------------------------
+  // The other half of the background-modeling discipline f05 started:
+  // instead of ranking families by raw chi2/dof, walk a NESTED chain
+  // const(1) ⊂ linear(2) ⊂ quadratic(3) and at each step accept the
+  // extra parameter only if the fit improves significantly — the
+  // F-test order selection of the CMS/ATLAS background-function
+  // procedure (and the reference's fitter family scan is the min-chi2
+  // cousin of it, stage3/fitter.py:36-51). Per step:
+  //     F = (chi2_lo − chi2_hi) / (chi2_hi / (nb − p_hi))
+  // (one added parameter per step), accepted iff F exceeds the fixed
+  // 95% critical value 3.84 (= F(1, n→∞), the Wilks χ²₁ point — a
+  // fixed constant, not a p-value integral, so both engines compare
+  // exact micro-quantized longs). Selected order = the last accepted
+  // step, decided by the standard stop-at-first-rejection walk.
+  // Spectrum: the per-priority o_totalprice histogram — smooth and
+  // well-modeled (chi2/dof ≈ 1), which is the F-test's valid regime;
+  // on a badly-misspecified spectrum (f05's l_extendedprice hump) the
+  // inflated residual denominator makes the test conservative and it
+  // degenerates to always-const.
+  // Scale shape: identical to f05 — ONE corpus aggregation to the
+  // ≤100-row per-channel spectrum; moments, Cramer solves, chi2 and
+  // the F cascade all ride that table. Zero extra corpus scans.
+  private val fCrit = 3.84
+  private def f06(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val hist = o
+      .select(col("o_orderpriority").as("ch"),
+        least(floor(col("o_totalprice") / 25000.0), lit(chi2Bins - 1))
+          .cast("long").as("bin"))
+      .groupBy(col("ch"), col("bin"))
+      .agg(sum(lit(1.0)).as("d"))
+      .withColumn("x", expr(xSql))
+      .localCheckpoint() // ≤60 rows; feeds moments AND the chi2 pass
+    // WEIGHTED normal equations: the minimized objective must be the
+    // SAME Σ(d−m)²/w the F-statistic is built from (w = GREATEST(d,1),
+    // the chiSql weight), or nesting does not guarantee chi2 decreases
+    // and the F-test loses its meaning. The Cramer spellings are
+    // generic in the Gram entries, so the weighted fit reuses them
+    // verbatim with nb→Σ1/w, s_k→Σx^k/w, t_k→Σd·x^k/w; the bin COUNT
+    // rides separately for the dof.
+    val mom = hist.groupBy(col("ch")).agg(
+      expr("SUM(1.0 / GREATEST(d, 1.0))").as("nb"),
+      expr("CAST(COUNT(*) AS DOUBLE)").as("nbins"),
+      expr("SUM(x / GREATEST(d, 1.0))").as("s1"),
+      expr("SUM(x * x / GREATEST(d, 1.0))").as("s2"),
+      expr("SUM(x * x * x / GREATEST(d, 1.0))").as("s3"),
+      expr("SUM(x * x * x * x / GREATEST(d, 1.0))").as("s4"),
+      expr("SUM(d / GREATEST(d, 1.0))").as("t0"),
+      expr("SUM(d * x / GREATEST(d, 1.0))").as("t1"),
+      expr("SUM(d * x * x / GREATEST(d, 1.0))").as("t2"))
+    val coef = mom.select(col("ch"), col("nbins"),
+      expr("t0 / nb").as("cc"),
+      expr(pSql).as("p"), expr(qSql).as("q"),
+      expr(c0Sql).as("c0"), expr(c1Sql).as("c1"), expr(c2Sql).as("c2"))
+    val chi = hist.join(broadcast(coef), "ch")
+      .groupBy(col("ch"))
+      .agg(max(col("nbins")).as("nb"),
+        expr(chiSql("(cc)")).as("chi2_const"),
+        expr(chiSql(modLin)).as("chi2_lin"),
+        expr(chiSql(modQuad)).as("chi2_quad"))
+    // the two F steps + the stop-at-first-rejection selection, in one row
+    val sel = chi.select(col("ch"), col("nb").cast("long").as("n_bins"),
+      col("chi2_const"), col("chi2_lin"), col("chi2_quad"),
+      expr("CAST(FLOOR((chi2_const - chi2_lin) / (chi2_lin / (nb - 2)) " +
+        "* 1000000.0 + 0.5) AS BIGINT)").as("f1_micro"),
+      expr("CAST(FLOOR((chi2_lin - chi2_quad) / (chi2_quad / (nb - 3)) " +
+        "* 1000000.0 + 0.5) AS BIGINT)").as("f2_micro"))
+    sel.select(col("ch"), col("n_bins"),
+        col("chi2_const").cast("float").as("chi2_const"),
+        col("chi2_lin").cast("float").as("chi2_lin"),
+        col("chi2_quad").cast("float").as("chi2_quad"),
+        col("f1_micro"), col("f2_micro"),
+        (col("f1_micro") > lit((fCrit * 1e6).toLong)).cast("int").as("acc1"),
+        (col("f2_micro") > lit((fCrit * 1e6).toLong)).cast("int").as("acc2"),
+        when(col("f1_micro") <= lit((fCrit * 1e6).toLong), lit("const0"))
+          .when(col("f2_micro") <= lit((fCrit * 1e6).toLong), lit("bernstein1"))
+          .otherwise(lit("chebyshev2")).as("selected"))
+      .orderBy(col("ch"))
+  }
+  private val f06Sql =
+    s"""WITH hist AS (
+       | SELECT o_orderpriority AS ch,
+       |  LEAST(CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT), ${chi2Bins - 1}) AS bin,
+       |  CAST(SUM(1.0) AS DOUBLE) AS d
+       | FROM orders GROUP BY 1, 2),
+       |hx AS (SELECT *, $xSql AS x FROM hist),
+       |mom AS (
+       | SELECT ch, SUM(1.0 / GREATEST(d, 1.0)) AS nb,
+       |  CAST(COUNT(*) AS DOUBLE) AS nbins,
+       |  SUM(x / GREATEST(d, 1.0)) AS s1,
+       |  SUM(x * x / GREATEST(d, 1.0)) AS s2,
+       |  SUM(x * x * x / GREATEST(d, 1.0)) AS s3,
+       |  SUM(x * x * x * x / GREATEST(d, 1.0)) AS s4,
+       |  SUM(d / GREATEST(d, 1.0)) AS t0,
+       |  SUM(d * x / GREATEST(d, 1.0)) AS t1,
+       |  SUM(d * x * x / GREATEST(d, 1.0)) AS t2
+       | FROM hx GROUP BY 1),
+       |coef AS (
+       | SELECT ch, nbins, t0 / nb AS cc, $pSql AS p, $qSql AS q,
+       |  $c0Sql AS c0, $c1Sql AS c1, $c2Sql AS c2
+       | FROM mom),
+       |chi AS (
+       | SELECT h.ch, MAX(c.nbins) AS nb,
+       |  ${chiSql("(cc)")} AS chi2_const,
+       |  ${chiSql(modLin)} AS chi2_lin,
+       |  ${chiSql(modQuad)} AS chi2_quad
+       | FROM hx h JOIN coef c USING (ch) GROUP BY 1),
+       |sel AS (
+       | SELECT ch, CAST(nb AS BIGINT) AS n_bins,
+       |  chi2_const, chi2_lin, chi2_quad,
+       |  CAST(FLOOR((chi2_const - chi2_lin) / (chi2_lin / (nb - 2))
+       |       * 1000000.0 + 0.5) AS BIGINT) AS f1_micro,
+       |  CAST(FLOOR((chi2_lin - chi2_quad) / (chi2_quad / (nb - 3))
+       |       * 1000000.0 + 0.5) AS BIGINT) AS f2_micro
+       | FROM chi)
+       |SELECT ch, n_bins,
+       | CAST(chi2_const AS REAL) AS chi2_const,
+       | CAST(chi2_lin AS REAL) AS chi2_lin,
+       | CAST(chi2_quad AS REAL) AS chi2_quad,
+       | f1_micro, f2_micro,
+       | CAST(f1_micro > ${(fCrit * 1e6).toLong} AS INT) AS acc1,
+       | CAST(f2_micro > ${(fCrit * 1e6).toLong} AS INT) AS acc2,
+       | CASE WHEN f1_micro <= ${(fCrit * 1e6).toLong} THEN 'const0'
+       |      WHEN f2_micro <= ${(fCrit * 1e6).toLong} THEN 'bernstein1'
+       |      ELSE 'chebyshev2' END AS selected
+       |FROM sel ORDER BY ch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f06_ftest_selection" -> (f06 _),
     "f01_em_mixture_fit" -> (f01 _),
     "f02_chi2_template_fit" -> (f02 _),
     "f03_profile_significance" -> (f03 _),
@@ -471,6 +599,7 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f06_ftest_selection" -> f06Sql,
     "f01_em_mixture_fit" -> f01Sql,
     "f02_chi2_template_fit" -> f02Sql,
     "f03_profile_significance" -> f03Sql,

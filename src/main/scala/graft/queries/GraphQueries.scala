@@ -760,7 +760,111 @@ object GraphQueries extends QueryFamily {
        |ORDER BY a.node""".stripMargin
   }
 
+  // ---- g14: Newman modularity of the LPA partition ---------------------------
+  // Quality score for g09's communities: Q = Σ_c [ L_c/m − (D_c/2m)² ]
+  // (Newman & Girvan 2004) over the same undirected supplier–hub graph.
+  // L_c = edges with both endpoints in c, D_c = degree sum of c, m =
+  // total undirected edges. The partition is g09's verbatim (label
+  // reuse, not re-derivation, so the two queries can never drift).
+  //
+  // Scale design: one edge⋈label join per endpoint (the labels table is
+  // one row per node — shuffle-join keyed by node id), one groupBy per
+  // community, and the global m arrives as a broadcast 1-row aggregate
+  // (the s06 fan-out discipline — never a collect). Per-community
+  // contributions are micro-quantized AFTER the arithmetic, and the
+  // total is a sum of the already-quantized longs so both engines add
+  // exact integers. The divisions/multiplies are plain IEEE doubles on
+  // integer inputs, identical operation order on both engines; pow() is
+  // avoided in favor of explicit self-multiplication (DuckDB's POW may
+  // round differently).
+  private def g14(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val e0 = li.select(col("l_suppkey").as("a"), (col("l_partkey") % 97).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val tot = edges.agg((count(lit(1)).cast("double") / lit(2.0)).as("m"))
+    // replay g09's label rounds, scoring the partition after EVERY round
+    // (round 0 = singletons) — the modularity trajectory is what decides
+    // how many LPA rounds to run; on the dense hub graph it collapses to
+    // one community (Q -> 0), which the trajectory makes visible instead
+    // of hiding behind the final partition alone
+    def qOf(lab: DataFrame, r: Int): DataFrame = {
+      val lbl = edges
+        .join(lab.select(col("node").as("a"), col("label").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("label").as("lb")), "b")
+      val per = lbl.groupBy(col("la").as("label"))
+        .agg((sum(when(col("la") === col("lb"), 1L).otherwise(0L))
+          .cast("double") / lit(2.0)).as("l_in"),
+          count(lit(1)).cast("double").as("d_c"))
+      val frac = col("d_c") / (col("m") * lit(2.0))
+      per.crossJoin(broadcast(tot))
+        .select(floor(lit(1e6) * (col("l_in") / col("m") - frac * frac)
+          + lit(0.5)).cast("long").as("q_micro"))
+        .agg(count(lit(1)).as("n_comm"), sum(col("q_micro")).as("q_total_micro"))
+        .select(lit(r.toLong).as("round"), col("n_comm"), col("q_total_micro"))
+    }
+    var lab = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var out = qOf(lab, 0)
+    for (r <- 1 to lpIters) {
+      val cnt = edges.join(lab, col("b") === col("node"))
+        .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      lab = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("label")).localCheckpoint()
+      out = out.union(qOf(lab, r))
+    }
+    out.orderBy(col("round"))
+  }
+  private val g14Sql = {
+    val iter = (i: Int) =>
+      s"""lab$i AS (
+         | SELECT node, label FROM (
+         |  SELECT e.a AS node, l.label, COUNT(*) AS cnt,
+         |   ROW_NUMBER() OVER (PARTITION BY e.a
+         |     ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |  FROM edges e JOIN lab${i - 1} l ON l.node = e.b
+         |  GROUP BY e.a, l.label)
+         | WHERE rn = 1)"""
+    val qOf = (r: Int) =>
+      s"""lbl$r AS (
+         | SELECT la.label AS la, lb.label AS lb
+         | FROM edges e
+         | JOIN lab$r la ON la.node = e.a
+         | JOIN lab$r lb ON lb.node = e.b),
+         |per$r AS (
+         | SELECT la AS label,
+         |  CAST(SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS DOUBLE) / 2.0
+         |    AS l_in,
+         |  CAST(COUNT(*) AS DOUBLE) AS d_c
+         | FROM lbl$r GROUP BY 1),
+         |row$r AS (
+         | SELECT CAST($r AS BIGINT) AS round,
+         |  COUNT(*) AS n_comm,
+         |  CAST(SUM(CAST(FLOOR(1e6 * (l_in / m
+         |    - (d_c / (m * 2.0)) * (d_c / (m * 2.0))) + 0.5) AS BIGINT))
+         |   AS BIGINT) AS q_total_micro
+         | FROM per$r CROSS JOIN tot)"""
+    s"""WITH e0 AS (
+       | SELECT DISTINCT l_suppkey AS a, l_partkey % 97 AS b
+       | FROM lineitem WHERE l_suppkey != l_partkey % 97),
+       |edges AS (
+       | SELECT DISTINCT a, b FROM (
+       |  SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0)),
+       |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) / 2.0 AS m FROM edges),
+       |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM edges),
+       |${(1 to lpIters).map(iter).mkString(",\n")},
+       |${(0 to lpIters).map(qOf).mkString(",\n")}
+       |${(0 to lpIters).map(r => s"SELECT * FROM row$r")
+          .mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_modularity" -> (g14 _),
     "g13_scc" -> (g13 _),
     "g12_landmark_closeness" -> (g12 _),
     "g11_kcore" -> (g11 _),
@@ -773,6 +877,7 @@ object GraphQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "g14_modularity" -> g14Sql,
     "g13_scc" -> g13Sql,
     "g12_landmark_closeness" -> g12Sql,
     "g11_kcore" -> g11Sql,

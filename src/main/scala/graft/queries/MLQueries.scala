@@ -1359,7 +1359,118 @@ object MLQueries extends QueryFamily {
        |FROM fanned GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- m24: Platt-scaling probability calibration --------------------------
+  // The sigmoid calibrator (Platt 1999) that turns a raw classifier
+  // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
+  // penalized max-likelihood with Platt's regularized targets
+  // t+ = (N₊+1)/(N₊+2), t− = 1/(N₋+2), Newton's method on (A, B).
+  // Runs on the m06/m07 integer-milli score and lang='en' label, binned
+  // to 20 score bins — the f03 discipline: ONE corpus aggregation
+  // builds the 20-row (n, pos) histogram, every Newton round is a
+  // 5-scalar reduce over THAT table, O(1) driver state, no event ever
+  // collected. Cross-engine determinism is stricter than f03's: each
+  // round's per-bin sigmoid is micro-quantized (floor(p·1e6+0.5)/1e6)
+  // and the five gradient/Hessian sums fold micro-quantized LONGS, so
+  // the Newton trajectory is order-free integer arithmetic on both
+  // engines — exp()'s last-ulp libm-vs-JVM drift is absorbed at each
+  // quantization edge, never amplified across iterations. Fixed 3
+  // iterations (quadratic convergence on a 2-parameter concave
+  // problem), replayed by the oracle as chained CTEs.
+  private val plattBins = 20
+  private val plattIters = 3
+  private def m24(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+      .select(expr(s"CAST($evalScore AS BIGINT)").as("sm"),
+        expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END").as("y"))
+    val hist = d
+      .select(least(expr("sm div 50"), lit(plattBins - 1L)).as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val tot = hist.agg(sum(col("pos")).as("np"),
+      sum(col("n") - col("pos")).as("nn"))
+    val h2 = hist.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"),
+        (expr("CAST(2 * bin + 1 AS DOUBLE)") / lit(40.0)).as("f"),
+        (col("pos") * ((col("np") + lit(1.0)) / (col("np") + lit(2.0))) +
+          (col("n") - col("pos")) * (lit(1.0) / (col("nn") + lit(2.0))))
+          .as("t_b"))
+      .localCheckpoint() // 20 rows; every Newton round re-reads THIS
+    val trow = tot.head()
+    val (np, nn) = (trow.getLong(0), trow.getLong(1))
+    var a = 0.0
+    var b = math.floor(math.log((nn + 1.0) / (np + 1.0)) * 1e6 + 0.5) / 1e6
+    for (_ <- 1 to plattIters) {
+      val r = h2
+        .withColumn("pq", expr(
+          s"floor(1e6 / (1.0 + exp(CAST($a AS DOUBLE) * f + CAST($b AS DOUBLE))) + 0.5) / 1e6"))
+        .agg(
+          sum(expr("CAST(floor((t_b - n * pq) * f * 1e6 + 0.5) AS BIGINT)")).as("ga"),
+          sum(expr("CAST(floor((t_b - n * pq) * 1e6 + 0.5) AS BIGINT)")).as("gb"),
+          sum(expr("CAST(floor(n * pq * (1.0 - pq) * f * f * 1e6 + 0.5) AS BIGINT)")).as("haa"),
+          sum(expr("CAST(floor(n * pq * (1.0 - pq) * f * 1e6 + 0.5) AS BIGINT)")).as("hab"),
+          sum(expr("CAST(floor(n * pq * (1.0 - pq) * 1e6 + 0.5) AS BIGINT)")).as("hbb"))
+        .head()
+      val (ga, gb) = (r.getLong(0) / 1e6, r.getLong(1) / 1e6)
+      val (haa, hab, hbb) = (r.getLong(2) / 1e6, r.getLong(3) / 1e6, r.getLong(4) / 1e6)
+      val det = haa * hbb - hab * hab
+      a -= (hbb * ga - hab * gb) / det
+      b -= (haa * gb - hab * ga) / det
+    }
+    h2.select(col("bin"), col("n"), col("pos"),
+        expr(s"CAST(floor(1e6 / (1.0 + exp(CAST($a AS DOUBLE) * f + CAST($b AS DOUBLE))) + 0.5) / 1e6 AS FLOAT)")
+          .as("p_cal"),
+        lit(a).cast("float").as("a_hat"),
+        lit(b).cast("float").as("b_hat"))
+      .orderBy(col("bin"))
+  }
+  private val m24Sql = {
+    val iters = (1 to plattIters).map { k =>
+      val p = s"p${k - 1}"
+      s"""s$k AS (
+         | SELECT
+         |  SUM(CAST(FLOOR((t_b - n * pq) * f * 1e6 + 0.5) AS BIGINT)) / 1e6 AS ga,
+         |  SUM(CAST(FLOOR((t_b - n * pq) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS gb,
+         |  SUM(CAST(FLOOR(n * pq * (1.0 - pq) * f * f * 1e6 + 0.5) AS BIGINT)) / 1e6 AS haa,
+         |  SUM(CAST(FLOOR(n * pq * (1.0 - pq) * f * 1e6 + 0.5) AS BIGINT)) / 1e6 AS hab,
+         |  SUM(CAST(FLOOR(n * pq * (1.0 - pq) * 1e6 + 0.5) AS BIGINT)) / 1e6 AS hbb
+         | FROM (SELECT h2.*,
+         |        FLOOR(1e6 / (1.0 + EXP(p.a * h2.f + p.b)) + 0.5) / 1e6 AS pq
+         |       FROM h2, $p p)),
+         |p$k AS (
+         | SELECT p.a - (s.hbb * s.ga - s.hab * s.gb)
+         |          / (s.haa * s.hbb - s.hab * s.hab) AS a,
+         |        p.b - (s.haa * s.gb - s.hab * s.ga)
+         |          / (s.haa * s.hbb - s.hab * s.hab) AS b
+         | FROM s$k s, $p p)"""
+    }.mkString(",\n")
+    s"""WITH d AS (
+       | SELECT CAST($evalScoreDuck AS BIGINT) AS sm,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       | FROM documents),
+       |hist AS (
+       | SELECT LEAST(sm // 50, ${plattBins - 1}) AS bin,
+       |  COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+       | FROM d GROUP BY 1),
+       |tot AS (SELECT SUM(pos) AS np, SUM(n - pos) AS nn FROM hist),
+       |h2 AS (
+       | SELECT bin, n, pos,
+       |  CAST(2 * bin + 1 AS DOUBLE) / 40.0 AS f,
+       |  pos * ((np + 1.0) / (np + 2.0)) + (n - pos) * (1.0 / (nn + 2.0)) AS t_b
+       | FROM hist CROSS JOIN tot),
+       |p0 AS (
+       | SELECT 0.0 AS a,
+       |  FLOOR(LN((nn + 1.0) / (np + 1.0)) * 1e6 + 0.5) / 1e6 AS b
+       | FROM tot),
+       |$iters
+       |SELECT h2.bin, h2.n, h2.pos,
+       | CAST(FLOOR(1e6 / (1.0 + EXP(p.a * h2.f + p.b)) + 0.5) / 1e6 AS REAL)
+       |   AS p_cal,
+       | CAST(p.a AS REAL) AS a_hat, CAST(p.b AS REAL) AS b_hat
+       |FROM h2, p$plattIters p ORDER BY h2.bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m24_platt_calibration" -> (m24 _),
     "m23_pdp_tree" -> (m23 _),
     "m22_woe_iv" -> (m22 _),
     "m21_linear_shap" -> (m21 _),
@@ -1386,6 +1497,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m24_platt_calibration" -> m24Sql,
     "m12_confusion_mcc" -> m12Sql,
     "m11_calibration_curve" -> m11Sql,
     "m14_isotonic_calibration" -> m14Sql,

@@ -554,7 +554,121 @@ object MultimodalQueries extends QueryFamily {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- x11: constellation-hash audio matching ------------------------------
+  // The audio-retrieval classic (Wang 2003, the Shazam paper): reduce
+  // each clip to a constellation of per-frame peaks, pair nearby peaks
+  // into combinatorial hashes, and identify a query clip by the track
+  // whose matched hashes agree on ONE time offset. Engine model over
+  // the x08 PCM view: 8-sample frames (docs are short — median ~150
+  // samples), per-frame peak band =
+  // |peak| mod 64 (the LOW bits — ASCII-derived PCM concentrates its
+  // variation there; a magnitude band div 2048 carried so little
+  // entropy that only 4/58 clips self-matched. peak is non-negative,
+  // so mod and pmod agree across engines), anchor→target pairs with
+  // fan-out Δt ∈ {1,2,3}, hash = (band_a·64 + band_b)·4 + Δt. Query
+  // clips are the same corpus minus its first two frames (every 5th
+  // doc), so ground truth is the source doc and the expected offset is
+  // exactly 2 — the is_self/offset columns make the query its own
+  // recall harness.
+  //
+  // Scale design: this is Shazam's actual distributed shape — the
+  // constellation build is one scan (array HOFs, no explode until the
+  // ≤nf-row frame table), pair generation is a per-doc self-join on the
+  // doc key (frames per doc are bounded by clip length, never corpus
+  // size), and the match is a HASH-keyed equi-join (16384 distinct
+  // hashes here; 2^30+ with real spectral bands) followed by a
+  // (clip, track, offset) vote count — map-side combined — and a
+  // per-clip rank-1 window. No pairwise clip×track comparison ever
+  // happens; the hash join IS the candidate gate. All arithmetic is
+  // integer end-to-end.
+  private def x11(s: SparkSession, dir: String): DataFrame = {
+    val pk = pcmSamples(s, dir, minBytes = 64)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, CAST(size(smp) div 8 AS INT)), " +
+          "j -> pmod(array_max(transform(slice(smp, (j - 1) * 8 + 1, 8), " +
+          "v -> abs(v))), 64L))").as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"),
+        col("col").as("band"))
+      .localCheckpoint() // feeds track fingerprints AND clip fingerprints
+    def pairs(src: DataFrame, id: String, t: String): DataFrame = {
+      val a = src.select(col("doc_id"), col("j").as("ja"), col("band").as("ba"))
+      val b = src.select(col("doc_id"), col("j").as("jb"), col("band").as("bb"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("jb") > col("ja") && col("jb") - col("ja") <= 3)
+        .select(col("doc_id").as(id),
+          ((col("ba") * 64 + col("bb")) * 4 + (col("jb") - col("ja")))
+            .as("fhash"),
+          col("ja").as(t))
+    }
+    val tfp = pairs(pk, "track_id", "t1")
+    val cfp = pairs(
+      pk.filter(col("doc_id") % 5 === 0 && col("j") >= 3)
+        .select(col("doc_id"), (col("j") - 2).as("j"), col("band")),
+      "clip_id", "tc")
+    val votes = cfp.join(tfp, Seq("fhash"))
+      .groupBy(col("clip_id"), col("track_id"),
+        (col("t1") - col("tc")).as("t_offset"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
+      .orderBy(col("votes").desc, col("track_id").asc, col("t_offset").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("clip_id"), col("track_id").as("matched_track"),
+        col("t_offset"), col("votes"),
+        (col("clip_id") === col("track_id")).cast("int").as("is_self"))
+      .orderBy(col("clip_id"))
+  }
+  private val x11Sql = {
+    val nb = "octet_length(encode(text))"
+    val raw = s"(CAST('0x' || substr(hx, i * 4 - 3, 2) AS BIGINT)" +
+      s" + 256 * CAST('0x' || substr(hx, i * 4 - 1, 2) AS BIGINT))"
+    s"""WITH pcm AS (
+       | SELECT doc_id, $hexDuck AS hx, $nb AS nbv
+       | FROM documents WHERE $nb >= 64),
+       |smpt AS (
+       | SELECT doc_id,
+       |  list_transform(generate_series(1, CAST(nbv // 2 AS BIGINT)),
+       |   i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS smp
+       | FROM pcm),
+       |bandt AS (
+       | SELECT doc_id,
+       |  list_transform(generate_series(1, CAST(len(smp) // 8 AS BIGINT)),
+       |   j -> list_max(list_transform(
+       |     smp[(j - 1) * 8 + 1 : (j - 1) * 8 + 8], v -> abs(v))) % 64)
+       |   AS bands
+       | FROM smpt),
+       |pk AS (
+       | SELECT doc_id, CAST(j AS BIGINT) AS j, bands[j] AS band
+       | FROM bandt, unnest(generate_series(1, len(bands))) AS u(j)),
+       |tfp AS (
+       | SELECT a.doc_id AS track_id,
+       |  (a.band * 64 + b.band) * 4 + (b.j - a.j) AS fhash, a.j AS t1
+       | FROM pk a JOIN pk b ON a.doc_id = b.doc_id
+       |  AND b.j > a.j AND b.j - a.j <= 3),
+       |cpk AS (
+       | SELECT doc_id, j - 2 AS j, band FROM pk
+       | WHERE doc_id % 5 = 0 AND j >= 3),
+       |cfp AS (
+       | SELECT a.doc_id AS clip_id,
+       |  (a.band * 64 + b.band) * 4 + (b.j - a.j) AS fhash, a.j AS tc
+       | FROM cpk a JOIN cpk b ON a.doc_id = b.doc_id
+       |  AND b.j > a.j AND b.j - a.j <= 3),
+       |votes AS (
+       | SELECT c.clip_id, t.track_id, t.t1 - c.tc AS t_offset,
+       |  COUNT(*) AS votes
+       | FROM cfp c JOIN tfp t USING (fhash)
+       | GROUP BY 1, 2, 3),
+       |ranked AS (
+       | SELECT *, ROW_NUMBER() OVER (PARTITION BY clip_id
+       |   ORDER BY votes DESC, track_id ASC, t_offset ASC) AS rn
+       | FROM votes)
+       |SELECT clip_id, track_id AS matched_track, t_offset, votes,
+       | CAST(clip_id = track_id AS INT) AS is_self
+       |FROM ranked WHERE rn = 1 ORDER BY clip_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x11_constellation_match" -> (x11 _),
     "x10_tile_stats" -> (x10 _),
     "x09_vad_segments" -> (x09 _),
     "x06_image_neardup" -> (x06 _),
@@ -568,6 +682,7 @@ object MultimodalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "x11_constellation_match" -> x11Sql,
     "x10_tile_stats" -> x10Sql,
     "x09_vad_segments" -> x09Sql,
     "x06_image_neardup" -> x06Sql,

@@ -1543,7 +1543,128 @@ object TemporalQueries extends QueryFamily {
        |FROM scored ORDER BY user_id""".stripMargin
   }
 
+  // ---- u24: classical additive seasonal decomposition ----------------------
+  // The decomposition behind every seasonality-aware forecast/anomaly
+  // pipeline (classical additive form, Hyndman & Athanasopoulos FPP
+  // §6.3; STL's moving-average ancestor): per event_type,
+  //   trend_t    = centered 7-day moving average of the daily total
+  //   seasonal_d = mean detrended value per day-of-week, centered to
+  //                sum zero across the week
+  //   residual   = daily − trend − seasonal
+  // Output is the 7-row-per-type seasonal index plus per-dow residual
+  // RMS. Determinism is the u06 discipline end-to-end: values
+  // milli-quantize BEFORE the daily sum (order-free long fold), the
+  // moving average is an exact long window-SUM divided once, detrended
+  // values re-quantize to milli-longs before the dow mean, and the
+  // zero-centering adjustment folds those already-quantized longs — no
+  // float ever accumulates across rows on either engine.
+  //
+  // Scale: one corpus scan to the daily table (keyed by (type, day) —
+  // map-side combined), a per-type spine explode bounded by the date
+  // range, ONE window sort keyed by type, and two tiny keyed
+  // aggregates. The same one-shuffle shape as u06/u13 at any corpus
+  // size; no collect, no unpartitioned window.
+  private def u24(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val daily0 = ev
+      .select(col("event_type"), expr(s"ts div $nsPerDay").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(org.apache.spark.sql.functions.sum(col("vm")).as("sm"))
+    val spine = daily0.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val daily = spine.join(daily0, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("sm"), lit(0L)).as("sm"))
+      .localCheckpoint() // feeds the trend window AND the residual pass
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("n7", count(lit(1)).over(w))
+      .withColumn("s7", org.apache.spark.sql.functions.sum(col("sm")).over(w))
+      .filter(col("n7") === 7) // edges carry no trend (classical MA)
+      .withColumn("trend", col("s7") / lit(7.0))
+      .withColumn("dsm",
+        expr("CAST(floor((sm - trend) * 1000 + 0.5) AS BIGINT)"))
+      .withColumn("dow", col("day") % 7)
+      .localCheckpoint() // feeds the dow mean AND the residual RMS
+    val seas0 = tr.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        org.apache.spark.sql.functions.sum(col("dsm")).as("dsum"))
+      .withColumn("s_q",
+        expr("CAST(floor(CAST(dsum AS DOUBLE) / n_days + 0.5) AS BIGINT)"))
+    val adj = seas0.groupBy(col("event_type"))
+      .agg((org.apache.spark.sql.functions.sum(col("s_q")).cast("double")
+        / count(lit(1))).as("adj_m"))
+    val seas = seas0.join(adj, Seq("event_type"))
+      .withColumn("seasonal_milli",
+        expr("CAST(floor(s_q - adj_m + 0.5) AS BIGINT)"))
+    val res = tr
+      .join(seas.select(col("event_type"), col("dow"), col("seasonal_milli")),
+        Seq("event_type", "dow"))
+      .select(col("event_type"), col("dow"),
+        (col("dsm") - col("seasonal_milli")).as("rq"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(org.apache.spark.sql.functions.sum(expr("rq * rq")).as("ssq"),
+        count(lit(1)).as("nr"))
+    seas.join(res, Seq("event_type", "dow"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("seasonal_milli"),
+        (col("seasonal_milli") / 1000.0).cast("float").as("seasonal"),
+        expr("CAST(sqrt(CAST(ssq AS DOUBLE) / nr) / 1000.0 AS FLOAT)")
+          .as("resid_rms"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+  private val u24Sql =
+    s"""WITH daily0 AS (
+       | SELECT event_type, epoch_ns(ts) // $nsPerDay AS day,
+       |  CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sm
+       | FROM events GROUP BY 1, 2),
+       |spine AS (
+       | SELECT event_type, unnest(generate_series(MIN(day), MAX(day))) AS day
+       | FROM daily0 GROUP BY event_type),
+       |daily AS (
+       | SELECT s.event_type, s.day, COALESCE(d.sm, 0) AS sm
+       | FROM spine s LEFT JOIN daily0 d USING (event_type, day)),
+       |tr AS (
+       | SELECT *, sm - trend AS ds FROM (
+       |  SELECT event_type, day, sm,
+       |   COUNT(*) OVER wf AS n7,
+       |   CAST(SUM(sm) OVER wf AS DOUBLE) / 7.0 AS trend
+       |  FROM daily
+       |  WINDOW wf AS (PARTITION BY event_type ORDER BY day
+       |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+       | WHERE n7 = 7),
+       |trq AS (
+       | SELECT event_type, day % 7 AS dow,
+       |  CAST(floor(ds * 1000 + 0.5) AS BIGINT) AS dsm
+       | FROM tr),
+       |seas0 AS (
+       | SELECT event_type, dow, COUNT(*) AS n_days,
+       |  CAST(floor(CAST(SUM(dsm) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS s_q
+       | FROM trq GROUP BY 1, 2),
+       |adj AS (
+       | SELECT event_type, CAST(SUM(s_q) AS DOUBLE) / COUNT(*) AS adj_m
+       | FROM seas0 GROUP BY 1),
+       |seas AS (
+       | SELECT s.event_type, s.dow, s.n_days,
+       |  CAST(floor(s.s_q - a.adj_m + 0.5) AS BIGINT) AS seasonal_milli
+       | FROM seas0 s JOIN adj a USING (event_type)),
+       |res AS (
+       | SELECT t.event_type, t.dow,
+       |  SUM((t.dsm - se.seasonal_milli) * (t.dsm - se.seasonal_milli)) AS ssq,
+       |  COUNT(*) AS nr
+       | FROM trq t JOIN seas se USING (event_type, dow)
+       | GROUP BY 1, 2)
+       |SELECT s.event_type, s.dow, s.n_days, s.seasonal_milli,
+       | CAST(s.seasonal_milli / 1000.0 AS REAL) AS seasonal,
+       | CAST(sqrt(CAST(r.ssq AS DOUBLE) / r.nr) / 1000.0 AS REAL) AS resid_rms
+       |FROM seas s JOIN res r USING (event_type, dow)
+       |ORDER BY s.event_type, s.dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u24_seasonal_decomp" -> (u24 _),
     "u18_bitemporal" -> (u18 _),
     "u19_holt_trend" -> (u19 _),
     "u23_rfm_segments" -> (u23 _),
@@ -1582,6 +1703,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u24_seasonal_decomp" -> u24Sql,
     "u18_bitemporal" -> u18Sql,
     "u19_holt_trend" -> u19Sql,
     "u23_rfm_segments" -> u23Sql,

@@ -1159,7 +1159,126 @@ object TextQueries extends QueryFamily {
        | FROM documents)
        |ORDER BY key_q DESC, doc_id ASC LIMIT $resK""".stripMargin
 
+  // ---- t36: Heaps'-law vocabulary-growth fit --------------------------------
+  // The scaling-curve measurement a corpus-planning pipeline runs before
+  // committing to a data mix: vocabulary size (word-TRIGRAM types —
+  // the synthetic corpus has a fixed 31-word lexicon, so unigram types
+  // saturate immediately; trigrams are combinatorial) as a function of
+  // corpus size over NESTED subsets, fitted to Heaps' law V(N) = K·N^β
+  // (Heaps 1978; the token-level cousin of the Kaplan scaling-law fit).
+  // Nested subsets come from a deterministic LCG hash bucket per doc
+  // (h ∈ 0..99, subset f = docs with h < f for f = 10, 20, …, 100), so
+  // every subset is a strict superset of the previous — the curve is
+  // monotone by construction.
+  //
+  // Scale design: the corpus is scanned ONCE. Per token the aggregation
+  // keeps min(bucket) — the first subset where the type appears — and
+  // per bucket the token total; vocab at f is then a ≤100-row
+  // cumulative fold, N_f likewise. The OLS of ln V on ln N runs over
+  // the 10-point curve with per-point ln values micro-quantized to
+  // LONGS and all five regression sums folded in exact integer space —
+  // the t15/m24 discipline, so the fitted (K, β) is bit-identical on
+  // both engines. No collect anywhere; the fit is a broadcast 1-row
+  // aggregate joined back onto the curve.
+  private def t36(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val toks = d.select(
+      expr("CAST((doc_id * 1103515245 + 12345) % 100 AS BIGINT)").as("h"),
+      expr("filter(split(text, ' '), tk -> length(tk) > 0)").as("tl"))
+      // the TYPE is a word TRIGRAM: the corpus draws from a fixed
+      // 31-word vocabulary, so word-level Heaps saturates at f=10;
+      // trigram types are combinatorial and grow for real
+      .select(col("h"), expr(
+        "transform(sequence(1, greatest(size(tl) - 2, 0)), " +
+          "i -> concat_ws(' ', element_at(tl, i), element_at(tl, i + 1), " +
+          "element_at(tl, i + 2)))").as("tl"))
+      .localCheckpoint() // feeds token totals AND the type min-bucket
+    val perBucketTok = toks.groupBy(col("h"))
+      .agg(org.apache.spark.sql.functions.sum(size(col("tl"))).cast("long")
+        .as("toks_b"))
+    val typeMin = toks.select(col("h"), explode(col("tl")).as("tk"))
+      .groupBy(col("tk")).agg(min(col("h")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("new_types"))
+    val fracs = toks.sparkSession.range(1, 11)
+      .select((col("id") * 10).as("f"))
+    val curve = fracs
+      .join(perBucketTok, col("h") < col("f"))
+      .groupBy(col("f"))
+      .agg(org.apache.spark.sql.functions.sum(col("toks_b")).as("n_tokens"))
+      .join(fracs.join(typeMin, col("mb") < col("f"))
+        .groupBy(col("f"))
+        .agg(org.apache.spark.sql.functions.sum(col("new_types")).as("vocab")),
+        Seq("f"))
+      .withColumn("lnn_q",
+        expr("CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("lnv_q",
+        expr("CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"))
+      .localCheckpoint() // 10 rows; feeds the OLS fold AND the output
+    val fit = curve.agg(
+      count(lit(1)).as("n"),
+      org.apache.spark.sql.functions.sum(col("lnn_q")).as("sx"),
+      org.apache.spark.sql.functions.sum(col("lnv_q")).as("sy"),
+      org.apache.spark.sql.functions.sum(col("lnn_q") * col("lnn_q")).as("sxx"),
+      org.apache.spark.sql.functions.sum(col("lnn_q") * col("lnv_q")).as("sxy"))
+      .select(
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")
+          .as("beta"),
+        col("n"), col("sx"), col("sy"))
+      .select(col("beta"),
+        expr("exp((CAST(sy AS DOUBLE) / 1e6 - beta * CAST(sx AS DOUBLE) / 1e6) / n)")
+          .as("k"))
+    curve.crossJoin(broadcast(fit))
+      .select(col("f"), col("n_tokens"), col("vocab"),
+        col("beta").cast("float").as("beta"),
+        col("k").cast("float").as("k"))
+      .orderBy(col("f"))
+  }
+  private val t36Sql =
+    """WITH toks AS (
+      | SELECT CAST((doc_id * 1103515245 + 12345) % 100 AS BIGINT) AS h,
+      |  list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+      |   i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS tl
+      | FROM (SELECT doc_id,
+      |        list_filter(string_split(text, ' '), tk -> length(tk) > 0) AS w
+      |       FROM documents)),
+      |pbt AS (
+      | SELECT h, CAST(SUM(len(tl)) AS BIGINT) AS toks_b FROM toks GROUP BY 1),
+      |tmin AS (
+      | SELECT mb, COUNT(*) AS new_types FROM (
+      |  SELECT tk, MIN(h) AS mb
+      |  FROM (SELECT h, unnest(tl) AS tk FROM toks) GROUP BY 1)
+      | GROUP BY 1),
+      |fracs AS (SELECT f FROM (VALUES (10), (20), (30), (40), (50),
+      |  (60), (70), (80), (90), (100)) AS t(f)),
+      |curve AS (
+      | SELECT nf.f, nf.n_tokens, vf.vocab,
+      |  CAST(floor(ln(CAST(nf.n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lnn_q,
+      |  CAST(floor(ln(CAST(vf.vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lnv_q
+      | FROM
+      |  (SELECT f, CAST(SUM(toks_b) AS BIGINT) AS n_tokens
+      |   FROM fracs JOIN pbt ON pbt.h < fracs.f GROUP BY 1) nf
+      | JOIN
+      |  (SELECT f, CAST(SUM(new_types) AS BIGINT) AS vocab
+      |   FROM fracs JOIN tmin ON tmin.mb < fracs.f GROUP BY 1) vf
+      | USING (f)),
+      |fit0 AS (
+      | SELECT COUNT(*) AS n, SUM(lnn_q) AS sx, SUM(lnv_q) AS sy,
+      |  SUM(lnn_q * lnn_q) AS sxx, SUM(lnn_q * lnv_q) AS sxy
+      | FROM curve),
+      |fit AS (
+      | SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * sxx - sx * sx AS DOUBLE) AS beta, n, sx, sy
+      | FROM fit0),
+      |fit2 AS (
+      | SELECT beta,
+      |  exp((CAST(sy AS DOUBLE) / 1e6 - beta * CAST(sx AS DOUBLE) / 1e6) / n) AS k
+      | FROM fit)
+      |SELECT c.f, c.n_tokens, c.vocab,
+      | CAST(ft.beta AS REAL) AS beta, CAST(ft.k AS REAL) AS k
+      |FROM curve c CROSS JOIN fit2 ft ORDER BY c.f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_heaps_law" -> (t36 _),
     "t34_weighted_sample" -> (t34 _),
     "t33_gopher_coverage" -> (t33 _),
     "t32_html_extract" -> (t32 _),
@@ -1188,6 +1307,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t36_heaps_law" -> t36Sql,
     "t34_weighted_sample" -> t34Sql,
     "t33_gopher_coverage" -> t33Sql,
     "t32_html_extract" -> t32Sql,

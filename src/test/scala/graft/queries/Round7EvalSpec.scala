@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-7 additions (the GraphEvalSpec /
+  * Round6EvalSpec convention): the DuckDB gate proves cross-engine
+  * equality; these prove the MATH means what each operator claims —
+  * modularity bounds and trajectory, calibration monotonicity,
+  * perplexity-bucket ordering, F-cascade consistency, seasonal-index
+  * centering, Heaps-curve monotonicity, constellation recall. Most run
+  * at sf0.001; x11/m24 use sf0.01 where the tiny corpus is degenerate. */
+class Round7EvalSpec extends SparkSpec {
+
+  private val dir = sf("sf0.001")
+  private val d01 = sf("sf0.01")
+
+  test("g14: modularity trajectory is bounded and LPA only coarsens") {
+    val r = GraphQueries.queries("g14_modularity")(spark, d01)
+      .orderBy(col("round")).collect()
+    assert(r.length == 4)
+    // Q in [-1, 1] by definition (micro-quantized)
+    r.foreach { row =>
+      val q = row.getAs[Long]("q_total_micro")
+      assert(q >= -1000000L && q <= 1000000L, s"Q out of range: $q")
+    }
+    // the singleton partition has zero internal edges -> Q < 0
+    assert(r.head.getAs[Long]("q_total_micro") < 0L,
+      "singleton partition must score negative modularity")
+    // community count is non-increasing (synchronous LPA only merges
+    // on this graph; the deterministic min-label tie-break never splits)
+    val ns = r.map(_.getAs[Long]("n_comm"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"community count must not grow: ${ns.mkString(",")}")
+  }
+
+  test("m24: Platt fit is monotone in the score and brackets the data") {
+    val r = MLQueries.queries("m24_platt_calibration")(spark, d01)
+      .orderBy(col("bin")).collect()
+    assert(r.nonEmpty)
+    val ps = r.map(_.getAs[Float]("p_cal"))
+    assert(ps.forall(p => p >= 0.0f && p <= 1.0f))
+    // higher score bin -> higher calibrated probability (A < 0)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      s"calibrated curve not monotone: ${ps.mkString(",")}")
+    assert(r.head.getAs[Float]("a_hat") < 0.0f,
+      "slope must be negative for a positively-informative score")
+    // the sigmoid separates the en prior: top bin well above bottom bin
+    assert(ps.last - ps.head > 0.2f, "calibration curve is too flat")
+  }
+
+  test("t35: bucket labels order by score and cover the corpus") {
+    val r = CurationQueries.queries("t35_ppl_buckets")(spark, dir).collect()
+    assert(r.nonEmpty)
+    val byB = r.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Float]("avg_logp"))).toMap
+    assert(byB.keySet.subsetOf(Set("head", "middle", "tail")))
+    // every head doc scores >= every tail doc (terciles are cuts)
+    for (h <- byB.get("head"); t <- byB.get("tail"))
+      assert(h.min >= t.max, "head/tail buckets overlap in score")
+    // terciles: no bucket holds more than ~2/3 of the corpus
+    assert(byB.values.forall(_.length <= (r.length * 2) / 3 + 1))
+  }
+
+  test("f06: selection agrees with the acceptance cascade") {
+    val rows = FitQueries.queries("f06_ftest_selection")(spark, dir).collect()
+    assert(rows.length == 5) // one per o_orderpriority channel
+    rows.foreach { row =>
+      val (a1, a2) = (row.getAs[Int]("acc1"), row.getAs[Int]("acc2"))
+      val sel = row.getAs[String]("selected")
+      val expect =
+        if (a1 == 0) "const0" else if (a2 == 0) "bernstein1" else "chebyshev2"
+      assert(sel == expect, s"cascade broken: acc=($a1,$a2) sel=$sel")
+      // adding parameters never worsens a least-squares chi2
+      assert(row.getAs[Float]("chi2_lin") <= row.getAs[Float]("chi2_const"))
+      assert(row.getAs[Float]("chi2_quad") <= row.getAs[Float]("chi2_lin") + 1e-3f)
+    }
+  }
+
+  test("u24: seasonal indices center to ~zero per type, RMS non-negative") {
+    val r = TemporalQueries.queries("u24_seasonal_decomp")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("event_type")).foreach { case (et, rows) =>
+      assert(rows.length <= 7, s"$et has more than 7 day-of-week rows")
+      // centering: sum of milli indices within half a milli per dow row
+      val s = rows.map(_.getAs[Long]("seasonal_milli")).sum
+      assert(math.abs(s) <= rows.length.toLong,
+        s"$et seasonal indices not centered: sum=$s")
+      assert(rows.forall(_.getAs[Float]("resid_rms") >= 0.0f))
+    }
+  }
+
+  test("t36: Heaps curve is monotone and the fit is sublinear") {
+    val r = TextQueries.queries("t36_heaps_law")(spark, dir)
+      .orderBy(col("f")).collect()
+    assert(r.length == 10)
+    val toks = r.map(_.getAs[Long]("n_tokens"))
+    val voc = r.map(_.getAs[Long]("vocab"))
+    // nested subsets: both curves strictly non-decreasing
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+    assert(voc.zip(voc.tail).forall { case (a, b) => a <= b })
+    // vocabulary grows sublinearly in corpus size: 0 < beta < 1
+    val beta = r.head.getAs[Float]("beta")
+    assert(beta > 0.0f && beta < 1.0f, s"Heaps beta out of range: $beta")
+    assert(r.head.getAs[Float]("k") > 0.0f)
+  }
+
+  test("x11: constellation matching identifies the source track") {
+    val r = MultimodalQueries.queries("x11_constellation_match")(spark, d01)
+      .collect()
+    assert(r.nonEmpty)
+    val self = r.count(_.getAs[Int]("is_self") == 1)
+    // recall: the clip IS its track minus two frames — the hash-join
+    // vote must recover the source for the overwhelming majority
+    assert(self.toDouble / r.length > 0.8,
+      s"constellation recall too low: $self/${r.length}")
+    // every correct match recovers the true 2-frame offset
+    r.filter(_.getAs[Int]("is_self") == 1).foreach { row =>
+      assert(row.getAs[Long]("t_offset") == 2L,
+        s"self-match at wrong offset: ${row.getAs[Long]("t_offset")}")
+    }
+  }
+
+  test("g13+g14: graph family shares one edge-derivation convention") {
+    // cheap structural guard: the SCC classifier and the modularity
+    // trajectory must both run without touching more than their input
+    // table (no cartesian, no unpartitioned-window exchange)
+    Seq("g13_scc", "g14_modularity").foreach { q =>
+      val plan = GraphQueries.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+}
