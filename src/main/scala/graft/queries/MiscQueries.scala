@@ -681,7 +681,87 @@ object MiscQueries extends QueryFamily {
        |ORDER BY id""".stripMargin
   }
 
+  // ---- a33: Benford first-digit conformance --------------------------------
+  // The forensic data-quality screen (Nigrini 2012; Benford 1938):
+  // natural multi-magnitude amounts follow P(d) = log10(1 + 1/d); a
+  // group whose first-digit histogram deviates is flagged for review.
+  // Per (priority, digit): count, observed fraction, the Benford
+  // expectation, the |obs − exp| deviation, and the group's mean
+  // absolute deviation (Nigrini's MAD statistic) repeated per row.
+  // The first digit comes from an integer CASE ladder on magnitude
+  // thresholds — never log10 of a float — and the nine Benford
+  // constants are ONE Scala-formatted literal list interpolated into
+  // BOTH engines' SQL, so the expectation is the identical double on
+  // each side. Deviations micro-quantize before the MAD fold (the
+  // order-free-sum discipline).
+  //
+  // Scale: one scan, (group, digit)-keyed aggregate (map-side
+  // combined), two tiny windows over the ≤45-row result. The classic
+  // one-pass profiling shape.
+  private val benford: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+  private def a33(s: SparkSession, dir: String): DataFrame = {
+    val digit =
+      """CASE WHEN v < 10 THEN v WHEN v < 100 THEN v div 10
+        | WHEN v < 1000 THEN v div 100 WHEN v < 10000 THEN v div 1000
+        | WHEN v < 100000 THEN v div 10000 WHEN v < 1000000 THEN v div 100000
+        | ELSE v div 1000000 END""".stripMargin.replace("\n", "")
+    val expected = (1 to 9).map(d => s"WHEN digit = $d THEN ${benford(d - 1)}")
+      .mkString("CASE ", " ", " END")
+    val o = rd(s, dir, "orders")
+    val counts = o
+      .select(col("o_orderpriority").as("ch"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("v"))
+      .select(col("ch"), expr(digit).as("digit"))
+      .groupBy(col("ch"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val wch = org.apache.spark.sql.expressions.Window.partitionBy(col("ch"))
+    counts
+      .withColumn("total", org.apache.spark.sql.functions.sum(col("n")).over(wch))
+      .withColumn("frac", col("n").cast("double") / col("total"))
+      .withColumn("expected", expr(expected))
+      .withColumn("dev_micro",
+        expr("CAST(floor(abs(frac - expected) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("mad_micro",
+        expr("SUM(dev_micro) OVER (PARTITION BY ch) div 9"))
+      .select(col("ch"), col("digit"), col("n"),
+        col("frac").cast("float").as("frac"),
+        col("expected").cast("float").as("expected"),
+        col("dev_micro"), col("mad_micro"))
+      .orderBy(col("ch"), col("digit"))
+  }
+  private val a33Sql = {
+    val digit =
+      """CASE WHEN v < 10 THEN v WHEN v < 100 THEN v // 10
+        | WHEN v < 1000 THEN v // 100 WHEN v < 10000 THEN v // 1000
+        | WHEN v < 100000 THEN v // 10000 WHEN v < 1000000 THEN v // 100000
+        | ELSE v // 1000000 END""".stripMargin.replace("\n", "")
+    val expected = (1 to 9).map(d => s"WHEN digit = $d THEN ${benford(d - 1)}")
+      .mkString("CASE ", " ", " END")
+    s"""WITH counts AS (
+       | SELECT ch, digit, COUNT(*) AS n FROM (
+       |  SELECT o_orderpriority AS ch,
+       |   $digit AS digit
+       |  FROM (SELECT o_orderpriority,
+       |         CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders))
+       | GROUP BY 1, 2),
+       |fr AS (
+       | SELECT ch, digit, n,
+       |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY ch) AS frac,
+       |  $expected AS expected
+       | FROM counts),
+       |dv AS (
+       | SELECT *, CAST(FLOOR(ABS(frac - expected) * 1e6 + 0.5) AS BIGINT)
+       |   AS dev_micro
+       | FROM fr)
+       |SELECT ch, digit, n, CAST(frac AS REAL) AS frac,
+       | CAST(expected AS REAL) AS expected, dev_micro,
+       | CAST(SUM(dev_micro) OVER (PARTITION BY ch) // 9 AS BIGINT) AS mad_micro
+       |FROM dv ORDER BY ch, digit""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a33_benford_digits" -> (a33 _),
     "j20_point_in_polygon" -> (j20 _),
     "j19_spatial_rule" -> (j19 _),
     "d22_dbscan_grid" -> (d22 _),
@@ -698,6 +778,7 @@ object MiscQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "a33_benford_digits" -> a33Sql,
     "j20_point_in_polygon" -> j20Sql,
     "j19_spatial_rule" -> j19Sql,
     "d22_dbscan_grid" -> d22Sql,

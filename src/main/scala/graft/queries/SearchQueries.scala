@@ -1002,7 +1002,83 @@ object SearchQueries extends QueryFamily {
       s"i -> CAST($horner AS INTEGER))))"
   }
 
+  // ---- w12: posting-list delta + varint compression accounting -------------
+  // The index-build engineering step every inverted index performs
+  // (Manning/Raghavan/Schütze IR §5.3): store each term's posting list
+  // as FIRST doc id + successive GAPS, varint-encoded — small gaps
+  // (frequent terms) compress hardest. This query is the planning/
+  // accounting pass: per term, document frequency, raw bytes (8 B/id),
+  // variable-byte bytes of the gap-encoded list, and the compression
+  // ratio, plus a corpus-total row (term='*'). Varint length is an
+  // integer CASE ladder on the 7-bit thresholds — no log2 float ever.
+  //
+  // Scale design: tokenize once, distinct (term, doc) pairs, ONE
+  // term-keyed window (lag) for the gaps — the inverted-index shuffle
+  // every index build pays, keyed by term so posting lists co-locate
+  // exactly as the real index layout wants them. The corpus total is a
+  // second tiny aggregate over the ≤vocab-row per-term table, unioned
+  // in (never a collect).
+  private def w12(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val post = d.select(col("doc_id"),
+      explode(expr("array_distinct(filter(split(text, ' '), " +
+        "w -> length(w) > 0))")).as("term"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val vb = (g: String) =>
+      s"CASE WHEN $g < 128 THEN 1L WHEN $g < 16384 THEN 2L " +
+        s"WHEN $g < 2097152 THEN 3L WHEN $g < 268435456 THEN 4L " +
+        s"ELSE 5L END"
+    val perTerm = post
+      .withColumn("gap",
+        col("doc_id") - coalesce(lag(col("doc_id"), 1).over(wl), lit(0L)))
+      .select(col("term"), expr(vb("gap")).as("vbytes"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        org.apache.spark.sql.functions.sum(col("vbytes")).as("vb_bytes"))
+      .select(col("term"), col("df"), (col("df") * 8L).as("raw_bytes"),
+        col("vb_bytes"))
+      .localCheckpoint() // feeds the per-term rows AND the corpus total
+    val total = perTerm.agg(
+      org.apache.spark.sql.functions.sum(col("df")).as("df"),
+      org.apache.spark.sql.functions.sum(col("raw_bytes")).as("raw_bytes"),
+      org.apache.spark.sql.functions.sum(col("vb_bytes")).as("vb_bytes"))
+      .select(lit("*").as("term"), col("df"), col("raw_bytes"), col("vb_bytes"))
+    perTerm.union(total)
+      .withColumn("ratio",
+        (col("raw_bytes").cast("double") / col("vb_bytes")).cast("float"))
+      .orderBy(col("term"))
+  }
+  private val w12Sql =
+    """WITH post AS (
+      | SELECT DISTINCT doc_id, term FROM (
+      |  SELECT doc_id,
+      |   unnest(list_filter(string_split(text, ' '), w -> length(w) > 0))
+      |    AS term
+      |  FROM documents)),
+      |gaps AS (
+      | SELECT term,
+      |  doc_id - COALESCE(LAG(doc_id, 1) OVER (
+      |    PARTITION BY term ORDER BY doc_id), 0) AS gap
+      | FROM post),
+      |per_term AS (
+      | SELECT term, COUNT(*) AS df, COUNT(*) * 8 AS raw_bytes,
+      |  CAST(SUM(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+      |   WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+      |   ELSE 5 END) AS BIGINT) AS vb_bytes
+      | FROM gaps GROUP BY 1),
+      |allrows AS (
+      | SELECT term, df, raw_bytes, vb_bytes FROM per_term
+      | UNION ALL
+      | SELECT '*', CAST(SUM(df) AS BIGINT), CAST(SUM(raw_bytes) AS BIGINT),
+      |  CAST(SUM(vb_bytes) AS BIGINT)
+      | FROM per_term)
+      |SELECT term, df, CAST(raw_bytes AS BIGINT) AS raw_bytes, vb_bytes,
+      | CAST(CAST(raw_bytes AS DOUBLE) / vb_bytes AS REAL) AS ratio
+      |FROM allrows ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w12_postings_varint" -> (w12 _),
     "w11_mmr_rerank" -> (w11 _),
     "w09_rocchio_prf" -> (w09 _),
     "k07_quantile_sketch" -> (k07 _),
@@ -1021,6 +1097,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w12_postings_varint" -> w12Sql,
     "w11_mmr_rerank" -> w11Sql,
     "w09_rocchio_prf" -> w09Sql,
     "k07_quantile_sketch" -> k07Sql,

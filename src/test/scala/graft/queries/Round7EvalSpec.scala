@@ -121,6 +121,43 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("w12: varint accounting compresses and the total row reconciles") {
+    val r = SearchQueries.queries("w12_postings_varint")(spark, dir).collect()
+    val (total, terms) = r.partition(_.getAs[String]("term") == "*")
+    assert(total.length == 1 && terms.nonEmpty)
+    // gap coding never exceeds the raw 8-byte-per-id layout
+    terms.foreach { t =>
+      assert(t.getAs[Long]("vb_bytes") <= t.getAs[Long]("raw_bytes"))
+      assert(t.getAs[Long]("vb_bytes") >= t.getAs[Long]("df"),
+        "varint needs at least one byte per posting")
+    }
+    // the '*' row is the exact column sum of the term rows
+    assert(total.head.getAs[Long]("vb_bytes") ==
+      terms.map(_.getAs[Long]("vb_bytes")).sum)
+    assert(total.head.getAs[Long]("df") == terms.map(_.getAs[Long]("df")).sum)
+    // frequent terms (dense postings, small gaps) must compress > 2x
+    assert(total.head.getAs[Float]("ratio") > 2.0f,
+      s"corpus ratio ${total.head.getAs[Float]("ratio")} suspiciously low")
+  }
+
+  test("a33: Benford screen — fractions normalize, MAD matches deviations") {
+    val r = MiscQueries.queries("a33_benford_digits")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("ch")).foreach { case (ch, rows) =>
+      assert(rows.map(_.getAs[Long]("digit")).toSet.subsetOf((1L to 9L).toSet))
+      val fr = rows.map(_.getAs[Float]("frac").toDouble).sum
+      assert(math.abs(fr - 1.0) < 1e-4, s"$ch fractions sum to $fr")
+      // MAD column = mean of the per-digit deviations (integer div by 9)
+      val mad = rows.head.getAs[Long]("mad_micro")
+      assert(mad == rows.map(_.getAs[Long]("dev_micro")).sum / 9,
+        s"$ch MAD does not reconcile")
+      assert(rows.forall(_.getAs[Long]("mad_micro") == mad))
+    }
+    // expectation column really is Benford: digit 1 ~ 30.1%
+    val d1 = r.find(_.getAs[Long]("digit") == 1L).get.getAs[Float]("expected")
+    assert(math.abs(d1 - 0.30103f) < 1e-5f)
+  }
+
   test("g13+g14: graph family shares one edge-derivation convention") {
     // cheap structural guard: the SCC classifier and the modularity
     // trajectory must both run without touching more than their input
