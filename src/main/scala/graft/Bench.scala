@@ -51,13 +51,20 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
       if (java.nio.file.Files.exists(p)) {
         val prior = java.nio.file.Files.readString(p)
-        val pat = """"([a-z0-9_]+)":([0-9.Ee+-]+)""".r
-        val priorQ = pat.findAllMatchIn(prior)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ratios = results.collect {
-          case (k, v) if priorQ.get(k).exists(_ > 1e-9) => v / priorQ(k)
-        }.sorted
-        if (ratios.size >= 10) Some(ratios(ratios.size / 2)) else None
+        // per-query ratios are only meaningful against a baseline taken
+        // at the SAME scale factor — a dev run at sf0.001 must not make
+        // the driver's sf0.1 run stamp a bogus 3-5x "load"
+        val priorSf = """"sf":"([^"]+)"""".r
+          .findFirstMatchIn(prior).map(_.group(1))
+        if (priorSf.contains(sfDir)) {
+          val pat = """"([a-z0-9_]+)":([0-9.Ee+-]+)""".r
+          val priorQ = pat.findAllMatchIn(prior)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ratios = results.collect {
+            case (k, v) if priorQ.get(k).exists(_ > 1e-9) => v / priorQ(k)
+          }.sorted
+          if (ratios.size >= 10) Some(ratios(ratios.size / 2)) else None
+        } else None
       } else None
     } catch { case _: Throwable => None }
     val lfField = loadFactor
@@ -70,9 +77,10 @@ object Bench {
     // FINAL stdout line is a compact totals-only `BENCH_JSON ` marker
     // that is guaranteed to survive the tail and parse.
     println(json)
-    // subset runs (SPARK_GRAFT_ONLY) must not clobber the committed
-    // full-suite quiet baseline that load_factor compares against
-    if (only.isEmpty) try {
+    // subset runs (SPARK_GRAFT_ONLY) and dev runs at other scale
+    // factors must not clobber the committed full-suite sf0.1 quiet
+    // baseline that the driver's load_factor compares against
+    if (only.isEmpty && sfDir.endsWith("sf0.1")) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
