@@ -18,6 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
+      new FunctionIdentifier("pcm_decode"),
+      new ExpressionInfo(classOf[PcmDecode].getName, "pcm_decode"),
+      GraftFunctions.pcmDecodeBuilder))
+    ext.injectFunction((
       new FunctionIdentifier("delta_r"),
       new ExpressionInfo(classOf[DeltaRExpr].getName, "delta_r"),
       GraftFunctions.deltaRBuilder))

@@ -114,6 +114,11 @@ object GraftFunctions {
     PhashHash(children(0))
   }
 
+  val pcmDecodeBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "pcm_decode(blob)")
+    PcmDecode(children(0))
+  }
+
   val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "jaro_winkler(a, b)")
     JaroWinklerExpr(children(0), children(1))
@@ -202,5 +207,9 @@ object GraftFunctions {
       new FunctionIdentifier("phash_hash"),
       new ExpressionInfo(classOf[PhashHash].getName, "phash_hash"),
       phashHashBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("pcm_decode"),
+      new ExpressionInfo(classOf[PcmDecode].getName, "pcm_decode"),
+      pcmDecodeBuilder)
   }
 }

@@ -401,17 +401,19 @@ object MultimodalQueries extends QueryFamily {
     * The localCheckpoint is the inline barrier; at cluster scale it is
     * the materialized decode output every media pipeline persists. */
   private def pcmSamples(s: SparkSession, dir: String, minBytes: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
     val nb = "octet_length(encode(text, 'UTF-8'))"
-    val raw = s"(CAST(conv(substring(hx, i * 4 - 3, 2), 16, 10) AS BIGINT)" +
-      s" + 256 * CAST(conv(substring(hx, i * 4 - 1, 2), 16, 10) AS BIGINT))"
-    val samples = s"transform(sequence(1, CAST(nbv div 2 AS INT)), " +
-      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    // native pcm_decode (plans/PcmDecode.scala): a codegen'd tight loop
+    // over the raw bytes. The previous spelling walked a hex-string
+    // view with substring+conv per SAMPLE inside a higher-order
+    // transform — interpreted, 2x the bytes, ~3.7 s of x11's sf0.1
+    // runtime; the native decode removes that entirely. The DuckDB
+    // oracle keeps the hex spelling — the contract is the value.
     d.filter(expr(nb) >= minBytes)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), expr(hexSpark).as("hx"), expr(nb).as("nbv"))
-      .localCheckpoint()
-      .select(col("doc_id"), expr(samples).as("smp"))
+      .select(col("doc_id"),
+        expr("pcm_decode(encode(text, 'UTF-8'))").as("smp"))
       .localCheckpoint()
   }
   private def x08(s: SparkSession, dir: String): DataFrame = {
@@ -561,11 +563,11 @@ object MultimodalQueries extends QueryFamily {
   // whose matched hashes agree on ONE time offset. Engine model over
   // the x08 PCM view: 8-sample frames (docs are short — median ~150
   // samples), per-frame peak band =
-  // |peak| mod 64 (the LOW bits — ASCII-derived PCM concentrates its
+  // |peak| mod 1024 (the LOW bits — ASCII-derived PCM concentrates its
   // variation there; a magnitude band div 2048 carried so little
   // entropy that only 4/58 clips self-matched. peak is non-negative,
   // so mod and pmod agree across engines), anchor→target pairs with
-  // fan-out Δt ∈ {1,2,3}, hash = (band_a·64 + band_b)·4 + Δt. Query
+  // fan-out Δt ∈ {1,2,3}, hash = (band_a·1024 + band_b)·4 + Δt. Query
   // clips are the same corpus minus its first two frames (every 5th
   // doc), so ground truth is the source doc and the expected offset is
   // exactly 2 — the is_self/offset columns make the query its own
@@ -575,37 +577,56 @@ object MultimodalQueries extends QueryFamily {
   // constellation build is one scan (array HOFs, no explode until the
   // ≤nf-row frame table), pair generation is a per-doc self-join on the
   // doc key (frames per doc are bounded by clip length, never corpus
-  // size), and the match is a HASH-keyed equi-join (16384 distinct
-  // hashes here; 2^30+ with real spectral bands) followed by a
+  // size), and the match is a HASH-keyed equi-join (~4.2M distinct
+  // hashes here — sized so the per-hash bucket product stays O(1):
+  // a 16k space put ~250 track x ~50 clip pairs in every bucket and
+  // the vote join emitted ~200M rows (70 s at sf0.1); at 4.2M the
+  // join output is linear in the fingerprint count; 2^30+ with real spectral bands) followed by a
   // (clip, track, offset) vote count — map-side combined — and a
   // per-clip rank-1 window. No pairwise clip×track comparison ever
   // happens; the hash join IS the candidate gate. All arithmetic is
   // integer end-to-end.
   private def x11(s: SparkSession, dir: String): DataFrame = {
+    // bands stays an ARRAY column end-to-end: pair generation walks the
+    // array with nested transforms (LINEAR in frames ×3 fan-outs) and
+    // explodes the finished fingerprints ONCE. The first cut exploded
+    // frames to rows and self-joined per doc — that materializes f²
+    // candidates per doc before the Δt filter (1.8B rows at sf0.1).
     val pk = pcmSamples(s, dir, minBytes = 64)
       .select(col("doc_id"), expr(
         "transform(sequence(1, CAST(size(smp) div 8 AS INT)), " +
           "j -> pmod(array_max(transform(slice(smp, (j - 1) * 8 + 1, 8), " +
-          "v -> abs(v))), 64L))").as("bands"))
-      .select(col("doc_id"), posexplode(col("bands")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"),
-        col("col").as("band"))
+          "v -> abs(v))), 1024L))").as("bands"))
       .localCheckpoint() // feeds track fingerprints AND clip fingerprints
-    def pairs(src: DataFrame, id: String, t: String): DataFrame = {
-      val a = src.select(col("doc_id"), col("j").as("ja"), col("band").as("ba"))
-      val b = src.select(col("doc_id"), col("j").as("jb"), col("band").as("bb"))
-      a.join(b, Seq("doc_id"))
-        .filter(col("jb") > col("ja") && col("jb") - col("ja") <= 3)
-        .select(col("doc_id").as(id),
-          ((col("ba") * 64 + col("bb")) * 4 + (col("jb") - col("ja")))
-            .as("fhash"),
-          col("ja").as(t))
-    }
-    val tfp = pairs(pk, "track_id", "t1")
+    // sequence(1, 0) DESCENDS instead of being empty (the x08 gotcha),
+    // so the j range is clamped to >=1 and re-filtered against the
+    // actual bound before any element_at touches the array
+    def pairs(src: DataFrame, id: String, t: String): DataFrame =
+      src.select(col("doc_id").as(id), explode(expr(
+        "flatten(transform(sequence(1, 3), dt -> " +
+          "transform(filter(sequence(1, greatest(size(bands) - dt, 1)), " +
+          "j -> j + dt <= size(bands)), " +
+          "j -> struct(CAST(j AS BIGINT) AS t, " +
+          "(element_at(bands, j) * 1024 + element_at(bands, j + dt)) * 4 " +
+          "+ CAST(dt AS BIGINT) AS fhash))))")).as("fp"))
+        .select(col(id), col("fp.fhash").as("fhash"), col("fp.t").as(t))
+    val tfp0 = pairs(pk, "track_id", "t1").localCheckpoint()
+    // hot-hash suppression (the champion-list / stop-word discipline):
+    // the ASCII-derived band distribution is skewed, so a few hashes
+    // carry thousands of track postings and the vote join degenerates
+    // to their cross product (10.5M vote cells before the gate). A hash
+    // with > 64 track postings carries ~no identification power — drop
+    // it from BOTH sides. Keyed by fhash, the same shuffle key the
+    // match join uses; the gate costs one aggregate on that key.
+    val hot = tfp0.groupBy(col("fhash")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 64).select(col("fhash"))
+    val tfp = tfp0.join(hot, Seq("fhash"), "left_anti")
     val cfp = pairs(
-      pk.filter(col("doc_id") % 5 === 0 && col("j") >= 3)
-        .select(col("doc_id"), (col("j") - 2).as("j"), col("band")),
+      pk.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          expr("slice(bands, 3, greatest(size(bands) - 2, 0))").as("bands")),
       "clip_id", "tc")
+      .join(hot, Seq("fhash"), "left_anti")
     val votes = cfp.join(tfp, Seq("fhash"))
       .groupBy(col("clip_id"), col("track_id"),
         (col("t1") - col("tc")).as("t_offset"))
@@ -634,7 +655,7 @@ object MultimodalQueries extends QueryFamily {
        | SELECT doc_id,
        |  list_transform(generate_series(1, CAST(len(smp) // 8 AS BIGINT)),
        |   j -> list_max(list_transform(
-       |     smp[(j - 1) * 8 + 1 : (j - 1) * 8 + 8], v -> abs(v))) % 64)
+       |     smp[(j - 1) * 8 + 1 : (j - 1) * 8 + 8], v -> abs(v))) % 1024)
        |   AS bands
        | FROM smpt),
        |pk AS (
@@ -642,21 +663,27 @@ object MultimodalQueries extends QueryFamily {
        | FROM bandt, unnest(generate_series(1, len(bands))) AS u(j)),
        |tfp AS (
        | SELECT a.doc_id AS track_id,
-       |  (a.band * 64 + b.band) * 4 + (b.j - a.j) AS fhash, a.j AS t1
+       |  (a.band * 1024 + b.band) * 4 + (b.j - a.j) AS fhash, a.j AS t1
        | FROM pk a JOIN pk b ON a.doc_id = b.doc_id
        |  AND b.j > a.j AND b.j - a.j <= 3),
+       |hot AS (
+       | SELECT fhash FROM tfp GROUP BY fhash HAVING COUNT(*) > 64),
+       |tfp2 AS (
+       | SELECT * FROM tfp WHERE fhash NOT IN (SELECT fhash FROM hot)),
        |cpk AS (
        | SELECT doc_id, j - 2 AS j, band FROM pk
        | WHERE doc_id % 5 = 0 AND j >= 3),
        |cfp AS (
        | SELECT a.doc_id AS clip_id,
-       |  (a.band * 64 + b.band) * 4 + (b.j - a.j) AS fhash, a.j AS tc
+       |  (a.band * 1024 + b.band) * 4 + (b.j - a.j) AS fhash, a.j AS tc
        | FROM cpk a JOIN cpk b ON a.doc_id = b.doc_id
        |  AND b.j > a.j AND b.j - a.j <= 3),
+       |cfp2 AS (
+       | SELECT * FROM cfp WHERE fhash NOT IN (SELECT fhash FROM hot)),
        |votes AS (
        | SELECT c.clip_id, t.track_id, t.t1 - c.tc AS t_offset,
        |  COUNT(*) AS votes
-       | FROM cfp c JOIN tfp t USING (fhash)
+       | FROM cfp2 c JOIN tfp2 t USING (fhash)
        | GROUP BY 1, 2, 3),
        |ranked AS (
        | SELECT *, ROW_NUMBER() OVER (PARTITION BY clip_id
