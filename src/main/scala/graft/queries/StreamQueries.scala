@@ -2,6 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.streaming.Streams
 
@@ -363,7 +364,85 @@ object StreamQueries extends QueryFamily {
        | ON pt >= x_low AND pt < x_high AND abseta >= y_low AND abseta < y_high
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- n13: watermark-delay audit -------------------------------------------
+  // The sizing pass every Structured Streaming deployment needs before
+  // picking `withWatermark(delay)`: replay the stream in a
+  // DETERMINISTIC simulated arrival order (an LCG hash — events arrive
+  // shuffled relative to event time, the disorder a watermark exists
+  // to absorb), track the running max event time, and for each delay
+  // candidate count the rows that would have been DROPPED (event time
+  // older than watermark at arrival). Also reports the observed
+  // disorder profile (max and p95 arrival lag) — the quantity Spark's
+  // own watermark heuristic is chosen from. The exclusive running max
+  // is the continuous-limit (strictest) form of Spark's per-microbatch
+  // watermark, so the counts are an upper bound on real drops — the
+  // safe direction for capacity planning.
+  //
+  // Scale: ONE window sort keyed by event_type (the per-topic/partition
+  // shape), conditional-sum aggregation for all three delay candidates
+  // in the same pass (the m06 fan-out discipline), exact interpolated
+  // percentile per type (the a23 pairing). No collect, no global
+  // window, integer nanoseconds end-to-end until the final ms casts.
+  private val wmDelaysNs: Seq[Long] =
+    Seq(60L * 1000000000L, 300L * 1000000000L, 900L * 1000000000L)
+  private def n13(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_type"), col("ts"),
+        // arrival = event time + a bounded LCG transport delay (< 30
+        // min) — the realistic disorder model; a full shuffle would
+        // make every row late at any delay and the audit degenerate
+        (col("ts") + expr("(user_id * 2654435761 " +
+          "+ CAST(floor(value * 1000) AS BIGINT)) % 1800000000000"))
+          .as("arr"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("arr").asc, col("ts").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lagged = ev
+      .withColumn("wm_ns", max(col("ts")).over(w)) // exclusive running max
+      .withColumn("lag_ns",
+        greatest(coalesce(col("wm_ns") - col("ts"), lit(0L)), lit(0L)))
+    lagged.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("lag_ns")) / lit(1000000L)).cast("long").as("max_lag_ms"),
+        expr("CAST(floor(percentile(lag_ns, CAST(0.95 AS DOUBLE)) / 1e6) AS BIGINT)")
+          .as("p95_lag_ms"),
+        org.apache.spark.sql.functions.sum(
+          when(col("lag_ns") > lit(wmDelaysNs(0)), 1L).otherwise(0L)).as("late_1m"),
+        org.apache.spark.sql.functions.sum(
+          when(col("lag_ns") > lit(wmDelaysNs(1)), 1L).otherwise(0L)).as("late_5m"),
+        org.apache.spark.sql.functions.sum(
+          when(col("lag_ns") > lit(wmDelaysNs(2)), 1L).otherwise(0L)).as("late_15m"))
+      .orderBy(col("event_type"))
+  }
+  private val n13Sql =
+    s"""WITH ev AS (
+       | SELECT event_type, epoch_ns(ts) AS ts,
+       |  epoch_ns(ts) + (user_id * 2654435761
+       |    + CAST(floor(value * 1000) AS BIGINT)) % 1800000000000 AS arr
+       | FROM events),
+       |lagged AS (
+       | SELECT event_type,
+       |  GREATEST(COALESCE(MAX(ts) OVER (PARTITION BY event_type
+       |    ORDER BY arr ASC, ts ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - ts, 0), 0)
+       |   AS lag_ns
+       | FROM ev)
+       |SELECT event_type,
+       | COUNT(*) AS n_events,
+       | CAST(MAX(lag_ns) // 1000000 AS BIGINT) AS max_lag_ms,
+       | CAST(FLOOR(quantile_cont(lag_ns, CAST(0.95 AS DOUBLE)) / 1e6) AS BIGINT)
+       |   AS p95_lag_ms,
+       | CAST(SUM(CASE WHEN lag_ns > ${wmDelaysNs(0)} THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS late_1m,
+       | CAST(SUM(CASE WHEN lag_ns > ${wmDelaysNs(1)} THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS late_5m,
+       | CAST(SUM(CASE WHEN lag_ns > ${wmDelaysNs(2)} THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS late_15m
+       |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n13_watermark_audit" -> (n13 _),
     "n12_stream_root_sf" -> (n12 _),
     "n11_stream_topk" -> (n11 _),
     "n10_stream_hopping" -> (n10 _),
@@ -379,6 +458,7 @@ object StreamQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "n13_watermark_audit" -> n13Sql,
     "n12_stream_root_sf" -> n12Sql,
     "n10_stream_hopping" -> n10Sql,
     "n09_stream_running_totals" -> n09Sql,

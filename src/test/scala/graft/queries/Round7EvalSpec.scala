@@ -158,6 +158,23 @@ class Round7EvalSpec extends SparkSpec {
     assert(math.abs(d1 - 0.30103f) < 1e-5f)
   }
 
+  test("n13: watermark audit orders by delay and bounds by disorder") {
+    val r = StreamQueries.queries("n13_watermark_audit")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (l1, l5, l15) = (row.getAs[Long]("late_1m"),
+        row.getAs[Long]("late_5m"), row.getAs[Long]("late_15m"))
+      // a longer delay never drops more rows
+      assert(l1 >= l5 && l5 >= l15, s"late counts not monotone: $l1 $l5 $l15")
+      assert(l1 <= row.getAs[Long]("n_events"))
+      val maxLag = row.getAs[Long]("max_lag_ms")
+      assert(row.getAs[Long]("p95_lag_ms") <= maxLag)
+      // if the observed disorder never exceeds a delay, nothing is late
+      if (maxLag <= 900000L) assert(l15 == 0L)
+      if (maxLag <= 60000L) assert(l1 == 0L)
+    }
+  }
+
   test("g13+g14: graph family shares one edge-derivation convention") {
     // cheap structural guard: the SCC classifier and the modularity
     // trajectory must both run without touching more than their input
