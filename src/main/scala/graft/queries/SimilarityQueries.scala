@@ -917,7 +917,104 @@ object SimilarityQueries extends QueryFamily {
        |FROM negs WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---- v13: filtered ANN — pre-filter vs post-filter -----------------------
+  // The metadata-filtered vector search every production vector store
+  // has to get right (and most get wrong): searching "nearest neighbors
+  // WHERE label = X" admits two plans — PRE-filter (exact top-k over
+  // the predicate-satisfying pool; correct, needs filter pushdown into
+  // the index scan) and POST-filter (global top-k, then apply the
+  // predicate; cheap, silently returns < k and misses matches the
+  // global ranking crowded out). This query quantifies the gap on the
+  // self-label predicate (~10% selectivity): per query, the filtered
+  // pool size, the post-filter survivor count, the overlap with the
+  // true filtered top-k, and recall — the number that justifies
+  // building filter-aware index scans before a 100 TB deployment.
+  //
+  // Scale design: ONE scored candidate join (query side is the tiny
+  // nQueries broadcast, the corpus side streams), checkpointed; both
+  // rankings are q_id-partitioned windows over it; the summary is one
+  // small keyed aggregate. Recall is exact integer arithmetic
+  // (micro-quantized ratio of integer counts).
+  private def v13(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(s, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("label").as("q_label"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("norm").as("c_norm"), col("label").as("c_label"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("cos",
+        (expr("array_dot(q_emb, c_emb)") / (col("q_norm") * col("c_norm")))
+          .cast("float"))
+      .select(col("q_id"), col("c_id"), col("cos"),
+        (col("c_label") === col("q_label")).as("match"))
+      .localCheckpoint() // feeds BOTH rankings and the pool count
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val pre = scored.filter(col("match"))
+      .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= topK)
+      .select(col("q_id"), col("c_id"))
+    val post = scored
+      .withColumn("rank", row_number().over(wQ)).filter(col("rank") <= topK)
+      .filter(col("match"))
+      .select(col("q_id"), col("c_id"))
+    val pool = scored.filter(col("match"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_pool"))
+    val hits = pre.join(post, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val nPost = post.groupBy(col("q_id")).agg(count(lit(1)).as("n_post"))
+    pool
+      .join(nPost, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_pool"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        expr(s"CAST(floor(1e6 * coalesce(hits, 0) / least($topK, n_pool)) AS BIGINT)")
+          .as("recall_micro"))
+      .orderBy(col("q_id"))
+  }
+  private val v13Sql = {
+    val cos = s"CAST(${dotDuck("q.embedding", "c.embedding")} / " +
+      s"(SQRT(${dotDuck("q.embedding", "q.embedding")}) * " +
+      s"SQRT(${dotDuck("c.embedding", "c.embedding")})) AS REAL)"
+    s"""WITH scored AS (
+       | SELECT q.vec_id AS q_id, c.vec_id AS c_id, $cos AS cos,
+       |  c.label = q.label AS match
+       | FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       | WHERE q.vec_id < $nQueries),
+       |pre AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id ASC) AS rank
+       |  FROM scored WHERE match)
+       | WHERE rank <= $topK),
+       |post AS (
+       | SELECT q_id, c_id FROM (
+       |  SELECT q_id, c_id, match, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id ASC) AS rank
+       |  FROM scored)
+       | WHERE rank <= $topK AND match),
+       |pool AS (
+       | SELECT q_id, COUNT(*) AS n_pool FROM scored WHERE match GROUP BY 1),
+       |hits AS (
+       | SELECT p.q_id, COUNT(*) AS hits FROM pre p
+       | WHERE EXISTS (SELECT 1 FROM post o
+       |               WHERE o.q_id = p.q_id AND o.c_id = p.c_id)
+       | GROUP BY 1),
+       |np AS (SELECT q_id, COUNT(*) AS n_post FROM post GROUP BY 1)
+       |SELECT pool.q_id, pool.n_pool,
+       | CAST(COALESCE(np.n_post, 0) AS BIGINT) AS n_post,
+       | CAST(COALESCE(hits.hits, 0) AS BIGINT) AS hits,
+       | CAST(FLOOR(1e6 * COALESCE(hits.hits, 0)
+       |      / LEAST($topK, pool.n_pool)) AS BIGINT) AS recall_micro
+       |FROM pool
+       |LEFT JOIN np ON np.q_id = pool.q_id
+       |LEFT JOIN hits ON hits.q_id = pool.q_id
+       |ORDER BY pool.q_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_filtered_ann" -> (v13 _),
     "v12_hard_negatives" -> (v12 _),
     "v10_pq_rerank" -> (v10 _),
     "v11_mips_lsh" -> (v11 _),
@@ -934,6 +1031,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v13_filtered_ann" -> v13Sql,
     "v12_hard_negatives" -> v12Sql,
     "v10_pq_rerank" -> v10Sql,
     "v11_mips_lsh" -> v11Sql,

@@ -471,6 +471,67 @@ object TextQueries extends QueryFamily {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t37: tokenizer fertility by language ---------------------------------
+  // The tokenizer-evaluation metric multilingual pipelines report
+  // (fertility = subword tokens per word, bytes per token; e.g. the
+  // XLM-R / NLLB tokenizer audits): a tokenizer trained on one
+  // distribution pays a fertility premium on others, which inflates
+  // effective sequence length and training cost per document. Applies
+  // t26's frozen 64-merge BPE vocabulary VERBATIM (same literal merge
+  // list in both engines) and aggregates per `lang` instead of per doc.
+  //
+  // Scale design: identical to t26 — the encode chain runs once per
+  // DISTINCT word (vocab-sized), counts re-attach via a broadcast
+  // join, and the per-language rollup is a map-side-combined aggregate
+  // over integers; the ratios are single divisions micro-quantized at
+  // the output edge.
+  private def t37(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.BpeTrainer
+    val d = rd(s, dir, "documents")
+    val words = d
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("w0", expr("regexp_replace(word, '(.)', '|$1|')"))
+      .withColumn("tok", expr(BpeTrainer.applySqlExpr("w0", bpeMerges)))
+      .select(col("word"),
+        expr("size(split(trim(BOTH '|' FROM tok), '\\\\|\\\\|'))")
+          .cast("long").as("nt"))
+    words.join(broadcast(vocab), "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_bytes"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bytes"), col("n_tokens"),
+        expr("CAST(floor(1e6 * n_tokens / n_words) AS BIGINT)")
+          .as("fertility_micro"),
+        expr("CAST(floor(1e6 * n_bytes / n_tokens) AS BIGINT)")
+          .as("bytes_per_token_micro"))
+      .orderBy(col("lang"))
+  }
+  private val t37Sql = {
+    val chain = graft.text.BpeTrainer.applySqlExpr("w0", bpeMerges)
+    s"""WITH words AS (
+       | SELECT lang, word FROM (
+       |  SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents)
+       | WHERE LENGTH(word) > 0),
+       |vocab AS (SELECT DISTINCT word FROM words),
+       |wrapped AS (
+       | SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS w0 FROM vocab),
+       |tok AS (SELECT word, $chain AS tok FROM wrapped),
+       |cnt AS (
+       | SELECT word, len(string_split(trim(tok, '|'), '||')) AS nt FROM tok)
+       |SELECT lang,
+       | COUNT(*) AS n_words,
+       | CAST(SUM(LENGTH(word)) AS BIGINT) AS n_bytes,
+       | CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       | CAST(FLOOR(1e6 * SUM(nt) / COUNT(*)) AS BIGINT) AS fertility_micro,
+       | CAST(FLOOR(1e6 * SUM(LENGTH(word)) / SUM(nt)) AS BIGINT)
+       |   AS bytes_per_token_micro
+       |FROM words JOIN cnt USING (word)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---- t18: per-document TF-IDF top terms ----------------------------------
   // The classic keyword-extraction reduction: explode (doc, term),
   // aggregate term frequency per doc, join the corpus document
@@ -1279,6 +1340,7 @@ object TextQueries extends QueryFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t36_heaps_law" -> (t36 _),
+    "t37_tokenizer_fertility" -> (t37 _),
     "t34_weighted_sample" -> (t34 _),
     "t33_gopher_coverage" -> (t33 _),
     "t32_html_extract" -> (t32 _),
@@ -1308,6 +1370,7 @@ object TextQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "t36_heaps_law" -> t36Sql,
+    "t37_tokenizer_fertility" -> t37Sql,
     "t34_weighted_sample" -> t34Sql,
     "t33_gopher_coverage" -> t33Sql,
     "t32_html_extract" -> t32Sql,

@@ -158,6 +158,37 @@ class Round7EvalSpec extends SparkSpec {
     assert(math.abs(d1 - 0.30103f) < 1e-5f)
   }
 
+  test("v13: filtered ANN — post-filter is a strict subset and loses recall") {
+    val r = SimilarityQueries.queries("v13_filtered_ann")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (pool, nPost, hits) = (row.getAs[Long]("n_pool"),
+        row.getAs[Long]("n_post"), row.getAs[Long]("hits"))
+      assert(hits <= nPost && nPost <= 10L, s"hits $hits post $nPost")
+      assert(hits <= math.min(10L, pool))
+      assert(row.getAs[Long]("recall_micro") ==
+        math.floor(1e6 * hits / math.min(10L, pool)).toLong)
+    }
+    // the point of the operator: post-filtering a ~10%-selective
+    // predicate cannot reach pre-filter recall on every query
+    assert(r.map(_.getAs[Long]("recall_micro")).min < 1000000L,
+      "post-filter recall suspiciously perfect")
+  }
+
+  test("t37: fertility is >= 1 token/word and <= the character bound") {
+    val r = TextQueries.queries("t37_tokenizer_fertility")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (w, b, t) = (row.getAs[Long]("n_words"), row.getAs[Long]("n_bytes"),
+        row.getAs[Long]("n_tokens"))
+      // every word is at least one token, at most one token per char
+      assert(t >= w && t <= b, s"token count $t outside [$w, $b]")
+      assert(row.getAs[Long]("fertility_micro") >= 1000000L)
+      // a BPE token is at least one byte
+      assert(row.getAs[Long]("bytes_per_token_micro") >= 1000000L)
+    }
+  }
+
   test("n13: watermark audit orders by delay and bounds by disorder") {
     val r = StreamQueries.queries("n13_watermark_audit")(spark, dir).collect()
     assert(r.nonEmpty)
