@@ -914,7 +914,80 @@ object RelationalQueries extends QueryFamily {
       | SELECT 'min_row_count', n_rows, n_rows >= 1000 FROM a)
       |ORDER BY check_name""".stripMargin
 
+  // ---- r17: FIFO lot matching (cumulative-interval overlap) -----------------
+  // The allocation problem behind COGS/inventory accounting, payment
+  // application and queue draining: consume supply lots in FIFO order
+  // against demands in FIFO order, splitting lots as needed. The
+  // classic relational solution (vs a per-key UDF loop): give every
+  // supply lot its cumulative-quantity interval [cum−q, cum) and every
+  // demand likewise; a lot funds a demand exactly where the intervals
+  // OVERLAP, and the matched quantity is the overlap length —
+  // matching becomes a per-key self-join with a range predicate, no
+  // iteration at all. Supplies = 'N' lineitems in l_shipdate order,
+  // demands = 'R' lineitems, per part.
+  //
+  // Scale design: two part-keyed cumulative windows (the one shuffle
+  // inventory data already needs), then a PART-KEYED equi-join with
+  // the range overlap as a residual predicate — never a cross join;
+  // per-part lot counts bound the join fan-out. Quantities are exact
+  // integers (l_quantity is integral in the synthetic data, summed as
+  // longs), so overlap arithmetic is order-free.
+  private def r17(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    def lots(flag: String, pfx: String) = {
+      // explicit ROWS frame: the default RANGE frame sums full-key ties
+      // together, which would diverge from the oracle's ROWS spelling if
+      // two rows ever tie on all four sort keys
+      val w = Window.partitionBy(col("pk"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc, col("l_extendedprice").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.filter(col("l_returnflag") === flag)
+        .select(col("l_partkey").as("pk"),
+          expr("CAST(l_quantity AS BIGINT)").as("q"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
+        .withColumn("cum", sum(col("q")).over(w))
+        .select(col("pk"), col("q").as(s"${pfx}_q"),
+          (col("cum") - col("q")).as(s"${pfx}_lo"),
+          col("cum").as(s"${pfx}_hi"))
+    }
+    val sup = lots("N", "s")
+    val dem = lots("R", "d")
+    val matched = sup.join(dem, Seq("pk"))
+      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(col("pk"),
+        (least(col("s_hi"), col("d_hi")) -
+          greatest(col("s_lo"), col("d_lo"))).as("mq"))
+    matched.groupBy(col("pk"))
+      .agg(count(lit(1)).as("n_splits"),
+        org.apache.spark.sql.functions.sum(col("mq")).as("matched_qty"))
+      .orderBy(col("pk"))
+  }
+  private val r17Sql = {
+    def lots(flag: String) =
+      s"""SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+         |    PARTITION BY l_partkey
+         |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC,
+         |             l_extendedprice ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS cum
+         | FROM lineitem WHERE l_returnflag = '$flag'"""
+    s"""WITH sup AS (
+       | SELECT pk, q AS s_q, cum - q AS s_lo, cum AS s_hi FROM (${lots("N")})),
+       |dem AS (
+       | SELECT pk, q AS d_q, cum - q AS d_lo, cum AS d_hi FROM (${lots("R")}))
+       |SELECT s.pk, COUNT(*) AS n_splits,
+       | CAST(SUM(LEAST(s.s_hi, d.d_hi) - GREATEST(s.s_lo, d.d_lo)) AS BIGINT)
+       |   AS matched_qty
+       |FROM sup s JOIN dem d ON s.pk = d.pk
+       | AND s.s_lo < d.d_hi AND d.d_lo < s.s_hi
+       |GROUP BY s.pk ORDER BY s.pk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r17_fifo_lots" -> (r17 _),
     "a32_expectations" -> (a32 _),
     "a27_column_profile" -> (a27 _),
     "a28_native_topk" -> (a28 _),
@@ -952,6 +1025,7 @@ object RelationalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "r17_fifo_lots" -> r17Sql,
     "a32_expectations" -> a32Sql,
     "a27_column_profile" -> a27Sql,
     "a28_native_topk" -> a28Sql,

@@ -175,6 +175,31 @@ class Round7EvalSpec extends SparkSpec {
       "post-filter recall suspiciously perfect")
   }
 
+  test("r17: FIFO matching conserves quantity exactly") {
+    val r = RelationalQueries.queries("r17_fifo_lots")(spark, dir).collect()
+      .map(x => x.getAs[Long]("pk") ->
+        (x.getAs[Long]("n_splits"), x.getAs[Long]("matched_qty"))).toMap
+    assert(r.nonEmpty)
+    // ground truth: matched qty per part == min(total supply, total demand)
+    val totals = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_returnflag").isin("N", "R"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        sum(when(col("l_returnflag") === "N",
+          expr("CAST(l_quantity AS BIGINT)")).otherwise(0L)).as("sup"),
+        sum(when(col("l_returnflag") === "R",
+          expr("CAST(l_quantity AS BIGINT)")).otherwise(0L)).as("dem"))
+      .collect()
+    totals.foreach { t =>
+      val pk = t.getAs[Long]("l_partkey")
+      val expect = math.min(t.getAs[Long]("sup"), t.getAs[Long]("dem"))
+      val got = r.get(pk).map(_._2).getOrElse(0L)
+      assert(got == expect, s"part $pk: matched $got != min(sup,dem) $expect")
+    }
+    // splitting happens: some lot funds several demands
+    assert(r.values.exists(_._1 > 1L), "expected at least one split lot")
+  }
+
   test("t37: fertility is >= 1 token/word and <= the character bound") {
     val r = TextQueries.queries("t37_tokenizer_fertility")(spark, dir).collect()
     assert(r.nonEmpty)
