@@ -1249,7 +1249,113 @@ object DedupQueries extends QueryFamily {
        |FROM hits GROUP BY doc_id, grp
        |ORDER BY doc_id, span_start""".stripMargin
 
+  // ---- d25: LSH gate recall/precision eval ----------------------------------
+  // The measurement half of candidate-gated dedup — v08's role for the
+  // d-family: empirical recall of d02's 12-band minhash gate per exact-
+  // Jaccard decile, against the closed-form expectation
+  // 1 − (1−j)^12. Ground truth is the bucket-gated EXACT all-pairs set
+  // (the operator's own domain — the bucket gate is deterministic
+  // policy; this isolates the minhash probabilistic loss), run on the
+  // corpus slice the way an index build qualifies its gate before
+  // committing to 100 TB (the v08 sampled-slice rationale; the gate
+  // itself never does this join in production).
+  //
+  // Determinism: jacc and the decile floor are exact doubles (integer
+  // intersection counts, one division); the theory curve avoids POWER()
+  // via three squarings and one multiply — identical IEEE ops on both
+  // engines — and micro-quantizes at the edge.
+  private def d25(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val d = rd(s, dir, "documents")
+    val docs = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(shinglesSpark).as("sh"),
+        (col("n_chars") / 100).cast("long").as("bucket"))
+    val sigs = docs.select(col("doc_id"), col("sh"), col("bucket"),
+      expr(s"minhash_sig(sh, $d02Perms)").as("mh"))
+      .localCheckpoint() // feeds truth pairs AND the band candidates
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    val truth = sigs.select(col("doc_id").as("a_id"), col("bucket"),
+        col("sh").as("a_sh"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("bucket").as("b_bucket"),
+        col("sh").as("b_sh")),
+        col("bucket") === col("b_bucket") && col("a_id") < col("b_id"))
+      .withColumn("jacc", inter / uni)
+      .filter(col("jacc") >= jaccThresh)
+      .select(col("a_id"), col("b_id"),
+        least(floor(col("jacc") * 10), lit(9L)).cast("long").as("jd"))
+      .localCheckpoint() // feeds the decile totals AND the caught join
+    val exploded = sigs.select(col("doc_id"), col("bucket"),
+      posexplode(col("mh")).as(Seq("band_idx", "band_val")))
+    val cand = exploded.select(col("doc_id").as("a_id"), col("bucket"),
+        col("band_idx"), col("band_val"))
+      .join(exploded.select(col("doc_id").as("b_id"),
+        col("bucket").as("b_bucket"), col("band_idx").as("b_idx"),
+        col("band_val").as("b_val")),
+        col("bucket") === col("b_bucket") && col("band_idx") === col("b_idx")
+          && col("band_val") === col("b_val") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val caught = truth.join(cand, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("jd")).agg(count(lit(1)).as("n_caught"))
+    truth.groupBy(col("jd")).agg(count(lit(1)).as("n_truth"))
+      .join(caught, Seq("jd"), "left")
+      .select(col("jd"), col("n_truth"),
+        coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        expr("CAST(floor(1e6 * coalesce(n_caught, 0) / n_truth) AS BIGINT)")
+          .as("recall_micro"),
+        expr("CAST(floor(1e6 * (1.0 - (((1.0 - (jd + 0.5) / 10) * (1.0 - (jd + 0.5) / 10)) " +
+          "* ((1.0 - (jd + 0.5) / 10) * (1.0 - (jd + 0.5) / 10))) " +
+          "* (((1.0 - (jd + 0.5) / 10) * (1.0 - (jd + 0.5) / 10)) " +
+          "* ((1.0 - (jd + 0.5) / 10) * (1.0 - (jd + 0.5) / 10))) " +
+          "* (((1.0 - (jd + 0.5) / 10) * (1.0 - (jd + 0.5) / 10)) " +
+          "* ((1.0 - (jd + 0.5) / 10) * (1.0 - (jd + 0.5) / 10)))) + 0.5) AS BIGINT)")
+          .as("theory_micro"))
+      .orderBy(col("jd"))
+  }
+  private val d25Sql = {
+    val bandSelects = (0 until d02Perms).map { k =>
+      val mhK = s"list_min(list_transform(sh, " +
+        s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))"
+      s"SELECT doc_id, bucket, $k AS band_idx, $mhK AS band_val FROM docs"
+    }.mkString(" UNION ALL ")
+    val q2 = "((1.0 - (tt.jd + 0.5) / 10) * (1.0 - (tt.jd + 0.5) / 10))"
+    val q4 = s"($q2 * $q2)"
+    val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
+      "/ (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))"
+    s"""WITH docs AS (
+       | SELECT doc_id, $shinglesDuck AS sh,
+       |        CAST(n_chars // 100 AS BIGINT) AS bucket
+       | FROM documents),
+       |truth AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(LEAST(FLOOR(($jac) * 10), 9) AS BIGINT) AS jd
+       | FROM docs a JOIN docs b
+       |   ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       | WHERE $jac >= $jaccThresh),
+       |bands AS (BANDS_SQL),
+       |cand AS (
+       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       | FROM bands x JOIN bands y
+       |   ON x.bucket = y.bucket AND x.band_idx = y.band_idx
+       |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+       |caught AS (
+       | SELECT t.jd, COUNT(*) AS n_caught FROM truth t
+       | WHERE EXISTS (SELECT 1 FROM cand c
+       |               WHERE c.a_id = t.a_id AND c.b_id = t.b_id)
+       | GROUP BY 1),
+       |tt AS (SELECT jd, COUNT(*) AS n_truth FROM truth GROUP BY 1)
+       |SELECT tt.jd, tt.n_truth,
+       | CAST(COALESCE(caught.n_caught, 0) AS BIGINT) AS n_caught,
+       | CAST(FLOOR(1e6 * COALESCE(caught.n_caught, 0) / tt.n_truth) AS BIGINT)
+       |   AS recall_micro,
+       | CAST(FLOOR(1e6 * (1.0 - $q4 * $q4 * $q4) + 0.5) AS BIGINT)
+       |   AS theory_micro
+       |FROM tt LEFT JOIN caught ON caught.jd = tt.jd
+       |ORDER BY tt.jd""".stripMargin.replace("BANDS_SQL", bandSelects)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_lsh_recall_eval" -> (d25 _),
     "d24_substring_exact" -> (d24 _),
     "d23_novelty_score" -> (d23 _),
     "d21_source_similarity" -> (d21 _),
@@ -1272,6 +1378,7 @@ object DedupQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "d25_lsh_recall_eval" -> d25Sql,
     "d24_substring_exact" -> d24Sql,
     "d23_novelty_score" -> d23Sql,
     "d21_source_similarity" -> d21Sql,

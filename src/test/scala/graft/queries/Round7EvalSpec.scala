@@ -175,6 +175,22 @@ class Round7EvalSpec extends SparkSpec {
       "post-filter recall suspiciously perfect")
   }
 
+  test("d25: empirical band-gate recall tracks the closed form") {
+    val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_caught") <= row.getAs[Long]("n_truth"))
+      val (emp, theory) = (row.getAs[Long]("recall_micro"),
+        row.getAs[Long]("theory_micro"))
+      assert(emp >= 0L && emp <= 1000000L)
+      // 12 single-row bands at j >= 0.25: theory says >= 96%; the
+      // empirical decile must not collapse far below it (small-sample
+      // slack — deciles can hold a handful of pairs at sf0.001)
+      assert(emp + 200000L >= theory,
+        s"decile ${row.getAs[Long]("jd")}: recall $emp way under theory $theory")
+    }
+  }
+
   test("r17: FIFO matching conserves quantity exactly") {
     val r = RelationalQueries.queries("r17_fifo_lots")(spark, dir).collect()
       .map(x => x.getAs[Long]("pk") ->
