@@ -59,7 +59,7 @@ case class PcmDecode(child: Expression) extends UnaryExpression {
           int $v = ($bytes[2 * $i] & 0xff) | (($bytes[2 * $i + 1] & 0xff) << 8);
           $out[$i] = ($v >= 32768) ? ($v - 65536) : $v;
         }
-        ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
           .fromPrimitiveArray($out);
       """
     })

@@ -1359,6 +1359,85 @@ object MLQueries extends QueryFamily {
        |FROM fanned GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- m25: Poisson-bootstrap confidence interval ---------------------------
+  // The bootstrap that actually runs at 100 TB (Chamandy et al. 2012,
+  // "Estimating Uncertainty for Massive Data Streams" — the Google
+  // Poisson bootstrap): instead of resampling rows (impossible
+  // distributed — you'd need n draws WITH replacement across machines),
+  // each row contributes an independent Poisson(1) weight to each of R
+  // replicas, and the spread of the R replicate means is the sampling
+  // distribution. One corpus scan, R×2 aggregate COLUMNS (no row
+  // fan-out at all), a 32-row stack, and an exact percentile for the
+  // 95% interval. Weights come from a seeded integer LCG through the
+  // Poisson(1) inverse CDF — a micro-long threshold ladder whose
+  // cumulative constants are ONE Scala-computed literal list shared by
+  // both engines — so the entire bootstrap is reproducible
+  // bit-for-bit (the t30 seeded-noise discipline).
+  private val bootR = 32
+  private val poisCum: Seq[Long] = {
+    // cumulative Poisson(1) CDF at k = 0..5, micro-quantized; k >= 6
+    // pools the remaining 0.06% tail
+    val p = (0 to 5).scanLeft(0.0) { (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product.toDouble.max(1.0)
+    }.tail
+    p.map(c => math.floor(c * 1e6 + 0.5).toLong)
+  }
+  private def bootW(r: Int): String = {
+    // operand is non-negative (orderkey >= 0), so plain % is pmod on
+    // both engines — one shared spelling
+    val h = s"(((o_orderkey % 1000003) * 1103515245 + $r * 2654435761) % 1000000)"
+    s"(CASE WHEN $h < ${poisCum(0)} THEN 0 WHEN $h < ${poisCum(1)} THEN 1 " +
+      s"WHEN $h < ${poisCum(2)} THEN 2 WHEN $h < ${poisCum(3)} THEN 3 " +
+      s"WHEN $h < ${poisCum(4)} THEN 4 WHEN $h < ${poisCum(5)} THEN 5 " +
+      s"ELSE 6 END)"
+  }
+  private def m25(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT)").as("xm"))
+    val aggs = (0 until bootR).flatMap { r =>
+      Seq(expr(s"SUM(${bootW(r)} * xm)").as(s"s$r"),
+        expr(s"SUM(${bootW(r)})").as(s"n$r"))
+    } ++ Seq(expr("SUM(xm)").as("sx"), expr("COUNT(*)").as("nx"))
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (0 until bootR)
+      .map(r => s"$r, CAST(s$r AS DOUBLE) / n$r").mkString(", ")
+    val reps = wide.selectExpr("sx", "nx",
+      s"stack($bootR, $stackArgs) AS (rep, mean_m)")
+    reps.groupBy(col("sx"), col("nx"))
+      .agg(
+        expr("percentile(mean_m, CAST(0.025 AS DOUBLE))").as("lo_m"),
+        expr("percentile(mean_m, CAST(0.975 AS DOUBLE))").as("hi_m"),
+        count(lit(1)).as("n_replicas"))
+      .select(col("nx").as("n_rows"), col("n_replicas"),
+        expr("CAST(CAST(sx AS DOUBLE) / nx / 1000.0 AS FLOAT)").as("point_mean"),
+        expr("CAST(lo_m / 1000.0 AS FLOAT)").as("ci_lo"),
+        expr("CAST(hi_m / 1000.0 AS FLOAT)").as("ci_hi"))
+  }
+  private val m25Sql = {
+    val aggs = (0 until bootR).map { r =>
+      s"SUM(${bootW(r)} * xm) AS s$r, SUM(${bootW(r)}) AS n$r"
+    }.mkString(", ")
+    val stackRows = (0 until bootR)
+      .map(r => s"SELECT CAST(s$r AS DOUBLE) / n$r AS mean_m FROM wide")
+      .mkString(" UNION ALL ")
+    s"""WITH o AS (
+       | SELECT o_orderkey,
+       |  CAST(floor(o_totalprice * 1000 + 0.5) AS BIGINT) AS xm
+       | FROM orders),
+       |wide AS (
+       | SELECT $aggs, SUM(xm) AS sx, COUNT(*) AS nx FROM o),
+       |reps AS ($stackRows)
+       |SELECT CAST(wide.nx AS BIGINT) AS n_rows,
+       | CAST($bootR AS BIGINT) AS n_replicas,
+       | CAST(CAST(wide.sx AS DOUBLE) / wide.nx / 1000.0 AS REAL) AS point_mean,
+       | CAST((SELECT quantile_cont(mean_m, CAST(0.025 AS DOUBLE)) FROM reps)
+       |      / 1000.0 AS REAL) AS ci_lo,
+       | CAST((SELECT quantile_cont(mean_m, CAST(0.975 AS DOUBLE)) FROM reps)
+       |      / 1000.0 AS REAL) AS ci_hi
+       |FROM wide""".stripMargin
+  }
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -1470,6 +1549,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m25_poisson_bootstrap" -> (m25 _),
     "m24_platt_calibration" -> (m24 _),
     "m23_pdp_tree" -> (m23 _),
     "m22_woe_iv" -> (m22 _),
@@ -1497,6 +1577,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m25_poisson_bootstrap" -> m25Sql,
     "m24_platt_calibration" -> m24Sql,
     "m12_confusion_mcc" -> m12Sql,
     "m11_calibration_curve" -> m11Sql,

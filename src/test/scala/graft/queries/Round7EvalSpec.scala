@@ -175,6 +175,18 @@ class Round7EvalSpec extends SparkSpec {
       "post-filter recall suspiciously perfect")
   }
 
+  test("m25: bootstrap interval brackets the point estimate sanely") {
+    val r = MLQueries.queries("m25_poisson_bootstrap")(spark, dir).collect()(0)
+    val (pt, lo, hi) = (r.getAs[Float]("point_mean"),
+      r.getAs[Float]("ci_lo"), r.getAs[Float]("ci_hi"))
+    assert(lo <= hi, s"interval inverted: [$lo, $hi]")
+    assert(pt >= lo && pt <= hi, s"point $pt outside [$lo, $hi]")
+    assert(r.getAs[Long]("n_replicas") == 32L)
+    // CI width ~ 2*1.96*sd/sqrt(n): positive but far under the mean
+    assert(hi - lo > 0.0f, "degenerate zero-width interval")
+    assert((hi - lo) / pt < 0.5f, s"implausibly wide interval [$lo, $hi]")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
