@@ -1663,7 +1663,147 @@ object TemporalQueries extends QueryFamily {
        |FROM seas s JOIN res r USING (event_type, dow)
        |ORDER BY s.event_type, s.dow""".stripMargin
 
+  // ---- u25: Kaplan-Meier survival with Greenwood errors --------------------
+  // The product-limit estimator (Kaplan & Meier 1958) every
+  // time-to-event analysis starts from — here "time from a user's
+  // first event to their first purchase", right-censored at the corpus
+  // end for users who never purchase, stratified by acquisition
+  // channel (the user's first event_type). Per stratum and distinct
+  // duration-day t_i with d_i deaths and n_i at risk:
+  //   S(t_i)  = prod_{j<=i} (1 - d_j / n_j)
+  //   Var(S)  = S^2 * sum_{j<=i} d_j / (n_j (n_j - d_j))   (Greenwood 1926)
+  // Cross-engine float discipline (t22/t36 form): d_j and n_j are exact
+  // longs, so each factor is the same IEEE double on both engines; its
+  // ln micro-quantizes to a long BEFORE the cumulative window sum (the
+  // only cross-row accumulation), Greenwood terms pico-quantize (1e12)
+  // the same way, and exp/sqrt run once on the identical quantized
+  // total with a final float32 cast absorbing libm-vs-JVM ulps. A
+  // stratum that dies out entirely (d = n at the last event time) gets
+  // S = 0 by flag, never ln(0).
+  //
+  // Scale: one scan -> per-user window (partitioned by user_id) + one
+  // purchase-side groupBy, then everything downstream is keyed by
+  // (channel, duration_day) — bounded by strata x the corpus day span,
+  // the a14-style aggregate-bounded window input. No collect; the
+  // corpus-max censor time is a broadcast 1-row cross join (s06
+  // convention).
+  private def u25(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val gmax = ev.agg(max(col("ts")).as("tmax")) // 1 row
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val first = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts").as("t0"),
+        col("event_type").as("channel"))
+    val death = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    val durs = first.join(death, Seq("user_id"), "left")
+      .crossJoin(broadcast(gmax))
+      .select(col("channel"),
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $nsPerDay"))
+          .otherwise(expr(s"(tmax - t0) div $nsPerDay")).as("dur"),
+        when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("evt"))
+    val byDur = durs.groupBy(col("channel"), col("dur"))
+      .agg(org.apache.spark.sql.functions.sum(col("evt")).as("d"),
+        count(lit(1)).as("m"))
+    val tot = byDur.groupBy(col("channel"))
+      .agg(org.apache.spark.sql.functions.sum(col("m")).as("n0"))
+    val wPrev = Window.partitionBy(col("channel")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("channel")).orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byDur.join(tot, Seq("channel"))
+      .withColumn("at_risk", col("n0") -
+        coalesce(org.apache.spark.sql.functions.sum(col("m")).over(wPrev),
+          lit(0L)))
+      .filter(col("d") > 0) // KM steps only at event times
+      .withColumn("lnq", expr(
+        """CASE WHEN d = at_risk THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / at_risk) * 1e6
+          |                 + 0.5) AS BIGINT) END""".stripMargin))
+      .withColumn("gwq", expr(
+        """CASE WHEN d = at_risk THEN CAST(0 AS BIGINT)
+          | ELSE CAST(floor(CAST(d AS DOUBLE)
+          |                 / (at_risk * (at_risk - d)) * 1e12
+          |                 + 0.5) AS BIGINT) END""".stripMargin))
+    risk
+      .withColumn("dead", max(when(col("d") === col("at_risk"), 1)
+        .otherwise(0)).over(wCum))
+      .withColumn("lsum",
+        org.apache.spark.sql.functions.sum(col("lnq")).over(wCum))
+      .withColumn("gsum",
+        org.apache.spark.sql.functions.sum(col("gwq")).over(wCum))
+      .select(col("channel"), col("dur").as("duration_day"),
+        col("at_risk").as("n_at_risk"), col("d").as("n_deaths"),
+        (col("m") - col("d")).as("n_censored"),
+        expr("""CAST(CASE WHEN dead = 1 THEN 0.0
+                | ELSE exp(lsum / 1e6) END AS FLOAT)""".stripMargin)
+          .as("survival"),
+        expr("""CAST(CASE WHEN dead = 1 THEN 0.0
+                | ELSE exp(lsum / 1e6) * sqrt(gsum / 1e12) END
+                |AS FLOAT)""".stripMargin).as("greenwood_se"))
+      .orderBy(col("channel"), col("duration_day"))
+  }
+  private val u25Sql =
+    s"""WITH first AS (
+       | SELECT user_id, ts AS t0, event_type AS channel FROM (
+       |  SELECT user_id, ts, event_type,
+       |   ROW_NUMBER() OVER (PARTITION BY user_id
+       |                      ORDER BY epoch_ns(ts), event_id) AS rn
+       |  FROM events) WHERE rn = 1),
+       |death AS (
+       | SELECT user_id, MIN(ts) AS tp FROM events
+       | WHERE event_type = 'purchase' GROUP BY 1),
+       |gmax AS (SELECT MAX(ts) AS tmax FROM events),
+       |durs AS (
+       | SELECT f.channel,
+       |  CASE WHEN d.tp IS NOT NULL
+       |       THEN (epoch_ns(d.tp) - epoch_ns(f.t0)) // $nsPerDay
+       |       ELSE (epoch_ns(g.tmax) - epoch_ns(f.t0)) // $nsPerDay
+       |  END AS dur,
+       |  CASE WHEN d.tp IS NOT NULL THEN 1 ELSE 0 END AS evt
+       | FROM first f LEFT JOIN death d USING (user_id) CROSS JOIN gmax g),
+       |by_dur AS (
+       | SELECT channel, dur, CAST(SUM(evt) AS BIGINT) AS d,
+       |  COUNT(*) AS m
+       | FROM durs GROUP BY 1, 2),
+       |tot AS (SELECT channel, SUM(m) AS n0 FROM by_dur GROUP BY 1),
+       |risk AS (
+       | SELECT b.*, CAST(t.n0 - COALESCE(SUM(b.m) OVER (
+       |   PARTITION BY b.channel ORDER BY b.dur
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |  AS BIGINT) AS at_risk
+       | FROM by_dur b JOIN tot t USING (channel)),
+       |steps AS (
+       | SELECT *,
+       |  CASE WHEN d = at_risk THEN CAST(0 AS BIGINT)
+       |   ELSE CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / at_risk) * 1e6
+       |                   + 0.5) AS BIGINT) END AS lnq,
+       |  CASE WHEN d = at_risk THEN CAST(0 AS BIGINT)
+       |   ELSE CAST(floor(CAST(d AS DOUBLE) / (at_risk * (at_risk - d))
+       |                   * 1e12 + 0.5) AS BIGINT) END AS gwq
+       | FROM risk WHERE d > 0),
+       |cum AS (
+       | SELECT *,
+       |  MAX(CASE WHEN d = at_risk THEN 1 ELSE 0 END) OVER wc AS dead,
+       |  SUM(lnq) OVER wc AS lsum, SUM(gwq) OVER wc AS gsum
+       | FROM steps
+       | WINDOW wc AS (PARTITION BY channel ORDER BY dur
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT channel, dur AS duration_day, at_risk AS n_at_risk,
+       | d AS n_deaths, m - d AS n_censored,
+       | CAST(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum / 1e6) END
+       |      AS REAL) AS survival,
+       | CAST(CASE WHEN dead = 1 THEN 0.0
+       |      ELSE exp(lsum / 1e6) * sqrt(gsum / 1e12) END
+       |      AS REAL) AS greenwood_se
+       |FROM cum ORDER BY channel, duration_day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u25_kaplan_meier" -> (u25 _),
     "u24_seasonal_decomp" -> (u24 _),
     "u18_bitemporal" -> (u18 _),
     "u19_holt_trend" -> (u19 _),
@@ -1703,6 +1843,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u25_kaplan_meier" -> u25Sql,
     "u24_seasonal_decomp" -> u24Sql,
     "u18_bitemporal" -> u18Sql,
     "u19_holt_trend" -> u19Sql,

@@ -187,6 +187,25 @@ class Round7EvalSpec extends SparkSpec {
     assert((hi - lo) / pt < 0.5f, s"implausibly wide interval [$lo, $hi]")
   }
 
+  test("u25: KM curves are proper survival functions per stratum") {
+    val rows = TemporalQueries.queries("u25_kaplan_meier")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("channel")).foreach { case (ch, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("duration_day"))
+      val surv = sorted.map(_.getAs[Float]("survival"))
+      assert(surv.forall(v => v >= 0.0f && v <= 1.0f), s"$ch: S outside [0,1]")
+      assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-7f },
+        s"$ch: survival increased")
+      val risk = sorted.map(_.getAs[Long]("n_at_risk"))
+      assert(risk.zip(risk.tail).forall { case (a, b) => b <= a },
+        s"$ch: at-risk grew over time")
+      // every step has deaths by construction; the first step must drop S
+      assert(surv.head < 1.0f, s"$ch: first event step left S at 1")
+      assert(sorted.forall(_.getAs[Float]("greenwood_se") >= 0.0f))
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
