@@ -863,7 +863,110 @@ object GraphQueries extends QueryFamily {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- g15: Adamic-Adar link prediction ------------------------------------
+  // The classic common-neighbor link predictor (Adamic & Adar 2003;
+  // Liben-Nowell & Kleinberg 2007): for a NON-adjacent pair (u, v),
+  //   AA(u,v) = sum over common neighbors w of 1 / ln(deg(w)),
+  // down-weighting promiscuous hubs. Graph = g06's threshold-sparsified
+  // co-supply edges (the shared derivation convention of the family),
+  // symmetrized. Per-term determinism: deg(w) is an exact long, so
+  // 1/ln(deg) is the same IEEE double on both engines and micro-
+  // quantizes to a long BEFORE the per-pair sum (order-free fold); a
+  // common neighbor has >= 2 distinct neighbors by definition, so
+  // ln(deg) is never 0. Output: top-3 predicted links per left node.
+  //
+  // Scale design: wedges are generated through the CHECKPOINTED sparse
+  // edge list (one self-join keyed by the middle node — cost bounded
+  // by sum deg^2 of the sparsified graph, the same budget g06 already
+  // pays), existing edges leave via one anti-join, and the per-node
+  // top-3 is a window PARTITIONED BY the left node over the (u,v)
+  // aggregate — no global sort, no single-partition exchange.
+  private def g15(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = sp.as("a")
+      .join(sp.as("b"),
+        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val wCum = Window.orderBy(col("shared").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = pairs.groupBy(col("shared")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(
+        min(when(col("cum") <= expr("n_pairs div 10"), col("shared"))),
+        max(col("shared"))).as("thr"))
+    val und = pairs.crossJoin(broadcast(thr))
+      .filter(col("shared") >= col("thr"))
+      .select(col("u"), col("v"))
+      .localCheckpoint() // feeds sym (twice), the anti-join, and deg
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("w")).agg(count(lit(1)).as("dw"))
+    // wedge u -w- v with u < v over symmetric edges; each common
+    // neighbor contributes once per (u, v)
+    val cand = sym.select(col("b").as("w"), col("a").as("cu"))
+      .join(sym.select(col("a").as("w"), col("b").as("cv")), Seq("w"))
+      .filter(col("cu") < col("cv"))
+      .join(deg, Seq("w"))
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("CAST(floor(1e6 / ln(CAST(dw AS DOUBLE)) + 0.5) AS BIGINT)"))
+          .as("aa_micro"))
+    val nonAdj = cand.join(und, Seq("u", "v"), "left_anti")
+    val wTop = Window.partitionBy(col("u"))
+      .orderBy(col("aa_micro").desc, col("v").asc)
+    nonAdj.withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 3)
+      .select(col("u"), col("rank"), col("v"), col("n_common"),
+        col("aa_micro"),
+        expr("CAST(aa_micro / 1e6 AS FLOAT)").as("aa_score"))
+      .orderBy(col("u"), col("rank"))
+  }
+  private val g15Sql =
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
+      | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+      |dist AS (SELECT shared, COUNT(*) AS c FROM pairs GROUP BY 1),
+      |cum AS (
+      | SELECT shared, SUM(c) OVER (ORDER BY shared DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM dist),
+      |thr AS (
+      | SELECT COALESCE(
+      |   MIN(CASE WHEN cum <= (SELECT COUNT(*) FROM pairs) // 10
+      |       THEN shared END),
+      |   (SELECT MAX(shared) FROM pairs)) AS thr
+      | FROM cum),
+      |und AS (
+      | SELECT u, v FROM pairs, thr WHERE pairs.shared >= thr.thr),
+      |sym AS (SELECT u AS a, v AS b FROM und
+      |        UNION ALL SELECT v, u FROM und),
+      |deg AS (SELECT a AS w, COUNT(*) AS dw FROM sym GROUP BY 1),
+      |cand AS (
+      | SELECT s1.a AS u, s2.b AS v, COUNT(*) AS n_common,
+      |  CAST(SUM(CAST(floor(1e6 / ln(CAST(d.dw AS DOUBLE)) + 0.5)
+      |       AS BIGINT)) AS BIGINT) AS aa_micro
+      | FROM sym s1 JOIN sym s2 ON s1.b = s2.a AND s1.a < s2.b
+      | JOIN deg d ON d.w = s1.b
+      | GROUP BY 1, 2),
+      |nonadj AS (
+      | SELECT c.* FROM cand c ANTI JOIN und e
+      |  ON e.u = c.u AND e.v = c.v)
+      |SELECT u, rank, v, n_common, aa_micro,
+      | CAST(aa_micro / 1e6 AS REAL) AS aa_score
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY u ORDER BY aa_micro DESC, v ASC) AS rank
+      |      FROM nonadj)
+      |WHERE rank <= 3 ORDER BY u, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g15_adamic_adar" -> (g15 _),
     "g14_modularity" -> (g14 _),
     "g13_scc" -> (g13 _),
     "g12_landmark_closeness" -> (g12 _),
@@ -877,6 +980,7 @@ object GraphQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "g15_adamic_adar" -> g15Sql,
     "g14_modularity" -> g14Sql,
     "g13_scc" -> g13Sql,
     "g12_landmark_closeness" -> g12Sql,

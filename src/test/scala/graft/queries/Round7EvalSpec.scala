@@ -206,6 +206,23 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("g15: AA candidates are ranked, positive, and non-adjacent") {
+    val rows = GraphQueries.queries("g15_adamic_adar")(spark, d01).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("u")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length).toSeq, s"u=$u: ranks not contiguous")
+      val sc = sorted.map(_.getAs[Long]("aa_micro"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => b <= a },
+        s"u=$u: scores not non-increasing")
+      assert(sc.forall(_ > 0L))
+      assert(sorted.forall(r => r.getAs[Long]("n_common") >= 1L))
+      assert(sorted.forall(r => r.getAs[Long]("v") > u),
+        s"u=$u: pair not oriented u < v")
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
