@@ -1438,6 +1438,166 @@ object MLQueries extends QueryFamily {
        |FROM wide""".stripMargin
   }
 
+  // ---- m26: CUPED variance-reduced A/B test --------------------------------
+  // The experimentation-platform standard (Deng et al. 2013, "Improving
+  // the Sensitivity of Online Controlled Experiments" — CUPED): adjust
+  // each user's experiment-period metric Y by their PRE-period metric X,
+  //   Y_cuped = Y - theta (X - mean X),  theta = cov(X,Y) / var(X),
+  // which removes the between-user variance X explains and shrinks the
+  // A/B standard error at identical validity (theta is fitted POOLED,
+  // so it cannot bias the treatment contrast). Here: X = a user's total
+  // event value in the first half of the corpus window, Y = in the
+  // second half, arms assigned by user_id parity.
+  //
+  // Cross-engine float discipline: X/Y milli-quantize at the per-user
+  // reduction (exact longs); means come from exact sums; the centered
+  // moment products and the per-user adjusted metric are one
+  // double-expression each over identical inputs, milli-quantized
+  // BEFORE their arm-level folds — no float ever accumulates across
+  // rows. z-statistics are computed once from the exact arm sums and
+  // cast to float32.
+  //
+  // Scale: the corpus window is a broadcast 1-row aggregate; the
+  // per-user reduction is the one real shuffle (user-keyed, map-side
+  // combined); the checkpointed 1-row-per-user table then feeds three
+  // tiny folds (global moments, theta, per-arm stats) — each a
+  // full-combine aggregate, never a window. 100 TB cost = one scan +
+  // one user shuffle, like u02/u23.
+  private def m26(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    val perUser = ev.crossJoin(broadcast(bounds))
+      .withColumn("vm", expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .groupBy(col("user_id"))
+      .agg(
+        org.apache.spark.sql.functions.sum(
+          when(expr("ts < (t0 + t1) div 2"), col("vm")).otherwise(lit(0L)))
+          .as("xm"),
+        org.apache.spark.sql.functions.sum(
+          when(expr("ts >= (t0 + t1) div 2"), col("vm")).otherwise(lit(0L)))
+          .as("ym"))
+      .withColumn("arm", expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END"))
+      .localCheckpoint() // feeds means, theta, and the arm folds
+    val means = perUser.agg(count(lit(1)).as("n_all"),
+      org.apache.spark.sql.functions.sum(col("xm")).as("sx"),
+      org.apache.spark.sql.functions.sum(col("ym")).as("sy"))
+    // centered products in value^2 units, milli-quantized per user
+    val mom = perUser.crossJoin(broadcast(means))
+      .select(
+        expr("""CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all)
+               | * (ym / 1000.0 - CAST(sy AS DOUBLE) / 1000.0 / n_all)
+               | * 1000 + 0.5) AS BIGINT)""".stripMargin).as("cxy_q"),
+        expr("""CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all)
+               | * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all)
+               | * 1000 + 0.5) AS BIGINT)""".stripMargin).as("cxx_q"))
+      .agg(org.apache.spark.sql.functions.sum(col("cxy_q")).as("sxy"),
+        org.apache.spark.sql.functions.sum(col("cxx_q")).as("sxx"))
+    val adj = perUser.crossJoin(broadcast(means)).crossJoin(broadcast(mom))
+      .select(col("arm"), col("ym"),
+        expr("""CAST(floor((ym / 1000.0
+               | - (CAST(sxy AS DOUBLE) / sxx)
+               |   * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all))
+               | * 1000 + 0.5) AS BIGINT)""".stripMargin).as("cm"))
+    val arms = adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("ym")).as("sy"),
+        org.apache.spark.sql.functions.sum(expr("ym * ym")).as("syy"),
+        org.apache.spark.sql.functions.sum(col("cm")).as("sc"),
+        org.apache.spark.sql.functions.sum(expr("cm * cm")).as("scc"))
+    val a = arms.filter(col("arm") === "A").drop("arm")
+      .select(col("n").as("n_a"), col("sy").as("sy_a"), col("syy").as("syy_a"),
+        col("sc").as("sc_a"), col("scc").as("scc_a"))
+    val b = arms.filter(col("arm") === "B").drop("arm")
+      .select(col("n").as("n_b"), col("sy").as("sy_b"), col("syy").as("syy_b"),
+        col("sc").as("sc_b"), col("scc").as("scc_b"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(mom))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(CAST(sxy AS DOUBLE) / sxx AS FLOAT)").as("theta"),
+        expr("CAST(sy_a / 1000.0 / n_a AS FLOAT)").as("mean_y_a"),
+        expr("CAST(sy_b / 1000.0 / n_b AS FLOAT)").as("mean_y_b"),
+        expr("""CAST((sy_b / 1000.0 / n_b - sy_a / 1000.0 / n_a)
+               | / sqrt(((syy_a / 1e6 - (sy_a / 1000.0) * (sy_a / 1000.0) / n_a)
+               |          / (n_a - 1)) / n_a
+               |       + ((syy_b / 1e6 - (sy_b / 1000.0) * (sy_b / 1000.0) / n_b)
+               |          / (n_b - 1)) / n_b) AS FLOAT)""".stripMargin)
+          .as("z_raw"),
+        expr("""CAST((sc_b / 1000.0 / n_b - sc_a / 1000.0 / n_a)
+               | / sqrt(((scc_a / 1e6 - (sc_a / 1000.0) * (sc_a / 1000.0) / n_a)
+               |          / (n_a - 1)) / n_a
+               |       + ((scc_b / 1e6 - (sc_b / 1000.0) * (sc_b / 1000.0) / n_b)
+               |          / (n_b - 1)) / n_b) AS FLOAT)""".stripMargin)
+          .as("z_cuped"),
+        expr("""CAST(100.0 * (1.0
+               | - ((scc_a / 1e6 - (sc_a / 1000.0) * (sc_a / 1000.0) / n_a)
+               |    + (scc_b / 1e6 - (sc_b / 1000.0) * (sc_b / 1000.0) / n_b))
+               |   / ((syy_a / 1e6 - (sy_a / 1000.0) * (sy_a / 1000.0) / n_a)
+               |    + (syy_b / 1e6 - (sy_b / 1000.0) * (sy_b / 1000.0) / n_b)))
+               |AS FLOAT)""".stripMargin).as("var_reduction_pct"))
+  }
+  private val m26Sql =
+    """WITH bounds AS (
+      | SELECT MIN(epoch_ns(ts)) AS t0, MAX(epoch_ns(ts)) AS t1 FROM events),
+      |per_user AS (
+      | SELECT user_id,
+      |  CAST(SUM(CASE WHEN epoch_ns(ts) < (t0 + t1) // 2
+      |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+      |       ELSE 0 END) AS BIGINT) AS xm,
+      |  CAST(SUM(CASE WHEN epoch_ns(ts) >= (t0 + t1) // 2
+      |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+      |       ELSE 0 END) AS BIGINT) AS ym,
+      |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      | FROM events CROSS JOIN bounds GROUP BY user_id),
+      |means AS (
+      | SELECT COUNT(*) AS n_all, CAST(SUM(xm) AS BIGINT) AS sx,
+      |  CAST(SUM(ym) AS BIGINT) AS sy
+      | FROM per_user),
+      |mom AS (
+      | SELECT
+      |  CAST(SUM(CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all)
+      |   * (ym / 1000.0 - CAST(sy AS DOUBLE) / 1000.0 / n_all)
+      |   * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+      |  CAST(SUM(CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all)
+      |   * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all)
+      |   * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+      | FROM per_user CROSS JOIN means),
+      |adj AS (
+      | SELECT arm, ym,
+      |  CAST(floor((ym / 1000.0
+      |   - (CAST(sxy AS DOUBLE) / sxx)
+      |     * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_all))
+      |   * 1000 + 0.5) AS BIGINT) AS cm
+      | FROM per_user CROSS JOIN means CROSS JOIN mom),
+      |arms AS (
+      | SELECT arm, COUNT(*) AS n, CAST(SUM(ym) AS BIGINT) AS sy,
+      |  CAST(SUM(ym * ym) AS BIGINT) AS syy,
+      |  CAST(SUM(cm) AS BIGINT) AS sc, CAST(SUM(cm * cm) AS BIGINT) AS scc
+      | FROM adj GROUP BY arm),
+      |aa AS (SELECT n AS n_a, sy AS sy_a, syy AS syy_a, sc AS sc_a,
+      |        scc AS scc_a FROM arms WHERE arm = 'A'),
+      |bb AS (SELECT n AS n_b, sy AS sy_b, syy AS syy_b, sc AS sc_b,
+      |        scc AS scc_b FROM arms WHERE arm = 'B')
+      |SELECT n_a, n_b,
+      | CAST(CAST(sxy AS DOUBLE) / sxx AS REAL) AS theta,
+      | CAST(sy_a / 1000.0 / n_a AS REAL) AS mean_y_a,
+      | CAST(sy_b / 1000.0 / n_b AS REAL) AS mean_y_b,
+      | CAST((sy_b / 1000.0 / n_b - sy_a / 1000.0 / n_a)
+      |  / sqrt(((syy_a / 1e6 - (sy_a / 1000.0) * (sy_a / 1000.0) / n_a)
+      |           / (n_a - 1)) / n_a
+      |        + ((syy_b / 1e6 - (sy_b / 1000.0) * (sy_b / 1000.0) / n_b)
+      |           / (n_b - 1)) / n_b) AS REAL) AS z_raw,
+      | CAST((sc_b / 1000.0 / n_b - sc_a / 1000.0 / n_a)
+      |  / sqrt(((scc_a / 1e6 - (sc_a / 1000.0) * (sc_a / 1000.0) / n_a)
+      |           / (n_a - 1)) / n_a
+      |        + ((scc_b / 1e6 - (sc_b / 1000.0) * (sc_b / 1000.0) / n_b)
+      |           / (n_b - 1)) / n_b) AS REAL) AS z_cuped,
+      | CAST(100.0 * (1.0
+      |  - ((scc_a / 1e6 - (sc_a / 1000.0) * (sc_a / 1000.0) / n_a)
+      |     + (scc_b / 1e6 - (sc_b / 1000.0) * (sc_b / 1000.0) / n_b))
+      |    / ((syy_a / 1e6 - (sy_a / 1000.0) * (sy_a / 1000.0) / n_a)
+      |     + (syy_b / 1e6 - (sy_b / 1000.0) * (sy_b / 1000.0) / n_b)))
+      | AS REAL) AS var_reduction_pct
+      |FROM aa CROSS JOIN bb CROSS JOIN mom""".stripMargin
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -1549,6 +1709,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m26_cuped_abtest" -> (m26 _),
     "m25_poisson_bootstrap" -> (m25 _),
     "m24_platt_calibration" -> (m24 _),
     "m23_pdp_tree" -> (m23 _),
@@ -1577,6 +1738,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m26_cuped_abtest" -> m26Sql,
     "m25_poisson_bootstrap" -> m25Sql,
     "m24_platt_calibration" -> m24Sql,
     "m12_confusion_mcc" -> m12Sql,

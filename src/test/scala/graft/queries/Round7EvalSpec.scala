@@ -223,6 +223,21 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("m26: CUPED reduces variance and preserves the contrast scale") {
+    val r = MLQueries.queries("m26_cuped_abtest")(spark, d01).collect()(0)
+    assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    // parity split: arms within 10% of each other
+    val (na, nb) = (r.getAs[Long]("n_a").toDouble, r.getAs[Long]("n_b").toDouble)
+    assert(math.abs(na - nb) / (na + nb) < 0.1, s"arm imbalance $na/$nb")
+    // the point of CUPED: strictly positive variance reduction when the
+    // pre-period covariate is informative (same users, same behavior)
+    val vr = r.getAs[Float]("var_reduction_pct")
+    assert(vr > 0.0f && vr < 100.0f, s"variance reduction $vr out of range")
+    // z-stats are finite and the adjusted SE is tighter, so a genuine
+    // null-ish contrast cannot EXPLODE under CUPED
+    assert(!r.getAs[Float]("z_raw").isNaN && !r.getAs[Float]("z_cuped").isNaN)
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
