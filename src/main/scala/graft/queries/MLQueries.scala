@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** ML-inference operators (SURVEY.md §2.6 M1–M4) as pure column math.
   *
@@ -1598,6 +1599,134 @@ object MLQueries extends QueryFamily {
       | AS REAL) AS var_reduction_pct
       |FROM aa CROSS JOIN bb CROSS JOIN mom""".stripMargin
 
+  // ---- m27: mSPRT always-valid sequential A/B monitoring -------------------
+  // The fix for the peeking problem (Johari, Koomen, Pekelis & Walsh
+  // 2017, "Peeking at A/B Tests" — the mixture SPRT behind
+  // Optimizely's Stats Engine): a dashboard someone checks daily needs
+  // a p-value that stays valid under CONTINUOUS monitoring. For the
+  // two-sample normal z-process with estimated variance,
+  //   Lambda_n = sqrt(V/(V+tau^2)) * exp(theta^2/(2V) * tau^2/(V+tau^2)),
+  //   p_n = running_min(1 / Lambda_n)            (always-valid p),
+  // where theta = meanB - meanA, V = s2_pooled (1/nA + 1/nB), and
+  // tau^2 is the fixed mixture prior (metric-scale constant, 100
+  // value^2 here). The running min is what makes "ship when p < .05
+  // whenever you look" a valid rule.
+  //
+  // Relational shape: ONE corpus scan to per-day conditional moment
+  // sums (exact milli/micro longs, map-side combined), day-cumulative
+  // windows over the day-bounded aggregate (a14 form), the Lambda/p
+  // expression evaluated once per day from exact longs (identical
+  // IEEE doubles on both engines), p micro-quantized BEFORE the
+  // running min. At 100 TB the daily table is ~days rows — constant.
+  private val msprtTau2 = 100.0
+  private val nsPerDay = 86400000000000L
+  private def m27(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val daily = ev
+      .withColumn("vm", expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
+      .withColumn("a", expr("CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END"))
+      .groupBy(expr(s"ts div $nsPerDay").as("day"))
+      .agg(
+        org.apache.spark.sql.functions.sum(col("a")).as("na_d"),
+        org.apache.spark.sql.functions.sum(expr("a * vm")).as("sa_d"),
+        org.apache.spark.sql.functions.sum(expr("a * vm * vm")).as("ssa_d"),
+        org.apache.spark.sql.functions.sum(expr("1 - a")).as("nb_d"),
+        org.apache.spark.sql.functions.sum(expr("(1 - a) * vm")).as("sb_d"),
+        org.apache.spark.sql.functions.sum(expr("(1 - a) * vm * vm")).as("ssb_d"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("n_a", org.apache.spark.sql.functions.sum(col("na_d")).over(wCum))
+      .withColumn("s_a", org.apache.spark.sql.functions.sum(col("sa_d")).over(wCum))
+      .withColumn("ss_a", org.apache.spark.sql.functions.sum(col("ssa_d")).over(wCum))
+      .withColumn("n_b", org.apache.spark.sql.functions.sum(col("nb_d")).over(wCum))
+      .withColumn("s_b", org.apache.spark.sql.functions.sum(col("sb_d")).over(wCum))
+      .withColumn("ss_b", org.apache.spark.sql.functions.sum(col("ssb_d")).over(wCum))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val mid = cum.select(col("day"), col("n_a"), col("n_b"),
+      expr("s_b / 1000.0 / n_b - s_a / 1000.0 / n_a").as("th"),
+      expr("""(((ss_a / 1e6 - (s_a / 1000.0) * (s_a / 1000.0) / n_a)
+              |  + (ss_b / 1e6 - (s_b / 1000.0) * (s_b / 1000.0) / n_b))
+              | / (n_a + n_b - 2)) * (1.0 / n_a + 1.0 / n_b)""".stripMargin)
+        .as("vv"))
+    val stat = mid.select(col("day"), col("n_a"), col("n_b"),
+      expr(s"""CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+              | 1.0 / (sqrt(vv / (vv + $msprtTau2))
+              |        * exp(th * th / (2 * vv)
+              |              * $msprtTau2 / (vv + $msprtTau2))))
+              | * 1e6 + 0.5) AS BIGINT)""".stripMargin).as("p_micro_day"),
+      expr("CAST(th AS FLOAT)").as("mean_diff"))
+    val wMin = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stat
+      .withColumn("p_micro", min(col("p_micro_day")).over(wMin))
+      .select(col("day"), col("n_a"), col("n_b"), col("mean_diff"),
+        expr("CAST(p_micro / 1e6 AS FLOAT)").as("p_always_valid"),
+        expr("CAST(CASE WHEN p_micro < 50000 THEN 1 ELSE 0 END AS INT)")
+          .as("significant"))
+      .orderBy(col("day"))
+  }
+  // th / vv are shared sub-expressions: spell them once via a LATERAL-
+  // style select so Spark and DuckDB evaluate byte-identical formulas
+  private def m27Mid(selectFrom: String): String =
+    s"""SELECT day, n_a, n_b,
+       | (s_b / 1000.0 / n_b - s_a / 1000.0 / n_a) AS th,
+       | (((ss_a / 1e6 - (s_a / 1000.0) * (s_a / 1000.0) / n_a)
+       |   + (ss_b / 1e6 - (s_b / 1000.0) * (s_b / 1000.0) / n_b))
+       |  / (n_a + n_b - 2)) * (1.0 / n_a + 1.0 / n_b) AS vv
+       |FROM $selectFrom WHERE n_a >= 2 AND n_b >= 2""".stripMargin
+  private val m27Sql =
+    s"""WITH daily AS (
+       | SELECT epoch_ns(ts) // $nsPerDay AS day,
+       |  CAST(SUM(CASE WHEN user_id % 2 = 0
+       |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END)
+       |   AS BIGINT) AS sa_d,
+       |  CAST(SUM(CASE WHEN user_id % 2 = 0
+       |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+       |            * CAST(floor(value * 1000 + 0.5) AS BIGINT)
+       |       ELSE 0 END) AS BIGINT) AS ssa_d,
+       |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS na_d,
+       |  CAST(SUM(CASE WHEN user_id % 2 <> 0
+       |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) ELSE 0 END)
+       |   AS BIGINT) AS sb_d,
+       |  CAST(SUM(CASE WHEN user_id % 2 <> 0
+       |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
+       |            * CAST(floor(value * 1000 + 0.5) AS BIGINT)
+       |       ELSE 0 END) AS BIGINT) AS ssb_d,
+       |  CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS nb_d
+       | FROM events GROUP BY 1),
+       |cum AS (
+       | SELECT day,
+       |  CAST(SUM(na_d) OVER wc AS BIGINT) AS n_a,
+       |  CAST(SUM(sa_d) OVER wc AS BIGINT) AS s_a,
+       |  CAST(SUM(ssa_d) OVER wc AS BIGINT) AS ss_a,
+       |  CAST(SUM(nb_d) OVER wc AS BIGINT) AS n_b,
+       |  CAST(SUM(sb_d) OVER wc AS BIGINT) AS s_b,
+       |  CAST(SUM(ssb_d) OVER wc AS BIGINT) AS ss_b
+       | FROM daily
+       | WINDOW wc AS (ORDER BY day
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |mid AS (${m27Mid("cum")}),
+       |stat AS (
+       | SELECT day, n_a, n_b,
+       |  CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+       |   1.0 / (sqrt(vv / (vv + $msprtTau2))
+       |          * exp(th * th / (2 * vv)
+       |                * $msprtTau2 / (vv + $msprtTau2))))
+       |   * 1e6 + 0.5) AS BIGINT) AS p_micro_day,
+       |  CAST(th AS REAL) AS mean_diff
+       | FROM mid)
+       |SELECT day, n_a, n_b, mean_diff,
+       | CAST(MIN(p_micro_day) OVER wm / 1e6 AS REAL) AS p_always_valid,
+       | CAST(CASE WHEN MIN(p_micro_day) OVER wm < 50000 THEN 1 ELSE 0 END
+       |      AS INTEGER) AS significant
+       |FROM stat
+       |WINDOW wm AS (ORDER BY day
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY day""".stripMargin
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -1709,6 +1838,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m27_msprt_monitor" -> (m27 _),
     "m26_cuped_abtest" -> (m26 _),
     "m25_poisson_bootstrap" -> (m25 _),
     "m24_platt_calibration" -> (m24 _),
@@ -1738,6 +1868,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m27_msprt_monitor" -> m27Sql,
     "m26_cuped_abtest" -> m26Sql,
     "m25_poisson_bootstrap" -> m25Sql,
     "m24_platt_calibration" -> m24Sql,

@@ -238,6 +238,25 @@ class Round7EvalSpec extends SparkSpec {
     assert(!r.getAs[Float]("z_raw").isNaN && !r.getAs[Float]("z_cuped").isNaN)
   }
 
+  test("m27: always-valid p is a running min over a growing sample") {
+    val rows = MLQueries.queries("m27_msprt_monitor")(spark, d01)
+      .orderBy(col("day")).collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getAs[Float]("p_always_valid"))
+    assert(ps.forall(p => p > 0.0f && p <= 1.0f))
+    // the defining property: the always-valid p never goes back up
+    assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-7f },
+      s"always-valid p increased: ${ps.mkString(",")}")
+    val na = rows.map(_.getAs[Long]("n_a"))
+    assert(na.zip(na.tail).forall { case (a, b) => b >= a })
+    // significance flag is exactly the p < .05 threshold
+    rows.foreach { r =>
+      val sig = r.getAs[Int]("significant") == 1
+      assert(sig == (r.getAs[Float]("p_always_valid") < 0.05f),
+        "significant flag inconsistent with p")
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
