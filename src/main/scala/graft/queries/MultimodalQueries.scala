@@ -517,6 +517,114 @@ object MultimodalQueries extends QueryFamily {
        |ORDER BY doc_id, seg_idx""".stripMargin
   }
 
+  // ---- x12: shot-boundary detection (histogram cut) ------------------------
+  // The video-curation segmentation primitive (threshold shot-cut
+  // detection over frame-histogram distance — the classical baseline
+  // every shot detector benchmarks against, cf. PySceneDetect's
+  // content detector): frame the byte stream (16 bytes/frame), build a
+  // per-frame 8-bin intensity histogram, declare a boundary where the
+  // L1 distance between CONSECUTIVE frame histograms exceeds a fixed
+  // cut threshold, and emit shots as the runs between boundaries.
+  // Differs structurally from x09's VAD (scalar gate -> islands): the
+  // frame feature is a VECTOR, and the distance is computed fully
+  // relationally — histogram rows keyed by (doc, frame, bin), a
+  // (doc, bin)-partitioned lag aligns each bin with its predecessor
+  // frame, and one (doc, frame) groupBy folds |delta| into L1. All
+  // integer counts end-to-end: nothing to quantize.
+  //
+  // Scale: one byte-explode (the x03/x09 hex-hoisted, repartitioned,
+  // checkpointed decode), histogram counts map-side combine on
+  // (doc, frame, bin), the dense grid is spine x 8 broadcast bins
+  // (s06 fan-out), and every window is doc-keyed (u12 discipline).
+  // Threshold 6 sits at ~p95 of the corpus L1 distribution, so cuts
+  // are rare-but-present at every SF.
+  private val shotFrame = 16
+  private val shotThresh = 6L
+  private def x12(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val nb = "octet_length(encode(text, 'UTF-8'))"
+    val base = d.repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), expr(hexSpark).as("hx"), expr(nb).as("nbv"))
+      .select(col("doc_id"),
+        expr("""transform(sequence(1, nbv),
+               | i -> CAST(conv(substring(hx, i * 2 - 1, 2), 16, 10)
+               |      AS BIGINT))""".stripMargin).as("bts"))
+      .filter(size(col("bts")) > 0)
+      .localCheckpoint()
+    val cnt = base
+      .select(col("doc_id"), posexplode(col("bts")).as(Seq("pos", "v")))
+      .groupBy(col("doc_id"),
+        expr(s"pos div $shotFrame").as("fidx"),
+        expr("v div 32").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val spine = cnt.select(col("doc_id"), col("fidx")).distinct()
+    val bins = s.range(0, 8).select(col("id").as("bin"))
+    val grid = spine.crossJoin(broadcast(bins))
+      .join(cnt, Seq("doc_id", "fidx", "bin"), "left")
+      .select(col("doc_id"), col("fidx"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val wBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("bin")).orderBy(col("fidx"))
+    val l1 = grid.withColumn("pc", lag(col("c"), 1).over(wBin))
+      .filter(col("pc").isNotNull)
+      .groupBy(col("doc_id"), col("fidx"))
+      .agg(sum(abs(col("c") - col("pc"))).as("d"))
+    val flagged = spine.join(l1, Seq("doc_id", "fidx"), "left")
+      .select(col("doc_id"), col("fidx"),
+        when(coalesce(col("d"), lit(0L)) > shotThresh, 1L).otherwise(0L)
+          .as("cut"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fidx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    flagged.withColumn("shot_id", sum(col("cut")).over(wDoc))
+      .groupBy(col("doc_id"), col("shot_id"))
+      .agg(min(col("fidx")).as("start_frame"), max(col("fidx")).as("end_frame"),
+        count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"), col("shot_id"))
+  }
+  private val x12Sql = {
+    val nb = "octet_length(encode(text))"
+    s"""WITH hx AS (
+       | SELECT doc_id, $hexDuck AS h, $nb AS nbv FROM documents
+       | WHERE $nb > 0),
+       |b AS (
+       | SELECT doc_id, i - 1 AS pos,
+       |  CAST('0x' || substr(h, i * 2 - 1, 2) AS BIGINT) AS v
+       | FROM hx, unnest(generate_series(1, nbv)) AS t(i)),
+       |cnt AS (
+       | SELECT doc_id, pos // $shotFrame AS fidx, v // 32 AS bin,
+       |  COUNT(*) AS c
+       | FROM b GROUP BY 1, 2, 3),
+       |spine AS (SELECT DISTINCT doc_id, fidx FROM cnt),
+       |bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+       |grid AS (
+       | SELECT s.doc_id, s.fidx, bn.bin, COALESCE(c.c, 0) AS c
+       | FROM spine s CROSS JOIN bins bn
+       | LEFT JOIN cnt c
+       |  ON c.doc_id = s.doc_id AND c.fidx = s.fidx AND c.bin = bn.bin),
+       |lagd AS (
+       | SELECT doc_id, fidx, c,
+       |  LAG(c) OVER (PARTITION BY doc_id, bin ORDER BY fidx) AS pc
+       | FROM grid),
+       |l1 AS (
+       | SELECT doc_id, fidx, CAST(SUM(ABS(c - pc)) AS BIGINT) AS d
+       | FROM lagd WHERE pc IS NOT NULL GROUP BY 1, 2),
+       |flagged AS (
+       | SELECT s.doc_id, s.fidx,
+       |  CASE WHEN COALESCE(l.d, 0) > $shotThresh THEN 1 ELSE 0 END AS cut
+       | FROM spine s LEFT JOIN l1 l USING (doc_id, fidx)),
+       |shots AS (
+       | SELECT doc_id, fidx,
+       |  CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY fidx
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |   AS shot_id
+       | FROM flagged)
+       |SELECT doc_id, shot_id, MIN(fidx) AS start_frame,
+       | MAX(fidx) AS end_frame, COUNT(*) AS n_frames
+       |FROM shots GROUP BY 1, 2
+       |ORDER BY doc_id, shot_id""".stripMargin
+  }
+
   // ---- x10: image tiling statistics ---------------------------------------
   // The patch-extraction pass of a ViT-style pipeline: split the 8×8
   // pixel block (x07's phash block) into four 4×4 tiles and emit
@@ -696,6 +804,7 @@ object MultimodalQueries extends QueryFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_constellation_match" -> (x11 _),
+    "x12_shot_boundaries" -> (x12 _),
     "x10_tile_stats" -> (x10 _),
     "x09_vad_segments" -> (x09 _),
     "x06_image_neardup" -> (x06 _),
@@ -710,6 +819,7 @@ object MultimodalQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "x11_constellation_match" -> x11Sql,
+    "x12_shot_boundaries" -> x12Sql,
     "x10_tile_stats" -> x10Sql,
     "x09_vad_segments" -> x09Sql,
     "x06_image_neardup" -> x06Sql,

@@ -257,6 +257,26 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("x12: shots tile every doc's frame range exactly") {
+    val rows = MultimodalQueries.queries("x12_shot_boundaries")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val shots = rs.sortBy(_.getAs[Long]("shot_id"))
+      assert(shots.head.getAs[Long]("start_frame") == 0L,
+        s"doc $id: first shot does not start at frame 0")
+      shots.foreach { sh =>
+        assert(sh.getAs[Long]("n_frames") ==
+          sh.getAs[Long]("end_frame") - sh.getAs[Long]("start_frame") + 1,
+          s"doc $id: shot has frame gaps")
+      }
+      shots.zip(shots.tail).foreach { case (a, b) =>
+        assert(b.getAs[Long]("start_frame") == a.getAs[Long]("end_frame") + 1,
+          s"doc $id: shots overlap or leave a gap")
+      }
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
