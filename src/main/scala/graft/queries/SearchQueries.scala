@@ -1077,7 +1077,69 @@ object SearchQueries extends QueryFamily {
       | CAST(CAST(raw_bytes AS DOUBLE) / vb_bytes AS REAL) AS ratio
       |FROM allrows ORDER BY term""".stripMargin
 
+  // ---- w13: prefix autocomplete (top-k completions) ------------------------
+  // The type-ahead index every search box needs (Bast & Weber 2006
+  // CompleteSearch shape): for each query prefix, the top-k most
+  // frequent vocabulary completions. Everything happens in VOCAB space:
+  // the corpus collapses to (term, freq) once (map-side combined), the
+  // prefix explode is vocab x <=4 prefixes (lengths 2..5, strictly
+  // shorter than the term), and the top-3 cut is a window PARTITIONED
+  // BY prefix over the prefix-bounded aggregate. A support floor keeps
+  // the one-off-typo tail out of the index. Integer counts + strings
+  // end-to-end — nothing to quantize.
+  private val acMinSupport = 10L
+  private val acTopK = 3
+  private def w13(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val vocab = d.select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // feeds the prefix explode once, vocab-sized
+    val pref = vocab
+      .select(col("term"), col("freq"),
+        explode(expr(
+          """transform(sequence(2, CAST(least(length(term) - 1, 5) AS INT)),
+            | p -> substring(term, 1, p))""".stripMargin)).as("prefix"))
+    val agg = pref.groupBy(col("prefix"), col("term"))
+      .agg(org.apache.spark.sql.functions.sum(col("freq")).as("freq"))
+    val sup = agg.groupBy(col("prefix"))
+      .agg(org.apache.spark.sql.functions.sum(col("freq")).as("support"),
+        count(lit(1)).as("n_cands"))
+      .filter(col("support") >= acMinSupport)
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("freq").desc, col("term").asc)
+    agg.join(sup, Seq("prefix"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= acTopK)
+      .select(col("prefix"), col("rank"), col("term"), col("freq"),
+        col("support"), col("n_cands"))
+      .orderBy(col("prefix"), col("rank"))
+  }
+  private val w13Sql =
+    s"""WITH vocab AS (
+       | SELECT term, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       | WHERE length(term) >= 3 GROUP BY 1),
+       |pref AS (
+       | SELECT v.term, v.freq, substr(v.term, 1, p) AS prefix
+       | FROM vocab v,
+       |  unnest(generate_series(2, least(length(v.term) - 1, 5))) AS t(p)),
+       |agg AS (
+       | SELECT prefix, term, CAST(SUM(freq) AS BIGINT) AS freq
+       | FROM pref GROUP BY 1, 2),
+       |sup AS (
+       | SELECT prefix, CAST(SUM(freq) AS BIGINT) AS support,
+       |  COUNT(*) AS n_cands
+       | FROM agg GROUP BY 1 HAVING SUM(freq) >= $acMinSupport)
+       |SELECT prefix, rank, term, freq, support, n_cands FROM (
+       | SELECT a.prefix, a.term, a.freq, s.support, s.n_cands,
+       |  ROW_NUMBER() OVER (PARTITION BY a.prefix
+       |                     ORDER BY a.freq DESC, a.term ASC) AS rank
+       | FROM agg a JOIN sup s USING (prefix))
+       |WHERE rank <= $acTopK ORDER BY prefix, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_autocomplete" -> (w13 _),
     "w12_postings_varint" -> (w12 _),
     "w11_mmr_rerank" -> (w11 _),
     "w09_rocchio_prf" -> (w09 _),
@@ -1097,6 +1159,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w13_autocomplete" -> w13Sql,
     "w12_postings_varint" -> w12Sql,
     "w11_mmr_rerank" -> w11Sql,
     "w09_rocchio_prf" -> w09Sql,

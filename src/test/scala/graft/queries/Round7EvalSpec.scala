@@ -277,6 +277,26 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("w13: completions extend their prefix and rank by frequency") {
+    val rows = SearchQueries.queries("w13_autocomplete")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p, t) = (r.getAs[String]("prefix"), r.getAs[String]("term"))
+      assert(t.startsWith(p) && t.length > p.length,
+        s"'$t' does not complete '$p'")
+    }
+    rows.groupBy(_.getAs[String]("prefix")).foreach { case (p, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length).toSeq, s"$p: ranks not contiguous")
+      val fs = sorted.map(_.getAs[Long]("freq"))
+      assert(fs.zip(fs.tail).forall { case (a, b) => b <= a },
+        s"$p: completions not frequency-sorted")
+      assert(sorted.head.getAs[Long]("support") >= fs.sum,
+        s"$p: support below the shown completions' mass")
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
