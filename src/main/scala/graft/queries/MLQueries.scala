@@ -1727,6 +1727,108 @@ object MLQueries extends QueryFamily {
        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY day""".stripMargin
 
+  // ---- m28: split-conformal prediction intervals ---------------------------
+  // Distribution-free uncertainty for ANY point predictor (Vovk et al.
+  // 2005; Lei et al. 2018 split-conformal form): train on folds 0-1,
+  // take the 90th-percentile absolute residual q on the CALIBRATION
+  // fold 2, and the interval yhat +/- q then covers >= 90% of unseen
+  // data with no distributional assumptions. This query runs the whole
+  // pipeline and AUDITS it: empirical coverage on the held-out fold 3,
+  // per l_returnflag. (q is the exact interpolated percentile — the
+  // a18-proven cross-engine form; at calibration sizes the +/-1/n
+  // conformal rank slack is inside the interpolation.)
+  //
+  // Determinism: the OLS fit uses m26's two-pass centered-moment form
+  // (exact milli longs -> identical doubles), residuals micro-quantize
+  // per row BEFORE the percentile and the coverage comparison runs in
+  // exact micro-long space. Scale: three broadcast 1-row stages
+  // (means, moments, q) over one checkpointed scan projection; the
+  // only shuffles are full-combine aggregates.
+  private def m28(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+      .select(col("l_returnflag"), expr("l_orderkey % 4").as("fold"),
+        expr("CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT)").as("xm"),
+        expr("CAST(floor(l_extendedprice * 1000 + 0.5) AS BIGINT)").as("ym"))
+      .localCheckpoint() // feeds train means/moments, calibration, audit
+    val tr = li.filter(col("fold") <= 1)
+    val means = tr.agg(count(lit(1)).as("n_tr"),
+      org.apache.spark.sql.functions.sum(col("xm")).as("sx"),
+      org.apache.spark.sql.functions.sum(col("ym")).as("sy"))
+    val mom = tr.crossJoin(broadcast(means))
+      .select(
+        expr("""CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)
+               | * (ym / 1000.0 - CAST(sy AS DOUBLE) / 1000.0 / n_tr)
+               | * 1000 + 0.5) AS BIGINT)""".stripMargin).as("cxy_q"),
+        expr("""CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)
+               | * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)
+               | * 1000 + 0.5) AS BIGINT)""".stripMargin).as("cxx_q"))
+      .agg(org.apache.spark.sql.functions.sum(col("cxy_q")).as("sxy"),
+        org.apache.spark.sql.functions.sum(col("cxx_q")).as("sxx"))
+    // residual in micro value units, one shared spelling
+    val resExpr =
+      """CAST(floor(abs(ym / 1000.0
+        | - ((CAST(sy AS DOUBLE) / 1000.0 / n_tr)
+        |    + (CAST(sxy AS DOUBLE) / sxx)
+        |      * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)))
+        | * 1e6 + 0.5) AS BIGINT)""".stripMargin
+    val withRes = li.crossJoin(broadcast(means)).crossJoin(broadcast(mom))
+      .withColumn("res_micro", expr(resExpr))
+    val q = withRes.filter(col("fold") === 2)
+      .agg(expr("CAST(floor(percentile(res_micro, CAST(0.9 AS DOUBLE)) + 0.5) AS BIGINT)")
+        .as("q_micro"))
+    withRes.filter(col("fold") === 3).crossJoin(broadcast(q))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_test"),
+        org.apache.spark.sql.functions.sum(
+          when(col("res_micro") <= col("q_micro"), 1L).otherwise(0L))
+          .as("n_covered"),
+        max(col("q_micro")).as("q_micro"))
+      .select(col("l_returnflag"), col("n_test"), col("n_covered"),
+        expr("CAST(CAST(n_covered AS DOUBLE) / n_test AS FLOAT)")
+          .as("coverage"),
+        expr("CAST(q_micro / 1e6 AS FLOAT)").as("half_width"))
+      .orderBy(col("l_returnflag"))
+  }
+  private val m28Sql =
+    """WITH li AS (
+      | SELECT l_returnflag, l_orderkey % 4 AS fold,
+      |  CAST(floor(l_quantity * 1000 + 0.5) AS BIGINT) AS xm,
+      |  CAST(floor(l_extendedprice * 1000 + 0.5) AS BIGINT) AS ym
+      | FROM lineitem),
+      |means AS (
+      | SELECT COUNT(*) AS n_tr, CAST(SUM(xm) AS BIGINT) AS sx,
+      |  CAST(SUM(ym) AS BIGINT) AS sy
+      | FROM li WHERE fold <= 1),
+      |mom AS (
+      | SELECT
+      |  CAST(SUM(CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)
+      |   * (ym / 1000.0 - CAST(sy AS DOUBLE) / 1000.0 / n_tr)
+      |   * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+      |  CAST(SUM(CAST(floor((xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)
+      |   * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)
+      |   * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sxx
+      | FROM li CROSS JOIN means WHERE fold <= 1),
+      |res AS (
+      | SELECT l_returnflag, fold,
+      |  CAST(floor(abs(ym / 1000.0
+      |   - ((CAST(sy AS DOUBLE) / 1000.0 / n_tr)
+      |      + (CAST(sxy AS DOUBLE) / sxx)
+      |        * (xm / 1000.0 - CAST(sx AS DOUBLE) / 1000.0 / n_tr)))
+      |   * 1e6 + 0.5) AS BIGINT) AS res_micro
+      | FROM li CROSS JOIN means CROSS JOIN mom),
+      |q AS (
+      | SELECT CAST(floor(quantile_cont(res_micro, CAST(0.9 AS DOUBLE)) + 0.5)
+      |        AS BIGINT) AS q_micro
+      | FROM res WHERE fold = 2)
+      |SELECT l_returnflag, COUNT(*) AS n_test,
+      | CAST(SUM(CASE WHEN res_micro <= q_micro THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_covered,
+      | CAST(CAST(SUM(CASE WHEN res_micro <= q_micro THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*) AS REAL) AS coverage,
+      | CAST(MAX(q_micro) / 1e6 AS REAL) AS half_width
+      |FROM res CROSS JOIN q WHERE fold = 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -1838,6 +1940,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m28_conformal" -> (m28 _),
     "m27_msprt_monitor" -> (m27 _),
     "m26_cuped_abtest" -> (m26 _),
     "m25_poisson_bootstrap" -> (m25 _),
@@ -1868,6 +1971,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m28_conformal" -> m28Sql,
     "m27_msprt_monitor" -> m27Sql,
     "m26_cuped_abtest" -> m26Sql,
     "m25_poisson_bootstrap" -> m25Sql,

@@ -297,6 +297,23 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("m28: conformal intervals hit their nominal coverage out of fold") {
+    val rows = MLQueries.queries("m28_conformal")(spark, d01).collect()
+    assert(rows.nonEmpty)
+    val (cov, n) = (
+      rows.map(r => r.getAs[Long]("n_covered")).sum.toDouble,
+      rows.map(r => r.getAs[Long]("n_test")).sum.toDouble)
+    // the split-conformal guarantee is >= 90% marginal coverage; allow
+    // binomial slack on the held-out fold, and catch a trivially-wide
+    // interval (coverage ~ 1.0 means q is broken)
+    assert(cov / n > 0.85 && cov / n < 0.97,
+      s"marginal coverage ${cov / n} far from nominal 0.90")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_covered") <= r.getAs[Long]("n_test"))
+      assert(r.getAs[Float]("half_width") > 0.0f)
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
