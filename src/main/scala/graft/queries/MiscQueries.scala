@@ -401,6 +401,114 @@ object MiscQueries extends QueryFamily {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- j21: exact k-NN spatial join (certify-else-widen) -------------------
+  // "k nearest neighbors for every point" — the join shape behind
+  // store-siting, dedup-by-location and geo feature engineering. The
+  // production algorithm (the kNN analogue of j17's grid): candidates
+  // come from the 3x3 neighbor cells; a query is CERTIFIED when it has
+  // >= k candidates and its k-th candidate distance fits inside the
+  // ring bound (the conservative distance from the point to its 3x3
+  // neighborhood's boundary) — a certified top-k provably equals the
+  // true top-k. The rare uncertified queries (sparse cells, boundary
+  // dwellers) re-run against the full point table. The ORACLE is the
+  // UNBUCKETED quadratic top-k, so the green hash proves the
+  // certify/widen routing is exact, not just plausible.
+  //
+  // Scale: the grid join is j17's 9-cell ids-only explode; the top-k
+  // windows partition by query id over candidate-bounded input; only
+  // the uncertified slice (empirically a few % — sparse corners)
+  // touches the widened join, and at 100 TB that side stays a
+  // per-query broadcast probe or an iterated 5x5 ring. Ranking runs on
+  // micro-quantized distances (ties broken by neighbor id), so the
+  // cross-engine order cannot float-flip.
+  private val knnK = 3
+  private def j21(s: SparkSession, dir: String): DataFrame = {
+    val pts = rd(s, dir, "events")
+      .filter(col("user_id") < 30)
+      .select(col("event_id").as("id"),
+        expr("((event_id % 1200) / 10.0) - 60.0").as("lat"),
+        expr("((user_id * 97 + event_id % 3600) % 3600) / 10.0 - 180.0").as("lon"))
+      .localCheckpoint() // grid sides, the fallback probe, and the bound
+    val distMicro = "CAST(floor(2.0 * 6371.0 * ASIN(SQRT(" +
+      "SIN(RADIANS(b_lat - a_lat) / 2.0) * SIN(RADIANS(b_lat - a_lat) / 2.0)" +
+      " + COS(RADIANS(a_lat)) * COS(RADIANS(b_lat))" +
+      " * SIN(RADIANS(b_lon - a_lon) / 2.0) * SIN(RADIANS(b_lon - a_lon) / 2.0)" +
+      ")) * 1e6 + 0.5) AS BIGINT)"
+    val a = pts.select(col("id").as("a_id"), col("lat").as("a_lat"),
+        col("lon").as("a_lon"),
+        explode(expr("sequence(-1, 1)")).as("dy"))
+      .select(col("a_id"), col("a_lat"), col("a_lon"), col("dy"),
+        explode(expr("sequence(-1, 1)")).as("dx"))
+      .select(col("a_id"), col("a_lat"), col("a_lon"),
+        (expr("CAST(floor(a_lat) AS BIGINT)") + col("dy")).as("cy"),
+        expr("((CAST(floor(a_lon) AS BIGINT) + dx + 540) % 360) - 180")
+          .as("cx"))
+    val b = pts.select(col("id").as("b_id"), col("lat").as("b_lat"),
+      col("lon").as("b_lon"),
+      expr("CAST(floor(b_lat) AS BIGINT)").as("cy"),
+      expr("((CAST(floor(b_lon) AS BIGINT) + 540) % 360) - 180").as("cx"))
+    val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))
+      .orderBy(col("dist_micro").asc, col("b_id").asc)
+    val cand = a.join(b, Seq("cy", "cx"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("dist_micro", expr(distMicro))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= knnK)
+      .localCheckpoint() // feeds certification and the certified slice
+    // ring bound: >= 1 degree of latitude to the 3x3 boundary in every
+    // direction; the lon margin shrinks by the smallest cos in the
+    // neighborhood (|lat| + 2 degrees, conservatively)
+    val boundKm =
+      """(111.19 * LEAST(
+        |  LEAST(a_lat - (floor(a_lat) - 1.0), (floor(a_lat) + 2.0) - a_lat),
+        |  LEAST(a_lon - (floor(a_lon) - 1.0), (floor(a_lon) + 2.0) - a_lon)
+        |  * COS(RADIANS(LEAST(abs(a_lat) + 2.0, 89.0)))))""".stripMargin
+    val perQ = cand.groupBy(col("a_id"), col("a_lat"), col("a_lon"))
+      .agg(count(lit(1)).as("n_cand"), max(col("dist_micro")).as("dk_micro"))
+      .withColumn("certified",
+        col("n_cand") === knnK &&
+          col("dk_micro") <= expr(s"CAST(floor($boundKm * 1e6) AS BIGINT)"))
+    val certIds = perQ.filter(col("certified")).select(col("a_id"))
+    val certified = cand.join(certIds, Seq("a_id"), "left_semi")
+    val uncert = pts.join(certIds.select(col("a_id").as("id")),
+        Seq("id"), "left_anti")
+      .select(col("id").as("a_id"), col("lat").as("a_lat"),
+        col("lon").as("a_lon"))
+    val fallback = uncert
+      .join(pts.select(col("id").as("b_id"), col("lat").as("b_lat"),
+        col("lon").as("b_lon")), col("a_id") =!= col("b_id"))
+      .withColumn("dist_micro", expr(distMicro))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= knnK)
+    certified.select(col("a_id"), col("rnk"), col("b_id"), col("dist_micro"))
+      .union(fallback.select(col("a_id"), col("rnk"), col("b_id"),
+        col("dist_micro")))
+      .select(col("a_id"), col("rnk").as("rank"), col("b_id"),
+        expr("CAST(dist_micro / 1e6 AS FLOAT)").as("dist_km"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+  private val j21Sql = {
+    val distMicro = "CAST(floor(2.0 * 6371.0 * ASIN(SQRT(" +
+      "SIN(RADIANS(b.lat - a.lat) / 2.0) * SIN(RADIANS(b.lat - a.lat) / 2.0)" +
+      " + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))" +
+      " * SIN(RADIANS(b.lon - a.lon) / 2.0) * SIN(RADIANS(b.lon - a.lon) / 2.0)" +
+      ")) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH pts AS (
+       | SELECT event_id AS id,
+       |  ((event_id % 1200) / 10.0) - 60.0 AS lat,
+       |  ((user_id * 97 + event_id % 3600) % 3600) / 10.0 - 180.0 AS lon
+       | FROM events WHERE user_id < 30),
+       |ranked AS (
+       | SELECT a.id AS a_id, b.id AS b_id, $distMicro AS dist_micro,
+       |  ROW_NUMBER() OVER (PARTITION BY a.id
+       |                     ORDER BY $distMicro ASC, b.id ASC) AS rank
+       | FROM pts a JOIN pts b ON a.id <> b.id)
+       |SELECT a_id, rank, b_id,
+       | CAST(dist_micro / 1e6 AS REAL) AS dist_km
+       |FROM ranked WHERE rank <= $knnK
+       |ORDER BY a_id, rank""".stripMargin
+  }
+
   // ---- j18: fuzzy lookup join (record linkage) ----------------------------
   // The verify half of a Fellegi–Sunter linkage: resolve dirty entity
   // names against the catalog by Jaro–Winkler similarity (native
@@ -766,6 +874,7 @@ object MiscQueries extends QueryFamily {
     "j19_spatial_rule" -> (j19 _),
     "d22_dbscan_grid" -> (d22 _),
     "j18_fuzzy_lookup" -> (j18 _),
+    "j21_knn_join" -> (j21 _),
     "j17_geo_radius_join" -> (j17 _),
     "a25_grouping_sets" -> (a25 _),
     "j09_salted_skew_join" -> (j09 _),
@@ -783,6 +892,7 @@ object MiscQueries extends QueryFamily {
     "j19_spatial_rule" -> j19Sql,
     "d22_dbscan_grid" -> d22Sql,
     "j18_fuzzy_lookup" -> j18Sql,
+    "j21_knn_join" -> j21Sql,
     "j17_geo_radius_join" -> j17Sql,
     "a25_grouping_sets" -> a25Sql,
     "j09_salted_skew_join" -> j09Sql,

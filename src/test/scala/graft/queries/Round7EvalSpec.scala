@@ -314,6 +314,20 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("j21: every query gets exactly k neighbors in distance order") {
+    val rows = MiscQueries.queries("j21_knn_join")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("a_id")).foreach { case (a, rs) =>
+      assert(rs.length == 3, s"query $a has ${rs.length} neighbors")
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+      val ds = sorted.map(_.getAs[Float]("dist_km"))
+      assert(ds.zip(ds.tail).forall { case (x, y) => y >= x },
+        s"query $a: neighbor distances out of order")
+      assert(sorted.forall(_.getAs[Long]("b_id") != a), "self as neighbor")
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
