@@ -526,53 +526,51 @@ object MultimodalQueries extends QueryFamily {
   // L1 distance between CONSECUTIVE frame histograms exceeds a fixed
   // cut threshold, and emit shots as the runs between boundaries.
   // Differs structurally from x09's VAD (scalar gate -> islands): the
-  // frame feature is a VECTOR, and the distance is computed fully
-  // relationally — histogram rows keyed by (doc, frame, bin), a
-  // (doc, bin)-partitioned lag aligns each bin with its predecessor
-  // frame, and one (doc, frame) groupBy folds |delta| into L1. All
-  // integer counts end-to-end: nothing to quantize.
+  // frame feature is a VECTOR (an 8-bin histogram), compared between
+  // consecutive frames. All integer counts end-to-end: nothing to
+  // quantize.
   //
-  // Scale: one byte-explode (the x03/x09 hex-hoisted, repartitioned,
-  // checkpointed decode), histogram counts map-side combine on
-  // (doc, frame, bin), the dense grid is spine x 8 broadcast bins
-  // (s06 fan-out), and every window is doc-keyed (u12 discipline).
-  // Threshold 6 sits at ~p95 of the corpus L1 distribution, so cuts
-  // are rare-but-present at every SF.
+  // Scale: histograms are built IN ARRAY SPACE (nested HOFs over the
+  // hex-hoisted, repartitioned, checkpointed decode — the x02/x03
+  // lesson) so the only explode is one row per FRAME, not per byte;
+  // the first cut of this query exploded bytes into a (doc, frame,
+  // bin) groupBy + dense-grid join + bin-keyed lag and measured 13 s
+  // at sf0.1 — the array form with a doc-keyed lag of the whole
+  // histogram (zip_with |delta| fold) is the same integer math with
+  // 16x fewer rows and two fewer shuffles. Every window is doc-keyed
+  // (u12 discipline). Threshold 6 sits at ~p95 of the corpus L1
+  // distribution, so cuts are rare-but-present at every SF.
   private val shotFrame = 16
   private val shotThresh = 6L
   private def x12(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val nb = "octet_length(encode(text, 'UTF-8'))"
-    val base = d.repartition(s.sparkContext.defaultParallelism)
+    // two-level transform: decode each frame's bytes ONCE, then derive
+    // the 8 bin counts from the decoded array (a single-level form
+    // re-ran the conv() decode per bin — 8x the work)
+    val frames =
+      s"""transform(
+         | transform(sequence(0, CAST((nbv - 1) div $shotFrame AS INT)),
+         |  f -> transform(sequence(f * $shotFrame + 1,
+         |                          least(f * $shotFrame + $shotFrame, nbv)),
+         |    i -> CAST(conv(substring(hx, i * 2 - 1, 2), 16, 10)
+         |         AS BIGINT))),
+         | fb -> transform(sequence(0, 7),
+         |   b -> CAST(size(filter(fb, v -> v div 32 = b)) AS BIGINT)))""".stripMargin
+    val fr = d.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(hexSpark).as("hx"), expr(nb).as("nbv"))
-      .select(col("doc_id"),
-        expr("""transform(sequence(1, nbv),
-               | i -> CAST(conv(substring(hx, i * 2 - 1, 2), 16, 10)
-               |      AS BIGINT))""".stripMargin).as("bts"))
-      .filter(size(col("bts")) > 0)
-      .localCheckpoint()
-    val cnt = base
-      .select(col("doc_id"), posexplode(col("bts")).as(Seq("pos", "v")))
-      .groupBy(col("doc_id"),
-        expr(s"pos div $shotFrame").as("fidx"),
-        expr("v div 32").as("bin"))
-      .agg(count(lit(1)).as("c"))
-    val spine = cnt.select(col("doc_id"), col("fidx")).distinct()
-    val bins = s.range(0, 8).select(col("id").as("bin"))
-    val grid = spine.crossJoin(broadcast(bins))
-      .join(cnt, Seq("doc_id", "fidx", "bin"), "left")
-      .select(col("doc_id"), col("fidx"), col("bin"),
-        coalesce(col("c"), lit(0L)).as("c"))
-    val wBin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"), col("bin")).orderBy(col("fidx"))
-    val l1 = grid.withColumn("pc", lag(col("c"), 1).over(wBin))
-      .filter(col("pc").isNotNull)
-      .groupBy(col("doc_id"), col("fidx"))
-      .agg(sum(abs(col("c") - col("pc"))).as("d"))
-    val flagged = spine.join(l1, Seq("doc_id", "fidx"), "left")
+      .filter(col("nbv") > 0)
+      .select(col("doc_id"), posexplode(expr(frames)).as(Seq("fidx0", "h")))
+      .select(col("doc_id"), col("fidx0").cast("long").as("fidx"), col("h"))
+    val wDoc0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("fidx"))
+    val flagged = fr
+      .withColumn("ph", lag(col("h"), 1).over(wDoc0))
       .select(col("doc_id"), col("fidx"),
-        when(coalesce(col("d"), lit(0L)) > shotThresh, 1L).otherwise(0L)
-          .as("cut"))
+        expr(s"""CASE WHEN ph IS NULL THEN 0L
+                | WHEN aggregate(zip_with(h, ph, (x, y) -> abs(x - y)),
+                |                0L, (acc, v) -> acc + v) > $shotThresh
+                | THEN 1L ELSE 0L END""".stripMargin).as("cut"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("fidx"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
