@@ -416,12 +416,19 @@ object MiscQueries extends QueryFamily {
   //
   // Scale: the grid join is j17's 9-cell ids-only explode; the top-k
   // windows partition by query id over candidate-bounded input; only
-  // the uncertified slice (empirically a few % — sparse corners)
-  // touches the widened join, and at 100 TB that side stays a
-  // per-query broadcast probe or an iterated 5x5 ring. Ranking runs on
-  // micro-quantized distances (ties broken by neighbor id), so the
-  // cross-engine order cannot float-flip.
+  // the uncertified slice touches the widened join, and at 100 TB
+  // that side stays a per-query broadcast probe or an iterated 5x5
+  // ring. CELL SIZING IS THE KNOB THAT MAKES CERTIFICATION FIRE: at
+  // 1-degree cells this corpus leaves 37/1971 queries with even k+1
+  // neighborhood candidates (the fallback then does the quadratic
+  // work the gate was meant to avoid); 10-degree cells put a median
+  // of 40 points in every 3x3 neighborhood — in production this is
+  // "size cells to ~k x expected density", and the measured occupancy
+  // check IS the sizing pass. Ranking runs on micro-quantized
+  // distances (ties broken by neighbor id), so the cross-engine order
+  // cannot float-flip.
   private val knnK = 3
+  private val knnCell = 10.0 // degrees per grid cell
   private def j21(s: SparkSession, dir: String): DataFrame = {
     val pts = rd(s, dir, "events")
       .filter(col("user_id") < 30)
@@ -440,13 +447,13 @@ object MiscQueries extends QueryFamily {
       .select(col("a_id"), col("a_lat"), col("a_lon"), col("dy"),
         explode(expr("sequence(-1, 1)")).as("dx"))
       .select(col("a_id"), col("a_lat"), col("a_lon"),
-        (expr("CAST(floor(a_lat) AS BIGINT)") + col("dy")).as("cy"),
-        expr("((CAST(floor(a_lon) AS BIGINT) + dx + 540) % 360) - 180")
+        (expr(s"CAST(floor(a_lat / $knnCell) AS BIGINT)") + col("dy")).as("cy"),
+        expr(s"((CAST(floor(a_lon / $knnCell) AS BIGINT) + dx + 54) % 36) - 18")
           .as("cx"))
     val b = pts.select(col("id").as("b_id"), col("lat").as("b_lat"),
       col("lon").as("b_lon"),
-      expr("CAST(floor(b_lat) AS BIGINT)").as("cy"),
-      expr("((CAST(floor(b_lon) AS BIGINT) + 540) % 360) - 180").as("cx"))
+      expr(s"CAST(floor(b_lat / $knnCell) AS BIGINT)").as("cy"),
+      expr(s"((CAST(floor(b_lon / $knnCell) AS BIGINT) + 54) % 36) - 18").as("cx"))
     val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a_id"))
       .orderBy(col("dist_micro").asc, col("b_id").asc)
     val cand = a.join(b, Seq("cy", "cx"))
@@ -455,14 +462,16 @@ object MiscQueries extends QueryFamily {
       .withColumn("rnk", row_number().over(wA))
       .filter(col("rnk") <= knnK)
       .localCheckpoint() // feeds certification and the certified slice
-    // ring bound: >= 1 degree of latitude to the 3x3 boundary in every
+    // ring bound: >= one cell of latitude to the 3x3 boundary in every
     // direction; the lon margin shrinks by the smallest cos in the
-    // neighborhood (|lat| + 2 degrees, conservatively)
+    // neighborhood (|lat| + 2 cells, conservatively)
     val boundKm =
-      """(111.19 * LEAST(
-        |  LEAST(a_lat - (floor(a_lat) - 1.0), (floor(a_lat) + 2.0) - a_lat),
-        |  LEAST(a_lon - (floor(a_lon) - 1.0), (floor(a_lon) + 2.0) - a_lon)
-        |  * COS(RADIANS(LEAST(abs(a_lat) + 2.0, 89.0)))))""".stripMargin
+      s"""(111.19 * LEAST(
+        |  LEAST(a_lat - (floor(a_lat / $knnCell) - 1.0) * $knnCell,
+        |        (floor(a_lat / $knnCell) + 2.0) * $knnCell - a_lat),
+        |  LEAST(a_lon - (floor(a_lon / $knnCell) - 1.0) * $knnCell,
+        |        (floor(a_lon / $knnCell) + 2.0) * $knnCell - a_lon)
+        |  * COS(RADIANS(LEAST(abs(a_lat) + 2.0 * $knnCell, 89.0)))))""".stripMargin
     val perQ = cand.groupBy(col("a_id"), col("a_lat"), col("a_lon"))
       .agg(count(lit(1)).as("n_cand"), max(col("dist_micro")).as("dk_micro"))
       .withColumn("certified",
