@@ -816,6 +816,127 @@ object SearchQueries extends QueryFamily {
       | MIN(CASE WHEN 100 * c >= 99 * tot THEN lb END) AS p99
       |FROM cum GROUP BY flag ORDER BY flag""".stripMargin
 
+  // ---- k10: sketch-accuracy audit (DDSketch vs exact) ----------------------
+  // The v08/d25 evaluation discipline applied to k07: every sketch in
+  // production needs its error CONTRACT measured, not assumed. Per
+  // group and per quantile (p50/p90/p99), compare the k07 bucket
+  // lower bound against the EXACT quantile at the same rank-crossing
+  // definition (smallest value whose cumulative count crosses p*n —
+  // computed from the value-count table, bounded by the price DOMAIN,
+  // not the corpus). The (msb, 3-bit-mantissa) bucket [m*2^e,
+  // (m+1)*2^e) pins the guarantee: lb <= exact and under-estimation
+  // < 1/(m+1) <= 1/9 for the mantissa range — rel_err_bp must land in
+  // [0, 1112]. Integer arithmetic end-to-end (error in basis points
+  // from exact longs).
+  private def k10(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    rd(s, dir, "lineitem").createOrReplaceTempView("k10_li")
+    s.sql(
+      """WITH sk AS (
+        | SELECT l_returnflag AS flag,
+        |  qsketch_buckets(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS m
+        | FROM k10_li GROUP BY 1),
+        |ex AS (
+        | SELECT flag, idx, cnt FROM sk LATERAL VIEW explode(m) t AS idx, cnt),
+        |cum AS (
+        | SELECT flag, idx, cnt,
+        |  SUM(cnt) OVER (PARTITION BY flag ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |  SUM(cnt) OVER (PARTITION BY flag) AS tot,
+        |  CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+        |   ELSE SHIFTLEFT(CAST(8 + idx % 8 AS BIGINT), CAST(idx / 8 AS INT) - 3)
+        |  END AS lb
+        | FROM ex),
+        |sq AS (
+        | SELECT flag,
+        |  MIN(CASE WHEN 2 * c >= tot THEN lb END) AS s50,
+        |  MIN(CASE WHEN 10 * c >= 9 * tot THEN lb END) AS s90,
+        |  MIN(CASE WHEN 100 * c >= 99 * tot THEN lb END) AS s99
+        | FROM cum GROUP BY flag),
+        |vc AS (
+        | SELECT l_returnflag AS flag,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS x, COUNT(*) AS cnt
+        | FROM k10_li WHERE CAST(FLOOR(l_extendedprice) AS BIGINT) > 0
+        | GROUP BY 1, 2),
+        |vcum AS (
+        | SELECT flag, x,
+        |  SUM(cnt) OVER (PARTITION BY flag ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+        |  SUM(cnt) OVER (PARTITION BY flag) AS tot
+        | FROM vc),
+        |eq AS (
+        | SELECT flag,
+        |  MIN(CASE WHEN 2 * c >= tot THEN x END) AS e50,
+        |  MIN(CASE WHEN 10 * c >= 9 * tot THEN x END) AS e90,
+        |  MIN(CASE WHEN 100 * c >= 99 * tot THEN x END) AS e99
+        | FROM vcum GROUP BY flag),
+        |joined AS (
+        | SELECT sq.flag,
+        |  stack(3, 'p50', s50, e50, 'p90', s90, e90, 'p99', s99, e99)
+        |   AS (q_label, sketch_lb, exact_q)
+        | FROM sq JOIN eq ON sq.flag = eq.flag)
+        |SELECT flag, q_label, sketch_lb, exact_q,
+        | CAST((exact_q - sketch_lb) * 10000 DIV exact_q AS BIGINT)
+        |  AS rel_err_bp,
+        | CAST(CASE WHEN sketch_lb <= exact_q
+        |       AND (exact_q - sketch_lb) * 10000 DIV exact_q <= 1112
+        |      THEN 1 ELSE 0 END AS INT) AS within_bound
+        |FROM joined ORDER BY flag, q_label""".stripMargin)
+  }
+  private val k10Sql =
+    """WITH v AS (
+      | SELECT l_returnflag AS flag, CAST(FLOOR(l_extendedprice) AS BIGINT) AS x
+      | FROM lineitem
+      | WHERE CAST(FLOOR(l_extendedprice) AS BIGINT) > 0),
+      |b AS (
+      | SELECT flag,
+      |  (length(printf('%b', x)) - 1) * 8 +
+      |   ((x >> greatest(length(printf('%b', x)) - 4, 0)) & 7) AS idx,
+      |  COUNT(*) AS cnt
+      | FROM v GROUP BY 1, 2),
+      |cum AS (
+      | SELECT flag, idx, cnt,
+      |  SUM(cnt) OVER (PARTITION BY flag ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+      |  SUM(cnt) OVER (PARTITION BY flag) AS tot,
+      |  CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+      |   ELSE CAST((8 + idx % 8) * power(2, idx // 8 - 3) AS BIGINT)
+      |  END AS lb
+      | FROM b),
+      |sq AS (
+      | SELECT flag,
+      |  MIN(CASE WHEN 2 * c >= tot THEN lb END) AS s50,
+      |  MIN(CASE WHEN 10 * c >= 9 * tot THEN lb END) AS s90,
+      |  MIN(CASE WHEN 100 * c >= 99 * tot THEN lb END) AS s99
+      | FROM cum GROUP BY flag),
+      |vc AS (SELECT flag, x, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+      |vcum AS (
+      | SELECT flag, x,
+      |  SUM(cnt) OVER (PARTITION BY flag ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+      |  SUM(cnt) OVER (PARTITION BY flag) AS tot
+      | FROM vc),
+      |eq AS (
+      | SELECT flag,
+      |  MIN(CASE WHEN 2 * c >= tot THEN x END) AS e50,
+      |  MIN(CASE WHEN 10 * c >= 9 * tot THEN x END) AS e90,
+      |  MIN(CASE WHEN 100 * c >= 99 * tot THEN x END) AS e99
+      | FROM vcum GROUP BY flag),
+      |joined AS (
+      | SELECT flag, q_label, sketch_lb, exact_q FROM (
+      |  SELECT sq.flag, 'p50' AS q_label, s50 AS sketch_lb, e50 AS exact_q
+      |  FROM sq JOIN eq USING (flag)
+      |  UNION ALL
+      |  SELECT sq.flag, 'p90', s90, e90 FROM sq JOIN eq USING (flag)
+      |  UNION ALL
+      |  SELECT sq.flag, 'p99', s99, e99 FROM sq JOIN eq USING (flag)))
+      |SELECT flag, q_label, sketch_lb, exact_q,
+      | CAST((exact_q - sketch_lb) * 10000 // exact_q AS BIGINT) AS rel_err_bp,
+      | CAST(CASE WHEN sketch_lb <= exact_q
+      |       AND (exact_q - sketch_lb) * 10000 // exact_q <= 1112
+      |      THEN 1 ELSE 0 END AS INTEGER) AS within_bound
+      |FROM joined ORDER BY flag, q_label""".stripMargin
+
   // ---- w09: Rocchio pseudo-relevance feedback ------------------------------
   // Query expansion (Rocchio 1971, the classic PRF loop): rank with BM25,
   // take the top-Dr docs as pseudo-relevant, add the E strongest centroid
@@ -1139,6 +1260,7 @@ object SearchQueries extends QueryFamily {
        |WHERE rank <= $acTopK ORDER BY prefix, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k10_sketch_audit" -> (k10 _),
     "w13_autocomplete" -> (w13 _),
     "w12_postings_varint" -> (w12 _),
     "w11_mmr_rerank" -> (w11 _),
@@ -1159,6 +1281,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k10_sketch_audit" -> k10Sql,
     "w13_autocomplete" -> w13Sql,
     "w12_postings_varint" -> w12Sql,
     "w11_mmr_rerank" -> w11Sql,

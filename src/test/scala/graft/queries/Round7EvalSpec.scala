@@ -328,6 +328,18 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("k10: every sketch quantile honors the DDSketch error contract") {
+    val rows = SearchQueries.queries("k10_sketch_audit")(spark, dir).collect()
+    assert(rows.length == 9) // 3 flags x 3 quantiles
+    rows.foreach { r =>
+      val (lb, ex) = (r.getAs[Long]("sketch_lb"), r.getAs[Long]("exact_q"))
+      assert(lb <= ex, s"sketch overestimated: $lb > $ex")
+      val bp = r.getAs[Long]("rel_err_bp")
+      assert(bp >= 0 && bp <= 1112, s"rel err $bp bp outside the 1/9 bound")
+      assert(r.getAs[Int]("within_bound") == 1)
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
