@@ -1829,6 +1829,102 @@ object MLQueries extends QueryFamily {
       |FROM res CROSS JOIN q WHERE fold = 3
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- m29: second-order boosting round (XGBoost step) ---------------------
+  // One Newton boosting round (Chen & Guestrin 2016 eq. 5-6) on a
+  // FIXED tree structure — the training-side twin of m04's inference:
+  // with current margin s0 (a literal linear base model) and label
+  // y = purchase, each leaf gets w* = -G / (H + lambda) from its
+  // gradient/hessian sums (g = p - y, h = p(1-p)), margins update
+  // s1 = s0 + eta * w(leaf), and the corpus logloss must not increase
+  // (Newton step on a convex objective with small eta). Output: the
+  // 4-leaf update table plus before/after logloss — the quantities an
+  // actual distributed trainer materializes per round.
+  //
+  // Determinism: g, h, and the per-row loglosses micro-quantize BEFORE
+  // their sums (identical sigmoid/ln inputs on both engines; t22's
+  // ln-quantization form). Scale: two passes over the checkpointed
+  // (leaf, s0, y) projection — the leaf stats groupBy (4 rows) and the
+  // loss fold — with the leaf-weight table re-entering as a broadcast.
+  // One scan + one 4-group shuffle per boosting round, the exact shape
+  // of a distributed GBDT round.
+  private val boostLambda = 1.0
+  private val boostEta = 0.3
+  private def m29(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val base = ev.select(
+        expr("CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END").as("y"),
+        expr("0.01 * value - 1.0").as("s0"),
+        expr("""CASE WHEN value < 25.0 THEN CASE WHEN user_id % 2 = 0
+               | THEN 0 ELSE 1 END
+               | ELSE CASE WHEN user_id % 2 = 0 THEN 2 ELSE 3 END
+               |END""".stripMargin).as("leaf"))
+      .withColumn("p", expr("1.0 / (1.0 + exp(-s0))"))
+      .withColumn("gq", expr("CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("hq", expr("CAST(floor(p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)"))
+      .withColumn("l0q", expr(
+        "CAST(floor((ln(1.0 + exp(s0)) - y * s0) * 1e6 + 0.5) AS BIGINT)"))
+      .localCheckpoint() // leaf stats + both loss folds
+    val leaves = base.groupBy(col("leaf"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("gq")).as("gsum"),
+        org.apache.spark.sql.functions.sum(col("hq")).as("hsum"))
+      .withColumn("w", expr(
+        s"-(CAST(gsum AS DOUBLE) / 1e6) / (CAST(hsum AS DOUBLE) / 1e6 + $boostLambda)"))
+    val loss0 = base.agg(
+      org.apache.spark.sql.functions.sum(col("l0q")).as("l0sum"),
+      count(lit(1)).as("n_all"))
+    val loss1 = base.join(broadcast(leaves.select(col("leaf"), col("w"))), "leaf")
+      .select(expr(
+        s"""CAST(floor((ln(1.0 + exp(s0 + $boostEta * w))
+           | - y * (s0 + $boostEta * w)) * 1e6 + 0.5) AS BIGINT)""".stripMargin)
+        .as("l1q"))
+      .agg(org.apache.spark.sql.functions.sum(col("l1q")).as("l1sum"))
+    leaves.crossJoin(broadcast(loss0)).crossJoin(broadcast(loss1))
+      .select(col("leaf"), col("n"), col("gsum"), col("hsum"),
+        expr("CAST(w AS FLOAT)").as("leaf_weight"),
+        expr("CAST(CAST(l0sum AS DOUBLE) / 1e6 / n_all AS FLOAT)")
+          .as("logloss_before"),
+        expr("CAST(CAST(l1sum AS DOUBLE) / 1e6 / n_all AS FLOAT)")
+          .as("logloss_after"))
+      .orderBy(col("leaf"))
+  }
+  private val m29Sql =
+    s"""WITH base AS (
+       | SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+       |  0.01 * value - 1.0 AS s0,
+       |  CASE WHEN value < 25.0 THEN CASE WHEN user_id % 2 = 0
+       |   THEN 0 ELSE 1 END
+       |   ELSE CASE WHEN user_id % 2 = 0 THEN 2 ELSE 3 END
+       |  END AS leaf
+       | FROM events),
+       |gh AS (
+       | SELECT y, s0, leaf, 1.0 / (1.0 + exp(-s0)) AS p FROM base),
+       |q AS (
+       | SELECT leaf, y, s0,
+       |  CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT) AS gq,
+       |  CAST(floor(p * (1.0 - p) * 1e6 + 0.5) AS BIGINT) AS hq,
+       |  CAST(floor((ln(1.0 + exp(s0)) - y * s0) * 1e6 + 0.5) AS BIGINT) AS l0q
+       | FROM gh),
+       |leaves AS (
+       | SELECT leaf, COUNT(*) AS n, CAST(SUM(gq) AS BIGINT) AS gsum,
+       |  CAST(SUM(hq) AS BIGINT) AS hsum,
+       |  -(CAST(CAST(SUM(gq) AS BIGINT) AS DOUBLE) / 1e6)
+       |   / (CAST(CAST(SUM(hq) AS BIGINT) AS DOUBLE) / 1e6 + $boostLambda) AS w
+       | FROM q GROUP BY leaf),
+       |loss0 AS (
+       | SELECT CAST(SUM(l0q) AS BIGINT) AS l0sum, COUNT(*) AS n_all FROM q),
+       |loss1 AS (
+       | SELECT CAST(SUM(CAST(floor((ln(1.0 + exp(q.s0 + $boostEta * le.w))
+       |  - q.y * (q.s0 + $boostEta * le.w)) * 1e6 + 0.5) AS BIGINT))
+       |  AS BIGINT) AS l1sum
+       | FROM q JOIN leaves le USING (leaf))
+       |SELECT leaf, n, gsum, hsum,
+       | CAST(w AS REAL) AS leaf_weight,
+       | CAST(CAST(l0sum AS DOUBLE) / 1e6 / n_all AS REAL) AS logloss_before,
+       | CAST(CAST(l1sum AS DOUBLE) / 1e6 / n_all AS REAL) AS logloss_after
+       |FROM leaves CROSS JOIN loss0 CROSS JOIN loss1
+       |ORDER BY leaf""".stripMargin
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -1940,6 +2036,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m29_boost_step" -> (m29 _),
     "m28_conformal" -> (m28 _),
     "m27_msprt_monitor" -> (m27 _),
     "m26_cuped_abtest" -> (m26 _),
@@ -1971,6 +2068,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m29_boost_step" -> m29Sql,
     "m28_conformal" -> m28Sql,
     "m27_msprt_monitor" -> m27Sql,
     "m26_cuped_abtest" -> m26Sql,

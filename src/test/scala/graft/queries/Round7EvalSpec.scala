@@ -340,6 +340,21 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("m29: the Newton boosting step decreases the training loss") {
+    val rows = MLQueries.queries("m29_boost_step")(spark, d01)
+      .orderBy(col("leaf")).collect()
+    assert(rows.length == 4)
+    val (before, after) = (rows.head.getAs[Float]("logloss_before"),
+      rows.head.getAs[Float]("logloss_after"))
+    assert(after < before, s"boosting round raised loss: $before -> $after")
+    rows.foreach { r =>
+      // w = -G/(H+lambda): sign opposite the gradient sum
+      val (g, w) = (r.getAs[Long]("gsum"), r.getAs[Float]("leaf_weight"))
+      assert(g == 0L || (g > 0) != (w > 0), s"leaf weight not anti-gradient")
+      assert(r.getAs[Long]("hsum") > 0L, "hessian sum must be positive")
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
