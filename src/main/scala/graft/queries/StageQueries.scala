@@ -427,7 +427,94 @@ object StageQueries extends QueryFamily {
       |) AS t(n_mu, n_events, pt_milli_sum)
       |ORDER BY n_mu""".stripMargin
 
+  // ---- s12: histogram rebin + data/MC ratio with pulls ---------------------
+  // The table behind every stack/ratio panel (stage3/plotter.py's ratio
+  // pad, engine side): rebin the 40-bin mass histogram by 5 (merging
+  // value AND sumw2 — the invariant a physics user checks first), then
+  // per coarse bin the data/MC ratio with propagated error and the
+  // pull (data - mc) / sqrt(var_data + var_mc). "Data" = unit-weight
+  // orders with key % 3 = 0, "MC" = the a10 weight on the rest, so
+  // both populations share one scan. Rebinning is pure bin index
+  // arithmetic — (bin-1) div 5 + 1 with under/overflow preserved — and
+  // the merge is the same map-side-combined groupBy as the original
+  // fill; at 100 TB rebinning costs one shuffle of a 45-row table.
+  private val rebinF = 5
+  private val s12Lo = 0.0; private val s12Hi = 160.0; private val s12N = 40
+  private def s12(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val mass = col("o_totalprice") % lit(160.0)
+    val region = Selections.regionLabel(mass)
+    val isData = col("o_orderkey") % 3 === 0
+    val w = lit(1.0) + col("o_totalprice") / lit(1.0e6)
+    // ONE scan fills both populations as conditional weight columns
+    // (the s06 fan-out discipline applied to data-vs-MC)
+    val filled = o
+      .select(region.as("region"),
+        Histogrammer.bucket(mass, s12Lo, s12Hi, s12N).as("bin"),
+        when(isData, lit(1.0)).otherwise(lit(0.0)).as("wd"),
+        when(isData, lit(0.0)).otherwise(w).as("wm"))
+      .groupBy(col("region"), col("bin"))
+      .agg(sum(col("wd")).as("dval"),
+        sum(col("wm")).as("value"),
+        sum(col("wm") * col("wm")).as("sumw2"))
+    val coarse = filled
+      .withColumn("cbin", expr(
+        s"CASE WHEN bin = 0 THEN 0 WHEN bin = ${s12N + 1} THEN ${s12N / rebinF + 1} " +
+          s"ELSE (bin - 1) div $rebinF + 1 END"))
+      .groupBy(col("region"), col("cbin"))
+      .agg(sum(col("dval")).as("data_n"),
+        sum(col("value")).as("mc_val"), sum(col("sumw2")).as("mc_var"))
+    coarse.select(col("region"), col("cbin"),
+        col("data_n").cast("long").as("data_n"),
+        col("mc_val").cast("float").as("mc_val"),
+        expr("CAST(sqrt(mc_var) AS FLOAT)").as("mc_err"),
+        expr("""CAST(CASE WHEN mc_val > 0 AND data_n > 0
+               | THEN data_n / mc_val END AS FLOAT)""".stripMargin).as("ratio"),
+        expr("""CAST(CASE WHEN mc_val > 0 AND data_n > 0
+               | THEN (data_n / mc_val)
+               |      * sqrt(1.0 / data_n + mc_var / (mc_val * mc_val)) END
+               |AS FLOAT)""".stripMargin).as("ratio_err"),
+        expr("""CAST(CASE WHEN data_n + mc_var > 0
+               | THEN (data_n - mc_val) / sqrt(data_n + mc_var) END
+               |AS FLOAT)""".stripMargin).as("pull"))
+      .orderBy(col("region"), col("cbin"))
+  }
+  private val s12Sql = {
+    val mass = "(o_totalprice % 160.0)"
+    val region = RelationalQueries.regionCaseSql(mass)
+    val bucket = Histogrammer.bucketSql(mass, s12Lo, s12Hi, s12N)
+    s"""WITH filled AS (
+       | SELECT $region AS region, $bucket AS bin,
+       |  SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END) AS dval,
+       |  SUM(CASE WHEN o_orderkey % 3 = 0 THEN 0.0
+       |      ELSE 1.0 + o_totalprice / 1.0e6 END) AS value,
+       |  SUM(CASE WHEN o_orderkey % 3 = 0 THEN 0.0
+       |      ELSE (1.0 + o_totalprice / 1.0e6)
+       |           * (1.0 + o_totalprice / 1.0e6) END) AS sumw2
+       | FROM orders GROUP BY 1, 2),
+       |coarse AS (
+       | SELECT region,
+       |  CASE WHEN bin = 0 THEN 0 WHEN bin = ${s12N + 1} THEN ${s12N / rebinF + 1}
+       |   ELSE (bin - 1) // $rebinF + 1 END AS cbin,
+       |  SUM(dval) AS data_n, SUM(value) AS mc_val, SUM(sumw2) AS mc_var
+       | FROM filled GROUP BY 1, 2)
+       |SELECT region, cbin, CAST(data_n AS BIGINT) AS data_n,
+       | CAST(mc_val AS REAL) AS mc_val,
+       | CAST(sqrt(mc_var) AS REAL) AS mc_err,
+       | CAST(CASE WHEN mc_val > 0 AND data_n > 0
+       |  THEN data_n / mc_val END AS REAL) AS ratio,
+       | CAST(CASE WHEN mc_val > 0 AND data_n > 0
+       |  THEN (data_n / mc_val)
+       |       * sqrt(1.0 / data_n + mc_var / (mc_val * mc_val)) END
+       | AS REAL) AS ratio_err,
+       | CAST(CASE WHEN data_n + mc_var > 0
+       |  THEN (data_n - mc_val) / sqrt(data_n + mc_var) END
+       | AS REAL) AS pull
+       |FROM coarse ORDER BY region, cbin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_rebin_ratio" -> (s12 _),
     "s11_tree_scan" -> (s11 _),
     "s10_root_scan" -> (s10 _),
     "s01_stage1_pipeline" -> (s01 _),
@@ -439,6 +526,7 @@ object StageQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "s12_rebin_ratio" -> s12Sql,
     "s11_tree_scan" -> s11Sql,
     "s10_root_scan" -> s10Sql,
     "s01_stage1_pipeline" -> s01Sql,

@@ -355,6 +355,24 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("s12: rebinning conserves the data count and bounds the bins") {
+    val rows = StageQueries.queries("s12_rebin_ratio")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nData = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr("o_orderkey % 3 = 0")).count()
+    assert(rows.map(_.getAs[Long]("data_n")).sum == nData,
+      "rebinned data counts do not sum to the corpus data population")
+    rows.foreach { r =>
+      val cb = r.getAs[Long]("cbin")
+      assert(cb >= 0 && cb <= 9, s"coarse bin $cb outside 0..9")
+      val ratio = r.getAs[Float]("ratio")
+      if (!r.isNullAt(r.fieldIndex("ratio")))
+        assert(ratio > 0.0f && !ratio.isNaN)
+      if (!r.isNullAt(r.fieldIndex("pull")))
+        assert(!r.getAs[Float]("pull").isNaN)
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
