@@ -1925,6 +1925,97 @@ object MLQueries extends QueryFamily {
        |FROM leaves CROSS JOIN loss0 CROSS JOIN loss1
        |ORDER BY leaf""".stripMargin
 
+  // ---- m30: 3-round GBDT training loop -------------------------------------
+  // m29 is one Newton round; this is the TRAINER LOOP — three boosting
+  // rounds with a different fixed tree structure per round, margins
+  // threaded through, and the loss trajectory as the output. Per round:
+  // leaf G/H sums (micro-quantized gradients), w* = -G/(H+lambda), a
+  // 4-row broadcast join updates every margin, and the corpus logloss
+  // is recorded. The defining invariant (round loss non-increasing on
+  // a convex objective) is what the spec pins. At 100 TB each round is
+  // exactly one map-side-combined 4-group aggregate + one broadcast
+  // join over the running margin column — the canonical distributed
+  // GBDT round; 3 rounds = 3 such passes over the checkpointed base.
+  private val gbdtRounds = 3
+  // per-round (threshold on value, second split), mirrored in the oracle
+  private def m30LeafSql(r: Int): String = r match {
+    case 1 => """CASE WHEN value < 25.0 THEN CASE WHEN user_id % 2 = 0
+                | THEN 0 ELSE 1 END
+                | ELSE CASE WHEN user_id % 2 = 0 THEN 2 ELSE 3 END END""".stripMargin
+    case 2 => """CASE WHEN value < 50.0 THEN CASE WHEN event_type = 'click'
+                | THEN 0 ELSE 1 END
+                | ELSE CASE WHEN event_type = 'click' THEN 2 ELSE 3 END END""".stripMargin
+    case _ => """CASE WHEN value < 12.5 THEN CASE WHEN user_id % 3 = 0
+                | THEN 0 ELSE 1 END
+                | ELSE CASE WHEN user_id % 3 = 0 THEN 2 ELSE 3 END END""".stripMargin
+  }
+  private def m30(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    var df = ev.select(
+        expr("CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END").as("y"),
+        col("value"), col("user_id"), col("event_type"),
+        expr("0.01 * value - 1.0").as("s"))
+      .localCheckpoint()
+    def lossOf(d: DataFrame): DataFrame = d.agg(
+      org.apache.spark.sql.functions.sum(expr(
+        "CAST(floor((ln(1.0 + exp(s)) - y * s) * 1e6 + 0.5) AS BIGINT)"))
+        .as("lsum"),
+      count(lit(1)).as("n_all"))
+    var losses = lossOf(df).select(lit(0).as("round"), col("lsum"), col("n_all"))
+    for (r <- 1 to gbdtRounds) {
+      val withLeaf = df.withColumn("leaf", expr(m30LeafSql(r)))
+        .withColumn("p", expr("1.0 / (1.0 + exp(-s))"))
+      val leaves = withLeaf
+        .withColumn("gq", expr("CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT)"))
+        .withColumn("hq", expr("CAST(floor(p * (1.0 - p) * 1e6 + 0.5) AS BIGINT)"))
+        .groupBy(col("leaf"))
+        .agg(org.apache.spark.sql.functions.sum(col("gq")).as("gsum"),
+          org.apache.spark.sql.functions.sum(col("hq")).as("hsum"))
+        .withColumn("w", expr(
+          s"-(CAST(gsum AS DOUBLE) / 1e6) / (CAST(hsum AS DOUBLE) / 1e6 + $boostLambda)"))
+      df = withLeaf.join(broadcast(leaves.select(col("leaf"), col("w"))), "leaf")
+        .select(col("y"), col("value"), col("user_id"), col("event_type"),
+          expr(s"s + $boostEta * w").as("s"))
+        .localCheckpoint()
+      losses = losses.union(
+        lossOf(df).select(lit(r).as("round"), col("lsum"), col("n_all")))
+    }
+    losses.select(col("round"),
+        expr("CAST(CAST(lsum AS DOUBLE) / 1e6 / n_all AS FLOAT)").as("logloss"))
+      .orderBy(col("round"))
+  }
+  private val m30Sql = {
+    def round(r: Int) =
+      s"""g$r AS (
+         | SELECT *, 1.0 / (1.0 + exp(-s)) AS p,
+         |  ${m30LeafSql(r)} AS leaf
+         | FROM b${r - 1}),
+         |l$r AS (
+         | SELECT leaf,
+         |  -(CAST(CAST(SUM(CAST(floor((p - y) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS DOUBLE) / 1e6)
+         |  / (CAST(CAST(SUM(CAST(floor(p * (1.0 - p) * 1e6 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS DOUBLE) / 1e6 + $boostLambda) AS w
+         | FROM g$r GROUP BY leaf),
+         |b$r AS (
+         | SELECT g$r.y, g$r.value, g$r.user_id, g$r.event_type,
+         |  g$r.s + $boostEta * l$r.w AS s
+         | FROM g$r JOIN l$r USING (leaf))"""
+    val lossRows = (0 to gbdtRounds).map { r =>
+      s"""SELECT $r AS round,
+         | CAST(CAST(SUM(CAST(floor((ln(1.0 + exp(s)) - y * s) * 1e6 + 0.5)
+         |  AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 / COUNT(*) AS ll
+         |FROM b$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH b0 AS (
+       | SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+       |  value, user_id, event_type, 0.01 * value - 1.0 AS s
+       | FROM events),
+       |${(1 to gbdtRounds).map(round).mkString(",\n")}
+       |SELECT round, CAST(ll AS REAL) AS logloss
+       |FROM ($lossRows) ORDER BY round""".stripMargin
+  }
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -2036,6 +2127,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m30_gbdt_loop" -> (m30 _),
     "m29_boost_step" -> (m29 _),
     "m28_conformal" -> (m28 _),
     "m27_msprt_monitor" -> (m27 _),
@@ -2068,6 +2160,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m30_gbdt_loop" -> m30Sql,
     "m29_boost_step" -> m29Sql,
     "m28_conformal" -> m28Sql,
     "m27_msprt_monitor" -> m27Sql,

@@ -373,6 +373,16 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("m30: the GBDT loop's loss trajectory is monotone non-increasing") {
+    val rows = MLQueries.queries("m30_gbdt_loop")(spark, d01)
+      .orderBy(col("round")).collect()
+    assert(rows.length == 4) // round 0 baseline + 3 boosting rounds
+    val ls = rows.map(_.getAs[Float]("logloss"))
+    assert(ls.zip(ls.tail).forall { case (a, b) => b <= a + 1e-6f },
+      s"loss went up within the loop: ${ls.mkString(",")}")
+    assert(ls.last < ls.head, "three rounds should strictly improve the fit")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
