@@ -1259,7 +1259,77 @@ object SearchQueries extends QueryFamily {
        | FROM agg a JOIN sup s USING (prefix))
        |WHERE rank <= $acTopK ORDER BY prefix, rank""".stripMargin
 
+  // ---- w14: noisy-channel spelling correction ------------------------------
+  // The Norvig corrector, relationally: candidate corrections for a
+  // typo t are vocabulary words c within edit distance 1, ranked by
+  // the noisy channel P(c) * P(t|c) — corpus frequency as the prior,
+  // a fixed per-distance channel weight (d=0 -> 100, d=1 -> 10; score
+  // = freq * weight stays INTEGER, so ranking can never float-flip).
+  // Candidates come from d18's deletion-neighborhood equi-join (probe
+  // and vocab neighborhoods meet on shared deletions — O(len) index
+  // rows per word, never probe x vocab), with an exact levenshtein
+  // verify; the ORACLE is the brute-force probe x vocab join, so the
+  // green hash re-proves the SymSpell gate lossless in the retrieval
+  // setting. Probe list is a broadcast literal dim (j18 convention).
+  // probes are all plain-levenshtein distance 1 from a vocab word
+  // (transposition typos like "tabel" cost 2 without the Damerau op)
+  private val spellProbes = Seq("tabl", "joib", "quary", "scann", "windw",
+    "columm", "valu", "strean", "merg", "sorrt")
+  private val spellTopK = 3
+  private def w14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = rd(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) >= 2)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // feeds the index build and the prior join
+    def nbhd(df: DataFrame, wCol: String) =
+      df.select(col(wCol), explode(concat(
+        array(col(wCol)),
+        expr(s"transform(sequence(1, length($wCol)), " +
+          s"i -> concat(substring($wCol, 1, i - 1), substring($wCol, i + 1)))")))
+        .as("v"))
+    val probes = spellProbes.toDF("typo")
+    val cands = nbhd(broadcast(probes), "typo")
+      .join(nbhd(vocab.select(col("term")), "term"), Seq("v"))
+      .select(col("typo"), col("term")).distinct()
+      .withColumn("dist", levenshtein(col("typo"), col("term")))
+      .filter(col("dist") <= 1)
+    val w = Window.partitionBy(col("typo"))
+      .orderBy(col("score").desc, col("term").asc)
+    cands.join(vocab, Seq("term"))
+      .withColumn("score",
+        col("freq") * when(col("dist") === 0, 100L).otherwise(10L))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= spellTopK)
+      .select(col("typo"), col("rank"), col("term").as("correction"),
+        col("dist"), col("freq"), col("score"))
+      .orderBy(col("typo"), col("rank"))
+  }
+  private val w14Sql = {
+    val probeValues = spellProbes.map(p => s"('$p')").mkString(", ")
+    s"""WITH vocab AS (
+       | SELECT term, COUNT(*) AS freq FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+       | WHERE length(term) >= 2 GROUP BY 1),
+       |probes AS (SELECT typo FROM (VALUES $probeValues) AS p(typo)),
+       |cands AS (
+       | SELECT p.typo, v.term, levenshtein(p.typo, v.term) AS dist,
+       |  v.freq
+       | FROM probes p JOIN vocab v ON levenshtein(p.typo, v.term) <= 1)
+       |SELECT typo, rank, correction, dist, freq, score FROM (
+       | SELECT typo, term AS correction, dist, freq,
+       |  CAST(freq * CASE WHEN dist = 0 THEN 100 ELSE 10 END AS BIGINT)
+       |   AS score,
+       |  ROW_NUMBER() OVER (PARTITION BY typo
+       |   ORDER BY freq * CASE WHEN dist = 0 THEN 100 ELSE 10 END DESC,
+       |            term ASC) AS rank
+       | FROM cands)
+       |WHERE rank <= $spellTopK ORDER BY typo, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_spell_correct" -> (w14 _),
     "k10_sketch_audit" -> (k10 _),
     "w13_autocomplete" -> (w13 _),
     "w12_postings_varint" -> (w12 _),
@@ -1281,6 +1351,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "w14_spell_correct" -> w14Sql,
     "k10_sketch_audit" -> k10Sql,
     "w13_autocomplete" -> w13Sql,
     "w12_postings_varint" -> w12Sql,

@@ -383,6 +383,26 @@ class Round7EvalSpec extends SparkSpec {
     assert(ls.last < ls.head, "three rounds should strictly improve the fit")
   }
 
+  test("w14: every typo resolves to a near-miss vocabulary word") {
+    val rows = SearchQueries.queries("w14_spell_correct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val typos = rows.map(_.getAs[String]("typo")).distinct
+    assert(typos.length == 10, s"only ${typos.length}/10 probes corrected")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dist") <= 1)
+      assert(r.getAs[String]("correction") != r.getAs[String]("typo") ||
+        r.getAs[Int]("dist") == 0)
+      assert(r.getAs[Long]("score") ==
+        r.getAs[Long]("freq") * (if (r.getAs[Int]("dist") == 0) 100L else 10L))
+    }
+    rows.groupBy(_.getAs[String]("typo")).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.head.getAs[Int]("rank") == 1, s"$t: no rank-1 correction")
+      val sc = sorted.map(_.getAs[Long]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => b <= a })
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
