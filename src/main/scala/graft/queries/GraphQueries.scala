@@ -100,6 +100,58 @@ object GraphQueries extends QueryFamily {
        |FROM pr$prIters ORDER BY node""".stripMargin
   }
 
+  /** g06/g15's shared graph: supplier pairs scored by co-supplied part
+    * count, sparsified to the strongest ~decile by a value threshold on
+    * the shared-count distribution (ties included; fallback = max).
+    * Returns the undirected (u, v) edge list, checkpointed. Any change
+    * to the threshold rule changes BOTH consumers together.
+    * Scale notes in the g06 comment below. */
+  private[queries] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = sp.as("a")
+      .join(sp.as("b"),
+        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .localCheckpoint()
+    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
+    val wCum = Window.orderBy(col("shared").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = pairs.groupBy(col("shared")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .agg(coalesce(
+        min(when(col("cum") <= expr("n_pairs div 10"), col("shared"))),
+        max(col("shared"))).as("thr"))
+    pairs.crossJoin(broadcast(thr))
+      .filter(col("shared") >= col("thr"))
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+  }
+
+  /** The oracle-side twin of [[coSupplyEdges]]: CTEs ending in `edges`. */
+  private[queries] val coSupplyEdgesCte: String =
+    """sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |pairs AS (
+      | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
+      | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+      |dist AS (
+      | SELECT shared, COUNT(*) AS c FROM pairs GROUP BY 1),
+      |cum AS (
+      | SELECT shared, SUM(c) OVER (ORDER BY shared DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      | FROM dist),
+      |thr AS (
+      | SELECT COALESCE(
+      |   MIN(CASE WHEN cum <= (SELECT COUNT(*) FROM pairs) // 10
+      |       THEN shared END),
+      |   (SELECT MAX(shared) FROM pairs)) AS thr
+      | FROM cum),
+      |edges AS (
+      | SELECT u, v FROM pairs, thr WHERE pairs.shared >= thr.thr)""".stripMargin
+
   // ---- g06: triangle count over the co-supply graph -----------------------
   // Edges: supplier pairs scored by how many distinct parts they both
   // supply; keep the strongest ~decile via a VALUE threshold on the
@@ -120,31 +172,7 @@ object GraphQueries extends QueryFamily {
   // 500k pairs through one window partition was measurably slower at
   // sf0.1 and would be a straight bottleneck at 100 TB.
   private def g06(s: SparkSession, dir: String): DataFrame = {
-    val li = rd(s, dir, "lineitem")
-    val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-      .distinct()
-    // materialize the pair table once: three consumers (total count,
-    // threshold distribution, edge filter) would otherwise each re-run
-    // the inverted-index self-join — the dominant cost of the query
-    val pairs = sp.as("a")
-      .join(sp.as("b"),
-        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-      .agg(count(lit(1)).as("shared"))
-      .localCheckpoint()
-    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
-    val wCum = Window.orderBy(col("shared").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = pairs.groupBy(col("shared")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .crossJoin(broadcast(tot))
-      .agg(coalesce(
-        min(when(col("cum") <= expr("n_pairs div 10"), col("shared"))),
-        max(col("shared"))).as("thr"))
-    val edges = pairs.crossJoin(broadcast(thr))
-      .filter(col("shared") >= col("thr"))
-      .select(col("u"), col("v"))
-      .localCheckpoint()
+    val edges = coSupplyEdges(s, dir)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.v") === col("e2.u"))
       .join(edges.as("e3"),
@@ -163,24 +191,7 @@ object GraphQueries extends QueryFamily {
       .orderBy(col("rank"))
   }
   private val g06Sql =
-    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-      |pairs AS (
-      | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
-      | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
-      |dist AS (
-      | SELECT shared, COUNT(*) AS c FROM pairs GROUP BY 1),
-      |cum AS (
-      | SELECT shared, SUM(c) OVER (ORDER BY shared DESC
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      | FROM dist),
-      |thr AS (
-      | SELECT COALESCE(
-      |   MIN(CASE WHEN cum <= (SELECT COUNT(*) FROM pairs) // 10
-      |       THEN shared END),
-      |   (SELECT MAX(shared) FROM pairs)) AS thr
-      | FROM cum),
-      |edges AS (
-      | SELECT u, v FROM pairs, thr WHERE pairs.shared >= thr.thr),
+    s"""WITH $coSupplyEdgesCte,
       |tri AS (
       | SELECT e1.u AS a, e1.v AS b, e2.v AS c
       | FROM edges e1 JOIN edges e2 ON e1.v = e2.u
@@ -882,28 +893,7 @@ object GraphQueries extends QueryFamily {
   // top-3 is a window PARTITIONED BY the left node over the (u,v)
   // aggregate — no global sort, no single-partition exchange.
   private def g15(s: SparkSession, dir: String): DataFrame = {
-    val li = rd(s, dir, "lineitem")
-    val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
-      .distinct()
-    val pairs = sp.as("a")
-      .join(sp.as("b"),
-        col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
-      .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-      .agg(count(lit(1)).as("shared"))
-      .localCheckpoint()
-    val tot = pairs.agg(count(lit(1)).as("n_pairs"))
-    val wCum = Window.orderBy(col("shared").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thr = pairs.groupBy(col("shared")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
-      .crossJoin(broadcast(tot))
-      .agg(coalesce(
-        min(when(col("cum") <= expr("n_pairs div 10"), col("shared"))),
-        max(col("shared"))).as("thr"))
-    val und = pairs.crossJoin(broadcast(thr))
-      .filter(col("shared") >= col("thr"))
-      .select(col("u"), col("v"))
-      .localCheckpoint() // feeds sym (twice), the anti-join, and deg
+    val und = coSupplyEdges(s, dir) // feeds sym (twice), anti-join, deg
     val sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
     val deg = sym.groupBy(col("a").as("w")).agg(count(lit(1)).as("dw"))
@@ -928,25 +918,9 @@ object GraphQueries extends QueryFamily {
       .orderBy(col("u"), col("rank"))
   }
   private val g15Sql =
-    """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
-      |pairs AS (
-      | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
-      | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
-      |dist AS (SELECT shared, COUNT(*) AS c FROM pairs GROUP BY 1),
-      |cum AS (
-      | SELECT shared, SUM(c) OVER (ORDER BY shared DESC
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      | FROM dist),
-      |thr AS (
-      | SELECT COALESCE(
-      |   MIN(CASE WHEN cum <= (SELECT COUNT(*) FROM pairs) // 10
-      |       THEN shared END),
-      |   (SELECT MAX(shared) FROM pairs)) AS thr
-      | FROM cum),
-      |und AS (
-      | SELECT u, v FROM pairs, thr WHERE pairs.shared >= thr.thr),
-      |sym AS (SELECT u AS a, v AS b FROM und
-      |        UNION ALL SELECT v, u FROM und),
+    s"""WITH $coSupplyEdgesCte,
+      |sym AS (SELECT u AS a, v AS b FROM edges
+      |        UNION ALL SELECT v, u FROM edges),
       |deg AS (SELECT a AS w, COUNT(*) AS dw FROM sym GROUP BY 1),
       |cand AS (
       | SELECT s1.a AS u, s2.b AS v, COUNT(*) AS n_common,
@@ -956,7 +930,7 @@ object GraphQueries extends QueryFamily {
       | JOIN deg d ON d.w = s1.b
       | GROUP BY 1, 2),
       |nonadj AS (
-      | SELECT c.* FROM cand c ANTI JOIN und e
+      | SELECT c.* FROM cand c ANTI JOIN edges e
       |  ON e.u = c.u AND e.v = c.v)
       |SELECT u, rank, v, n_common, aa_micro,
       | CAST(aa_micro / 1e6 AS REAL) AS aa_score

@@ -1466,17 +1466,21 @@ object MLQueries extends QueryFamily {
   // one user shuffle, like u02/u23.
   private def m26(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
-    val bounds = ev.agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+    // microsecond resolution throughout (the j10 discipline): the oracle
+    // sees timestamps at us precision, so comparing at raw ns would
+    // diverge if nanos-typed data ships again
+    val bounds = ev.agg(min(expr("ts div 1000")).as("t0"),
+      max(expr("ts div 1000")).as("t1"))
     val perUser = ev.crossJoin(broadcast(bounds))
       .withColumn("vm", expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)"))
       .groupBy(col("user_id"))
       .agg(
         org.apache.spark.sql.functions.sum(
-          when(expr("ts < (t0 + t1) div 2"), col("vm")).otherwise(lit(0L)))
-          .as("xm"),
+          when(expr("ts div 1000 < (t0 + t1) div 2"), col("vm"))
+            .otherwise(lit(0L))).as("xm"),
         org.apache.spark.sql.functions.sum(
-          when(expr("ts >= (t0 + t1) div 2"), col("vm")).otherwise(lit(0L)))
-          .as("ym"))
+          when(expr("ts div 1000 >= (t0 + t1) div 2"), col("vm"))
+            .otherwise(lit(0L))).as("ym"))
       .withColumn("arm", expr("CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END"))
       .localCheckpoint() // feeds means, theta, and the arm folds
     val means = perUser.agg(count(lit(1)).as("n_all"),
@@ -1537,13 +1541,14 @@ object MLQueries extends QueryFamily {
   }
   private val m26Sql =
     """WITH bounds AS (
-      | SELECT MIN(epoch_ns(ts)) AS t0, MAX(epoch_ns(ts)) AS t1 FROM events),
+      | SELECT MIN(epoch_ns(ts) // 1000) AS t0,
+      |  MAX(epoch_ns(ts) // 1000) AS t1 FROM events),
       |per_user AS (
       | SELECT user_id,
-      |  CAST(SUM(CASE WHEN epoch_ns(ts) < (t0 + t1) // 2
+      |  CAST(SUM(CASE WHEN epoch_ns(ts) // 1000 < (t0 + t1) // 2
       |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
       |       ELSE 0 END) AS BIGINT) AS xm,
-      |  CAST(SUM(CASE WHEN epoch_ns(ts) >= (t0 + t1) // 2
+      |  CAST(SUM(CASE WHEN epoch_ns(ts) // 1000 >= (t0 + t1) // 2
       |       THEN CAST(floor(value * 1000 + 0.5) AS BIGINT)
       |       ELSE 0 END) AS BIGINT) AS ym,
       |  CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm

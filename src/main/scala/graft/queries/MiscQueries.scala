@@ -475,8 +475,12 @@ object MiscQueries extends QueryFamily {
     val perQ = cand.groupBy(col("a_id"), col("a_lat"), col("a_lon"))
       .agg(count(lit(1)).as("n_cand"), max(col("dist_micro")).as("dk_micro"))
       .withColumn("certified",
+        // strict-with-margin: dist_micro rounds half-up while the bound
+        // floors, so an outside point could TIE the k-th candidate at
+        // micro precision and win the oracle's id tie-break; requiring
+        // dk strictly one micro inside the bound closes that hole
         col("n_cand") === knnK &&
-          col("dk_micro") <= expr(s"CAST(floor($boundKm * 1e6) AS BIGINT)"))
+          col("dk_micro") < expr(s"CAST(floor($boundKm * 1e6) AS BIGINT) - 1"))
     val certIds = perQ.filter(col("certified")).select(col("a_id"))
     val certified = cand.join(certIds, Seq("a_id"), "left_semi")
     val uncert = pts.join(certIds.select(col("a_id").as("id")),

@@ -1687,24 +1687,28 @@ object TemporalQueries extends QueryFamily {
   // the a14-style aggregate-bounded window input. No collect; the
   // corpus-max censor time is a broadcast 1-row cross join (s06
   // convention).
+  private val usPerDay = 86400000000L
   private def u25(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
-    val gmax = ev.agg(max(col("ts")).as("tmax")) // 1 row
+    // microsecond resolution throughout (the j10 discipline): ordering
+    // and differencing at raw ns would diverge from the us-precision
+    // oracle if nanos-typed data ships again
+    val gmax = ev.agg(max(expr("ts div 1000")).as("tmax")) // 1 row
     val wU = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_id").asc)
+      .orderBy(expr("ts div 1000").asc, col("event_id").asc)
     val first = ev
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(wU))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("ts").as("t0"),
+      .select(col("user_id"), expr("ts div 1000").as("t0"),
         col("event_type").as("channel"))
     val death = ev.filter(col("event_type") === "purchase")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      .groupBy(col("user_id")).agg(min(expr("ts div 1000")).as("tp"))
     val durs = first.join(death, Seq("user_id"), "left")
       .crossJoin(broadcast(gmax))
       .select(col("channel"),
-        when(col("tp").isNotNull, expr(s"(tp - t0) div $nsPerDay"))
-          .otherwise(expr(s"(tmax - t0) div $nsPerDay")).as("dur"),
+        when(col("tp").isNotNull, expr(s"(tp - t0) div $usPerDay"))
+          .otherwise(expr(s"(tmax - t0) div $usPerDay")).as("dur"),
         when(col("tp").isNotNull, lit(1L)).otherwise(lit(0L)).as("evt"))
     val byDur = durs.groupBy(col("channel"), col("dur"))
       .agg(org.apache.spark.sql.functions.sum(col("evt")).as("d"),
@@ -1749,20 +1753,21 @@ object TemporalQueries extends QueryFamily {
   }
   private val u25Sql =
     s"""WITH first AS (
-       | SELECT user_id, ts AS t0, event_type AS channel FROM (
+       | SELECT user_id, epoch_ns(ts) // 1000 AS t0, event_type AS channel
+       | FROM (
        |  SELECT user_id, ts, event_type,
        |   ROW_NUMBER() OVER (PARTITION BY user_id
-       |                      ORDER BY epoch_ns(ts), event_id) AS rn
+       |                      ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
        |  FROM events) WHERE rn = 1),
        |death AS (
-       | SELECT user_id, MIN(ts) AS tp FROM events
+       | SELECT user_id, MIN(epoch_ns(ts) // 1000) AS tp FROM events
        | WHERE event_type = 'purchase' GROUP BY 1),
-       |gmax AS (SELECT MAX(ts) AS tmax FROM events),
+       |gmax AS (SELECT MAX(epoch_ns(ts) // 1000) AS tmax FROM events),
        |durs AS (
        | SELECT f.channel,
        |  CASE WHEN d.tp IS NOT NULL
-       |       THEN (epoch_ns(d.tp) - epoch_ns(f.t0)) // $nsPerDay
-       |       ELSE (epoch_ns(g.tmax) - epoch_ns(f.t0)) // $nsPerDay
+       |       THEN (d.tp - f.t0) // $usPerDay
+       |       ELSE (g.tmax - f.t0) // $usPerDay
        |  END AS dur,
        |  CASE WHEN d.tp IS NOT NULL THEN 1 ELSE 0 END AS evt
        | FROM first f LEFT JOIN death d USING (user_id) CROSS JOIN gmax g),

@@ -387,29 +387,36 @@ class PlanSpec extends SparkSpec {
     // partition's files are planned.
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val out = java.nio.file.Files.createTempDirectory("plan_part").toString
-    spark.read.parquet(s"$dir/orders.parquet")
-      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    val rd = spark.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
-    rd.collect()
-    val scans = rd.queryExecution.executedPlan.collect {
-      case f: FileSourceScanExec => f
+    val outDir = java.nio.file.Files.createTempDirectory("plan_part")
+    val out = outDir.toString
+    try {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+      val rd = spark.read.parquet(out).filter(col("o_orderpriority") === "1-URGENT")
+      rd.collect()
+      val scans = rd.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in plan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        s"partition predicate not applied at directory level:\n${rd.queryExecution.executedPlan}")
+      // pruning really happened: the FileIndex under the scan's own
+      // partitionFilters plans only the matching partition's files
+      // (DataFrame.inputFiles is relation-level and deliberately unpruned)
+      val scan = scans.head
+      val planned = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .flatMap(_.files).map(_.getPath.toString)
+      assert(planned.nonEmpty &&
+        planned.forall(_.contains("o_orderpriority=1-URGENT")),
+        s"scan planned non-matching partitions: ${planned.take(3).mkString(",")}")
+      assert(planned.length < rd.inputFiles.length,
+        "pruning planned as many files as the full relation")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
-    assert(scans.nonEmpty, "no file scan in plan")
-    assert(scans.forall(_.partitionFilters.nonEmpty),
-      s"partition predicate not applied at directory level:\n${rd.queryExecution.executedPlan}")
-    // pruning really happened: the FileIndex under the scan's own
-    // partitionFilters plans only the matching partition's files
-    // (DataFrame.inputFiles is relation-level and deliberately unpruned)
-    val scan = scans.head
-    val planned = scan.relation.location
-      .listFiles(scan.partitionFilters, scan.dataFilters)
-      .flatMap(_.files).map(_.getPath.toString)
-    assert(planned.nonEmpty &&
-      planned.forall(_.contains("o_orderpriority=1-URGENT")),
-      s"scan planned non-matching partitions: ${planned.take(3).mkString(",")}")
-    assert(planned.length < rd.inputFiles.length,
-      "pruning planned as many files as the full relation")
   }
 
   test("AQE splits a skewed sort-merge join at runtime") {
