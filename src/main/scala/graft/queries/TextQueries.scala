@@ -1338,7 +1338,127 @@ object TextQueries extends QueryFamily {
       | CAST(ft.beta AS REAL) AS beta, CAST(ft.k AS REAL) AS k
       |FROM curve c CROSS JOIN fit2 ft ORDER BY c.f""".stripMargin
 
+  // ---- t39: multinomial naive Bayes with confusion matrix ------------------
+  // The canonical distributed text classifier (multinomial NB, Manning
+  // IR ch. 13) trained and evaluated in one query: fit per-language
+  // token log-likelihoods with Laplace smoothing on the even-doc_id
+  // half, score the odd-doc_id half as log-prior + sum of per-token
+  // log-likelihoods, argmax, and emit the (true, predicted) confusion
+  // matrix with per-cell counts and the overall accuracy. Everything
+  // cross-engine-exact: log-likelihoods and priors micro-quantize at
+  // fit time, so document scores are integer sums and the argmax
+  // (score desc, lang asc) can never float-flip. Out-of-vocabulary
+  // test tokens are ignored (inner join against the trained grid) —
+  // the standard practical choice, deterministic on both engines.
+  //
+  // Scale: the model IS a (vocab x 5)-row broadcast grid; scoring is
+  // one token explode inner-joined against it plus a (doc, lang)
+  // groupBy — the same inverted-index shape as t18/w01, nothing
+  // corpus x corpus. Trained on a word-soup corpus whose lang label is
+  // independent of the text, NB collapses to the prior — the
+  // confusion matrix SHOWS that honestly (majority-class column), and
+  // the spec pins exactly that behavior.
+  private def t39(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val toksOf = (df: DataFrame) => df.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = toksOf(train).groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val langTot = counts.groupBy(col("lang"))
+      .agg(org.apache.spark.sql.functions.sum(col("c")).as("n_lang"))
+    val vocab = counts.select(col("term")).distinct()
+    val vSize = counts.agg(countDistinct(col("term")).as("v"))
+    val grid = vocab.crossJoin(langTot).crossJoin(broadcast(vSize))
+      .join(counts, Seq("lang", "term"), "left")
+      .select(col("lang"), col("term"),
+        expr("""CAST(floor(ln((coalesce(c, 0) + 1.0) / (n_lang + v)) * 1e6
+               | + 0.5) AS BIGINT)""".stripMargin).as("llq"))
+    val nDocs = train.agg(count(lit(1)).as("n_docs"))
+    val prior = train.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("lang"),
+        expr("CAST(floor(ln(CAST(n_l AS DOUBLE) / n_docs) * 1e6 + 0.5) AS BIGINT)")
+          .as("prq"))
+    val test = d.filter(col("doc_id") % 2 === 1)
+    val scores = toksOf(test)
+      .select(col("doc_id"), col("lang").as("true_lang"), col("term"))
+      .join(broadcast(grid.select(col("lang").as("cand"), col("term"),
+        col("llq"))), Seq("term"))
+      .groupBy(col("doc_id"), col("true_lang"), col("cand"))
+      .agg(org.apache.spark.sql.functions.sum(col("llq")).as("ll"))
+      .join(broadcast(prior.select(col("lang").as("cand"), col("prq"))),
+        Seq("cand"))
+      .withColumn("score", col("ll") + col("prq"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand").asc)
+    val preds = scores.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("cand").as("pred_lang"))
+    val tot = preds.agg(count(lit(1)).as("n_test"),
+      org.apache.spark.sql.functions.sum(
+        when(col("true_lang") === col("pred_lang"), 1L).otherwise(0L))
+        .as("n_correct"))
+    preds.groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("true_lang"), col("pred_lang"), col("n"), col("n_test"),
+        expr("CAST(CAST(n_correct AS DOUBLE) / n_test AS FLOAT)")
+          .as("accuracy"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+  private val t39Sql =
+    """WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+      |ttok AS (
+      | SELECT doc_id, lang, term FROM (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM train) WHERE length(term) > 0),
+      |counts AS (SELECT lang, term, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+      |lang_tot AS (
+      | SELECT lang, CAST(SUM(c) AS BIGINT) AS n_lang FROM counts GROUP BY 1),
+      |vocab AS (SELECT DISTINCT term FROM counts),
+      |vs AS (SELECT COUNT(DISTINCT term) AS v FROM counts),
+      |grid AS (
+      | SELECT lt.lang, vo.term,
+      |  CAST(floor(ln((COALESCE(c.c, 0) + 1.0) / (lt.n_lang + vs.v)) * 1e6
+      |   + 0.5) AS BIGINT) AS llq
+      | FROM vocab vo CROSS JOIN lang_tot lt CROSS JOIN vs
+      | LEFT JOIN counts c ON c.lang = lt.lang AND c.term = vo.term),
+      |nd AS (SELECT COUNT(*) AS n_docs FROM train),
+      |prior AS (
+      | SELECT lang,
+      |  CAST(floor(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT n_docs FROM nd))
+      |   * 1e6 + 0.5) AS BIGINT) AS prq
+      | FROM train GROUP BY 1),
+      |stok AS (
+      | SELECT doc_id, lang AS true_lang, term FROM (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 2 = 1) WHERE length(term) > 0),
+      |scores AS (
+      | SELECT s.doc_id, s.true_lang, g.lang AS cand,
+      |  CAST(SUM(g.llq) AS BIGINT) + MIN(p.prq) AS score
+      | FROM stok s JOIN grid g USING (term)
+      | JOIN prior p ON p.lang = g.lang
+      | GROUP BY 1, 2, 3),
+      |preds AS (
+      | SELECT doc_id, true_lang, cand AS pred_lang FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, cand ASC) AS rnk
+      |  FROM scores) WHERE rnk = 1),
+      |tot AS (
+      | SELECT COUNT(*) AS n_test,
+      |  CAST(SUM(CASE WHEN true_lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_correct
+      | FROM preds)
+      |SELECT true_lang, pred_lang, COUNT(*) AS n, tot.n_test,
+      | CAST(CAST(tot.n_correct AS DOUBLE) / tot.n_test AS REAL) AS accuracy
+      |FROM preds CROSS JOIN tot
+      |GROUP BY 1, 2, tot.n_test, tot.n_correct
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_nb_confusion" -> (t39 _),
     "t36_heaps_law" -> (t36 _),
     "t37_tokenizer_fertility" -> (t37 _),
     "t34_weighted_sample" -> (t34 _),
@@ -1369,6 +1489,7 @@ object TextQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "t39_nb_confusion" -> t39Sql,
     "t36_heaps_law" -> t36Sql,
     "t37_tokenizer_fertility" -> t37Sql,
     "t34_weighted_sample" -> t34Sql,

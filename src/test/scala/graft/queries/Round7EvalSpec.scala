@@ -403,6 +403,26 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("t39: confusion matrix reconciles and NB collapses to the prior") {
+    val rows = TextQueries.queries("t39_nb_confusion")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nTest = rows.head.getAs[Long]("n_test")
+    assert(rows.map(_.getAs[Long]("n")).sum == nTest,
+      "confusion cells do not sum to the test-set size")
+    val diag = rows.filter(r =>
+      r.getAs[String]("true_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n")).sum
+    val acc = rows.head.getAs[Float]("accuracy")
+    assert(math.abs(acc - diag.toDouble / nTest) < 1e-6,
+      "accuracy column does not reconcile with the diagonal")
+    // lang is independent of the word-soup text, so the fitted model
+    // must lean on the prior: the modal predicted class dominates
+    val byPred = rows.groupBy(_.getAs[String]("pred_lang"))
+      .view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    assert(byPred.values.max.toDouble / nTest > 0.5,
+      s"expected prior collapse, got prediction spread $byPred")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
