@@ -1013,7 +1013,116 @@ object SimilarityQueries extends QueryFamily {
        |ORDER BY pool.q_id""".stripMargin
   }
 
+  // ---- v14: clustering quality (purity + NMI vs labels) --------------------
+  // The evaluation every clustering pipeline owes its users (Manning
+  // IR ch.16: purity; Strehl & Ghosh NMI): assign each vector to its
+  // IVF cell (v03's literal-centroid argmin), cross-tabulate cells
+  // against the ground-truth label column, and report per-cell
+  // majority labels plus corpus purity and normalized mutual
+  // information. Every statistic comes from the exact (cell, label)
+  // count table: per-term p*ln(p) contributions nano-quantize (1e9 —
+  // the terms are O(1e-2)) before their folds, ln arguments are ratios
+  // of exact longs, and the final NMI is one double expression cast to
+  // float32. Scale: ONE scan to the (cell, label) table (8 x |labels|
+  // rows), then everything is broadcast 1-row algebra — the same
+  // contingency-table shape as m10/m17.
+  private def v14(s: SparkSession, dir: String): DataFrame = {
+    val e = rd(s, dir, "embeddings")
+    def sparkElem(emb: String, i: Int) = s"element_at($emb, $i)"
+    val scored = e.select(Seq(col("vec_id"), col("label")) ++
+      (0 until nCells).map(cid =>
+        expr(scoreExpr(cid, "embedding", sparkElem)).as(s"s$cid")): _*)
+    val conf = scored.select(col("label"), expr(argminExpr).as("cell"))
+      .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds marginals, MI, and the majority rows
+    val nc = conf.groupBy(col("cell"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_c"))
+    val nl = conf.groupBy(col("label"))
+      .agg(org.apache.spark.sql.functions.sum(col("n")).as("n_l"))
+    val tot = conf.agg(org.apache.spark.sql.functions.sum(col("n")).as("nn"))
+    val mi = conf.join(broadcast(nc), Seq("cell"))
+      .join(broadcast(nl), Seq("label")).crossJoin(broadcast(tot))
+      .agg(org.apache.spark.sql.functions.sum(expr(
+        """CAST(floor((CAST(n AS DOUBLE) / nn)
+          | * ln(CAST(nn AS DOUBLE) * n / (CAST(n_c AS DOUBLE) * n_l))
+          | * 1e9 + 0.5) AS BIGINT)""".stripMargin)).as("mi_q"))
+    val hc = nc.crossJoin(broadcast(tot))
+      .agg(org.apache.spark.sql.functions.sum(expr(
+        """CAST(floor(-(CAST(n_c AS DOUBLE) / nn)
+          | * ln(CAST(n_c AS DOUBLE) / nn) * 1e9 + 0.5) AS BIGINT)"""
+          .stripMargin)).as("hc_q"))
+    val hl = nl.crossJoin(broadcast(tot))
+      .agg(org.apache.spark.sql.functions.sum(expr(
+        """CAST(floor(-(CAST(n_l AS DOUBLE) / nn)
+          | * ln(CAST(n_l AS DOUBLE) / nn) * 1e9 + 0.5) AS BIGINT)"""
+          .stripMargin)).as("hl_q"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("n").desc, col("label").asc)
+    val major = conf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("cell"), col("label").as("majority_label"),
+        col("n").as("majority_n"))
+    val pur = major.agg(org.apache.spark.sql.functions.sum(
+      col("majority_n")).as("pure_n"))
+    major.join(nc, Seq("cell"))
+      .crossJoin(broadcast(pur)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(hc))
+      .crossJoin(broadcast(hl))
+      .select(col("cell"), col("n_c"), col("majority_label"),
+        col("majority_n"),
+        expr("CAST(CAST(pure_n AS DOUBLE) / nn AS FLOAT)").as("purity"),
+        expr("""CAST(CASE WHEN hc_q > 0 AND hl_q > 0
+               | THEN (mi_q / 1e9)
+               |      / sqrt((hc_q / 1e9) * (hl_q / 1e9)) ELSE 0.0 END
+               |AS FLOAT)""".stripMargin).as("nmi"))
+      .orderBy(col("cell"))
+  }
+  private val v14Sql = {
+    def duckElem(emb: String, i: Int) = s"$emb[$i]"
+    val scoreCols = (0 until nCells)
+      .map(cid => s"${scoreExpr(cid, "embedding", duckElem)} AS s$cid")
+      .mkString(", ")
+    s"""WITH scored AS (SELECT vec_id, label, $scoreCols FROM embeddings),
+       |assigned AS (SELECT label, $argminExpr AS cell FROM scored),
+       |conf AS (
+       | SELECT cell, label, COUNT(*) AS n FROM assigned GROUP BY 1, 2),
+       |nc AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_c FROM conf GROUP BY 1),
+       |nl AS (SELECT label, CAST(SUM(n) AS BIGINT) AS n_l FROM conf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM conf),
+       |mi AS (
+       | SELECT CAST(SUM(CAST(floor((CAST(n AS DOUBLE) / nn)
+       |   * ln(CAST(nn AS DOUBLE) * n / (CAST(n_c AS DOUBLE) * n_l))
+       |   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS mi_q
+       | FROM conf JOIN nc USING (cell) JOIN nl USING (label) CROSS JOIN tot),
+       |hc AS (
+       | SELECT CAST(SUM(CAST(floor(-(CAST(n_c AS DOUBLE) / nn)
+       |   * ln(CAST(n_c AS DOUBLE) / nn) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+       |  AS hc_q
+       | FROM nc CROSS JOIN tot),
+       |hl AS (
+       | SELECT CAST(SUM(CAST(floor(-(CAST(n_l AS DOUBLE) / nn)
+       |   * ln(CAST(n_l AS DOUBLE) / nn) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+       |  AS hl_q
+       | FROM nl CROSS JOIN tot),
+       |major AS (
+       | SELECT cell, label AS majority_label, n AS majority_n FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell
+       |    ORDER BY n DESC, label ASC) AS rnk FROM conf)
+       | WHERE rnk = 1),
+       |pur AS (SELECT CAST(SUM(majority_n) AS BIGINT) AS pure_n FROM major)
+       |SELECT m.cell, nc.n_c, m.majority_label, m.majority_n,
+       | CAST(CAST(pur.pure_n AS DOUBLE) / tot.nn AS REAL) AS purity,
+       | CAST(CASE WHEN hc.hc_q > 0 AND hl.hl_q > 0
+       |  THEN (mi.mi_q / 1e9)
+       |       / sqrt((hc.hc_q / 1e9) * (hl.hl_q / 1e9)) ELSE 0.0 END
+       | AS REAL) AS nmi
+       |FROM major m JOIN nc USING (cell)
+       |CROSS JOIN pur CROSS JOIN tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+       |ORDER BY m.cell""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_cluster_purity" -> (v14 _),
     "v13_filtered_ann" -> (v13 _),
     "v12_hard_negatives" -> (v12 _),
     "v10_pq_rerank" -> (v10 _),
@@ -1031,6 +1140,7 @@ object SimilarityQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "v14_cluster_purity" -> v14Sql,
     "v13_filtered_ann" -> v13Sql,
     "v12_hard_negatives" -> v12Sql,
     "v10_pq_rerank" -> v10Sql,

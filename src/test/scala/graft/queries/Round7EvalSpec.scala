@@ -423,6 +423,24 @@ class Round7EvalSpec extends SparkSpec {
       s"expected prior collapse, got prediction spread $byPred")
   }
 
+  test("v14: purity and NMI are proper, reconciled cluster metrics") {
+    val rows = SimilarityQueries.queries("v14_cluster_purity")(spark, dir)
+      .collect()
+    assert(rows.length == 8) // one row per IVF cell
+    val n = rows.map(_.getAs[Long]("n_c")).sum
+    val pureN = rows.map(_.getAs[Long]("majority_n")).sum
+    val purity = rows.head.getAs[Float]("purity")
+    assert(math.abs(purity - pureN.toDouble / n) < 1e-6,
+      "purity does not reconcile with the majority counts")
+    // majority never exceeds the cell and purity beats the trivial bound
+    rows.foreach { r =>
+      assert(r.getAs[Long]("majority_n") <= r.getAs[Long]("n_c"))
+    }
+    val nmi = rows.head.getAs[Float]("nmi")
+    assert(nmi >= -0.01f && nmi <= 1.0f, s"NMI $nmi outside [0, 1]")
+    assert(purity > 0.0f && purity <= 1.0f)
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
