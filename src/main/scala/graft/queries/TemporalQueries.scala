@@ -1807,7 +1807,77 @@ object TemporalQueries extends QueryFamily {
        |      AS REAL) AS greenwood_se
        |FROM cum ORDER BY channel, duration_day""".stripMargin
 
+  // ---- u26: Theil-Sen robust trend -----------------------------------------
+  // The robust slope (Theil 1950 / Sen 1968) behind outlier-immune
+  // trend monitoring — u16's OLS breaks on one bad day, the median of
+  // pairwise slopes has a 29% breakdown point. Per event_type: reduce
+  // to the daily series (bounded by the corpus day span — the a14
+  // discipline), form all day PAIRS of that bounded table (the
+  // quadratic lives in day-space, never row-space: 30 days = 435
+  // pairs, at 100 TB still 435 pairs), take slope = exact interpolated
+  // median of the micro-quantized pairwise slopes and intercept =
+  // median of (y - slope*x) residual anchors. Slopes are ratios of
+  // exact milli/day longs so both engines see identical doubles;
+  // micro-quantization before each percentile keeps the median in
+  // integer space.
+  private def u26(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val daily = ev
+      .select(col("event_type"), expr(s"ts div $nsPerDay").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(org.apache.spark.sql.functions.sum(col("vm")).as("ym"))
+      .localCheckpoint() // both pair-join sides + the intercept pass
+    val slopes = daily.as("a")
+      .join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        expr("""CAST(floor((CAST(b.ym - a.ym AS DOUBLE) / 1000.0)
+               | / (b.day - a.day) * 1e6 + 0.5) AS BIGINT)""".stripMargin)
+          .as("slope_u"))
+    val med = slopes.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope_u, CAST(0.5 AS DOUBLE))").as("slope_med_u"))
+      .withColumn("slope", expr("slope_med_u / 1e6"))
+    val inter = daily.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("n_pairs"), col("slope"),
+        expr("""CAST(floor((ym / 1000.0 - slope * day) * 1e6 + 0.5)
+               |AS BIGINT)""".stripMargin).as("resid_u"))
+      .groupBy(col("event_type"), col("n_pairs"), col("slope"))
+      .agg(expr("percentile(resid_u, CAST(0.5 AS DOUBLE))").as("icpt_u"))
+    inter.select(col("event_type"), col("n_pairs"),
+        expr("CAST(slope AS FLOAT)").as("ts_slope"),
+        expr("CAST(icpt_u / 1e6 AS FLOAT)").as("ts_intercept"))
+      .orderBy(col("event_type"))
+  }
+  private val u26Sql =
+    s"""WITH daily AS (
+       | SELECT event_type, epoch_ns(ts) // $nsPerDay AS day,
+       |  CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS ym
+       | FROM events GROUP BY 1, 2),
+       |slopes AS (
+       | SELECT a.event_type,
+       |  CAST(floor((CAST(b.ym - a.ym AS DOUBLE) / 1000.0)
+       |   / (b.day - a.day) * 1e6 + 0.5) AS BIGINT) AS slope_u
+       | FROM daily a JOIN daily b
+       |  ON a.event_type = b.event_type AND a.day < b.day),
+       |med AS (
+       | SELECT event_type, COUNT(*) AS n_pairs,
+       |  quantile_cont(slope_u, CAST(0.5 AS DOUBLE)) / 1e6 AS slope
+       | FROM slopes GROUP BY 1),
+       |inter AS (
+       | SELECT d.event_type, m.n_pairs, m.slope,
+       |  quantile_cont(CAST(floor((d.ym / 1000.0 - m.slope * d.day) * 1e6
+       |   + 0.5) AS BIGINT), CAST(0.5 AS DOUBLE)) AS icpt_u
+       | FROM daily d JOIN med m USING (event_type)
+       | GROUP BY 1, 2, 3)
+       |SELECT event_type, n_pairs, CAST(slope AS REAL) AS ts_slope,
+       | CAST(icpt_u / 1e6 AS REAL) AS ts_intercept
+       |FROM inter ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u26_theil_sen" -> (u26 _),
     "u25_kaplan_meier" -> (u25 _),
     "u24_seasonal_decomp" -> (u24 _),
     "u18_bitemporal" -> (u18 _),
@@ -1848,6 +1918,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u26_theil_sen" -> u26Sql,
     "u25_kaplan_meier" -> u25Sql,
     "u24_seasonal_decomp" -> u24Sql,
     "u18_bitemporal" -> u18Sql,

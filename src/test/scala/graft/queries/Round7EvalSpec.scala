@@ -441,6 +441,24 @@ class Round7EvalSpec extends SparkSpec {
     assert(purity > 0.0f && purity <= 1.0f)
   }
 
+  test("u26: Theil-Sen pairs count C(days,2) and the fit is finite") {
+    val rows = TemporalQueries.queries("u26_theil_sen")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val days = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", // raw read: ts is TIMESTAMP, not the rd() nanos long
+        s"(unix_micros(CAST(ts AS TIMESTAMP)) * 1000) div ${86400L * 1000 * 1000 * 1000} AS day")
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val nd = days(et)
+      assert(r.getAs[Long]("n_pairs") == nd * (nd - 1) / 2,
+        s"$et: pair count is not C($nd, 2)")
+      assert(!r.getAs[Float]("ts_slope").isNaN)
+      assert(!r.getAs[Float]("ts_intercept").isNaN)
+    }
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
