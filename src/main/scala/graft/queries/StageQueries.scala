@@ -513,7 +513,78 @@ object StageQueries extends QueryFamily {
        |FROM coarse ORDER BY region, cbin""".stripMargin
   }
 
+  // ---- s13: cutflow table ---------------------------------------------------
+  // The first table every analysis prints (reference: the per-cut event
+  // counts stage1 accumulates while selecting): events surviving each
+  // SEQUENTIAL selection stage, with absolute and step-relative
+  // efficiencies. Relational form: the cumulative cut flags are
+  // conditional columns of ONE scan (c_k = c_{k-1} AND cut_k), the
+  // whole flow reduces to a single wide aggregation row, and the
+  // report unstacks it to (step, cut, n_pass) with a lag window over
+  // the <=5-row table for the step efficiency. At 100 TB a cutflow
+  // costs exactly one map-side-combined scan — never k filtered
+  // re-counts (the s06 one-scan fan-out discipline).
+  private def s13(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val flagged = li.select(
+      expr("CASE WHEN l_quantity > 5.0 THEN 1L ELSE 0L END").as("c1"),
+      expr("""CASE WHEN l_quantity > 5.0 AND l_extendedprice > 2000.0
+             | THEN 1L ELSE 0L END""".stripMargin).as("c2"),
+      expr("""CASE WHEN l_quantity > 5.0 AND l_extendedprice > 2000.0
+             | AND abs(l_discount * 40.0 - 2.0) < 2.4
+             | THEN 1L ELSE 0L END""".stripMargin).as("c3"),
+      expr("""CASE WHEN l_quantity > 5.0 AND l_extendedprice > 2000.0
+             | AND abs(l_discount * 40.0 - 2.0) < 2.4
+             | AND l_extendedprice / 500.0 > 20.0
+             | THEN 1L ELSE 0L END""".stripMargin).as("c4"))
+    val wide = flagged.agg(count(lit(1)).as("n0"),
+      sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+      sum(col("c3")).as("n3"), sum(col("c4")).as("n4"))
+    val rows = wide.selectExpr("n0",
+      """stack(5, 0, 'all', n0, 1, 'quantity > 5', n1,
+        | 2, 'price > 2000', n2, 3, '|eta| < 2.4', n3,
+        | 4, 'pt > 20', n4) AS (step, cut, n_pass)""".stripMargin)
+    val w = Window.orderBy(col("step"))
+    rows
+      .withColumn("n_prev", lag(col("n_pass"), 1).over(w))
+      .select(col("step"), col("cut"), col("n_pass"),
+        expr("CAST(CAST(n_pass AS DOUBLE) / n0 AS FLOAT)").as("abs_eff"),
+        expr("""CAST(CASE WHEN n_prev IS NULL OR n_prev = 0 THEN 1.0
+               | ELSE CAST(n_pass AS DOUBLE) / n_prev END AS FLOAT)"""
+          .stripMargin).as("rel_eff"))
+      .orderBy(col("step"))
+  }
+  private val s13Sql =
+    """WITH wide AS (
+      | SELECT COUNT(*) AS n0,
+      |  CAST(SUM(CASE WHEN l_quantity > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n1,
+      |  CAST(SUM(CASE WHEN l_quantity > 5.0 AND l_extendedprice > 2000.0
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |  CAST(SUM(CASE WHEN l_quantity > 5.0 AND l_extendedprice > 2000.0
+      |   AND abs(l_discount * 40.0 - 2.0) < 2.4
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+      |  CAST(SUM(CASE WHEN l_quantity > 5.0 AND l_extendedprice > 2000.0
+      |   AND abs(l_discount * 40.0 - 2.0) < 2.4
+      |   AND l_extendedprice / 500.0 > 20.0
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      | FROM lineitem),
+      |rows_ AS (
+      | SELECT n0, 0 AS step, 'all' AS cut, n0 AS n_pass FROM wide
+      | UNION ALL SELECT n0, 1, 'quantity > 5', n1 FROM wide
+      | UNION ALL SELECT n0, 2, 'price > 2000', n2 FROM wide
+      | UNION ALL SELECT n0, 3, '|eta| < 2.4', n3 FROM wide
+      | UNION ALL SELECT n0, 4, 'pt > 20', n4 FROM wide)
+      |SELECT step, cut, n_pass,
+      | CAST(CAST(n_pass AS DOUBLE) / n0 AS REAL) AS abs_eff,
+      | CAST(CASE WHEN lag(n_pass) OVER (ORDER BY step) IS NULL
+      |       OR lag(n_pass) OVER (ORDER BY step) = 0 THEN 1.0
+      |      ELSE CAST(n_pass AS DOUBLE) / lag(n_pass) OVER (ORDER BY step)
+      |      END AS REAL) AS rel_eff
+      |FROM rows_ ORDER BY step""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_cutflow" -> (s13 _),
     "s12_rebin_ratio" -> (s12 _),
     "s11_tree_scan" -> (s11 _),
     "s10_root_scan" -> (s10 _),
@@ -526,6 +597,7 @@ object StageQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "s13_cutflow" -> s13Sql,
     "s12_rebin_ratio" -> s12Sql,
     "s11_tree_scan" -> s11Sql,
     "s10_root_scan" -> s10Sql,

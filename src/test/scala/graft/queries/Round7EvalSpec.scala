@@ -459,6 +459,24 @@ class Round7EvalSpec extends SparkSpec {
     }
   }
 
+  test("s13: cutflow is monotone and efficiencies reconcile") {
+    val rows = StageQueries.queries("s13_cutflow")(spark, dir)
+      .orderBy(col("step")).collect()
+    assert(rows.length == 5)
+    val ns = rows.map(_.getAs[Long]("n_pass"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a },
+      s"sequential cuts must only remove events: ${ns.mkString(",")}")
+    val n0 = ns.head
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Float]("abs_eff") -
+        r.getAs[Long]("n_pass").toDouble / n0) < 1e-6)
+    }
+    // product of step efficiencies equals the final absolute efficiency
+    val relProd = rows.map(_.getAs[Float]("rel_eff").toDouble).product
+    assert(math.abs(relProd - rows.last.getAs[Float]("abs_eff")) < 1e-5,
+      "step efficiencies do not chain to the absolute efficiency")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
