@@ -2021,6 +2021,80 @@ object MLQueries extends QueryFamily {
        |FROM ($lossRows) ORDER BY round""".stripMargin
   }
 
+  // ---- m31: Mann-Whitney U rank-sum test -----------------------------------
+  // The nonparametric two-sample test (Mann & Whitney 1947) m08's KS
+  // complements: does the purchase-value distribution stochastically
+  // dominate the click-value distribution? Computed WITHOUT ranking
+  // rows: collapse both samples to the value-count table (bounded by
+  // the VALUE DOMAIN, the k10 discipline), then
+  //   2U = sum_v cA(v) * (2 * cumB(<v) + cB(v))
+  // from one cumulative window over the domain-bounded table — exact
+  // integers end-to-end. The normal approximation uses the exact
+  // tie-corrected variance (Lehmann): var = nA nB / 12 * ((N+1)
+  // - sum(t^3 - t) / (N (N-1))); only the final z is a double, cast
+  // float32. At 100 TB: one scan, one domain-bounded window. Never a
+  // corpus-wide rank.
+  private def m31(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val vc = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"),
+        expr("CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END").as("isA"))
+      .groupBy(col("vm"))
+      .agg(org.apache.spark.sql.functions.sum(col("isA")).as("ca"),
+        org.apache.spark.sql.functions.sum(expr("1 - isA")).as("cb"))
+    val wCum = Window.orderBy(col("vm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val terms = vc
+      .withColumn("cum_b",
+        coalesce(org.apache.spark.sql.functions.sum(col("cb")).over(wCum),
+          lit(0L)))
+    terms.agg(
+        org.apache.spark.sql.functions.sum(col("ca")).as("n_a"),
+        org.apache.spark.sql.functions.sum(col("cb")).as("n_b"),
+        org.apache.spark.sql.functions.sum(
+          expr("ca * (2 * cum_b + cb)")).as("two_u"),
+        org.apache.spark.sql.functions.sum(
+          expr("(ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)"))
+          .as("tie_sum"))
+      .select(col("n_a"), col("n_b"), col("two_u"),
+        expr("""CAST((two_u / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+               | / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+               |   * ((n_a + n_b + 1)
+               |      - CAST(tie_sum AS DOUBLE)
+               |        / ((n_a + n_b) * (n_a + n_b - 1.0))))
+               |AS FLOAT)""".stripMargin).as("z_stat"))
+  }
+  private val m31Sql =
+    """WITH vc AS (
+      | SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS ca,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |   AS BIGINT) AS cb
+      | FROM events WHERE event_type IN ('purchase', 'click')
+      | GROUP BY 1),
+      |terms AS (
+      | SELECT *, CAST(COALESCE(SUM(cb) OVER (ORDER BY vm
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |  AS cum_b
+      | FROM vc)
+      |SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+      | CAST(SUM(cb) AS BIGINT) AS n_b,
+      | CAST(SUM(ca * (2 * cum_b + cb)) AS BIGINT) AS two_u,
+      | CAST((CAST(SUM(ca * (2 * cum_b + cb)) AS BIGINT) / 2.0
+      |   - CAST(CAST(SUM(ca) AS BIGINT) AS DOUBLE)
+      |     * CAST(SUM(cb) AS BIGINT) / 2.0)
+      |  / sqrt(CAST(CAST(SUM(ca) AS BIGINT) AS DOUBLE)
+      |     * CAST(SUM(cb) AS BIGINT) / 12.0
+      |   * ((CAST(SUM(ca) AS BIGINT) + CAST(SUM(cb) AS BIGINT) + 1)
+      |      - CAST(CAST(SUM((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+      |             AS BIGINT) AS DOUBLE)
+      |        / ((CAST(SUM(ca) AS BIGINT) + CAST(SUM(cb) AS BIGINT))
+      |           * (CAST(SUM(ca) AS BIGINT) + CAST(SUM(cb) AS BIGINT)
+      |              - 1.0))))
+      | AS REAL) AS z_stat
+      |FROM terms""".stripMargin
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -2132,6 +2206,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m31_mannwhitney" -> (m31 _),
     "m30_gbdt_loop" -> (m30 _),
     "m29_boost_step" -> (m29 _),
     "m28_conformal" -> (m28 _),
@@ -2165,6 +2240,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m31_mannwhitney" -> m31Sql,
     "m30_gbdt_loop" -> m30Sql,
     "m29_boost_step" -> m29Sql,
     "m28_conformal" -> m28Sql,

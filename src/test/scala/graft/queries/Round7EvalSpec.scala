@@ -477,6 +477,23 @@ class Round7EvalSpec extends SparkSpec {
       "step efficiencies do not chain to the absolute efficiency")
   }
 
+  test("m31: 2U matches a brute-force pair count on the small corpus") {
+    val r = MLQueries.queries("m31_mannwhitney")(spark, dir).collect()(0)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type", "CAST(floor(value * 1000 + 0.5) AS BIGINT) AS vm")
+      .collect()
+    val a = ev.filter(_.getAs[String]("event_type") == "purchase")
+      .map(_.getAs[Long]("vm"))
+    val b = ev.filter(_.getAs[String]("event_type") == "click")
+      .map(_.getAs[Long]("vm"))
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    val twoU = (for (x <- a; y <- b)
+      yield if (x > y) 2L else if (x == y) 1L else 0L).sum
+    assert(r.getAs[Long]("two_u") == twoU,
+      s"2U ${r.getAs[Long]("two_u")} != brute-force $twoU")
+    assert(!r.getAs[Float]("z_stat").isNaN)
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
