@@ -2095,6 +2095,138 @@ object MLQueries extends QueryFamily {
       | AS REAL) AS z_stat
       |FROM terms""".stripMargin
 
+  // ---- m32: data scaling-law learning curve --------------------------------
+  // The scaling-laws harness (Hestness et al. 2017): fit the SAME
+  // model family on nested training subsets of growing size, measure
+  // each on ONE fixed held-out set, and fit ln(mse) ~ ln(n) for the
+  // power-law decay exponent. The model must be CAPACITY-LIMITED for
+  // the curve to mean anything — a first cut used a 2-parameter OLS
+  // and produced a perfectly flat curve (2 params saturate at n~10^3;
+  // alpha ~ -1e-4) — so the estimator is 512 category means
+  // (l_partkey % 512), whose test error carries the classic
+  // sigma^2 * (1 + K/n) excess: visibly decaying over the nested
+  // subsets and linear in ln-ln space. Subsets are nested LCG buckets
+  // (t36), so curves are monotone in data by construction.
+  //
+  // Scale: one scan to the 512-row per-category conditional-sum table
+  // (8 subset columns wide), which re-enters as a broadcast; the test
+  // pass folds exact long residual squares per subset in the same
+  // scan shape. The ln-ln fit runs in micro-long space (t22) over the
+  // 8-row curve.
+  private val lcFs = 8
+  private val lcK = 512
+  private def m32(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val base = li.select(
+        expr(s"l_partkey % $lcK").as("cat"),
+        expr("CAST((l_orderkey * 2654435761) % 1000003 AS BIGINT) % 8")
+          .as("b"),
+        expr("CASE WHEN l_orderkey % 4 = 3 THEN 0L ELSE 1L END").as("tr"),
+        expr("CAST(floor(l_extendedprice * 1000 + 0.5) AS BIGINT)").as("ym"))
+      .localCheckpoint() // the category table and the test pass share it
+    def inF(f: Int) = s"(tr = 1 AND b < $f)"
+    val catExprs = (1 to lcFs).flatMap { f =>
+      Seq(expr(s"SUM(CASE WHEN ${inF(f)} THEN 1L ELSE 0L END)").as(s"c$f"),
+        expr(s"SUM(CASE WHEN ${inF(f)} THEN ym ELSE 0L END)").as(s"s$f"))
+    }
+    val cats = base.groupBy(col("cat")).agg(catExprs.head, catExprs.tail: _*)
+    val globExprs =
+      Seq(expr("SUM(CASE WHEN tr = 0 THEN 1L ELSE 0L END)").as("n_t")) ++
+        (1 to lcFs).flatMap { f =>
+          Seq(expr(s"SUM(CASE WHEN ${inF(f)} THEN 1L ELSE 0L END)").as(s"n$f"),
+            expr(s"SUM(CASE WHEN ${inF(f)} THEN ym ELSE 0L END)").as(s"g$f"))
+        }
+    val glob = base.agg(globExprs.head, globExprs.tail: _*)
+    val sseExprs = (1 to lcFs).map { f =>
+      val mean = s"""CASE WHEN c$f > 0 THEN CAST(s$f AS DOUBLE) / 1000.0 / c$f
+                    | ELSE CAST(g$f AS DOUBLE) / 1000.0 / n$f END""".stripMargin
+      expr(s"""SUM(CASE WHEN tr = 0
+              | THEN CAST(floor((ym / 1000.0 - ($mean))
+              |   * (ym / 1000.0 - ($mean)) + 0.5) AS BIGINT)
+              | ELSE 0L END)""".stripMargin).as(s"sse$f")
+    }
+    val sse = base.join(broadcast(cats), Seq("cat")).crossJoin(broadcast(glob))
+      .agg(sseExprs.head, sseExprs.tail: _*)
+    val stackArgs = (1 to lcFs)
+      .map(f => s"$f, n$f, CAST(sse$f AS DOUBLE) / n_t").mkString(", ")
+    val curve = glob.crossJoin(broadcast(sse))
+      .selectExpr(s"stack($lcFs, $stackArgs) AS (f, n_train, mse)")
+      .select(col("f"), col("n_train"), col("mse"),
+        expr("CAST(floor(ln(CAST(n_train AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)")
+          .as("lxq"),
+        expr("CAST(floor(ln(mse) * 1e6 + 0.5) AS BIGINT)").as("lyq"))
+    val fit = curve.agg(count(lit(1)).as("k"),
+      org.apache.spark.sql.functions.sum(col("lxq")).as("slx"),
+      org.apache.spark.sql.functions.sum(col("lyq")).as("sly"),
+      org.apache.spark.sql.functions.sum(expr("lxq * lyq")).as("slxy"),
+      org.apache.spark.sql.functions.sum(expr("lxq * lxq")).as("slxx"))
+      .select(expr("""(CAST(k * slxy - slx * sly AS DOUBLE))
+                     | / (CAST(k * slxx - slx * slx AS DOUBLE))"""
+        .stripMargin).as("alpha"))
+    curve.crossJoin(broadcast(fit))
+      .select(col("f"), col("n_train"),
+        expr("CAST(mse AS FLOAT)").as("test_mse"),
+        expr("CAST(alpha AS FLOAT)").as("decay_alpha"))
+      .orderBy(col("f"))
+  }
+  private val m32Sql = {
+    def inF(f: Int) = s"(tr = 1 AND b < $f)"
+    val catCols = (1 to lcFs).map { f =>
+      s"""CAST(SUM(CASE WHEN ${inF(f)} THEN 1 ELSE 0 END) AS BIGINT) AS c$f,
+         | CAST(SUM(CASE WHEN ${inF(f)} THEN ym ELSE 0 END) AS BIGINT) AS s$f"""
+        .stripMargin
+    }.mkString(", ")
+    val globCols = (1 to lcFs).map { f =>
+      s"""CAST(SUM(CASE WHEN ${inF(f)} THEN 1 ELSE 0 END) AS BIGINT) AS n$f,
+         | CAST(SUM(CASE WHEN ${inF(f)} THEN ym ELSE 0 END) AS BIGINT) AS g$f"""
+        .stripMargin
+    }.mkString(", ")
+    val sseCols = (1 to lcFs).map { f =>
+      val mean = s"""CASE WHEN ct.c$f > 0
+                    | THEN CAST(ct.s$f AS DOUBLE) / 1000.0 / ct.c$f
+                    | ELSE CAST(gl.g$f AS DOUBLE) / 1000.0 / gl.n$f END"""
+        .stripMargin
+      s"""CAST(SUM(CASE WHEN b0.tr = 0
+         | THEN CAST(floor((b0.ym / 1000.0 - ($mean))
+         |   * (b0.ym / 1000.0 - ($mean)) + 0.5) AS BIGINT)
+         | ELSE 0 END) AS BIGINT) AS sse$f""".stripMargin
+    }.mkString(", ")
+    val curveRows = (1 to lcFs).map { f =>
+      s"""SELECT $f AS f, gl.n$f AS n_train,
+         | CAST(s.sse$f AS DOUBLE) / gl.n_t AS mse
+         |FROM gtot gl CROSS JOIN sse s"""
+    }.mkString(" UNION ALL ")
+    s"""WITH b0 AS (
+       | SELECT l_partkey % $lcK AS cat,
+       |  CAST((l_orderkey * 2654435761) % 1000003 AS BIGINT) % 8 AS b,
+       |  CASE WHEN l_orderkey % 4 = 3 THEN 0 ELSE 1 END AS tr,
+       |  CAST(floor(l_extendedprice * 1000 + 0.5) AS BIGINT) AS ym
+       | FROM lineitem),
+       |cats AS (SELECT cat, $catCols FROM b0 GROUP BY cat),
+       |gtot AS (
+       | SELECT CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_t, $globCols
+       | FROM b0),
+       |sse AS (
+       | SELECT $sseCols
+       | FROM b0 JOIN cats ct USING (cat) CROSS JOIN gtot gl),
+       |curve AS (
+       | SELECT f, n_train, mse,
+       |  CAST(floor(ln(CAST(n_train AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+       |   AS lxq,
+       |  CAST(floor(ln(mse) * 1e6 + 0.5) AS BIGINT) AS lyq
+       | FROM ($curveRows)),
+       |fit AS (
+       | SELECT (CAST(COUNT(*) * SUM(lxq * lyq) - SUM(lxq) * SUM(lyq)
+       |    AS DOUBLE))
+       |  / (CAST(COUNT(*) * SUM(lxq * lxq) - SUM(lxq) * SUM(lxq) AS DOUBLE))
+       |   AS alpha
+       | FROM curve)
+       |SELECT f, n_train, CAST(mse AS REAL) AS test_mse,
+       | CAST(alpha AS REAL) AS decay_alpha
+       |FROM curve CROSS JOIN fit ORDER BY f""".stripMargin
+  }
+
   // ---- m24: Platt-scaling probability calibration --------------------------
   // The sigmoid calibrator (Platt 1999) that turns a raw classifier
   // score into a probability: fit P(y=1|f) = 1/(1+exp(A·f+B)) by
@@ -2206,6 +2338,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m32_scaling_law" -> (m32 _),
     "m31_mannwhitney" -> (m31 _),
     "m30_gbdt_loop" -> (m30 _),
     "m29_boost_step" -> (m29 _),
@@ -2240,6 +2373,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m32_scaling_law" -> m32Sql,
     "m31_mannwhitney" -> m31Sql,
     "m30_gbdt_loop" -> m30Sql,
     "m29_boost_step" -> m29Sql,

@@ -494,6 +494,23 @@ class Round7EvalSpec extends SparkSpec {
     assert(!r.getAs[Float]("z_stat").isNaN)
   }
 
+  test("m32: the learning curve decays and the fitted exponent is negative") {
+    val rows = MLQueries.queries("m32_scaling_law")(spark, d01)
+      .orderBy(col("f")).collect()
+    assert(rows.length == 8)
+    val ns = rows.map(_.getAs[Long]("n_train"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => b > a },
+      "nested subsets must strictly grow")
+    val mse = rows.map(_.getAs[Float]("test_mse"))
+    // more data never hurts a capacity-limited estimator (1% slack for
+    // per-step sampling noise)
+    assert(mse.zip(mse.tail).forall { case (a, b) => b <= a * 1.01f },
+      s"test error rose along the curve: ${mse.mkString(",")}")
+    assert(mse.last < mse.head, "no overall improvement across 8x data")
+    assert(rows.head.getAs[Float]("decay_alpha") < 0.0f,
+      "fitted power-law exponent must be negative")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
