@@ -623,6 +623,89 @@ object MultimodalQueries extends QueryFamily {
        |ORDER BY doc_id, shot_id""".stripMargin
   }
 
+  // ---- x13: gated integrated loudness (R128 shape) -------------------------
+  // The loudness-normalization pass every audio-ingest pipeline runs
+  // (EBU R128 / ITU BS.1770 two-stage gating, energy-domain form):
+  // frame the PCM stream into blocks, drop blocks below an ABSOLUTE
+  // energy floor, compute the mean energy of the survivors, drop
+  // blocks below a RELATIVE threshold under that mean, and report
+  // 10*log10(mean energy of the final set) as integrated loudness.
+  // GATE SIZING IS MEASURED, NOT COPIED (the j21 lesson): real audio
+  // spans 60+ dB where R128's -70 LUFS / -10 LU constants live, but
+  // this ASCII-derived PCM spans 3.9 dB (block energies 2.8e9-7.0e9,
+  // measured) — at the textbook constants NEITHER gate ever fires and
+  // the operator would be dead code. The demo constants sit inside
+  // the actual range: absolute floor 3.0e9 (~p0.5) and a -1 dB
+  // relative gate (energy ratio 10^0.1 ~ 126/100). Both gates run as
+  // EXACT INTEGER comparisons (fe * 126 * n1 > 100 * sum1, never a
+  // float mean), so the gated set is bit-identical cross-engine; the
+  // single log10 per doc runs on an exact-ratio double.
+  //
+  // Scale: x09's framing (posexplode + integer-div groupBy, doc-keyed
+  // everything) plus one broadcast-free second pass — the stage-1
+  // (doc, n1, sum1) table joins back by doc_id, the u12-style
+  // doc-bounded shape. No corpus-wide state.
+  private val loudAbsGate = 3000000000L // ~p0.5 of the measured block energies
+  private def x13(s: SparkSession, dir: String): DataFrame = {
+    val frames = pcmSamples(s, dir, minBytes = 2 * vadFrame)
+      .select(col("doc_id"),
+        expr(s"CAST(size(smp) div $vadFrame AS INT) * $vadFrame").as("nfull"),
+        posexplode(col("smp")).as(Seq("pos", "v")))
+      .filter(col("pos") < col("nfull"))
+      .groupBy(col("doc_id"), expr(s"pos div $vadFrame").cast("int").as("fidx"))
+      .agg(sum(col("v") * col("v")).as("fe"))
+      .localCheckpoint() // stage-1 totals AND the relative-gate pass
+    val st1 = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        org.apache.spark.sql.functions.sum(
+          when(col("fe") > loudAbsGate, 1L).otherwise(0L)).as("n1"),
+        org.apache.spark.sql.functions.sum(
+          when(col("fe") > loudAbsGate, col("fe")).otherwise(lit(0L)))
+          .as("sum1"))
+      .filter(col("n1") > 0)
+    frames.join(st1, Seq("doc_id"))
+      .filter(col("fe") > loudAbsGate &&
+        expr("fe * 126 * n1 > 100 * sum1")) // energy > mean/10^0.1, exact
+      .groupBy(col("doc_id"), col("n_blocks"), col("n1"))
+      .agg(count(lit(1)).as("n2"),
+        org.apache.spark.sql.functions.sum(col("fe")).as("sum2"))
+      .select(col("doc_id"), col("n_blocks"), col("n1").as("n_abs_gated"),
+        col("n2").as("n_rel_gated"),
+        expr("""CAST(floor(10.0 * log10(CAST(sum2 AS DOUBLE) / n2) * 1e6
+               | + 0.5) / 1e6 AS FLOAT)""".stripMargin).as("loudness_db"))
+      .orderBy(col("doc_id"))
+  }
+  private val x13Sql = {
+    val nb = "octet_length(encode(text))"
+    val raw = s"(CAST('0x' || substr($hexDuck, i * 4 - 3, 2) AS BIGINT)" +
+      s" + 256 * CAST('0x' || substr($hexDuck, i * 4 - 1, 2) AS BIGINT))"
+    val samples = s"list_transform(generate_series(1, CAST($nb // 2 AS BIGINT)), " +
+      s"i -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END)"
+    s"""WITH pcm AS (
+       | SELECT doc_id, $samples AS smp FROM documents
+       | WHERE $nb >= ${2 * vadFrame}),
+       |fr AS (
+       | SELECT doc_id, f AS fidx,
+       |  CAST(list_sum(list_transform(smp[(f * $vadFrame + 1):(f * $vadFrame + $vadFrame)],
+       |    v -> v * v)) AS BIGINT) AS fe
+       | FROM pcm, unnest(generate_series(0, CAST(len(smp) // $vadFrame AS BIGINT) - 1)) AS t(f)),
+       |st1 AS (
+       | SELECT doc_id, COUNT(*) AS n_blocks,
+       |  CAST(SUM(CASE WHEN fe > $loudAbsGate THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n1,
+       |  CAST(SUM(CASE WHEN fe > $loudAbsGate THEN fe ELSE 0 END) AS BIGINT)
+       |   AS sum1
+       | FROM fr GROUP BY 1 HAVING n1 > 0)
+       |SELECT f.doc_id, s.n_blocks, s.n1 AS n_abs_gated,
+       | COUNT(*) AS n_rel_gated,
+       | CAST(floor(10.0 * log10(CAST(SUM(f.fe) AS DOUBLE) / COUNT(*)) * 1e6
+       |  + 0.5) / 1e6 AS REAL) AS loudness_db
+       |FROM fr f JOIN st1 s USING (doc_id)
+       |WHERE f.fe > $loudAbsGate AND f.fe * 126 * s.n1 > 100 * s.sum1
+       |GROUP BY 1, 2, 3
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   // ---- x10: image tiling statistics ---------------------------------------
   // The patch-extraction pass of a ViT-style pipeline: split the 8×8
   // pixel block (x07's phash block) into four 4×4 tiles and emit
@@ -802,6 +885,7 @@ object MultimodalQueries extends QueryFamily {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x11_constellation_match" -> (x11 _),
+    "x13_loudness" -> (x13 _),
     "x12_shot_boundaries" -> (x12 _),
     "x10_tile_stats" -> (x10 _),
     "x09_vad_segments" -> (x09 _),
@@ -817,6 +901,7 @@ object MultimodalQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "x11_constellation_match" -> x11Sql,
+    "x13_loudness" -> x13Sql,
     "x12_shot_boundaries" -> x12Sql,
     "x10_tile_stats" -> x10Sql,
     "x09_vad_segments" -> x09Sql,

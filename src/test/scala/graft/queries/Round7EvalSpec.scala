@@ -511,6 +511,23 @@ class Round7EvalSpec extends SparkSpec {
       "fitted power-law exponent must be negative")
   }
 
+  test("x13: both loudness gates only remove blocks and stay consistent") {
+    val rows = MultimodalQueries.queries("x13_loudness")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, na, nr) = (r.getAs[Long]("n_blocks"),
+        r.getAs[Long]("n_abs_gated"), r.getAs[Long]("n_rel_gated"))
+      assert(nr >= 1 && nr <= na && na <= nb,
+        s"gate chain violated: $nr <= $na <= $nb")
+      val l = r.getAs[Float]("loudness_db")
+      assert(!l.isNaN && !l.isInfinite)
+    }
+    // the relative gate must actually do work somewhere in the corpus
+    assert(rows.map(r => r.getAs[Long]("n_abs_gated") -
+      r.getAs[Long]("n_rel_gated")).sum > 0,
+      "relative gate removed nothing corpus-wide")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
