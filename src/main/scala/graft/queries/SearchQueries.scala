@@ -1259,6 +1259,111 @@ object SearchQueries extends QueryFamily {
        | FROM agg a JOIN sup s USING (prefix))
        |WHERE rank <= $acTopK ORDER BY prefix, rank""".stripMargin
 
+  // ---- k11: quantile-sketch merge closure ----------------------------------
+  // k09's mergeability golden, for the quantile sketch: the property
+  // that makes k07 a 100 TB operator is that per-shard sketches merge
+  // ELEMENT-WISE into exactly the sketch of the union (daily sketch
+  // files -> one corpus sketch with no re-scan). Proven in-engine:
+  // build 7 independent shard sketches through the native aggregate,
+  // sum their bucket vectors, and compare bucket-for-bucket (and at
+  // the p50/p90 crossings) against the direct whole-corpus sketch —
+  // n_mismatch must be 0. The merge is exact integer algebra, so this
+  // is an identity, not an approximation.
+  private def k11(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    rd(s, dir, "lineitem").createOrReplaceTempView("k11_li")
+    s.sql(
+      """WITH parts AS (
+        | SELECT l_orderkey % 7 AS shard,
+        |  qsketch_buckets(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS m
+        | FROM k11_li GROUP BY 1),
+        |pex AS (
+        | SELECT idx, cnt FROM parts LATERAL VIEW explode(m) t AS idx, cnt),
+        |merged AS (
+        | SELECT idx, SUM(cnt) AS cnt FROM pex GROUP BY idx
+        | HAVING SUM(cnt) > 0),
+        |direct0 AS (
+        | SELECT qsketch_buckets(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS m
+        | FROM k11_li),
+        |dex AS (
+        | SELECT idx, cnt FROM direct0 LATERAL VIEW explode(m) t AS idx, cnt
+        | WHERE cnt > 0),
+        |cmp AS (
+        | SELECT COALESCE(me.idx, de.idx) AS idx,
+        |  COALESCE(me.cnt, 0) AS mc, COALESCE(de.cnt, 0) AS dc
+        | FROM merged me FULL OUTER JOIN dex de ON me.idx = de.idx),
+        |q AS (
+        | SELECT
+        |  MIN(CASE WHEN 2 * cm >= tot THEN lb END) AS p50_merged,
+        |  MIN(CASE WHEN 10 * cm >= 9 * tot THEN lb END) AS p90_merged
+        | FROM (
+        |  SELECT SUM(mc) OVER (ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |   SUM(mc) OVER () AS tot,
+        |   CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+        |    ELSE SHIFTLEFT(CAST(8 + idx % 8 AS BIGINT), CAST(idx / 8 AS INT) - 3)
+        |   END AS lb
+        |  FROM cmp)),
+        |qd AS (
+        | SELECT
+        |  MIN(CASE WHEN 2 * cm >= tot THEN lb END) AS p50_direct,
+        |  MIN(CASE WHEN 10 * cm >= 9 * tot THEN lb END) AS p90_direct
+        | FROM (
+        |  SELECT SUM(dc) OVER (ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+        |   SUM(dc) OVER () AS tot,
+        |   CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+        |    ELSE SHIFTLEFT(CAST(8 + idx % 8 AS BIGINT), CAST(idx / 8 AS INT) - 3)
+        |   END AS lb
+        |  FROM cmp))
+        |SELECT (SELECT COUNT(*) FROM cmp) AS n_buckets,
+        | (SELECT CAST(SUM(CASE WHEN mc != dc THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM cmp) AS n_mismatch,
+        | q.p50_merged, qd.p50_direct, q.p90_merged, qd.p90_direct
+        |FROM q CROSS JOIN qd""".stripMargin)
+  }
+  private val k11Sql =
+    """WITH v AS (
+      | SELECT l_orderkey % 7 AS shard,
+      |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS x
+      | FROM lineitem
+      | WHERE CAST(FLOOR(l_extendedprice) AS BIGINT) > 0),
+      |b AS (
+      | SELECT shard,
+      |  (length(printf('%b', x)) - 1) * 8 +
+      |   ((x >> greatest(length(printf('%b', x)) - 4, 0)) & 7) AS idx,
+      |  COUNT(*) AS cnt
+      | FROM v GROUP BY 1, 2),
+      |merged AS (SELECT idx, CAST(SUM(cnt) AS BIGINT) AS mc FROM b GROUP BY 1),
+      |direct AS (
+      | SELECT (length(printf('%b', x)) - 1) * 8 +
+      |   ((x >> greatest(length(printf('%b', x)) - 4, 0)) & 7) AS idx,
+      |  COUNT(*) AS dc
+      | FROM v GROUP BY 1),
+      |cmp AS (
+      | SELECT COALESCE(m.idx, d.idx) AS idx, COALESCE(m.mc, 0) AS mc,
+      |  COALESCE(d.dc, 0) AS dc
+      | FROM merged m FULL OUTER JOIN direct d ON m.idx = d.idx),
+      |lbs AS (
+      | SELECT idx, mc, dc,
+      |  SUM(mc) OVER (ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm_m,
+      |  SUM(dc) OVER (ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm_d,
+      |  SUM(mc) OVER () AS tot_m, SUM(dc) OVER () AS tot_d,
+      |  CASE WHEN idx < 24 THEN CAST(idx % 8 AS BIGINT)
+      |   ELSE CAST((8 + idx % 8) * power(2, idx // 8 - 3) AS BIGINT)
+      |  END AS lb
+      | FROM cmp)
+      |SELECT (SELECT COUNT(*) FROM cmp) AS n_buckets,
+      | (SELECT CAST(SUM(CASE WHEN mc != dc THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM cmp) AS n_mismatch,
+      | MIN(CASE WHEN 2 * cm_m >= tot_m THEN lb END) AS p50_merged,
+      | MIN(CASE WHEN 2 * cm_d >= tot_d THEN lb END) AS p50_direct,
+      | MIN(CASE WHEN 10 * cm_m >= 9 * tot_m THEN lb END) AS p90_merged,
+      | MIN(CASE WHEN 10 * cm_d >= 9 * tot_d THEN lb END) AS p90_direct
+      |FROM lbs""".stripMargin
+
   // ---- w14: noisy-channel spelling correction ------------------------------
   // The Norvig corrector, relationally: candidate corrections for a
   // typo t are vocabulary words c within edit distance 1, ranked by
@@ -1329,6 +1434,7 @@ object SearchQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k11_qsketch_merge" -> (k11 _),
     "w14_spell_correct" -> (w14 _),
     "k10_sketch_audit" -> (k10 _),
     "w13_autocomplete" -> (w13 _),
@@ -1351,6 +1457,7 @@ object SearchQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "k11_qsketch_merge" -> k11Sql,
     "w14_spell_correct" -> w14Sql,
     "k10_sketch_audit" -> k10Sql,
     "w13_autocomplete" -> w13Sql,

@@ -528,6 +528,15 @@ class Round7EvalSpec extends SparkSpec {
       "relative gate removed nothing corpus-wide")
   }
 
+  test("k11: shard sketches merge to exactly the corpus sketch") {
+    val r = SearchQueries.queries("k11_qsketch_merge")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_mismatch") == 0L,
+      s"${r.getAs[Long]("n_mismatch")} bucket(s) differ after merge")
+    assert(r.getAs[Long]("p50_merged") == r.getAs[Long]("p50_direct"))
+    assert(r.getAs[Long]("p90_merged") == r.getAs[Long]("p90_direct"))
+    assert(r.getAs[Long]("n_buckets") > 0)
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
