@@ -939,7 +939,53 @@ object GraphQueries extends QueryFamily {
       |      FROM nonadj)
       |WHERE rank <= 3 ORDER BY u, rank""".stripMargin
 
+  // ---- g16: degree assortativity --------------------------------------------
+  // Newman's degree-correlation coefficient (Newman 2002): do
+  // high-degree nodes attach to other high-degree nodes (assortative,
+  // r > 0 — social networks) or to low-degree ones (disassortative,
+  // r < 0 — technological/hub graphs)? r = Pearson correlation of the
+  // endpoint degrees over every directed edge of the symmetrized
+  // graph. Third consumer of the shared coSupplyEdges derivation.
+  // All moments are exact longs (degrees are counts; sums of products
+  // bounded by E * dmax^2), so the single r expression is the only
+  // double — cast float32. One scan shape: edge list -> degree table
+  // (broadcast) -> one fold.
+  private def g16(s: SparkSession, dir: String): DataFrame = {
+    val und = coSupplyEdges(s, dir)
+    val sym = und.select(col("u").as("a"), col("v").as("b"))
+      .union(und.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val joined = sym
+      .join(broadcast(deg.select(col("n").as("a"), col("d").as("da"))), "a")
+      .join(broadcast(deg.select(col("n").as("b"), col("d").as("db"))), "b")
+    joined.agg(count(lit(1)).as("n_dir_edges"),
+        sum(col("da")).as("sx"), sum(col("db")).as("sy"),
+        sum(expr("da * db")).as("sxy"),
+        sum(expr("da * da")).as("sxx"),
+        sum(expr("db * db")).as("syy"))
+      .select(col("n_dir_edges"),
+        expr("""CAST((CAST(n_dir_edges * sxy - sx * sy AS DOUBLE))
+               | / sqrt(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE)
+               |        * CAST(n_dir_edges * syy - sy * sy AS DOUBLE))
+               |AS FLOAT)""".stripMargin).as("assortativity"))
+  }
+  private val g16Sql =
+    s"""WITH $coSupplyEdgesCte,
+      |sym AS (SELECT u AS a, v AS b FROM edges
+      |        UNION ALL SELECT v, u FROM edges),
+      |deg AS (SELECT a AS n, COUNT(*) AS d FROM sym GROUP BY 1),
+      |joined AS (
+      | SELECT da.d AS da, db.d AS db
+      | FROM sym JOIN deg da ON da.n = sym.a JOIN deg db ON db.n = sym.b)
+      |SELECT COUNT(*) AS n_dir_edges,
+      | CAST((CAST(COUNT(*) * SUM(da * db) - SUM(da) * SUM(db) AS DOUBLE))
+      |  / sqrt(CAST(COUNT(*) * SUM(da * da) - SUM(da) * SUM(da) AS DOUBLE)
+      |         * CAST(COUNT(*) * SUM(db * db) - SUM(db) * SUM(db) AS DOUBLE))
+      | AS REAL) AS assortativity
+      |FROM joined""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g16_assortativity" -> (g16 _),
     "g15_adamic_adar" -> (g15 _),
     "g14_modularity" -> (g14 _),
     "g13_scc" -> (g13 _),
@@ -954,6 +1000,7 @@ object GraphQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "g16_assortativity" -> g16Sql,
     "g15_adamic_adar" -> g15Sql,
     "g14_modularity" -> g14Sql,
     "g13_scc" -> g13Sql,

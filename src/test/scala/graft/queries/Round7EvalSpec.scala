@@ -537,6 +537,15 @@ class Round7EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_buckets") > 0)
   }
 
+  test("g16: assortativity is a bounded correlation over directed edges") {
+    val r = GraphQueries.queries("g16_assortativity")(spark, d01).collect()(0)
+    val a = r.getAs[Float]("assortativity")
+    assert(a >= -1.0f && a <= 1.0f, s"r=$a outside [-1, 1]")
+    // symmetrized edge list: directed count must be even
+    assert(r.getAs[Long]("n_dir_edges") % 2 == 0)
+    assert(r.getAs[Long]("n_dir_edges") > 0)
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
