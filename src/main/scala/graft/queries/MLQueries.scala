@@ -223,6 +223,86 @@ object MLQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- m33: ablation feature importance ------------------------------------
+  // Model-agnostic global importance by mean-value ablation (the
+  // permutation-importance family, Breiman 2001, in its broadcast-
+  // friendly form): re-score m04's frozen tree ensemble with each
+  // feature replaced by its corpus mean and report mean |delta proba|
+  // per feature. Unlike row-permutation (which needs a corpus-wide
+  // rank pairing), mean ablation is ONE broadcast row + four extra
+  // CASE-tree columns in the same scan — the importance pass that
+  // actually runs at 100 TB. Feature means are exact micro-long
+  // ratios; per-row |delta| micro-quantizes before the fold; ranking
+  // happens on the exact quantized sums.
+  private def m33TreeSql(f: Int => String): String = {
+    def tree(f1: String, t1: Double, f2: String, t2: Double,
+             ll: Double, lr: Double, rl: Double, rr: Double): String =
+      s"(CASE WHEN $f1 < $t1 THEN (CASE WHEN $f2 < $t2 THEN $ll ELSE $lr END)" +
+        s" ELSE (CASE WHEN $f2 < $t2 THEN $rl ELSE $rr END) END)"
+    Seq(
+      tree(f(0), 0.5, f(1), 0.3, -0.2, 0.1, 0.05, 0.3),
+      tree(f(2), 0.6, f(3), 0.5, -0.15, 0.02, 0.1, 0.25),
+      tree(f(1), 0.4, f(0), 0.7, -0.1, 0.12, -0.02, 0.2)).mkString(" + ")
+  }
+  private def m33Proba(f: Int => String): String =
+    s"(1.0 / (1.0 + EXP(-(${m33TreeSql(f)}))))"
+  private def m33(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val feats = ev.select((col("event_id") +: rawFeatures): _*)
+      .localCheckpoint() // means pass + the scoring pass
+    val meanExprs = (0 until 4).flatMap { i =>
+      Seq(expr(s"SUM(CAST(floor(f$i * 1e6 + 0.5) AS BIGINT))").as(s"sm$i"))
+    } :+ count(lit(1)).as("n_all")
+    val means = feats.agg(meanExprs.head, meanExprs.tail: _*)
+      .select((0 until 4).map(i =>
+        expr(s"CAST(sm$i AS DOUBLE) / 1e6 / n_all").as(s"mu$i")) :+ col("n_all"): _*)
+    val base = (i: Int) => s"f$i"
+    val scored = feats.crossJoin(broadcast(means))
+      .select(Seq(col("n_all")) ++
+        (0 until 4).map { a =>
+          val fa = (i: Int) => if (i == a) s"mu$a" else s"f$i"
+          expr(s"""CAST(floor(abs(${m33Proba(base)} - ${m33Proba(fa)})
+                  | * 1e6 + 0.5) AS BIGINT)""".stripMargin).as(s"d$a")
+        }: _*)
+    val sums = scored.groupBy(col("n_all"))
+      .agg((0 until 4).map(a =>
+        org.apache.spark.sql.functions.sum(col(s"d$a")).as(s"sd$a")).head,
+        (0 until 4).map(a =>
+          org.apache.spark.sql.functions.sum(col(s"d$a")).as(s"sd$a")).tail: _*)
+    val stackArgs = (0 until 4).map(a => s"'f$a', sd$a").mkString(", ")
+    val w = Window.orderBy(col("sd").desc, col("feature").asc)
+    sums.selectExpr("n_all", s"stack(4, $stackArgs) AS (feature, sd)")
+      .withColumn("rank", row_number().over(w))
+      .select(col("feature"), col("rank"),
+        expr("CAST(CAST(sd AS DOUBLE) / 1e6 / n_all AS FLOAT)")
+          .as("mean_abs_delta"))
+      .orderBy(col("rank"), col("feature"))
+  }
+  private val m33Sql = {
+    val base = (i: Int) => s"f$i"
+    val deltas = (0 until 4).map { a =>
+      val fa = (i: Int) => if (i == a) s"mu$a" else s"f$i"
+      s"""CAST(SUM(CAST(floor(abs(${m33Proba(base)} - ${m33Proba(fa)})
+         | * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sd$a""".stripMargin
+    }.mkString(", ")
+    val mus = (0 until 4).map(i =>
+      s"""CAST(SUM(CAST(floor(f$i * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+         | / 1e6 / COUNT(*) AS mu$i""".stripMargin).mkString(", ")
+    val rows = (0 until 4).map(a =>
+      s"SELECT 'f$a' AS feature, sd$a AS sd, n_all FROM sums")
+      .mkString(" UNION ALL ")
+    s"""WITH feats AS (SELECT event_id, $rawFeaturesSql FROM events),
+       |means AS (SELECT $mus, COUNT(*) AS n_all FROM feats),
+       |sums AS (
+       | SELECT MAX(n_all) AS n_all, $deltas
+       | FROM feats CROSS JOIN means),
+       |stacked AS ($rows)
+       |SELECT feature,
+       | ROW_NUMBER() OVER (ORDER BY sd DESC, feature ASC) AS rank,
+       | CAST(CAST(sd AS DOUBLE) / 1e6 / n_all AS REAL) AS mean_abs_delta
+       |FROM stacked ORDER BY rank, feature""".stripMargin
+  }
+
   // ---- m13: MULTICLASS tree-ensemble scorer (M4, multiclass branch) -------
   // reference: stage2/mva_evaluators.py:357-361 — the "multiclass"
   // model takes `predict_proba(X)[:, 5]`. A boosted multiclass
@@ -2338,6 +2418,7 @@ object MLQueries extends QueryFamily {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m33_ablation_importance" -> (m33 _),
     "m32_scaling_law" -> (m32 _),
     "m31_mannwhitney" -> (m31 _),
     "m30_gbdt_loop" -> (m30 _),
@@ -2373,6 +2454,7 @@ object MLQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "m33_ablation_importance" -> m33Sql,
     "m32_scaling_law" -> m32Sql,
     "m31_mannwhitney" -> m31Sql,
     "m30_gbdt_loop" -> m30Sql,

@@ -546,6 +546,20 @@ class Round7EvalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dir_edges") > 0)
   }
 
+  test("m33: ablation importances rank features and discriminate") {
+    val rows = MLQueries.queries("m33_ablation_importance")(spark, d01)
+      .orderBy(col("rank")).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+    val ds = rows.map(_.getAs[Float]("mean_abs_delta"))
+    assert(ds.forall(_ >= 0.0f))
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a },
+      "importances not sorted by rank")
+    // the trees USE their split features: ablation must discriminate
+    assert(ds.head > 5 * math.max(ds.last, 1e-6f).toFloat,
+      s"importances suspiciously flat: ${ds.mkString(",")}")
+  }
+
   test("d25: empirical band-gate recall tracks the closed form") {
     val r = DedupQueries.queries("d25_lsh_recall_eval")(spark, dir).collect()
     assert(r.nonEmpty)
