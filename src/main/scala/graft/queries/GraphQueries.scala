@@ -964,10 +964,15 @@ object GraphQueries extends QueryFamily {
         sum(expr("da * da")).as("sxx"),
         sum(expr("db * db")).as("syy"))
       .select(col("n_dir_edges"),
-        expr("""CAST((CAST(n_dir_edges * sxy - sx * sy AS DOUBLE))
-               | / sqrt(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE)
-               |        * CAST(n_dir_edges * syy - sy * sy AS DOUBLE))
-               |AS FLOAT)""".stripMargin).as("assortativity"))
+        // degenerate graphs (all degrees equal, e.g. the 3-edge
+        // sf0.001 slice) have zero degree variance: r is undefined ->
+        // NULL, and the guard keeps ANSI mode from a divide-by-zero
+        expr("""CAST(CASE WHEN n_dir_edges * sxx - sx * sx <= 0
+               |  OR n_dir_edges * syy - sy * sy <= 0 THEN NULL
+               | ELSE (CAST(n_dir_edges * sxy - sx * sy AS DOUBLE))
+               |  / sqrt(CAST(n_dir_edges * sxx - sx * sx AS DOUBLE)
+               |         * CAST(n_dir_edges * syy - sy * sy AS DOUBLE))
+               |END AS FLOAT)""".stripMargin).as("assortativity"))
   }
   private val g16Sql =
     s"""WITH $coSupplyEdgesCte,
@@ -978,10 +983,12 @@ object GraphQueries extends QueryFamily {
       | SELECT da.d AS da, db.d AS db
       | FROM sym JOIN deg da ON da.n = sym.a JOIN deg db ON db.n = sym.b)
       |SELECT COUNT(*) AS n_dir_edges,
-      | CAST((CAST(COUNT(*) * SUM(da * db) - SUM(da) * SUM(db) AS DOUBLE))
-      |  / sqrt(CAST(COUNT(*) * SUM(da * da) - SUM(da) * SUM(da) AS DOUBLE)
-      |         * CAST(COUNT(*) * SUM(db * db) - SUM(db) * SUM(db) AS DOUBLE))
-      | AS REAL) AS assortativity
+      | CAST(CASE WHEN COUNT(*) * SUM(da * da) - SUM(da) * SUM(da) <= 0
+      |   OR COUNT(*) * SUM(db * db) - SUM(db) * SUM(db) <= 0 THEN NULL
+      |  ELSE (CAST(COUNT(*) * SUM(da * db) - SUM(da) * SUM(db) AS DOUBLE))
+      |   / sqrt(CAST(COUNT(*) * SUM(da * da) - SUM(da) * SUM(da) AS DOUBLE)
+      |          * CAST(COUNT(*) * SUM(db * db) - SUM(db) * SUM(db) AS DOUBLE))
+      |  END AS REAL) AS assortativity
       |FROM joined""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
