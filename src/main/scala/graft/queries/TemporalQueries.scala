@@ -1876,7 +1876,89 @@ object TemporalQueries extends QueryFamily {
        | CAST(icpt_u / 1e6 AS REAL) AS ts_intercept
        |FROM inter ORDER BY event_type""".stripMargin
 
+  // ---- u27: autocorrelation function (ACF) ---------------------------------
+  // The first diagnostic read on any series (Box & Jenkins):
+  // r_k = sum (y_t - ybar)(y_{t+k} - ybar) / sum (y_t - ybar)^2 for
+  // lags 1..7, per event_type, with the +/-1.96/sqrt(n) white-noise
+  // band every correlogram draws. The series is the daily milli-long
+  // table (bounded by the day span); the lag alignment is one
+  // equi-join on (type, day + k) against a 7-row broadcast lag grid —
+  // no window per lag, no corpus-sized anything. Centered products
+  // milli-quantize per term (m26's discipline), the denominator comes
+  // from one per-type variance pass, and each r_k is a single double
+  // division cast float32.
+  private val acfMaxLag = 7
+  private def u27(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val daily = ev
+      .select(col("event_type"), expr(s"ts div $nsPerDay").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(org.apache.spark.sql.functions.sum(col("vm")).as("ym"))
+      .localCheckpoint() // mean pass, variance pass, both join sides
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        org.apache.spark.sql.functions.sum(col("ym")).as("sy"))
+    val centered = daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_days"),
+        expr("""CAST(floor((ym / 1000.0
+               | - CAST(sy AS DOUBLE) / 1000.0 / n_days) * 1000 + 0.5)
+               |AS BIGINT)""".stripMargin).as("cq"))
+      .localCheckpoint()
+    val varp = centered.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.sum(expr("cq * cq")).as("den"))
+    val lags = s.range(1, acfMaxLag + 1).select(col("id").as("lag"))
+    val num = centered.crossJoin(broadcast(lags))
+      .select(col("event_type"), (col("day") + col("lag")).as("day"),
+        col("lag"), col("cq").as("cq_a"))
+      .join(centered.select(col("event_type"), col("day"),
+        col("cq").as("cq_b")), Seq("event_type", "day"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(org.apache.spark.sql.functions.sum(expr("cq_a * cq_b")).as("num"),
+        count(lit(1)).as("n_pairs"))
+    num.join(broadcast(varp), Seq("event_type"))
+      .join(broadcast(stats.select(col("event_type"), col("n_days"))),
+        Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("CAST(CAST(num AS DOUBLE) / den AS FLOAT)").as("acf"),
+        expr("CAST(1.96 / sqrt(CAST(n_days AS DOUBLE)) AS FLOAT)")
+          .as("wn_band"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+  private val u27Sql =
+    s"""WITH daily AS (
+       | SELECT event_type, epoch_ns(ts) // $nsPerDay AS day,
+       |  CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS ym
+       | FROM events GROUP BY 1, 2),
+       |stats AS (
+       | SELECT event_type, COUNT(*) AS n_days, CAST(SUM(ym) AS BIGINT) AS sy
+       | FROM daily GROUP BY 1),
+       |centered AS (
+       | SELECT d.event_type, d.day, st.n_days,
+       |  CAST(floor((d.ym / 1000.0
+       |   - CAST(st.sy AS DOUBLE) / 1000.0 / st.n_days) * 1000 + 0.5)
+       |  AS BIGINT) AS cq
+       | FROM daily d JOIN stats st USING (event_type)),
+       |varp AS (
+       | SELECT event_type, CAST(SUM(cq * cq) AS BIGINT) AS den
+       | FROM centered GROUP BY 1),
+       |lags AS (SELECT unnest(generate_series(1, $acfMaxLag)) AS lag),
+       |num AS (
+       | SELECT a.event_type, l.lag,
+       |  CAST(SUM(a.cq * b.cq) AS BIGINT) AS num, COUNT(*) AS n_pairs
+       | FROM centered a CROSS JOIN lags l
+       | JOIN centered b
+       |  ON b.event_type = a.event_type AND b.day = a.day + l.lag
+       | GROUP BY 1, 2)
+       |SELECT n.event_type, n.lag, n.n_pairs,
+       | CAST(CAST(n.num AS DOUBLE) / v.den AS REAL) AS acf,
+       | CAST(1.96 / sqrt(CAST(st.n_days AS DOUBLE)) AS REAL) AS wn_band
+       |FROM num n JOIN varp v USING (event_type)
+       |JOIN stats st USING (event_type)
+       |ORDER BY n.event_type, n.lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u27_acf" -> (u27 _),
     "u26_theil_sen" -> (u26 _),
     "u25_kaplan_meier" -> (u25 _),
     "u24_seasonal_decomp" -> (u24 _),
