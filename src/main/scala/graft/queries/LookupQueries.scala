@@ -692,7 +692,7 @@ object LookupQueries extends QueryFamily {
   private def l14(s: SparkSession, dir: String): DataFrame = {
     val sfMap = s.read.format("graft.sources.RootHistSource")
       .option("path",
-        "/root/reference/data/muon_sf/year2018/RunABCD_SF_ID.root").load()
+        refData("muon_sf/year2018/RunABCD_SF_ID.root")).load()
       .filter(col("hist") === "NUM_TightID_DEN_genTracks_pt_abseta" &&
         col("binx").between(1, 6) && col("biny").between(1, 4))
       .select(col("x_low"), col("x_high"), col("y_low"), col("y_high"),
@@ -757,7 +757,7 @@ object LookupQueries extends QueryFamily {
     "(y0 + (y1 - y0) * (pt - x0) / (x1 - x0))"
   private def l15(s: SparkSession, dir: String): DataFrame = {
     val pts = s.read.format("graft.sources.RootGraphSource")
-      .option("path", "/root/reference/data/NNLOPS_reweight.root").load()
+      .option("path", refData("NNLOPS_reweight.root")).load()
       .filter(col("graph") === "gr_NNLOPSratio_pt_powheg_0jet")
       .select(col("i"), col("x"), col("y"))
       .localCheckpoint() // 17 rows; feeds segments + both clamps

@@ -346,7 +346,7 @@ object StageQueries extends QueryFamily {
   // on every bin of a real-world binary file. DuckDB cannot read ROOT;
   // a literal-values oracle is the strongest cross-check available and
   // is exact because the file is static test data.
-  private val rootFixture = "/root/reference/data/pileup/mcPileup2018.root"
+  private lazy val rootFixture = refData("pileup/mcPileup2018.root")
   private def s10(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft.sources.RootHistSource")
       .option("path", rootFixture).load()
@@ -406,8 +406,8 @@ object StageQueries extends QueryFamily {
   // (RootHistSourceSpec: re-histogrammed muon_eta == the file's own
   // hEta TH1F) pins the decode semantics separately. Milli-quantized
   // integer pt sums keep the check order-free and exact.
-  private val treeFixture =
-    "/root/reference/data/mass_res_pisa/muonresolution.root"
+  private lazy val treeFixture =
+    refData("mass_res_pisa/muonresolution.root")
   private def s11(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft.sources.RootTreeSource")
       .option("path", treeFixture).load()

@@ -299,8 +299,8 @@ object StreamQueries extends QueryFamily {
   // so AvailableNow must equal the batch answer exactly; per-event SF
   // is micro-quantized before summing (order-free longs). The oracle is
   // the batch SQL over the independently parsed literal map.
-  private val sfFixture =
-    "/root/reference/data/muon_sf/year2018/RunABCD_SF_ID.root"
+  private lazy val sfFixture =
+    refData("muon_sf/year2018/RunABCD_SF_ID.root")
   private def n12(s: SparkSession, dir: String): DataFrame =
     Streams.withStatePartitions(s, statePartitions) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -2000,6 +2000,7 @@ object TemporalQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "u27_acf" -> u27Sql,
     "u26_theil_sen" -> u26Sql,
     "u25_kaplan_meier" -> u25Sql,
     "u24_seasonal_decomp" -> u24Sql,

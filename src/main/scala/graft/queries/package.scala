@@ -35,6 +35,27 @@ package object queries {
       case _ => df
     }
 
+  /** Root of the reference fixture tree (ROOT files used by the
+    * s10/s11/l14/l15/n12 connector queries). Resolved from
+    * `GRAFT_REFERENCE_DATA` (or the `graft.reference.data` system
+    * property) with the documented default `/root/reference/data`, so
+    * the suite is portable to machines with the checkout elsewhere. */
+  def referenceDataRoot: String =
+    sys.env.getOrElse("GRAFT_REFERENCE_DATA",
+      sys.props.getOrElse("graft.reference.data", "/root/reference/data"))
+
+  /** Resolve a fixture path under [[referenceDataRoot]], failing with a
+    * clear message (instead of a deep-in-the-plan FileNotFound) when
+    * the fixture tree is absent. */
+  def refData(rel: String): String = {
+    val p = s"$referenceDataRoot/$rel"
+    if (!new java.io.File(p).exists())
+      throw new IllegalStateException(
+        s"reference fixture missing: $p — set GRAFT_REFERENCE_DATA to " +
+          "the reference data root (default /root/reference/data)")
+    p
+  }
+
   /** A query family contributes driver-checkable queries + DuckDB oracles. */
   trait QueryFamily {
     def queries: Map[String, (SparkSession, String) => DataFrame]

@@ -317,7 +317,16 @@ object RootHistFile {
         val key = (keyTitle, keyName)
         val entry0 = entryCounters.getOrElse(key, 0L)
         val b = new Cursor(ByteBuffer.wrap(blob).order(ByteOrder.BIG_ENDIAN))
-        val framed = dataEnd >= 4 && (b.i32() & ByteCountMask) != 0
+        // Raw flat-leaf layouts have payload size EXACTLY nevBuf*width
+        // with zero framing overhead, so they are mutually exclusive
+        // with framed payloads (each frame adds >= 10 bytes). Test the
+        // unambiguous exact-size cases FIRST: a flat float/double whose
+        // first value is >= 2.0 sets bit 30 of its big-endian bytes and
+        // would otherwise be misread as a byte-count frame.
+        val rawF64 = nevBuf > 0 && dataEnd == nevBuf * 8L
+        val rawF32 = nevBuf > 0 && dataEnd == nevBuf * 4L
+        val framed = !rawF64 && !rawF32 &&
+          dataEnd >= 4 && (b.i32() & ByteCountMask) != 0
         b.seek(0)
         if (framed) {
           var e = 0
@@ -337,13 +346,13 @@ object RootHistFile {
             out += TreeEntry(path, dir, keyTitle, keyName, entry0 + e, vals)
             e += 1
           }
-        } else if (nevBuf > 0 && dataEnd == nevBuf * 8L) {
+        } else if (rawF64) {
           var e = 0
           while (e < nevBuf) {
             out += TreeEntry(path, dir, keyTitle, keyName, entry0 + e,
               Array(b.f64())); e += 1
           }
-        } else if (nevBuf > 0 && dataEnd == nevBuf * 4L) {
+        } else if (rawF32) {
           var e = 0
           while (e < nevBuf) {
             out += TreeEntry(path, dir, keyTitle, keyName, entry0 + e,
