@@ -1,6 +1,39 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Accumulates task-level execution metrics between snapshots so Bench
+  * can attribute shuffle-write bytes, spill (memory+disk), and peak
+  * execution memory to the query running at the time. Task-end events
+  * arrive on the listener bus slightly after the action returns, so
+  * [[snapshot]] is taken after a short bus drain (see call site); the
+  * attribution is per-query exact in Bench's sequential, single-query
+  * execution model. */
+private final class ExecMetricsListener extends SparkListener {
+  private val shuffleWrite = new AtomicLong
+  private val spillMem = new AtomicLong
+  private val spillDisk = new AtomicLong
+  private val peakMem = new AtomicLong
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillMem.addAndGet(m.memoryBytesSpilled)
+      spillDisk.addAndGet(m.diskBytesSpilled)
+      peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+    }
+  }
+  /** Returns (shuffleWriteBytes, spillMemBytes, spillDiskBytes,
+    * peakExecMemBytes) since the last snapshot, then resets. */
+  def snapshot(): (Long, Long, Long, Long) = {
+    val r = (shuffleWrite.getAndSet(0L), spillMem.getAndSet(0L),
+      spillDisk.getAndSet(0L), peakMem.getAndSet(0L))
+    r
+  }
+}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints ONE JSON line {"metric","value","unit","queries","sf"}.
@@ -29,6 +62,10 @@ object Bench {
     // dev-only subset filter; the driver never sets this
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val listener = new ExecMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    // per-query (shuffleWrite, spillMem, spillDisk, peakExecMem) bytes
+    val execMetrics = Seq.newBuilder[(String, (Long, Long, Long, Long))]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -37,10 +74,25 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drain the listener bus so late task-end events attribute to the
+      // query that produced them (sequential execution ⇒ exact)
+      org.apache.spark.sql.classic.GraftBridge
+        .drainListenerBus(spark.sparkContext, 2000L)
+      execMetrics += (name -> listener.snapshot())
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Per-query execution metrics (bytes): shuffle write, spill
+    // (memory+disk), peak execution memory. Zero-rows are elided so the
+    // record stays compact — most of the 317 queries neither shuffle
+    // much nor spill at bench SF; the ones that DO are exactly the ones
+    // a bench excursion postmortem needs (round-7 d09/d10).
+    val em = execMetrics.result().collect {
+      case (k, (sw, sm, sd, pm)) if sw > 0 || sm > 0 || sd > 0 =>
+        s""""$k":{"shuffle_write":$sw,"spill_mem":$sm,"spill_disk":$sd,"peak_exec_mem":$pm}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Load-factor self-stamp: median per-query ratio of THIS run vs the
     // last committed quiet run (BENCH_LOCAL.json, read BEFORE we
@@ -70,7 +122,8 @@ object Bench {
     val lfField = loadFactor
       .map(lf => f""","load_factor":$lf%.3f""").getOrElse("")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$lfField}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""exec_metrics":$em,"sf":"$sfDir"$lfField}"""
     // The driver retains only a ~2 KB stdout TAIL, and the per-query map
     // is ~8 KB — so the full record goes out first (bare line, for
     // anything tailing stdout, and BENCH_LOCAL.json on disk), and the

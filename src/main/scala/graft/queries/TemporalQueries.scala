@@ -1957,8 +1957,93 @@ object TemporalQueries extends QueryFamily {
        |JOIN stats st USING (event_type)
        |ORDER BY n.event_type, n.lag""".stripMargin
 
+  // ---- u28: partial autocorrelation (PACF) ---------------------------------
+  // u27's Box-Jenkins companion: phi_kk via the Durbin-Levinson
+  // recursion over the 7 ACF values per event_type. The recursion is
+  // O(lag^2) on a 7-row-per-type table, so it is UNROLLED into SQL
+  // text by [[durbinLevinsonSql]] and executed by BOTH engines — Spark
+  // SQL over a temp view and DuckDB as the oracle — from the SAME
+  // generated string (only the dialect-specific ACF CTE underneath
+  // differs: `ts div` + explode(sequence) vs `epoch_ns //` +
+  // unnest(generate_series)). Identical expression order in IEEE
+  // doubles ⇒ bit-identical phi values, cast float32 at the end. At
+  // scale the heavy part is the ACF aggregation (same shape as u27,
+  // data-sized); the recursion itself touches n_types×7 rows.
+  private def durbinLevinsonSql(acfCte: String): String = {
+    val sb = new StringBuilder(acfCte)
+    sb ++= ",\nacfw AS (SELECT event_type"
+    for (k <- 1 to acfMaxLag)
+      sb ++= s", MAX(CASE WHEN lag = $k THEN r END) AS r$k"
+    sb ++= " FROM acfr GROUP BY event_type)"
+    var prev = "acfw"
+    for (k <- 1 to acfMaxLag) {
+      if (k == 1) {
+        sb ++= s",\nk1 AS (SELECT *, r1 AS p11 FROM $prev)"
+        prev = "k1"
+      } else {
+        val num = (1 until k).map(j => s"p${k - 1}$j * r${k - j}").mkString(" + ")
+        val den = (1 until k).map(j => s"p${k - 1}$j * r$j").mkString(" + ")
+        sb ++= s",\nk$k AS (SELECT *, (r$k - ($num)) / (1 - ($den)) AS p$k$k FROM $prev)"
+        prev = s"k$k"
+        if (k < acfMaxLag) {
+          val upd = (1 until k)
+            .map(j => s"p${k - 1}$j - p$k$k * p${k - 1}${k - j} AS p$k$j")
+            .mkString(", ")
+          sb ++= s",\nk${k}b AS (SELECT *, $upd FROM k$k)"
+          prev = s"k${k}b"
+        }
+      }
+    }
+    val arms = (1 to acfMaxLag)
+      .map(k => s"SELECT event_type, $k AS lag, CAST(p$k$k AS FLOAT) AS pacf FROM $prev")
+      .mkString("\n UNION ALL ")
+    sb ++= s"\nSELECT * FROM (\n $arms\n) ORDER BY event_type, lag"
+    sb.result()
+  }
+  /** The u27 ACF pipeline as a dialect-parameterized CTE chain ending in
+    * `acfr(event_type, lag, r)` with r still DOUBLE (full precision for
+    * the recursion). */
+  private def acfCte(dayExpr: String, lagsCte: String): String =
+    s"""WITH daily AS (
+       | SELECT event_type, $dayExpr AS day,
+       |  CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS ym
+       | FROM events GROUP BY 1, 2),
+       |stats AS (
+       | SELECT event_type, COUNT(*) AS n_days, CAST(SUM(ym) AS BIGINT) AS sy
+       | FROM daily GROUP BY 1),
+       |centered AS (
+       | SELECT d.event_type, d.day,
+       |  CAST(floor((d.ym / 1000.0
+       |   - CAST(st.sy AS DOUBLE) / 1000.0 / st.n_days) * 1000 + 0.5)
+       |  AS BIGINT) AS cq
+       | FROM daily d JOIN stats st USING (event_type)),
+       |varp AS (
+       | SELECT event_type, CAST(SUM(cq * cq) AS BIGINT) AS den
+       | FROM centered GROUP BY 1),
+       |lags AS ($lagsCte),
+       |num AS (
+       | SELECT a.event_type, l.lag,
+       |  CAST(SUM(a.cq * b.cq) AS BIGINT) AS num
+       | FROM centered a CROSS JOIN lags l
+       | JOIN centered b
+       |  ON b.event_type = a.event_type AND b.day = a.day + l.lag
+       | GROUP BY 1, 2),
+       |acfr AS (
+       | SELECT n.event_type, n.lag, CAST(n.num AS DOUBLE) / v.den AS r
+       | FROM num n JOIN varp v USING (event_type))""".stripMargin
+  private def u28(s: SparkSession, dir: String): DataFrame = {
+    rd(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(durbinLevinsonSql(acfCte(
+      s"ts div $nsPerDay",
+      s"SELECT explode(sequence(1, $acfMaxLag)) AS lag")))
+  }
+  private val u28Sql = durbinLevinsonSql(acfCte(
+    s"epoch_ns(ts) // $nsPerDay",
+    s"SELECT unnest(generate_series(1, $acfMaxLag)) AS lag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u27_acf" -> (u27 _),
+    "u28_pacf" -> (u28 _),
     "u26_theil_sen" -> (u26 _),
     "u25_kaplan_meier" -> (u25 _),
     "u24_seasonal_decomp" -> (u24 _),
@@ -2001,6 +2086,7 @@ object TemporalQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "u27_acf" -> u27Sql,
+    "u28_pacf" -> u28Sql,
     "u26_theil_sen" -> u26Sql,
     "u25_kaplan_meier" -> u25Sql,
     "u24_seasonal_decomp" -> u24Sql,

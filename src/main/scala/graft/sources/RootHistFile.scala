@@ -454,6 +454,178 @@ object RootHistFile {
     }
   }
 
+  // ------------------------------------------------------------------
+  // TH1D writer — the reverse direction of the reader above, closing
+  // SURVEY §2.1 S8 (the reference exports its stage-3 templates as TH1D
+  // keys in a ROOT file; python/io.py:230-235 is the shape). Emits a
+  // minimal-but-spec-conforming file: 100-byte TFile header, one
+  // uncompressed TKey record per histogram, each payload a streamed
+  // TH1D with proper TBuffer byte-count framing (root.cern TFile/TKey/
+  // TBuffer spec). Everything the reader models is written exactly
+  // (TNamed, the three TAtt frames, three TAxis frames, stat doubles,
+  // fContour/fSumw2 TArrayDs, cell payload); members the reader skips
+  // by byte count are written as spec-shaped zeros so any byte-count-
+  // honoring ROOT reader walks the same path.
+  // ------------------------------------------------------------------
+
+  /** Mutable big-endian buffer with frame backpatching. */
+  private final class WBuf {
+    private var arr = new Array[Byte](4096)
+    private var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length)
+        arr = java.util.Arrays.copyOf(arr, math.max(arr.length * 2, len + n))
+    def pos: Int = len
+    def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
+    def i16(v: Int): Unit = { ensure(2)
+      arr(len) = (v >> 8).toByte; arr(len + 1) = v.toByte; len += 2 }
+    def i32(v: Int): Unit = { ensure(4)
+      var i = 0; while (i < 4) { arr(len + i) = (v >> (24 - 8 * i)).toByte; i += 1 }
+      len += 4 }
+    def f32(v: Float): Unit = i32(java.lang.Float.floatToIntBits(v))
+    def f64(v: Double): Unit = { val b = java.lang.Double.doubleToLongBits(v)
+      i32((b >> 32).toInt); i32(b.toInt) }
+    def tString(s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (b.length >= 255) { u8(255); i32(b.length) } else u8(b.length)
+      ensure(b.length); System.arraycopy(b, 0, arr, len, b.length)
+      len += b.length
+    }
+    def patchI32(at: Int, v: Int): Unit = {
+      var i = 0; while (i < 4) { arr(at + i) = (v >> (24 - 8 * i)).toByte; i += 1 }
+    }
+    /** Open a TBuffer frame: reserves the byte-count slot, writes the
+      * version; returns the slot position for [[endFrame]]. */
+    def frame(version: Int): Int = { val at = pos; i32(0); i16(version); at }
+    def endFrame(at: Int): Unit =
+      patchI32(at, (pos - at - 4) | ByteCountMask)
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  private def wNamed(w: WBuf, name: String, title: String): Unit = {
+    val f = w.frame(1)           // TNamed v1
+    w.i16(1); w.i32(0); w.i32(0) // TObject v1, fUniqueID, fBits
+    w.tString(name); w.tString(title)
+    w.endFrame(f)
+  }
+
+  private def wAxis(w: WBuf, name: String, nbins: Int, xmin: Double,
+      xmax: Double, edges: Array[Double]): Unit = {
+    val f = w.frame(10) // TAxis v10
+    wNamed(w, name, "")
+    val fa = w.frame(4) // TAttAxis v4
+    w.i32(510); w.i16(1); w.i16(1); w.i16(42); w.f32(0.005f); w.f32(0.035f)
+    w.f32(0.03f); w.f32(1f); w.f32(0.035f); w.i16(1); w.i16(42)
+    w.endFrame(fa)
+    w.i32(nbins); w.f64(xmin); w.f64(xmax)
+    w.i32(edges.length); edges.foreach(w.f64) // fXbins TArrayD
+    w.i32(0); w.i32(0)  // fFirst, fLast
+    w.i16(0)            // fBits2
+    w.u8(0)             // fTimeDisplay
+    w.tString("")       // fTimeFormat
+    w.i32(0); w.i32(0)  // fLabels*, fModLabs* (null object tags)
+    w.endFrame(f)
+  }
+
+  /** Serialize one TH1D object buffer (the TKey payload). */
+  private def th1dPayload(name: String, title: String, nbins: Int,
+      xmin: Double, xmax: Double, edges: Array[Double],
+      contents: Array[Double], sumw2: Array[Double],
+      entries: Double): Array[Byte] = {
+    require(contents.length == nbins + 2,
+      s"TH1D $name: need ${nbins + 2} cells (under/overflow), got ${contents.length}")
+    require(sumw2.isEmpty || sumw2.length == nbins + 2,
+      s"TH1D $name: sumw2 must be empty or ${nbins + 2} cells")
+    require(edges.isEmpty || edges.length == nbins + 1,
+      s"TH1D $name: edges must be empty (fixed bins) or ${nbins + 1}")
+    val w = new WBuf
+    val outer = w.frame(3) // TH1D class v3
+    val base = w.frame(8)  // TH1 base v8
+    wNamed(w, name, title)
+    val l = w.frame(2); w.i16(602); w.i16(1); w.i16(1); w.endFrame(l)  // TAttLine
+    val fl = w.frame(2); w.i16(0); w.i16(1001); w.endFrame(fl)        // TAttFill
+    val m = w.frame(2); w.i16(1); w.i16(1); w.f32(1f); w.endFrame(m)  // TAttMarker
+    w.i32(nbins + 2) // fNcells
+    wAxis(w, "xaxis", nbins, xmin, xmax, edges)
+    wAxis(w, "yaxis", 1, 0.0, 1.0, Array.empty)
+    wAxis(w, "zaxis", 1, 0.0, 1.0, Array.empty)
+    w.i16(0); w.i16(1000) // fBarOffset, fBarWidth
+    w.f64(entries)
+    val sw = contents.view.slice(1, nbins + 1).sum
+    val sw2 = (if (sumw2.nonEmpty) sumw2 else contents)
+      .view.slice(1, nbins + 1).sum
+    w.f64(sw); w.f64(sw2); w.f64(0.0); w.f64(0.0) // fTsumw/w2/wx/wx2
+    w.f64(-1111.0); w.f64(-1111.0); w.f64(1.0)    // fMax/fMin/fNormFactor
+    w.i32(0)                                      // fContour TArrayD (empty)
+    w.i32(sumw2.length); sumw2.foreach(w.f64)     // fSumw2 TArrayD
+    w.tString("")   // fOption
+    w.i32(0)        // fFunctions (null object tag)
+    w.i32(0); w.u8(0)     // fBufferSize, fBuffer (absent)
+    w.i16(0); w.i16(2)    // fBinStatErrOpt, fStatOverflows
+    w.endFrame(base)
+    // TArrayD cell payload follows the TH1 base frame
+    w.i32(contents.length); contents.foreach(w.f64)
+    w.endFrame(outer)
+    w.bytes
+  }
+
+  /** One histogram to write: fixed binning when `edges` is empty;
+    * `contents`/`sumw2` are the full nbins+2 cell layout (under/overflow
+    * at 0 and nbins+1), `sumw2` may be empty. */
+  final case class TH1DSpec(name: String, title: String, nbins: Int,
+      xmin: Double, xmax: Double, edges: Array[Double],
+      contents: Array[Double], sumw2: Array[Double], entries: Double)
+
+  /** Write `hists` as TH1D keys in a new ROOT file at `path`. */
+  def writeTH1D(path: String, hists: Seq[TH1DSpec]): Unit = {
+    val fBegin = 100
+    val records = Seq.newBuilder[Array[Byte]]
+    var pos = fBegin
+    for (h <- hists) {
+      val payload = th1dPayload(h.name, h.title, h.nbins, h.xmin, h.xmax,
+        h.edges, h.contents, h.sumw2, h.entries)
+      val k = new WBuf
+      k.i32(0)          // nbytes (patched)
+      k.i16(4)          // key version (32-bit seeks)
+      k.i32(payload.length) // objLen
+      k.i32(0)          // datime
+      k.i16(0)          // keyLen (patched)
+      k.i16(1)          // cycle
+      k.i32(pos)        // seekKey
+      k.i32(fBegin)     // seekPdir (top level)
+      k.tString("TH1D"); k.tString(h.name); k.tString(h.title)
+      val keyLen = k.pos
+      val hdr = k.bytes
+      val rec = new Array[Byte](keyLen + payload.length)
+      System.arraycopy(hdr, 0, rec, 0, keyLen)
+      System.arraycopy(payload, 0, rec, keyLen, payload.length)
+      val bb = ByteBuffer.wrap(rec).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0, rec.length)        // nbytes
+      bb.putShort(14, keyLen.toShort) // keyLen slot (nbytes4+ver2+objLen4+datime4)
+      records += rec
+      pos += rec.length
+    }
+    val fEnd = pos
+    val hdr = new WBuf
+    hdr.u8('r'); hdr.u8('o'); hdr.u8('o'); hdr.u8('t')
+    hdr.i32(63200)   // fVersion (small-file format: 32-bit seeks)
+    hdr.i32(fBegin)
+    hdr.i32(fEnd)
+    hdr.i32(fEnd)    // fSeekFree (no free list)
+    hdr.i32(0)       // fNbytesFree
+    hdr.i32(hists.size) // nfree slot reused as key count hint
+    hdr.i32(0)       // fNbytesName
+    hdr.u8(4)        // fUnits
+    hdr.i32(0)       // fCompress (uncompressed: objLen == dataLen)
+    hdr.i32(0); hdr.i32(0) // fSeekInfo, fNbytesInfo (no streamer info)
+    hdr.i16(1)       // fUUID version stub
+    var i = 0; while (i < 16) { hdr.u8(0); i += 1 }
+    val head = java.util.Arrays.copyOf(hdr.bytes, fBegin) // pad to fBEGIN
+    val out = java.nio.file.Files.newOutputStream(Paths.get(path))
+    try { out.write(head); records.result().foreach(out.write) }
+    finally out.close()
+  }
+
   /** Key-chain object scan: keyPos (the record's file offset) uniquely
     * identifies a key even when a file stores several copies of one
     * object under the SAME name and cycle (GoldenJSON pileup does). */

@@ -29,4 +29,12 @@ object GraftBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Block until all queued listener-bus events are dispatched (or the
+    * timeout passes). `LiveListenerBus.waitUntilEmpty` is
+    * `private[spark]`; Bench uses it to attribute task metrics to the
+    * query that just ran before snapshotting its metrics listener. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
+    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: java.util.concurrent.TimeoutException => }
 }

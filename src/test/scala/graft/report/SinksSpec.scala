@@ -103,6 +103,50 @@ class SinksSpec extends SparkSpec {
       ord.filter(col("o_orderpriority") === "1-URGENT").count())
   }
 
+  test("TH1D writer round-trips through the ROOT reader, bin for bin") {
+    import graft.sources.RootHistFile
+    // the flagship's (region, bin, value, sumw2) template — one TH1D
+    // per region, S8's full shape (reference: python/io.py:230-235)
+    val tmpl = graft.SparkEntry.entry(spark)
+      .collect().groupBy(_.getAs[String]("region"))
+    val nbins = 40 // entry()'s histogram axis: 40 bins over [0, 160)
+    val specs = tmpl.toSeq.sortBy(_._1).map { case (region, rows) =>
+      // Histogrammer's bin IS the ROOT cell index (0 = underflow,
+      // nbins+1 = overflow) — direct copy, no shift
+      val contents = new Array[Double](nbins + 2)
+      val sumw2 = new Array[Double](nbins + 2)
+      rows.foreach { r =>
+        val cell = r.getAs[Long]("bin").toInt
+        contents(cell) = r.getAs[Float]("value").toDouble
+        sumw2(cell) = r.getAs[Float]("sumw2").toDouble
+      }
+      RootHistFile.TH1DSpec(s"hist_$region", s"template $region",
+        nbins, 0.0, 160.0, Array.empty, contents, sumw2,
+        entries = rows.length.toDouble)
+    }
+    val out = Files.createTempDirectory("graft_root").toString + "/templates.root"
+    RootHistFile.writeTH1D(out, specs)
+    // 1) direct reader round-trip: every bin + sumw2 + axis exact
+    val back = RootHistFile.read(out).sortBy(_.name)
+    assert(back.map(_.name) == specs.map(_.name))
+    back.zip(specs).foreach { case (h, s) =>
+      assert(h.cls == "TH1D" && h.dim == 1)
+      assert(h.nbins == s.nbins && h.xmin == s.xmin && h.xmax == s.xmax)
+      assert(h.contents.toSeq == s.contents.toSeq,
+        s"${h.name}: contents mismatch")
+      assert(h.sumw2.toSeq == s.sumw2.toSeq, s"${h.name}: sumw2 mismatch")
+      assert(h.entries == s.entries)
+    }
+    // 2) the DataSource V2 connector reads the written file too — the
+    //    same path any downstream Spark job would use
+    val df = spark.read.format("root-hist").option("path", out).load()
+      .filter(col("content") =!= 0.0)
+    val total = df.agg(sum(col("content"))).head.getDouble(0)
+    assert(math.abs(total - specs.map(_.contents.sum).sum) < 1e-9)
+    assert(df.select(countDistinct(col("hist"))).head.getLong(0) ==
+      specs.size)
+  }
+
   test("datacard renders yields with one column per channel") {
     val yields = StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
     val cards = Datacards.renderAll(yields)
