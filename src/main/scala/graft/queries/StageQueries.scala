@@ -427,6 +427,100 @@ object StageQueries extends QueryFamily {
       |) AS t(n_mu, n_events, pt_milli_sum)
       |ORDER BY n_mu""".stripMargin
 
+  // ---- s14: ROOT-native stage-1 flagship ------------------------------------
+  // The reference's true input path END TO END (run_stage1.py:154-166:
+  // open .root file -> decode jagged muon branches -> object selection
+  // -> exactly-2 -> p4 sum -> region label -> histogram), running
+  // entirely on the native root-tree connector against the reference's
+  // own 100k-event fixture. Composition: root-tree long rows -> one
+  // pivot shuffle to (entry, i, pt, eta) muon rows -> muon-level
+  // selection -> exactly-2 gate via sorted struct collect (g03's
+  // re-nest) -> p4SumMass with phi=0 (the fixture carries no phi
+  // branch; cos(0)=1 makes px=pt exactly, so the full p4 composition
+  // is still exercised) -> regionLabel -> milli-quantized order-free
+  // histogram. Oracle = literal replay by the INDEPENDENT Python
+  // decoder (tools/gen_s14_oracle.py, shares no code with the Scala
+  // reader); the in-file golden (RootHistSourceSpec: decoded muon_eta
+  // re-histogrammed == the file's own hEta TH1F) pins decode
+  // semantics separately. At scale: the connector emits one partition
+  // per file (a NanoAOD dataset is thousands of files), the pivot and
+  // the exactly-2 gate are the SAME one-shuffle jagged pattern as
+  // g01, and every aggregate is map-side combined.
+  private def s14(s: SparkSession, dir: String): DataFrame = {
+    val rows = s.read.format("root-tree").option("path", treeFixture).load()
+      .filter(col("tree") === "MyTree" &&
+        col("branch").isin("muon_pt", "muon_eta") && col("i").isNotNull)
+    val muons = rows.groupBy(col("entry"), col("i"))
+      .agg(max(when(col("branch") === "muon_pt", col("value"))).as("pt"),
+        max(when(col("branch") === "muon_eta", col("value"))).as("eta"))
+      .filter(col("pt") > 20.0 && col("pt") < 200.0 && abs(col("eta")) < 2.4)
+    val events = muons.groupBy(col("entry"))
+      .agg(count(lit(1)).as("nmu"),
+        sort_array(collect_list(struct(col("i"), col("pt"), col("eta"))))
+          .as("mus"))
+      .filter(col("nmu") === 2)
+      .select(col("entry"),
+        col("mus")(0)("pt").as("pt1"), col("mus")(0)("eta").as("eta1"),
+        col("mus")(1)("pt").as("pt2"), col("mus")(1)("eta").as("eta2"))
+    val m = lit(0.1057)
+    val withMass = events.withColumn("mass",
+      K.p4SumMass(col("pt1"), col("eta1"), lit(0.0), m,
+        col("pt2"), col("eta2"), lit(0.0), m))
+    withMass
+      .select(Selections.regionLabel(col("mass")).as("region"),
+        Histogrammer.bucket(col("mass"), 0.0, 200.0, 40).cast("int").as("bin"),
+        expr("CAST(FLOOR(mass * 1000.0 + 0.5) AS BIGINT)").as("mass_milli"))
+      .groupBy(col("region"), col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("mass_milli")).as("mass_milli_sum"))
+      .orderBy(col("region"), col("bin"))
+  }
+  private val s14Sql =
+    """SELECT region, bin, n_events, mass_milli_sum FROM (VALUES
+      |('h-peak', 24, 4, 468942),
+      |('h-peak', 25, 2, 244890),
+      |('h-peak', 26, 4, 505091),
+      |('h-peak', 27, 1, 132521),
+      |('h-sidebands', 23, 7, 793313),
+      |('h-sidebands', 28, 7, 961143),
+      |('h-sidebands', 29, 4, 571282),
+      |('h-sidebands', 30, 4, 594669),
+      |('none', 1, 976, 2435882),
+      |('none', 2, 924, 6903234),
+      |('none', 3, 919, 11465694),
+      |('none', 4, 867, 15151517),
+      |('none', 5, 955, 21446491),
+      |('none', 6, 883, 24399884),
+      |('none', 7, 860, 27933555),
+      |('none', 8, 860, 32234687),
+      |('none', 9, 826, 35027917),
+      |('none', 10, 821, 38962905),
+      |('none', 11, 784, 41124602),
+      |('none', 12, 733, 42126709),
+      |('none', 13, 786, 49086827),
+      |('none', 14, 649, 43822678),
+      |('none', 15, 615, 44545401),
+      |('none', 16, 81, 6119533),
+      |('none', 22, 11, 1188792),
+      |('none', 31, 1, 152530),
+      |('none', 32, 1, 156189),
+      |('none', 33, 4, 647039),
+      |('none', 34, 1, 168523),
+      |('none', 35, 1, 173004),
+      |('none', 36, 1, 177346),
+      |('none', 38, 1, 185166),
+      |('none', 40, 1, 199642),
+      |('none', 41, 6, 1782563),
+      |('z-peak', 16, 322, 25097666),
+      |('z-peak', 17, 202, 16593288),
+      |('z-peak', 18, 148, 12942716),
+      |('z-peak', 19, 69, 6325898),
+      |('z-peak', 20, 14, 1357479),
+      |('z-peak', 21, 14, 1431679),
+      |('z-peak', 22, 1, 105139)
+      |) AS t(region, bin, n_events, mass_milli_sum)
+      |ORDER BY region, bin""".stripMargin
+
   // ---- s12: histogram rebin + data/MC ratio with pulls ---------------------
   // The table behind every stack/ratio panel (stage3/plotter.py's ratio
   // pad, engine side): rebin the 40-bin mass histogram by 5 (merging
@@ -587,6 +681,7 @@ object StageQueries extends QueryFamily {
     "s13_cutflow" -> (s13 _),
     "s12_rebin_ratio" -> (s12 _),
     "s11_tree_scan" -> (s11 _),
+    "s14_root_stage1" -> (s14 _),
     "s10_root_scan" -> (s10 _),
     "s01_stage1_pipeline" -> (s01 _),
     "s02_metadata_prescan" -> (s02 _),
@@ -600,6 +695,7 @@ object StageQueries extends QueryFamily {
     "s13_cutflow" -> s13Sql,
     "s12_rebin_ratio" -> s12Sql,
     "s11_tree_scan" -> s11Sql,
+    "s14_root_stage1" -> s14Sql,
     "s10_root_scan" -> s10Sql,
     "s01_stage1_pipeline" -> s01Sql,
     "s02_metadata_prescan" -> s02Sql,

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Golden-chain test in the reference's own testing philosophy
+  * (tests/test_continuous.py:80-98: run the full stage1→stage2→stage3
+  * chain over a fixed fixture and assert EXACT pinned values). The
+  * fixture is the driver-generated sf0.001 testdata — deterministic by
+  * construction — and the pinned goldens were produced by this code
+  * and cross-checked against the DuckDB oracle (s01/s03/s04 are all
+  * green CORRECTNESS rows), so any future regression in selection,
+  * weighting, histogramming, or rendering breaks an exact number here
+  * rather than a tautological self-comparison. */
+class PipelineGoldenSpec extends SparkSpec {
+
+  test("stage1 golden: 69 selected events split 23/13/33 across regions") {
+    val s1 = queries.StageQueries.queries("s01_stage1_pipeline")(spark, sf("sf0.001"))
+    assert(s1.count() == 69L)
+    val byRegion = s1.groupBy(col("region")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRegion == Map("h-peak" -> 23L, "h-sidebands" -> 13L, "z-peak" -> 33L))
+  }
+
+  test("stage2 golden: 140 histogram rows, nominal integral 742.52590") {
+    val hist = queries.StageQueries.queries("s03_stage2_histograms")(spark, sf("sf0.001"))
+    assert(hist.count() == 140L)
+    val integral = hist.filter(col("variation") === "nominal")
+      .agg(sum(col("value"))).head.getDouble(0)
+    // value is float32; the 140-row double accumulation is pinned to
+    // float-level precision (order-independent at this magnitude)
+    assert(math.abs(integral - 742.5258964300156) < 1e-4,
+      s"nominal integral $integral drifted from golden 742.5258964300156")
+  }
+
+  test("stage3 golden: z-peak/vbf yields and the rendered datacard lines") {
+    val yields = queries.StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
+    val zvbf = yields.filter(col("region") === "z-peak" && col("channel") === "vbf")
+      .head()
+    val yNom = zvbf.getAs[Float]("yield_nominal")
+    val unc = zvbf.getAs[Float]("rate_unc")
+    assert(math.abs(yNom - 217.29813f) / 217.29813f < 1e-5,
+      s"z-peak/vbf yield_nominal $yNom drifted from golden 217.29813")
+    assert(math.abs(unc - 1.0266998f) < 1e-5,
+      s"z-peak/vbf rate_unc $unc drifted from golden 1.0266998")
+    val cards = report.Datacards.renderAll(yields)
+    assert(cards.keySet == Set("h-peak", "h-sidebands", "z-peak"))
+    val z = cards("z-peak")
+    // exact rendered text, not just structure: the rate and nuisance
+    // lines carry the pinned yields at the renderer's 4-decimal format
+    assert(z.contains("217.2981"), s"rate line lost the vbf yield:\n$z")
+    assert(z.contains("1.0267"), s"jes lnN line lost the vbf unc:\n$z")
+    assert(z.linesIterator.exists(l => l.startsWith("rate") && l.contains("17.8359")
+      && l.contains("61.7894") && l.contains("20.9652") && l.contains("217.2981")),
+      s"rate line does not carry all four channel yields in order:\n$z")
+  }
+}
