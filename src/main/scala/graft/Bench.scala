@@ -66,9 +66,18 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     // per-query (shuffleWrite, spillMem, spillDisk, peakExecMem) bytes
     val execMetrics = Seq.newBuilder[(String, (Long, Long, Long, Long))]
+    // dev-only steady-state mode (SPARK_GRAFT_WARM=1): run each query
+    // once unmeasured before timing it, so codegen/JIT compilation does
+    // not land in the first measured query — solo/subset runs otherwise
+    // vary 2-3x on identical work (measured: d07 7-23 s, zero spill,
+    // same shuffle bytes). The driver never sets this.
+    val warmRuns = sys.env.get("SPARK_GRAFT_WARM").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      if (warmRuns) {
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+      }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
