@@ -58,6 +58,25 @@ object RunPipeline {
       Files.writeString(Paths.get(s"$outDir/stage3_datacards/$region.txt"), text)
     }
     println(s"[pipeline] stage3 -> ${cards.size} datacards in $outDir/stage3_datacards")
+
+    // stage 3b: TH1D template export (the reference's make_templates.py
+    // ROOT file) — one TH1D per (region, channel, variation), written
+    // by the engine's own ROOT writer and readable back through the
+    // root-hist connector
+    val specs = report.TemplateExport.writeTemplates(
+      hist, s"$outDir/stage3_templates.root")
+    println(s"[pipeline] stage3 -> ${specs.size} TH1D templates in " +
+      s"$outDir/stage3_templates.root")
+
+    // stage 3c: stack/ratio panels as SVG (the reference's plotter.py
+    // figures, rendered engine-side with no plotting dependency)
+    val ratio = StageQueries.queries("s12_rebin_ratio")(spark, sfDir)
+    val panels = report.PlotSvg.renderAll(ratio)
+    Files.createDirectories(Paths.get(s"$outDir/stage3_plots"))
+    panels.foreach { case (region, svg) =>
+      Files.writeString(Paths.get(s"$outDir/stage3_plots/$region.svg"), svg)
+    }
+    println(s"[pipeline] stage3 -> ${panels.size} SVG panels in $outDir/stage3_plots")
     spark.stop()
   }
 }

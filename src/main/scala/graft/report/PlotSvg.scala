@@ -1,0 +1,94 @@
+package graft.report
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Stack/ratio panel rendering as standalone SVG — the engine-side
+  * analog of the reference's matplotlib plotter
+  * (stage3/plotter.py:94-249: a stacked-MC-vs-data pad over a
+  * data/MC-ratio pad with error bands). The reference renders with a
+  * Python plotting stack the engine deliberately has no dependency on;
+  * this renders the SAME figure from the s12 rebin+ratio table
+  * (region, cbin, data_n, mc_val, mc_err, ratio, ratio_err, pull) as
+  * deterministic SVG text — pure driver-side formatting of a tiny
+  * collected table, the Datacards pattern. Numeric layout is exact
+  * (fixed-format coordinates), so goldens can assert on the rendered
+  * text. */
+object PlotSvg {
+
+  private val W = 640.0
+  private val HMain = 300.0
+  private val HRatio = 120.0
+  private val PadL = 50.0
+  private val PadR = 15.0
+  private val PadT = 25.0
+  private val Gap = 10.0
+
+  private def f(v: Double): String = f"$v%.2f"
+
+  /** Render one region's panel. Rows must be that region's s12 rows
+    * (any order; sorted by cbin here). Returns a complete SVG document. */
+  def render(region: String, rows: Seq[Row]): String = {
+    val rs = rows.sortBy(_.getAs[Long]("cbin"))
+    require(rs.nonEmpty, s"no rows for region $region")
+    val n = rs.size
+    val plotW = W - PadL - PadR
+    val bw = plotW / n
+    val yMax = math.max(
+      rs.map(_.getAs[Long]("data_n").toDouble).max,
+      rs.map(r => r.getAs[Float]("mc_val").toDouble +
+        r.getAs[Float]("mc_err").toDouble).max) * 1.15
+    def x(i: Int) = PadL + i * bw
+    def yM(v: Double) = PadT + HMain - (v / yMax) * HMain
+    val H = PadT + HMain + Gap + HRatio + 30.0
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="${W.toInt}" height="${H.toInt}" font-family="monospace" font-size="10">\n"""
+    sb ++= s"""<text x="${f(PadL)}" y="15" font-size="13">$region — data vs MC (stack + ratio)</text>\n"""
+    // main pad frame
+    sb ++= s"""<rect x="${f(PadL)}" y="${f(PadT)}" width="${f(plotW)}" height="${f(HMain)}" fill="none" stroke="black"/>\n"""
+    // MC stack bars + error band, then data points with sqrt(n) bars
+    rs.zipWithIndex.foreach { case (r, i) =>
+      val mc = r.getAs[Float]("mc_val").toDouble
+      val me = r.getAs[Float]("mc_err").toDouble
+      val dn = r.getAs[Long]("data_n").toDouble
+      sb ++= s"""<rect class="mc" x="${f(x(i))}" y="${f(yM(mc))}" width="${f(bw)}" height="${f(yM(0) - yM(mc))}" fill="#4477aa" fill-opacity="0.6"/>\n"""
+      sb ++= s"""<rect class="mcerr" x="${f(x(i))}" y="${f(yM(mc + me))}" width="${f(bw)}" height="${f(yM(mc - me) - yM(mc + me))}" fill="#000000" fill-opacity="0.15"/>\n"""
+      val de = math.sqrt(math.max(dn, 0.0))
+      val cx = x(i) + bw / 2
+      sb ++= s"""<line class="derr" x1="${f(cx)}" y1="${f(yM(dn - de))}" x2="${f(cx)}" y2="${f(yM(dn + de))}" stroke="black"/>\n"""
+      sb ++= s"""<circle class="data" cx="${f(cx)}" cy="${f(yM(dn))}" r="2.5" fill="black"/>\n"""
+    }
+    // ratio pad: data/MC around the unity line, ±ratio_err bars
+    val rTop = PadT + HMain + Gap
+    val rLo = 0.5; val rHi = 1.5
+    def yR(v: Double) =
+      rTop + HRatio - ((math.min(math.max(v, rLo), rHi) - rLo) / (rHi - rLo)) * HRatio
+    sb ++= s"""<rect x="${f(PadL)}" y="${f(rTop)}" width="${f(plotW)}" height="${f(HRatio)}" fill="none" stroke="black"/>\n"""
+    sb ++= s"""<line class="unity" x1="${f(PadL)}" y1="${f(yR(1.0))}" x2="${f(PadL + plotW)}" y2="${f(yR(1.0))}" stroke="#888888" stroke-dasharray="4,3"/>\n"""
+    rs.zipWithIndex.foreach { case (r, i) =>
+      if (!r.isNullAt(r.fieldIndex("ratio"))) {
+        val rt = r.getAs[Float]("ratio").toDouble
+        val re = if (r.isNullAt(r.fieldIndex("ratio_err"))) 0.0
+          else r.getAs[Float]("ratio_err").toDouble
+        val cx = x(i) + bw / 2
+        sb ++= s"""<line class="rerr" x1="${f(cx)}" y1="${f(yR(rt - re))}" x2="${f(cx)}" y2="${f(yR(rt + re))}" stroke="black"/>\n"""
+        sb ++= s"""<circle class="ratio" cx="${f(cx)}" cy="${f(yR(rt))}" r="2" fill="black"/>\n"""
+      }
+    }
+    // axis labels: y max on the main pad, ratio bounds on the ratio pad
+    sb ++= s"""<text x="2" y="${f(PadT + 10)}">${f(yMax)}</text>\n"""
+    sb ++= s"""<text x="2" y="${f(rTop + 10)}">${f(rHi)}</text>\n"""
+    sb ++= s"""<text x="2" y="${f(rTop + HRatio)}">${f(rLo)}</text>\n"""
+    sb ++= s"""<text x="${f(PadL)}" y="${f(H - 8)}">bins 1..$n (coarse mass)</text>\n"""
+    sb ++= "</svg>\n"
+    sb.toString
+  }
+
+  /** Render every region in an s12-shaped DataFrame. The input is tiny
+    * (regions × coarse bins) — collect is intentional. */
+  def renderAll(ratioTable: DataFrame): Map[String, String] = {
+    val rows = ratioTable.collect().toSeq
+    rows.map(_.getAs[String]("region")).distinct.sorted
+      .map(reg => reg ->
+        render(reg, rows.filter(_.getAs[String]("region") == reg))).toMap
+  }
+}

@@ -32,6 +32,42 @@ class PipelineGoldenSpec extends SparkSpec {
       s"nominal integral $integral drifted from golden 742.5258964300156")
   }
 
+  test("stage3b golden: exported TH1D templates round-trip with the pinned integral") {
+    val hist = queries.StageQueries.queries("s03_stage2_histograms")(spark, sf("sf0.001"))
+    val out = java.nio.file.Files.createTempDirectory("graft_tmpl").toString +
+      "/templates.root"
+    val specs = report.TemplateExport.writeTemplates(hist, out)
+    // 3 regions x 4 channels x 2 variations at this fixture
+    assert(specs.size == 24, s"expected 24 templates, got ${specs.size}")
+    val back = spark.read.format("root-hist").option("path", out).load()
+    // nominal templates re-integrate to the pinned stage-2 golden
+    val nomSum = back.filter(col("hist").endsWith("__nominal"))
+      .agg(sum(col("content"))).head.getDouble(0)
+    assert(math.abs(nomSum - 742.5258964300156) < 1e-4,
+      s"template nominal integral $nomSum drifted from golden 742.5258964300156")
+    assert(back.select(countDistinct(col("hist"))).head.getLong(0) == 24)
+  }
+
+  test("stage3c golden: SVG panels render deterministic marks per region") {
+    val ratio = queries.StageQueries.queries("s12_rebin_ratio")(spark, sf("sf0.001"))
+    val panels = report.PlotSvg.renderAll(ratio)
+    // s12's table keeps the "none" control region (unlike s03/s04,
+    // which filter it) — the panel set mirrors its input
+    assert(panels.keySet == Set("h-peak", "h-sidebands", "z-peak", "none"))
+    panels.foreach { case (region, svg) =>
+      assert(svg.startsWith("<svg ") && svg.endsWith("</svg>\n"))
+      val nBins = ratio.filter(col("region") === region).count().toInt
+      def count(cls: String) = s"""class="$cls"""".r.findAllIn(svg).size
+      assert(count("mc") == nBins, s"$region: mc bars != $nBins")
+      assert(count("data") == nBins, s"$region: data points != $nBins")
+      // ratio marks only where the ratio is defined
+      val nRatio = ratio.filter(col("region") === region &&
+        col("ratio").isNotNull).count().toInt
+      assert(count("ratio") == nRatio, s"$region: ratio points != $nRatio")
+      assert(svg.contains("""class="unity""""))
+    }
+  }
+
   test("stage3 golden: z-peak/vbf yields and the rendered datacard lines") {
     val yields = queries.StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
     val zvbf = yields.filter(col("region") === "z-peak" && col("channel") === "vbf")
