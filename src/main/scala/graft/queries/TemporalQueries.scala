@@ -2041,9 +2041,42 @@ object TemporalQueries extends QueryFamily {
     s"epoch_ns(ts) // $nsPerDay",
     s"SELECT unnest(generate_series(1, $acfMaxLag)) AS lag"))
 
+  // ---- u29: Ljung-Box portmanteau test --------------------------------------
+  // The standard "is this series white noise" decision on top of the
+  // ACF (Ljung & Box 1978): Q = n(n+2) Σ_{k=1..h} r_k²/(n-k) per
+  // event_type, compared to the χ²(h) 5% critical value. Same
+  // shared-SQL-text discipline as u28: the dialect-specific ACF CTE
+  // underneath, one generated tail both engines run verbatim. The
+  // 7-term double sum's order sensitivity (~1 ulp) is absorbed by the
+  // float32 cast. Scale: identical to u27 — the ACF aggregation is the
+  // data-sized part; the tail touches n_types × 7 rows.
+  private val lbChi2Crit5pct = 14.067140449340169 // χ²(7), α = 0.05
+  private def ljungBoxSql(acf: String): String =
+    s"""$acf,
+       |lb AS (
+       | SELECT r.event_type, st.n_days,
+       |  SUM(r.r * r.r / (st.n_days - r.lag)) AS s, COUNT(*) AS h
+       | FROM acfr r JOIN stats st USING (event_type)
+       | GROUP BY 1, 2)
+       |SELECT event_type, n_days, h,
+       | CAST(n_days * (n_days + 2) * s AS FLOAT) AS q_lb,
+       | CASE WHEN n_days * (n_days + 2) * s > $lbChi2Crit5pct
+       |  THEN 1 ELSE 0 END AS reject_white_noise
+       |FROM lb ORDER BY event_type""".stripMargin
+  private def u29(s: SparkSession, dir: String): DataFrame = {
+    rd(s, dir, "events").createOrReplaceTempView("events")
+    s.sql(ljungBoxSql(acfCte(
+      s"ts div $nsPerDay",
+      s"SELECT explode(sequence(1, $acfMaxLag)) AS lag")))
+  }
+  private val u29Sql = ljungBoxSql(acfCte(
+    s"epoch_ns(ts) // $nsPerDay",
+    s"SELECT unnest(generate_series(1, $acfMaxLag)) AS lag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u27_acf" -> (u27 _),
     "u28_pacf" -> (u28 _),
+    "u29_ljung_box" -> (u29 _),
     "u26_theil_sen" -> (u26 _),
     "u25_kaplan_meier" -> (u25 _),
     "u24_seasonal_decomp" -> (u24 _),
@@ -2087,6 +2120,7 @@ object TemporalQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "u27_acf" -> u27Sql,
     "u28_pacf" -> u28Sql,
+    "u29_ljung_box" -> u29Sql,
     "u26_theil_sen" -> u26Sql,
     "u25_kaplan_meier" -> u25Sql,
     "u24_seasonal_decomp" -> u24Sql,
