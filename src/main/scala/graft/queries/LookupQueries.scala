@@ -814,8 +814,66 @@ object LookupQueries extends QueryFamily {
        | CAST(CAST(SUM(wq) AS DOUBLE) / COUNT(*) / 1000000.0 AS REAL) AS avg_weight
        |FROM wq GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- l16: Z-pt reweighting from the reference's JSON calibration ----------
+  // The reference's zpt reweight input is a JSON histogram
+  // (data/zpt_weights.histo.json, applied in
+  // stage1/corrections/zpt_weight.py): per-year pt-binned weights keyed
+  // by "pt:[lo,hi]" labels. The file is a tiny driver-side config
+  // (12 bins/year) — parsed once with Jackson (already on Spark's
+  // classpath), entering the plan as a broadcast range table, the same
+  // shape as every other l-family lookup: scan-side rows range-join a
+  // broadcast bin map, weights milli-quantize, sums are order-free.
+  // Oracle = the independently-read literal map + a full SQL replay of
+  // the join/aggregation (the l14 discipline).
+  private def zptBins(year: String): Seq[(Double, Double, Double)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File(refData("zpt_weights.histo.json")))
+    val m = root.get("zpt_weights").get(year)
+    require(m != null, s"zpt_weights has no year $year")
+    val out = Seq.newBuilder[(Double, Double, Double)]
+    m.fieldNames().forEachRemaining { k =>
+      val Array(lo, hi) = k.stripPrefix("pt:[").stripSuffix("]").split(',')
+      out += ((lo.toDouble, hi.toDouble, m.get(k).get("value").asDouble()))
+    }
+    out.result().sortBy(_._1)
+  }
+  private def l16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bins = zptBins("2017").toDF("pt_low", "pt_high", "zw")
+    val mu = rd(s, dir, "lineitem")
+      .select((col("l_extendedprice") / 100.0).as("pt"))
+      .filter(col("pt") < 1000.0)
+    mu.join(broadcast(bins),
+        col("pt") >= col("pt_low") && col("pt") < col("pt_high"))
+      .select(col("pt_low"), col("zw"),
+        expr("CAST(FLOOR(zw * 1000000.0 + 0.5) AS BIGINT)").as("wq"))
+      .groupBy(col("pt_low"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(col("zw")).cast("float").as("zpt_weight"),
+        sum(col("wq")).as("w_micro_sum"))
+      .orderBy(col("pt_low"))
+  }
+  private val l16Sql =
+    """WITH bins(pt_low, pt_high, zw) AS (VALUES
+      |(0.0, 10.0, 0.910385), (10.0, 20.0, 1.13543),
+      |(20.0, 30.0, 1.10441), (30.0, 40.0, 1.01315),
+      |(40.0, 50.0, 0.982598), (50.0, 60.0, 0.980697),
+      |(60.0, 70.0, 0.972673), (70.0, 80.0, 0.972325),
+      |(80.0, 100.0, 0.966127), (100.0, 150.0, 0.953262),
+      |(150.0, 200.0, 0.933403), (200.0, 1000.0, 0.904518)),
+      |mu AS (
+      | SELECT l_extendedprice / 100.0 AS pt FROM lineitem
+      | WHERE l_extendedprice / 100.0 < 1000.0)
+      |SELECT CAST(pt_low AS DOUBLE) AS pt_low, COUNT(*) AS n_ev,
+      | CAST(MAX(zw) AS REAL) AS zpt_weight,
+      | CAST(SUM(CAST(FLOOR(zw * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |  AS w_micro_sum
+      |FROM mu JOIN bins ON pt >= pt_low AND pt < pt_high
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l15_nnlops_interp" -> (l15 _),
+    "l16_zpt_json_lookup" -> (l16 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -834,6 +892,7 @@ object LookupQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "l15_nnlops_interp" -> l15Sql,
+    "l16_zpt_json_lookup" -> l16Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,

@@ -2417,8 +2417,76 @@ object MLQueries extends QueryFamily {
        |FROM h2, p$plattIters p ORDER BY h2.bin""".stripMargin
   }
 
+  // ---- m34: per-fold feature standardization from the reference's scalers --
+  // The reference's inference path loads a per-fold StandardScaler from
+  // .npy before the DNN forward (data/trained_models/vbf/scalers/
+  // scalers_pytorch_test_{fold}.npy, applied in stage1/dnn_models.py) —
+  // this query reads those ACTUAL files with the engine's pure-JVM .npy
+  // reader (sources/NumpyFile.scala), broadcasts the (fold, feat, mean,
+  // std) table, and standardizes fold-assigned features exactly the way
+  // m03's forward pass expects its inputs. Oracle = the independently
+  // read literal scaler values + a full SQL replay of the fold split and
+  // z-score. Scale: the scan side never shuffles (broadcast join keyed
+  // by tiny ints); z milli-quantizes so the per-group sums are
+  // order-free exact.
+  private val m34Feats = Seq(0, 8, 16)
+  private def m34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scalers = (0 until 4).flatMap { fold =>
+      val a = graft.sources.NumpyFile.read(
+        refData(s"trained_models/vbf/scalers/scalers_pytorch_test_$fold.npy"))
+      require(a.shape == Seq(2, 24), s"unexpected scaler shape ${a.shape}")
+      m34Feats.map(f => (fold, f, a(0, f), a(1, f)))
+    }.toDF("fold", "feat", "mu", "sigma")
+    val li = rd(s, dir, "lineitem")
+    val feats = li.select((col("l_orderkey") % 4).cast("int").as("fold"),
+        explode(array(
+          struct(lit(0).as("feat"), (col("l_extendedprice") / 500.0).as("x")),
+          struct(lit(8).as("feat"), (col("l_quantity") * 4.0).as("x")),
+          struct(lit(16).as("feat"), (col("l_extendedprice") / 100.0).as("x"))))
+          .as("fx"))
+      .select(col("fold"), col("fx.feat").as("feat"), col("fx.x").as("x"))
+    feats.join(broadcast(scalers), Seq("fold", "feat"))
+      .select(col("fold"), col("feat"), col("mu"), col("sigma"),
+        expr("CAST(FLOOR((x - mu) / sigma * 1000.0 + 0.5) AS BIGINT)").as("zq"))
+      .groupBy(col("fold"), col("feat"))
+      .agg(count(lit(1)).as("n"),
+        max(col("mu")).cast("float").as("mean"),
+        max(col("sigma")).cast("float").as("std"),
+        sum(col("zq")).as("z_milli_sum"))
+      .orderBy(col("fold"), col("feat"))
+  }
+  private val m34Sql =
+    """WITH scalers(fold, feat, mu, sigma) AS (VALUES
+      |(0, 0, 124.06333396475443, 10.354834276063958),
+      |(0, 8, 113.64518287480082, 71.99152217193894),
+      |(0, 16, 750.9765828746613, 434.9759742930827),
+      |(1, 0, 124.06343740631938, 10.351318223261128),
+      |(1, 8, 113.70781185283896, 72.13082336722553),
+      |(1, 16, 751.1614687098437, 435.3930821304759),
+      |(2, 0, 124.06077441147607, 10.346381022951343),
+      |(2, 8, 113.56624791225201, 72.04068708914802),
+      |(2, 16, 751.7074889981528, 435.7585934565947),
+      |(3, 0, 124.06067153636278, 10.349924114446264),
+      |(3, 8, 113.50327415565009, 71.90021320321974),
+      |(3, 16, 751.5211346065466, 435.33916190991846)),
+      |feats AS (
+      | SELECT CAST(l_orderkey % 4 AS INT) AS fold, f.feat, f.x
+      | FROM lineitem, LATERAL (VALUES
+      |   (0, l_extendedprice / 500.0),
+      |   (8, l_quantity * 4.0),
+      |   (16, l_extendedprice / 100.0)) AS f(feat, x))
+      |SELECT fold, feat, COUNT(*) AS n,
+      | CAST(CAST(MAX(mu) AS DOUBLE) AS REAL) AS mean,
+      | CAST(CAST(MAX(sigma) AS DOUBLE) AS REAL) AS std,
+      | CAST(SUM(CAST(FLOOR((x - mu) / sigma * 1000.0 + 0.5) AS BIGINT))
+      |  AS BIGINT) AS z_milli_sum
+      |FROM feats JOIN scalers USING (fold, feat)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_ablation_importance" -> (m33 _),
+    "m34_fold_scalers" -> (m34 _),
     "m32_scaling_law" -> (m32 _),
     "m31_mannwhitney" -> (m31 _),
     "m30_gbdt_loop" -> (m30 _),
@@ -2455,6 +2523,7 @@ object MLQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "m33_ablation_importance" -> m33Sql,
+    "m34_fold_scalers" -> m34Sql,
     "m32_scaling_law" -> m32Sql,
     "m31_mannwhitney" -> m31Sql,
     "m30_gbdt_loop" -> m30Sql,
