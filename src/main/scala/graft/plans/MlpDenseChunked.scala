@@ -91,8 +91,14 @@ case class MlpDenseChunked(child: Expression, weights: Seq[Double],
       }
       val z = acc + bArr(j)
       out(j) =
-        if (activateTanh) { val e = math.exp(z * 2.0); (e - 1.0) / (e + 1.0) }
-        else z
+        if (activateTanh) {
+          // clamp before the exp expansion: identical to the SQL
+          // LEAST(GREATEST(z, -20), 20) both engines use — exactly ±1.0
+          // at and past the clamp, bit-unchanged below it (see
+          // MLQueries.tanhS)
+          val zc = if (z > 20.0) 20.0 else if (z < -20.0) -20.0 else z
+          val e = math.exp(zc * 2.0); (e - 1.0) / (e + 1.0)
+        } else z
       j += 1
     }
     new GenericArrayData(out)
@@ -108,9 +114,11 @@ case class MlpDenseChunked(child: Expression, weights: Seq[Double],
       val en = ctx.freshName("en"); val acc = ctx.freshName("acc")
       val g = ctx.freshName("g"); val z = ctx.freshName("z")
       val e = ctx.freshName("e")
+      val zc = ctx.freshName("zc")
       val activate =
         if (activateTanh)
-          s"double $e = Math.exp($z * 2.0); $out[$j] = ($e - 1.0) / ($e + 1.0);"
+          s"""double $zc = $z > 20.0 ? 20.0 : ($z < -20.0 ? -20.0 : $z);
+             double $e = Math.exp($zc * 2.0); $out[$j] = ($e - 1.0) / ($e + 1.0);"""
         else s"$out[$j] = $z;"
       val nv = ctx.freshName("nv")
       val nullGuard =

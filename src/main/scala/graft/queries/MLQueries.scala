@@ -35,8 +35,18 @@ object MLQueries extends QueryFamily {
       | (user_id % 150) / 150.0 AS f2,
       | (value % 1.0) AS f3""".stripMargin
 
+  /** tanh via the exp expansion, clamped at |z| = 20 so the exp can
+    * never overflow: true tanh(±20) already rounds to ±1.0 in double,
+    * and the unclamped form yields exactly ±1.0 for 20 < |z| < 350, so
+    * the clamp changes NOTHING below the old overflow point — it only
+    * replaces the z > 354 NaN region ((inf-1)/(inf+1)) with the correct
+    * saturation. Both engines spell it identically. m35's real trained
+    * weights reach |z| ~ hundreds (measured: 55% NaN scores unclamped);
+    * m03's synthetic weights never leave (-20, 20), so its rows are
+    * bit-unchanged. */
   private def tanhS(x: String) =
-    s"((EXP(($x) * 2.0) - 1.0) / (EXP(($x) * 2.0) + 1.0))"
+    s"((EXP(LEAST(GREATEST($x, -20.0), 20.0) * 2.0) - 1.0) / " +
+      s"(EXP(LEAST(GREATEST($x, -20.0), 20.0) * 2.0) + 1.0))"
 
   /** Sum with chunk-of-16 parenthesization, IDENTICAL on both engines:
     * a flat 128-term left fold exceeds DuckDB's 128 binder-recursion
@@ -2484,9 +2494,108 @@ object MLQueries extends QueryFamily {
       |FROM feats JOIN scalers USING (fold, feat)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- m35: the reference's ACTUAL trained VBF DNN, end to end --------------
+  // The showcase of the model-ingestion path: fold-0 of the trained
+  // network the reference evaluates in production
+  // (stage2/mva_evaluators.py:175-193 — Net 24->128->64->32->1, tanh
+  // hidden activations, sigmoid output, arctanh score) with its REAL
+  // weights read from model_pytorch_test_0.pt by the engine's pure-JVM
+  // torch reader (sources/TorchPt.scala, pinned bit-for-bit against an
+  // independent Python decode in TorchPtSpec) and its REAL per-fold
+  // StandardScaler from the .npy. Inputs are deterministic z-space
+  // pseudo-features placed at mu + sigma*z so the real scaler values
+  // flow through the standardization step. The forward pass runs in the
+  // native mlp_dense expression (m03's machinery: chunk-16 accumulation
+  // identical to the oracle's chunkSumS, weights through %.6f text on
+  // both engines). Scale: pure projection after one scan — no shuffle,
+  // whole-stage codegen end to end, the same plan shape as m03.
+  private lazy val vbfSd = graft.sources.TorchPt.readStateDict(
+    refData("trained_models/vbf/models/model_pytorch_test_0.pt")).toMap
+  private lazy val vbfScaler = graft.sources.NumpyFile.read(
+    refData("trained_models/vbf/scalers/scalers_pytorch_test_0.npy"))
+  private val vbfDims = Seq(24, 128, 64, 32)
+  private val vbfLayerNames = Seq("fc1", "fc2", "fc3")
+  // torch Linear stores weight as (out, in) row-major; mlp_dense and the
+  // oracle index [in][out]
+  private def vbfW(l: Int): Array[Array[Double]] = {
+    val t = vbfSd(vbfLayerNames(l) + ".weight")
+    Array.tabulate(vbfDims(l), vbfDims(l + 1))((i, j) => t(j, i))
+  }
+  private def vbfB(l: Int): Array[Double] = vbfSd(vbfLayerNames(l) + ".bias").data
+  private lazy val vbfWOut: Array[Double] = vbfSd("output.weight").data // (1, 32)
+  private lazy val vbfBOut: Double = vbfSd("output.bias").data(0)
+  // deterministic z in (-2, 2): a per-feature multiplicative hash of the
+  // event id, identical text on both engines
+  // the CAST before the division keeps it a double division on both
+  // engines: bigint / 1000.0 would be DECIMAL division — semantically
+  // identical after rounding (IEEE division of the exact same integer
+  // is correctly rounded) but ~15x slower in Spark (BigDecimal per row:
+  // measured 20 s vs 1.3 s for the full m35 chain at sf0.01)
+  private def vbfZSql(i: Int): String =
+    s"(CAST((((event_id * ${2654435761L + i * 40503L}) % 4001) - 2000) AS DOUBLE) / 1000.0)"
+  private def m35(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val ev = rd(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
+    def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
+    // weights enter as typedLit literal arrays of the SAME %.6f-rounded
+    // doubles the oracle text carries — skipping the SQL parser for the
+    // ~17k weight tokens (measured: 23.8 s one-shot via expr text vs
+    // ~1 s warm; the parse was the cost, not the math)
+    def wlit(xs: Seq[Double]) = typedLit(xs.map(x => lit6(x).toDouble))
+    val std = ev.select(col("event_id"),
+      array((0 until vbfDims.head).map { i =>
+        val mu = vbfScaler(0, i); val sg = vbfScaler(1, i)
+        ((lit(mu) + lit(sg) * expr(vbfZSql(i))) - lit(mu)) / lit(sg)
+      }: _*).as("h0"))
+    val staged = (0 until vbfDims.size - 1).foldLeft(std) { (cur, l) =>
+      cur.select(col("event_id"),
+        call_function("mlp_dense", col(s"h$l"), wlit(vbfW(l).flatten.toSeq),
+          wlit(vbfB(l).toSeq), lit(true)).as(s"h${l + 1}"))
+    }
+    val L = vbfDims.size - 1
+    val out = element_at(call_function("mlp_dense", col(s"h$L"),
+      wlit(vbfWOut.toSeq), wlit(Seq(vbfBOut)), lit(false)), 1)
+    val sigm = lit(1.0) / (lit(1.0) + exp(negate(out)))
+    staged.select(col("event_id"),
+        sigm.cast("float").as("vbf_score"),
+        (lit(0.5) * log((lit(1.0) + sigm) / (lit(1.0) - sigm)))
+          .cast("float").as("vbf_score_atanh"))
+      .orderBy(col("event_id"))
+  }
+  private lazy val m35Sql = {
+    def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
+    def d(x: Double) = s"CAST('$x' AS DOUBLE)" // exact round-trip, no DECIMAL inference
+    val std = (0 until vbfDims.head).map { i =>
+      val mu = d(vbfScaler(0, i)); val sg = d(vbfScaler(1, i))
+      s"((($mu + $sg * (${vbfZSql(i)})) - $mu) / $sg) AS h0_$i"
+    }.mkString(", ")
+    val layers = (0 until vbfDims.size - 1).map { l =>
+      val w = vbfW(l); val b = vbfB(l)
+      (0 until vbfDims(l + 1)).map { j =>
+        val z = chunkSumS((0 until vbfDims(l))
+          .map(i => s"h${l}_$i * ${lit6(w(i)(j))}")) + s" + ${lit6(b(j))}"
+        s"${tanhS(z)} AS h${l + 1}_$j"
+      }.mkString(", ")
+    }
+    val L = vbfDims.size - 1
+    val out = chunkSumS((0 until vbfDims.last)
+      .map(j => s"h${L}_$j * ${lit6(vbfWOut(j))}")) + s" + ${lit6(vbfBOut)}"
+    val sigm = s"(1.0 / (1.0 + EXP(-($out))))"
+    val inner = layers.foldLeft(
+      s"SELECT event_id, $std FROM events") {
+      case (sub, cols) => s"SELECT event_id, $cols FROM ($sub)"
+    }
+    s"""SELECT event_id,
+       | CAST($sigm AS REAL) AS vbf_score,
+       | CAST(0.5 * LN((1.0 + $sigm) / (1.0 - $sigm)) AS REAL) AS vbf_score_atanh
+       |FROM ($inner)
+       |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_ablation_importance" -> (m33 _),
     "m34_fold_scalers" -> (m34 _),
+    "m35_vbf_dnn_real" -> (m35 _),
     "m32_scaling_law" -> (m32 _),
     "m31_mannwhitney" -> (m31 _),
     "m30_gbdt_loop" -> (m30 _),
@@ -2524,6 +2633,7 @@ object MLQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "m33_ablation_importance" -> m33Sql,
     "m34_fold_scalers" -> m34Sql,
+    "m35_vbf_dnn_real" -> m35Sql,
     "m32_scaling_law" -> m32Sql,
     "m31_mannwhitney" -> m31Sql,
     "m30_gbdt_loop" -> m30Sql,
