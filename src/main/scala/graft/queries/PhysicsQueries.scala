@@ -537,10 +537,286 @@ object PhysicsQueries extends QueryFamily {
       | CAST(COALESCE(CASE WHEN event_type = 'purchase' THEN value END, 0.0) AS REAL) AS wgt
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- p25: GoldenJSON certified-lumi filter from the reference's file ------
+  // The REAL lumimask input path (config/parameters.py:34-38 points
+  // stage-1's event filter at data/lumimasks/Cert_314472-..._JSON.txt;
+  // the reference applies it as coffea's LumiMask): 478 runs, 760
+  // [lo, hi] certified-lumi intervals, parsed driver-side with Jackson
+  // and broadcast as an interval table — the tiny-config shape of l16.
+  // Events get a deterministic (run, lumi) from event_id (runs drawn
+  // from the file's own run list so the mask is exercised, lumis
+  // spread over [1, 3000] so both certified and rejected lumis occur);
+  // certification is a broadcast semi join on run + lumi-in-interval.
+  // Oracle = independently parsed literal mask + full SQL replay.
+  // Output: per run-thousand era bucket, events seen vs certified.
+  private lazy val goldenMask: Seq[(Int, Int, Int)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(new java.io.File(refData(
+      "lumimasks/Cert_314472-325175_13TeV_17SeptEarlyReReco2018ABC_PromptEraD_Collisions18_JSON.txt")))
+    val out = Seq.newBuilder[(Int, Int, Int)]
+    root.fieldNames().forEachRemaining { run =>
+      val ivs = root.get(run)
+      (0 until ivs.size()).foreach { i =>
+        out += ((run.toInt, ivs.get(i).get(0).asInt(), ivs.get(i).get(1).asInt()))
+      }
+    }
+    out.result().sorted
+  }
+  private def p26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mask = goldenMask.toDF("run", "lo", "hi")
+    val runIdx = goldenMask.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (r, i) => (i, r) }.toDF("idx", "run")
+    val nRuns = goldenMask.map(_._1).distinct.size
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"),
+        (col("event_id") % nRuns).cast("int").as("idx"),
+        (lit(1) + (col("event_id") * 7919) % 3000).cast("int").as("lumi"))
+      .join(broadcast(runIdx), Seq("idx"))
+    val cert = ev.join(broadcast(mask),
+        ev("run") === mask("run") &&
+          col("lumi") >= col("lo") && col("lumi") <= col("hi"),
+        "left_semi")
+      .groupBy(expr("run div 1000").cast("int").as("era_kr"))
+      .agg(count(lit(1)).as("n_certified"))
+    val tot = ev.groupBy(expr("run div 1000").cast("int").as("era_kr"))
+      .agg(count(lit(1)).as("n_events"))
+    tot.join(cert, Seq("era_kr"), "left")
+      .select(col("era_kr"), col("n_events"),
+        coalesce(col("n_certified"), lit(0L)).as("n_certified"))
+      .orderBy(col("era_kr"))
+  }
+  private val p26Sql =
+    """WITH mask(run, lo, hi) AS (VALUES
+      |(315257,1,88),(315257,91,92),(315259,1,172),(315264,32,261),(315265,4,58),(315267,1,244),
+      |(315270,1,633),(315322,23,118),(315322,122,1354),(315339,37,654),(315357,44,732),
+      |(315357,736,770),(315357,780,831),(315361,40,619),(315363,1,35),(315363,37,47),(315363,49,67),
+      |(315363,69,80),(315363,82,90),(315366,10,61),(315366,67,750),(315420,28,920),(315420,924,942),
+      |(315420,954,1748),(315488,42,843),(315489,1,653),(315489,672,709),(315490,1,24),
+      |(315506,13,100),(315510,1,345),(315512,1,1122),(315543,55,171),(315555,22,97),(315556,1,26),
+      |(315557,1,279),(315640,46,87),(315641,1,4),(315642,1,92),(315644,1,184),(315645,1,40),
+      |(315645,47,390),(315645,395,565),(315645,567,594),(315646,1,1033),(315647,1,58),(315648,1,110),
+      |(315689,24,1127),(315689,1180,1186),(315690,10,654),(315702,38,113),(315703,1,545),
+      |(315704,1,61),(315705,1,700),(315713,35,359),(315713,374,385),(315713,400,1123),(315721,33,50),
+      |(315721,56,626),(315741,34,92),(315764,37,309),(315770,39,332),(315784,29,33),(315784,40,156),
+      |(315784,158,161),(315785,1,198),(315785,201,305),(315786,1,72),(315790,1,716),(315790,718,922),
+      |(315800,41,621),(315801,1,344),(315840,33,1154),(315973,39,240),(315973,262,914),(315974,1,71),
+      |(316058,42,405),(316059,1,321),(316059,323,567),(316060,1,935),(316061,1,23),(316061,194,206),
+      |(316062,1,4),(316082,37,407),(316110,1,210),(316111,1,48),(316113,1,64),(316114,1,777),
+      |(316114,779,1562),(316153,1,770),(316186,38,81),(316187,1,1091),(316187,1093,1100),
+      |(316187,1207,2077),(316199,33,1197),(316200,1,10),(316201,1,498),(316202,1,403),
+      |(316216,25,466),(316217,1,264),(316218,1,1008),(316219,1,283),(316239,38,626),(316240,1,1224),
+      |(316241,1,325),(316271,36,121),(316361,22,124),(316361,126,131),(316361,133,135),
+      |(316361,137,137),(316361,139,142),(316361,144,145),(316361,147,147),(316361,149,159),
+      |(316361,161,174),(316361,176,178),(316361,180,189),(316361,191,197),(316361,199,208),
+      |(316361,210,223),(316362,1,208),(316362,210,212),(316362,214,225),(316362,227,242),
+      |(316362,244,269),(316362,271,319),(316362,332,392),(316362,394,395),(316362,397,402),
+      |(316362,404,404),(316362,406,410),(316362,412,412),(316362,414,418),(316362,420,428),
+      |(316362,430,450),(316363,1,39),(316363,41,49),(316377,19,19),(316377,21,40),(316378,1,29),
+      |(316379,1,70),(316380,1,708),(316380,714,1213),(316455,36,71),(316457,1,1454),(316469,17,444),
+      |(316470,1,476),(316472,1,70),(316472,76,333),(316505,44,205),(316505,207,921),
+      |(316505,923,1364),(316569,20,703),(316569,742,1945),(316590,17,526),(316613,49,241),
+      |(316615,1,338),(316666,1,981),(316667,1,197),(316700,46,346),(316700,388,397),(316701,1,479),
+      |(316702,1,388),(316715,33,45),(316716,1,181),(316717,1,192),(316718,1,311),(316719,1,91),
+      |(316719,100,144),(316720,1,182),(316721,1,15),(316722,1,751),(316723,1,64),(316758,11,1609),
+      |(316766,51,1920),(316766,1922,2199),(316876,34,38),(316876,40,644),(316877,1,164),
+      |(316877,171,401),(316879,1,156),(316928,40,188),(316985,33,503),(316993,44,254),(316994,1,14),
+      |(316995,1,623),(317080,41,66),(317087,43,177),(317087,213,222),(317087,257,852),
+      |(317089,1,1003),(317182,47,63),(317182,65,1424),(317212,36,175),(317213,1,375),(317279,43,508),
+      |(317291,34,824),(317292,1,330),(317297,1,283),(317297,347,760),(317319,44,182),(317320,1,326),
+      |(317320,333,411),(317320,413,1827),(317338,66,107),(317339,1,163),(317340,1,418),
+      |(317382,58,128),(317383,1,58),(317391,39,46),(317392,1,1116),(317392,1119,1900),
+      |(317435,1,1397),(317438,1,68),(317438,71,309),(317475,33,89),(317475,105,115),(317478,1,23),
+      |(317484,1,448),(317484,467,514),(317484,519,545),(317488,1,844),(317527,41,1487),
+      |(317591,43,334),(317626,40,2045),(317640,29,829),(317641,1,1390),(317648,45,139),
+      |(317649,1,621),(317650,1,1304),(317661,35,1256),(317663,1,858),(317683,83,402),(317696,38,682),
+      |(318733,1,33),(318828,54,123),(318872,16,287),(318874,1,320),(318876,1,161),(318877,1,615),
+      |(319077,52,92),(319337,48,2240),(319347,40,690),(319348,1,37),(319349,1,148),(319449,35,559),
+      |(319449,562,734),(319450,1,287),(319450,290,683),(319456,138,346),(319459,1,78),
+      |(319486,38,103),(319503,1,317),(319524,36,1459),(319526,1,282),(319528,1,259),(319579,41,3168),
+      |(319625,17,206),(319639,31,1509),(319656,51,310),(319657,1,167),(319658,1,225),(319659,1,87),
+      |(319678,36,294),(319687,46,90),(319697,47,482),(319697,490,490),(319698,1,312),
+      |(319756,44,1966),(319840,41,388),(319841,1,167),(319847,49,51),(319848,1,53),(319849,1,492),
+      |(319851,1,4),(319853,1,40),(319853,47,262),(319854,1,225),(319908,1,40),(319908,43,53),
+      |(319909,1,7),(319910,1,983),(319912,1,59),(319913,1,56),(319914,1,32),(319915,1,416),
+      |(319941,43,298),(319942,1,50),(319950,38,205),(319991,46,882),(319992,1,264),(319993,1,955),
+      |(320002,52,192),(320006,1,34),(320006,36,341),(320010,1,330),(320011,1,302),(320012,1,99),
+      |(320023,17,292),(320024,1,410),(320025,1,113),(320026,1,204),(320038,43,663),(320039,1,30),
+      |(320040,1,737),(320059,1,105),(320060,1,42),(320061,1,49),(320062,1,21),(320063,1,64),
+      |(320064,1,200),(320065,1,920),(320673,35,901),(320674,1,599),(320688,49,531),(320712,39,242),
+      |(320757,51,382),(320804,46,1274),(320807,1,7),(320809,1,716),(320821,41,221),(320822,1,523),
+      |(320823,1,360),(320824,1,1051),(320838,93,357),(320840,1,471),(320841,1,205),(320853,41,369),
+      |(320854,1,125),(320855,1,565),(320856,1,159),(320857,1,272),(320858,1,230),(320859,1,40),
+      |(320887,49,321),(320888,1,26),(320916,2,25),(320917,1,1926),(320920,1,178),(320933,40,214),
+      |(320934,1,831),(320936,1,407),(320941,1,93),(320980,44,142),(320995,26,214),(320996,1,380),
+      |(321004,39,188),(321005,1,61),(321006,1,162),(321007,1,831),(321009,1,85),(321010,1,342),
+      |(321011,1,213),(321012,1,35),(321012,190,201),(321051,58,1179),(321055,1,302),(321055,304,326),
+      |(321055,328,340),(321055,368,759),(321067,39,225),(321067,232,639),(321068,1,715),
+      |(321069,1,313),(321119,45,214),(321121,1,47),(321122,1,395),(321124,1,819),(321126,1,493),
+      |(321134,33,70),(321138,1,741),(321140,1,798),(321149,35,1424),(321149,1426,1476),
+      |(321149,1478,1553),(321149,1558,1576),(321149,1578,1588),(321149,1591,1743),(321165,1,8),
+      |(321166,1,10),(321167,1,141),(321167,143,143),(321167,145,510),(321167,512,552),
+      |(321167,554,691),(321167,693,923),(321177,38,74),(321177,77,214),(321177,216,232),
+      |(321177,234,247),(321177,249,321),(321177,323,365),(321177,367,455),(321178,5,78),
+      |(321218,49,962),(321219,1,934),(321221,1,40),(321230,41,124),(321231,1,59),(321232,1,30),
+      |(321233,1,727),(321262,1,4),(321283,48,357),(321294,1,62),(321295,1,307),(321295,309,316),
+      |(321295,318,384),(321295,390,394),(321295,396,604),(321295,606,616),(321295,619,646),
+      |(321295,649,690),(321295,693,754),(321296,1,24),(321296,34,41),(321296,44,67),(321305,20,2600),
+      |(321305,2605,2651),(321311,1,10),(321312,1,768),(321313,1,408),(321393,1,127),(321393,134,148),
+      |(321396,1,1475),(321397,1,365),(321414,31,1283),(321415,1,804),(321431,30,189),(321432,1,47),
+      |(321433,1,125),(321434,1,642),(321436,1,710),(321457,43,451),(321457,453,1888),(321461,1,149),
+      |(321475,50,518),(321475,526,2084),(321710,1,57),(321712,1,2),(321712,16,54),(321712,57,115),
+      |(321712,117,263),(321730,2,257),(321730,259,291),(321732,1,127),(321732,129,181),
+      |(321732,185,189),(321732,192,245),(321732,248,252),(321732,254,373),(321732,375,381),
+      |(321732,386,386),(321732,389,392),(321732,395,424),(321732,426,432),(321732,434,448),
+      |(321732,450,452),(321732,454,459),(321732,467,586),(321732,589,680),(321732,682,686),
+      |(321732,689,903),(321732,905,973),(321732,975,1448),(321735,1,146),(321755,33,361),
+      |(321755,363,470),(321755,472,473),(321755,475,487),(321755,489,729),(321758,1,47),
+      |(321758,49,75),(321758,77,121),(321758,128,130),(321758,146,148),(321758,151,155),
+      |(321758,161,165),(321758,168,189),(321760,1,171),(321760,175,205),(321760,207,238),
+      |(321760,240,258),(321760,260,420),(321760,422,520),(321760,526,586),(321760,588,593),
+      |(321760,598,602),(321760,604,607),(321760,613,716),(321760,719,721),(321760,727,788),
+      |(321760,794,818),(321760,822,824),(321760,828,830),(321760,834,836),(321760,840,841),
+      |(321760,845,855),(321773,11,14),(321773,25,35),(321773,39,52),(321773,54,79),(321774,1,12),
+      |(321774,14,52),(321774,54,119),(321775,1,12),(321775,14,14),(321776,1,12),(321776,15,19),
+      |(321776,30,45),(321777,1,81),(321777,83,169),(321777,174,176),(321777,192,207),(321778,8,150),
+      |(321780,1,332),(321780,336,338),(321780,342,346),(321780,351,357),(321780,359,360),
+      |(321780,362,371),(321780,374,383),(321780,392,412),(321780,414,420),(321780,422,493),
+      |(321780,496,499),(321780,502,503),(321780,505,508),(321780,517,518),(321781,6,37),
+      |(321781,53,56),(321781,58,66),(321781,69,69),(321781,77,180),(321781,186,209),(321781,212,265),
+      |(321781,269,274),(321781,276,290),(321781,293,312),(321781,316,410),(321781,412,427),
+      |(321813,32,352),(321815,1,23),(321817,1,536),(321818,1,690),(321820,1,214),(321831,25,781),
+      |(321832,1,389),(321832,403,510),(321833,1,407),(321834,1,333),(321879,39,47),(321879,50,52),
+      |(321879,55,68),(321879,71,73),(321879,77,89),(321879,93,95),(321879,99,111),(321879,114,116),
+      |(321879,120,132),(321879,136,138),(321879,141,154),(321879,157,159),(321879,163,175),
+      |(321879,178,181),(321879,185,197),(321879,200,202),(321879,207,218),(321879,222,356),
+      |(321880,1,41),(321880,44,132),(321887,54,948),(321908,43,472),(321909,1,208),(321909,210,1654),
+      |(321917,4,156),(321917,164,808),(321919,1,6),(321933,43,232),(321933,235,326),(321960,18,47),
+      |(321961,1,354),(321973,37,746),(321973,748,968),(321973,972,1253),(321975,1,866),
+      |(321988,45,996),(321988,1106,1486),(321990,1,471),(322013,14,22),(322014,1,17),(322022,42,185),
+      |(322022,201,1805),(322040,32,70),(322057,38,58),(322068,51,724),(322079,39,200),
+      |(322079,216,393),(322079,409,428),(322106,48,871),(322113,48,159),(322118,1,516),
+      |(322118,530,874),(322179,43,820),(322179,823,1783),(322201,39,266),(322204,1,280),
+      |(322204,282,301),(322204,303,331),(322204,337,1143),(322222,1,526),(322252,42,1586),
+      |(322317,48,101),(322319,1,163),(322322,1,170),(322322,267,1205),(322324,1,416),
+      |(322332,37,1055),(322348,40,1505),(322355,36,137),(322356,1,779),(322381,45,577),
+      |(322407,46,582),(322430,46,501),(322431,59,1166),(322480,60,408),(322492,1,1386),
+      |(322510,37,45),(322599,43,294),(322602,1,69),(322602,72,72),(322603,1,10),(322605,1,280),
+      |(322617,1,601),(322625,41,484),(322625,492,1167),(322633,1,249),(323414,1,46),(323423,1,136),
+      |(323470,38,172),(323470,176,218),(323470,223,266),(323471,1,238),(323472,1,64),(323473,1,227),
+      |(323474,1,355),(323475,1,77),(323487,42,177),(323487,184,498),(323488,1,514),(323488,555,734),
+      |(323488,738,793),(323492,1,33),(323493,1,144),(323495,1,187),(323524,25,561),(323525,1,91),
+      |(323525,97,1126),(323526,1,248),(323526,253,466),(323693,38,151),(323696,1,257),(323702,1,808),
+      |(323725,18,346),(323726,1,60),(323727,1,83),(323727,88,677),(323727,682,813),(323727,819,822),
+      |(323727,826,987),(323755,27,815),(323755,818,823),(323755,826,826),(323755,828,830),
+      |(323755,833,861),(323755,864,964),(323775,38,81),(323775,84,171),(323778,1,934),
+      |(323790,45,948),(323794,1,68),(323841,46,510),(323857,1,357),(323940,49,1567),(323954,1,77),
+      |(323976,31,85),(323978,1,73),(323980,1,202),(323983,1,188),(323997,1,498),(324021,44,819),
+      |(324022,1,554),(324077,54,710),(324077,712,753),(324201,20,834),(324201,837,1385),
+      |(324202,1,240),(324205,1,163),(324206,1,149),(324207,1,34),(324209,1,142),(324237,33,236),
+      |(324245,23,1681),(324293,39,1440),(324293,1442,2176),(324293,2178,2342),(324315,1,200),
+      |(324315,203,204),(324318,1,332),(324420,1,625),(324729,1,193),(324747,63,1139),(324764,1,150),
+      |(324765,1,481),(324769,1,328),(324772,1,165),(324785,77,664),(324791,1,1217),(324835,40,230),
+      |(324835,302,369),(324840,1,96),(324841,1,1347),(324846,1,151),(324846,154,517),(324878,62,111),
+      |(324878,113,175),(324878,180,1800),(324897,30,170),(324970,1,425),(324970,428,598),
+      |(324970,606,632),(324970,634,1529),(324970,1532,2195),(324980,39,917),(324980,919,954),
+      |(324980,956,968),(324980,1005,1042),(324980,1044,2340),(324997,29,150),(324998,1,368),
+      |(324999,1,14),(325000,1,371),(325001,1,105),(325001,108,171),(325001,173,595),(325022,45,1594),
+      |(325057,42,383),(325097,40,96),(325098,1,8),(325099,1,394),(325100,1,254),(325101,1,462),
+      |(325101,464,485),(325110,1,21),(325117,1,533),(325159,48,266),(325168,1,21),(325169,1,23),
+      |(325170,1,692),(325170,694,1205),(325172,1,267),(325172,269,485)),
+      |runidx(idx, run) AS (VALUES
+      |(0,315257),(1,315259),(2,315264),(3,315265),(4,315267),(5,315270),(6,315322),(7,315339),
+      |(8,315357),(9,315361),(10,315363),(11,315366),(12,315420),(13,315488),(14,315489),(15,315490),
+      |(16,315506),(17,315510),(18,315512),(19,315543),(20,315555),(21,315556),(22,315557),
+      |(23,315640),(24,315641),(25,315642),(26,315644),(27,315645),(28,315646),(29,315647),
+      |(30,315648),(31,315689),(32,315690),(33,315702),(34,315703),(35,315704),(36,315705),
+      |(37,315713),(38,315721),(39,315741),(40,315764),(41,315770),(42,315784),(43,315785),
+      |(44,315786),(45,315790),(46,315800),(47,315801),(48,315840),(49,315973),(50,315974),
+      |(51,316058),(52,316059),(53,316060),(54,316061),(55,316062),(56,316082),(57,316110),
+      |(58,316111),(59,316113),(60,316114),(61,316153),(62,316186),(63,316187),(64,316199),
+      |(65,316200),(66,316201),(67,316202),(68,316216),(69,316217),(70,316218),(71,316219),
+      |(72,316239),(73,316240),(74,316241),(75,316271),(76,316361),(77,316362),(78,316363),
+      |(79,316377),(80,316378),(81,316379),(82,316380),(83,316455),(84,316457),(85,316469),
+      |(86,316470),(87,316472),(88,316505),(89,316569),(90,316590),(91,316613),(92,316615),
+      |(93,316666),(94,316667),(95,316700),(96,316701),(97,316702),(98,316715),(99,316716),
+      |(100,316717),(101,316718),(102,316719),(103,316720),(104,316721),(105,316722),(106,316723),
+      |(107,316758),(108,316766),(109,316876),(110,316877),(111,316879),(112,316928),(113,316985),
+      |(114,316993),(115,316994),(116,316995),(117,317080),(118,317087),(119,317089),(120,317182),
+      |(121,317212),(122,317213),(123,317279),(124,317291),(125,317292),(126,317297),(127,317319),
+      |(128,317320),(129,317338),(130,317339),(131,317340),(132,317382),(133,317383),(134,317391),
+      |(135,317392),(136,317435),(137,317438),(138,317475),(139,317478),(140,317484),(141,317488),
+      |(142,317527),(143,317591),(144,317626),(145,317640),(146,317641),(147,317648),(148,317649),
+      |(149,317650),(150,317661),(151,317663),(152,317683),(153,317696),(154,318733),(155,318828),
+      |(156,318872),(157,318874),(158,318876),(159,318877),(160,319077),(161,319337),(162,319347),
+      |(163,319348),(164,319349),(165,319449),(166,319450),(167,319456),(168,319459),(169,319486),
+      |(170,319503),(171,319524),(172,319526),(173,319528),(174,319579),(175,319625),(176,319639),
+      |(177,319656),(178,319657),(179,319658),(180,319659),(181,319678),(182,319687),(183,319697),
+      |(184,319698),(185,319756),(186,319840),(187,319841),(188,319847),(189,319848),(190,319849),
+      |(191,319851),(192,319853),(193,319854),(194,319908),(195,319909),(196,319910),(197,319912),
+      |(198,319913),(199,319914),(200,319915),(201,319941),(202,319942),(203,319950),(204,319991),
+      |(205,319992),(206,319993),(207,320002),(208,320006),(209,320010),(210,320011),(211,320012),
+      |(212,320023),(213,320024),(214,320025),(215,320026),(216,320038),(217,320039),(218,320040),
+      |(219,320059),(220,320060),(221,320061),(222,320062),(223,320063),(224,320064),(225,320065),
+      |(226,320673),(227,320674),(228,320688),(229,320712),(230,320757),(231,320804),(232,320807),
+      |(233,320809),(234,320821),(235,320822),(236,320823),(237,320824),(238,320838),(239,320840),
+      |(240,320841),(241,320853),(242,320854),(243,320855),(244,320856),(245,320857),(246,320858),
+      |(247,320859),(248,320887),(249,320888),(250,320916),(251,320917),(252,320920),(253,320933),
+      |(254,320934),(255,320936),(256,320941),(257,320980),(258,320995),(259,320996),(260,321004),
+      |(261,321005),(262,321006),(263,321007),(264,321009),(265,321010),(266,321011),(267,321012),
+      |(268,321051),(269,321055),(270,321067),(271,321068),(272,321069),(273,321119),(274,321121),
+      |(275,321122),(276,321124),(277,321126),(278,321134),(279,321138),(280,321140),(281,321149),
+      |(282,321165),(283,321166),(284,321167),(285,321177),(286,321178),(287,321218),(288,321219),
+      |(289,321221),(290,321230),(291,321231),(292,321232),(293,321233),(294,321262),(295,321283),
+      |(296,321294),(297,321295),(298,321296),(299,321305),(300,321311),(301,321312),(302,321313),
+      |(303,321393),(304,321396),(305,321397),(306,321414),(307,321415),(308,321431),(309,321432),
+      |(310,321433),(311,321434),(312,321436),(313,321457),(314,321461),(315,321475),(316,321710),
+      |(317,321712),(318,321730),(319,321732),(320,321735),(321,321755),(322,321758),(323,321760),
+      |(324,321773),(325,321774),(326,321775),(327,321776),(328,321777),(329,321778),(330,321780),
+      |(331,321781),(332,321813),(333,321815),(334,321817),(335,321818),(336,321820),(337,321831),
+      |(338,321832),(339,321833),(340,321834),(341,321879),(342,321880),(343,321887),(344,321908),
+      |(345,321909),(346,321917),(347,321919),(348,321933),(349,321960),(350,321961),(351,321973),
+      |(352,321975),(353,321988),(354,321990),(355,322013),(356,322014),(357,322022),(358,322040),
+      |(359,322057),(360,322068),(361,322079),(362,322106),(363,322113),(364,322118),(365,322179),
+      |(366,322201),(367,322204),(368,322222),(369,322252),(370,322317),(371,322319),(372,322322),
+      |(373,322324),(374,322332),(375,322348),(376,322355),(377,322356),(378,322381),(379,322407),
+      |(380,322430),(381,322431),(382,322480),(383,322492),(384,322510),(385,322599),(386,322602),
+      |(387,322603),(388,322605),(389,322617),(390,322625),(391,322633),(392,323414),(393,323423),
+      |(394,323470),(395,323471),(396,323472),(397,323473),(398,323474),(399,323475),(400,323487),
+      |(401,323488),(402,323492),(403,323493),(404,323495),(405,323524),(406,323525),(407,323526),
+      |(408,323693),(409,323696),(410,323702),(411,323725),(412,323726),(413,323727),(414,323755),
+      |(415,323775),(416,323778),(417,323790),(418,323794),(419,323841),(420,323857),(421,323940),
+      |(422,323954),(423,323976),(424,323978),(425,323980),(426,323983),(427,323997),(428,324021),
+      |(429,324022),(430,324077),(431,324201),(432,324202),(433,324205),(434,324206),(435,324207),
+      |(436,324209),(437,324237),(438,324245),(439,324293),(440,324315),(441,324318),(442,324420),
+      |(443,324729),(444,324747),(445,324764),(446,324765),(447,324769),(448,324772),(449,324785),
+      |(450,324791),(451,324835),(452,324840),(453,324841),(454,324846),(455,324878),(456,324897),
+      |(457,324970),(458,324980),(459,324997),(460,324998),(461,324999),(462,325000),(463,325001),
+      |(464,325022),(465,325057),(466,325097),(467,325098),(468,325099),(469,325100),(470,325101),
+      |(471,325110),(472,325117),(473,325159),(474,325168),(475,325169),(476,325170),(477,325172)),
+      |ev AS (
+      | SELECT e.event_id, r.run,
+      |  CAST(1 + (e.event_id * 7919) % 3000 AS INT) AS lumi
+      | FROM events e JOIN runidx r
+      |   ON r.idx = CAST(e.event_id % 478 AS INT)),
+      |cert AS (
+      | SELECT CAST(ev.run // 1000 AS INT) AS era_kr, COUNT(*) AS n_certified
+      | FROM ev WHERE EXISTS (
+      |  SELECT 1 FROM mask m WHERE m.run = ev.run
+      |   AND ev.lumi >= m.lo AND ev.lumi <= m.hi)
+      | GROUP BY 1),
+      |tot AS (
+      | SELECT CAST(run // 1000 AS INT) AS era_kr, COUNT(*) AS n_events
+      | FROM ev GROUP BY 1)
+      |SELECT t.era_kr, t.n_events, COALESCE(c.n_certified, 0) AS n_certified
+      |FROM tot t LEFT JOIN cert c USING (era_kr)
+      |ORDER BY t.era_kr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p02_flag_and" -> (p02 _),
     "p03_trigger_or" -> (p03 _),
     "p04_lumimask_interval" -> (p04 _),
+    "p26_golden_lumimask" -> (p26 _),
     "p05_object_selection" -> (p05 _),
     "p06_veto_antijoin" -> (p06 _),
     "p07_bit_selection" -> (p07 _),
@@ -563,6 +839,7 @@ object PhysicsQueries extends QueryFamily {
     "p02_flag_and" -> p02Sql,
     "p03_trigger_or" -> p03Sql,
     "p04_lumimask_interval" -> p04Sql,
+    "p26_golden_lumimask" -> p26Sql,
     "p05_object_selection" -> p05Sql,
     "p06_veto_antijoin" -> p06Sql,
     "p07_bit_selection" -> p07Sql,
