@@ -871,9 +871,2125 @@ object LookupQueries extends QueryFamily {
       |FROM mu JOIN bins ON pt >= pt_low AND pt < pt_high
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- l17: JEC uncertainty from the reference's real .junc.txt table -------
+  // The reference's JEC uncertainty source is the CMS-distributed text
+  // table (data/jec/Autumn18_RunA_V19_DATA_Uncertainty_AK4PFchs.junc.txt,
+  // wired in config/jec_parameters.py and applied by
+  // stage1/corrections/jec.py): per eta bin, 50 pt knots each carrying
+  // (pt, unc_up, unc_down) — evaluated as piecewise-linear
+  // interpolation over pt inside the jet's eta bin. Parsed driver-side
+  // (whitespace text, 40 eta bins -> 2040 interp segments incl. the
+  // endpoint-clamp rows, l15's pattern with u0 == u1 so the clamp is
+  // exact), broadcast, and range-joined by (eta bin, pt segment). The
+  // oracle carries the table as literals produced by an INDEPENDENT
+  // Python parse, CAST once to DOUBLE (short decimal literals would
+  // infer DECIMAL and change the subtraction arithmetic), and replays
+  // the identical interp spelling. Per-jet uncertainties nano-quantize
+  // before the per-eta-bin fold.
+  private lazy val juncSegs: Seq[(Double, Double, Double, Double, Double, Double, Double, Double)] = {
+    val lines = scala.io.Source.fromFile(refData(
+      "jec/Autumn18_RunA_V19_DATA_Uncertainty_AK4PFchs.junc.txt")).getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("{")).toSeq
+    lines.flatMap { l =>
+      val t = l.split("\\s+")
+      val (etaLo, etaHi, n) = (t(0).toDouble, t(1).toDouble, t(2).toInt)
+      val v = t.slice(3, 3 + n).map(_.toDouble)
+      val knots = (0 until n / 3).map(i => (v(i * 3), v(i * 3 + 1), v(i * 3 + 2)))
+      val lo = (etaLo, etaHi, -1e18, knots.head._1,
+        knots.head._2, knots.head._2, knots.head._3, knots.head._3)
+      val mid = knots.zip(knots.tail).map { case ((xa, ua, da), (xb, ub, db)) =>
+        (etaLo, etaHi, xa, xb, ua, ub, da, db) }
+      val hi = (etaLo, etaHi, knots.last._1, 1e18,
+        knots.last._2, knots.last._2, knots.last._3, knots.last._3)
+      lo +: mid :+ hi
+    }
+  }
+  private val l17Up = "(u0 + (u1 - u0) * (pt - x0) / (x1 - x0))"
+  private val l17Dn = "(d0 + (d1 - d0) * (pt - x0) / (x1 - x0))"
+  private def l17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = juncSegs.toDF("eta_lo", "eta_hi", "x0", "x1", "u0", "u1", "d0", "d1")
+    val jets = rd(s, dir, "lineitem")
+      .select((col("l_extendedprice") / 1000.0).as("pt"),
+        (col("l_discount") * 104.0 - 5.2).as("eta"))
+    jets.join(broadcast(segs),
+        col("eta") >= col("eta_lo") && col("eta") < col("eta_hi") &&
+          col("pt") >= col("x0") && col("pt") < col("x1"))
+      .select(col("eta_lo"),
+        expr(s"CAST(FLOOR($l17Up * 1e9 + 0.5) AS BIGINT)").as("uq"),
+        expr(s"CAST(FLOOR($l17Dn * 1e9 + 0.5) AS BIGINT)").as("dq"))
+      .groupBy(col("eta_lo"))
+      .agg(count(lit(1)).as("n_jets"),
+        sum(col("uq")).as("up_nano_sum"), sum(col("dq")).as("dn_nano_sum"))
+      .orderBy(col("eta_lo"))
+  }
+  /** The .junc.txt table as literals from an INDEPENDENT Python parse
+    * (tools-side), chunked to stay under the JVM's 64 KB string-constant
+    * limit. */
+  private val juncValuesLiteral: String = Seq(
+    """(-5.4,-5.0,-1e+18,9.0,0.1127,0.1127,0.1127,0.1127),
+(-5.4,-5.0,9.0,11.0,0.1127,0.1016,0.1127,0.1016),
+(-5.4,-5.0,11.0,13.5,0.1016,0.0926,0.1016,0.0926),
+(-5.4,-5.0,13.5,16.5,0.0926,0.0862,0.0926,0.0862),
+(-5.4,-5.0,16.5,19.5,0.0862,0.0823,0.0862,0.0823),
+(-5.4,-5.0,19.5,22.5,0.0823,0.0798,0.0823,0.0798),
+(-5.4,-5.0,22.5,26.0,0.0798,0.0777,0.0798,0.0777),
+(-5.4,-5.0,26.0,30.0,0.0777,0.0756,0.0777,0.0756),
+(-5.4,-5.0,30.0,34.5,0.0756,0.0728,0.0756,0.0728),
+(-5.4,-5.0,34.5,40.0,0.0728,0.0698,0.0728,0.0698),
+(-5.4,-5.0,40.0,46.0,0.0698,0.0674,0.0698,0.0674),
+(-5.4,-5.0,46.0,52.5,0.0674,0.0655,0.0674,0.0655),
+(-5.4,-5.0,52.5,60.0,0.0655,0.0639,0.0655,0.0639),
+(-5.4,-5.0,60.0,69.0,0.0639,0.0627,0.0639,0.0627),
+(-5.4,-5.0,69.0,79.0,0.0627,0.0619,0.0627,0.0619),
+(-5.4,-5.0,79.0,90.5,0.0619,0.0614,0.0619,0.0614),
+(-5.4,-5.0,90.5,105.5,0.0614,0.0612,0.0614,0.0612),
+(-5.4,-5.0,105.5,123.5,0.0612,0.0615,0.0612,0.0615),
+(-5.4,-5.0,123.5,143.0,0.0615,0.0622,0.0615,0.0622),
+(-5.4,-5.0,143.0,163.5,0.0622,0.0632,0.0622,0.0632),
+(-5.4,-5.0,163.5,185.0,0.0632,0.0644,0.0632,0.0644),
+(-5.4,-5.0,185.0,208.0,0.0644,0.0656,0.0644,0.0656),
+(-5.4,-5.0,208.0,232.5,0.0656,0.0667,0.0656,0.0667),
+(-5.4,-5.0,232.5,258.5,0.0667,0.0674,0.0667,0.0674),
+(-5.4,-5.0,258.5,286.0,0.0674,0.0681,0.0674,0.0681),
+(-5.4,-5.0,286.0,331.0,0.0681,0.0693,0.0681,0.0693),
+(-5.4,-5.0,331.0,396.0,0.0693,0.0707,0.0693,0.0707),
+(-5.4,-5.0,396.0,468.5,0.0707,0.0721,0.0707,0.0721),
+(-5.4,-5.0,468.5,549.5,0.0721,0.0735,0.0721,0.0735),
+(-5.4,-5.0,549.5,639.0,0.0735,0.0747,0.0735,0.0747),
+(-5.4,-5.0,639.0,738.0,0.0747,0.076,0.0747,0.076),
+(-5.4,-5.0,738.0,847.5,0.076,0.0772,0.076,0.0772),
+(-5.4,-5.0,847.5,968.5,0.0772,0.0784,0.0772,0.0784),
+(-5.4,-5.0,968.5,1102.0,0.0784,0.0795,0.0784,0.0795),
+(-5.4,-5.0,1102.0,1249.5,0.0795,0.0806,0.0795,0.0806),
+(-5.4,-5.0,1249.5,1412.0,0.0806,0.0817,0.0806,0.0817),
+(-5.4,-5.0,1412.0,1590.5,0.0817,0.0827,0.0817,0.0827),
+(-5.4,-5.0,1590.5,1787.0,0.0827,0.0837,0.0827,0.0837),
+(-5.4,-5.0,1787.0,2003.0,0.0837,0.0847,0.0837,0.0847),
+(-5.4,-5.0,2003.0,2241.0,0.0847,0.0857,0.0847,0.0857),
+(-5.4,-5.0,2241.0,2503.0,0.0857,0.0866,0.0857,0.0866),
+(-5.4,-5.0,2503.0,2790.5,0.0866,0.0876,0.0866,0.0876),
+(-5.4,-5.0,2790.5,3107.0,0.0876,0.0885,0.0876,0.0885),
+(-5.4,-5.0,3107.0,3455.0,0.0885,0.0895,0.0885,0.0895),
+(-5.4,-5.0,3455.0,3837.0,0.0895,0.0905,0.0895,0.0905),
+(-5.4,-5.0,3837.0,4257.0,0.0905,0.0916,0.0905,0.0916),
+(-5.4,-5.0,4257.0,4719.0,0.0916,0.0927,0.0916,0.0927),
+(-5.4,-5.0,4719.0,5226.5,0.0927,0.0937,0.0927,0.0937),
+(-5.4,-5.0,5226.5,5784.0,0.0937,0.0947,0.0937,0.0947),
+(-5.4,-5.0,5784.0,6538.0,0.0947,0.0959,0.0947,0.0959),
+(-5.4,-5.0,6538.0,1e+18,0.0959,0.0959,0.0959,0.0959),
+(-5.0,-4.4,-1e+18,9.0,0.1052,0.1052,0.1052,0.1052),
+(-5.0,-4.4,9.0,11.0,0.1052,0.0964,0.1052,0.0964),
+(-5.0,-4.4,11.0,13.5,0.0964,0.0891,0.0964,0.0891),
+(-5.0,-4.4,13.5,16.5,0.0891,0.0839,0.0891,0.0839),
+(-5.0,-4.4,16.5,19.5,0.0839,0.0807,0.0839,0.0807),
+(-5.0,-4.4,19.5,22.5,0.0807,0.0786,0.0807,0.0786),
+(-5.0,-4.4,22.5,26.0,0.0786,0.0769,0.0786,0.0769),
+(-5.0,-4.4,26.0,30.0,0.0769,0.0751,0.0769,0.0751),
+(-5.0,-4.4,30.0,34.5,0.0751,0.0723,0.0751,0.0723),
+(-5.0,-4.4,34.5,40.0,0.0723,0.0695,0.0723,0.0695),
+(-5.0,-4.4,40.0,46.0,0.0695,0.0673,0.0695,0.0673),
+(-5.0,-4.4,46.0,52.5,0.0673,0.0654,0.0673,0.0654),
+(-5.0,-4.4,52.5,60.0,0.0654,0.0639,0.0654,0.0639),
+(-5.0,-4.4,60.0,69.0,0.0639,0.0627,0.0639,0.0627),
+(-5.0,-4.4,69.0,79.0,0.0627,0.0618,0.0627,0.0618),
+(-5.0,-4.4,79.0,90.5,0.0618,0.0614,0.0618,0.0614),
+(-5.0,-4.4,90.5,105.5,0.0614,0.0613,0.0614,0.0613),
+(-5.0,-4.4,105.5,123.5,0.0613,0.0615,0.0613,0.0615),
+(-5.0,-4.4,123.5,143.0,0.0615,0.0622,0.0615,0.0622),
+(-5.0,-4.4,143.0,163.5,0.0622,0.0633,0.0622,0.0633),
+(-5.0,-4.4,163.5,185.0,0.0633,0.0644,0.0633,0.0644),
+(-5.0,-4.4,185.0,208.0,0.0644,0.0656,0.0644,0.0656),
+(-5.0,-4.4,208.0,232.5,0.0656,0.0668,0.0656,0.0668),
+(-5.0,-4.4,232.5,258.5,0.0668,0.0674,0.0668,0.0674),
+(-5.0,-4.4,258.5,286.0,0.0674,0.0682,0.0674,0.0682),
+(-5.0,-4.4,286.0,331.0,0.0682,0.0693,0.0682,0.0693),
+(-5.0,-4.4,331.0,396.0,0.0693,0.0707,0.0693,0.0707),
+(-5.0,-4.4,396.0,468.5,0.0707,0.0721,0.0707,0.0721),
+(-5.0,-4.4,468.5,549.5,0.0721,0.0735,0.0721,0.0735),
+(-5.0,-4.4,549.5,639.0,0.0735,0.0747,0.0735,0.0747),
+(-5.0,-4.4,639.0,738.0,0.0747,0.076,0.0747,0.076),
+(-5.0,-4.4,738.0,847.5,0.076,0.0772,0.076,0.0772),
+(-5.0,-4.4,847.5,968.5,0.0772,0.0784,0.0772,0.0784),
+(-5.0,-4.4,968.5,1102.0,0.0784,0.0795,0.0784,0.0795),
+(-5.0,-4.4,1102.0,1249.5,0.0795,0.0806,0.0795,0.0806),
+(-5.0,-4.4,1249.5,1412.0,0.0806,0.0817,0.0806,0.0817),
+(-5.0,-4.4,1412.0,1590.5,0.0817,0.0827,0.0817,0.0827),
+(-5.0,-4.4,1590.5,1787.0,0.0827,0.0837,0.0827,0.0837),
+(-5.0,-4.4,1787.0,2003.0,0.0837,0.0847,0.0837,0.0847),
+(-5.0,-4.4,2003.0,2241.0,0.0847,0.0857,0.0847,0.0857),
+(-5.0,-4.4,2241.0,2503.0,0.0857,0.0866,0.0857,0.0866),
+(-5.0,-4.4,2503.0,2790.5,0.0866,0.0876,0.0866,0.0876),
+(-5.0,-4.4,2790.5,3107.0,0.0876,0.0885,0.0876,0.0885),
+(-5.0,-4.4,3107.0,3455.0,0.0885,0.0895,0.0885,0.0895),
+(-5.0,-4.4,3455.0,3837.0,0.0895,0.0905,0.0895,0.0905),
+(-5.0,-4.4,3837.0,4257.0,0.0905,0.0916,0.0905,0.0916),
+(-5.0,-4.4,4257.0,4719.0,0.0916,0.0927,0.0916,0.0927),
+(-5.0,-4.4,4719.0,5226.5,0.0927,0.0937,0.0927,0.0937),
+(-5.0,-4.4,5226.5,5784.0,0.0937,0.0947,0.0937,0.0947),
+(-5.0,-4.4,5784.0,6538.0,0.0947,0.0959,0.0947,0.0959),
+(-5.0,-4.4,6538.0,1e+18,0.0959,0.0959,0.0959,0.0959),
+(-4.4,-4.0,-1e+18,9.0,0.1403,0.1403,0.1403,0.1403),
+(-4.4,-4.0,9.0,11.0,0.1403,0.1221,0.1403,0.1221),
+(-4.4,-4.0,11.0,13.5,0.1221,0.1068,0.1221,0.1068),
+(-4.4,-4.0,13.5,16.5,0.1068,0.0951,0.1068,0.0951),
+(-4.4,-4.0,16.5,19.5,0.0951,0.0878,0.0951,0.0878),
+(-4.4,-4.0,19.5,22.5,0.0878,0.083,0.0878,0.083),
+(-4.4,-4.0,22.5,26.0,0.083,0.0792,0.083,0.0792),
+(-4.4,-4.0,26.0,30.0,0.0792,0.0767,0.0792,0.0767),
+(-4.4,-4.0,30.0,34.5,0.0767,0.0735,0.0767,0.0735),
+(-4.4,-4.0,34.5,40.0,0.0735,0.0707,0.0735,0.0707),
+(-4.4,-4.0,40.0,46.0,0.0707,0.0683,0.0707,0.0683),
+(-4.4,-4.0,46.0,52.5,0.0683,0.0665,0.0683,0.0665),
+(-4.4,-4.0,52.5,60.0,0.0665,0.0648,0.0665,0.0648),
+(-4.4,-4.0,60.0,69.0,0.0648,0.0635,0.0648,0.0635),
+(-4.4,-4.0,69.0,79.0,0.0635,0.0624,0.0635,0.0624),
+(-4.4,-4.0,79.0,90.5,0.0624,0.0615,0.0624,0.0615),
+(-4.4,-4.0,90.5,105.5,0.0615,0.0608,0.0615,0.0608),
+(-4.4,-4.0,105.5,123.5,0.0608,0.0603,0.0608,0.0603),
+(-4.4,-4.0,123.5,143.0,0.0603,0.0601,0.0603,0.0601),
+(-4.4,-4.0,143.0,163.5,0.0601,0.0603,0.0601,0.0603),
+(-4.4,-4.0,163.5,185.0,0.0603,0.0607,0.0603,0.0607),
+(-4.4,-4.0,185.0,208.0,0.0607,0.0611,0.0607,0.0611),
+(-4.4,-4.0,208.0,232.5,0.0611,0.0615,0.0611,0.0615),
+(-4.4,-4.0,232.5,258.5,0.0615,0.0613,0.0615,0.0613),
+(-4.4,-4.0,258.5,286.0,0.0613,0.0613,0.0613,0.0613),
+(-4.4,-4.0,286.0,331.0,0.0613,0.0614,0.0613,0.0614),
+(-4.4,-4.0,331.0,396.0,0.0614,0.0615,0.0614,0.0615),
+(-4.4,-4.0,396.0,468.5,0.0615,0.0617,0.0615,0.0617),
+(-4.4,-4.0,468.5,549.5,0.0617,0.0619,0.0617,0.0619),
+(-4.4,-4.0,549.5,639.0,0.0619,0.0621,0.0619,0.0621),
+(-4.4,-4.0,639.0,738.0,0.0621,0.0624,0.0621,0.0624),
+(-4.4,-4.0,738.0,847.5,0.0624,0.0628,0.0624,0.0628),
+(-4.4,-4.0,847.5,968.5,0.0628,0.0631,0.0628,0.0631),
+(-4.4,-4.0,968.5,1102.0,0.0631,0.0635,0.0631,0.0635),
+(-4.4,-4.0,1102.0,1249.5,0.0635,0.0639,0.0635,0.0639),
+(-4.4,-4.0,1249.5,1412.0,0.0639,0.0643,0.0639,0.0643),
+(-4.4,-4.0,1412.0,1590.5,0.0643,0.0648,0.0643,0.0648),
+(-4.4,-4.0,1590.5,1787.0,0.0648,0.0652,0.0648,0.0652),
+(-4.4,-4.0,1787.0,2003.0,0.0652,0.0657,0.0652,0.0657),
+(-4.4,-4.0,2003.0,2241.0,0.0657,0.0662,0.0657,0.0662),
+(-4.4,-4.0,2241.0,2503.0,0.0662,0.0667,0.0662,0.0667),
+(-4.4,-4.0,2503.0,2790.5,0.0667,0.0672,0.0667,0.0672),
+(-4.4,-4.0,2790.5,3107.0,0.0672,0.0678,0.0672,0.0678),
+(-4.4,-4.0,3107.0,3455.0,0.0678,0.0684,0.0678,0.0684),
+(-4.4,-4.0,3455.0,3837.0,0.0684,0.0688,0.0684,0.0688),
+(-4.4,-4.0,3837.0,4257.0,0.0688,0.0693,0.0688,0.0693),
+(-4.4,-4.0,4257.0,4719.0,0.0693,0.0698,0.0693,0.0698),
+(-4.4,-4.0,4719.0,5226.5,0.0698,0.0703,0.0698,0.0703),
+(-4.4,-4.0,5226.5,5784.0,0.0703,0.0708,0.0703,0.0708),
+(-4.4,-4.0,5784.0,6538.0,0.0708,0.0715,0.0708,0.0715),
+(-4.4,-4.0,6538.0,1e+18,0.0715,0.0715,0.0715,0.0715),
+(-4.0,-3.5,-1e+18,9.0,0.1402,0.1402,0.1402,0.1402),
+(-4.0,-3.5,9.0,11.0,0.1402,0.1185,0.1402,0.1185),
+(-4.0,-3.5,11.0,13.5,0.1185,0.0996,0.1185,0.0996),
+(-4.0,-3.5,13.5,16.5,0.0996,0.0846,0.0996,0.0846),
+(-4.0,-3.5,16.5,19.5,0.0846,0.0743,0.0846,0.0743),
+(-4.0,-3.5,19.5,22.5,0.0743,0.0672,0.0743,0.0672),
+(-4.0,-3.5,22.5,26.0,0.0672,0.0615,0.0672,0.0615),
+(-4.0,-3.5,26.0,30.0,0.0615,0.0576,0.0615,0.0576),
+(-4.0,-3.5,30.0,34.5,0.0576,0.053,0.0576,0.053),
+(-4.0,-3.5,34.5,40.0,0.053,0.0487,0.053,0.0487),
+(-4.0,-3.5,40.0,46.0,0.0487,0.0451,0.0487,0.0451),
+(-4.0,-3.5,46.0,52.5,0.0451,0.0422,0.0451,0.0422),
+(-4.0,-3.5,52.5,60.0,0.0422,0.0396,0.0422,0.0396),
+(-4.0,-3.5,60.0,69.0,0.0396,0.0365,0.0396,0.0365),
+(-4.0,-3.5,69.0,79.0,0.0365,0.034,0.0365,0.034),
+(-4.0,-3.5,79.0,90.5,0.034,0.0318,0.034,0.0318),
+(-4.0,-3.5,90.5,105.5,0.0318,0.0299,0.0318,0.0299),
+(-4.0,-3.5,105.5,123.5,0.0299,0.0287,0.0299,0.0287),
+(-4.0,-3.5,123.5,143.0,0.0287,0.0282,0.0287,0.0282),
+(-4.0,-3.5,143.0,163.5,0.0282,0.0283,0.0282,0.0283),
+(-4.0,-3.5,163.5,185.0,0.0283,0.0289,0.0283,0.0289),
+(-4.0,-3.5,185.0,208.0,0.0289,0.0297,0.0289,0.0297),
+(-4.0,-3.5,208.0,232.5,0.0297,0.0307,0.0297,0.0307),
+(-4.0,-3.5,232.5,258.5,0.0307,0.0318,0.0307,0.0318),
+(-4.0,-3.5,258.5,286.0,0.0318,0.033,0.0318,0.033),
+(-4.0,-3.5,286.0,331.0,0.033,0.035,0.033,0.035),
+(-4.0,-3.5,331.0,396.0,0.035,0.0358,0.035,0.0358),
+(-4.0,-3.5,396.0,468.5,0.0358,0.0358,0.0358,0.0358),
+(-4.0,-3.5,468.5,549.5,0.0358,0.0358,0.0358,0.0358),
+(-4.0,-3.5,549.5,639.0,0.0358,0.0358,0.0358,0.0358),
+(-4.0,-3.5,639.0,738.0,0.0358,0.0359,0.0358,0.0359),
+(-4.0,-3.5,738.0,847.5,0.0359,0.036,0.0359,0.036),
+(-4.0,-3.5,847.5,968.5,0.036,0.0361,0.036,0.0361),
+(-4.0,-3.5,968.5,1102.0,0.0361,0.0362,0.0361,0.0362),
+(-4.0,-3.5,1102.0,1249.5,0.0362,0.0363,0.0362,0.0363),
+(-4.0,-3.5,1249.5,1412.0,0.0363,0.0364,0.0363,0.0364),
+(-4.0,-3.5,1412.0,1590.5,0.0364,0.0366,0.0364,0.0366),
+(-4.0,-3.5,1590.5,1787.0,0.0366,0.0367,0.0366,0.0367),
+(-4.0,-3.5,1787.0,2003.0,0.0367,0.0369,0.0367,0.0369),
+(-4.0,-3.5,2003.0,2241.0,0.0369,0.037,0.0369,0.037),
+(-4.0,-3.5,2241.0,2503.0,0.037,0.0372,0.037,0.0372),
+(-4.0,-3.5,2503.0,2790.5,0.0372,0.0374,0.0372,0.0374),
+(-4.0,-3.5,2790.5,3107.0,0.0374,0.0375,0.0374,0.0375),
+(-4.0,-3.5,3107.0,3455.0,0.0375,0.0377,0.0375,0.0377),
+(-4.0,-3.5,3455.0,3837.0,0.0377,0.0378,0.0377,0.0378),
+(-4.0,-3.5,3837.0,4257.0,0.0378,0.0379,0.0378,0.0379),
+(-4.0,-3.5,4257.0,4719.0,0.0379,0.0381,0.0379,0.0381),
+(-4.0,-3.5,4719.0,5226.5,0.0381,0.0382,0.0381,0.0382),
+(-4.0,-3.5,5226.5,5784.0,0.0382,0.0384,0.0382,0.0384),
+(-4.0,-3.5,5784.0,6538.0,0.0384,0.0386,0.0384,0.0386),
+(-4.0,-3.5,6538.0,1e+18,0.0386,0.0386,0.0386,0.0386),
+(-3.5,-3.0,-1e+18,9.0,0.1272,0.1272,0.1272,0.1272),
+(-3.5,-3.0,9.0,11.0,0.1272,0.1079,0.1272,0.1079),
+(-3.5,-3.0,11.0,13.5,0.1079,0.09,0.1079,0.09),
+(-3.5,-3.0,13.5,16.5,0.09,0.0752,0.09,0.0752),
+(-3.5,-3.0,16.5,19.5,0.0752,0.0647,0.0752,0.0647),
+(-3.5,-3.0,19.5,22.5,0.0647,0.0573,0.0647,0.0573),
+(-3.5,-3.0,22.5,26.0,0.0573,0.0512,0.0573,0.0512),
+(-3.5,-3.0,26.0,30.0,0.0512,0.0475,0.0512,0.0475),
+(-3.5,-3.0,30.0,34.5,0.0475,0.0442,0.0475,0.0442),
+(-3.5,-3.0,34.5,40.0,0.0442,0.0414,0.0442,0.0414),
+(-3.5,-3.0,40.0,46.0,0.0414,0.0395,0.0414,0.0395),
+(-3.5,-3.0,46.0,52.5,0.0395,0.038,0.0395,0.038),
+(-3.5,-3.0,52.5,60.0,0.038,0.0369,0.038,0.0369),
+(-3.5,-3.0,60.0,69.0,0.0369,0.0359,0.0369,0.0359),
+(-3.5,-3.0,69.0,79.0,0.0359,0.0351,0.0359,0.0351),
+(-3.5,-3.0,79.0,90.5,0.0351,0.0345,0.0351,0.0345),
+(-3.5,-3.0,90.5,105.5,0.0345,0.0339,0.0345,0.0339),
+(-3.5,-3.0,105.5,123.5,0.0339,0.0335,0.0339,0.0335),
+(-3.5,-3.0,123.5,143.0,0.0335,0.0333,0.0335,0.0333),
+(-3.5,-3.0,143.0,163.5,0.0333,0.0332,0.0333,0.0332),
+(-3.5,-3.0,163.5,185.0,0.0332,0.0331,0.0332,0.0331),
+(-3.5,-3.0,185.0,208.0,0.0331,0.0332,0.0331,0.0332),
+(-3.5,-3.0,208.0,232.5,0.0332,0.0332,0.0332,0.0332),
+(-3.5,-3.0,232.5,258.5,0.0332,0.0334,0.0332,0.0334),
+(-3.5,-3.0,258.5,286.0,0.0334,0.0335,0.0334,0.0335),
+(-3.5,-3.0,286.0,331.0,0.0335,0.0338,0.0335,0.0338),
+(-3.5,-3.0,331.0,396.0,0.0338,0.0342,0.0338,0.0342),
+(-3.5,-3.0,396.0,468.5,0.0342,0.0348,0.0342,0.0348),
+(-3.5,-3.0,468.5,549.5,0.0348,0.0352,0.0348,0.0352),
+(-3.5,-3.0,549.5,639.0,0.0352,0.0351,0.0352,0.0351),
+(-3.5,-3.0,639.0,738.0,0.0351,0.0352,0.0351,0.0352),
+(-3.5,-3.0,738.0,847.5,0.0352,0.0353,0.0352,0.0353),
+(-3.5,-3.0,847.5,968.5,0.0353,0.0354,0.0353,0.0354),
+(-3.5,-3.0,968.5,1102.0,0.0354,0.0356,0.0354,0.0356),
+(-3.5,-3.0,1102.0,1249.5,0.0356,0.0357,0.0356,0.0357),
+(-3.5,-3.0,1249.5,1412.0,0.0357,0.0358,0.0357,0.0358),
+(-3.5,-3.0,1412.0,1590.5,0.0358,0.0359,0.0358,0.0359),
+(-3.5,-3.0,1590.5,1787.0,0.0359,0.036,0.0359,0.036),
+(-3.5,-3.0,1787.0,2003.0,0.036,0.0362,0.036,0.0362),
+(-3.5,-3.0,2003.0,2241.0,0.0362,0.0363,0.0362,0.0363),
+(-3.5,-3.0,2241.0,2503.0,0.0363,0.0364,0.0363,0.0364),
+(-3.5,-3.0,2503.0,2790.5,0.0364,0.0366,0.0364,0.0366),
+(-3.5,-3.0,2790.5,3107.0,0.0366,0.0367,0.0366,0.0367),
+(-3.5,-3.0,3107.0,3455.0,0.0367,0.0368,0.0367,0.0368),
+(-3.5,-3.0,3455.0,3837.0,0.0368,0.037,0.0368,0.037),
+(-3.5,-3.0,3837.0,4257.0,0.037,0.0372,0.037,0.0372),
+(-3.5,-3.0,4257.0,4719.0,0.0372,0.0374,0.0372,0.0374),
+(-3.5,-3.0,4719.0,5226.5,0.0374,0.0376,0.0374,0.0376),
+(-3.5,-3.0,5226.5,5784.0,0.0376,0.0378,0.0376,0.0378),
+(-3.5,-3.0,5784.0,6538.0,0.0378,0.038,0.0378,0.038),
+(-3.5,-3.0,6538.0,1e+18,0.038,0.038,0.038,0.038),
+(-3.0,-2.8,-1e+18,9.0,0.0916,0.0916,0.0916,0.0916),
+(-3.0,-2.8,9.0,11.0,0.0916,0.0766,0.0916,0.0766),
+(-3.0,-2.8,11.0,13.5,0.0766,0.0638,0.0766,0.0638),
+(-3.0,-2.8,13.5,16.5,0.0638,0.0547,0.0638,0.0547),
+(-3.0,-2.8,16.5,19.5,0.0547,0.0526,0.0547,0.0526),
+(-3.0,-2.8,19.5,22.5,0.0526,0.0441,0.0526,0.0441),
+(-3.0,-2.8,22.5,26.0,0.0441,0.0428,0.0441,0.0428),
+(-3.0,-2.8,26.0,30.0,0.0428,0.0395,0.0428,0.0395),
+(-3.0,-2.8,30.0,34.5,0.0395,0.0394,0.0395,0.0394),
+(-3.0,-2.8,34.5,40.0,0.0394,0.0369,0.0394,0.0369),
+(-3.0,-2.8,40.0,46.0,0.0369,0.0377,0.0369,0.0377),
+(-3.0,-2.8,46.0,52.5,0.0377,0.0366,0.0377,0.0366),
+(-3.0,-2.8,52.5,60.0,0.0366,0.0353,0.0366,0.0353),
+(-3.0,-2.8,60.0,69.0,0.0353,0.0356,0.0353,0.0356),
+(-3.0,-2.8,69.0,79.0,0.0356,0.0407,0.0356,0.0407),
+(-3.0,-2.8,79.0,90.5,0.0407,0.0385,0.0407,0.0385),
+(-3.0,-2.8,90.5,105.5,0.0385,0.0379,0.0385,0.0379),
+(-3.0,-2.8,105.5,123.5,0.0379,0.041,0.0379,0.041),
+(-3.0,-2.8,123.5,143.0,0.041,0.0438,0.041,0.0438),
+(-3.0,-2.8,143.0,163.5,0.0438,0.0441,0.0438,0.0441),
+(-3.0,-2.8,163.5,185.0,0.0441,0.0455,0.0441,0.0455),
+(-3.0,-2.8,185.0,208.0,0.0455,0.048,0.0455,0.048),
+(-3.0,-2.8,208.0,232.5,0.048,0.0493,0.048,0.0493),
+(-3.0,-2.8,232.5,258.5,0.0493,0.0508,0.0493,0.0508),
+(-3.0,-2.8,258.5,286.0,0.0508,0.053,0.0508,0.053),
+(-3.0,-2.8,286.0,331.0,0.053,0.0562,0.053,0.0562),
+(-3.0,-2.8,331.0,396.0,0.0562,0.0657,0.0562,0.0657),
+(-3.0,-2.8,396.0,468.5,0.0657,0.0607,0.0657,0.0607),
+(-3.0,-2.8,468.5,549.5,0.0607,0.0594,0.0607,0.0594),
+(-3.0,-2.8,549.5,639.0,0.0594,0.0594,0.0594,0.0594),
+(-3.0,-2.8,639.0,738.0,0.0594,0.0596,0.0594,0.0596),
+(-3.0,-2.8,738.0,847.5,0.0596,0.0598,0.0596,0.0598),
+(-3.0,-2.8,847.5,968.5,0.0598,0.06,0.0598,0.06),
+(-3.0,-2.8,968.5,1102.0,0.06,0.0602,0.06,0.0602),
+(-3.0,-2.8,1102.0,1249.5,0.0602,0.0603,0.0602,0.0603),
+(-3.0,-2.8,1249.5,1412.0,0.0603,0.0605,0.0603,0.0605),
+(-3.0,-2.8,1412.0,1590.5,0.0605,0.0607,0.0605,0.0607),
+(-3.0,-2.8,1590.5,1787.0,0.0607,0.0609,0.0607,0.0609),
+(-3.0,-2.8,1787.0,2003.0,0.0609,0.0611,0.0609,0.0611),
+(-3.0,-2.8,2003.0,2241.0,0.0611,0.0613,0.0611,0.0613),
+(-3.0,-2.8,2241.0,2503.0,0.0613,0.0615,0.0613,0.0615),
+(-3.0,-2.8,2503.0,2790.5,0.0615,0.0617,0.0615,0.0617),
+(-3.0,-2.8,2790.5,3107.0,0.0617,0.0619,0.0617,0.0619),
+(-3.0,-2.8,3107.0,3455.0,0.0619,0.0622,0.0619,0.0622),
+(-3.0,-2.8,3455.0,3837.0,0.0622,0.0625,0.0622,0.0625),
+(-3.0,-2.8,3837.0,4257.0,0.0625,0.0628,0.0625,0.0628),
+(-3.0,-2.8,4257.0,4719.0,0.0628,0.0632,0.0628,0.0632),
+(-3.0,-2.8,4719.0,5226.5,0.0632,0.0636,0.0632,0.0636),
+(-3.0,-2.8,5226.5,5784.0,0.0636,0.0652,0.0636,0.0652),
+(-3.0,-2.8,5784.0,6538.0,0.0652,0.0655,0.0652,0.0655),
+(-3.0,-2.8,6538.0,1e+18,0.0655,0.0655,0.0655,0.0655),
+(-2.8,-2.6,-1e+18,9.0,0.0921,0.0921,0.0921,0.0921),
+(-2.8,-2.6,9.0,11.0,0.0921,0.0792,0.0921,0.0792),
+(-2.8,-2.6,11.0,13.5,0.0792,0.0673,0.0792,0.0673),
+(-2.8,-2.6,13.5,16.5,0.0673,0.0589,0.0673,0.0589),
+(-2.8,-2.6,16.5,19.5,0.0589,0.052,0.0589,0.052),
+(-2.8,-2.6,19.5,22.5,0.052,0.0485,0.052,0.0485),
+(-2.8,-2.6,22.5,26.0,0.0485,0.0446,0.0485,0.0446),
+(-2.8,-2.6,26.0,30.0,0.0446,0.0425,0.0446,0.0425),
+(-2.8,-2.6,30.0,34.5,0.0425,0.04,0.0425,0.04),
+(-2.8,-2.6,34.5,40.0,0.04,0.0366,0.04,0.0366),
+(-2.8,-2.6,40.0,46.0,0.0366,0.0342,0.0366,0.0342),
+(-2.8,-2.6,46.0,52.5,0.0342,0.0322,0.0342,0.0322),
+(-2.8,-2.6,52.5,60.0,0.0322,0.0307,0.0322,0.0307),
+(-2.8,-2.6,60.0,69.0,0.0307,0.0295,0.0307,0.0295),
+(-2.8,-2.6,69.0,79.0,0.0295,0.0282,0.0295,0.0282),
+(-2.8,-2.6,79.0,90.5,0.0282,0.0273,0.0282,0.0273),
+(-2.8,-2.6,90.5,105.5,0.0273,0.0269,0.0273,0.0269),
+(-2.8,-2.6,105.5,123.5,0.0269,0.0267,0.0269,0.0267),
+(-2.8,-2.6,123.5,143.0,0.0267,0.0272,0.0267,0.0272),
+(-2.8,-2.6,143.0,163.5,0.0272,0.0289,0.0272,0.0289),
+(-2.8,-2.6,163.5,185.0,0.0289,0.0301,0.0289,0.0301),
+(-2.8,-2.6,185.0,208.0,0.0301,0.0321,0.0301,0.0321),
+(-2.8,-2.6,208.0,232.5,0.0321,0.0331,0.0321,0.0331),
+(-2.8,-2.6,232.5,258.5,0.0331,0.0345,0.0331,0.0345),
+(-2.8,-2.6,258.5,286.0,0.0345,0.0365,0.0345,0.0365),
+(-2.8,-2.6,286.0,331.0,0.0365,0.0396,0.0365,0.0396),
+(-2.8,-2.6,331.0,396.0,0.0396,0.045,0.0396,0.045),
+(-2.8,-2.6,396.0,468.5,0.045,0.0478,0.045,0.0478),
+(-2.8,-2.6,468.5,549.5,0.0478,0.0456,0.0478,0.0456),
+(-2.8,-2.6,549.5,639.0,0.0456,0.0451,0.0456,0.0451),
+(-2.8,-2.6,639.0,738.0,0.0451,0.0455,0.0451,0.0455),
+(-2.8,-2.6,738.0,847.5,0.0455,0.0457,0.0455,0.0457),
+(-2.8,-2.6,847.5,968.5,0.0457,0.046,0.0457,0.046),
+(-2.8,-2.6,968.5,1102.0,0.046,0.0462,0.046,0.0462),
+(-2.8,-2.6,1102.0,1249.5,0.0462,0.0464,0.0462,0.0464),
+(-2.8,-2.6,1249.5,1412.0,0.0464,0.0466,0.0464,0.0466),
+(-2.8,-2.6,1412.0,1590.5,0.0466,0.0469,0.0466,0.0469),
+(-2.8,-2.6,1590.5,1787.0,0.0469,0.0471,0.0469,0.0471),
+(-2.8,-2.6,1787.0,2003.0,0.0471,0.0474,0.0471,0.0474),
+(-2.8,-2.6,2003.0,2241.0,0.0474,0.0477,0.0474,0.0477),
+(-2.8,-2.6,2241.0,2503.0,0.0477,0.048,0.0477,0.048),
+(-2.8,-2.6,2503.0,2790.5,0.048,0.0483,0.048,0.0483),
+(-2.8,-2.6,2790.5,3107.0,0.0483,0.0486,0.0483,0.0486),
+(-2.8,-2.6,3107.0,3455.0,0.0486,0.049,0.0486,0.049),
+(-2.8,-2.6,3455.0,3837.0,0.049,0.0494,0.049,0.0494),
+(-2.8,-2.6,3837.0,4257.0,0.0494,0.0499,0.0494,0.0499),
+(-2.8,-2.6,4257.0,4719.0,0.0499,0.0504,0.0499,0.0504),
+(-2.8,-2.6,4719.0,5226.5,0.0504,0.0509,0.0504,0.0509),
+(-2.8,-2.6,5226.5,5784.0,0.0509,0.0311,0.0509,0.0311),
+(-2.8,-2.6,5784.0,6538.0,0.0311,0.032,0.0311,0.032),
+(-2.8,-2.6,6538.0,1e+18,0.032,0.032,0.032,0.032),
+(-2.6,-2.4,-1e+18,9.0,0.1197,0.1197,0.1197,0.1197),
+(-2.6,-2.4,9.0,11.0,0.1197,0.1055,0.1197,0.1055),
+(-2.6,-2.4,11.0,13.5,0.1055,0.0913,0.1055,0.0913),
+(-2.6,-2.4,13.5,16.5,0.0913,0.0798,0.0913,0.0798),
+(-2.6,-2.4,16.5,19.5,0.0798,0.0724,0.0798,0.0724),
+(-2.6,-2.4,19.5,22.5,0.0724,0.0669,0.0724,0.0669),
+(-2.6,-2.4,22.5,26.0,0.0669,0.0624,0.0669,0.0624),
+(-2.6,-2.4,26.0,30.0,0.0624,0.0595,0.0624,0.0595),
+(-2.6,-2.4,30.0,34.5,0.0595,0.0554,0.0595,0.0554),
+(-2.6,-2.4,34.5,40.0,0.0554,0.0525,0.0554,0.0525),
+(-2.6,-2.4,40.0,46.0,0.0525,0.0492,0.0525,0.0492),
+(-2.6,-2.4,46.0,52.5,0.0492,0.0464,0.0492,0.0464),
+(-2.6,-2.4,52.5,60.0,0.0464,0.0439,0.0464,0.0439),
+(-2.6,-2.4,60.0,69.0,0.0439,0.0413,0.0439,0.0413),
+(-2.6,-2.4,69.0,79.0,0.0413,0.0389,0.0413,0.0389),
+(-2.6,-2.4,79.0,90.5,0.0389,0.0367,0.0389,0.0367),
+(-2.6,-2.4,90.5,105.5,0.0367,0.0342,0.0367,0.0342),
+(-2.6,-2.4,105.5,123.5,0.0342,0.0319,0.0342,0.0319),
+(-2.6,-2.4,123.5,143.0,0.0319,0.0298,0.0319,0.0298),
+(-2.6,-2.4,143.0,163.5,0.0298,0.028,0.0298,0.028),
+(-2.6,-2.4,163.5,185.0,0.028,0.0265,0.028,0.0265),
+(-2.6,-2.4,185.0,208.0,0.0265,0.0251,0.0265,0.0251),
+(-2.6,-2.4,208.0,232.5,0.0251,0.024,0.0251,0.024),
+(-2.6,-2.4,232.5,258.5,0.024,0.0229,0.024,0.0229),
+(-2.6,-2.4,258.5,286.0,0.0229,0.022,0.0229,0.022),
+(-2.6,-2.4,286.0,331.0,0.022,0.0208,0.022,0.0208),
+(-2.6,-2.4,331.0,396.0,0.0208,0.02,0.0208,0.02),
+(-2.6,-2.4,396.0,468.5,0.02,0.0193,0.02,0.0193),
+(-2.6,-2.4,468.5,549.5,0.0193,0.0191,0.0193,0.0191),
+(-2.6,-2.4,549.5,639.0,0.0191,0.0189,0.0191,0.0189),
+(-2.6,-2.4,639.0,738.0,0.0189,0.0189,0.0189,0.0189),
+(-2.6,-2.4,738.0,847.5,0.0189,0.0194,0.0189,0.0194),
+(-2.6,-2.4,847.5,968.5,0.0194,0.0188,0.0194,0.0188),
+(-2.6,-2.4,968.5,1102.0,0.0188,0.0189,0.0188,0.0189),
+(-2.6,-2.4,1102.0,1249.5,0.0189,0.0191,0.0189,0.0191),
+(-2.6,-2.4,1249.5,1412.0,0.0191,0.0193,0.0191,0.0193),
+(-2.6,-2.4,1412.0,1590.5,0.0193,0.0196,0.0193,0.0196),
+(-2.6,-2.4,1590.5,1787.0,0.0196,0.0199,0.0196,0.0199),
+(-2.6,-2.4,1787.0,2003.0,0.0199,0.0202,0.0199,0.0202),
+(-2.6,-2.4,2003.0,2241.0,0.0202,0.0205,0.0202,0.0205),
+(-2.6,-2.4,2241.0,2503.0,0.0205,0.0209,0.0205,0.0209),
+(-2.6,-2.4,2503.0,2790.5,0.0209,0.0213,0.0209,0.0213),
+(-2.6,-2.4,2790.5,3107.0,0.0213,0.0217,0.0213,0.0217),
+(-2.6,-2.4,3107.0,3455.0,0.0217,0.0221,0.0217,0.0221),
+(-2.6,-2.4,3455.0,3837.0,0.0221,0.0226,0.0221,0.0226),
+(-2.6,-2.4,3837.0,4257.0,0.0226,0.0232,0.0226,0.0232),
+(-2.6,-2.4,4257.0,4719.0,0.0232,0.0238,0.0232,0.0238),
+(-2.6,-2.4,4719.0,5226.5,0.0238,0.0244,0.0238,0.0244),
+(-2.6,-2.4,5226.5,5784.0,0.0244,0.025,0.0244,0.025),
+(-2.6,-2.4,5784.0,6538.0,0.025,0.0456,0.025,0.0456),
+(-2.6,-2.4,6538.0,1e+18,0.0456,0.0456,0.0456,0.0456),
+(-2.4,-2.2,-1e+18,9.0,0.0641,0.0641,0.0641,0.0641),
+(-2.4,-2.2,9.0,11.0,0.0641,0.0594,0.0641,0.0594),
+(-2.4,-2.2,11.0,13.5,0.0594,0.054,0.0594,0.054),
+(-2.4,-2.2,13.5,16.5,0.054,0.0498,0.054,0.0498),
+(-2.4,-2.2,16.5,19.5,0.0498,0.0471,0.0498,0.0471),
+(-2.4,-2.2,19.5,22.5,0.0471,0.0452,0.0471,0.0452),
+(-2.4,-2.2,22.5,26.0,0.0452,0.0437,0.0452,0.0437),
+(-2.4,-2.2,26.0,30.0,0.0437,0.0428,0.0437,0.0428),
+(-2.4,-2.2,30.0,34.5,0.0428,0.0411,0.0428,0.0411),
+(-2.4,-2.2,34.5,40.0,0.0411,0.0394,0.0411,0.0394),
+(-2.4,-2.2,40.0,46.0,0.0394,0.0379,0.0394,0.0379),
+(-2.4,-2.2,46.0,52.5,0.0379,0.0367,0.0379,0.0367),
+(-2.4,-2.2,52.5,60.0,0.0367,0.0355,0.0367,0.0355),
+(-2.4,-2.2,60.0,69.0,0.0355,0.0343,0.0355,0.0343),
+(-2.4,-2.2,69.0,79.0,0.0343,0.0332,0.0343,0.0332),
+(-2.4,-2.2,79.0,90.5,0.0332,0.0321,0.0332,0.0321),
+(-2.4,-2.2,90.5,105.5,0.0321,0.0309,0.0321,0.0309),
+(-2.4,-2.2,105.5,123.5,0.0309,0.0298,0.0309,0.0298),
+(-2.4,-2.2,123.5,143.0,0.0298,0.0288,0.0298,0.0288),
+(-2.4,-2.2,143.0,163.5,0.0288,0.028,0.0288,0.028),
+(-2.4,-2.2,163.5,185.0,0.028,0.0272,0.028,0.0272),
+(-2.4,-2.2,185.0,208.0,0.0272,0.0264,0.0272,0.0264),
+(-2.4,-2.2,208.0,232.5,0.0264,0.0258,0.0264,0.0258),
+(-2.4,-2.2,232.5,258.5,0.0258,0.0251,0.0258,0.0251),
+(-2.4,-2.2,258.5,286.0,0.0251,0.0246,0.0251,0.0246),
+(-2.4,-2.2,286.0,331.0,0.0246,0.0237,0.0246,0.0237),
+(-2.4,-2.2,331.0,396.0,0.0237,0.0227,0.0237,0.0227),
+(-2.4,-2.2,396.0,468.5,0.0227,0.0219,0.0227,0.0219),
+(-2.4,-2.2,468.5,549.5,0.0219,0.0212,0.0219,0.0212),
+(-2.4,-2.2,549.5,639.0,0.0212,0.0207,0.0212,0.0207),
+(-2.4,-2.2,639.0,738.0,0.0207,0.0203,0.0207,0.0203),
+(-2.4,-2.2,738.0,847.5,0.0203,0.0203,0.0203,0.0203),
+(-2.4,-2.2,847.5,968.5,0.0203,0.0203,0.0203,0.0203),
+(-2.4,-2.2,968.5,1102.0,0.0203,0.0206,0.0203,0.0206),
+(-2.4,-2.2,1102.0,1249.5,0.0206,0.0208,0.0206,0.0208),
+(-2.4,-2.2,1249.5,1412.0,0.0208,0.0214,0.0208,0.0214),
+(-2.4,-2.2,1412.0,1590.5,0.0214,0.0222,0.0214,0.0222),
+(-2.4,-2.2,1590.5,1787.0,0.0222,0.023,0.0222,0.023),
+(-2.4,-2.2,1787.0,2003.0,0.023,0.024,0.023,0.024),
+(-2.4,-2.2,2003.0,2241.0,0.024,0.025,0.024,0.025),
+(-2.4,-2.2,2241.0,2503.0,0.025,0.0261,0.025,0.0261),
+(-2.4,-2.2,2503.0,2790.5,0.0261,0.0273,0.0261,0.0273),
+(-2.4,-2.2,2790.5,3107.0,0.0273,0.0285,0.0273,0.0285),
+(-2.4,-2.2,3107.0,3455.0,0.0285,0.0298,0.0285,0.0298),
+(-2.4,-2.2,3455.0,3837.0,0.0298,0.0312,0.0298,0.0312),
+(-2.4,-2.2,3837.0,4257.0,0.0312,0.0327,0.0312,0.0327),
+(-2.4,-2.2,4257.0,4719.0,0.0327,0.0342,0.0327,0.0342),
+(-2.4,-2.2,4719.0,5226.5,0.0342,0.0357,0.0342,0.0357),
+(-2.4,-2.2,5226.5,5784.0,0.0357,0.0373,0.0357,0.0373),
+(-2.4,-2.2,5784.0,6538.0,0.0373,0.0393,0.0373,0.0393),
+(-2.4,-2.2,6538.0,1e+18,0.0393,0.0393,0.0393,0.0393),
+(-2.2,-2.0,-1e+18,9.0,0.0634,0.0634,0.0634,0.0634),
+(-2.2,-2.0,9.0,11.0,0.0634,0.0597,0.0634,0.0597),
+(-2.2,-2.0,11.0,13.5,0.0597,0.0558,0.0597,0.0558),
+(-2.2,-2.0,13.5,16.5,0.0558,0.0522,0.0558,0.0522),
+(-2.2,-2.0,16.5,19.5,0.0522,0.0493,0.0522,0.0493),
+(-2.2,-2.0,19.5,22.5,0.0493,0.0475,0.0493,0.0475),
+(-2.2,-2.0,22.5,26.0,0.0475,0.0461,0.0475,0.0461),
+(-2.2,-2.0,26.0,30.0,0.0461,0.0452,0.0461,0.0452),
+(-2.2,-2.0,30.0,34.5,0.0452,0.043,0.0452,0.043),
+(-2.2,-2.0,34.5,40.0,0.043,0.0412,0.043,0.0412),
+(-2.2,-2.0,40.0,46.0,0.0412,0.0391,0.0412,0.0391),
+(-2.2,-2.0,46.0,52.5,0.0391,0.0375,0.0391,0.0375),
+(-2.2,-2.0,52.5,60.0,0.0375,0.0358,0.0375,0.0358),
+(-2.2,-2.0,60.0,69.0,0.0358,0.034,0.0358,0.034),
+(-2.2,-2.0,69.0,79.0,0.034,0.0324,0.034,0.0324),
+(-2.2,-2.0,79.0,90.5,0.0324,0.0308,0.0324,0.0308),
+(-2.2,-2.0,90.5,105.5,0.0308,0.0291,0.0308,0.0291),
+(-2.2,-2.0,105.5,123.5,0.0291,0.0274,0.0291,0.0274),
+(-2.2,-2.0,123.5,143.0,0.0274,0.0259,0.0274,0.0259),
+(-2.2,-2.0,143.0,163.5,0.0259,0.0246,0.0259,0.0246),
+(-2.2,-2.0,163.5,185.0,0.0246,0.0234,0.0246,0.0234),
+(-2.2,-2.0,185.0,208.0,0.0234,0.0223,0.0234,0.0223),
+(-2.2,-2.0,208.0,232.5,0.0223,0.0213,0.0223,0.0213),
+(-2.2,-2.0,232.5,258.5,0.0213,0.0203,0.0213,0.0203),
+(-2.2,-2.0,258.5,286.0,0.0203,0.0194,0.0203,0.0194),
+(-2.2,-2.0,286.0,331.0,0.0194,0.0182,0.0194,0.0182),
+(-2.2,-2.0,331.0,396.0,0.0182,0.0167,0.0182,0.0167),
+(-2.2,-2.0,396.0,468.5,0.0167,0.0155,0.0167,0.0155),
+(-2.2,-2.0,468.5,549.5,0.0155,0.0145,0.0155,0.0145),
+(-2.2,-2.0,549.5,639.0,0.0145,0.0139,0.0145,0.0139),
+(-2.2,-2.0,639.0,738.0,0.0139,0.0136,0.0139,0.0136),
+(-2.2,-2.0,738.0,847.5,0.0136,0.0137,0.0136,0.0137),
+(-2.2,-2.0,847.5,968.5,0.0137,0.0142,0.0137,0.0142),
+(-2.2,-2.0,968.5,1102.0,0.0142,0.0148,0.0142,0.0148),
+(-2.2,-2.0,1102.0,1249.5,0.0148,0.0156,0.0148,0.0156),
+(-2.2,-2.0,1249.5,1412.0,0.0156,0.0164,0.0156,0.0164),
+(-2.2,-2.0,1412.0,1590.5,0.0164,0.0173,0.0164,0.0173),
+(-2.2,-2.0,1590.5,1787.0,0.0173,0.0184,0.0173,0.0184),
+(-2.2,-2.0,1787.0,2003.0,0.0184,0.0196,0.0184,0.0196),
+(-2.2,-2.0,2003.0,2241.0,0.0196,0.0208,0.0196,0.0208),
+(-2.2,-2.0,2241.0,2503.0,0.0208,0.0221,0.0208,0.0221),
+(-2.2,-2.0,2503.0,2790.5,0.0221,0.0235,0.0221,0.0235),
+(-2.2,-2.0,2790.5,3107.0,0.0235,0.0249,0.0235,0.0249),
+(-2.2,-2.0,3107.0,3455.0,0.0249,0.0264,0.0249,0.0264),
+(-2.2,-2.0,3455.0,3837.0,0.0264,0.0279,0.0264,0.0279),
+(-2.2,-2.0,3837.0,4257.0,0.0279,0.0295,0.0279,0.0295),
+(-2.2,-2.0,4257.0,4719.0,0.0295,0.0312,0.0295,0.0312),
+(-2.2,-2.0,4719.0,5226.5,0.0312,0.0328,0.0312,0.0328),
+(-2.2,-2.0,5226.5,5784.0,0.0328,0.0345,0.0328,0.0345),
+(-2.2,-2.0,5784.0,6538.0,0.0345,0.0517,0.0345,0.0517),
+(-2.2,-2.0,6538.0,1e+18,0.0517,0.0517,0.0517,0.0517),
+(-2.0,-1.8,-1e+18,9.0,0.0662,0.0662,0.0662,0.0662),
+(-2.0,-1.8,9.0,11.0,0.0662,0.0619,0.0662,0.0619),
+(-2.0,-1.8,11.0,13.5,0.0619,0.057,0.0619,0.057),
+(-2.0,-1.8,13.5,16.5,0.057,0.0532,0.057,0.0532),
+(-2.0,-1.8,16.5,19.5,0.0532,0.0509,0.0532,0.0509),
+(-2.0,-1.8,19.5,22.5,0.0509,0.0489,0.0509,0.0489),
+(-2.0,-1.8,22.5,26.0,0.0489,0.0473,0.0489,0.0473),
+(-2.0,-1.8,26.0,30.0,0.0473,0.0463,0.0473,0.0463),
+(-2.0,-1.8,30.0,34.5,0.0463,0.0443,0.0463,0.0443),
+(-2.0,-1.8,34.5,40.0,0.0443,0.042,0.0443,0.042),
+(-2.0,-1.8,40.0,46.0,0.042,0.0401,0.042,0.0401),
+(-2.0,-1.8,46.0,52.5,0.0401,0.0382,0.0401,0.0382),
+(-2.0,-1.8,52.5,60.0,0.0382,0.0365,0.0382,0.0365),
+(-2.0,-1.8,60.0,69.0,0.0365,0.0347,0.0365,0.0347),
+(-2.0,-1.8,69.0,79.0,0.0347,0.033,0.0347,0.033),
+(-2.0,-1.8,79.0,90.5,0.033,0.0313,0.033,0.0313),
+(-2.0,-1.8,90.5,105.5,0.0313,0.0295,0.0313,0.0295),
+(-2.0,-1.8,105.5,123.5,0.0295,0.0278,0.0295,0.0278),
+(-2.0,-1.8,123.5,143.0,0.0278,0.0262,0.0278,0.0262),
+(-2.0,-1.8,143.0,163.5,0.0262,0.0248,0.0262,0.0248),
+(-2.0,-1.8,163.5,185.0,0.0248,0.0236,0.0248,0.0236),
+(-2.0,-1.8,185.0,208.0,0.0236,0.0225,0.0236,0.0225),
+(-2.0,-1.8,208.0,232.5,0.0225,0.0214,0.0225,0.0214),
+(-2.0,-1.8,232.5,258.5,0.0214,0.0204,0.0214,0.0204),
+(-2.0,-1.8,258.5,286.0,0.0204,0.0195,0.0204,0.0195),
+(-2.0,-1.8,286.0,331.0,0.0195,0.0182,0.0195,0.0182),
+(-2.0,-1.8,331.0,396.0,0.0182,0.0167,0.0182,0.0167),
+(-2.0,-1.8,396.0,468.5,0.0167,0.0154,0.0167,0.0154),
+(-2.0,-1.8,468.5,549.5,0.0154,0.0144,0.0154,0.0144),
+(-2.0,-1.8,549.5,639.0,0.0144,0.0137,0.0144,0.0137),
+(-2.0,-1.8,639.0,738.0,0.0137,0.0133,0.0137,0.0133),
+(-2.0,-1.8,738.0,847.5,0.0133,0.0132,0.0133,0.0132),
+(-2.0,-1.8,847.5,968.5,0.0132,0.0134,0.0132,0.0134),
+(-2.0,-1.8,968.5,1102.0,0.0134,0.0139,0.0134,0.0139),
+(-2.0,-1.8,1102.0,1249.5,0.0139,0.0143,0.0139,0.0143),
+(-2.0,-1.8,1249.5,1412.0,0.0143,0.0149,0.0143,0.0149),
+(-2.0,-1.8,1412.0,1590.5,0.0149,0.0155,0.0149,0.0155),
+(-2.0,-1.8,1590.5,1787.0,0.0155,0.0161,0.0155,0.0161),
+(-2.0,-1.8,1787.0,2003.0,0.0161,0.0168,0.0161,0.0168),
+(-2.0,-1.8,2003.0,2241.0,0.0168,0.0177,0.0168,0.0177),
+(-2.0,-1.8,2241.0,2503.0,0.0177,0.0187,0.0177,0.0187),
+(-2.0,-1.8,2503.0,2790.5,0.0187,0.0197,0.0187,0.0197),
+(-2.0,-1.8,2790.5,3107.0,0.0197,0.0207,0.0197,0.0207),
+(-2.0,-1.8,3107.0,3455.0,0.0207,0.0218,0.0207,0.0218),
+(-2.0,-1.8,3455.0,3837.0,0.0218,0.023,0.0218,0.023),
+(-2.0,-1.8,3837.0,4257.0,0.023,0.0242,0.023,0.0242),
+(-2.0,-1.8,4257.0,4719.0,0.0242,0.0254,0.0242,0.0254),
+(-2.0,-1.8,4719.0,5226.5,0.0254,0.0267,0.0254,0.0267),
+(-2.0,-1.8,5226.5,5784.0,0.0267,0.0279,0.0267,0.0279),
+(-2.0,-1.8,5784.0,6538.0,0.0279,0.0425,0.0279,0.0425),
+(-2.0,-1.8,6538.0,1e+18,0.0425,0.0425,0.0425,0.0425),
+(-1.8,-1.6,-1e+18,9.0,0.0687,0.0687,0.0687,0.0687),
+(-1.8,-1.6,9.0,11.0,0.0687,0.0642,0.0687,0.0642),
+(-1.8,-1.6,11.0,13.5,0.0642,0.0595,0.0642,0.0595),
+(-1.8,-1.6,13.5,16.5,0.0595,0.0549,0.0595,0.0549),
+(-1.8,-1.6,16.5,19.5,0.0549,0.052,0.0549,0.052),
+(-1.8,-1.6,19.5,22.5,0.052,0.0498,0.052,0.0498),
+(-1.8,-1.6,22.5,26.0,0.0498,0.048,0.0498,0.048),
+(-1.8,-1.6,26.0,30.0,0.048,0.0468,0.048,0.0468),
+(-1.8,-1.6,30.0,34.5,0.0468,0.0446,0.0468,0.0446),
+(-1.8,-1.6,34.5,40.0,0.0446,0.0423,0.0446,0.0423),
+(-1.8,-1.6,40.0,46.0,0.0423,0.0401,0.0423,0.0401),
+(-1.8,-1.6,46.0,52.5,0.0401,0.0383,0.0401,0.0383),
+(-1.8,-1.6,52.5,60.0,0.0383,0.0365,0.0383,0.0365),
+(-1.8,-1.6,60.0,69.0,0.0365,0.0347,0.0365,0.0347),
+(-1.8,-1.6,69.0,79.0,0.0347,0.033,0.0347,0.033),
+(-1.8,-1.6,79.0,90.5,0.033,0.0313,0.033,0.0313),
+(-1.8,-1.6,90.5,105.5,0.0313,0.0295,0.0313,0.0295),
+(-1.8,-1.6,105.5,123.5,0.0295,0.0278,0.0295,0.0278),
+(-1.8,-1.6,123.5,143.0,0.0278,0.0262,0.0278,0.0262),
+(-1.8,-1.6,143.0,163.5,0.0262,0.0248,0.0262,0.0248),
+(-1.8,-1.6,163.5,185.0,0.0248,0.0236,0.0248,0.0236),
+(-1.8,-1.6,185.0,208.0,0.0236,0.0224,0.0236,0.0224),
+(-1.8,-1.6,208.0,232.5,0.0224,0.0213,0.0224,0.0213),
+(-1.8,-1.6,232.5,258.5,0.0213,0.0203,0.0213,0.0203),
+(-1.8,-1.6,258.5,286.0,0.0203,0.0194,0.0203,0.0194),
+(-1.8,-1.6,286.0,331.0,0.0194,0.0181,0.0194,0.0181),
+(-1.8,-1.6,331.0,396.0,0.0181,0.0166,0.0181,0.0166),
+(-1.8,-1.6,396.0,468.5,0.0166,0.0154,0.0166,0.0154),
+(-1.8,-1.6,468.5,549.5,0.0154,0.0144,0.0154,0.0144),
+(-1.8,-1.6,549.5,639.0,0.0144,0.0136,0.0144,0.0136),
+(-1.8,-1.6,639.0,738.0,0.0136,0.0132,0.0136,0.0132),
+(-1.8,-1.6,738.0,847.5,0.0132,0.013,0.0132,0.013),
+(-1.8,-1.6,847.5,968.5,0.013,0.0132,0.013,0.0132),
+(-1.8,-1.6,968.5,1102.0,0.0132,0.0136,0.0132,0.0136),
+(-1.8,-1.6,1102.0,1249.5,0.0136,0.0138,0.0136,0.0138),
+(-1.8,-1.6,1249.5,1412.0,0.0138,0.0142,0.0138,0.0142),
+(-1.8,-1.6,1412.0,1590.5,0.0142,0.0147,0.0142,0.0147),
+(-1.8,-1.6,1590.5,1787.0,0.0147,0.015,0.0147,0.015),
+(-1.8,-1.6,1787.0,2003.0,0.015,0.0155,0.015,0.0155),
+(-1.8,-1.6,2003.0,2241.0,0.0155,0.016,0.0155,0.016),
+(-1.8,-1.6,2241.0,2503.0,0.016,0.0167,0.016,0.0167),
+(-1.8,-1.6,2503.0,2790.5,0.0167,0.0175,0.0167,0.0175),
+(-1.8,-1.6,2790.5,3107.0,0.0175,0.0183,0.0175,0.0183),
+(-1.8,-1.6,3107.0,3455.0,0.0183,0.0191,0.0183,0.0191),
+(-1.8,-1.6,3455.0,3837.0,0.0191,0.0201,0.0191,0.0201),
+(-1.8,-1.6,3837.0,4257.0,0.0201,0.021,0.0201,0.021),
+(-1.8,-1.6,4257.0,4719.0,0.021,0.022,0.021,0.022),
+(-1.8,-1.6,4719.0,5226.5,0.022,0.023,0.022,0.023),
+(-1.8,-1.6,5226.5,5784.0,0.023,0.024,0.023,0.024),
+(-1.8,-1.6,5784.0,6538.0,0.024,0.045,0.024,0.045),
+(-1.8,-1.6,6538.0,1e+18,0.045,0.045,0.045,0.045),
+(-1.6,-1.4,-1e+18,9.0,0.0618,0.0618,0.0618,0.0618),
+(-1.6,-1.4,9.0,11.0,0.0618,0.0561,0.0618,0.0561),
+(-1.6,-1.4,11.0,13.5,0.0561,0.0499,0.0561,0.0499),
+(-1.6,-1.4,13.5,16.5,0.0499,0.0457,0.0499,0.0457),
+(-1.6,-1.4,16.5,19.5,0.0457,0.0421,0.0457,0.0421),
+(-1.6,-1.4,19.5,22.5,0.0421,0.0398,0.0421,0.0398),
+(-1.6,-1.4,22.5,26.0,0.0398,0.0377,0.0398,0.0377),
+(-1.6,-1.4,26.0,30.0,0.0377,0.0369,0.0377,0.0369),
+(-1.6,-1.4,30.0,34.5,0.0369,0.0351,0.0369,0.0351),
+(-1.6,-1.4,34.5,40.0,0.0351,0.0331,0.0351,0.0331),
+(-1.6,-1.4,40.0,46.0,0.0331,0.0317,0.0331,0.0317),
+(-1.6,-1.4,46.0,52.5,0.0317,0.0303,0.0317,0.0303),
+(-1.6,-1.4,52.5,60.0,0.0303,0.0291,0.0303,0.0291),
+(-1.6,-1.4,60.0,69.0,0.0291,0.028,0.0291,0.028),
+(-1.6,-1.4,69.0,79.0,0.028,0.027,0.028,0.027),
+(-1.6,-1.4,79.0,90.5,0.027,0.026,0.027,0.026),
+(-1.6,-1.4,90.5,105.5,0.026,0.025,0.026,0.025),
+(-1.6,-1.4,105.5,123.5,0.025,0.0241,0.025,0.0241),
+(-1.6,-1.4,123.5,143.0,0.0241,0.0233,0.0241,0.0233),
+(-1.6,-1.4,143.0,163.5,0.0233,0.0227,0.0233,0.0227),
+(-1.6,-1.4,163.5,185.0,0.0227,0.0221,0.0227,0.0221),
+(-1.6,-1.4,185.0,208.0,0.0221,0.0216,0.0221,0.0216),
+(-1.6,-1.4,208.0,232.5,0.0216,0.0211,0.0216,0.0211),
+(-1.6,-1.4,232.5,258.5,0.0211,0.0207,0.0211,0.0207),
+(-1.6,-1.4,258.5,286.0,0.0207,0.0203,0.0207,0.0203),
+(-1.6,-1.4,286.0,331.0,0.0203,0.0197,0.0203,0.0197),
+(-1.6,-1.4,331.0,396.0,0.0197,0.0191,0.0197,0.0191),
+(-1.6,-1.4,396.0,468.5,0.0191,0.0186,0.0191,0.0186),
+(-1.6,-1.4,468.5,549.5,0.0186,0.0183,0.0186,0.0183),
+(-1.6,-1.4,549.5,639.0,0.0183,0.018,0.0183,0.018),
+(-1.6,-1.4,639.0,738.0,0.018,0.0179,0.018,0.0179),
+(-1.6,-1.4,738.0,847.5,0.0179,0.0179,0.0179,0.0179),
+(-1.6,-1.4,847.5,968.5,0.0179,0.0181,0.0179,0.0181),
+(-1.6,-1.4,968.5,1102.0,0.0181,0.0183,0.0181,0.0183),
+(-1.6,-1.4,1102.0,1249.5,0.0183,0.0186,0.0183,0.0186),
+(-1.6,-1.4,1249.5,1412.0,0.0186,0.0188,0.0186,0.0188),
+(-1.6,-1.4,1412.0,1590.5,0.0188,0.0191,0.0188,0.0191),
+(-1.6,-1.4,1590.5,1787.0,0.0191,0.0194,0.0191,0.0194),
+(-1.6,-1.4,1787.0,2003.0,0.0194,0.0197,0.0194,0.0197),
+(-1.6,-1.4,2003.0,2241.0,0.0197,0.02,0.0197,0.02),
+(-1.6,-1.4,2241.0,2503.0,0.02,0.0204,0.02,0.0204),
+(-1.6,-1.4,2503.0,2790.5,0.0204,0.0208,0.0204,0.0208),
+(-1.6,-1.4,2790.5,3107.0,0.0208,0.0213,0.0208,0.0213),
+(-1.6,-1.4,3107.0,3455.0,0.0213,0.0218,0.0213,0.0218),
+(-1.6,-1.4,3455.0,3837.0,0.0218,0.0224,0.0218,0.0224),
+(-1.6,-1.4,3837.0,4257.0,0.0224,0.023,0.0224,0.023),
+(-1.6,-1.4,4257.0,4719.0,0.023,0.0236,0.023,0.0236),
+(-1.6,-1.4,4719.0,5226.5,0.0236,0.0243,0.0236,0.0243),
+(-1.6,-1.4,5226.5,5784.0,0.0243,0.0249,0.0243,0.0249),
+(-1.6,-1.4,5784.0,6538.0,0.0249,0.0291,0.0249,0.0291),
+(-1.6,-1.4,6538.0,1e+18,0.0291,0.0291,0.0291,0.0291),
+(-1.4,-1.2,-1e+18,9.0,0.0635,0.0635,0.0635,0.0635),
+(-1.4,-1.2,9.0,11.0,0.0635,0.0572,0.0635,0.0572),
+(-1.4,-1.2,11.0,13.5,0.0572,0.0496,0.0572,0.0496),
+(-1.4,-1.2,13.5,16.5,0.0496,0.0433,0.0496,0.0433),
+(-1.4,-1.2,16.5,19.5,0.0433,0.0384,0.0433,0.0384),
+(-1.4,-1.2,19.5,22.5,0.0384,0.0347,0.0384,0.0347),
+(-1.4,-1.2,22.5,26.0,0.0347,0.0314,0.0347,0.0314),
+(-1.4,-1.2,26.0,30.0,0.0314,0.0296,0.0314,0.0296),
+(-1.4,-1.2,30.0,34.5,0.0296,0.027,0.0296,0.027),
+(-1.4,-1.2,34.5,40.0,0.027,0.0248,0.027,0.0248),
+(-1.4,-1.2,40.0,46.0,0.0248,0.0227,0.0248,0.0227),
+(-1.4,-1.2,46.0,52.5,0.0227,0.0209,0.0227,0.0209),
+(-1.4,-1.2,52.5,60.0,0.0209,0.0194,0.0209,0.0194),
+(-1.4,-1.2,60.0,69.0,0.0194,0.018,0.0194,0.018),
+(-1.4,-1.2,69.0,79.0,0.018,0.0167,0.018,0.0167),
+(-1.4,-1.2,79.0,90.5,0.0167,0.0155,0.0167,0.0155),
+(-1.4,-1.2,90.5,105.5,0.0155,0.0143,0.0155,0.0143),
+(-1.4,-1.2,105.5,123.5,0.0143,0.0132,0.0143,0.0132),
+(-1.4,-1.2,123.5,143.0,0.0132,0.0123,0.0132,0.0123),
+(-1.4,-1.2,143.0,163.5,0.0123,0.0115,0.0123,0.0115),
+(-1.4,-1.2,163.5,185.0,0.0115,0.0108,0.0115,0.0108),
+(-1.4,-1.2,185.0,208.0,0.0108,0.0102,0.0108,0.0102),
+(-1.4,-1.2,208.0,232.5,0.0102,0.0096,0.0102,0.0096),
+(-1.4,-1.2,232.5,258.5,0.0096,0.0091,0.0096,0.0091),
+(-1.4,-1.2,258.5,286.0,0.0091,0.0086,0.0091,0.0086),
+(-1.4,-1.2,286.0,331.0,0.0086,0.0079,0.0086,0.0079),
+(-1.4,-1.2,331.0,396.0,0.0079,0.007,0.0079,0.007),
+(-1.4,-1.2,396.0,468.5,0.007,0.0063,0.007,0.0063),
+(-1.4,-1.2,468.5,549.5,0.0063,0.0059,0.0063,0.0059),
+(-1.4,-1.2,549.5,639.0,0.0059,0.0056,0.0059,0.0056),
+(-1.4,-1.2,639.0,738.0,0.0056,0.0056,0.0056,0.0056),
+(-1.4,-1.2,738.0,847.5,0.0056,0.0059,0.0056,0.0059),
+(-1.4,-1.2,847.5,968.5,0.0059,0.0065,0.0059,0.0065),
+(-1.4,-1.2,968.5,1102.0,0.0065,0.0072,0.0065,0.0072),
+(-1.4,-1.2,1102.0,1249.5,0.0072,0.0078,0.0072,0.0078),
+(-1.4,-1.2,1249.5,1412.0,0.0078,0.0085,0.0078,0.0085),
+(-1.4,-1.2,1412.0,1590.5,0.0085,0.0093,0.0085,0.0093),
+(-1.4,-1.2,1590.5,1787.0,0.0093,0.0101,0.0093,0.0101),
+(-1.4,-1.2,1787.0,2003.0,0.0101,0.011,0.0101,0.011),
+(-1.4,-1.2,2003.0,2241.0,0.011,0.0118,0.011,0.0118),
+(-1.4,-1.2,2241.0,2503.0,0.0118,0.0126,0.0118,0.0126),
+(-1.4,-1.2,2503.0,2790.5,0.0126,0.0135,0.0126,0.0135),
+(-1.4,-1.2,2790.5,3107.0,0.0135,0.0144,0.0135,0.0144),
+(-1.4,-1.2,3107.0,3455.0,0.0144,0.0152,0.0144,0.0152),
+(-1.4,-1.2,3455.0,3837.0,0.0152,0.0161,0.0152,0.0161),
+(-1.4,-1.2,3837.0,4257.0,0.0161,0.017,0.0161,0.017),
+(-1.4,-1.2,4257.0,4719.0,0.017,0.0179,0.017,0.0179),
+(-1.4,-1.2,4719.0,5226.5,0.0179,0.0187,0.0179,0.0187),
+(-1.4,-1.2,5226.5,5784.0,0.0187,0.0196,0.0187,0.0196),
+(-1.4,-1.2,5784.0,6538.0,0.0196,0.0276,0.0196,0.0276),
+(-1.4,-1.2,6538.0,1e+18,0.0276,0.0276,0.0276,0.0276),
+(-1.2,-1.0,-1e+18,9.0,0.0645,0.0645,0.0645,0.0645),
+(-1.2,-1.0,9.0,11.0,0.0645,0.0574,0.0645,0.0574),
+(-1.2,-1.0,11.0,13.5,0.0574,0.0488,0.0574,0.0488),
+(-1.2,-1.0,13.5,16.5,0.0488,0.0422,0.0488,0.0422),
+(-1.2,-1.0,16.5,19.5,0.0422,0.0372,0.0422,0.0372),
+(-1.2,-1.0,19.5,22.5,0.0372,0.0335,0.0372,0.0335),
+(-1.2,-1.0,22.5,26.0,0.0335,0.0304,0.0335,0.0304),
+(-1.2,-1.0,26.0,30.0,0.0304,0.0289,0.0304,0.0289),
+(-1.2,-1.0,30.0,34.5,0.0289,0.0263,0.0289,0.0263),
+(-1.2,-1.0,34.5,40.0,0.0263,0.0241,0.0263,0.0241),
+(-1.2,-1.0,40.0,46.0,0.0241,0.0222,0.0241,0.0222),
+(-1.2,-1.0,46.0,52.5,0.0222,0.0206,0.0222,0.0206),
+(-1.2,-1.0,52.5,60.0,0.0206,0.0192,0.0206,0.0192),
+(-1.2,-1.0,60.0,69.0,0.0192,0.0178,0.0192,0.0178),
+(-1.2,-1.0,69.0,79.0,0.0178,0.0166,0.0178,0.0166),
+(-1.2,-1.0,79.0,90.5,0.0166,0.0155,0.0166,0.0155),
+(-1.2,-1.0,90.5,105.5,0.0155,0.0143,0.0155,0.0143),
+(-1.2,-1.0,105.5,123.5,0.0143,0.0132,0.0143,0.0132),
+(-1.2,-1.0,123.5,143.0,0.0132,0.0122,0.0132,0.0122),
+(-1.2,-1.0,143.0,163.5,0.0122,0.0114,0.0122,0.0114),
+(-1.2,-1.0,163.5,185.0,0.0114,0.0106,0.0114,0.0106),
+(-1.2,-1.0,185.0,208.0,0.0106,0.01,0.0106,0.01),
+(-1.2,-1.0,208.0,232.5,0.01,0.0093,0.01,0.0093),
+(-1.2,-1.0,232.5,258.5,0.0093,0.0088,0.0093,0.0088),
+(-1.2,-1.0,258.5,286.0,0.0088,0.0082,0.0088,0.0082),
+(-1.2,-1.0,286.0,331.0,0.0082,0.0075,0.0082,0.0075),
+(-1.2,-1.0,331.0,396.0,0.0075,0.0066,0.0075,0.0066),
+(-1.2,-1.0,396.0,468.5,0.0066,0.0059,0.0066,0.0059),
+(-1.2,-1.0,468.5,549.5,0.0059,0.0053,0.0059,0.0053),
+(-1.2,-1.0,549.5,639.0,0.0053,0.0051,0.0053,0.0051),
+(-1.2,-1.0,639.0,738.0,0.0051,0.005,0.0051,0.005),
+(-1.2,-1.0,738.0,847.5,0.005,0.0053,0.005,0.0053),
+(-1.2,-1.0,847.5,968.5,0.0053,0.0058,0.0053,0.0058),
+(-1.2,-1.0,968.5,1102.0,0.0058,0.0064,0.0058,0.0064),
+(-1.2,-1.0,1102.0,1249.5,0.0064,0.0069,0.0064,0.0069),
+(-1.2,-1.0,1249.5,1412.0,0.0069,0.0075,0.0069,0.0075),
+(-1.2,-1.0,1412.0,1590.5,0.0075,0.0082,0.0075,0.0082),
+(-1.2,-1.0,1590.5,1787.0,0.0082,0.0089,0.0082,0.0089),
+(-1.2,-1.0,1787.0,2003.0,0.0089,0.0096,0.0089,0.0096),
+(-1.2,-1.0,2003.0,2241.0,0.0096,0.0103,0.0096,0.0103),
+(-1.2,-1.0,2241.0,2503.0,0.0103,0.011,0.0103,0.011),
+(-1.2,-1.0,2503.0,2790.5,0.011,0.0117,0.011,0.0117),
+(-1.2,-1.0,2790.5,3107.0,0.0117,0.0124,0.0117,0.0124),
+(-1.2,-1.0,3107.0,3455.0,0.0124,0.0132,0.0124,0.0132),
+(-1.2,-1.0,3455.0,3837.0,0.0132,0.014,0.0132,0.014),
+(-1.2,-1.0,3837.0,4257.0,0.014,0.0147,0.014,0.0147),
+(-1.2,-1.0,4257.0,4719.0,0.0147,0.0154,0.0147,0.0154),""",
+    """(-1.2,-1.0,4719.0,5226.5,0.0154,0.0161,0.0154,0.0161),
+(-1.2,-1.0,5226.5,5784.0,0.0161,0.0168,0.0161,0.0168),
+(-1.2,-1.0,5784.0,6538.0,0.0168,0.0206,0.0168,0.0206),
+(-1.2,-1.0,6538.0,1e+18,0.0206,0.0206,0.0206,0.0206),
+(-1.0,-0.8,-1e+18,9.0,0.0574,0.0574,0.0574,0.0574),
+(-1.0,-0.8,9.0,11.0,0.0574,0.0502,0.0574,0.0502),
+(-1.0,-0.8,11.0,13.5,0.0502,0.0423,0.0502,0.0423),
+(-1.0,-0.8,13.5,16.5,0.0423,0.0355,0.0423,0.0355),
+(-1.0,-0.8,16.5,19.5,0.0355,0.0311,0.0355,0.0311),
+(-1.0,-0.8,19.5,22.5,0.0311,0.0274,0.0311,0.0274),
+(-1.0,-0.8,22.5,26.0,0.0274,0.0247,0.0274,0.0247),
+(-1.0,-0.8,26.0,30.0,0.0247,0.0234,0.0247,0.0234),
+(-1.0,-0.8,30.0,34.5,0.0234,0.0214,0.0234,0.0214),
+(-1.0,-0.8,34.5,40.0,0.0214,0.0195,0.0214,0.0195),
+(-1.0,-0.8,40.0,46.0,0.0195,0.0175,0.0195,0.0175),
+(-1.0,-0.8,46.0,52.5,0.0175,0.0162,0.0175,0.0162),
+(-1.0,-0.8,52.5,60.0,0.0162,0.0151,0.0162,0.0151),
+(-1.0,-0.8,60.0,69.0,0.0151,0.0141,0.0151,0.0141),
+(-1.0,-0.8,69.0,79.0,0.0141,0.0132,0.0141,0.0132),
+(-1.0,-0.8,79.0,90.5,0.0132,0.0123,0.0132,0.0123),
+(-1.0,-0.8,90.5,105.5,0.0123,0.0115,0.0123,0.0115),
+(-1.0,-0.8,105.5,123.5,0.0115,0.0108,0.0115,0.0108),
+(-1.0,-0.8,123.5,143.0,0.0108,0.0101,0.0108,0.0101),
+(-1.0,-0.8,143.0,163.5,0.0101,0.0096,0.0101,0.0096),
+(-1.0,-0.8,163.5,185.0,0.0096,0.0091,0.0096,0.0091),
+(-1.0,-0.8,185.0,208.0,0.0091,0.0087,0.0091,0.0087),
+(-1.0,-0.8,208.0,232.5,0.0087,0.0083,0.0087,0.0083),
+(-1.0,-0.8,232.5,258.5,0.0083,0.0079,0.0083,0.0079),
+(-1.0,-0.8,258.5,286.0,0.0079,0.0076,0.0079,0.0076),
+(-1.0,-0.8,286.0,331.0,0.0076,0.0071,0.0076,0.0071),
+(-1.0,-0.8,331.0,396.0,0.0071,0.0065,0.0071,0.0065),
+(-1.0,-0.8,396.0,468.5,0.0065,0.006,0.0065,0.006),
+(-1.0,-0.8,468.5,549.5,0.006,0.0056,0.006,0.0056),
+(-1.0,-0.8,549.5,639.0,0.0056,0.0054,0.0056,0.0054),
+(-1.0,-0.8,639.0,738.0,0.0054,0.0054,0.0054,0.0054),
+(-1.0,-0.8,738.0,847.5,0.0054,0.0056,0.0054,0.0056),
+(-1.0,-0.8,847.5,968.5,0.0056,0.0059,0.0056,0.0059),
+(-1.0,-0.8,968.5,1102.0,0.0059,0.0063,0.0059,0.0063),
+(-1.0,-0.8,1102.0,1249.5,0.0063,0.0067,0.0063,0.0067),
+(-1.0,-0.8,1249.5,1412.0,0.0067,0.0071,0.0067,0.0071),
+(-1.0,-0.8,1412.0,1590.5,0.0071,0.0075,0.0071,0.0075),
+(-1.0,-0.8,1590.5,1787.0,0.0075,0.008,0.0075,0.008),
+(-1.0,-0.8,1787.0,2003.0,0.008,0.0085,0.008,0.0085),
+(-1.0,-0.8,2003.0,2241.0,0.0085,0.009,0.0085,0.009),
+(-1.0,-0.8,2241.0,2503.0,0.009,0.0095,0.009,0.0095),
+(-1.0,-0.8,2503.0,2790.5,0.0095,0.01,0.0095,0.01),
+(-1.0,-0.8,2790.5,3107.0,0.01,0.0106,0.01,0.0106),
+(-1.0,-0.8,3107.0,3455.0,0.0106,0.0111,0.0106,0.0111),
+(-1.0,-0.8,3455.0,3837.0,0.0111,0.0118,0.0111,0.0118),
+(-1.0,-0.8,3837.0,4257.0,0.0118,0.0124,0.0118,0.0124),
+(-1.0,-0.8,4257.0,4719.0,0.0124,0.0131,0.0124,0.0131),
+(-1.0,-0.8,4719.0,5226.5,0.0131,0.0138,0.0131,0.0138),
+(-1.0,-0.8,5226.5,5784.0,0.0138,0.0144,0.0138,0.0144),
+(-1.0,-0.8,5784.0,6538.0,0.0144,0.0417,0.0144,0.0417),
+(-1.0,-0.8,6538.0,1e+18,0.0417,0.0417,0.0417,0.0417),
+(-0.8,-0.6,-1e+18,9.0,0.0549,0.0549,0.0549,0.0549),
+(-0.8,-0.6,9.0,11.0,0.0549,0.0477,0.0549,0.0477),
+(-0.8,-0.6,11.0,13.5,0.0477,0.0399,0.0477,0.0399),
+(-0.8,-0.6,13.5,16.5,0.0399,0.0331,0.0399,0.0331),
+(-0.8,-0.6,16.5,19.5,0.0331,0.0284,0.0331,0.0284),
+(-0.8,-0.6,19.5,22.5,0.0284,0.0252,0.0284,0.0252),
+(-0.8,-0.6,22.5,26.0,0.0252,0.0226,0.0252,0.0226),
+(-0.8,-0.6,26.0,30.0,0.0226,0.0214,0.0226,0.0214),
+(-0.8,-0.6,30.0,34.5,0.0214,0.0193,0.0214,0.0193),
+(-0.8,-0.6,34.5,40.0,0.0193,0.017,0.0193,0.017),
+(-0.8,-0.6,40.0,46.0,0.017,0.0156,0.017,0.0156),
+(-0.8,-0.6,46.0,52.5,0.0156,0.0142,0.0156,0.0142),
+(-0.8,-0.6,52.5,60.0,0.0142,0.0132,0.0142,0.0132),
+(-0.8,-0.6,60.0,69.0,0.0132,0.0121,0.0132,0.0121),
+(-0.8,-0.6,69.0,79.0,0.0121,0.0113,0.0121,0.0113),
+(-0.8,-0.6,79.0,90.5,0.0113,0.0106,0.0113,0.0106),
+(-0.8,-0.6,90.5,105.5,0.0106,0.0098,0.0106,0.0098),
+(-0.8,-0.6,105.5,123.5,0.0098,0.0091,0.0098,0.0091),
+(-0.8,-0.6,123.5,143.0,0.0091,0.0085,0.0091,0.0085),
+(-0.8,-0.6,143.0,163.5,0.0085,0.008,0.0085,0.008),
+(-0.8,-0.6,163.5,185.0,0.008,0.0076,0.008,0.0076),
+(-0.8,-0.6,185.0,208.0,0.0076,0.0073,0.0076,0.0073),
+(-0.8,-0.6,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(-0.8,-0.6,232.5,258.5,0.0069,0.0066,0.0069,0.0066),
+(-0.8,-0.6,258.5,286.0,0.0066,0.0063,0.0066,0.0063),
+(-0.8,-0.6,286.0,331.0,0.0063,0.0059,0.0063,0.0059),
+(-0.8,-0.6,331.0,396.0,0.0059,0.0054,0.0059,0.0054),
+(-0.8,-0.6,396.0,468.5,0.0054,0.0051,0.0054,0.0051),
+(-0.8,-0.6,468.5,549.5,0.0051,0.0048,0.0051,0.0048),
+(-0.8,-0.6,549.5,639.0,0.0048,0.0048,0.0048,0.0048),
+(-0.8,-0.6,639.0,738.0,0.0048,0.0048,0.0048,0.0048),
+(-0.8,-0.6,738.0,847.5,0.0048,0.0051,0.0048,0.0051),
+(-0.8,-0.6,847.5,968.5,0.0051,0.0055,0.0051,0.0055),
+(-0.8,-0.6,968.5,1102.0,0.0055,0.006,0.0055,0.006),
+(-0.8,-0.6,1102.0,1249.5,0.006,0.0063,0.006,0.0063),
+(-0.8,-0.6,1249.5,1412.0,0.0063,0.0067,0.0063,0.0067),
+(-0.8,-0.6,1412.0,1590.5,0.0067,0.0071,0.0067,0.0071),
+(-0.8,-0.6,1590.5,1787.0,0.0071,0.0075,0.0071,0.0075),
+(-0.8,-0.6,1787.0,2003.0,0.0075,0.0079,0.0075,0.0079),
+(-0.8,-0.6,2003.0,2241.0,0.0079,0.0083,0.0079,0.0083),
+(-0.8,-0.6,2241.0,2503.0,0.0083,0.0088,0.0083,0.0088),
+(-0.8,-0.6,2503.0,2790.5,0.0088,0.0092,0.0088,0.0092),
+(-0.8,-0.6,2790.5,3107.0,0.0092,0.0096,0.0092,0.0096),
+(-0.8,-0.6,3107.0,3455.0,0.0096,0.0101,0.0096,0.0101),
+(-0.8,-0.6,3455.0,3837.0,0.0101,0.0106,0.0101,0.0106),
+(-0.8,-0.6,3837.0,4257.0,0.0106,0.0112,0.0106,0.0112),
+(-0.8,-0.6,4257.0,4719.0,0.0112,0.0118,0.0112,0.0118),
+(-0.8,-0.6,4719.0,5226.5,0.0118,0.0123,0.0118,0.0123),
+(-0.8,-0.6,5226.5,5784.0,0.0123,0.0128,0.0123,0.0128),
+(-0.8,-0.6,5784.0,6538.0,0.0128,0.0147,0.0128,0.0147),
+(-0.8,-0.6,6538.0,1e+18,0.0147,0.0147,0.0147,0.0147),
+(-0.6,-0.4,-1e+18,9.0,0.0537,0.0537,0.0537,0.0537),
+(-0.6,-0.4,9.0,11.0,0.0537,0.047,0.0537,0.047),
+(-0.6,-0.4,11.0,13.5,0.047,0.0392,0.047,0.0392),
+(-0.6,-0.4,13.5,16.5,0.0392,0.0326,0.0392,0.0326),
+(-0.6,-0.4,16.5,19.5,0.0326,0.0285,0.0326,0.0285),
+(-0.6,-0.4,19.5,22.5,0.0285,0.0252,0.0285,0.0252),
+(-0.6,-0.4,22.5,26.0,0.0252,0.023,0.0252,0.023),
+(-0.6,-0.4,26.0,30.0,0.023,0.0219,0.023,0.0219),
+(-0.6,-0.4,30.0,34.5,0.0219,0.0196,0.0219,0.0196),
+(-0.6,-0.4,34.5,40.0,0.0196,0.0177,0.0196,0.0177),
+(-0.6,-0.4,40.0,46.0,0.0177,0.0161,0.0177,0.0161),
+(-0.6,-0.4,46.0,52.5,0.0161,0.0148,0.0161,0.0148),
+(-0.6,-0.4,52.5,60.0,0.0148,0.0137,0.0148,0.0137),
+(-0.6,-0.4,60.0,69.0,0.0137,0.0127,0.0137,0.0127),
+(-0.6,-0.4,69.0,79.0,0.0127,0.0118,0.0127,0.0118),
+(-0.6,-0.4,79.0,90.5,0.0118,0.0109,0.0118,0.0109),
+(-0.6,-0.4,90.5,105.5,0.0109,0.0101,0.0109,0.0101),
+(-0.6,-0.4,105.5,123.5,0.0101,0.0094,0.0101,0.0094),
+(-0.6,-0.4,123.5,143.0,0.0094,0.0087,0.0094,0.0087),
+(-0.6,-0.4,143.0,163.5,0.0087,0.0082,0.0087,0.0082),
+(-0.6,-0.4,163.5,185.0,0.0082,0.0077,0.0082,0.0077),
+(-0.6,-0.4,185.0,208.0,0.0077,0.0073,0.0077,0.0073),
+(-0.6,-0.4,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(-0.6,-0.4,232.5,258.5,0.0069,0.0066,0.0069,0.0066),
+(-0.6,-0.4,258.5,286.0,0.0066,0.0063,0.0066,0.0063),
+(-0.6,-0.4,286.0,331.0,0.0063,0.0059,0.0063,0.0059),
+(-0.6,-0.4,331.0,396.0,0.0059,0.0054,0.0059,0.0054),
+(-0.6,-0.4,396.0,468.5,0.0054,0.0051,0.0054,0.0051),
+(-0.6,-0.4,468.5,549.5,0.0051,0.005,0.0051,0.005),
+(-0.6,-0.4,549.5,639.0,0.005,0.005,0.005,0.005),
+(-0.6,-0.4,639.0,738.0,0.005,0.0052,0.005,0.0052),
+(-0.6,-0.4,738.0,847.5,0.0052,0.0055,0.0052,0.0055),
+(-0.6,-0.4,847.5,968.5,0.0055,0.006,0.0055,0.006),
+(-0.6,-0.4,968.5,1102.0,0.006,0.0065,0.006,0.0065),
+(-0.6,-0.4,1102.0,1249.5,0.0065,0.0069,0.0065,0.0069),
+(-0.6,-0.4,1249.5,1412.0,0.0069,0.0074,0.0069,0.0074),
+(-0.6,-0.4,1412.0,1590.5,0.0074,0.0078,0.0074,0.0078),
+(-0.6,-0.4,1590.5,1787.0,0.0078,0.0083,0.0078,0.0083),
+(-0.6,-0.4,1787.0,2003.0,0.0083,0.0088,0.0083,0.0088),
+(-0.6,-0.4,2003.0,2241.0,0.0088,0.0092,0.0088,0.0092),
+(-0.6,-0.4,2241.0,2503.0,0.0092,0.0097,0.0092,0.0097),
+(-0.6,-0.4,2503.0,2790.5,0.0097,0.0102,0.0097,0.0102),
+(-0.6,-0.4,2790.5,3107.0,0.0102,0.0106,0.0102,0.0106),
+(-0.6,-0.4,3107.0,3455.0,0.0106,0.0109,0.0106,0.0109),
+(-0.6,-0.4,3455.0,3837.0,0.0109,0.0114,0.0109,0.0114),
+(-0.6,-0.4,3837.0,4257.0,0.0114,0.0118,0.0114,0.0118),
+(-0.6,-0.4,4257.0,4719.0,0.0118,0.0123,0.0118,0.0123),
+(-0.6,-0.4,4719.0,5226.5,0.0123,0.0127,0.0123,0.0127),
+(-0.6,-0.4,5226.5,5784.0,0.0127,0.0132,0.0127,0.0132),
+(-0.6,-0.4,5784.0,6538.0,0.0132,0.0305,0.0132,0.0305),
+(-0.6,-0.4,6538.0,1e+18,0.0305,0.0305,0.0305,0.0305),
+(-0.4,-0.2,-1e+18,9.0,0.0543,0.0543,0.0543,0.0543),
+(-0.4,-0.2,9.0,11.0,0.0543,0.0473,0.0543,0.0473),
+(-0.4,-0.2,11.0,13.5,0.0473,0.04,0.0473,0.04),
+(-0.4,-0.2,13.5,16.5,0.04,0.0326,0.04,0.0326),
+(-0.4,-0.2,16.5,19.5,0.0326,0.0284,0.0326,0.0284),
+(-0.4,-0.2,19.5,22.5,0.0284,0.0253,0.0284,0.0253),
+(-0.4,-0.2,22.5,26.0,0.0253,0.023,0.0253,0.023),
+(-0.4,-0.2,26.0,30.0,0.023,0.022,0.023,0.022),
+(-0.4,-0.2,30.0,34.5,0.022,0.0196,0.022,0.0196),
+(-0.4,-0.2,34.5,40.0,0.0196,0.0178,0.0196,0.0178),
+(-0.4,-0.2,40.0,46.0,0.0178,0.0161,0.0178,0.0161),
+(-0.4,-0.2,46.0,52.5,0.0161,0.0149,0.0161,0.0149),
+(-0.4,-0.2,52.5,60.0,0.0149,0.0138,0.0149,0.0138),
+(-0.4,-0.2,60.0,69.0,0.0138,0.0127,0.0138,0.0127),
+(-0.4,-0.2,69.0,79.0,0.0127,0.0118,0.0127,0.0118),
+(-0.4,-0.2,79.0,90.5,0.0118,0.011,0.0118,0.011),
+(-0.4,-0.2,90.5,105.5,0.011,0.0101,0.011,0.0101),
+(-0.4,-0.2,105.5,123.5,0.0101,0.0094,0.0101,0.0094),
+(-0.4,-0.2,123.5,143.0,0.0094,0.0087,0.0094,0.0087),
+(-0.4,-0.2,143.0,163.5,0.0087,0.0082,0.0087,0.0082),
+(-0.4,-0.2,163.5,185.0,0.0082,0.0077,0.0082,0.0077),
+(-0.4,-0.2,185.0,208.0,0.0077,0.0073,0.0077,0.0073),
+(-0.4,-0.2,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(-0.4,-0.2,232.5,258.5,0.0069,0.0066,0.0069,0.0066),
+(-0.4,-0.2,258.5,286.0,0.0066,0.0062,0.0066,0.0062),
+(-0.4,-0.2,286.0,331.0,0.0062,0.0058,0.0062,0.0058),
+(-0.4,-0.2,331.0,396.0,0.0058,0.0054,0.0058,0.0054),
+(-0.4,-0.2,396.0,468.5,0.0054,0.0051,0.0054,0.0051),
+(-0.4,-0.2,468.5,549.5,0.0051,0.005,0.0051,0.005),
+(-0.4,-0.2,549.5,639.0,0.005,0.005,0.005,0.005),
+(-0.4,-0.2,639.0,738.0,0.005,0.0052,0.005,0.0052),
+(-0.4,-0.2,738.0,847.5,0.0052,0.0055,0.0052,0.0055),
+(-0.4,-0.2,847.5,968.5,0.0055,0.0059,0.0055,0.0059),
+(-0.4,-0.2,968.5,1102.0,0.0059,0.0065,0.0059,0.0065),
+(-0.4,-0.2,1102.0,1249.5,0.0065,0.0069,0.0065,0.0069),
+(-0.4,-0.2,1249.5,1412.0,0.0069,0.0073,0.0069,0.0073),
+(-0.4,-0.2,1412.0,1590.5,0.0073,0.0078,0.0073,0.0078),
+(-0.4,-0.2,1590.5,1787.0,0.0078,0.0082,0.0078,0.0082),
+(-0.4,-0.2,1787.0,2003.0,0.0082,0.0087,0.0082,0.0087),
+(-0.4,-0.2,2003.0,2241.0,0.0087,0.0091,0.0087,0.0091),
+(-0.4,-0.2,2241.0,2503.0,0.0091,0.0095,0.0091,0.0095),
+(-0.4,-0.2,2503.0,2790.5,0.0095,0.01,0.0095,0.01),
+(-0.4,-0.2,2790.5,3107.0,0.01,0.0103,0.01,0.0103),
+(-0.4,-0.2,3107.0,3455.0,0.0103,0.0107,0.0103,0.0107),
+(-0.4,-0.2,3455.0,3837.0,0.0107,0.0111,0.0107,0.0111),
+(-0.4,-0.2,3837.0,4257.0,0.0111,0.0115,0.0111,0.0115),
+(-0.4,-0.2,4257.0,4719.0,0.0115,0.0119,0.0115,0.0119),
+(-0.4,-0.2,4719.0,5226.5,0.0119,0.0124,0.0119,0.0124),
+(-0.4,-0.2,5226.5,5784.0,0.0124,0.0128,0.0124,0.0128),
+(-0.4,-0.2,5784.0,6538.0,0.0128,0.014,0.0128,0.014),
+(-0.4,-0.2,6538.0,1e+18,0.014,0.014,0.014,0.014),
+(-0.2,0.0,-1e+18,9.0,0.0549,0.0549,0.0549,0.0549),
+(-0.2,0.0,9.0,11.0,0.0549,0.0473,0.0549,0.0473),
+(-0.2,0.0,11.0,13.5,0.0473,0.0397,0.0473,0.0397),
+(-0.2,0.0,13.5,16.5,0.0397,0.0331,0.0397,0.0331),
+(-0.2,0.0,16.5,19.5,0.0331,0.0288,0.0331,0.0288),
+(-0.2,0.0,19.5,22.5,0.0288,0.0256,0.0288,0.0256),
+(-0.2,0.0,22.5,26.0,0.0256,0.0234,0.0256,0.0234),
+(-0.2,0.0,26.0,30.0,0.0234,0.0221,0.0234,0.0221),
+(-0.2,0.0,30.0,34.5,0.0221,0.0199,0.0221,0.0199),
+(-0.2,0.0,34.5,40.0,0.0199,0.0179,0.0199,0.0179),
+(-0.2,0.0,40.0,46.0,0.0179,0.0164,0.0179,0.0164),
+(-0.2,0.0,46.0,52.5,0.0164,0.0151,0.0164,0.0151),
+(-0.2,0.0,52.5,60.0,0.0151,0.014,0.0151,0.014),
+(-0.2,0.0,60.0,69.0,0.014,0.0129,0.014,0.0129),
+(-0.2,0.0,69.0,79.0,0.0129,0.012,0.0129,0.012),
+(-0.2,0.0,79.0,90.5,0.012,0.0111,0.012,0.0111),
+(-0.2,0.0,90.5,105.5,0.0111,0.0103,0.0111,0.0103),
+(-0.2,0.0,105.5,123.5,0.0103,0.0095,0.0103,0.0095),
+(-0.2,0.0,123.5,143.0,0.0095,0.0088,0.0095,0.0088),
+(-0.2,0.0,143.0,163.5,0.0088,0.0082,0.0088,0.0082),
+(-0.2,0.0,163.5,185.0,0.0082,0.0077,0.0082,0.0077),
+(-0.2,0.0,185.0,208.0,0.0077,0.0073,0.0077,0.0073),
+(-0.2,0.0,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(-0.2,0.0,232.5,258.5,0.0069,0.0065,0.0069,0.0065),
+(-0.2,0.0,258.5,286.0,0.0065,0.0062,0.0065,0.0062),
+(-0.2,0.0,286.0,331.0,0.0062,0.0058,0.0062,0.0058),
+(-0.2,0.0,331.0,396.0,0.0058,0.0053,0.0058,0.0053),
+(-0.2,0.0,396.0,468.5,0.0053,0.005,0.0053,0.005),
+(-0.2,0.0,468.5,549.5,0.005,0.0049,0.005,0.0049),
+(-0.2,0.0,549.5,639.0,0.0049,0.0049,0.0049,0.0049),
+(-0.2,0.0,639.0,738.0,0.0049,0.0051,0.0049,0.0051),
+(-0.2,0.0,738.0,847.5,0.0051,0.0054,0.0051,0.0054),
+(-0.2,0.0,847.5,968.5,0.0054,0.0058,0.0054,0.0058),
+(-0.2,0.0,968.5,1102.0,0.0058,0.0064,0.0058,0.0064),
+(-0.2,0.0,1102.0,1249.5,0.0064,0.0068,0.0064,0.0068),
+(-0.2,0.0,1249.5,1412.0,0.0068,0.0072,0.0068,0.0072),
+(-0.2,0.0,1412.0,1590.5,0.0072,0.0076,0.0072,0.0076),
+(-0.2,0.0,1590.5,1787.0,0.0076,0.008,0.0076,0.008),
+(-0.2,0.0,1787.0,2003.0,0.008,0.0085,0.008,0.0085),
+(-0.2,0.0,2003.0,2241.0,0.0085,0.0089,0.0085,0.0089),
+(-0.2,0.0,2241.0,2503.0,0.0089,0.0093,0.0089,0.0093),
+(-0.2,0.0,2503.0,2790.5,0.0093,0.0097,0.0093,0.0097),
+(-0.2,0.0,2790.5,3107.0,0.0097,0.0101,0.0097,0.0101),
+(-0.2,0.0,3107.0,3455.0,0.0101,0.0104,0.0101,0.0104),
+(-0.2,0.0,3455.0,3837.0,0.0104,0.0109,0.0104,0.0109),
+(-0.2,0.0,3837.0,4257.0,0.0109,0.0113,0.0109,0.0113),
+(-0.2,0.0,4257.0,4719.0,0.0113,0.0117,0.0113,0.0117),
+(-0.2,0.0,4719.0,5226.5,0.0117,0.0122,0.0117,0.0122),
+(-0.2,0.0,5226.5,5784.0,0.0122,0.0126,0.0122,0.0126),
+(-0.2,0.0,5784.0,6538.0,0.0126,0.0246,0.0126,0.0246),
+(-0.2,0.0,6538.0,1e+18,0.0246,0.0246,0.0246,0.0246),
+(0.0,0.2,-1e+18,9.0,0.0549,0.0549,0.0549,0.0549),
+(0.0,0.2,9.0,11.0,0.0549,0.0477,0.0549,0.0477),
+(0.0,0.2,11.0,13.5,0.0477,0.0407,0.0477,0.0407),
+(0.0,0.2,13.5,16.5,0.0407,0.0332,0.0407,0.0332),
+(0.0,0.2,16.5,19.5,0.0332,0.0287,0.0332,0.0287),
+(0.0,0.2,19.5,22.5,0.0287,0.0257,0.0287,0.0257),
+(0.0,0.2,22.5,26.0,0.0257,0.0234,0.0257,0.0234),
+(0.0,0.2,26.0,30.0,0.0234,0.0222,0.0234,0.0222),
+(0.0,0.2,30.0,34.5,0.0222,0.02,0.0222,0.02),
+(0.0,0.2,34.5,40.0,0.02,0.0179,0.02,0.0179),
+(0.0,0.2,40.0,46.0,0.0179,0.0164,0.0179,0.0164),
+(0.0,0.2,46.0,52.5,0.0164,0.0151,0.0164,0.0151),
+(0.0,0.2,52.5,60.0,0.0151,0.014,0.0151,0.014),
+(0.0,0.2,60.0,69.0,0.014,0.0129,0.014,0.0129),
+(0.0,0.2,69.0,79.0,0.0129,0.012,0.0129,0.012),
+(0.0,0.2,79.0,90.5,0.012,0.0111,0.012,0.0111),
+(0.0,0.2,90.5,105.5,0.0111,0.0103,0.0111,0.0103),
+(0.0,0.2,105.5,123.5,0.0103,0.0094,0.0103,0.0094),
+(0.0,0.2,123.5,143.0,0.0094,0.0088,0.0094,0.0088),
+(0.0,0.2,143.0,163.5,0.0088,0.0082,0.0088,0.0082),
+(0.0,0.2,163.5,185.0,0.0082,0.0077,0.0082,0.0077),
+(0.0,0.2,185.0,208.0,0.0077,0.0073,0.0077,0.0073),
+(0.0,0.2,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(0.0,0.2,232.5,258.5,0.0069,0.0065,0.0069,0.0065),
+(0.0,0.2,258.5,286.0,0.0065,0.0062,0.0065,0.0062),
+(0.0,0.2,286.0,331.0,0.0062,0.0058,0.0062,0.0058),
+(0.0,0.2,331.0,396.0,0.0058,0.0053,0.0058,0.0053),
+(0.0,0.2,396.0,468.5,0.0053,0.005,0.0053,0.005),
+(0.0,0.2,468.5,549.5,0.005,0.0049,0.005,0.0049),
+(0.0,0.2,549.5,639.0,0.0049,0.0049,0.0049,0.0049),
+(0.0,0.2,639.0,738.0,0.0049,0.0051,0.0049,0.0051),
+(0.0,0.2,738.0,847.5,0.0051,0.0054,0.0051,0.0054),
+(0.0,0.2,847.5,968.5,0.0054,0.0058,0.0054,0.0058),
+(0.0,0.2,968.5,1102.0,0.0058,0.0064,0.0058,0.0064),
+(0.0,0.2,1102.0,1249.5,0.0064,0.0068,0.0064,0.0068),
+(0.0,0.2,1249.5,1412.0,0.0068,0.0072,0.0068,0.0072),
+(0.0,0.2,1412.0,1590.5,0.0072,0.0076,0.0072,0.0076),
+(0.0,0.2,1590.5,1787.0,0.0076,0.0081,0.0076,0.0081),
+(0.0,0.2,1787.0,2003.0,0.0081,0.0085,0.0081,0.0085),
+(0.0,0.2,2003.0,2241.0,0.0085,0.0089,0.0085,0.0089),
+(0.0,0.2,2241.0,2503.0,0.0089,0.0093,0.0089,0.0093),
+(0.0,0.2,2503.0,2790.5,0.0093,0.0098,0.0093,0.0098),
+(0.0,0.2,2790.5,3107.0,0.0098,0.0101,0.0098,0.0101),
+(0.0,0.2,3107.0,3455.0,0.0101,0.0105,0.0101,0.0105),
+(0.0,0.2,3455.0,3837.0,0.0105,0.0109,0.0105,0.0109),
+(0.0,0.2,3837.0,4257.0,0.0109,0.0114,0.0109,0.0114),
+(0.0,0.2,4257.0,4719.0,0.0114,0.0118,0.0114,0.0118),
+(0.0,0.2,4719.0,5226.5,0.0118,0.0122,0.0118,0.0122),
+(0.0,0.2,5226.5,5784.0,0.0122,0.0127,0.0122,0.0127),
+(0.0,0.2,5784.0,6538.0,0.0127,0.0309,0.0127,0.0309),
+(0.0,0.2,6538.0,1e+18,0.0309,0.0309,0.0309,0.0309),
+(0.2,0.4,-1e+18,9.0,0.0546,0.0546,0.0546,0.0546),
+(0.2,0.4,9.0,11.0,0.0546,0.0475,0.0546,0.0475),
+(0.2,0.4,11.0,13.5,0.0475,0.0399,0.0475,0.0399),
+(0.2,0.4,13.5,16.5,0.0399,0.033,0.0399,0.033),
+(0.2,0.4,16.5,19.5,0.033,0.0284,0.033,0.0284),
+(0.2,0.4,19.5,22.5,0.0284,0.0254,0.0284,0.0254),
+(0.2,0.4,22.5,26.0,0.0254,0.0234,0.0254,0.0234),
+(0.2,0.4,26.0,30.0,0.0234,0.0218,0.0234,0.0218),
+(0.2,0.4,30.0,34.5,0.0218,0.0197,0.0218,0.0197),
+(0.2,0.4,34.5,40.0,0.0197,0.0178,0.0197,0.0178),
+(0.2,0.4,40.0,46.0,0.0178,0.0163,0.0178,0.0163),
+(0.2,0.4,46.0,52.5,0.0163,0.0149,0.0163,0.0149),
+(0.2,0.4,52.5,60.0,0.0149,0.0138,0.0149,0.0138),
+(0.2,0.4,60.0,69.0,0.0138,0.0128,0.0138,0.0128),
+(0.2,0.4,69.0,79.0,0.0128,0.0119,0.0128,0.0119),
+(0.2,0.4,79.0,90.5,0.0119,0.011,0.0119,0.011),
+(0.2,0.4,90.5,105.5,0.011,0.0102,0.011,0.0102),
+(0.2,0.4,105.5,123.5,0.0102,0.0094,0.0102,0.0094),
+(0.2,0.4,123.5,143.0,0.0094,0.0087,0.0094,0.0087),
+(0.2,0.4,143.0,163.5,0.0087,0.0082,0.0087,0.0082),
+(0.2,0.4,163.5,185.0,0.0082,0.0077,0.0082,0.0077),
+(0.2,0.4,185.0,208.0,0.0077,0.0073,0.0077,0.0073),
+(0.2,0.4,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(0.2,0.4,232.5,258.5,0.0069,0.0066,0.0069,0.0066),
+(0.2,0.4,258.5,286.0,0.0066,0.0062,0.0066,0.0062),
+(0.2,0.4,286.0,331.0,0.0062,0.0058,0.0062,0.0058),
+(0.2,0.4,331.0,396.0,0.0058,0.0054,0.0058,0.0054),
+(0.2,0.4,396.0,468.5,0.0054,0.0051,0.0054,0.0051),
+(0.2,0.4,468.5,549.5,0.0051,0.005,0.0051,0.005),
+(0.2,0.4,549.5,639.0,0.005,0.005,0.005,0.005),
+(0.2,0.4,639.0,738.0,0.005,0.0052,0.005,0.0052),
+(0.2,0.4,738.0,847.5,0.0052,0.0055,0.0052,0.0055),
+(0.2,0.4,847.5,968.5,0.0055,0.0059,0.0055,0.0059),
+(0.2,0.4,968.5,1102.0,0.0059,0.0065,0.0059,0.0065),
+(0.2,0.4,1102.0,1249.5,0.0065,0.0069,0.0065,0.0069),
+(0.2,0.4,1249.5,1412.0,0.0069,0.0073,0.0069,0.0073),
+(0.2,0.4,1412.0,1590.5,0.0073,0.0077,0.0073,0.0077),
+(0.2,0.4,1590.5,1787.0,0.0077,0.0081,0.0077,0.0081),
+(0.2,0.4,1787.0,2003.0,0.0081,0.0086,0.0081,0.0086),
+(0.2,0.4,2003.0,2241.0,0.0086,0.009,0.0086,0.009),
+(0.2,0.4,2241.0,2503.0,0.009,0.0094,0.009,0.0094),
+(0.2,0.4,2503.0,2790.5,0.0094,0.0098,0.0094,0.0098),
+(0.2,0.4,2790.5,3107.0,0.0098,0.0102,0.0098,0.0102),
+(0.2,0.4,3107.0,3455.0,0.0102,0.0105,0.0102,0.0105),
+(0.2,0.4,3455.0,3837.0,0.0105,0.0109,0.0105,0.0109),
+(0.2,0.4,3837.0,4257.0,0.0109,0.0113,0.0109,0.0113),
+(0.2,0.4,4257.0,4719.0,0.0113,0.0117,0.0113,0.0117),
+(0.2,0.4,4719.0,5226.5,0.0117,0.0121,0.0117,0.0121),
+(0.2,0.4,5226.5,5784.0,0.0121,0.0125,0.0121,0.0125),
+(0.2,0.4,5784.0,6538.0,0.0125,0.0251,0.0125,0.0251),
+(0.2,0.4,6538.0,1e+18,0.0251,0.0251,0.0251,0.0251),
+(0.4,0.6,-1e+18,9.0,0.0538,0.0538,0.0538,0.0538),
+(0.4,0.6,9.0,11.0,0.0538,0.0477,0.0538,0.0477),
+(0.4,0.6,11.0,13.5,0.0477,0.0391,0.0477,0.0391),
+(0.4,0.6,13.5,16.5,0.0391,0.0329,0.0391,0.0329),
+(0.4,0.6,16.5,19.5,0.0329,0.0284,0.0329,0.0284),
+(0.4,0.6,19.5,22.5,0.0284,0.0257,0.0284,0.0257),
+(0.4,0.6,22.5,26.0,0.0257,0.0231,0.0257,0.0231),
+(0.4,0.6,26.0,30.0,0.0231,0.0219,0.0231,0.0219),
+(0.4,0.6,30.0,34.5,0.0219,0.0198,0.0219,0.0198),
+(0.4,0.6,34.5,40.0,0.0198,0.0177,0.0198,0.0177),
+(0.4,0.6,40.0,46.0,0.0177,0.0161,0.0177,0.0161),
+(0.4,0.6,46.0,52.5,0.0161,0.0149,0.0161,0.0149),
+(0.4,0.6,52.5,60.0,0.0149,0.0138,0.0149,0.0138),
+(0.4,0.6,60.0,69.0,0.0138,0.0127,0.0138,0.0127),
+(0.4,0.6,69.0,79.0,0.0127,0.0118,0.0127,0.0118),
+(0.4,0.6,79.0,90.5,0.0118,0.011,0.0118,0.011),
+(0.4,0.6,90.5,105.5,0.011,0.0101,0.011,0.0101),
+(0.4,0.6,105.5,123.5,0.0101,0.0094,0.0101,0.0094),
+(0.4,0.6,123.5,143.0,0.0094,0.0087,0.0094,0.0087),
+(0.4,0.6,143.0,163.5,0.0087,0.0082,0.0087,0.0082),
+(0.4,0.6,163.5,185.0,0.0082,0.0077,0.0082,0.0077),
+(0.4,0.6,185.0,208.0,0.0077,0.0073,0.0077,0.0073),
+(0.4,0.6,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(0.4,0.6,232.5,258.5,0.0069,0.0066,0.0069,0.0066),
+(0.4,0.6,258.5,286.0,0.0066,0.0063,0.0066,0.0063),
+(0.4,0.6,286.0,331.0,0.0063,0.0059,0.0063,0.0059),
+(0.4,0.6,331.0,396.0,0.0059,0.0054,0.0059,0.0054),
+(0.4,0.6,396.0,468.5,0.0054,0.0051,0.0054,0.0051),
+(0.4,0.6,468.5,549.5,0.0051,0.005,0.0051,0.005),
+(0.4,0.6,549.5,639.0,0.005,0.005,0.005,0.005),
+(0.4,0.6,639.0,738.0,0.005,0.0052,0.005,0.0052),
+(0.4,0.6,738.0,847.5,0.0052,0.0055,0.0052,0.0055),
+(0.4,0.6,847.5,968.5,0.0055,0.006,0.0055,0.006),
+(0.4,0.6,968.5,1102.0,0.006,0.0065,0.006,0.0065),
+(0.4,0.6,1102.0,1249.5,0.0065,0.0069,0.0065,0.0069),
+(0.4,0.6,1249.5,1412.0,0.0069,0.0074,0.0069,0.0074),
+(0.4,0.6,1412.0,1590.5,0.0074,0.0078,0.0074,0.0078),
+(0.4,0.6,1590.5,1787.0,0.0078,0.0083,0.0078,0.0083),
+(0.4,0.6,1787.0,2003.0,0.0083,0.0088,0.0083,0.0088),
+(0.4,0.6,2003.0,2241.0,0.0088,0.0092,0.0088,0.0092),
+(0.4,0.6,2241.0,2503.0,0.0092,0.0097,0.0092,0.0097),
+(0.4,0.6,2503.0,2790.5,0.0097,0.0101,0.0097,0.0101),
+(0.4,0.6,2790.5,3107.0,0.0101,0.0105,0.0101,0.0105),
+(0.4,0.6,3107.0,3455.0,0.0105,0.0109,0.0105,0.0109),
+(0.4,0.6,3455.0,3837.0,0.0109,0.0113,0.0109,0.0113),
+(0.4,0.6,3837.0,4257.0,0.0113,0.0118,0.0113,0.0118),
+(0.4,0.6,4257.0,4719.0,0.0118,0.0122,0.0118,0.0122),
+(0.4,0.6,4719.0,5226.5,0.0122,0.0127,0.0122,0.0127),
+(0.4,0.6,5226.5,5784.0,0.0127,0.0131,0.0127,0.0131),
+(0.4,0.6,5784.0,6538.0,0.0131,0.0144,0.0131,0.0144),
+(0.4,0.6,6538.0,1e+18,0.0144,0.0144,0.0144,0.0144),
+(0.6,0.8,-1e+18,9.0,0.0549,0.0549,0.0549,0.0549),
+(0.6,0.8,9.0,11.0,0.0549,0.0479,0.0549,0.0479),
+(0.6,0.8,11.0,13.5,0.0479,0.0394,0.0479,0.0394),
+(0.6,0.8,13.5,16.5,0.0394,0.0332,0.0394,0.0332),
+(0.6,0.8,16.5,19.5,0.0332,0.0284,0.0332,0.0284),
+(0.6,0.8,19.5,22.5,0.0284,0.0253,0.0284,0.0253),
+(0.6,0.8,22.5,26.0,0.0253,0.0228,0.0253,0.0228),
+(0.6,0.8,26.0,30.0,0.0228,0.0215,0.0228,0.0215),
+(0.6,0.8,30.0,34.5,0.0215,0.0192,0.0215,0.0192),
+(0.6,0.8,34.5,40.0,0.0192,0.0173,0.0192,0.0173),
+(0.6,0.8,40.0,46.0,0.0173,0.0156,0.0173,0.0156),
+(0.6,0.8,46.0,52.5,0.0156,0.0142,0.0156,0.0142),
+(0.6,0.8,52.5,60.0,0.0142,0.0132,0.0142,0.0132),
+(0.6,0.8,60.0,69.0,0.0132,0.0122,0.0132,0.0122),
+(0.6,0.8,69.0,79.0,0.0122,0.0114,0.0122,0.0114),
+(0.6,0.8,79.0,90.5,0.0114,0.0105,0.0114,0.0105),
+(0.6,0.8,90.5,105.5,0.0105,0.0098,0.0105,0.0098),
+(0.6,0.8,105.5,123.5,0.0098,0.0091,0.0098,0.0091),
+(0.6,0.8,123.5,143.0,0.0091,0.0085,0.0091,0.0085),
+(0.6,0.8,143.0,163.5,0.0085,0.008,0.0085,0.008),
+(0.6,0.8,163.5,185.0,0.008,0.0076,0.008,0.0076),
+(0.6,0.8,185.0,208.0,0.0076,0.0073,0.0076,0.0073),
+(0.6,0.8,208.0,232.5,0.0073,0.0069,0.0073,0.0069),
+(0.6,0.8,232.5,258.5,0.0069,0.0066,0.0069,0.0066),
+(0.6,0.8,258.5,286.0,0.0066,0.0063,0.0066,0.0063),
+(0.6,0.8,286.0,331.0,0.0063,0.0059,0.0063,0.0059),
+(0.6,0.8,331.0,396.0,0.0059,0.0054,0.0059,0.0054),
+(0.6,0.8,396.0,468.5,0.0054,0.0051,0.0054,0.0051),
+(0.6,0.8,468.5,549.5,0.0051,0.0048,0.0051,0.0048),
+(0.6,0.8,549.5,639.0,0.0048,0.0048,0.0048,0.0048),
+(0.6,0.8,639.0,738.0,0.0048,0.0048,0.0048,0.0048),
+(0.6,0.8,738.0,847.5,0.0048,0.0051,0.0048,0.0051),
+(0.6,0.8,847.5,968.5,0.0051,0.0055,0.0051,0.0055),
+(0.6,0.8,968.5,1102.0,0.0055,0.006,0.0055,0.006),
+(0.6,0.8,1102.0,1249.5,0.006,0.0063,0.006,0.0063),
+(0.6,0.8,1249.5,1412.0,0.0063,0.0066,0.0063,0.0066),
+(0.6,0.8,1412.0,1590.5,0.0066,0.007,0.0066,0.007),
+(0.6,0.8,1590.5,1787.0,0.007,0.0075,0.007,0.0075),
+(0.6,0.8,1787.0,2003.0,0.0075,0.0079,0.0075,0.0079),
+(0.6,0.8,2003.0,2241.0,0.0079,0.0083,0.0079,0.0083),
+(0.6,0.8,2241.0,2503.0,0.0083,0.0087,0.0083,0.0087),
+(0.6,0.8,2503.0,2790.5,0.0087,0.0092,0.0087,0.0092),
+(0.6,0.8,2790.5,3107.0,0.0092,0.0096,0.0092,0.0096),
+(0.6,0.8,3107.0,3455.0,0.0096,0.01,0.0096,0.01),
+(0.6,0.8,3455.0,3837.0,0.01,0.0106,0.01,0.0106),
+(0.6,0.8,3837.0,4257.0,0.0106,0.0111,0.0106,0.0111),
+(0.6,0.8,4257.0,4719.0,0.0111,0.0117,0.0111,0.0117),
+(0.6,0.8,4719.0,5226.5,0.0117,0.0122,0.0117,0.0122),
+(0.6,0.8,5226.5,5784.0,0.0122,0.0128,0.0122,0.0128),
+(0.6,0.8,5784.0,6538.0,0.0128,0.0293,0.0128,0.0293),
+(0.6,0.8,6538.0,1e+18,0.0293,0.0293,0.0293,0.0293),
+(0.8,1.0,-1e+18,9.0,0.0599,0.0599,0.0599,0.0599),
+(0.8,1.0,9.0,11.0,0.0599,0.052,0.0599,0.052),
+(0.8,1.0,11.0,13.5,0.052,0.0435,0.052,0.0435),
+(0.8,1.0,13.5,16.5,0.0435,0.0368,0.0435,0.0368),
+(0.8,1.0,16.5,19.5,0.0368,0.0319,0.0368,0.0319),
+(0.8,1.0,19.5,22.5,0.0319,0.028,0.0319,0.028),
+(0.8,1.0,22.5,26.0,0.028,0.025,0.028,0.025),
+(0.8,1.0,26.0,30.0,0.025,0.0238,0.025,0.0238),
+(0.8,1.0,30.0,34.5,0.0238,0.0217,0.0238,0.0217),
+(0.8,1.0,34.5,40.0,0.0217,0.0191,0.0217,0.0191),
+(0.8,1.0,40.0,46.0,0.0191,0.0177,0.0191,0.0177),
+(0.8,1.0,46.0,52.5,0.0177,0.0164,0.0177,0.0164),
+(0.8,1.0,52.5,60.0,0.0164,0.0152,0.0164,0.0152),
+(0.8,1.0,60.0,69.0,0.0152,0.014,0.0152,0.014),
+(0.8,1.0,69.0,79.0,0.014,0.0131,0.014,0.0131),
+(0.8,1.0,79.0,90.5,0.0131,0.0123,0.0131,0.0123),
+(0.8,1.0,90.5,105.5,0.0123,0.0115,0.0123,0.0115),
+(0.8,1.0,105.5,123.5,0.0115,0.0108,0.0115,0.0108),
+(0.8,1.0,123.5,143.0,0.0108,0.0101,0.0108,0.0101),
+(0.8,1.0,143.0,163.5,0.0101,0.0096,0.0101,0.0096),
+(0.8,1.0,163.5,185.0,0.0096,0.0091,0.0096,0.0091),
+(0.8,1.0,185.0,208.0,0.0091,0.0087,0.0091,0.0087),
+(0.8,1.0,208.0,232.5,0.0087,0.0083,0.0087,0.0083),
+(0.8,1.0,232.5,258.5,0.0083,0.0079,0.0083,0.0079),
+(0.8,1.0,258.5,286.0,0.0079,0.0076,0.0079,0.0076),
+(0.8,1.0,286.0,331.0,0.0076,0.0071,0.0076,0.0071),
+(0.8,1.0,331.0,396.0,0.0071,0.0065,0.0071,0.0065),
+(0.8,1.0,396.0,468.5,0.0065,0.006,0.0065,0.006),
+(0.8,1.0,468.5,549.5,0.006,0.0056,0.006,0.0056),
+(0.8,1.0,549.5,639.0,0.0056,0.0054,0.0056,0.0054),
+(0.8,1.0,639.0,738.0,0.0054,0.0054,0.0054,0.0054),
+(0.8,1.0,738.0,847.5,0.0054,0.0056,0.0054,0.0056),
+(0.8,1.0,847.5,968.5,0.0056,0.0059,0.0056,0.0059),
+(0.8,1.0,968.5,1102.0,0.0059,0.0064,0.0059,0.0064),
+(0.8,1.0,1102.0,1249.5,0.0064,0.0067,0.0064,0.0067),
+(0.8,1.0,1249.5,1412.0,0.0067,0.0071,0.0067,0.0071),
+(0.8,1.0,1412.0,1590.5,0.0071,0.0075,0.0071,0.0075),
+(0.8,1.0,1590.5,1787.0,0.0075,0.008,0.0075,0.008),
+(0.8,1.0,1787.0,2003.0,0.008,0.0085,0.008,0.0085),
+(0.8,1.0,2003.0,2241.0,0.0085,0.009,0.0085,0.009),
+(0.8,1.0,2241.0,2503.0,0.009,0.0095,0.009,0.0095),
+(0.8,1.0,2503.0,2790.5,0.0095,0.0101,0.0095,0.0101),
+(0.8,1.0,2790.5,3107.0,0.0101,0.0106,0.0101,0.0106),
+(0.8,1.0,3107.0,3455.0,0.0106,0.0112,0.0106,0.0112),
+(0.8,1.0,3455.0,3837.0,0.0112,0.0118,0.0112,0.0118),
+(0.8,1.0,3837.0,4257.0,0.0118,0.0125,0.0118,0.0125),
+(0.8,1.0,4257.0,4719.0,0.0125,0.0132,0.0125,0.0132),
+(0.8,1.0,4719.0,5226.5,0.0132,0.0139,0.0132,0.0139),
+(0.8,1.0,5226.5,5784.0,0.0139,0.0145,0.0139,0.0145),
+(0.8,1.0,5784.0,6538.0,0.0145,0.03,0.0145,0.03),
+(0.8,1.0,6538.0,1e+18,0.03,0.03,0.03,0.03),
+(1.0,1.2,-1e+18,9.0,0.0686,0.0686,0.0686,0.0686),
+(1.0,1.2,9.0,11.0,0.0686,0.0609,0.0686,0.0609),
+(1.0,1.2,11.0,13.5,0.0609,0.0516,0.0609,0.0516),
+(1.0,1.2,13.5,16.5,0.0516,0.0442,0.0516,0.0442),
+(1.0,1.2,16.5,19.5,0.0442,0.0386,0.0442,0.0386),
+(1.0,1.2,19.5,22.5,0.0386,0.0346,0.0386,0.0346),
+(1.0,1.2,22.5,26.0,0.0346,0.0311,0.0346,0.0311),
+(1.0,1.2,26.0,30.0,0.0311,0.0293,0.0311,0.0293),
+(1.0,1.2,30.0,34.5,0.0293,0.0267,0.0293,0.0267),
+(1.0,1.2,34.5,40.0,0.0267,0.0244,0.0267,0.0244),
+(1.0,1.2,40.0,46.0,0.0244,0.0224,0.0244,0.0224),
+(1.0,1.2,46.0,52.5,0.0224,0.0207,0.0224,0.0207),
+(1.0,1.2,52.5,60.0,0.0207,0.0193,0.0207,0.0193),
+(1.0,1.2,60.0,69.0,0.0193,0.0179,0.0193,0.0179),
+(1.0,1.2,69.0,79.0,0.0179,0.0166,0.0179,0.0166),
+(1.0,1.2,79.0,90.5,0.0166,0.0155,0.0166,0.0155),
+(1.0,1.2,90.5,105.5,0.0155,0.0143,0.0155,0.0143),
+(1.0,1.2,105.5,123.5,0.0143,0.0132,0.0143,0.0132),
+(1.0,1.2,123.5,143.0,0.0132,0.0122,0.0132,0.0122),
+(1.0,1.2,143.0,163.5,0.0122,0.0114,0.0122,0.0114),
+(1.0,1.2,163.5,185.0,0.0114,0.0106,0.0114,0.0106),
+(1.0,1.2,185.0,208.0,0.0106,0.01,0.0106,0.01),
+(1.0,1.2,208.0,232.5,0.01,0.0094,0.01,0.0094),
+(1.0,1.2,232.5,258.5,0.0094,0.0088,0.0094,0.0088),
+(1.0,1.2,258.5,286.0,0.0088,0.0082,0.0088,0.0082),
+(1.0,1.2,286.0,331.0,0.0082,0.0075,0.0082,0.0075),
+(1.0,1.2,331.0,396.0,0.0075,0.0066,0.0075,0.0066),
+(1.0,1.2,396.0,468.5,0.0066,0.0059,0.0066,0.0059),
+(1.0,1.2,468.5,549.5,0.0059,0.0053,0.0059,0.0053),
+(1.0,1.2,549.5,639.0,0.0053,0.0051,0.0053,0.0051),
+(1.0,1.2,639.0,738.0,0.0051,0.005,0.0051,0.005),
+(1.0,1.2,738.0,847.5,0.005,0.0053,0.005,0.0053),
+(1.0,1.2,847.5,968.5,0.0053,0.0058,0.0053,0.0058),
+(1.0,1.2,968.5,1102.0,0.0058,0.0065,0.0058,0.0065),
+(1.0,1.2,1102.0,1249.5,0.0065,0.007,0.0065,0.007),
+(1.0,1.2,1249.5,1412.0,0.007,0.0076,0.007,0.0076),
+(1.0,1.2,1412.0,1590.5,0.0076,0.0083,0.0076,0.0083),
+(1.0,1.2,1590.5,1787.0,0.0083,0.009,0.0083,0.009),
+(1.0,1.2,1787.0,2003.0,0.009,0.0098,0.009,0.0098),
+(1.0,1.2,2003.0,2241.0,0.0098,0.0105,0.0098,0.0105),
+(1.0,1.2,2241.0,2503.0,0.0105,0.0112,0.0105,0.0112),
+(1.0,1.2,2503.0,2790.5,0.0112,0.012,0.0112,0.012),
+(1.0,1.2,2790.5,3107.0,0.012,0.0128,0.012,0.0128),
+(1.0,1.2,3107.0,3455.0,0.0128,0.0135,0.0128,0.0135),
+(1.0,1.2,3455.0,3837.0,0.0135,0.0144,0.0135,0.0144),
+(1.0,1.2,3837.0,4257.0,0.0144,0.0151,0.0144,0.0151),
+(1.0,1.2,4257.0,4719.0,0.0151,0.0159,0.0151,0.0159),
+(1.0,1.2,4719.0,5226.5,0.0159,0.0166,0.0159,0.0166),
+(1.0,1.2,5226.5,5784.0,0.0166,0.0173,0.0166,0.0173),
+(1.0,1.2,5784.0,6538.0,0.0173,0.0217,0.0173,0.0217),
+(1.0,1.2,6538.0,1e+18,0.0217,0.0217,0.0217,0.0217),
+(1.2,1.4,-1e+18,9.0,0.068,0.068,0.068,0.068),
+(1.2,1.4,9.0,11.0,0.068,0.0614,0.068,0.0614),
+(1.2,1.4,11.0,13.5,0.0614,0.0534,0.0614,0.0534),
+(1.2,1.4,13.5,16.5,0.0534,0.0466,0.0534,0.0466),
+(1.2,1.4,16.5,19.5,0.0466,0.0412,0.0466,0.0412),
+(1.2,1.4,19.5,22.5,0.0412,0.0369,0.0412,0.0369),
+(1.2,1.4,22.5,26.0,0.0369,0.0331,0.0369,0.0331),
+(1.2,1.4,26.0,30.0,0.0331,0.031,0.0331,0.031),
+(1.2,1.4,30.0,34.5,0.031,0.0283,0.031,0.0283),
+(1.2,1.4,34.5,40.0,0.0283,0.0256,0.0283,0.0256),
+(1.2,1.4,40.0,46.0,0.0256,0.0233,0.0256,0.0233),
+(1.2,1.4,46.0,52.5,0.0233,0.0215,0.0233,0.0215),
+(1.2,1.4,52.5,60.0,0.0215,0.0198,0.0215,0.0198),
+(1.2,1.4,60.0,69.0,0.0198,0.0182,0.0198,0.0182),
+(1.2,1.4,69.0,79.0,0.0182,0.0168,0.0182,0.0168),
+(1.2,1.4,79.0,90.5,0.0168,0.0155,0.0168,0.0155),
+(1.2,1.4,90.5,105.5,0.0155,0.0143,0.0155,0.0143),
+(1.2,1.4,105.5,123.5,0.0143,0.0132,0.0143,0.0132),
+(1.2,1.4,123.5,143.0,0.0132,0.0123,0.0132,0.0123),
+(1.2,1.4,143.0,163.5,0.0123,0.0115,0.0123,0.0115),
+(1.2,1.4,163.5,185.0,0.0115,0.0108,0.0115,0.0108),
+(1.2,1.4,185.0,208.0,0.0108,0.0102,0.0108,0.0102),
+(1.2,1.4,208.0,232.5,0.0102,0.0097,0.0102,0.0097),
+(1.2,1.4,232.5,258.5,0.0097,0.0091,0.0097,0.0091),
+(1.2,1.4,258.5,286.0,0.0091,0.0086,0.0091,0.0086),
+(1.2,1.4,286.0,331.0,0.0086,0.0079,0.0086,0.0079),
+(1.2,1.4,331.0,396.0,0.0079,0.0071,0.0079,0.0071),
+(1.2,1.4,396.0,468.5,0.0071,0.0064,0.0071,0.0064),
+(1.2,1.4,468.5,549.5,0.0064,0.0059,0.0064,0.0059),
+(1.2,1.4,549.5,639.0,0.0059,0.0056,0.0059,0.0056),
+(1.2,1.4,639.0,738.0,0.0056,0.0056,0.0056,0.0056),
+(1.2,1.4,738.0,847.5,0.0056,0.006,0.0056,0.006),
+(1.2,1.4,847.5,968.5,0.006,0.0065,0.006,0.0065),
+(1.2,1.4,968.5,1102.0,0.0065,0.0073,0.0065,0.0073),
+(1.2,1.4,1102.0,1249.5,0.0073,0.0079,0.0073,0.0079),
+(1.2,1.4,1249.5,1412.0,0.0079,0.0087,0.0079,0.0087),
+(1.2,1.4,1412.0,1590.5,0.0087,0.0095,0.0087,0.0095),
+(1.2,1.4,1590.5,1787.0,0.0095,0.0104,0.0095,0.0104),
+(1.2,1.4,1787.0,2003.0,0.0104,0.0113,0.0104,0.0113),
+(1.2,1.4,2003.0,2241.0,0.0113,0.0122,0.0113,0.0122),
+(1.2,1.4,2241.0,2503.0,0.0122,0.0131,0.0122,0.0131),
+(1.2,1.4,2503.0,2790.5,0.0131,0.014,0.0131,0.014),
+(1.2,1.4,2790.5,3107.0,0.014,0.015,0.014,0.015),
+(1.2,1.4,3107.0,3455.0,0.015,0.0159,0.015,0.0159),
+(1.2,1.4,3455.0,3837.0,0.0159,0.0168,0.0159,0.0168),
+(1.2,1.4,3837.0,4257.0,0.0168,0.0178,0.0168,0.0178),
+(1.2,1.4,4257.0,4719.0,0.0178,0.0187,0.0178,0.0187),
+(1.2,1.4,4719.0,5226.5,0.0187,0.0197,0.0187,0.0197),
+(1.2,1.4,5226.5,5784.0,0.0197,0.0206,0.0197,0.0206),
+(1.2,1.4,5784.0,6538.0,0.0206,0.0284,0.0206,0.0284),
+(1.2,1.4,6538.0,1e+18,0.0284,0.0284,0.0284,0.0284),
+(1.4,1.6,-1e+18,9.0,0.0651,0.0651,0.0651,0.0651),
+(1.4,1.6,9.0,11.0,0.0651,0.0592,0.0651,0.0592),
+(1.4,1.6,11.0,13.5,0.0592,0.0527,0.0592,0.0527),
+(1.4,1.6,13.5,16.5,0.0527,0.0474,0.0527,0.0474),
+(1.4,1.6,16.5,19.5,0.0474,0.0437,0.0474,0.0437),
+(1.4,1.6,19.5,22.5,0.0437,0.0409,0.0437,0.0409),
+(1.4,1.6,22.5,26.0,0.0409,0.0385,0.0409,0.0385),
+(1.4,1.6,26.0,30.0,0.0385,0.0376,0.0385,0.0376),
+(1.4,1.6,30.0,34.5,0.0376,0.0356,0.0376,0.0356),
+(1.4,1.6,34.5,40.0,0.0356,0.0335,0.0356,0.0335),
+(1.4,1.6,40.0,46.0,0.0335,0.0319,0.0335,0.0319),
+(1.4,1.6,46.0,52.5,0.0319,0.0305,0.0319,0.0305),
+(1.4,1.6,52.5,60.0,0.0305,0.0292,0.0305,0.0292),
+(1.4,1.6,60.0,69.0,0.0292,0.028,0.0292,0.028),
+(1.4,1.6,69.0,79.0,0.028,0.027,0.028,0.027),
+(1.4,1.6,79.0,90.5,0.027,0.026,0.027,0.026),
+(1.4,1.6,90.5,105.5,0.026,0.025,0.026,0.025),
+(1.4,1.6,105.5,123.5,0.025,0.0241,0.025,0.0241),
+(1.4,1.6,123.5,143.0,0.0241,0.0233,0.0241,0.0233),
+(1.4,1.6,143.0,163.5,0.0233,0.0227,0.0233,0.0227),
+(1.4,1.6,163.5,185.0,0.0227,0.0221,0.0227,0.0221),
+(1.4,1.6,185.0,208.0,0.0221,0.0216,0.0221,0.0216),
+(1.4,1.6,208.0,232.5,0.0216,0.0211,0.0216,0.0211),
+(1.4,1.6,232.5,258.5,0.0211,0.0207,0.0211,0.0207),
+(1.4,1.6,258.5,286.0,0.0207,0.0203,0.0207,0.0203),
+(1.4,1.6,286.0,331.0,0.0203,0.0197,0.0203,0.0197),
+(1.4,1.6,331.0,396.0,0.0197,0.0191,0.0197,0.0191),
+(1.4,1.6,396.0,468.5,0.0191,0.0186,0.0191,0.0186),
+(1.4,1.6,468.5,549.5,0.0186,0.0183,0.0186,0.0183),
+(1.4,1.6,549.5,639.0,0.0183,0.018,0.0183,0.018),
+(1.4,1.6,639.0,738.0,0.018,0.0179,0.018,0.0179),
+(1.4,1.6,738.0,847.5,0.0179,0.0179,0.0179,0.0179),
+(1.4,1.6,847.5,968.5,0.0179,0.0181,0.0179,0.0181),
+(1.4,1.6,968.5,1102.0,0.0181,0.0183,0.0181,0.0183),
+(1.4,1.6,1102.0,1249.5,0.0183,0.0186,0.0183,0.0186),
+(1.4,1.6,1249.5,1412.0,0.0186,0.0188,0.0186,0.0188),
+(1.4,1.6,1412.0,1590.5,0.0188,0.0191,0.0188,0.0191),
+(1.4,1.6,1590.5,1787.0,0.0191,0.0194,0.0191,0.0194),
+(1.4,1.6,1787.0,2003.0,0.0194,0.0197,0.0194,0.0197),
+(1.4,1.6,2003.0,2241.0,0.0197,0.02,0.0197,0.02),
+(1.4,1.6,2241.0,2503.0,0.02,0.0204,0.02,0.0204),
+(1.4,1.6,2503.0,2790.5,0.0204,0.0207,0.0204,0.0207),
+(1.4,1.6,2790.5,3107.0,0.0207,0.0212,0.0207,0.0212),
+(1.4,1.6,3107.0,3455.0,0.0212,0.0217,0.0212,0.0217),
+(1.4,1.6,3455.0,3837.0,0.0217,0.0223,0.0217,0.0223),
+(1.4,1.6,3837.0,4257.0,0.0223,0.0229,0.0223,0.0229),
+(1.4,1.6,4257.0,4719.0,0.0229,0.0235,0.0229,0.0235),
+(1.4,1.6,4719.0,5226.5,0.0235,0.0242,0.0235,0.0242),
+(1.4,1.6,5226.5,5784.0,0.0242,0.0248,0.0242,0.0248),
+(1.4,1.6,5784.0,6538.0,0.0248,0.0282,0.0248,0.0282),
+(1.4,1.6,6538.0,1e+18,0.0282,0.0282,0.0282,0.0282),
+(1.6,1.8,-1e+18,9.0,0.0694,0.0694,0.0694,0.0694),
+(1.6,1.8,9.0,11.0,0.0694,0.0649,0.0694,0.0649),
+(1.6,1.8,11.0,13.5,0.0649,0.0597,0.0649,0.0597),
+(1.6,1.8,13.5,16.5,0.0597,0.0555,0.0597,0.0555),
+(1.6,1.8,16.5,19.5,0.0555,0.0524,0.0555,0.0524),
+(1.6,1.8,19.5,22.5,0.0524,0.0501,0.0524,0.0501),
+(1.6,1.8,22.5,26.0,0.0501,0.0481,0.0501,0.0481),
+(1.6,1.8,26.0,30.0,0.0481,0.0468,0.0481,0.0468),
+(1.6,1.8,30.0,34.5,0.0468,0.0446,0.0468,0.0446),
+(1.6,1.8,34.5,40.0,0.0446,0.0423,0.0446,0.0423),
+(1.6,1.8,40.0,46.0,0.0423,0.0402,0.0423,0.0402),
+(1.6,1.8,46.0,52.5,0.0402,0.0383,0.0402,0.0383),
+(1.6,1.8,52.5,60.0,0.0383,0.0365,0.0383,0.0365),
+(1.6,1.8,60.0,69.0,0.0365,0.0347,0.0365,0.0347),
+(1.6,1.8,69.0,79.0,0.0347,0.0329,0.0347,0.0329),
+(1.6,1.8,79.0,90.5,0.0329,0.0313,0.0329,0.0313),
+(1.6,1.8,90.5,105.5,0.0313,0.0295,0.0313,0.0295),
+(1.6,1.8,105.5,123.5,0.0295,0.0277,0.0295,0.0277),
+(1.6,1.8,123.5,143.0,0.0277,0.0262,0.0277,0.0262),
+(1.6,1.8,143.0,163.5,0.0262,0.0248,0.0262,0.0248),
+(1.6,1.8,163.5,185.0,0.0248,0.0235,0.0248,0.0235),
+(1.6,1.8,185.0,208.0,0.0235,0.0224,0.0235,0.0224),
+(1.6,1.8,208.0,232.5,0.0224,0.0213,0.0224,0.0213),
+(1.6,1.8,232.5,258.5,0.0213,0.0203,0.0213,0.0203),
+(1.6,1.8,258.5,286.0,0.0203,0.0194,0.0203,0.0194),
+(1.6,1.8,286.0,331.0,0.0194,0.0181,0.0194,0.0181),
+(1.6,1.8,331.0,396.0,0.0181,0.0166,0.0181,0.0166),
+(1.6,1.8,396.0,468.5,0.0166,0.0154,0.0166,0.0154),
+(1.6,1.8,468.5,549.5,0.0154,0.0144,0.0154,0.0144),
+(1.6,1.8,549.5,639.0,0.0144,0.0136,0.0144,0.0136),
+(1.6,1.8,639.0,738.0,0.0136,0.0132,0.0136,0.0132),
+(1.6,1.8,738.0,847.5,0.0132,0.013,0.0132,0.013),
+(1.6,1.8,847.5,968.5,0.013,0.0132,0.013,0.0132),
+(1.6,1.8,968.5,1102.0,0.0132,0.0136,0.0132,0.0136),
+(1.6,1.8,1102.0,1249.5,0.0136,0.0138,0.0136,0.0138),
+(1.6,1.8,1249.5,1412.0,0.0138,0.0141,0.0138,0.0141),
+(1.6,1.8,1412.0,1590.5,0.0141,0.0145,0.0141,0.0145),
+(1.6,1.8,1590.5,1787.0,0.0145,0.0149,0.0145,0.0149),
+(1.6,1.8,1787.0,2003.0,0.0149,0.0153,0.0149,0.0153),
+(1.6,1.8,2003.0,2241.0,0.0153,0.0157,0.0153,0.0157),
+(1.6,1.8,2241.0,2503.0,0.0157,0.0164,0.0157,0.0164),
+(1.6,1.8,2503.0,2790.5,0.0164,0.0171,0.0164,0.0171),
+(1.6,1.8,2790.5,3107.0,0.0171,0.0179,0.0171,0.0179),
+(1.6,1.8,3107.0,3455.0,0.0179,0.0186,0.0179,0.0186),
+(1.6,1.8,3455.0,3837.0,0.0186,0.0195,0.0186,0.0195),
+(1.6,1.8,3837.0,4257.0,0.0195,0.0204,0.0195,0.0204),
+(1.6,1.8,4257.0,4719.0,0.0204,0.0214,0.0204,0.0214),
+(1.6,1.8,4719.0,5226.5,0.0214,0.0223,0.0214,0.0223),
+(1.6,1.8,5226.5,5784.0,0.0223,0.0233,0.0223,0.0233),
+(1.6,1.8,5784.0,6538.0,0.0233,0.0457,0.0233,0.0457),
+(1.6,1.8,6538.0,1e+18,0.0457,0.0457,0.0457,0.0457),
+(1.8,2.0,-1e+18,9.0,0.0665,0.0665,0.0665,0.0665),
+(1.8,2.0,9.0,11.0,0.0665,0.0621,0.0665,0.0621),
+(1.8,2.0,11.0,13.5,0.0621,0.0569,0.0621,0.0569),
+(1.8,2.0,13.5,16.5,0.0569,0.0534,0.0569,0.0534),
+(1.8,2.0,16.5,19.5,0.0534,0.0509,0.0534,0.0509),
+(1.8,2.0,19.5,22.5,0.0509,0.049,0.0509,0.049),
+(1.8,2.0,22.5,26.0,0.049,0.0473,0.049,0.0473),
+(1.8,2.0,26.0,30.0,0.0473,0.0462,0.0473,0.0462),
+(1.8,2.0,30.0,34.5,0.0462,0.0442,0.0462,0.0442),
+(1.8,2.0,34.5,40.0,0.0442,0.042,0.0442,0.042),
+(1.8,2.0,40.0,46.0,0.042,0.04,0.042,0.04),
+(1.8,2.0,46.0,52.5,0.04,0.0382,0.04,0.0382),
+(1.8,2.0,52.5,60.0,0.0382,0.0365,0.0382,0.0365),
+(1.8,2.0,60.0,69.0,0.0365,0.0347,0.0365,0.0347),
+(1.8,2.0,69.0,79.0,0.0347,0.033,0.0347,0.033),
+(1.8,2.0,79.0,90.5,0.033,0.0313,0.033,0.0313),
+(1.8,2.0,90.5,105.5,0.0313,0.0295,0.0313,0.0295),
+(1.8,2.0,105.5,123.5,0.0295,0.0278,0.0295,0.0278),
+(1.8,2.0,123.5,143.0,0.0278,0.0262,0.0278,0.0262),
+(1.8,2.0,143.0,163.5,0.0262,0.0248,0.0262,0.0248),
+(1.8,2.0,163.5,185.0,0.0248,0.0236,0.0248,0.0236),
+(1.8,2.0,185.0,208.0,0.0236,0.0225,0.0236,0.0225),
+(1.8,2.0,208.0,232.5,0.0225,0.0214,0.0225,0.0214),
+(1.8,2.0,232.5,258.5,0.0214,0.0204,0.0214,0.0204),
+(1.8,2.0,258.5,286.0,0.0204,0.0195,0.0204,0.0195),
+(1.8,2.0,286.0,331.0,0.0195,0.0182,0.0195,0.0182),
+(1.8,2.0,331.0,396.0,0.0182,0.0167,0.0182,0.0167),
+(1.8,2.0,396.0,468.5,0.0167,0.0154,0.0167,0.0154),
+(1.8,2.0,468.5,549.5,0.0154,0.0144,0.0154,0.0144),
+(1.8,2.0,549.5,639.0,0.0144,0.0137,0.0144,0.0137),
+(1.8,2.0,639.0,738.0,0.0137,0.0133,0.0137,0.0133),
+(1.8,2.0,738.0,847.5,0.0133,0.0132,0.0133,0.0132),
+(1.8,2.0,847.5,968.5,0.0132,0.0134,0.0132,0.0134),
+(1.8,2.0,968.5,1102.0,0.0134,0.0139,0.0134,0.0139),
+(1.8,2.0,1102.0,1249.5,0.0139,0.0143,0.0139,0.0143),
+(1.8,2.0,1249.5,1412.0,0.0143,0.0148,0.0143,0.0148),
+(1.8,2.0,1412.0,1590.5,0.0148,0.0154,0.0148,0.0154),
+(1.8,2.0,1590.5,1787.0,0.0154,0.0159,0.0154,0.0159),
+(1.8,2.0,1787.0,2003.0,0.0159,0.0167,0.0159,0.0167),
+(1.8,2.0,2003.0,2241.0,0.0167,0.0175,0.0167,0.0175),
+(1.8,2.0,2241.0,2503.0,0.0175,0.0184,0.0175,0.0184),
+(1.8,2.0,2503.0,2790.5,0.0184,0.0194,0.0184,0.0194),
+(1.8,2.0,2790.5,3107.0,0.0194,0.0204,0.0194,0.0204),
+(1.8,2.0,3107.0,3455.0,0.0204,0.0214,0.0204,0.0214),
+(1.8,2.0,3455.0,3837.0,0.0214,0.0226,0.0214,0.0226),
+(1.8,2.0,3837.0,4257.0,0.0226,0.0238,0.0226,0.0238),
+(1.8,2.0,4257.0,4719.0,0.0238,0.0249,0.0238,0.0249),
+(1.8,2.0,4719.0,5226.5,0.0249,0.0262,0.0249,0.0262),
+(1.8,2.0,5226.5,5784.0,0.0262,0.0274,0.0262,0.0274),
+(1.8,2.0,5784.0,6538.0,0.0274,0.0555,0.0274,0.0555),
+(1.8,2.0,6538.0,1e+18,0.0555,0.0555,0.0555,0.0555),
+(2.0,2.2,-1e+18,9.0,0.064,0.064,0.064,0.064),
+(2.0,2.2,9.0,11.0,0.064,0.0602,0.064,0.0602),
+(2.0,2.2,11.0,13.5,0.0602,0.0555,0.0602,0.0555),
+(2.0,2.2,13.5,16.5,0.0555,0.0518,0.0555,0.0518),
+(2.0,2.2,16.5,19.5,0.0518,0.0495,0.0518,0.0495),
+(2.0,2.2,19.5,22.5,0.0495,0.0475,0.0495,0.0475),
+(2.0,2.2,22.5,26.0,0.0475,0.046,0.0475,0.046),
+(2.0,2.2,26.0,30.0,0.046,0.045,0.046,0.045),
+(2.0,2.2,30.0,34.5,0.045,0.0431,0.045,0.0431),
+(2.0,2.2,34.5,40.0,0.0431,0.0411,0.0431,0.0411),
+(2.0,2.2,40.0,46.0,0.0411,0.0392,0.0411,0.0392),
+(2.0,2.2,46.0,52.5,0.0392,0.0374,0.0392,0.0374),
+(2.0,2.2,52.5,60.0,0.0374,0.0357,0.0374,0.0357),""",
+    """(2.0,2.2,60.0,69.0,0.0357,0.0341,0.0357,0.0341),
+(2.0,2.2,69.0,79.0,0.0341,0.0324,0.0341,0.0324),
+(2.0,2.2,79.0,90.5,0.0324,0.0308,0.0324,0.0308),
+(2.0,2.2,90.5,105.5,0.0308,0.0291,0.0308,0.0291),
+(2.0,2.2,105.5,123.5,0.0291,0.0274,0.0291,0.0274),
+(2.0,2.2,123.5,143.0,0.0274,0.0259,0.0274,0.0259),
+(2.0,2.2,143.0,163.5,0.0259,0.0246,0.0259,0.0246),
+(2.0,2.2,163.5,185.0,0.0246,0.0234,0.0246,0.0234),
+(2.0,2.2,185.0,208.0,0.0234,0.0223,0.0234,0.0223),
+(2.0,2.2,208.0,232.5,0.0223,0.0212,0.0223,0.0212),
+(2.0,2.2,232.5,258.5,0.0212,0.0203,0.0212,0.0203),
+(2.0,2.2,258.5,286.0,0.0203,0.0194,0.0203,0.0194),
+(2.0,2.2,286.0,331.0,0.0194,0.0181,0.0194,0.0181),
+(2.0,2.2,331.0,396.0,0.0181,0.0167,0.0181,0.0167),
+(2.0,2.2,396.0,468.5,0.0167,0.0155,0.0167,0.0155),
+(2.0,2.2,468.5,549.5,0.0155,0.0145,0.0155,0.0145),
+(2.0,2.2,549.5,639.0,0.0145,0.0139,0.0145,0.0139),
+(2.0,2.2,639.0,738.0,0.0139,0.0135,0.0139,0.0135),
+(2.0,2.2,738.0,847.5,0.0135,0.0136,0.0135,0.0136),
+(2.0,2.2,847.5,968.5,0.0136,0.014,0.0136,0.014),
+(2.0,2.2,968.5,1102.0,0.014,0.0147,0.014,0.0147),
+(2.0,2.2,1102.0,1249.5,0.0147,0.0154,0.0147,0.0154),
+(2.0,2.2,1249.5,1412.0,0.0154,0.0162,0.0154,0.0162),
+(2.0,2.2,1412.0,1590.5,0.0162,0.0169,0.0162,0.0169),
+(2.0,2.2,1590.5,1787.0,0.0169,0.018,0.0169,0.018),
+(2.0,2.2,1787.0,2003.0,0.018,0.0191,0.018,0.0191),
+(2.0,2.2,2003.0,2241.0,0.0191,0.0203,0.0191,0.0203),
+(2.0,2.2,2241.0,2503.0,0.0203,0.0215,0.0203,0.0215),
+(2.0,2.2,2503.0,2790.5,0.0215,0.0228,0.0215,0.0228),
+(2.0,2.2,2790.5,3107.0,0.0228,0.0241,0.0228,0.0241),
+(2.0,2.2,3107.0,3455.0,0.0241,0.0255,0.0241,0.0255),
+(2.0,2.2,3455.0,3837.0,0.0255,0.027,0.0255,0.027),
+(2.0,2.2,3837.0,4257.0,0.027,0.0286,0.027,0.0286),
+(2.0,2.2,4257.0,4719.0,0.0286,0.0302,0.0286,0.0302),
+(2.0,2.2,4719.0,5226.5,0.0302,0.0317,0.0302,0.0317),
+(2.0,2.2,5226.5,5784.0,0.0317,0.0333,0.0317,0.0333),
+(2.0,2.2,5784.0,6538.0,0.0333,0.0507,0.0333,0.0507),
+(2.0,2.2,6538.0,1e+18,0.0507,0.0507,0.0507,0.0507),
+(2.2,2.4,-1e+18,9.0,0.0646,0.0646,0.0646,0.0646),
+(2.2,2.4,9.0,11.0,0.0646,0.0597,0.0646,0.0597),
+(2.2,2.4,11.0,13.5,0.0597,0.054,0.0597,0.054),
+(2.2,2.4,13.5,16.5,0.054,0.0498,0.054,0.0498),
+(2.2,2.4,16.5,19.5,0.0498,0.0471,0.0498,0.0471),
+(2.2,2.4,19.5,22.5,0.0471,0.0452,0.0471,0.0452),
+(2.2,2.4,22.5,26.0,0.0452,0.0437,0.0452,0.0437),
+(2.2,2.4,26.0,30.0,0.0437,0.0428,0.0437,0.0428),
+(2.2,2.4,30.0,34.5,0.0428,0.0411,0.0428,0.0411),
+(2.2,2.4,34.5,40.0,0.0411,0.0394,0.0411,0.0394),
+(2.2,2.4,40.0,46.0,0.0394,0.0379,0.0394,0.0379),
+(2.2,2.4,46.0,52.5,0.0379,0.0366,0.0379,0.0366),
+(2.2,2.4,52.5,60.0,0.0366,0.0355,0.0366,0.0355),
+(2.2,2.4,60.0,69.0,0.0355,0.0343,0.0355,0.0343),
+(2.2,2.4,69.0,79.0,0.0343,0.0332,0.0343,0.0332),
+(2.2,2.4,79.0,90.5,0.0332,0.0321,0.0332,0.0321),
+(2.2,2.4,90.5,105.5,0.0321,0.0309,0.0321,0.0309),
+(2.2,2.4,105.5,123.5,0.0309,0.0298,0.0309,0.0298),
+(2.2,2.4,123.5,143.0,0.0298,0.0288,0.0298,0.0288),
+(2.2,2.4,143.0,163.5,0.0288,0.0279,0.0288,0.0279),
+(2.2,2.4,163.5,185.0,0.0279,0.0272,0.0279,0.0272),
+(2.2,2.4,185.0,208.0,0.0272,0.0264,0.0272,0.0264),
+(2.2,2.4,208.0,232.5,0.0264,0.0258,0.0264,0.0258),
+(2.2,2.4,232.5,258.5,0.0258,0.0251,0.0258,0.0251),
+(2.2,2.4,258.5,286.0,0.0251,0.0246,0.0251,0.0246),
+(2.2,2.4,286.0,331.0,0.0246,0.0237,0.0246,0.0237),
+(2.2,2.4,331.0,396.0,0.0237,0.0227,0.0237,0.0227),
+(2.2,2.4,396.0,468.5,0.0227,0.0219,0.0227,0.0219),
+(2.2,2.4,468.5,549.5,0.0219,0.0212,0.0219,0.0212),
+(2.2,2.4,549.5,639.0,0.0212,0.0207,0.0212,0.0207),
+(2.2,2.4,639.0,738.0,0.0207,0.0203,0.0207,0.0203),
+(2.2,2.4,738.0,847.5,0.0203,0.0202,0.0203,0.0202),
+(2.2,2.4,847.5,968.5,0.0202,0.0203,0.0202,0.0203),
+(2.2,2.4,968.5,1102.0,0.0203,0.0205,0.0203,0.0205),
+(2.2,2.4,1102.0,1249.5,0.0205,0.0206,0.0205,0.0206),
+(2.2,2.4,1249.5,1412.0,0.0206,0.0212,0.0206,0.0212),
+(2.2,2.4,1412.0,1590.5,0.0212,0.0219,0.0212,0.0219),
+(2.2,2.4,1590.5,1787.0,0.0219,0.0227,0.0219,0.0227),
+(2.2,2.4,1787.0,2003.0,0.0227,0.0236,0.0227,0.0236),
+(2.2,2.4,2003.0,2241.0,0.0236,0.0245,0.0236,0.0245),
+(2.2,2.4,2241.0,2503.0,0.0245,0.0255,0.0245,0.0255),
+(2.2,2.4,2503.0,2790.5,0.0255,0.0266,0.0255,0.0266),
+(2.2,2.4,2790.5,3107.0,0.0266,0.0278,0.0266,0.0278),
+(2.2,2.4,3107.0,3455.0,0.0278,0.029,0.0278,0.029),
+(2.2,2.4,3455.0,3837.0,0.029,0.0303,0.029,0.0303),
+(2.2,2.4,3837.0,4257.0,0.0303,0.0317,0.0303,0.0317),
+(2.2,2.4,4257.0,4719.0,0.0317,0.0332,0.0317,0.0332),
+(2.2,2.4,4719.0,5226.5,0.0332,0.0347,0.0332,0.0347),
+(2.2,2.4,5226.5,5784.0,0.0347,0.0362,0.0347,0.0362),
+(2.2,2.4,5784.0,6538.0,0.0362,0.0381,0.0362,0.0381),
+(2.2,2.4,6538.0,1e+18,0.0381,0.0381,0.0381,0.0381),
+(2.4,2.6,-1e+18,9.0,0.1187,0.1187,0.1187,0.1187),
+(2.4,2.6,9.0,11.0,0.1187,0.1049,0.1187,0.1049),
+(2.4,2.6,11.0,13.5,0.1049,0.0906,0.1049,0.0906),
+(2.4,2.6,13.5,16.5,0.0906,0.0795,0.0906,0.0795),
+(2.4,2.6,16.5,19.5,0.0795,0.0721,0.0795,0.0721),
+(2.4,2.6,19.5,22.5,0.0721,0.0667,0.0721,0.0667),
+(2.4,2.6,22.5,26.0,0.0667,0.0626,0.0667,0.0626),
+(2.4,2.6,26.0,30.0,0.0626,0.0589,0.0626,0.0589),
+(2.4,2.6,30.0,34.5,0.0589,0.0555,0.0589,0.0555),
+(2.4,2.6,34.5,40.0,0.0555,0.0524,0.0555,0.0524),
+(2.4,2.6,40.0,46.0,0.0524,0.049,0.0524,0.049),
+(2.4,2.6,46.0,52.5,0.049,0.0464,0.049,0.0464),
+(2.4,2.6,52.5,60.0,0.0464,0.0439,0.0464,0.0439),
+(2.4,2.6,60.0,69.0,0.0439,0.0413,0.0439,0.0413),
+(2.4,2.6,69.0,79.0,0.0413,0.0389,0.0413,0.0389),
+(2.4,2.6,79.0,90.5,0.0389,0.0366,0.0389,0.0366),
+(2.4,2.6,90.5,105.5,0.0366,0.0342,0.0366,0.0342),
+(2.4,2.6,105.5,123.5,0.0342,0.0319,0.0342,0.0319),
+(2.4,2.6,123.5,143.0,0.0319,0.0298,0.0319,0.0298),
+(2.4,2.6,143.0,163.5,0.0298,0.028,0.0298,0.028),
+(2.4,2.6,163.5,185.0,0.028,0.0265,0.028,0.0265),
+(2.4,2.6,185.0,208.0,0.0265,0.0251,0.0265,0.0251),
+(2.4,2.6,208.0,232.5,0.0251,0.024,0.0251,0.024),
+(2.4,2.6,232.5,258.5,0.024,0.0229,0.024,0.0229),
+(2.4,2.6,258.5,286.0,0.0229,0.022,0.0229,0.022),
+(2.4,2.6,286.0,331.0,0.022,0.0209,0.022,0.0209),
+(2.4,2.6,331.0,396.0,0.0209,0.0199,0.0209,0.0199),
+(2.4,2.6,396.0,468.5,0.0199,0.0194,0.0199,0.0194),
+(2.4,2.6,468.5,549.5,0.0194,0.02,0.0194,0.02),
+(2.4,2.6,549.5,639.0,0.02,0.0188,0.02,0.0188),
+(2.4,2.6,639.0,738.0,0.0188,0.0188,0.0188,0.0188),
+(2.4,2.6,738.0,847.5,0.0188,0.0189,0.0188,0.0189),
+(2.4,2.6,847.5,968.5,0.0189,0.0188,0.0189,0.0188),
+(2.4,2.6,968.5,1102.0,0.0188,0.0189,0.0188,0.0189),
+(2.4,2.6,1102.0,1249.5,0.0189,0.0192,0.0189,0.0192),
+(2.4,2.6,1249.5,1412.0,0.0192,0.0195,0.0192,0.0195),
+(2.4,2.6,1412.0,1590.5,0.0195,0.0198,0.0195,0.0198),
+(2.4,2.6,1590.5,1787.0,0.0198,0.0202,0.0198,0.0202),
+(2.4,2.6,1787.0,2003.0,0.0202,0.0206,0.0202,0.0206),
+(2.4,2.6,2003.0,2241.0,0.0206,0.021,0.0206,0.021),
+(2.4,2.6,2241.0,2503.0,0.021,0.0215,0.021,0.0215),
+(2.4,2.6,2503.0,2790.5,0.0215,0.022,0.0215,0.022),
+(2.4,2.6,2790.5,3107.0,0.022,0.0225,0.022,0.0225),
+(2.4,2.6,3107.0,3455.0,0.0225,0.023,0.0225,0.023),
+(2.4,2.6,3455.0,3837.0,0.023,0.0237,0.023,0.0237),
+(2.4,2.6,3837.0,4257.0,0.0237,0.0244,0.0237,0.0244),
+(2.4,2.6,4257.0,4719.0,0.0244,0.0252,0.0244,0.0252),
+(2.4,2.6,4719.0,5226.5,0.0252,0.0259,0.0252,0.0259),
+(2.4,2.6,5226.5,5784.0,0.0259,0.0267,0.0259,0.0267),
+(2.4,2.6,5784.0,6538.0,0.0267,0.0521,0.0267,0.0521),
+(2.4,2.6,6538.0,1e+18,0.0521,0.0521,0.0521,0.0521),
+(2.6,2.8,-1e+18,9.0,0.0926,0.0926,0.0926,0.0926),
+(2.6,2.8,9.0,11.0,0.0926,0.0795,0.0926,0.0795),
+(2.6,2.8,11.0,13.5,0.0795,0.0674,0.0795,0.0674),
+(2.6,2.8,13.5,16.5,0.0674,0.0588,0.0674,0.0588),
+(2.6,2.8,16.5,19.5,0.0588,0.052,0.0588,0.052),
+(2.6,2.8,19.5,22.5,0.052,0.0479,0.052,0.0479),
+(2.6,2.8,22.5,26.0,0.0479,0.0444,0.0479,0.0444),
+(2.6,2.8,26.0,30.0,0.0444,0.0436,0.0444,0.0436),
+(2.6,2.8,30.0,34.5,0.0436,0.0394,0.0436,0.0394),
+(2.6,2.8,34.5,40.0,0.0394,0.0364,0.0394,0.0364),
+(2.6,2.8,40.0,46.0,0.0364,0.0343,0.0364,0.0343),
+(2.6,2.8,46.0,52.5,0.0343,0.0324,0.0343,0.0324),
+(2.6,2.8,52.5,60.0,0.0324,0.031,0.0324,0.031),
+(2.6,2.8,60.0,69.0,0.031,0.0291,0.031,0.0291),
+(2.6,2.8,69.0,79.0,0.0291,0.028,0.0291,0.028),
+(2.6,2.8,79.0,90.5,0.028,0.0273,0.028,0.0273),
+(2.6,2.8,90.5,105.5,0.0273,0.0271,0.0273,0.0271),
+(2.6,2.8,105.5,123.5,0.0271,0.027,0.0271,0.027),
+(2.6,2.8,123.5,143.0,0.027,0.0271,0.027,0.0271),
+(2.6,2.8,143.0,163.5,0.0271,0.0284,0.0271,0.0284),
+(2.6,2.8,163.5,185.0,0.0284,0.0296,0.0284,0.0296),
+(2.6,2.8,185.0,208.0,0.0296,0.032,0.0296,0.032),
+(2.6,2.8,208.0,232.5,0.032,0.0333,0.032,0.0333),
+(2.6,2.8,232.5,258.5,0.0333,0.0349,0.0333,0.0349),
+(2.6,2.8,258.5,286.0,0.0349,0.0372,0.0349,0.0372),
+(2.6,2.8,286.0,331.0,0.0372,0.0395,0.0372,0.0395),
+(2.6,2.8,331.0,396.0,0.0395,0.0435,0.0395,0.0435),
+(2.6,2.8,396.0,468.5,0.0435,0.0464,0.0435,0.0464),
+(2.6,2.8,468.5,549.5,0.0464,0.05,0.0464,0.05),
+(2.6,2.8,549.5,639.0,0.05,0.0456,0.05,0.0456),
+(2.6,2.8,639.0,738.0,0.0456,0.046,0.0456,0.046),
+(2.6,2.8,738.0,847.5,0.046,0.0463,0.046,0.0463),
+(2.6,2.8,847.5,968.5,0.0463,0.0465,0.0463,0.0465),
+(2.6,2.8,968.5,1102.0,0.0465,0.0468,0.0465,0.0468),
+(2.6,2.8,1102.0,1249.5,0.0468,0.047,0.0468,0.047),
+(2.6,2.8,1249.5,1412.0,0.047,0.0473,0.047,0.0473),
+(2.6,2.8,1412.0,1590.5,0.0473,0.0476,0.0473,0.0476),
+(2.6,2.8,1590.5,1787.0,0.0476,0.0479,0.0476,0.0479),
+(2.6,2.8,1787.0,2003.0,0.0479,0.0482,0.0479,0.0482),
+(2.6,2.8,2003.0,2241.0,0.0482,0.0485,0.0482,0.0485),
+(2.6,2.8,2241.0,2503.0,0.0485,0.0489,0.0485,0.0489),
+(2.6,2.8,2503.0,2790.5,0.0489,0.0493,0.0489,0.0493),
+(2.6,2.8,2790.5,3107.0,0.0493,0.0496,0.0493,0.0496),
+(2.6,2.8,3107.0,3455.0,0.0496,0.0501,0.0496,0.0501),
+(2.6,2.8,3455.0,3837.0,0.0501,0.0506,0.0501,0.0506),
+(2.6,2.8,3837.0,4257.0,0.0506,0.0512,0.0506,0.0512),
+(2.6,2.8,4257.0,4719.0,0.0512,0.0518,0.0512,0.0518),
+(2.6,2.8,4719.0,5226.5,0.0518,0.0524,0.0518,0.0524),
+(2.6,2.8,5226.5,5784.0,0.0524,0.053,0.0524,0.053),
+(2.6,2.8,5784.0,6538.0,0.053,0.0861,0.053,0.0861),
+(2.6,2.8,6538.0,1e+18,0.0861,0.0861,0.0861,0.0861),
+(2.8,3.0,-1e+18,9.0,0.0949,0.0949,0.0949,0.0949),
+(2.8,3.0,9.0,11.0,0.0949,0.0792,0.0949,0.0792),
+(2.8,3.0,11.0,13.5,0.0792,0.0657,0.0792,0.0657),
+(2.8,3.0,13.5,16.5,0.0657,0.0565,0.0657,0.0565),
+(2.8,3.0,16.5,19.5,0.0565,0.048,0.0565,0.048),
+(2.8,3.0,19.5,22.5,0.048,0.0464,0.048,0.0464),
+(2.8,3.0,22.5,26.0,0.0464,0.043,0.0464,0.043),
+(2.8,3.0,26.0,30.0,0.043,0.0411,0.043,0.0411),
+(2.8,3.0,30.0,34.5,0.0411,0.0369,0.0411,0.0369),
+(2.8,3.0,34.5,40.0,0.0369,0.0396,0.0369,0.0396),
+(2.8,3.0,40.0,46.0,0.0396,0.0365,0.0396,0.0365),
+(2.8,3.0,46.0,52.5,0.0365,0.0358,0.0365,0.0358),
+(2.8,3.0,52.5,60.0,0.0358,0.0359,0.0358,0.0359),
+(2.8,3.0,60.0,69.0,0.0359,0.0367,0.0359,0.0367),
+(2.8,3.0,69.0,79.0,0.0367,0.0375,0.0367,0.0375),
+(2.8,3.0,79.0,90.5,0.0375,0.0393,0.0375,0.0393),
+(2.8,3.0,90.5,105.5,0.0393,0.0402,0.0393,0.0402),
+(2.8,3.0,105.5,123.5,0.0402,0.0414,0.0402,0.0414),
+(2.8,3.0,123.5,143.0,0.0414,0.0424,0.0414,0.0424),
+(2.8,3.0,143.0,163.5,0.0424,0.0445,0.0424,0.0445),
+(2.8,3.0,163.5,185.0,0.0445,0.0454,0.0445,0.0454),
+(2.8,3.0,185.0,208.0,0.0454,0.0472,0.0454,0.0472),
+(2.8,3.0,208.0,232.5,0.0472,0.0492,0.0472,0.0492),
+(2.8,3.0,232.5,258.5,0.0492,0.0515,0.0492,0.0515),
+(2.8,3.0,258.5,286.0,0.0515,0.0539,0.0515,0.0539),
+(2.8,3.0,286.0,331.0,0.0539,0.0596,0.0539,0.0596),
+(2.8,3.0,331.0,396.0,0.0596,0.0561,0.0596,0.0561),
+(2.8,3.0,396.0,468.5,0.0561,0.0559,0.0561,0.0559),
+(2.8,3.0,468.5,549.5,0.0559,0.0582,0.0559,0.0582),
+(2.8,3.0,549.5,639.0,0.0582,0.0582,0.0582,0.0582),
+(2.8,3.0,639.0,738.0,0.0582,0.0584,0.0582,0.0584),
+(2.8,3.0,738.0,847.5,0.0584,0.0585,0.0584,0.0585),
+(2.8,3.0,847.5,968.5,0.0585,0.0587,0.0585,0.0587),
+(2.8,3.0,968.5,1102.0,0.0587,0.0589,0.0587,0.0589),
+(2.8,3.0,1102.0,1249.5,0.0589,0.0591,0.0589,0.0591),
+(2.8,3.0,1249.5,1412.0,0.0591,0.0593,0.0591,0.0593),
+(2.8,3.0,1412.0,1590.5,0.0593,0.0595,0.0593,0.0595),
+(2.8,3.0,1590.5,1787.0,0.0595,0.0597,0.0595,0.0597),
+(2.8,3.0,1787.0,2003.0,0.0597,0.0599,0.0597,0.0599),
+(2.8,3.0,2003.0,2241.0,0.0599,0.0601,0.0599,0.0601),
+(2.8,3.0,2241.0,2503.0,0.0601,0.0604,0.0601,0.0604),
+(2.8,3.0,2503.0,2790.5,0.0604,0.0606,0.0604,0.0606),
+(2.8,3.0,2790.5,3107.0,0.0606,0.0609,0.0606,0.0609),
+(2.8,3.0,3107.0,3455.0,0.0609,0.0612,0.0609,0.0612),
+(2.8,3.0,3455.0,3837.0,0.0612,0.0616,0.0612,0.0616),
+(2.8,3.0,3837.0,4257.0,0.0616,0.062,0.0616,0.062),
+(2.8,3.0,4257.0,4719.0,0.062,0.0624,0.062,0.0624),
+(2.8,3.0,4719.0,5226.5,0.0624,0.0628,0.0624,0.0628),
+(2.8,3.0,5226.5,5784.0,0.0628,0.0817,0.0628,0.0817),
+(2.8,3.0,5784.0,6538.0,0.0817,0.1452,0.0817,0.1452),
+(2.8,3.0,6538.0,1e+18,0.1452,0.1452,0.1452,0.1452),
+(3.0,3.5,-1e+18,9.0,0.1275,0.1275,0.1275,0.1275),
+(3.0,3.5,9.0,11.0,0.1275,0.1081,0.1275,0.1081),
+(3.0,3.5,11.0,13.5,0.1081,0.0902,0.1081,0.0902),
+(3.0,3.5,13.5,16.5,0.0902,0.0753,0.0902,0.0753),
+(3.0,3.5,16.5,19.5,0.0753,0.0648,0.0753,0.0648),
+(3.0,3.5,19.5,22.5,0.0648,0.0574,0.0648,0.0574),
+(3.0,3.5,22.5,26.0,0.0574,0.0513,0.0574,0.0513),
+(3.0,3.5,26.0,30.0,0.0513,0.0476,0.0513,0.0476),
+(3.0,3.5,30.0,34.5,0.0476,0.0442,0.0476,0.0442),
+(3.0,3.5,34.5,40.0,0.0442,0.0415,0.0442,0.0415),
+(3.0,3.5,40.0,46.0,0.0415,0.0395,0.0415,0.0395),
+(3.0,3.5,46.0,52.5,0.0395,0.0381,0.0395,0.0381),
+(3.0,3.5,52.5,60.0,0.0381,0.037,0.0381,0.037),
+(3.0,3.5,60.0,69.0,0.037,0.0359,0.037,0.0359),
+(3.0,3.5,69.0,79.0,0.0359,0.0351,0.0359,0.0351),
+(3.0,3.5,79.0,90.5,0.0351,0.0345,0.0351,0.0345),
+(3.0,3.5,90.5,105.5,0.0345,0.0339,0.0345,0.0339),
+(3.0,3.5,105.5,123.5,0.0339,0.0336,0.0339,0.0336),
+(3.0,3.5,123.5,143.0,0.0336,0.0333,0.0336,0.0333),
+(3.0,3.5,143.0,163.5,0.0333,0.0332,0.0333,0.0332),
+(3.0,3.5,163.5,185.0,0.0332,0.0331,0.0332,0.0331),
+(3.0,3.5,185.0,208.0,0.0331,0.0332,0.0331,0.0332),
+(3.0,3.5,208.0,232.5,0.0332,0.0332,0.0332,0.0332),
+(3.0,3.5,232.5,258.5,0.0332,0.0334,0.0332,0.0334),
+(3.0,3.5,258.5,286.0,0.0334,0.0335,0.0334,0.0335),
+(3.0,3.5,286.0,331.0,0.0335,0.0338,0.0335,0.0338),
+(3.0,3.5,331.0,396.0,0.0338,0.0342,0.0338,0.0342),
+(3.0,3.5,396.0,468.5,0.0342,0.0348,0.0342,0.0348),
+(3.0,3.5,468.5,549.5,0.0348,0.0352,0.0348,0.0352),
+(3.0,3.5,549.5,639.0,0.0352,0.0351,0.0352,0.0351),
+(3.0,3.5,639.0,738.0,0.0351,0.0352,0.0351,0.0352),
+(3.0,3.5,738.0,847.5,0.0352,0.0353,0.0352,0.0353),
+(3.0,3.5,847.5,968.5,0.0353,0.0354,0.0353,0.0354),
+(3.0,3.5,968.5,1102.0,0.0354,0.0355,0.0354,0.0355),
+(3.0,3.5,1102.0,1249.5,0.0355,0.0356,0.0355,0.0356),
+(3.0,3.5,1249.5,1412.0,0.0356,0.0357,0.0356,0.0357),
+(3.0,3.5,1412.0,1590.5,0.0357,0.0359,0.0357,0.0359),
+(3.0,3.5,1590.5,1787.0,0.0359,0.036,0.0359,0.036),
+(3.0,3.5,1787.0,2003.0,0.036,0.0361,0.036,0.0361),
+(3.0,3.5,2003.0,2241.0,0.0361,0.0362,0.0361,0.0362),
+(3.0,3.5,2241.0,2503.0,0.0362,0.0364,0.0362,0.0364),
+(3.0,3.5,2503.0,2790.5,0.0364,0.0365,0.0364,0.0365),
+(3.0,3.5,2790.5,3107.0,0.0365,0.0366,0.0365,0.0366),
+(3.0,3.5,3107.0,3455.0,0.0366,0.0367,0.0366,0.0367),
+(3.0,3.5,3455.0,3837.0,0.0367,0.0369,0.0367,0.0369),
+(3.0,3.5,3837.0,4257.0,0.0369,0.0371,0.0369,0.0371),
+(3.0,3.5,4257.0,4719.0,0.0371,0.0373,0.0371,0.0373),
+(3.0,3.5,4719.0,5226.5,0.0373,0.0375,0.0373,0.0375),
+(3.0,3.5,5226.5,5784.0,0.0375,0.0376,0.0375,0.0376),
+(3.0,3.5,5784.0,6538.0,0.0376,0.0378,0.0376,0.0378),
+(3.0,3.5,6538.0,1e+18,0.0378,0.0378,0.0378,0.0378),
+(3.5,4.0,-1e+18,9.0,0.1407,0.1407,0.1407,0.1407),
+(3.5,4.0,9.0,11.0,0.1407,0.1189,0.1407,0.1189),
+(3.5,4.0,11.0,13.5,0.1189,0.0999,0.1189,0.0999),
+(3.5,4.0,13.5,16.5,0.0999,0.0846,0.0999,0.0846),
+(3.5,4.0,16.5,19.5,0.0846,0.0744,0.0846,0.0744),
+(3.5,4.0,19.5,22.5,0.0744,0.0673,0.0744,0.0673),
+(3.5,4.0,22.5,26.0,0.0673,0.0615,0.0673,0.0615),
+(3.5,4.0,26.0,30.0,0.0615,0.0576,0.0615,0.0576),
+(3.5,4.0,30.0,34.5,0.0576,0.053,0.0576,0.053),
+(3.5,4.0,34.5,40.0,0.053,0.0487,0.053,0.0487),
+(3.5,4.0,40.0,46.0,0.0487,0.0451,0.0487,0.0451),
+(3.5,4.0,46.0,52.5,0.0451,0.0422,0.0451,0.0422),
+(3.5,4.0,52.5,60.0,0.0422,0.0396,0.0422,0.0396),
+(3.5,4.0,60.0,69.0,0.0396,0.0365,0.0396,0.0365),
+(3.5,4.0,69.0,79.0,0.0365,0.0339,0.0365,0.0339),
+(3.5,4.0,79.0,90.5,0.0339,0.0318,0.0339,0.0318),
+(3.5,4.0,90.5,105.5,0.0318,0.0299,0.0318,0.0299),
+(3.5,4.0,105.5,123.5,0.0299,0.0287,0.0299,0.0287),
+(3.5,4.0,123.5,143.0,0.0287,0.0282,0.0287,0.0282),
+(3.5,4.0,143.0,163.5,0.0282,0.0283,0.0282,0.0283),
+(3.5,4.0,163.5,185.0,0.0283,0.0289,0.0283,0.0289),
+(3.5,4.0,185.0,208.0,0.0289,0.0297,0.0289,0.0297),
+(3.5,4.0,208.0,232.5,0.0297,0.0307,0.0297,0.0307),
+(3.5,4.0,232.5,258.5,0.0307,0.0318,0.0307,0.0318),
+(3.5,4.0,258.5,286.0,0.0318,0.033,0.0318,0.033),
+(3.5,4.0,286.0,331.0,0.033,0.035,0.033,0.035),
+(3.5,4.0,331.0,396.0,0.035,0.0358,0.035,0.0358),
+(3.5,4.0,396.0,468.5,0.0358,0.0358,0.0358,0.0358),
+(3.5,4.0,468.5,549.5,0.0358,0.0358,0.0358,0.0358),
+(3.5,4.0,549.5,639.0,0.0358,0.0358,0.0358,0.0358),
+(3.5,4.0,639.0,738.0,0.0358,0.0359,0.0358,0.0359),
+(3.5,4.0,738.0,847.5,0.0359,0.036,0.0359,0.036),
+(3.5,4.0,847.5,968.5,0.036,0.0361,0.036,0.0361),
+(3.5,4.0,968.5,1102.0,0.0361,0.0362,0.0361,0.0362),
+(3.5,4.0,1102.0,1249.5,0.0362,0.0363,0.0362,0.0363),
+(3.5,4.0,1249.5,1412.0,0.0363,0.0365,0.0363,0.0365),
+(3.5,4.0,1412.0,1590.5,0.0365,0.0366,0.0365,0.0366),
+(3.5,4.0,1590.5,1787.0,0.0366,0.0367,0.0366,0.0367),
+(3.5,4.0,1787.0,2003.0,0.0367,0.0369,0.0367,0.0369),
+(3.5,4.0,2003.0,2241.0,0.0369,0.0371,0.0369,0.0371),
+(3.5,4.0,2241.0,2503.0,0.0371,0.0372,0.0371,0.0372),
+(3.5,4.0,2503.0,2790.5,0.0372,0.0374,0.0372,0.0374),
+(3.5,4.0,2790.5,3107.0,0.0374,0.0376,0.0374,0.0376),
+(3.5,4.0,3107.0,3455.0,0.0376,0.0378,0.0376,0.0378),
+(3.5,4.0,3455.0,3837.0,0.0378,0.0379,0.0378,0.0379),
+(3.5,4.0,3837.0,4257.0,0.0379,0.038,0.0379,0.038),
+(3.5,4.0,4257.0,4719.0,0.038,0.0381,0.038,0.0381),
+(3.5,4.0,4719.0,5226.5,0.0381,0.0383,0.0381,0.0383),
+(3.5,4.0,5226.5,5784.0,0.0383,0.0384,0.0383,0.0384),
+(3.5,4.0,5784.0,6538.0,0.0384,0.0386,0.0384,0.0386),
+(3.5,4.0,6538.0,1e+18,0.0386,0.0386,0.0386,0.0386),
+(4.0,4.4,-1e+18,9.0,0.1401,0.1401,0.1401,0.1401),
+(4.0,4.4,9.0,11.0,0.1401,0.122,0.1401,0.122),
+(4.0,4.4,11.0,13.5,0.122,0.1067,0.122,0.1067),
+(4.0,4.4,13.5,16.5,0.1067,0.095,0.1067,0.095),
+(4.0,4.4,16.5,19.5,0.095,0.0878,0.095,0.0878),
+(4.0,4.4,19.5,22.5,0.0878,0.083,0.0878,0.083),
+(4.0,4.4,22.5,26.0,0.083,0.0792,0.083,0.0792),
+(4.0,4.4,26.0,30.0,0.0792,0.0767,0.0792,0.0767),
+(4.0,4.4,30.0,34.5,0.0767,0.0736,0.0767,0.0736),
+(4.0,4.4,34.5,40.0,0.0736,0.0707,0.0736,0.0707),
+(4.0,4.4,40.0,46.0,0.0707,0.0684,0.0707,0.0684),
+(4.0,4.4,46.0,52.5,0.0684,0.0664,0.0684,0.0664),
+(4.0,4.4,52.5,60.0,0.0664,0.0648,0.0664,0.0648),
+(4.0,4.4,60.0,69.0,0.0648,0.0635,0.0648,0.0635),
+(4.0,4.4,69.0,79.0,0.0635,0.0624,0.0635,0.0624),
+(4.0,4.4,79.0,90.5,0.0624,0.0615,0.0624,0.0615),
+(4.0,4.4,90.5,105.5,0.0615,0.0608,0.0615,0.0608),
+(4.0,4.4,105.5,123.5,0.0608,0.0603,0.0608,0.0603),
+(4.0,4.4,123.5,143.0,0.0603,0.0601,0.0603,0.0601),
+(4.0,4.4,143.0,163.5,0.0601,0.0603,0.0601,0.0603),
+(4.0,4.4,163.5,185.0,0.0603,0.0607,0.0603,0.0607),
+(4.0,4.4,185.0,208.0,0.0607,0.0611,0.0607,0.0611),
+(4.0,4.4,208.0,232.5,0.0611,0.0615,0.0611,0.0615),
+(4.0,4.4,232.5,258.5,0.0615,0.0613,0.0615,0.0613),
+(4.0,4.4,258.5,286.0,0.0613,0.0614,0.0613,0.0614),
+(4.0,4.4,286.0,331.0,0.0614,0.0614,0.0614,0.0614),
+(4.0,4.4,331.0,396.0,0.0614,0.0615,0.0614,0.0615),
+(4.0,4.4,396.0,468.5,0.0615,0.0617,0.0615,0.0617),
+(4.0,4.4,468.5,549.5,0.0617,0.0619,0.0617,0.0619),
+(4.0,4.4,549.5,639.0,0.0619,0.0622,0.0619,0.0622),
+(4.0,4.4,639.0,738.0,0.0622,0.0625,0.0622,0.0625),
+(4.0,4.4,738.0,847.5,0.0625,0.0628,0.0625,0.0628),
+(4.0,4.4,847.5,968.5,0.0628,0.0632,0.0628,0.0632),
+(4.0,4.4,968.5,1102.0,0.0632,0.0636,0.0632,0.0636),
+(4.0,4.4,1102.0,1249.5,0.0636,0.064,0.0636,0.064),
+(4.0,4.4,1249.5,1412.0,0.064,0.0645,0.064,0.0645),
+(4.0,4.4,1412.0,1590.5,0.0645,0.0649,0.0645,0.0649),
+(4.0,4.4,1590.5,1787.0,0.0649,0.0654,0.0649,0.0654),
+(4.0,4.4,1787.0,2003.0,0.0654,0.0659,0.0654,0.0659),
+(4.0,4.4,2003.0,2241.0,0.0659,0.0664,0.0659,0.0664),
+(4.0,4.4,2241.0,2503.0,0.0664,0.0669,0.0664,0.0669),
+(4.0,4.4,2503.0,2790.5,0.0669,0.0675,0.0669,0.0675),
+(4.0,4.4,2790.5,3107.0,0.0675,0.0681,0.0675,0.0681),
+(4.0,4.4,3107.0,3455.0,0.0681,0.0686,0.0681,0.0686),
+(4.0,4.4,3455.0,3837.0,0.0686,0.0691,0.0686,0.0691),
+(4.0,4.4,3837.0,4257.0,0.0691,0.0696,0.0691,0.0696),
+(4.0,4.4,4257.0,4719.0,0.0696,0.0701,0.0696,0.0701),
+(4.0,4.4,4719.0,5226.5,0.0701,0.0707,0.0701,0.0707),
+(4.0,4.4,5226.5,5784.0,0.0707,0.0712,0.0707,0.0712),
+(4.0,4.4,5784.0,6538.0,0.0712,0.0719,0.0712,0.0719),
+(4.0,4.4,6538.0,1e+18,0.0719,0.0719,0.0719,0.0719),
+(4.4,5.0,-1e+18,9.0,0.1052,0.1052,0.1052,0.1052),
+(4.4,5.0,9.0,11.0,0.1052,0.0966,0.1052,0.0966),
+(4.4,5.0,11.0,13.5,0.0966,0.0896,0.0966,0.0896),
+(4.4,5.0,13.5,16.5,0.0896,0.0847,0.0896,0.0847),
+(4.4,5.0,16.5,19.5,0.0847,0.0813,0.0847,0.0813),
+(4.4,5.0,19.5,22.5,0.0813,0.0792,0.0813,0.0792),
+(4.4,5.0,22.5,26.0,0.0792,0.0774,0.0792,0.0774),
+(4.4,5.0,26.0,30.0,0.0774,0.0755,0.0774,0.0755),
+(4.4,5.0,30.0,34.5,0.0755,0.0726,0.0755,0.0726),
+(4.4,5.0,34.5,40.0,0.0726,0.0698,0.0726,0.0698),
+(4.4,5.0,40.0,46.0,0.0698,0.0674,0.0698,0.0674),
+(4.4,5.0,46.0,52.5,0.0674,0.0655,0.0674,0.0655),
+(4.4,5.0,52.5,60.0,0.0655,0.064,0.0655,0.064),
+(4.4,5.0,60.0,69.0,0.064,0.0628,0.064,0.0628),
+(4.4,5.0,69.0,79.0,0.0628,0.0619,0.0628,0.0619),
+(4.4,5.0,79.0,90.5,0.0619,0.0615,0.0619,0.0615),
+(4.4,5.0,90.5,105.5,0.0615,0.0614,0.0615,0.0614),
+(4.4,5.0,105.5,123.5,0.0614,0.0617,0.0614,0.0617),
+(4.4,5.0,123.5,143.0,0.0617,0.0623,0.0617,0.0623),
+(4.4,5.0,143.0,163.5,0.0623,0.0633,0.0623,0.0633),
+(4.4,5.0,163.5,185.0,0.0633,0.0644,0.0633,0.0644),
+(4.4,5.0,185.0,208.0,0.0644,0.0656,0.0644,0.0656),
+(4.4,5.0,208.0,232.5,0.0656,0.0667,0.0656,0.0667),
+(4.4,5.0,232.5,258.5,0.0667,0.0673,0.0667,0.0673),
+(4.4,5.0,258.5,286.0,0.0673,0.068,0.0673,0.068),
+(4.4,5.0,286.0,331.0,0.068,0.0691,0.068,0.0691),
+(4.4,5.0,331.0,396.0,0.0691,0.0704,0.0691,0.0704),
+(4.4,5.0,396.0,468.5,0.0704,0.0716,0.0704,0.0716),
+(4.4,5.0,468.5,549.5,0.0716,0.0728,0.0716,0.0728),
+(4.4,5.0,549.5,639.0,0.0728,0.0739,0.0728,0.0739),
+(4.4,5.0,639.0,738.0,0.0739,0.075,0.0739,0.075),
+(4.4,5.0,738.0,847.5,0.075,0.0761,0.075,0.0761),
+(4.4,5.0,847.5,968.5,0.0761,0.0771,0.0761,0.0771),
+(4.4,5.0,968.5,1102.0,0.0771,0.0781,0.0771,0.0781),
+(4.4,5.0,1102.0,1249.5,0.0781,0.0791,0.0781,0.0791),
+(4.4,5.0,1249.5,1412.0,0.0791,0.08,0.0791,0.08),
+(4.4,5.0,1412.0,1590.5,0.08,0.0809,0.08,0.0809),
+(4.4,5.0,1590.5,1787.0,0.0809,0.0818,0.0809,0.0818),
+(4.4,5.0,1787.0,2003.0,0.0818,0.0827,0.0818,0.0827),
+(4.4,5.0,2003.0,2241.0,0.0827,0.0836,0.0827,0.0836),
+(4.4,5.0,2241.0,2503.0,0.0836,0.0844,0.0836,0.0844),
+(4.4,5.0,2503.0,2790.5,0.0844,0.0853,0.0844,0.0853),
+(4.4,5.0,2790.5,3107.0,0.0853,0.0861,0.0853,0.0861),
+(4.4,5.0,3107.0,3455.0,0.0861,0.0869,0.0861,0.0869),
+(4.4,5.0,3455.0,3837.0,0.0869,0.0879,0.0869,0.0879),
+(4.4,5.0,3837.0,4257.0,0.0879,0.0889,0.0879,0.0889),
+(4.4,5.0,4257.0,4719.0,0.0889,0.0899,0.0889,0.0899),
+(4.4,5.0,4719.0,5226.5,0.0899,0.0908,0.0899,0.0908),
+(4.4,5.0,5226.5,5784.0,0.0908,0.0917,0.0908,0.0917),
+(4.4,5.0,5784.0,6538.0,0.0917,0.0928,0.0917,0.0928),
+(4.4,5.0,6538.0,1e+18,0.0928,0.0928,0.0928,0.0928),
+(5.0,5.4,-1e+18,9.0,0.1131,0.1131,0.1131,0.1131),
+(5.0,5.4,9.0,11.0,0.1131,0.1022,0.1131,0.1022),
+(5.0,5.4,11.0,13.5,0.1022,0.0934,0.1022,0.0934),
+(5.0,5.4,13.5,16.5,0.0934,0.0871,0.0934,0.0871),
+(5.0,5.4,16.5,19.5,0.0871,0.0832,0.0871,0.0832),
+(5.0,5.4,19.5,22.5,0.0832,0.0806,0.0832,0.0806),
+(5.0,5.4,22.5,26.0,0.0806,0.0784,0.0806,0.0784),
+(5.0,5.4,26.0,30.0,0.0784,0.0762,0.0784,0.0762),
+(5.0,5.4,30.0,34.5,0.0762,0.0731,0.0762,0.0731),
+(5.0,5.4,34.5,40.0,0.0731,0.0701,0.0731,0.0701),
+(5.0,5.4,40.0,46.0,0.0701,0.0681,0.0701,0.0681),
+(5.0,5.4,46.0,52.5,0.0681,0.0657,0.0681,0.0657),
+(5.0,5.4,52.5,60.0,0.0657,0.0644,0.0657,0.0644),
+(5.0,5.4,60.0,69.0,0.0644,0.0628,0.0644,0.0628),
+(5.0,5.4,69.0,79.0,0.0628,0.062,0.0628,0.062),
+(5.0,5.4,79.0,90.5,0.062,0.0615,0.062,0.0615),
+(5.0,5.4,90.5,105.5,0.0615,0.0614,0.0615,0.0614),
+(5.0,5.4,105.5,123.5,0.0614,0.0616,0.0614,0.0616),
+(5.0,5.4,123.5,143.0,0.0616,0.0623,0.0616,0.0623),
+(5.0,5.4,143.0,163.5,0.0623,0.0633,0.0623,0.0633),
+(5.0,5.4,163.5,185.0,0.0633,0.0644,0.0633,0.0644),
+(5.0,5.4,185.0,208.0,0.0644,0.0656,0.0644,0.0656),
+(5.0,5.4,208.0,232.5,0.0656,0.0667,0.0656,0.0667),
+(5.0,5.4,232.5,258.5,0.0667,0.0673,0.0667,0.0673),
+(5.0,5.4,258.5,286.0,0.0673,0.068,0.0673,0.068),
+(5.0,5.4,286.0,331.0,0.068,0.069,0.068,0.069),
+(5.0,5.4,331.0,396.0,0.069,0.0703,0.069,0.0703),
+(5.0,5.4,396.0,468.5,0.0703,0.0716,0.0703,0.0716),
+(5.0,5.4,468.5,549.5,0.0716,0.0728,0.0716,0.0728),
+(5.0,5.4,549.5,639.0,0.0728,0.0739,0.0728,0.0739),
+(5.0,5.4,639.0,738.0,0.0739,0.075,0.0739,0.075),
+(5.0,5.4,738.0,847.5,0.075,0.0761,0.075,0.0761),
+(5.0,5.4,847.5,968.5,0.0761,0.0771,0.0761,0.0771),
+(5.0,5.4,968.5,1102.0,0.0771,0.0781,0.0771,0.0781),
+(5.0,5.4,1102.0,1249.5,0.0781,0.0791,0.0781,0.0791),
+(5.0,5.4,1249.5,1412.0,0.0791,0.08,0.0791,0.08),
+(5.0,5.4,1412.0,1590.5,0.08,0.0809,0.08,0.0809),
+(5.0,5.4,1590.5,1787.0,0.0809,0.0818,0.0809,0.0818),
+(5.0,5.4,1787.0,2003.0,0.0818,0.0827,0.0818,0.0827),
+(5.0,5.4,2003.0,2241.0,0.0827,0.0836,0.0827,0.0836),
+(5.0,5.4,2241.0,2503.0,0.0836,0.0844,0.0836,0.0844),
+(5.0,5.4,2503.0,2790.5,0.0844,0.0853,0.0844,0.0853),
+(5.0,5.4,2790.5,3107.0,0.0853,0.0861,0.0853,0.0861),
+(5.0,5.4,3107.0,3455.0,0.0861,0.0869,0.0861,0.0869),
+(5.0,5.4,3455.0,3837.0,0.0869,0.0879,0.0869,0.0879),
+(5.0,5.4,3837.0,4257.0,0.0879,0.0889,0.0879,0.0889),
+(5.0,5.4,4257.0,4719.0,0.0889,0.0899,0.0889,0.0899),
+(5.0,5.4,4719.0,5226.5,0.0899,0.0908,0.0899,0.0908),
+(5.0,5.4,5226.5,5784.0,0.0908,0.0917,0.0908,0.0917),
+(5.0,5.4,5784.0,6538.0,0.0917,0.0928,0.0917,0.0928),
+(5.0,5.4,6538.0,1e+18,0.0928,0.0928,0.0928,0.0928)""").mkString("\n")
+  private val l17Sql =
+    s"""WITH raw(eta_lo, eta_hi, x0, x1, u0, u1, d0, d1) AS (VALUES
+      |$juncValuesLiteral),
+      |segs AS (
+      | SELECT CAST(eta_lo AS DOUBLE) AS eta_lo, CAST(eta_hi AS DOUBLE) AS eta_hi,
+      |  CAST(x0 AS DOUBLE) AS x0, CAST(x1 AS DOUBLE) AS x1,
+      |  CAST(u0 AS DOUBLE) AS u0, CAST(u1 AS DOUBLE) AS u1,
+      |  CAST(d0 AS DOUBLE) AS d0, CAST(d1 AS DOUBLE) AS d1
+      | FROM raw),
+      |jets AS (
+      | SELECT l_extendedprice / 1000.0 AS pt, l_discount * 104.0 - 5.2 AS eta
+      | FROM lineitem)
+      |SELECT eta_lo, COUNT(*) AS n_jets,
+      | CAST(SUM(CAST(FLOOR($l17Up * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS up_nano_sum,
+      | CAST(SUM(CAST(FLOOR($l17Dn * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS dn_nano_sum
+      |FROM jets JOIN segs
+      |  ON eta >= eta_lo AND eta < eta_hi AND pt >= x0 AND pt < x1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l15_nnlops_interp" -> (l15 _),
     "l16_zpt_json_lookup" -> (l16 _),
+    "l17_jec_unc_real" -> (l17 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -893,6 +3009,7 @@ object LookupQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "l15_nnlops_interp" -> l15Sql,
     "l16_zpt_json_lookup" -> l16Sql,
+    "l17_jec_unc_real" -> l17Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,
