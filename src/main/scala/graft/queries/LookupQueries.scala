@@ -2986,10 +2986,305 @@ object LookupQueries extends QueryFamily {
       |  ON eta >= eta_lo AND eta < eta_hi AND pt >= x0 AND pt < x1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- l18: Rochester M/A grid from the reference's real RoccoR file --------
+  // The reference's muon momentum-scale input is the RoccoR text file
+  // (data/roch_corr/RoccoR2018.txt, wired in config/parameters.py and
+  // applied by stage1's rochester correction; l07 models the BRANCHING
+  // logic with a synthetic table — this reads the REAL grid). Set-0
+  // member-0 DATA block: per (eta bin, phi bin) the multiplicative (M)
+  // and charge-antisymmetric (A) coefficients, 14 non-uniform CETA bins
+  // x 16 phi bins. Engine semantics: the public kScaleDT shape
+  // scale = 1 / (1 + (M + Q*A*pt)/100) over the percent-scale grid (the
+  // deliverable is the keyed grid join + formula; pt clamped to
+  // [20, 80) keeps the denominator provably positive). Per-muon scales
+  // nano-quantize before the per-eta fold. Oracle = independently
+  // parsed literal grid + identical replay.
+  private lazy val roccorGrid: Seq[(Double, Double, Int, Double, Double)] = {
+    val ceta = Array(-2.40, -2.10, -1.85, -1.60, -1.20, -0.80, -0.40, 0.00,
+      0.40, 0.80, 1.20, 1.60, 1.85, 2.10, 2.40)
+    val m = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    val a = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    scala.io.Source.fromFile(refData("roch_corr/RoccoR2018.txt")).getLines()
+      .foreach { line =>
+        val t = line.trim.split("\\s+")
+        if (t.length >= 22 && t(0) == "0" && t(1) == "0" && t(2) == "C" &&
+            t(4) == "0") {
+          val grid = if (t(3) == "0") m else a
+          val etab = t(5).toInt
+          (0 until 16).foreach(p => grid((etab, p)) = t(6 + p).toDouble)
+        }
+      }
+    m.keys.toSeq.sorted.map { case (e, p) =>
+      (ceta(e), ceta(e + 1), p, m((e, p)), a((e, p)))
+    }
+  }
+  private val l18Scale = "(1.0 / (1.0 + (m_coef + q * a_coef * pt) / 100.0))"
+  private def l18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = roccorGrid.toDF("eta_lo", "eta_hi", "phi_bin", "m_coef", "a_coef")
+    val mu = rd(s, dir, "lineitem")
+      .select(
+        expr("20.0 + (l_extendedprice % 600.0) / 10.0").as("pt"),
+        (col("l_discount") * 48.0 - 2.4).as("eta"),
+        expr("CAST(l_linenumber * 7 % 16 AS INT)").as("phi_bin"),
+        expr("CAST(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE)").as("q"))
+    mu.join(broadcast(grid),
+        mu("eta") >= grid("eta_lo") && mu("eta") < grid("eta_hi") &&
+          mu("phi_bin") === grid("phi_bin"))
+      .select(col("eta_lo"),
+        expr(s"CAST(FLOOR($l18Scale * 1e9 + 0.5) AS BIGINT)").as("sq"))
+      .groupBy(col("eta_lo"))
+      .agg(count(lit(1)).as("n_mu"), sum(col("sq")).as("scale_nano_sum"))
+      .orderBy(col("eta_lo"))
+  }
+  private val l18Sql =
+    s"""WITH rawg(eta_lo, eta_hi, phi_bin, m_coef, a_coef) AS (VALUES
+      |(-2.4,-2.1,0,-0.30363,-0.3943172),
+      |(-2.4,-2.1,1,-0.2635141,-0.3647987),
+      |(-2.4,-2.1,2,-0.2805547,-0.2967662),
+      |(-2.4,-2.1,3,-0.2769985,-0.3151166),
+      |(-2.4,-2.1,4,-0.2135179,-0.3191996),
+      |(-2.4,-2.1,5,-0.2213895,-0.3467424),
+      |(-2.4,-2.1,6,-0.3186237,-0.3178745),
+      |(-2.4,-2.1,7,-0.3086586,-0.3311446),
+      |(-2.4,-2.1,8,-0.1874772,-0.3081199),
+      |(-2.4,-2.1,9,-0.2288103,-0.3540307),
+      |(-2.4,-2.1,10,-0.2525038,-0.4033593),
+      |(-2.4,-2.1,11,-0.3086996,-0.4190536),
+      |(-2.4,-2.1,12,-0.2736972,-0.4536226),
+      |(-2.4,-2.1,13,-0.1789685,-0.4059521),
+      |(-2.4,-2.1,14,-0.287812,-0.4276261),
+      |(-2.4,-2.1,15,-0.2931553,-0.4329195),
+      |(-2.1,-1.85,0,-0.2020402,-0.2914228),
+      |(-2.1,-1.85,1,-0.1341255,-0.2883016),
+      |(-2.1,-1.85,2,-0.1514845,-0.2971595),
+      |(-2.1,-1.85,3,-0.1425502,-0.2778756),
+      |(-2.1,-1.85,4,-0.1787417,-0.2660167),
+      |(-2.1,-1.85,5,-0.1833472,-0.2249823),
+      |(-2.1,-1.85,6,-0.1780272,-0.2473886),
+      |(-2.1,-1.85,7,-0.1620589,-0.2393581),
+      |(-2.1,-1.85,8,-0.195665,-0.2726147),
+      |(-2.1,-1.85,9,-0.1346044,-0.2763773),
+      |(-2.1,-1.85,10,-0.0909574,-0.2694329),
+      |(-2.1,-1.85,11,-0.1167896,-0.3494199),
+      |(-2.1,-1.85,12,-0.1473562,-0.3547668),
+      |(-2.1,-1.85,13,-0.1343174,-0.3393301),
+      |(-2.1,-1.85,14,-0.138405,-0.3689987),
+      |(-2.1,-1.85,15,-0.1166295,-0.3475546),
+      |(-1.85,-1.6,0,-0.0653963,-0.3117156),
+      |(-1.85,-1.6,1,-0.0946891,-0.2934207),
+      |(-1.85,-1.6,2,-0.0634719,-0.2844961),
+      |(-1.85,-1.6,3,-0.1037741,-0.2583286),
+      |(-1.85,-1.6,4,-0.1261389,-0.2293409),
+      |(-1.85,-1.6,5,-0.0798837,-0.2415554),
+      |(-1.85,-1.6,6,-0.0708673,-0.2163206),
+      |(-1.85,-1.6,7,-0.0621168,-0.2142413),
+      |(-1.85,-1.6,8,-0.0511296,-0.2198954),
+      |(-1.85,-1.6,9,-0.0938397,-0.2095867),
+      |(-1.85,-1.6,10,-0.069862,-0.2311216),
+      |(-1.85,-1.6,11,-0.049299,-0.2983053),
+      |(-1.85,-1.6,12,-0.0191074,-0.2963924),
+      |(-1.85,-1.6,13,-0.0476724,-0.2717364),
+      |(-1.85,-1.6,14,-0.0037399,-0.3047854),
+      |(-1.85,-1.6,15,-0.0544363,-0.2947267),
+      |(-1.6,-1.2,0,-0.0751494,-0.2691),
+      |(-1.6,-1.2,1,-0.0564032,-0.2241576),
+      |(-1.6,-1.2,2,-0.0613381,-0.2298007),
+      |(-1.6,-1.2,3,-0.0764581,-0.22227),
+      |(-1.6,-1.2,4,-0.0994199,-0.1989377),
+      |(-1.6,-1.2,5,-0.0626378,-0.2091251),
+      |(-1.6,-1.2,6,-0.0811821,-0.1914919),
+      |(-1.6,-1.2,7,-0.0419718,-0.1996026),
+      |(-1.6,-1.2,8,-0.0646928,-0.1806376),
+      |(-1.6,-1.2,9,-0.0905605,-0.2203891),
+      |(-1.6,-1.2,10,-0.0962906,-0.2236075),
+      |(-1.6,-1.2,11,-0.0675795,-0.260166),
+      |(-1.6,-1.2,12,-0.1169429,-0.2732608),
+      |(-1.6,-1.2,13,-0.0738483,-0.2497704),
+      |(-1.6,-1.2,14,-0.0690105,-0.2627378),
+      |(-1.6,-1.2,15,-0.1254146,-0.246869),
+      |(-1.2,-0.8,0,0.001538,-0.172921),
+      |(-1.2,-0.8,1,-0.0580026,-0.15941),
+      |(-1.2,-0.8,2,-0.0085213,-0.1591986),
+      |(-1.2,-0.8,3,-0.039221,-0.1344946),
+      |(-1.2,-0.8,4,0.0146594,-0.1389379),
+      |(-1.2,-0.8,5,-0.0535395,-0.1469557),
+      |(-1.2,-0.8,6,-0.0163252,-0.1460793),
+      |(-1.2,-0.8,7,-0.0144236,-0.1599384),
+      |(-1.2,-0.8,8,-0.0095185,-0.1422913),
+      |(-1.2,-0.8,9,-0.0320967,-0.1480503),
+      |(-1.2,-0.8,10,0.038935,-0.1615674),
+      |(-1.2,-0.8,11,-0.0159376,-0.1758571),
+      |(-1.2,-0.8,12,-0.0464876,-0.1771236),
+      |(-1.2,-0.8,13,-0.0110499,-0.1860441),
+      |(-1.2,-0.8,14,0.0019062,-0.1673069),
+      |(-1.2,-0.8,15,-0.0485075,-0.1591932),
+      |(-0.8,-0.4,0,0.0209444,-0.1400004),
+      |(-0.8,-0.4,1,0.0010902,-0.1183301),
+      |(-0.8,-0.4,2,0.0162364,-0.1408142),
+      |(-0.8,-0.4,3,0.022822,-0.1411655),
+      |(-0.8,-0.4,4,0.0075566,-0.1143091),
+      |(-0.8,-0.4,5,-0.0173268,-0.1277843),
+      |(-0.8,-0.4,6,-0.0076617,-0.1271852),
+      |(-0.8,-0.4,7,-0.0083082,-0.1383138),
+      |(-0.8,-0.4,8,0.0301883,-0.1325151),
+      |(-0.8,-0.4,9,0.0275373,-0.1364731),
+      |(-0.8,-0.4,10,0.0073492,-0.1275373),
+      |(-0.8,-0.4,11,0.0184561,-0.1507686),
+      |(-0.8,-0.4,12,-0.0156092,-0.1587813),
+      |(-0.8,-0.4,13,0.0242506,-0.1692573),
+      |(-0.8,-0.4,14,0.0204298,-0.1347854),
+      |(-0.8,-0.4,15,-0.0044242,-0.1476415),
+      |(-0.4,0.0,0,-0.0056445,-0.1128017),
+      |(-0.4,0.0,1,0.0214439,-0.1183701),
+      |(-0.4,0.0,2,0.0111371,-0.1207382),
+      |(-0.4,0.0,3,0.0027649,-0.1150316),
+      |(-0.4,0.0,4,0.0358528,-0.1057801),
+      |(-0.4,0.0,5,-0.0099332,-0.124931),
+      |(-0.4,0.0,6,0.0257431,-0.1064928),
+      |(-0.4,0.0,7,0.0010789,-0.1160167),
+      |(-0.4,0.0,8,0.027762,-0.1224061),
+      |(-0.4,0.0,9,0.032754,-0.1250172),
+      |(-0.4,0.0,10,0.0222974,-0.1297037),
+      |(-0.4,0.0,11,0.0469113,-0.1307089),
+      |(-0.4,0.0,12,0.0368092,-0.1276146),
+      |(-0.4,0.0,13,0.0283118,-0.134863),
+      |(-0.4,0.0,14,0.0023738,-0.1273003),
+      |(-0.4,0.0,15,0.0067865,-0.1087228),
+      |(0.0,0.4,0,0.0100644,-0.1173566),
+      |(0.0,0.4,1,-0.0104957,-0.1127002),
+      |(0.0,0.4,2,0.0330693,-0.1183981),
+      |(0.0,0.4,3,0.0197914,-0.1156583),
+      |(0.0,0.4,4,0.0444952,-0.1238896),
+      |(0.0,0.4,5,0.0156178,-0.1176134),
+      |(0.0,0.4,6,0.0308752,-0.118177),
+      |(0.0,0.4,7,0.0004608,-0.1408318),
+      |(0.0,0.4,8,0.0056906,-0.1245845),
+      |(0.0,0.4,9,0.0616623,-0.1229355),
+      |(0.0,0.4,10,0.0169903,-0.1188049),
+      |(0.0,0.4,11,0.0220168,-0.1400963),
+      |(0.0,0.4,12,0.0065315,-0.1465246),
+      |(0.0,0.4,13,0.0157349,-0.1446419),
+      |(0.0,0.4,14,0.0314366,-0.1233038),
+      |(0.0,0.4,15,0.0356748,-0.120292),
+      |(0.4,0.8,0,-0.0164391,-0.1403784),
+      |(0.4,0.8,1,0.0016156,-0.1224634),
+      |(0.4,0.8,2,-0.0097866,-0.1229483),
+      |(0.4,0.8,3,-0.0190581,-0.1300387),
+      |(0.4,0.8,4,-0.0046113,-0.1172534),
+      |(0.4,0.8,5,0.0013324,-0.1298478),
+      |(0.4,0.8,6,0.0107821,-0.1309128),
+      |(0.4,0.8,7,-0.0172922,-0.123074),
+      |(0.4,0.8,8,-0.0170946,-0.1413489),
+      |(0.4,0.8,9,0.0160065,-0.1281599),
+      |(0.4,0.8,10,-0.0318227,-0.1173162),
+      |(0.4,0.8,11,-0.0284751,-0.1518495),
+      |(0.4,0.8,12,0.0044151,-0.1350791),
+      |(0.4,0.8,13,-0.016925,-0.1333318),
+      |(0.4,0.8,14,0.0295488,-0.1292232),
+      |(0.4,0.8,15,-0.0118136,-0.1171948),
+      |(0.8,1.2,0,-0.0073838,-0.1557505),
+      |(0.8,1.2,1,-0.0148378,-0.1253217),
+      |(0.8,1.2,2,-0.036713,-0.1612105),
+      |(0.8,1.2,3,-0.0048288,-0.1494037),
+      |(0.8,1.2,4,-0.0291207,-0.1457355),
+      |(0.8,1.2,5,-0.0325873,-0.1502825),
+      |(0.8,1.2,6,0.0176773,-0.1667148),
+      |(0.8,1.2,7,-0.0384118,-0.1696358),
+      |(0.8,1.2,8,-0.0383467,-0.1726806),
+      |(0.8,1.2,9,-0.04229,-0.1677726),
+      |(0.8,1.2,10,-0.0433553,-0.1663848),
+      |(0.8,1.2,11,-0.0258585,-0.1911496),
+      |(0.8,1.2,12,-0.0095177,-0.1715049),
+      |(0.8,1.2,13,-0.0181349,-0.16075),
+      |(0.8,1.2,14,-0.0155608,-0.1496677),
+      |(0.8,1.2,15,0.0448853,-0.1433017),
+      |(1.2,1.6,0,-0.0463943,-0.2085496),
+      |(1.2,1.6,1,-0.0706844,-0.2425876),
+      |(1.2,1.6,2,-0.0876165,-0.225498),
+      |(1.2,1.6,3,-0.0284277,-0.2319506),
+      |(1.2,1.6,4,-0.0795026,-0.23038),
+      |(1.2,1.6,5,-0.0272313,-0.2158955),
+      |(1.2,1.6,6,-0.0757722,-0.2121076),
+      |(1.2,1.6,7,-0.0621026,-0.258876),
+      |(1.2,1.6,8,-0.1094842,-0.2387416),
+      |(1.2,1.6,9,-0.0596779,-0.2594528),
+      |(1.2,1.6,10,-0.0730229,-0.2329554),
+      |(1.2,1.6,11,-0.1128502,-0.2524499),
+      |(1.2,1.6,12,-0.0614579,-0.254606),
+      |(1.2,1.6,13,-0.039312,-0.2201438),
+      |(1.2,1.6,14,-0.0579592,-0.232801),
+      |(1.2,1.6,15,-0.0766953,-0.2145387),
+      |(1.6,1.85,0,-0.0871459,-0.2734895),
+      |(1.6,1.85,1,-0.049144,-0.2597526),
+      |(1.6,1.85,2,-0.0716419,-0.2275434),
+      |(1.6,1.85,3,-0.0516622,-0.2443202),
+      |(1.6,1.85,4,-0.0186777,-0.2411263),
+      |(1.6,1.85,5,-0.0789082,-0.2243986),
+      |(1.6,1.85,6,-0.0596693,-0.248931),
+      |(1.6,1.85,7,-0.1012593,-0.2676926),
+      |(1.6,1.85,8,-0.0432422,-0.2896352),
+      |(1.6,1.85,9,-0.0242597,-0.2674674),
+      |(1.6,1.85,10,-0.0931083,-0.2896436),
+      |(1.6,1.85,11,-0.0945424,-0.2848454),
+      |(1.6,1.85,12,-0.0660284,-0.2342191),
+      |(1.6,1.85,13,-0.1439673,-0.2471978),
+      |(1.6,1.85,14,-0.0764519,-0.2662728),
+      |(1.6,1.85,15,-0.0703244,-0.2522798),
+      |(1.85,2.1,0,-0.1384398,-0.2615901),
+      |(1.85,2.1,1,-0.1168303,-0.3007341),
+      |(1.85,2.1,2,-0.1402235,-0.2694),
+      |(1.85,2.1,3,-0.1492518,-0.2651296),
+      |(1.85,2.1,4,-0.1275841,-0.2862851),
+      |(1.85,2.1,5,-0.1439147,-0.2538667),
+      |(1.85,2.1,6,-0.1453973,-0.2909917),
+      |(1.85,2.1,7,-0.1124248,-0.281666),
+      |(1.85,2.1,8,-0.1784323,-0.3463091),
+      |(1.85,2.1,9,-0.1492285,-0.3366127),
+      |(1.85,2.1,10,-0.1853806,-0.3320735),
+      |(1.85,2.1,11,-0.1765401,-0.3129969),
+      |(1.85,2.1,12,-0.1365789,-0.249071),
+      |(1.85,2.1,13,-0.1054035,-0.2598199),
+      |(1.85,2.1,14,-0.0979637,-0.2676035),
+      |(1.85,2.1,15,-0.1463942,-0.2729061),
+      |(2.1,2.4,0,-0.2225681,-0.3609235),
+      |(2.1,2.4,1,-0.2139872,-0.3394269),
+      |(2.1,2.4,2,-0.1969001,-0.3354259),
+      |(2.1,2.4,3,-0.1356838,-0.3252149),
+      |(2.1,2.4,4,-0.2764199,-0.3245676),
+      |(2.1,2.4,5,-0.1793587,-0.3171898),
+      |(2.1,2.4,6,-0.3245514,-0.3693177),
+      |(2.1,2.4,7,-0.3012585,-0.3654065),
+      |(2.1,2.4,8,-0.2919856,-0.4229803),
+      |(2.1,2.4,9,-0.2678033,-0.3986385),
+      |(2.1,2.4,10,-0.2671892,-0.4116192),
+      |(2.1,2.4,11,-0.264294,-0.4006676),
+      |(2.1,2.4,12,-0.2812897,-0.3804421),
+      |(2.1,2.4,13,-0.2385265,-0.3684232),
+      |(2.1,2.4,14,-0.2596393,-0.3688205),
+      |(2.1,2.4,15,-0.3614627,-0.3587189)),
+      |grid AS (
+      | SELECT CAST(eta_lo AS DOUBLE) AS eta_lo, CAST(eta_hi AS DOUBLE) AS eta_hi,
+      |  phi_bin, CAST(m_coef AS DOUBLE) AS m_coef, CAST(a_coef AS DOUBLE) AS a_coef
+      | FROM rawg),
+      |mu AS (
+      | SELECT 20.0 + (l_extendedprice % 600.0) / 10.0 AS pt,
+      |  l_discount * 48.0 - 2.4 AS eta,
+      |  CAST(l_linenumber * 7 % 16 AS INT) AS phi_bin,
+      |  CAST(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS q
+      | FROM lineitem)
+      |SELECT eta_lo, COUNT(*) AS n_mu,
+      | CAST(SUM(CAST(FLOOR($l18Scale * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+      |  AS scale_nano_sum
+      |FROM mu JOIN grid
+      |  ON eta >= eta_lo AND eta < eta_hi AND mu.phi_bin = grid.phi_bin
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l15_nnlops_interp" -> (l15 _),
     "l16_zpt_json_lookup" -> (l16 _),
     "l17_jec_unc_real" -> (l17 _),
+    "l18_roccor_grid" -> (l18 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -3010,6 +3305,7 @@ object LookupQueries extends QueryFamily {
     "l15_nnlops_interp" -> l15Sql,
     "l16_zpt_json_lookup" -> l16Sql,
     "l17_jec_unc_real" -> l17Sql,
+    "l18_roccor_grid" -> l18Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,
