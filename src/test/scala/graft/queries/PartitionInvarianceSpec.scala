@@ -26,7 +26,13 @@ class PartitionInvarianceSpec extends SparkSpec {
   private val dir = sf("sf0.001")
   private val targets = Seq(
     "a10_weighted_histogram", "u24_seasonal_decomp", "m26_cuped_abtest",
-    "g05_pagerank", "d03_minhash_lsh", "m30_gbdt_loop", "j21_knn_join")
+    "g05_pagerank", "d03_minhash_lsh", "m30_gbdt_loop", "j21_knn_join",
+    // round-8 shapes: shared-SQL-text Durbin-Levinson (integer-quantized
+    // ACF under a driver-shaped recursion), the ROOT-native flagship
+    // (connector scan -> pivot -> exactly-2 gate), the real-weights DNN
+    // forward (chunk-16 fold in one projection), and the real-table
+    // interp lookup (nano-quantized per-jet folds)
+    "u28_pacf", "s14_root_stage1", "m35_vbf_dnn_real", "l17_jec_unc_real")
 
   private def runAt(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
