@@ -2533,38 +2533,49 @@ object MLQueries extends QueryFamily {
   // measured 20 s vs 1.3 s for the full m35 chain at sf0.01)
   private def vbfZSql(i: Int): String =
     s"(CAST((((event_id * ${2654435761L + i * 40503L}) % 4001) - 2000) AS DOUBLE) / 1000.0)"
+  /** The standardized 24-feature input array from an event_id column —
+    * real scaler values flow through the construction (see m35). */
+  private[queries] def vbfH0: org.apache.spark.sql.Column =
+    array((0 until vbfDims.head).map { i =>
+      val mu = vbfScaler(0, i); val sg = vbfScaler(1, i)
+      ((lit(mu) + lit(sg) * expr(vbfZSql(i))) - lit(mu)) / lit(sg)
+    }: _*)
+  /** The full real-weights forward pass as ONE nested column: sigmoid
+    * score from an h0 array column. Weights enter as typedLit literal
+    * arrays of the SAME %.6f-rounded doubles the oracle text carries —
+    * skipping the SQL parser for the ~17k weight tokens (measured:
+    * 23.8 s one-shot via expr text vs ~1 s warm; the parse was the
+    * cost, not the math). Requires GraftFunctions registered. */
+    private[queries] def vbfScore(h0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
+    def wlit(xs: Seq[Double]) = typedLit(xs.map(x => lit6(x).toDouble))
+    val hLast = (0 until vbfDims.size - 1).foldLeft(h0) { (cur, l) =>
+      call_function("mlp_dense", cur, wlit(vbfW(l).flatten.toSeq),
+        wlit(vbfB(l).toSeq), lit(true))
+    }
+    val out = element_at(call_function("mlp_dense", hLast,
+      wlit(vbfWOut.toSeq), wlit(Seq(vbfBOut)), lit(false)), 1)
+    lit(1.0) / (lit(1.0) + exp(negate(out)))
+  }
   private def m35(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val ev = rd(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
-    def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
-    // weights enter as typedLit literal arrays of the SAME %.6f-rounded
-    // doubles the oracle text carries — skipping the SQL parser for the
-    // ~17k weight tokens (measured: 23.8 s one-shot via expr text vs
-    // ~1 s warm; the parse was the cost, not the math)
-    def wlit(xs: Seq[Double]) = typedLit(xs.map(x => lit6(x).toDouble))
-    val std = ev.select(col("event_id"),
-      array((0 until vbfDims.head).map { i =>
-        val mu = vbfScaler(0, i); val sg = vbfScaler(1, i)
-        ((lit(mu) + lit(sg) * expr(vbfZSql(i))) - lit(mu)) / lit(sg)
-      }: _*).as("h0"))
-    val staged = (0 until vbfDims.size - 1).foldLeft(std) { (cur, l) =>
-      cur.select(col("event_id"),
-        call_function("mlp_dense", col(s"h$l"), wlit(vbfW(l).flatten.toSeq),
-          wlit(vbfB(l).toSeq), lit(true)).as(s"h${l + 1}"))
-    }
-    val L = vbfDims.size - 1
-    val out = element_at(call_function("mlp_dense", col(s"h$L"),
-      wlit(vbfWOut.toSeq), wlit(Seq(vbfBOut)), lit(false)), 1)
-    val sigm = lit(1.0) / (lit(1.0) + exp(negate(out)))
-    staged.select(col("event_id"),
+    val sigm = vbfScore(col("h0"))
+    ev.select(col("event_id"), vbfH0.as("h0"))
+      .select(col("event_id"),
         sigm.cast("float").as("vbf_score"),
         (lit(0.5) * log((lit(1.0) + sigm) / (lit(1.0) - sigm)))
           .cast("float").as("vbf_score_atanh"))
       .orderBy(col("event_id"))
   }
-  private lazy val m35Sql = {
+  /** SQL text of the full forward pass: (inner subquery producing
+    * event_id + h3_* columns from `fromClause`, sigmoid expr over them).
+    * Shared by m35's oracle and n14's streaming batch oracle. */
+  private[queries] def vbfScoreSqlParts(fromClause: String,
+      extraCols: String = ""): (String, String) = {
     def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
     def d(x: Double) = s"CAST('$x' AS DOUBLE)" // exact round-trip, no DECIMAL inference
+    val keep = if (extraCols.isEmpty) "event_id" else s"event_id, $extraCols"
     val std = (0 until vbfDims.head).map { i =>
       val mu = d(vbfScaler(0, i)); val sg = d(vbfScaler(1, i))
       s"((($mu + $sg * (${vbfZSql(i)})) - $mu) / $sg) AS h0_$i"
@@ -2582,9 +2593,13 @@ object MLQueries extends QueryFamily {
       .map(j => s"h${L}_$j * ${lit6(vbfWOut(j))}")) + s" + ${lit6(vbfBOut)}"
     val sigm = s"(1.0 / (1.0 + EXP(-($out))))"
     val inner = layers.foldLeft(
-      s"SELECT event_id, $std FROM events") {
-      case (sub, cols) => s"SELECT event_id, $cols FROM ($sub)"
+      s"SELECT $keep, $std FROM $fromClause") {
+      case (sub, cols) => s"SELECT $keep, $cols FROM ($sub)"
     }
+    (inner, sigm)
+  }
+  private lazy val m35Sql = {
+    val (inner, sigm) = vbfScoreSqlParts("events")
     s"""SELECT event_id,
        | CAST($sigm AS REAL) AS vbf_score,
        | CAST(0.5 * LN((1.0 + $sigm) / (1.0 - $sigm)) AS REAL) AS vbf_score_atanh

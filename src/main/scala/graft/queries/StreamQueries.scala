@@ -441,8 +441,58 @@ object StreamQueries extends QueryFamily {
        |   AS late_15m
        |FROM lagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- n14: streaming inference with the reference's REAL trained DNN -------
+  // The production model-serving shape: a micro-batch stream of events
+  // scored by the ACTUAL trained VBF network (m35's weights, read from
+  // the reference's .pt by the pure-JVM TorchPt reader) inside the
+  // stream's projection — the forward pass is stateless column math, so
+  // it rides the stream for free — then a Complete-mode aggregation to
+  // score deciles. At scale this is exactly how a trained
+  // quality/filter model scores an ingest stream: broadcast-free,
+  // shuffle only at the tiny decile aggregation. Scores micro-quantize
+  // before the sum; oracle = the batch SQL replay of the same forward
+  // chain (the n-family convention: streaming answers must equal the
+  // batch answers).
+  private def n14(s: SparkSession, dir: String): DataFrame =
+    Streams.withStatePartitions(s, statePartitions) {
+      graft.plans.GraftFunctions.register(s)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val name = fresh("graft_stream_dnn")
+      val sigm = MLQueries.vbfScore(col("h0"))
+      val scored = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_id"), MLQueries.vbfH0.as("h0"))
+        .select(col("event_id"), sigm.as("score"))
+      val agg = scored
+        .withColumn("decile",
+          least(floor(col("score") * 10.0).cast("int"), lit(9)))
+        .withColumn("score_micro",
+          expr("CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("score_micro")).as("score_micro_sum"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }.orderBy(col("decile"))
+  private lazy val n14Sql = {
+    val (inner, sigm) = MLQueries.vbfScoreSqlParts("events")
+    s"""WITH scored AS (
+       | SELECT $sigm AS score FROM ($inner))
+       |SELECT LEAST(CAST(FLOOR(score * 10.0) AS INT), 9) AS decile,
+       | COUNT(*) AS n_events,
+       | CAST(SUM(CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |  AS score_micro_sum
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n13_watermark_audit" -> (n13 _),
+    "n14_stream_dnn_scoring" -> (n14 _),
     "n12_stream_root_sf" -> (n12 _),
     "n11_stream_topk" -> (n11 _),
     "n10_stream_hopping" -> (n10 _),
@@ -459,6 +509,7 @@ object StreamQueries extends QueryFamily {
 
   val oracle: Map[String, String] = Map(
     "n13_watermark_audit" -> n13Sql,
+    "n14_stream_dnn_scoring" -> n14Sql,
     "n12_stream_root_sf" -> n12Sql,
     "n10_stream_hopping" -> n10Sql,
     "n09_stream_running_totals" -> n09Sql,
