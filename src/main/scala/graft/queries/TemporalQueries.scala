@@ -2073,10 +2073,90 @@ object TemporalQueries extends QueryFamily {
     s"epoch_ns(ts) // $nsPerDay",
     s"SELECT unnest(generate_series(1, $acfMaxLag)) AS lag"))
 
+  // ---- u30: Holt-Winters additive (triple exponential smoothing) ------------
+  // u19's Holt trend extended with the seasonal component — the full
+  // classical forecaster over the per-type daily series (season length
+  // 7, online-initialized indices: l = x_0, b = 0, s = 0, so the whole
+  // recursion is ONE fold with no two-phase bootstrap). The per-type
+  // sequential fold runs in mapGroups over the DAILY table (bounded by
+  // day span × types, the u19/a14 size-gated shape — the corpus-sized
+  // work is the daily aggregation); the oracle replays the identical
+  // fold as a DuckDB list_reduce over a 10-element state vector
+  // [t, l, b, s0..s6], with every float operation spelled in the same
+  // order (lp/bp/s-update inlined textually), so the trajectories are
+  // bit-identical.
+  private val hwA = 0.3; private val hwB = 0.1; private val hwG = 0.2
+  private def u30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = rd(s, dir, "events")
+      .select(col("event_type"), expr(s"ts div $nsPerDay").as("day"),
+        expr("CAST(floor(value * 1000 + 0.5) AS BIGINT)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(org.apache.spark.sql.functions.sum(col("vm")).as("ym"))
+      .as[(String, Long, Long)]
+    daily.groupByKey(_._1)
+      .mapGroups { (typ, rows) =>
+        val xs = rows.toVector.sortBy(_._2).map(_._3.toDouble / 1000.0)
+        var l = 0.0; var b = 0.0
+        val sv = new Array[Double](7)
+        var t = 0
+        xs.foreach { x =>
+          if (t == 0) { l = x; b = 0.0 }
+          else {
+            val sk = sv(t % 7)
+            val lp = hwA * (x - sk) + (1 - hwA) * (l + b)
+            val bp = hwB * (lp - l) + (1 - hwB) * b
+            sv(t % 7) = hwG * (x - lp) + (1 - hwG) * sk
+            l = lp; b = bp
+          }
+          t += 1
+        }
+        (typ, xs.size.toLong, l.toFloat, b.toFloat,
+          (l + b + sv(t % 7)).toFloat)
+      }
+      .toDF("event_type", "n_days", "level", "trend", "forecast_1")
+      .orderBy(col("event_type"))
+  }
+  private val u30Sql = {
+    // the fold state is [t, l, b, s0..s6]; sk/lp are inlined textually
+    // so both engines execute the same double expression tree
+    val sk = s"acc[4 + (CAST(acc[1] AS INT) % 7)]"
+    val lp = s"($hwA * (v[1] - $sk) + ${1 - hwA} * (acc[2] + acc[3]))"
+    val sCases = (0 until 7).map { k =>
+      s"CASE WHEN (CAST(acc[1] AS INT) % 7) = $k " +
+        s"THEN $hwG * (v[1] - $lp) + ${1 - hwG} * $sk ELSE acc[${4 + k}] END"
+    }.mkString(",\n      |    ")
+    s"""WITH daily AS (
+       | SELECT event_type, epoch_ns(ts) // $nsPerDay AS day,
+       |  CAST(SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS ym
+       | FROM events GROUP BY 1, 2),
+       |ord AS (
+       | SELECT event_type, COUNT(*) AS n_days,
+       |  list(CAST(ym AS DOUBLE) / 1000.0 ORDER BY day ASC) AS vs
+       | FROM daily GROUP BY 1),
+       |fold AS (
+       | SELECT event_type, n_days,
+       |  list_reduce(
+       |   list_prepend(
+       |    [CAST(1 AS DOUBLE), vs[1], 0, 0, 0, 0, 0, 0, 0, 0],
+       |    list_transform(vs[2:], x -> [x])),
+       |   (acc, v) -> [acc[1] + 1,
+       |    $lp,
+       |    $hwB * ($lp - acc[2]) + ${1 - hwB} * acc[3],
+       |    $sCases]) AS st
+       | FROM ord)
+       |SELECT event_type, n_days,
+       | CAST(st[2] AS REAL) AS level, CAST(st[3] AS REAL) AS trend,
+       | CAST(st[2] + st[3] + st[4 + (CAST(st[1] AS INT) % 7)] AS REAL)
+       |  AS forecast_1
+       |FROM fold ORDER BY event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u27_acf" -> (u27 _),
     "u28_pacf" -> (u28 _),
     "u29_ljung_box" -> (u29 _),
+    "u30_holt_winters" -> (u30 _),
     "u26_theil_sen" -> (u26 _),
     "u25_kaplan_meier" -> (u25 _),
     "u24_seasonal_decomp" -> (u24 _),
@@ -2121,6 +2201,7 @@ object TemporalQueries extends QueryFamily {
     "u27_acf" -> u27Sql,
     "u28_pacf" -> u28Sql,
     "u29_ljung_box" -> u29Sql,
+    "u30_holt_winters" -> u30Sql,
     "u26_theil_sen" -> u26Sql,
     "u25_kaplan_meier" -> u25Sql,
     "u24_seasonal_decomp" -> u24Sql,
