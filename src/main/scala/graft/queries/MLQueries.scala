@@ -2546,7 +2546,7 @@ object MLQueries extends QueryFamily {
     * skipping the SQL parser for the ~17k weight tokens (measured:
     * 23.8 s one-shot via expr text vs ~1 s warm; the parse was the
     * cost, not the math). Requires GraftFunctions registered. */
-    private[queries] def vbfScore(h0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[queries] def vbfScore(h0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
     def wlit(xs: Seq[Double]) = typedLit(xs.map(x => lit6(x).toDouble))
     val hLast = (0 until vbfDims.size - 1).foldLeft(h0) { (cur, l) =>

@@ -33,10 +33,12 @@ object PlotSvg {
     val n = rs.size
     val plotW = W - PadL - PadR
     val bw = plotW / n
-    val yMax = math.max(
+    // floor keeps an all-empty panel renderable (0-height bars at the
+    // axis) instead of dividing by zero into NaN coordinates
+    val yMax = math.max(1e-12, math.max(
       rs.map(_.getAs[Long]("data_n").toDouble).max,
       rs.map(r => r.getAs[Float]("mc_val").toDouble +
-        r.getAs[Float]("mc_err").toDouble).max) * 1.15
+        r.getAs[Float]("mc_err").toDouble).max)) * 1.15
     def x(i: Int) = PadL + i * bw
     def yM(v: Double) = PadT + HMain - (v / yMax) * HMain
     val H = PadT + HMain + Gap + HRatio + 30.0
