@@ -3280,11 +3280,129 @@ object LookupQueries extends QueryFamily {
       |  ON eta >= eta_lo AND eta < eta_hi AND mu.phi_bin = grid.phi_bin
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- l19: PU-jet-ID event weight from the reference's PUIDMaps.root -------
+  // The reference's PUID correction input (data/PUIDMaps.root, 54 TH2F
+  // eff/mistag/SF maps consumed by stage1's jet-ID weighting; weights
+  // multiply per jet into one event weight, the weights.py fold). This
+  // reads the 2018 medium-WP SF map through the root-hist connector,
+  // range-joins each jet's (pt, eta) cell, and builds the EVENT weight
+  // as the per-event product of jet SFs — in log space with the repo's
+  // quantize-before-fold discipline: ln(sf) nano-quantizes per jet (the
+  // only float->int step), the per-event sum is exact integer, and one
+  // exp at the end casts float32. Oracle = independently parsed literal
+  // map (tools-side minimal TH2F decoder, no shared code) + identical
+  // replay.
+  private def l19(s: SparkSession, dir: String): DataFrame = {
+    val sfMap = s.read.format("root-hist")
+      .option("path", refData("PUIDMaps.root")).load()
+      .filter(col("hist") === "h2_eff_sf2018_M" &&
+        col("binx").between(1, 5) && col("biny").between(1, 12))
+      .select(col("x_low"), col("x_high"), col("y_low"), col("y_high"),
+        col("content").as("sf"))
+    val jets = rd(s, dir, "lineitem")
+      .select(col("l_orderkey").as("event"),
+        expr("15.0 + l_extendedprice % 35.0").as("pt"),
+        (col("l_discount") * 100.0 - 5.0).as("eta"))
+    jets.join(broadcast(sfMap),
+        col("pt") >= col("x_low") && col("pt") < col("x_high") &&
+          col("eta") >= col("y_low") && col("eta") < col("y_high"))
+      .select(col("event"),
+        expr("CAST(FLOOR(LN(sf) * 1e9 + 0.5) AS BIGINT)").as("lnq"))
+      .groupBy(col("event"))
+      .agg(count(lit(1)).as("n_jets"), sum(col("lnq")).as("ln_nano_sum"))
+      .select(col("event"), col("n_jets"), col("ln_nano_sum"),
+        expr("CAST(EXP(CAST(ln_nano_sum AS DOUBLE) / 1e9) AS FLOAT)")
+          .as("puid_weight"))
+      .orderBy(col("event"))
+  }
+  private val l19Sql =
+    """WITH rawm(x_low, x_high, y_low, y_high, sf) AS (VALUES
+      |(15.0,20.0,-5.0,-3.0,0.8783412575721741),
+      |(20.0,25.0,-5.0,-3.0,0.8927531242370605),
+      |(25.0,30.0,-5.0,-3.0,0.9226834177970886),
+      |(30.0,40.0,-5.0,-3.0,0.8722459673881531),
+      |(40.0,50.0,-5.0,-3.0,0.9309371113777161),
+      |(15.0,20.0,-3.0,-2.75,0.9496819972991943),
+      |(20.0,25.0,-3.0,-2.75,1.015093207359314),
+      |(25.0,30.0,-3.0,-2.75,0.9723825454711914),
+      |(30.0,40.0,-3.0,-2.75,0.9436455965042114),
+      |(40.0,50.0,-3.0,-2.75,0.9888049960136414),
+      |(15.0,20.0,-2.75,-2.5,0.9596153497695923),
+      |(20.0,25.0,-2.75,-2.5,0.970830500125885),
+      |(25.0,30.0,-2.75,-2.5,0.9903846383094788),
+      |(30.0,40.0,-2.75,-2.5,1.0023608207702637),
+      |(40.0,50.0,-2.75,-2.5,0.990626335144043),
+      |(15.0,20.0,-2.5,-2.0,0.9846177101135254),
+      |(20.0,25.0,-2.5,-2.0,0.9966189861297607),
+      |(25.0,30.0,-2.5,-2.0,0.9923340678215027),
+      |(30.0,40.0,-2.5,-2.0,0.985401451587677),
+      |(40.0,50.0,-2.5,-2.0,0.9893893003463745),
+      |(15.0,20.0,-2.0,-1.479,0.9819181561470032),
+      |(20.0,25.0,-2.0,-1.479,0.9817020297050476),
+      |(25.0,30.0,-2.0,-1.479,0.986876368522644),
+      |(30.0,40.0,-2.0,-1.479,0.9830953478813171),
+      |(40.0,50.0,-2.0,-1.479,0.9856677651405334),
+      |(15.0,20.0,-1.479,0.0,0.9375899434089661),
+      |(20.0,25.0,-1.479,0.0,0.9650227427482605),
+      |(25.0,30.0,-1.479,0.0,0.9793623089790344),
+      |(30.0,40.0,-1.479,0.0,0.9772602915763855),
+      |(40.0,50.0,-1.479,0.0,0.9866920113563538),
+      |(15.0,20.0,0.0,1.479,0.9282165169715881),
+      |(20.0,25.0,0.0,1.479,0.9588832855224609),
+      |(25.0,30.0,0.0,1.479,0.9760499000549316),
+      |(30.0,40.0,0.0,1.479,0.9746904373168945),
+      |(40.0,50.0,0.0,1.479,0.9847586750984192),
+      |(15.0,20.0,1.479,2.0,0.9621860980987549),
+      |(20.0,25.0,1.479,2.0,0.9762757420539856),
+      |(25.0,30.0,1.479,2.0,0.9871518015861511),
+      |(30.0,40.0,1.479,2.0,0.9773740172386169),
+      |(40.0,50.0,1.479,2.0,0.9847527742385864),
+      |(15.0,20.0,2.0,2.5,0.98289954662323),
+      |(20.0,25.0,2.0,2.5,1.0052839517593384),
+      |(25.0,30.0,2.0,2.5,0.9880738854408264),
+      |(30.0,40.0,2.0,2.5,0.9730995297431946),
+      |(40.0,50.0,2.0,2.5,0.9748201966285706),
+      |(15.0,20.0,2.5,2.75,0.938284158706665),
+      |(20.0,25.0,2.5,2.75,0.9621992707252502),
+      |(25.0,30.0,2.5,2.75,0.9570777416229248),
+      |(30.0,40.0,2.5,2.75,0.9768657684326172),
+      |(40.0,50.0,2.5,2.75,0.9846495985984802),
+      |(15.0,20.0,2.75,3.0,0.9505677819252014),
+      |(20.0,25.0,2.75,3.0,0.944298267364502),
+      |(25.0,30.0,2.75,3.0,0.9931477308273315),
+      |(30.0,40.0,2.75,3.0,0.9288220405578613),
+      |(40.0,50.0,2.75,3.0,0.9384171962738037),
+      |(15.0,20.0,3.0,5.0,0.8851723074913025),
+      |(20.0,25.0,3.0,5.0,0.9073260426521301),
+      |(25.0,30.0,3.0,5.0,0.9166547060012817),
+      |(30.0,40.0,3.0,5.0,0.8802738785743713),
+      |(40.0,50.0,3.0,5.0,0.9297662973403931)),
+      |sfmap AS (
+      | SELECT CAST(x_low AS DOUBLE) AS x_low, CAST(x_high AS DOUBLE) AS x_high,
+      |  CAST(y_low AS DOUBLE) AS y_low, CAST(y_high AS DOUBLE) AS y_high,
+      |  CAST(sf AS DOUBLE) AS sf
+      | FROM rawm),
+      |jets AS (
+      | SELECT l_orderkey AS event, 15.0 + l_extendedprice % 35.0 AS pt,
+      |  l_discount * 100.0 - 5.0 AS eta
+      | FROM lineitem),
+      |per AS (
+      | SELECT event, COUNT(*) AS n_jets,
+      |  CAST(SUM(CAST(FLOOR(LN(sf) * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+      |   AS ln_nano_sum
+      | FROM jets JOIN sfmap
+      |   ON pt >= x_low AND pt < x_high AND eta >= y_low AND eta < y_high
+      | GROUP BY 1)
+      |SELECT event, n_jets, ln_nano_sum,
+      | CAST(EXP(CAST(ln_nano_sum AS DOUBLE) / 1e9) AS REAL) AS puid_weight
+      |FROM per ORDER BY event""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l15_nnlops_interp" -> (l15 _),
     "l16_zpt_json_lookup" -> (l16 _),
     "l17_jec_unc_real" -> (l17 _),
     "l18_roccor_grid" -> (l18 _),
+    "l19_puid_weight" -> (l19 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -3306,6 +3424,7 @@ object LookupQueries extends QueryFamily {
     "l16_zpt_json_lookup" -> l16Sql,
     "l17_jec_unc_real" -> l17Sql,
     "l18_roccor_grid" -> l18Sql,
+    "l19_puid_weight" -> l19Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,
