@@ -51,6 +51,64 @@ class Round8EvalSpec extends SparkSpec {
     ys.foreach(y => assert(y >= 335.0 && y <= 455.0, s"ratio y $y outside pad"))
   }
 
+  test("m35 native forward == naive driver-side Scala forward, real weights, exact floats") {
+    // fully independent re-computation: weights via TorchPt, scalers via
+    // NumpyFile, the chunk-16 fold and clamped tanh re-spelled in plain
+    // Scala — if the native mlp_dense codegen, the typedLit weight path,
+    // or the standardization drifted by one ulp, the Float equality breaks
+    val sd = sources.TorchPt.readStateDict(queries.refData(
+      "trained_models/vbf/models/model_pytorch_test_0.pt")).toMap
+    val sc = sources.NumpyFile.read(queries.refData(
+      "trained_models/vbf/scalers/scalers_pytorch_test_0.npy"))
+    def r6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x).toDouble
+    val dims = Seq(24, 128, 64, 32)
+    def layer(x: Array[Double], l: Int): Array[Double] = {
+      val wT = sd(Seq("fc1", "fc2", "fc3")(l) + ".weight") // (out, in)
+      val b = sd(Seq("fc1", "fc2", "fc3")(l) + ".bias").data
+      Array.tabulate(dims(l + 1)) { j =>
+        var acc = 0.0
+        var c = 0
+        while (c * 16 < dims(l)) {
+          val end = math.min(c * 16 + 16, dims(l))
+          var g = x(c * 16) * r6(wT(j, c * 16))
+          var i = c * 16 + 1
+          while (i < end) { g += x(i) * r6(wT(j, i)); i += 1 }
+          acc = if (c == 0) g else acc + g
+          c += 1
+        }
+        val z = acc + r6(b(j))
+        val zc = if (z > 20.0) 20.0 else if (z < -20.0) -20.0 else z
+        val e = math.exp(zc * 2.0); (e - 1.0) / (e + 1.0)
+      }
+    }
+    val got = queries.MLQueries.queries("m35_vbf_dnn_real")(spark, sf("sf0.001"))
+      .limit(50).collect()
+    assert(got.length == 50)
+    got.foreach { row =>
+      val id = row.getLong(0)
+      val h0 = Array.tabulate(24) { i =>
+        val z = ((id * (2654435761L + i * 40503L)) % 4001 - 2000).toDouble / 1000.0
+        val mu = sc(0, i); val sg = sc(1, i)
+        ((mu + sg * z) - mu) / sg
+      }
+      val h3 = layer(layer(layer(h0, 0), 1), 2)
+      val wOut = sd("output.weight")
+      var acc = 0.0
+      var c = 0
+      while (c * 16 < 32) {
+        var g = h3(c * 16) * r6(wOut.data(c * 16))
+        var i = c * 16 + 1
+        while (i < math.min(c * 16 + 16, 32)) { g += h3(i) * r6(wOut.data(i)); i += 1 }
+        acc = if (c == 0) g else acc + g
+        c += 1
+      }
+      val out = acc + r6(sd("output.bias").data(0))
+      val sigm = 1.0 / (1.0 + math.exp(-out))
+      assert(sigm.toFloat == row.getFloat(1),
+        s"event $id: naive ${sigm.toFloat} != native ${row.getFloat(1)}")
+    }
+  }
+
   test("TemplateExport rejects out-of-range bins with a clear error") {
     import org.apache.spark.sql.functions._
     val bad = spark.range(1).select(lit("r").as("region"),
