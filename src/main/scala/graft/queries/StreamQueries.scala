@@ -302,8 +302,7 @@ object StreamQueries extends QueryFamily {
   private lazy val sfFixture =
     refData("muon_sf/year2018/RunABCD_SF_ID.root")
   private def n12(s: SparkSession, dir: String): DataFrame =
-    Streams.withStatePartitions(s, statePartitions) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Streams.withDriveConfs(s, statePartitions) {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val sfMap = s.read.format("root-hist").option("path", sfFixture).load()
         .filter(col("hist") === "NUM_TightID_DEN_genTracks_pt_abseta" &&
@@ -454,9 +453,8 @@ object StreamQueries extends QueryFamily {
   // chain (the n-family convention: streaming answers must equal the
   // batch answers).
   private def n14(s: SparkSession, dir: String): DataFrame =
-    Streams.withStatePartitions(s, statePartitions) {
+    Streams.withDriveConfs(s, statePartitions) {
       graft.plans.GraftFunctions.register(s)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name = fresh("graft_stream_dnn")
       val sigm = MLQueries.vbfScore(col("h0"))
