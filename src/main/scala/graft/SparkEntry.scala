@@ -33,7 +33,8 @@ object SparkEntry {
     SearchQueries,
     CurationQueries,
     GraphQueries,
-    FitQueries
+    FitQueries,
+    CorrectionQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →
