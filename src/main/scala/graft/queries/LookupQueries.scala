@@ -159,24 +159,51 @@ object LookupQueries extends QueryFamily {
   private val jecCsvSql =
     s"""(SELECT * FROM read_csv('$jecCsvPath', header=true,
        |  columns={'kind':'VARCHAR','source':'VARCHAR','lo':'DOUBLE','hi':'DOUBLE','val':'DOUBLE'}))""".stripMargin
-  private val jesNames: Seq[String] = (1 to 11).map(i => s"jes$i")
   private val jerNames: Seq[String] = (1 to 6).map(i => s"jer$i")
+
+  // The 11 regrouped JES sources the reference considers
+  // (config/jec_parameters.py jec_unc_to_consider["2018"]), in config
+  // order; each is a 40 (eta bin) x 50 (pt knot) uncertainty table in
+  // the real UncertaintySources file. The grid is uniform across
+  // sources (checked by the parser), so the eta index, pt segment and
+  // interp weight are computed ONCE and shared by all 22 variant
+  // columns.
+  private val jesSourceNames: Seq[String] = Seq(
+    "Absolute", "Absolute2018", "BBEC1", "BBEC12018", "EC2", "EC22018",
+    "HF", "HF2018", "RelativeBal", "RelativeSample2018", "FlavorQCD")
+  private lazy val jesSources: Map[String, graft.lookup.JecTextTables.UncSource] =
+    graft.lookup.JecTextTables.parseUncSources(
+      refData("jec/Autumn18_V19_MC_UncertaintySources_AK4PFchs.junc.txt"))
+  private lazy val jesEtaLos: Seq[Double] = jesSources("Absolute").etaLos
+  private lazy val jesKnots: Seq[Double] = jesSources("Absolute").knots
 
   // ---- l10: JEC chain at reference variant breadth (L4, wide form) -------
   // reference: stage1/processor.py:447-463 + config/jec_parameters.py —
   // every jet carries 22 JES + 12 JER variant COLUMNS of the corrected
-  // pt, not 34 copies of the table. The chain (two binned corrections +
-  // one binned uncertainty) runs ONCE; each source then scales the
-  // shared binned uncertainty by its own magnitude from the scanned
-  // kind∈{jes,jer} rows of the fixture, pivoted in-plan to ONE map row
-  // and broadcast — so the plan stays three broadcast range-joins plus
-  // one single-row broadcast regardless of source count, and adding a
-  // source is a data change, not a code change.
+  // pt, not 34 copies of the table. The chain (two binned corrections)
+  // runs ONCE; the 22 JES columns then come from the REAL regrouped
+  // UncertaintySources table (the 11 sources of
+  // jec_unc_to_consider["2018"], each a 40x50 (eta, pt-knot) grid from
+  // data/jec/Autumn18_V19_MC_UncertaintySources_AK4PFchs.junc.txt,
+  // piecewise-linear in pt inside the jet's eta bin with endpoint
+  // clamps — l17's interp semantics per source). Because the file's
+  // grid is uniform across sources, the eta index, pt segment and
+  // interp weight are computed ONCE (count-of-lows index arithmetic
+  // over literal arrays) and each source costs two element_at fetches
+  // + one fused multiply-add — a pure projection, NO join and no
+  // shuffle for the whole 22-column fan-out, the plan a 100 TB scan
+  // wants. The 12 JER columns stay fixture-driven (the Autumn18_V7_MC
+  // JER files are not in the reference checkout — documented boundary).
+  // Oracle: the same grid from an INDEPENDENT Python parse
+  // (tools/gen_jec_fixtures.py -> jes_sources_2018.csv with l17-style
+  // sentinel clamp segments), 11 range joins, identical interp
+  // spelling.
   private def l10(s: SparkSession, dir: String): DataFrame = {
     val li = rd(s, dir, "lineitem")
     val base = li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
       (col("l_extendedprice") / lit(1000.0)).as("pt_raw"),
-      abs(col("l_discount") * 94.0 - 4.7).as("abseta"))
+      abs(col("l_discount") * 94.0 - 4.7).as("abseta"),
+      expr("CAST(l_partkey % 1040 AS DOUBLE) / 100.0 - 5.2").as("eta"))
     val j1 = base.join(broadcast(bins1DF(s, jecL1).withColumnRenamed("sf", "sf1")),
       col("pt_raw") >= col("lo") && col("pt_raw") < col("hi"), "left")
       .drop("lo", "hi")
@@ -187,35 +214,74 @@ object LookupQueries extends QueryFamily {
     val j3 = j2.withColumn("pt_jec", ptJec)
       .join(broadcast(bins1DF(s, jecUnc).withColumnRenamed("sf", "unc")),
         col("pt_jec") >= col("lo") && col("pt_jec") < col("hi"), "left")
+    // shared index arithmetic (1-based for element_at): eta bin, pt
+    // segment [seg, seg+1] with the endpoint clamp folded into w
+    val j4 = j3
+      .withColumn("eta_i", size(filter(typedLit(jesEtaLos), b => b <= col("eta"))))
+      .withColumn("seg",
+        least(greatest(size(filter(typedLit(jesKnots), k => k <= col("pt_jec"))),
+          lit(1)), lit(jesKnots.size - 1)))
+      .withColumn("x0", element_at(typedLit(jesKnots), col("seg")))
+      .withColumn("x1", element_at(typedLit(jesKnots), col("seg") + 1))
+      .withColumn("w",
+        least(greatest((col("pt_jec") - col("x0")) / (col("x1") - col("x0")),
+          lit(0.0)), lit(1.0)))
     // source → magnitude as a 1-row broadcast map (the whitelisted
     // broadcast-1-row-aggregate shape): stays in-plan, no driver collect
-    val mags = jecTables(s).filter(col("kind").isin("jes", "jer"))
+    val mags = jecTables(s).filter(col("kind") === "jer")
       .agg(map_from_entries(collect_list(struct(col("source"), col("val"))))
         .as("jmag"))
-    val j4 = j3.crossJoin(broadcast(mags))
+    val j5 = j4.crossJoin(broadcast(mags))
     val unc = coalesce(col("unc"), lit(0.0))
-    val variantCols = (jesNames ++ jerNames).flatMap { n =>
+    val jesCols = jesSourceNames.flatMap { n =>
+      val grid = typedLit(jesSources(n).grid.map(_.toSeq))
+      val u0 = element_at(element_at(grid, col("eta_i")), col("seg"))
+      val u1 = element_at(element_at(grid, col("eta_i")), col("seg") + 1)
+      val delta = u0 + (u1 - u0) * col("w")
+      Seq(
+        (col("pt_jec") * (lit(1.0) + delta)).cast("float").as(s"pt_${n}_up"),
+        (col("pt_jec") * (lit(1.0) - delta)).cast("float").as(s"pt_${n}_down"))
+    }
+    val jerCols = jerNames.flatMap { n =>
       val delta = unc * element_at(col("jmag"), lit(n))
       Seq(
         (col("pt_jec") * (lit(1.0) + delta)).cast("float").as(s"pt_${n}_up"),
         (col("pt_jec") * (lit(1.0) - delta)).cast("float").as(s"pt_${n}_down"))
     }
-    j4.select(Seq(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        col("pt_jec").cast("float").as("pt_jec")) ++ variantCols: _*)
+    j5.select(Seq(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("pt_jec").cast("float").as("pt_jec")) ++ jesCols ++ jerCols: _*)
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
   }
-  private val l10Sql = {
-    val variantCols = (jesNames ++ jerNames).flatMap { n =>
+  private lazy val l10Sql = {
+    val segsCsv = sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+      "/root/repo/src/main/resources/fixtures") + "/jes_sources_2018.csv"
+    val jesCols = jesSourceNames.flatMap { n =>
+      val d = s"""(s_$n.u0 + (s_$n.u1 - s_$n.u0) *
+         | LEAST(GREATEST((pt_jec - s_$n.x0) / (s_$n.x1 - s_$n.x0), 0.0), 1.0))""".stripMargin
+      Seq(
+        s"CAST(pt_jec * (1.0 + $d) AS REAL) AS pt_${n}_up",
+        s"CAST(pt_jec * (1.0 - $d) AS REAL) AS pt_${n}_down")
+    }
+    val jesJoins = jesSourceNames.map { n =>
+      s"""JOIN (SELECT * FROM segs WHERE source = '$n') s_$n
+         |  ON j.eta >= s_$n.eta_lo AND j.eta < s_$n.eta_hi
+         |  AND j.pt_jec >= s_$n.x0 AND j.pt_jec < s_$n.x1""".stripMargin
+    }.mkString("\n")
+    val jerCols = jerNames.flatMap { n =>
       val mag = s"(SELECT val FROM jec WHERE source = '$n')"
       Seq(
         s"CAST(pt_jec * (1.0 + COALESCE(u.sf, 0.0) * $mag) AS REAL) AS pt_${n}_up",
         s"CAST(pt_jec * (1.0 - COALESCE(u.sf, 0.0) * $mag) AS REAL) AS pt_${n}_down")
-    }.mkString(",\n ")
-    s"""WITH jec AS (SELECT * FROM $jecCsvSql WHERE kind IN ('jes', 'jer')),
+    }
+    s"""WITH jec AS (SELECT * FROM $jecCsvSql WHERE kind = 'jer'),
+       |segs AS (SELECT * FROM read_csv('$segsCsv', header=true, columns={
+       |  'source':'VARCHAR','eta_lo':'DOUBLE','eta_hi':'DOUBLE',
+       |  'x0':'DOUBLE','x1':'DOUBLE','u0':'DOUBLE','u1':'DOUBLE'})),
        |base AS (
        | SELECT l_orderkey, l_linenumber, l_extendedprice,
        |   l_extendedprice / 1000.0 AS pt_raw,
-       |   ABS(l_discount * 94.0 - 4.7) AS abseta
+       |   ABS(l_discount * 94.0 - 4.7) AS abseta,
+       |   CAST(l_partkey % 1040 AS DOUBLE) / 100.0 - 5.2 AS eta
        | FROM lineitem),
        |j AS (
        | SELECT b.*,
@@ -227,8 +293,10 @@ object LookupQueries extends QueryFamily {
        |   ON b.abseta >= s2.lo AND b.abseta < s2.hi)
        |SELECT l_orderkey, l_linenumber, l_extendedprice,
        | CAST(pt_jec AS REAL) AS pt_jec,
-       | $variantCols
-       |FROM j LEFT JOIN ${bins1Sql(jecUnc).replace("sfb", "u")}
+       | ${(jesCols ++ jerCols).mkString(",\n ")}
+       |FROM j
+       |$jesJoins
+       |LEFT JOIN ${bins1Sql(jecUnc).replace("sfb", "u")}
        |  ON pt_jec >= u.lo AND pt_jec < u.hi
        |ORDER BY 1, 2, 3""".stripMargin
   }
@@ -2991,33 +3059,43 @@ object LookupQueries extends QueryFamily {
   // (data/roch_corr/RoccoR2018.txt, wired in config/parameters.py and
   // applied by stage1's rochester correction; l07 models the BRANCHING
   // logic with a synthetic table — this reads the REAL grid). Set-0
-  // member-0 DATA block: per (eta bin, phi bin) the multiplicative (M)
-  // and charge-antisymmetric (A) coefficients, 14 non-uniform CETA bins
-  // x 16 phi bins. Engine semantics: the public kScaleDT shape
-  // scale = 1 / (1 + (M + Q*A*pt)/100) over the percent-scale grid (the
-  // deliverable is the keyed grid join + formula; pt clamped to
-  // [20, 80) keeps the denominator provably positive). Per-muon scales
-  // nano-quantize before the per-eta fold. Oracle = independently
-  // parsed literal grid + identical replay.
-  private lazy val roccorGrid: Seq[(Double, Double, Int, Double, Double)] = {
-    val ceta = Array(-2.40, -2.10, -1.85, -1.60, -1.20, -0.80, -0.40, 0.00,
-      0.40, 0.80, 1.20, 1.60, 1.85, 2.10, 2.40)
+  // member-0 C rows carry `typ var etaBin` + 16 phi values, with
+  // TYPE 0=MC / 1=DATA (RoccoR's `enum TYPE {MC, DT}`) and var 0=M /
+  // 1=A. The field order is established empirically: the var=1 grids
+  // are pt-scale (rms 2.0e-3 / 6.5e-3 — A coefficients multiply pt)
+  // while var=0 grids are percent-scale (rms 0.12 / 0.24), and the F
+  // rows' kRes confirm type-major ordering (kRes[0] < kRes[1], MC
+  // resolution better than data). This query reads the DATA (typ=1)
+  // M/A grid — the kScaleDT inputs; l22 reads the MC grid + resolution
+  // blocks for the kSpreadMC/kSmearMC branches. Engine semantics: the
+  // public kScaleDT shape scale = 1 / (1 + (M + Q*A*pt)/100) over the
+  // percent-scale grid (the deliverable is the keyed grid join +
+  // formula; pt clamped to [20, 80) keeps the denominator provably
+  // positive). Per-muon scales nano-quantize before the per-eta fold.
+  // Oracle = independently parsed literal grid + identical replay.
+  private[queries] val roccorCeta = Vector(-2.40, -2.10, -1.85, -1.60, -1.20,
+    -0.80, -0.40, 0.00, 0.40, 0.80, 1.20, 1.60, 1.85, 2.10, 2.40)
+  /** Set-0 member-0 (eta bin, phi bin) -> (M, A) grid for `typ`
+    * (0=MC, 1=DATA). */
+  private[queries] def roccorMa(typ: Int): Seq[(Double, Double, Int, Double, Double)] = {
     val m = scala.collection.mutable.Map.empty[(Int, Int), Double]
     val a = scala.collection.mutable.Map.empty[(Int, Int), Double]
     scala.io.Source.fromFile(refData("roch_corr/RoccoR2018.txt")).getLines()
       .foreach { line =>
         val t = line.trim.split("\\s+")
         if (t.length >= 22 && t(0) == "0" && t(1) == "0" && t(2) == "C" &&
-            t(4) == "0") {
-          val grid = if (t(3) == "0") m else a
+            t(3) == typ.toString) {
+          val grid = if (t(4) == "0") m else a
           val etab = t(5).toInt
           (0 until 16).foreach(p => grid((etab, p)) = t(6 + p).toDouble)
         }
       }
     m.keys.toSeq.sorted.map { case (e, p) =>
-      (ceta(e), ceta(e + 1), p, m((e, p)), a((e, p)))
+      (roccorCeta(e), roccorCeta(e + 1), p, m((e, p)), a((e, p)))
     }
   }
+  private lazy val roccorGrid: Seq[(Double, Double, Int, Double, Double)] =
+    roccorMa(1)
   private val l18Scale = "(1.0 / (1.0 + (m_coef + q * a_coef * pt) / 100.0))"
   private def l18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -3039,230 +3117,230 @@ object LookupQueries extends QueryFamily {
   }
   private val l18Sql =
     s"""WITH rawg(eta_lo, eta_hi, phi_bin, m_coef, a_coef) AS (VALUES
-      |(-2.4,-2.1,0,-0.30363,-0.3943172),
-      |(-2.4,-2.1,1,-0.2635141,-0.3647987),
-      |(-2.4,-2.1,2,-0.2805547,-0.2967662),
-      |(-2.4,-2.1,3,-0.2769985,-0.3151166),
-      |(-2.4,-2.1,4,-0.2135179,-0.3191996),
-      |(-2.4,-2.1,5,-0.2213895,-0.3467424),
-      |(-2.4,-2.1,6,-0.3186237,-0.3178745),
-      |(-2.4,-2.1,7,-0.3086586,-0.3311446),
-      |(-2.4,-2.1,8,-0.1874772,-0.3081199),
-      |(-2.4,-2.1,9,-0.2288103,-0.3540307),
-      |(-2.4,-2.1,10,-0.2525038,-0.4033593),
-      |(-2.4,-2.1,11,-0.3086996,-0.4190536),
-      |(-2.4,-2.1,12,-0.2736972,-0.4536226),
-      |(-2.4,-2.1,13,-0.1789685,-0.4059521),
-      |(-2.4,-2.1,14,-0.287812,-0.4276261),
-      |(-2.4,-2.1,15,-0.2931553,-0.4329195),
-      |(-2.1,-1.85,0,-0.2020402,-0.2914228),
-      |(-2.1,-1.85,1,-0.1341255,-0.2883016),
-      |(-2.1,-1.85,2,-0.1514845,-0.2971595),
-      |(-2.1,-1.85,3,-0.1425502,-0.2778756),
-      |(-2.1,-1.85,4,-0.1787417,-0.2660167),
-      |(-2.1,-1.85,5,-0.1833472,-0.2249823),
-      |(-2.1,-1.85,6,-0.1780272,-0.2473886),
-      |(-2.1,-1.85,7,-0.1620589,-0.2393581),
-      |(-2.1,-1.85,8,-0.195665,-0.2726147),
-      |(-2.1,-1.85,9,-0.1346044,-0.2763773),
-      |(-2.1,-1.85,10,-0.0909574,-0.2694329),
-      |(-2.1,-1.85,11,-0.1167896,-0.3494199),
-      |(-2.1,-1.85,12,-0.1473562,-0.3547668),
-      |(-2.1,-1.85,13,-0.1343174,-0.3393301),
-      |(-2.1,-1.85,14,-0.138405,-0.3689987),
-      |(-2.1,-1.85,15,-0.1166295,-0.3475546),
-      |(-1.85,-1.6,0,-0.0653963,-0.3117156),
-      |(-1.85,-1.6,1,-0.0946891,-0.2934207),
-      |(-1.85,-1.6,2,-0.0634719,-0.2844961),
-      |(-1.85,-1.6,3,-0.1037741,-0.2583286),
-      |(-1.85,-1.6,4,-0.1261389,-0.2293409),
-      |(-1.85,-1.6,5,-0.0798837,-0.2415554),
-      |(-1.85,-1.6,6,-0.0708673,-0.2163206),
-      |(-1.85,-1.6,7,-0.0621168,-0.2142413),
-      |(-1.85,-1.6,8,-0.0511296,-0.2198954),
-      |(-1.85,-1.6,9,-0.0938397,-0.2095867),
-      |(-1.85,-1.6,10,-0.069862,-0.2311216),
-      |(-1.85,-1.6,11,-0.049299,-0.2983053),
-      |(-1.85,-1.6,12,-0.0191074,-0.2963924),
-      |(-1.85,-1.6,13,-0.0476724,-0.2717364),
-      |(-1.85,-1.6,14,-0.0037399,-0.3047854),
-      |(-1.85,-1.6,15,-0.0544363,-0.2947267),
-      |(-1.6,-1.2,0,-0.0751494,-0.2691),
-      |(-1.6,-1.2,1,-0.0564032,-0.2241576),
-      |(-1.6,-1.2,2,-0.0613381,-0.2298007),
-      |(-1.6,-1.2,3,-0.0764581,-0.22227),
-      |(-1.6,-1.2,4,-0.0994199,-0.1989377),
-      |(-1.6,-1.2,5,-0.0626378,-0.2091251),
-      |(-1.6,-1.2,6,-0.0811821,-0.1914919),
-      |(-1.6,-1.2,7,-0.0419718,-0.1996026),
-      |(-1.6,-1.2,8,-0.0646928,-0.1806376),
-      |(-1.6,-1.2,9,-0.0905605,-0.2203891),
-      |(-1.6,-1.2,10,-0.0962906,-0.2236075),
-      |(-1.6,-1.2,11,-0.0675795,-0.260166),
-      |(-1.6,-1.2,12,-0.1169429,-0.2732608),
-      |(-1.6,-1.2,13,-0.0738483,-0.2497704),
-      |(-1.6,-1.2,14,-0.0690105,-0.2627378),
-      |(-1.6,-1.2,15,-0.1254146,-0.246869),
-      |(-1.2,-0.8,0,0.001538,-0.172921),
-      |(-1.2,-0.8,1,-0.0580026,-0.15941),
-      |(-1.2,-0.8,2,-0.0085213,-0.1591986),
-      |(-1.2,-0.8,3,-0.039221,-0.1344946),
-      |(-1.2,-0.8,4,0.0146594,-0.1389379),
-      |(-1.2,-0.8,5,-0.0535395,-0.1469557),
-      |(-1.2,-0.8,6,-0.0163252,-0.1460793),
-      |(-1.2,-0.8,7,-0.0144236,-0.1599384),
-      |(-1.2,-0.8,8,-0.0095185,-0.1422913),
-      |(-1.2,-0.8,9,-0.0320967,-0.1480503),
-      |(-1.2,-0.8,10,0.038935,-0.1615674),
-      |(-1.2,-0.8,11,-0.0159376,-0.1758571),
-      |(-1.2,-0.8,12,-0.0464876,-0.1771236),
-      |(-1.2,-0.8,13,-0.0110499,-0.1860441),
-      |(-1.2,-0.8,14,0.0019062,-0.1673069),
-      |(-1.2,-0.8,15,-0.0485075,-0.1591932),
-      |(-0.8,-0.4,0,0.0209444,-0.1400004),
-      |(-0.8,-0.4,1,0.0010902,-0.1183301),
-      |(-0.8,-0.4,2,0.0162364,-0.1408142),
-      |(-0.8,-0.4,3,0.022822,-0.1411655),
-      |(-0.8,-0.4,4,0.0075566,-0.1143091),
-      |(-0.8,-0.4,5,-0.0173268,-0.1277843),
-      |(-0.8,-0.4,6,-0.0076617,-0.1271852),
-      |(-0.8,-0.4,7,-0.0083082,-0.1383138),
-      |(-0.8,-0.4,8,0.0301883,-0.1325151),
-      |(-0.8,-0.4,9,0.0275373,-0.1364731),
-      |(-0.8,-0.4,10,0.0073492,-0.1275373),
-      |(-0.8,-0.4,11,0.0184561,-0.1507686),
-      |(-0.8,-0.4,12,-0.0156092,-0.1587813),
-      |(-0.8,-0.4,13,0.0242506,-0.1692573),
-      |(-0.8,-0.4,14,0.0204298,-0.1347854),
-      |(-0.8,-0.4,15,-0.0044242,-0.1476415),
-      |(-0.4,0.0,0,-0.0056445,-0.1128017),
-      |(-0.4,0.0,1,0.0214439,-0.1183701),
-      |(-0.4,0.0,2,0.0111371,-0.1207382),
-      |(-0.4,0.0,3,0.0027649,-0.1150316),
-      |(-0.4,0.0,4,0.0358528,-0.1057801),
-      |(-0.4,0.0,5,-0.0099332,-0.124931),
-      |(-0.4,0.0,6,0.0257431,-0.1064928),
-      |(-0.4,0.0,7,0.0010789,-0.1160167),
-      |(-0.4,0.0,8,0.027762,-0.1224061),
-      |(-0.4,0.0,9,0.032754,-0.1250172),
-      |(-0.4,0.0,10,0.0222974,-0.1297037),
-      |(-0.4,0.0,11,0.0469113,-0.1307089),
-      |(-0.4,0.0,12,0.0368092,-0.1276146),
-      |(-0.4,0.0,13,0.0283118,-0.134863),
-      |(-0.4,0.0,14,0.0023738,-0.1273003),
-      |(-0.4,0.0,15,0.0067865,-0.1087228),
-      |(0.0,0.4,0,0.0100644,-0.1173566),
-      |(0.0,0.4,1,-0.0104957,-0.1127002),
-      |(0.0,0.4,2,0.0330693,-0.1183981),
-      |(0.0,0.4,3,0.0197914,-0.1156583),
-      |(0.0,0.4,4,0.0444952,-0.1238896),
-      |(0.0,0.4,5,0.0156178,-0.1176134),
-      |(0.0,0.4,6,0.0308752,-0.118177),
-      |(0.0,0.4,7,0.0004608,-0.1408318),
-      |(0.0,0.4,8,0.0056906,-0.1245845),
-      |(0.0,0.4,9,0.0616623,-0.1229355),
-      |(0.0,0.4,10,0.0169903,-0.1188049),
-      |(0.0,0.4,11,0.0220168,-0.1400963),
-      |(0.0,0.4,12,0.0065315,-0.1465246),
-      |(0.0,0.4,13,0.0157349,-0.1446419),
-      |(0.0,0.4,14,0.0314366,-0.1233038),
-      |(0.0,0.4,15,0.0356748,-0.120292),
-      |(0.4,0.8,0,-0.0164391,-0.1403784),
-      |(0.4,0.8,1,0.0016156,-0.1224634),
-      |(0.4,0.8,2,-0.0097866,-0.1229483),
-      |(0.4,0.8,3,-0.0190581,-0.1300387),
-      |(0.4,0.8,4,-0.0046113,-0.1172534),
-      |(0.4,0.8,5,0.0013324,-0.1298478),
-      |(0.4,0.8,6,0.0107821,-0.1309128),
-      |(0.4,0.8,7,-0.0172922,-0.123074),
-      |(0.4,0.8,8,-0.0170946,-0.1413489),
-      |(0.4,0.8,9,0.0160065,-0.1281599),
-      |(0.4,0.8,10,-0.0318227,-0.1173162),
-      |(0.4,0.8,11,-0.0284751,-0.1518495),
-      |(0.4,0.8,12,0.0044151,-0.1350791),
-      |(0.4,0.8,13,-0.016925,-0.1333318),
-      |(0.4,0.8,14,0.0295488,-0.1292232),
-      |(0.4,0.8,15,-0.0118136,-0.1171948),
-      |(0.8,1.2,0,-0.0073838,-0.1557505),
-      |(0.8,1.2,1,-0.0148378,-0.1253217),
-      |(0.8,1.2,2,-0.036713,-0.1612105),
-      |(0.8,1.2,3,-0.0048288,-0.1494037),
-      |(0.8,1.2,4,-0.0291207,-0.1457355),
-      |(0.8,1.2,5,-0.0325873,-0.1502825),
-      |(0.8,1.2,6,0.0176773,-0.1667148),
-      |(0.8,1.2,7,-0.0384118,-0.1696358),
-      |(0.8,1.2,8,-0.0383467,-0.1726806),
-      |(0.8,1.2,9,-0.04229,-0.1677726),
-      |(0.8,1.2,10,-0.0433553,-0.1663848),
-      |(0.8,1.2,11,-0.0258585,-0.1911496),
-      |(0.8,1.2,12,-0.0095177,-0.1715049),
-      |(0.8,1.2,13,-0.0181349,-0.16075),
-      |(0.8,1.2,14,-0.0155608,-0.1496677),
-      |(0.8,1.2,15,0.0448853,-0.1433017),
-      |(1.2,1.6,0,-0.0463943,-0.2085496),
-      |(1.2,1.6,1,-0.0706844,-0.2425876),
-      |(1.2,1.6,2,-0.0876165,-0.225498),
-      |(1.2,1.6,3,-0.0284277,-0.2319506),
-      |(1.2,1.6,4,-0.0795026,-0.23038),
-      |(1.2,1.6,5,-0.0272313,-0.2158955),
-      |(1.2,1.6,6,-0.0757722,-0.2121076),
-      |(1.2,1.6,7,-0.0621026,-0.258876),
-      |(1.2,1.6,8,-0.1094842,-0.2387416),
-      |(1.2,1.6,9,-0.0596779,-0.2594528),
-      |(1.2,1.6,10,-0.0730229,-0.2329554),
-      |(1.2,1.6,11,-0.1128502,-0.2524499),
-      |(1.2,1.6,12,-0.0614579,-0.254606),
-      |(1.2,1.6,13,-0.039312,-0.2201438),
-      |(1.2,1.6,14,-0.0579592,-0.232801),
-      |(1.2,1.6,15,-0.0766953,-0.2145387),
-      |(1.6,1.85,0,-0.0871459,-0.2734895),
-      |(1.6,1.85,1,-0.049144,-0.2597526),
-      |(1.6,1.85,2,-0.0716419,-0.2275434),
-      |(1.6,1.85,3,-0.0516622,-0.2443202),
-      |(1.6,1.85,4,-0.0186777,-0.2411263),
-      |(1.6,1.85,5,-0.0789082,-0.2243986),
-      |(1.6,1.85,6,-0.0596693,-0.248931),
-      |(1.6,1.85,7,-0.1012593,-0.2676926),
-      |(1.6,1.85,8,-0.0432422,-0.2896352),
-      |(1.6,1.85,9,-0.0242597,-0.2674674),
-      |(1.6,1.85,10,-0.0931083,-0.2896436),
-      |(1.6,1.85,11,-0.0945424,-0.2848454),
-      |(1.6,1.85,12,-0.0660284,-0.2342191),
-      |(1.6,1.85,13,-0.1439673,-0.2471978),
-      |(1.6,1.85,14,-0.0764519,-0.2662728),
-      |(1.6,1.85,15,-0.0703244,-0.2522798),
-      |(1.85,2.1,0,-0.1384398,-0.2615901),
-      |(1.85,2.1,1,-0.1168303,-0.3007341),
-      |(1.85,2.1,2,-0.1402235,-0.2694),
-      |(1.85,2.1,3,-0.1492518,-0.2651296),
-      |(1.85,2.1,4,-0.1275841,-0.2862851),
-      |(1.85,2.1,5,-0.1439147,-0.2538667),
-      |(1.85,2.1,6,-0.1453973,-0.2909917),
-      |(1.85,2.1,7,-0.1124248,-0.281666),
-      |(1.85,2.1,8,-0.1784323,-0.3463091),
-      |(1.85,2.1,9,-0.1492285,-0.3366127),
-      |(1.85,2.1,10,-0.1853806,-0.3320735),
-      |(1.85,2.1,11,-0.1765401,-0.3129969),
-      |(1.85,2.1,12,-0.1365789,-0.249071),
-      |(1.85,2.1,13,-0.1054035,-0.2598199),
-      |(1.85,2.1,14,-0.0979637,-0.2676035),
-      |(1.85,2.1,15,-0.1463942,-0.2729061),
-      |(2.1,2.4,0,-0.2225681,-0.3609235),
-      |(2.1,2.4,1,-0.2139872,-0.3394269),
-      |(2.1,2.4,2,-0.1969001,-0.3354259),
-      |(2.1,2.4,3,-0.1356838,-0.3252149),
-      |(2.1,2.4,4,-0.2764199,-0.3245676),
-      |(2.1,2.4,5,-0.1793587,-0.3171898),
-      |(2.1,2.4,6,-0.3245514,-0.3693177),
-      |(2.1,2.4,7,-0.3012585,-0.3654065),
-      |(2.1,2.4,8,-0.2919856,-0.4229803),
-      |(2.1,2.4,9,-0.2678033,-0.3986385),
-      |(2.1,2.4,10,-0.2671892,-0.4116192),
-      |(2.1,2.4,11,-0.264294,-0.4006676),
-      |(2.1,2.4,12,-0.2812897,-0.3804421),
-      |(2.1,2.4,13,-0.2385265,-0.3684232),
-      |(2.1,2.4,14,-0.2596393,-0.3688205),
-      |(2.1,2.4,15,-0.3614627,-0.3587189)),
+      |(-2.4,-2.1,0,-0.3943172,0.0123697),
+      |(-2.4,-2.1,1,-0.3647987,0.0090933),
+      |(-2.4,-2.1,2,-0.2967662,0.0102386),
+      |(-2.4,-2.1,3,-0.3151166,0.0030424),
+      |(-2.4,-2.1,4,-0.3191996,0.0089222),
+      |(-2.4,-2.1,5,-0.3467424,0.0032623),
+      |(-2.4,-2.1,6,-0.3178745,-0.0088216),
+      |(-2.4,-2.1,7,-0.3311446,-0.0087103),
+      |(-2.4,-2.1,8,-0.3081199,-0.0071346),
+      |(-2.4,-2.1,9,-0.3540307,-0.0119114),
+      |(-2.4,-2.1,10,-0.4033593,-0.0069422),
+      |(-2.4,-2.1,11,-0.4190536,-0.0156474),
+      |(-2.4,-2.1,12,-0.4536226,-0.0058996),
+      |(-2.4,-2.1,13,-0.4059521,-0.007364),
+      |(-2.4,-2.1,14,-0.4276261,-0.0088635),
+      |(-2.4,-2.1,15,-0.4329195,0.0020692),
+      |(-2.1,-1.85,0,-0.2914228,0.0031048),
+      |(-2.1,-1.85,1,-0.2883016,0.0104363),
+      |(-2.1,-1.85,2,-0.2971595,0.0020797),
+      |(-2.1,-1.85,3,-0.2778756,0.0030091),
+      |(-2.1,-1.85,4,-0.2660167,-0.0035202),
+      |(-2.1,-1.85,5,-0.2249823,-0.0079278),
+      |(-2.1,-1.85,6,-0.2473886,-0.0125181),
+      |(-2.1,-1.85,7,-0.2393581,-0.0088824),
+      |(-2.1,-1.85,8,-0.2726147,-0.0075176),
+      |(-2.1,-1.85,9,-0.2763773,-0.0008064),
+      |(-2.1,-1.85,10,-0.2694329,0.0001489),
+      |(-2.1,-1.85,11,-0.3494199,-0.0039593),
+      |(-2.1,-1.85,12,-0.3547668,-0.0046861),
+      |(-2.1,-1.85,13,-0.3393301,-0.0126026),
+      |(-2.1,-1.85,14,-0.3689987,-0.0159327),
+      |(-2.1,-1.85,15,-0.3475546,-0.0057505),
+      |(-1.85,-1.6,0,-0.3117156,-0.0009669),
+      |(-1.85,-1.6,1,-0.2934207,0.0070965),
+      |(-1.85,-1.6,2,-0.2844961,0.0042239),
+      |(-1.85,-1.6,3,-0.2583286,0.0007853),
+      |(-1.85,-1.6,4,-0.2293409,-0.0031782),
+      |(-1.85,-1.6,5,-0.2415554,-0.0085637),
+      |(-1.85,-1.6,6,-0.2163206,-0.0101747),
+      |(-1.85,-1.6,7,-0.2142413,-0.0053277),
+      |(-1.85,-1.6,8,-0.2198954,-0.0043391),
+      |(-1.85,-1.6,9,-0.2095867,0.000191),
+      |(-1.85,-1.6,10,-0.2311216,0.0004383),
+      |(-1.85,-1.6,11,-0.2983053,-0.0027855),
+      |(-1.85,-1.6,12,-0.2963924,-0.002858),
+      |(-1.85,-1.6,13,-0.2717364,-0.0057676),
+      |(-1.85,-1.6,14,-0.3047854,-0.0141029),
+      |(-1.85,-1.6,15,-0.2947267,-0.0057814),
+      |(-1.6,-1.2,0,-0.2691,-0.0020334),
+      |(-1.6,-1.2,1,-0.2241576,0.0033219),
+      |(-1.6,-1.2,2,-0.2298007,0.0010878),
+      |(-1.6,-1.2,3,-0.22227,-0.0024852),
+      |(-1.6,-1.2,4,-0.1989377,-0.0044649),
+      |(-1.6,-1.2,5,-0.2091251,-0.0078861),
+      |(-1.6,-1.2,6,-0.1914919,-0.0095863),
+      |(-1.6,-1.2,7,-0.1996026,-0.0060953),
+      |(-1.6,-1.2,8,-0.1806376,-0.0019678),
+      |(-1.6,-1.2,9,-0.2203891,0.0012322),
+      |(-1.6,-1.2,10,-0.2236075,-0.0011437),
+      |(-1.6,-1.2,11,-0.260166,-0.0028157),
+      |(-1.6,-1.2,12,-0.2732608,0.0005362),
+      |(-1.6,-1.2,13,-0.2497704,-0.0040398),
+      |(-1.6,-1.2,14,-0.2627378,-0.0075503),
+      |(-1.6,-1.2,15,-0.246869,-0.0057348),
+      |(-1.2,-0.8,0,-0.172921,-2.27e-05),
+      |(-1.2,-0.8,1,-0.15941,0.0020821),
+      |(-1.2,-0.8,2,-0.1591986,-0.0002104),
+      |(-1.2,-0.8,3,-0.1344946,-0.0023298),
+      |(-1.2,-0.8,4,-0.1389379,-0.0028937),
+      |(-1.2,-0.8,5,-0.1469557,-0.0052645),
+      |(-1.2,-0.8,6,-0.1460793,-0.0059434),
+      |(-1.2,-0.8,7,-0.1599384,-0.0041129),
+      |(-1.2,-0.8,8,-0.1422913,-0.0004311),
+      |(-1.2,-0.8,9,-0.1480503,-0.0002356),
+      |(-1.2,-0.8,10,-0.1615674,-0.0002322),
+      |(-1.2,-0.8,11,-0.1758571,-9.21e-05),
+      |(-1.2,-0.8,12,-0.1771236,0.0007652),
+      |(-1.2,-0.8,13,-0.1860441,-0.0007383),
+      |(-1.2,-0.8,14,-0.1673069,-0.0026472),
+      |(-1.2,-0.8,15,-0.1591932,-0.0022521),
+      |(-0.8,-0.4,0,-0.1400004,0.0020053),
+      |(-0.8,-0.4,1,-0.1183301,0.0022825),
+      |(-0.8,-0.4,2,-0.1408142,-1.71e-05),
+      |(-0.8,-0.4,3,-0.1411655,-0.0011947),
+      |(-0.8,-0.4,4,-0.1143091,-0.0012937),
+      |(-0.8,-0.4,5,-0.1277843,-0.0024725),
+      |(-0.8,-0.4,6,-0.1271852,-0.0041738),
+      |(-0.8,-0.4,7,-0.1383138,-0.0032807),
+      |(-0.8,-0.4,8,-0.1325151,-0.0012155),
+      |(-0.8,-0.4,9,-0.1364731,-0.0016602),
+      |(-0.8,-0.4,10,-0.1275373,-0.0013946),
+      |(-0.8,-0.4,11,-0.1507686,-0.0001304),
+      |(-0.8,-0.4,12,-0.1587813,0.0025204),
+      |(-0.8,-0.4,13,-0.1692573,0.0034828),
+      |(-0.8,-0.4,14,-0.1347854,0.0026743),
+      |(-0.8,-0.4,15,-0.1476415,0.0010967),
+      |(-0.4,0.0,0,-0.1128017,0.0028629),
+      |(-0.4,0.0,1,-0.1183701,0.0019608),
+      |(-0.4,0.0,2,-0.1207382,-0.0001593),
+      |(-0.4,0.0,3,-0.1150316,-0.0006657),
+      |(-0.4,0.0,4,-0.1057801,-0.001863),
+      |(-0.4,0.0,5,-0.124931,-0.0023448),
+      |(-0.4,0.0,6,-0.1064928,-0.0037727),
+      |(-0.4,0.0,7,-0.1160167,-0.0043037),
+      |(-0.4,0.0,8,-0.1224061,-0.0017517),
+      |(-0.4,0.0,9,-0.1250172,-0.0029077),
+      |(-0.4,0.0,10,-0.1297037,-0.0021654),
+      |(-0.4,0.0,11,-0.1307089,0.000166),
+      |(-0.4,0.0,12,-0.1276146,0.0019176),
+      |(-0.4,0.0,13,-0.134863,0.0045838),
+      |(-0.4,0.0,14,-0.1273003,0.0046764),
+      |(-0.4,0.0,15,-0.1087228,0.0020205),
+      |(0.0,0.4,0,-0.1173566,0.0042004),
+      |(0.0,0.4,1,-0.1127002,0.0027473),
+      |(0.0,0.4,2,-0.1183981,-2.98e-05),
+      |(0.0,0.4,3,-0.1156583,-0.0009208),
+      |(0.0,0.4,4,-0.1238896,-0.0023475),
+      |(0.0,0.4,5,-0.1176134,-0.0025052),
+      |(0.0,0.4,6,-0.118177,-0.0044584),
+      |(0.0,0.4,7,-0.1408318,-0.0043114),
+      |(0.0,0.4,8,-0.1245845,-0.0020114),
+      |(0.0,0.4,9,-0.1229355,-0.0030976),
+      |(0.0,0.4,10,-0.1188049,-0.0025432),
+      |(0.0,0.4,11,-0.1400963,0.0003531),
+      |(0.0,0.4,12,-0.1465246,0.0013191),
+      |(0.0,0.4,13,-0.1446419,0.0043066),
+      |(0.0,0.4,14,-0.1233038,0.0042293),
+      |(0.0,0.4,15,-0.120292,0.003788),
+      |(0.4,0.8,0,-0.1403784,0.0047233),
+      |(0.4,0.8,1,-0.1224634,0.0035082),
+      |(0.4,0.8,2,-0.1229483,0.0013056),
+      |(0.4,0.8,3,-0.1300387,-0.0001609),
+      |(0.4,0.8,4,-0.1172534,-0.0022199),
+      |(0.4,0.8,5,-0.1298478,-0.0024423),
+      |(0.4,0.8,6,-0.1309128,-0.003109),
+      |(0.4,0.8,7,-0.123074,-0.0014855),
+      |(0.4,0.8,8,-0.1413489,-0.0001137),
+      |(0.4,0.8,9,-0.1281599,-0.0015303),
+      |(0.4,0.8,10,-0.1173162,-0.0023881),
+      |(0.4,0.8,11,-0.1518495,-0.000403),
+      |(0.4,0.8,12,-0.1350791,0.0011823),
+      |(0.4,0.8,13,-0.1333318,0.0030387),
+      |(0.4,0.8,14,-0.1292232,0.0040511),
+      |(0.4,0.8,15,-0.1171948,0.0035274),
+      |(0.8,1.2,0,-0.1557505,0.0051243),
+      |(0.8,1.2,1,-0.1253217,0.0059804),
+      |(0.8,1.2,2,-0.1612105,0.0044205),
+      |(0.8,1.2,3,-0.1494037,0.0026747),
+      |(0.8,1.2,4,-0.1457355,-0.0022854),
+      |(0.8,1.2,5,-0.1502825,-0.0030277),
+      |(0.8,1.2,6,-0.1667148,-0.0018373),
+      |(0.8,1.2,7,-0.1696358,0.0015906),
+      |(0.8,1.2,8,-0.1726806,0.0030064),
+      |(0.8,1.2,9,-0.1677726,0.0022551),
+      |(0.8,1.2,10,-0.1663848,-0.0007204),
+      |(0.8,1.2,11,-0.1911496,-8.17e-05),
+      |(0.8,1.2,12,-0.1715049,0.0025667),
+      |(0.8,1.2,13,-0.16075,0.0023974),
+      |(0.8,1.2,14,-0.1496677,0.0026947),
+      |(0.8,1.2,15,-0.1433017,0.00264),
+      |(1.2,1.6,0,-0.2085496,0.0030006),
+      |(1.2,1.6,1,-0.2425876,0.0079106),
+      |(1.2,1.6,2,-0.225498,0.0056523),
+      |(1.2,1.6,3,-0.2319506,0.0037449),
+      |(1.2,1.6,4,-0.23038,0.0012124),
+      |(1.2,1.6,5,-0.2158955,-0.003068),
+      |(1.2,1.6,6,-0.2121076,-0.0016001),
+      |(1.2,1.6,7,-0.258876,0.0032278),
+      |(1.2,1.6,8,-0.2387416,0.0073672),
+      |(1.2,1.6,9,-0.2594528,0.009481),
+      |(1.2,1.6,10,-0.2329554,0.0065173),
+      |(1.2,1.6,11,-0.2524499,0.0043694),
+      |(1.2,1.6,12,-0.254606,0.006122),
+      |(1.2,1.6,13,-0.2201438,0.0009302),
+      |(1.2,1.6,14,-0.232801,0.0002319),
+      |(1.2,1.6,15,-0.2145387,0.000949),
+      |(1.6,1.85,0,-0.2734895,0.0062921),
+      |(1.6,1.85,1,-0.2597526,0.0100446),
+      |(1.6,1.85,2,-0.2275434,0.0053761),
+      |(1.6,1.85,3,-0.2443202,0.0019662),
+      |(1.6,1.85,4,-0.2411263,0.0026704),
+      |(1.6,1.85,5,-0.2243986,0.0018745),
+      |(1.6,1.85,6,-0.248931,0.0020132),
+      |(1.6,1.85,7,-0.2676926,0.0076152),
+      |(1.6,1.85,8,-0.2896352,0.0128419),
+      |(1.6,1.85,9,-0.2674674,0.0193569),
+      |(1.6,1.85,10,-0.2896436,0.0151913),
+      |(1.6,1.85,11,-0.2848454,0.0143303),
+      |(1.6,1.85,12,-0.2342191,0.0086315),
+      |(1.6,1.85,13,-0.2471978,0.0016722),
+      |(1.6,1.85,14,-0.2662728,0.000618),
+      |(1.6,1.85,15,-0.2522798,0.0054154),
+      |(1.85,2.1,0,-0.2615901,0.0017896),
+      |(1.85,2.1,1,-0.3007341,0.0065006),
+      |(1.85,2.1,2,-0.2694,0.0034219),
+      |(1.85,2.1,3,-0.2651296,-0.0016344),
+      |(1.85,2.1,4,-0.2862851,-0.0024139),
+      |(1.85,2.1,5,-0.2538667,-0.0010589),
+      |(1.85,2.1,6,-0.2909917,0.0035616),
+      |(1.85,2.1,7,-0.281666,0.0099316),
+      |(1.85,2.1,8,-0.3463091,0.0148401),
+      |(1.85,2.1,9,-0.3366127,0.0184313),
+      |(1.85,2.1,10,-0.3320735,0.0178013),
+      |(1.85,2.1,11,-0.3129969,0.0125941),
+      |(1.85,2.1,12,-0.249071,0.0088485),
+      |(1.85,2.1,13,-0.2598199,0.0022454),
+      |(1.85,2.1,14,-0.2676035,-0.0031472),
+      |(1.85,2.1,15,-0.2729061,-0.0001647),
+      |(2.1,2.4,0,-0.3609235,-0.0014656),
+      |(2.1,2.4,1,-0.3394269,9.35e-05),
+      |(2.1,2.4,2,-0.3354259,-0.0019572),
+      |(2.1,2.4,3,-0.3252149,-0.0073266),
+      |(2.1,2.4,4,-0.3245676,0.0025046),
+      |(2.1,2.4,5,-0.3171898,0.0120843),
+      |(2.1,2.4,6,-0.3693177,0.0183341),
+      |(2.1,2.4,7,-0.3654065,0.0269857),
+      |(2.1,2.4,8,-0.4229803,0.0230667),
+      |(2.1,2.4,9,-0.3986385,0.0139884),
+      |(2.1,2.4,10,-0.4116192,0.0158642),
+      |(2.1,2.4,11,-0.4006676,0.0085339),
+      |(2.1,2.4,12,-0.3804421,0.010579),
+      |(2.1,2.4,13,-0.3684232,0.0046953),
+      |(2.1,2.4,14,-0.3688205,-0.001663),
+      |(2.1,2.4,15,-0.3587189,-0.0039557)),
       |grid AS (
       | SELECT CAST(eta_lo AS DOUBLE) AS eta_lo, CAST(eta_hi AS DOUBLE) AS eta_hi,
       |  phi_bin, CAST(m_coef AS DOUBLE) AS m_coef, CAST(a_coef AS DOUBLE) AS a_coef
@@ -3279,6 +3357,466 @@ object LookupQueries extends QueryFamily {
       |FROM mu JOIN grid
       |  ON eta >= eta_lo AND eta < eta_hi AND mu.phi_bin = grid.phi_bin
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+
+  // ---- l22: Rochester MC branches from the real RoccoR file ----------------
+  // The reference's MC path (stage1/corrections/rochester.py:5-28)
+  // splits muons on gen-matching: matched muons get kSpreadMC(Q, pt,
+  // eta, phi, genpt); unmatched get kSmearMC(Q, pt, eta, phi,
+  // nTrackerLayers, rand). This reads every real coefficient family
+  // those branches consume from RoccoR2018.txt: the MC (typ=0) M/A
+  // 14x16 grid (kScaleMC), the F rows' kRes[MC]/kRes[DATA] per |eta|
+  // bin (spread target), and the R rows' rsPar0-2 13-trk-layer-bin
+  // resolution polynomials (smear width). Engine semantics (the public
+  // RoccoR shapes, spelled identically in both engines):
+  //   kScaleMC  = 1 / (1 + (M + Q*A*pt)/100)
+  //   kSpreadMC = kScaleMC * x / (1 + (x-1)*kDat/kMC), x = genpt/ptc
+  //   sigma     = rs0 + rs1*dpt + rs2*dpt^2, dpt = ptc - 45
+  //   kSmearMC  = kScaleMC * (1 + sigma*sqrt(max(kDat^2/kMC^2 - 1, 0))*z)
+  // with z a SEEDED deterministic unit-variance draw z = (u-0.5)*
+  // sqrt(12), u a per-muon integer hash — the documented substitution
+  // for the reference's UNSEEDED np.random.rand (SURVEY 7.4 flags that
+  // nondeterminism as a reproducibility hazard; the port pins seeds by
+  // design). Plan: one broadcast equi join on (eta idx, phi bin) for
+  // the grid; kRes/rsPar enter as literal arrays via element_at — no
+  // further joins, pure projection, then the tiny (eta, branch) fold.
+  private val roccorReta = Vector(0.00, 0.40, 0.80, 1.20, 1.60, 1.85, 2.10)
+  /** (kRes[MC](retaBin), kRes[DATA](retaBin), rsPar(p)(retaBin)(trkBin)). */
+  private lazy val roccorRes: (Vector[Double], Vector[Double], Vector[Vector[Vector[Double]]]) = {
+    val f = Array.fill(2)(Vector.empty[Double])
+    val r = Array.fill(3, 7)(Vector.empty[Double])
+    scala.io.Source.fromFile(refData("roch_corr/RoccoR2018.txt")).getLines()
+      .foreach { line =>
+        val t = line.trim.split("\\s+")
+        if (t.length >= 5 && t(0) == "0" && t(1) == "0") {
+          if (t(2) == "F") f(t(3).toInt) = Vector.tabulate(7)(i => t(4 + i).toDouble)
+          else if (t(2) == "R" && t(3).toInt <= 2)
+            r(t(3).toInt)(t(4).toInt) = Vector.tabulate(13)(i => t(5 + i).toDouble)
+        }
+      }
+    (f(0), f(1), Vector.tabulate(3)(p => Vector.tabulate(7)(e => r(p)(e))))
+  }
+  private def l22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = roccorMa(0).map { case (lo, _, p, mm, aa) =>
+      (roccorCeta.indexOf(lo) + 1, lo, p, mm, aa)
+    }.toDF("eidx", "eta_lo", "phi_bin", "m_mc", "a_mc")
+    val (kMcV, kDatV, rsV) = roccorRes
+    val mu = rd(s, dir, "lineitem").select(
+      expr("20.0 + (l_extendedprice % 600.0) / 10.0").as("pt"),
+      (col("l_discount") * 47.9 - 2.4).as("eta"),
+      expr("CAST(l_linenumber * 7 % 16 AS INT)").as("phi_bin"),
+      expr("CAST(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE)").as("q"),
+      (col("l_orderkey") % 10 < 7).as("has_gen"),
+      expr("(20.0 + (l_extendedprice % 600.0) / 10.0) * " +
+        "(1.0 + CAST((l_partkey % 201) - 100 AS DOUBLE) / 1000.0)").as("genpt"),
+      expr("CAST(l_suppkey % 13 AS INT)").as("trk_bin"),
+      expr("CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 100000 " +
+        "AS DOUBLE) / 100000.0").as("u"))
+      .withColumn("eidx",
+        size(filter(typedLit(roccorCeta.dropRight(1)), b => b <= col("eta"))))
+      .withColumn("ridx",
+        size(filter(typedLit(roccorReta), b => b <= abs(col("eta")))))
+    val j = mu.join(broadcast(grid), Seq("eidx", "phi_bin"))
+    val kScaleMc = lit(1.0) /
+      (lit(1.0) + (col("m_mc") + col("q") * col("a_mc") * col("pt")) / lit(100.0))
+    val ptc = col("pt") * kScaleMc
+    val kmc = element_at(typedLit(kMcV), col("ridx"))
+    val kdat = element_at(typedLit(kDatV), col("ridx"))
+    def rsp(p: Int) =
+      element_at(element_at(typedLit(rsV(p)), col("ridx")), col("trk_bin") + 1)
+    val dpt = ptc - lit(45.0)
+    val sigma = rsp(0) + rsp(1) * dpt + rsp(2) * dpt * dpt
+    val x = col("genpt") / ptc
+    val kSpreadMc = kScaleMc * (x / (lit(1.0) + (x - lit(1.0)) * kdat / kmc))
+    val z = (col("u") - lit(0.5)) * sqrt(lit(12.0))
+    val extra = sqrt(greatest(kdat * kdat / (kmc * kmc) - lit(1.0), lit(0.0))) * sigma
+    val kSmearMc = kScaleMc * (lit(1.0) + extra * z)
+    val kq = when(col("has_gen"), kSpreadMc).otherwise(kSmearMc)
+    j.select(col("eta_lo"), col("has_gen"),
+        floor(kq * lit(1e9) + lit(0.5)).cast("long").as("kq"))
+      .groupBy(col("eta_lo"), col("has_gen"))
+      .agg(count(lit(1)).as("n_mu"), sum(col("kq")).as("k_nano_sum"))
+      .orderBy(col("eta_lo"), col("has_gen"))
+  }
+  /** Literal tables from an INDEPENDENT Python parse (tools-side). */
+  private val l22Sql =
+    s"""WITH rawmc(eta_lo, eta_hi, phi_bin, m_mc, a_mc) AS (VALUES
+      |(-2.4,-2.1,0,-0.30363,-0.0006817),
+      |(-2.4,-2.1,1,-0.2635141,-0.0021826),
+      |(-2.4,-2.1,2,-0.2805547,0.0009475),
+      |(-2.4,-2.1,3,-0.2769985,-0.0032545),
+      |(-2.4,-2.1,4,-0.2135179,0.0002365),
+      |(-2.4,-2.1,5,-0.2213895,0.0058558),
+      |(-2.4,-2.1,6,-0.3186237,0.0003529),
+      |(-2.4,-2.1,7,-0.3086586,0.0014704),
+      |(-2.4,-2.1,8,-0.1874772,0.0077665),
+      |(-2.4,-2.1,9,-0.2288103,-0.0010038),
+      |(-2.4,-2.1,10,-0.2525038,-0.0005729),
+      |(-2.4,-2.1,11,-0.3086996,-0.0011739),
+      |(-2.4,-2.1,12,-0.2736972,0.0005563),
+      |(-2.4,-2.1,13,-0.1789685,0.002744),
+      |(-2.4,-2.1,14,-0.287812,7.1e-05),
+      |(-2.4,-2.1,15,-0.2931553,0.0025417),
+      |(-2.1,-1.85,0,-0.2020402,-0.0004888),
+      |(-2.1,-1.85,1,-0.1341255,-0.0020188),
+      |(-2.1,-1.85,2,-0.1514845,-0.0003449),
+      |(-2.1,-1.85,3,-0.1425502,-0.0021589),
+      |(-2.1,-1.85,4,-0.1787417,-0.0013607),
+      |(-2.1,-1.85,5,-0.1833472,0.0009611),
+      |(-2.1,-1.85,6,-0.1780272,0.0027675),
+      |(-2.1,-1.85,7,-0.1620589,0.0035023),
+      |(-2.1,-1.85,8,-0.195665,0.0042841),
+      |(-2.1,-1.85,9,-0.1346044,0.0008048),
+      |(-2.1,-1.85,10,-0.0909574,-0.0010904),
+      |(-2.1,-1.85,11,-0.1167896,-9.12e-05),
+      |(-2.1,-1.85,12,-0.1473562,8.91e-05),
+      |(-2.1,-1.85,13,-0.1343174,0.0008125),
+      |(-2.1,-1.85,14,-0.138405,-0.0005312),
+      |(-2.1,-1.85,15,-0.1166295,0.0010669),
+      |(-1.85,-1.6,0,-0.0653963,0.0025811),
+      |(-1.85,-1.6,1,-0.0946891,0.0009308),
+      |(-1.85,-1.6,2,-0.0634719,0.0006817),
+      |(-1.85,-1.6,3,-0.1037741,-0.0002397),
+      |(-1.85,-1.6,4,-0.1261389,-0.000137),
+      |(-1.85,-1.6,5,-0.0798837,0.0019552),
+      |(-1.85,-1.6,6,-0.0708673,0.0022709),
+      |(-1.85,-1.6,7,-0.0621168,0.0024159),
+      |(-1.85,-1.6,8,-0.0511296,0.0004031),
+      |(-1.85,-1.6,9,-0.0938397,0.0002226),
+      |(-1.85,-1.6,10,-0.069862,-0.002386),
+      |(-1.85,-1.6,11,-0.049299,-0.0001897),
+      |(-1.85,-1.6,12,-0.0191074,-0.0007549),
+      |(-1.85,-1.6,13,-0.0476724,0.0001136),
+      |(-1.85,-1.6,14,-0.0037399,0.0004394),
+      |(-1.85,-1.6,15,-0.0544363,0.0007346),
+      |(-1.6,-1.2,0,-0.0751494,0.0009322),
+      |(-1.6,-1.2,1,-0.0564032,0.0016129),
+      |(-1.6,-1.2,2,-0.0613381,0.0005076),
+      |(-1.6,-1.2,3,-0.0764581,-0.0007864),
+      |(-1.6,-1.2,4,-0.0994199,0.001056),
+      |(-1.6,-1.2,5,-0.0626378,0.0011089),
+      |(-1.6,-1.2,6,-0.0811821,0.0010337),
+      |(-1.6,-1.2,7,-0.0419718,0.0005543),
+      |(-1.6,-1.2,8,-0.0646928,-2.18e-05),
+      |(-1.6,-1.2,9,-0.0905605,0.0012399),
+      |(-1.6,-1.2,10,-0.0962906,-0.0001417),
+      |(-1.6,-1.2,11,-0.0675795,-0.0008979),
+      |(-1.6,-1.2,12,-0.1169429,0.0008892),
+      |(-1.6,-1.2,13,-0.0738483,-0.0006928),
+      |(-1.6,-1.2,14,-0.0690105,-0.0019612),
+      |(-1.6,-1.2,15,-0.1254146,0.0012853),
+      |(-1.2,-0.8,0,0.001538,0.0012747),
+      |(-1.2,-0.8,1,-0.0580026,0.0006237),
+      |(-1.2,-0.8,2,-0.0085213,0.0005068),
+      |(-1.2,-0.8,3,-0.039221,-8.85e-05),
+      |(-1.2,-0.8,4,0.0146594,-0.0002712),
+      |(-1.2,-0.8,5,-0.0535395,0.0006582),
+      |(-1.2,-0.8,6,-0.0163252,0.0010568),
+      |(-1.2,-0.8,7,-0.0144236,0.0013306),
+      |(-1.2,-0.8,8,-0.0095185,-0.0004336),
+      |(-1.2,-0.8,9,-0.0320967,-0.0001875),
+      |(-1.2,-0.8,10,0.038935,0.000404),
+      |(-1.2,-0.8,11,-0.0159376,-0.0002423),
+      |(-1.2,-0.8,12,-0.0464876,0.0009271),
+      |(-1.2,-0.8,13,-0.0110499,0.0002758),
+      |(-1.2,-0.8,14,0.0019062,-0.0003295),
+      |(-1.2,-0.8,15,-0.0485075,0.0035211),
+      |(-0.8,-0.4,0,0.0209444,0.0006742),
+      |(-0.8,-0.4,1,0.0010902,0.0007931),
+      |(-0.8,-0.4,2,0.0162364,0.0004232),
+      |(-0.8,-0.4,3,0.022822,0.0004408),
+      |(-0.8,-0.4,4,0.0075566,-0.0006117),
+      |(-0.8,-0.4,5,-0.0173268,0.0009688),
+      |(-0.8,-0.4,6,-0.0076617,0.0002656),
+      |(-0.8,-0.4,7,-0.0083082,0.0010002),
+      |(-0.8,-0.4,8,0.0301883,0.0006095),
+      |(-0.8,-0.4,9,0.0275373,-0.0005959),
+      |(-0.8,-0.4,10,0.0073492,-0.0004054),
+      |(-0.8,-0.4,11,0.0184561,-0.001145),
+      |(-0.8,-0.4,12,-0.0156092,-0.0009676),
+      |(-0.8,-0.4,13,0.0242506,-0.0008013),
+      |(-0.8,-0.4,14,0.0204298,-0.0005155),
+      |(-0.8,-0.4,15,-0.0044242,0.0001096),
+      |(-0.4,0.0,0,-0.0056445,-0.0002918),
+      |(-0.4,0.0,1,0.0214439,0.0008915),
+      |(-0.4,0.0,2,0.0111371,0.0005939),
+      |(-0.4,0.0,3,0.0027649,0.0008593),
+      |(-0.4,0.0,4,0.0358528,0.0008654),
+      |(-0.4,0.0,5,-0.0099332,0.0008923),
+      |(-0.4,0.0,6,0.0257431,-8.91e-05),
+      |(-0.4,0.0,7,0.0010789,0.0001874),
+      |(-0.4,0.0,8,0.027762,-0.0008924),
+      |(-0.4,0.0,9,0.032754,-0.001792),
+      |(-0.4,0.0,10,0.0222974,-0.000687),
+      |(-0.4,0.0,11,0.0469113,-0.0004944),
+      |(-0.4,0.0,12,0.0368092,-0.0007974),
+      |(-0.4,0.0,13,0.0283118,-0.0012162),
+      |(-0.4,0.0,14,0.0023738,-0.0001888),
+      |(-0.4,0.0,15,0.0067865,0.000221),
+      |(0.0,0.4,0,0.0100644,-0.000871),
+      |(0.0,0.4,1,-0.0104957,-4.8e-06),
+      |(0.0,0.4,2,0.0330693,0.0011347),
+      |(0.0,0.4,3,0.0197914,0.00039),
+      |(0.0,0.4,4,0.0444952,0.0013288),
+      |(0.0,0.4,5,0.0156178,0.0004584),
+      |(0.0,0.4,6,0.0308752,-0.00037),
+      |(0.0,0.4,7,0.0004608,-0.0007702),
+      |(0.0,0.4,8,0.0056906,-0.0013353),
+      |(0.0,0.4,9,0.0616623,-0.0007141),
+      |(0.0,0.4,10,0.0169903,-0.0004408),
+      |(0.0,0.4,11,0.0220168,-0.0018858),
+      |(0.0,0.4,12,0.0065315,-0.0007927),
+      |(0.0,0.4,13,0.0157349,-0.0002549),
+      |(0.0,0.4,14,0.0314366,-0.0004496),
+      |(0.0,0.4,15,0.0356748,0.0003663),
+      |(0.4,0.8,0,-0.0164391,-6.08e-05),
+      |(0.4,0.8,1,0.0016156,0.0006283),
+      |(0.4,0.8,2,-0.0097866,0.0009756),
+      |(0.4,0.8,3,-0.0190581,0.0006341),
+      |(0.4,0.8,4,-0.0046113,0.000193),
+      |(0.4,0.8,5,0.0013324,0.0001483),
+      |(0.4,0.8,6,0.0107821,0.0013514),
+      |(0.4,0.8,7,-0.0172922,7.1e-06),
+      |(0.4,0.8,8,-0.0170946,0.0004007),
+      |(0.4,0.8,9,0.0160065,-0.0005671),
+      |(0.4,0.8,10,-0.0318227,0.0002727),
+      |(0.4,0.8,11,-0.0284751,-0.0013056),
+      |(0.4,0.8,12,0.0044151,-2.7e-05),
+      |(0.4,0.8,13,-0.016925,0.001121),
+      |(0.4,0.8,14,0.0295488,-0.0004529),
+      |(0.4,0.8,15,-0.0118136,0.0011162),
+      |(0.8,1.2,0,-0.0073838,-0.0001249),
+      |(0.8,1.2,1,-0.0148378,0.0007265),
+      |(0.8,1.2,2,-0.036713,0.001171),
+      |(0.8,1.2,3,-0.0048288,-0.0001715),
+      |(0.8,1.2,4,-0.0291207,0.0010791),
+      |(0.8,1.2,5,-0.0325873,0.0012747),
+      |(0.8,1.2,6,0.0176773,0.0002782),
+      |(0.8,1.2,7,-0.0384118,0.0001184),
+      |(0.8,1.2,8,-0.0383467,-0.0003768),
+      |(0.8,1.2,9,-0.04229,5.65e-05),
+      |(0.8,1.2,10,-0.0433553,0.0016848),
+      |(0.8,1.2,11,-0.0258585,0.0003469),
+      |(0.8,1.2,12,-0.0095177,-0.0006858),
+      |(0.8,1.2,13,-0.0181349,0.0002273),
+      |(0.8,1.2,14,-0.0155608,0.001468),
+      |(0.8,1.2,15,0.0448853,0.0010365),
+      |(1.2,1.6,0,-0.0463943,0.0019237),
+      |(1.2,1.6,1,-0.0706844,0.0010239),
+      |(1.2,1.6,2,-0.0876165,0.0021922),
+      |(1.2,1.6,3,-0.0284277,0.0007529),
+      |(1.2,1.6,4,-0.0795026,0.0017649),
+      |(1.2,1.6,5,-0.0272313,0.0021876),
+      |(1.2,1.6,6,-0.0757722,0.0021691),
+      |(1.2,1.6,7,-0.0621026,0.0039498),
+      |(1.2,1.6,8,-0.1094842,0.0003963),
+      |(1.2,1.6,9,-0.0596779,0.0014011),
+      |(1.2,1.6,10,-0.0730229,0.0033001),
+      |(1.2,1.6,11,-0.1128502,0.0001004),
+      |(1.2,1.6,12,-0.0614579,0.000836),
+      |(1.2,1.6,13,-0.039312,0.000719),
+      |(1.2,1.6,14,-0.0579592,0.0027104),
+      |(1.2,1.6,15,-0.0766953,0.0029298),
+      |(1.6,1.85,0,-0.0871459,0.0017961),
+      |(1.6,1.85,1,-0.049144,0.0030964),
+      |(1.6,1.85,2,-0.0716419,0.0041709),
+      |(1.6,1.85,3,-0.0516622,0.0029102),
+      |(1.6,1.85,4,-0.0186777,0.0017519),
+      |(1.6,1.85,5,-0.0789082,0.0029768),
+      |(1.6,1.85,6,-0.0596693,0.0017193),
+      |(1.6,1.85,7,-0.1012593,0.0023965),
+      |(1.6,1.85,8,-0.0432422,0.0046645),
+      |(1.6,1.85,9,-0.0242597,0.0022667),
+      |(1.6,1.85,10,-0.0931083,0.0015295),
+      |(1.6,1.85,11,-0.0945424,-0.000733),
+      |(1.6,1.85,12,-0.0660284,0.0015428),
+      |(1.6,1.85,13,-0.1439673,0.002898),
+      |(1.6,1.85,14,-0.0764519,0.0031029),
+      |(1.6,1.85,15,-0.0703244,0.0036252),
+      |(1.85,2.1,0,-0.1384398,0.0015008),
+      |(1.85,2.1,1,-0.1168303,0.0031763),
+      |(1.85,2.1,2,-0.1402235,0.0043526),
+      |(1.85,2.1,3,-0.1492518,0.0008596),
+      |(1.85,2.1,4,-0.1275841,0.0026159),
+      |(1.85,2.1,5,-0.1439147,0.0042276),
+      |(1.85,2.1,6,-0.1453973,0.0025184),
+      |(1.85,2.1,7,-0.1124248,0.0048433),
+      |(1.85,2.1,8,-0.1784323,0.0012335),
+      |(1.85,2.1,9,-0.1492285,0.0029885),
+      |(1.85,2.1,10,-0.1853806,0.003861),
+      |(1.85,2.1,11,-0.1765401,-0.0004258),
+      |(1.85,2.1,12,-0.1365789,0.0027027),
+      |(1.85,2.1,13,-0.1054035,0.0037629),
+      |(1.85,2.1,14,-0.0979637,0.003378),
+      |(1.85,2.1,15,-0.1463942,0.0055582),
+      |(2.1,2.4,0,-0.2225681,0.0044509),
+      |(2.1,2.4,1,-0.2139872,0.0057157),
+      |(2.1,2.4,2,-0.1969001,0.0063007),
+      |(2.1,2.4,3,-0.1356838,0.0041469),
+      |(2.1,2.4,4,-0.2764199,-0.0012589),
+      |(2.1,2.4,5,-0.1793587,0.0018814),
+      |(2.1,2.4,6,-0.3245514,-0.0060582),
+      |(2.1,2.4,7,-0.3012585,0.0002104),
+      |(2.1,2.4,8,-0.2919856,0.0019007),
+      |(2.1,2.4,9,-0.2678033,0.0041198),
+      |(2.1,2.4,10,-0.2671892,0.0056953),
+      |(2.1,2.4,11,-0.264294,0.0046552),
+      |(2.1,2.4,12,-0.2812897,0.0018125),
+      |(2.1,2.4,13,-0.2385265,0.0031041),
+      |(2.1,2.4,14,-0.2596393,-0.0003488),
+      |(2.1,2.4,15,-0.3614627,-0.0008695)),
+      |kresr(r_lo, r_hi, k_mc, k_dat) AS (VALUES
+      |(0.0,0.4,0.9774349,1.0057285),
+      |(0.4,0.8,1.0052928,1.0391704),
+      |(0.8,1.2,0.9886876,1.046226),
+      |(1.2,1.6,0.9915087,1.0620262),
+      |(1.6,1.85,0.994428,1.0499036),
+      |(1.85,2.1,0.9966606,1.0696469),
+      |(2.1,1000000000.0,0.9887976,1.0675744)),
+      |rsr(r_lo, r_hi, trk_bin, rs0, rs1, rs2) AS (VALUES
+      |(0.0,0.4,0,0.0106045,5.76e-05,0.0),
+      |(0.0,0.4,1,0.0106045,5.76e-05,0.0),
+      |(0.0,0.4,2,0.0106045,5.76e-05,0.0),
+      |(0.0,0.4,3,0.0112722,0.0001065,0.0),
+      |(0.0,0.4,4,0.0108662,8.4e-05,2.82e-05),
+      |(0.0,0.4,5,0.01064,8.02e-05,2e-05),
+      |(0.0,0.4,6,0.0104389,7.12e-05,2.56e-05),
+      |(0.0,0.4,7,0.0103562,6.72e-05,2.23e-05),
+      |(0.0,0.4,8,0.0102254,6.16e-05,1.82e-05),
+      |(0.0,0.4,9,0.0102254,6.16e-05,1.82e-05),
+      |(0.0,0.4,10,0.0102254,6.16e-05,1.82e-05),
+      |(0.0,0.4,11,0.0102254,6.16e-05,1.82e-05),
+      |(0.0,0.4,12,0.0102254,6.16e-05,1.82e-05),
+      |(0.4,0.8,0,0.0125194,0.0,0.0),
+      |(0.4,0.8,1,0.0125194,0.0,0.0),
+      |(0.4,0.8,2,0.0125194,0.0,0.0),
+      |(0.4,0.8,3,0.012896,7.52e-05,0.0),
+      |(0.4,0.8,4,0.0126625,7.41e-05,2.57e-05),
+      |(0.4,0.8,5,0.0124423,7.02e-05,2.72e-05),
+      |(0.4,0.8,6,0.0122287,6.24e-05,2.29e-05),
+      |(0.4,0.8,7,0.0120169,5.76e-05,2.44e-05),
+      |(0.4,0.8,8,0.0118633,5.42e-05,2.11e-05),
+      |(0.4,0.8,9,0.0118633,5.42e-05,2.11e-05),
+      |(0.4,0.8,10,0.0118633,5.42e-05,2.11e-05),
+      |(0.4,0.8,11,0.0118633,5.42e-05,2.11e-05),
+      |(0.4,0.8,12,0.0118633,5.42e-05,2.11e-05),
+      |(0.8,1.2,0,0.0187945,0.0,0.0),
+      |(0.8,1.2,1,0.0195475,9.65e-05,0.0),
+      |(0.8,1.2,2,0.0193159,9.81e-05,0.0),
+      |(0.8,1.2,3,0.01871,8.93e-05,3.08e-05),
+      |(0.8,1.2,4,0.0180126,7.98e-05,2.5e-05),
+      |(0.8,1.2,5,0.017493,7.54e-05,2.57e-05),
+      |(0.8,1.2,6,0.0165482,6.78e-05,2.86e-05),
+      |(0.8,1.2,7,0.0148393,5.61e-05,2.74e-05),
+      |(0.8,1.2,8,0.0131078,4.56e-05,1.69e-05),
+      |(0.8,1.2,9,0.0131078,4.56e-05,1.69e-05),
+      |(0.8,1.2,10,0.0131078,4.56e-05,1.69e-05),
+      |(0.8,1.2,11,0.0131078,4.56e-05,1.69e-05),
+      |(0.8,1.2,12,0.0131078,4.56e-05,1.69e-05),
+      |(1.2,1.6,0,0.0203388,0.0,0.0),
+      |(1.2,1.6,1,0.0203388,0.0,0.0),
+      |(1.2,1.6,2,0.0209387,0.0001075,0.0),
+      |(1.2,1.6,3,0.0205782,7.42e-05,0.0),
+      |(1.2,1.6,4,0.0203938,6.78e-05,1.89e-05),
+      |(1.2,1.6,5,0.0201431,6.61e-05,2.19e-05),
+      |(1.2,1.6,6,0.0200596,6.5e-05,1.12e-05),
+      |(1.2,1.6,7,0.0201493,6.75e-05,1.58e-05),
+      |(1.2,1.6,8,0.0200273,8.15e-05,0.0),
+      |(1.2,1.6,9,0.0194751,8.18e-05,0.0),
+      |(1.2,1.6,10,0.0188947,6.33e-05,1.51e-05),
+      |(1.2,1.6,11,0.0188998,0.0,0.0),
+      |(1.2,1.6,12,0.0188998,0.0,0.0),
+      |(1.6,1.85,0,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,1,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,2,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,3,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,4,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,5,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,6,0.0201062,0.0001062,0.0),
+      |(1.6,1.85,7,0.0196632,8.69e-05,7.64e-05),
+      |(1.6,1.85,8,0.0201172,0.0001086,0.0),
+      |(1.6,1.85,9,0.020046,0.0001008,1.9e-05),
+      |(1.6,1.85,10,0.0199032,9.77e-05,2.4e-05),
+      |(1.6,1.85,11,0.0199512,9.86e-05,0.0),
+      |(1.6,1.85,12,0.0183781,8.02e-05,0.0),
+      |(1.85,2.1,0,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,1,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,2,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,3,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,4,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,5,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,6,0.0297884,0.0002709,0.0),
+      |(1.85,2.1,7,0.0286728,0.0002161,0.0),
+      |(1.85,2.1,8,0.0275016,0.0001902,4.01e-05),
+      |(1.85,2.1,9,0.0257451,0.0001661,5.53e-05),
+      |(1.85,2.1,10,0.0248586,0.0001484,4.52e-05),
+      |(1.85,2.1,11,0.0232906,0.0001255,3.88e-05),
+      |(1.85,2.1,12,0.0232906,0.0001255,3.88e-05),
+      |(2.1,1000000000.0,0,0.0688354,0.0010845,0.0),
+      |(2.1,1000000000.0,1,0.0688354,0.0010845,0.0),
+      |(2.1,1000000000.0,2,0.0688354,0.0010845,0.0),
+      |(2.1,1000000000.0,3,0.0610726,0.0008581,0.0),
+      |(2.1,1000000000.0,4,0.0574378,0.000774,0.0001662),
+      |(2.1,1000000000.0,5,0.0488954,0.0005686,0.0001623),
+      |(2.1,1000000000.0,6,0.0427098,0.0004311,9.36e-05),
+      |(2.1,1000000000.0,7,0.0394487,0.0003594,9.94e-05),
+      |(2.1,1000000000.0,8,0.0332897,0.0002483,7.99e-05),
+      |(2.1,1000000000.0,9,0.0307139,0.0002053,6.28e-05),
+      |(2.1,1000000000.0,10,0.0285185,0.0001755,0.0),
+      |(2.1,1000000000.0,11,0.0285185,0.0001755,0.0),
+      |(2.1,1000000000.0,12,0.0285185,0.0001755,0.0)),
+      |grid AS (
+      | SELECT CAST(eta_lo AS DOUBLE) AS eta_lo, CAST(eta_hi AS DOUBLE) AS eta_hi,
+      |  phi_bin, CAST(m_mc AS DOUBLE) AS m_mc, CAST(a_mc AS DOUBLE) AS a_mc
+      | FROM rawmc),
+      |kres AS (
+      | SELECT CAST(r_lo AS DOUBLE) AS r_lo, CAST(r_hi AS DOUBLE) AS r_hi,
+      |  CAST(k_mc AS DOUBLE) AS k_mc, CAST(k_dat AS DOUBLE) AS k_dat
+      | FROM kresr),
+      |rs AS (
+      | SELECT CAST(r_lo AS DOUBLE) AS r_lo, CAST(r_hi AS DOUBLE) AS r_hi, trk_bin,
+      |  CAST(rs0 AS DOUBLE) AS rs0, CAST(rs1 AS DOUBLE) AS rs1,
+      |  CAST(rs2 AS DOUBLE) AS rs2
+      | FROM rsr),
+      |mu AS (
+      | SELECT 20.0 + (l_extendedprice % 600.0) / 10.0 AS pt,
+      |  l_discount * 47.9 - 2.4 AS eta,
+      |  CAST(l_linenumber * 7 % 16 AS INT) AS phi_bin,
+      |  CAST(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE -1 END AS DOUBLE) AS q,
+      |  l_orderkey % 10 < 7 AS has_gen,
+      |  (20.0 + (l_extendedprice % 600.0) / 10.0) *
+      |    (1.0 + CAST((l_partkey % 201) - 100 AS DOUBLE) / 1000.0) AS genpt,
+      |  CAST(l_suppkey % 13 AS INT) AS trk_bin,
+      |  CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 100000
+      |    AS DOUBLE) / 100000.0 AS u
+      | FROM lineitem),
+      |j AS (
+      | SELECT mu.*, g.eta_lo, g.m_mc, g.a_mc, k.k_mc, k.k_dat,
+      |  r.rs0, r.rs1, r.rs2,
+      |  1.0 / (1.0 + (g.m_mc + mu.q * g.a_mc * mu.pt) / 100.0) AS kscale
+      | FROM mu
+      | JOIN grid g ON mu.eta >= g.eta_lo AND mu.eta < g.eta_hi
+      |   AND mu.phi_bin = g.phi_bin
+      | JOIN kres k ON ABS(mu.eta) >= k.r_lo AND ABS(mu.eta) < k.r_hi
+      | JOIN rs r ON ABS(mu.eta) >= r.r_lo AND ABS(mu.eta) < r.r_hi
+      |   AND mu.trk_bin = r.trk_bin),
+      |kcol AS (
+      | SELECT eta_lo, has_gen,
+      |  CASE WHEN has_gen THEN
+      |   kscale * ((genpt / (pt * kscale)) /
+      |     (1.0 + ((genpt / (pt * kscale)) - 1.0) * k_dat / k_mc))
+      |  ELSE
+      |   kscale * (1.0 +
+      |    SQRT(GREATEST(k_dat * k_dat / (k_mc * k_mc) - 1.0, 0.0)) *
+      |    (rs0 + rs1 * (pt * kscale - 45.0) +
+      |     rs2 * (pt * kscale - 45.0) * (pt * kscale - 45.0)) *
+      |    ((u - 0.5) * SQRT(12.0)))
+      |  END AS k
+      | FROM j)
+      |SELECT eta_lo, has_gen, COUNT(*) AS n_mu,
+      | CAST(SUM(CAST(FLOOR(k * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS k_nano_sum
+      |FROM kcol GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---- l19: PU-jet-ID event weight from the reference's PUIDMaps.root -------
   // The reference's PUID correction input (data/PUIDMaps.root, 54 TH2F
@@ -3403,6 +3941,7 @@ object LookupQueries extends QueryFamily {
     "l17_jec_unc_real" -> (l17 _),
     "l18_roccor_grid" -> (l18 _),
     "l19_puid_weight" -> (l19 _),
+    "l22_roccor_mc" -> (l22 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -3425,6 +3964,7 @@ object LookupQueries extends QueryFamily {
     "l17_jec_unc_real" -> l17Sql,
     "l18_roccor_grid" -> l18Sql,
     "l19_puid_weight" -> l19Sql,
+    "l22_roccor_mc" -> l22Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,

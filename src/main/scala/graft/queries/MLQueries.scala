@@ -2509,21 +2509,29 @@ object MLQueries extends QueryFamily {
   // identical to the oracle's chunkSumS, weights through %.6f text on
   // both engines). Scale: pure projection after one scan — no shuffle,
   // whole-stage codegen end to end, the same plan shape as m03.
-  private lazy val vbfSd = graft.sources.TorchPt.readStateDict(
-    refData("trained_models/vbf/models/model_pytorch_test_0.pt")).toMap
-  private lazy val vbfScaler = graft.sources.NumpyFile.read(
-    refData("trained_models/vbf/scalers/scalers_pytorch_test_0.npy"))
+  // all four trained folds (m36 routes between them; m35/n14 pin fold 0)
+  private lazy val vbfSdAll = IndexedSeq.tabulate(4)(f =>
+    graft.sources.TorchPt.readStateDict(
+      refData(s"trained_models/vbf/models/model_pytorch_test_$f.pt")).toMap)
+  private lazy val vbfScalerAll = IndexedSeq.tabulate(4)(f =>
+    graft.sources.NumpyFile.read(
+      refData(s"trained_models/vbf/scalers/scalers_pytorch_test_$f.npy")))
+  private lazy val vbfSd = vbfSdAll(0)
+  private lazy val vbfScaler = vbfScalerAll(0)
   private val vbfDims = Seq(24, 128, 64, 32)
   private val vbfLayerNames = Seq("fc1", "fc2", "fc3")
   // torch Linear stores weight as (out, in) row-major; mlp_dense and the
   // oracle index [in][out]
-  private def vbfW(l: Int): Array[Array[Double]] = {
-    val t = vbfSd(vbfLayerNames(l) + ".weight")
+  private def vbfW(l: Int, fold: Int = 0): Array[Array[Double]] = {
+    val t = vbfSdAll(fold)(vbfLayerNames(l) + ".weight")
     Array.tabulate(vbfDims(l), vbfDims(l + 1))((i, j) => t(j, i))
   }
-  private def vbfB(l: Int): Array[Double] = vbfSd(vbfLayerNames(l) + ".bias").data
-  private lazy val vbfWOut: Array[Double] = vbfSd("output.weight").data // (1, 32)
-  private lazy val vbfBOut: Double = vbfSd("output.bias").data(0)
+  private def vbfB(l: Int, fold: Int = 0): Array[Double] =
+    vbfSdAll(fold)(vbfLayerNames(l) + ".bias").data
+  private def vbfWOut(fold: Int = 0): Array[Double] =
+    vbfSdAll(fold)("output.weight").data // (1, 32)
+  private def vbfBOut(fold: Int = 0): Double =
+    vbfSdAll(fold)("output.bias").data(0)
   // deterministic z in (-2, 2): a per-feature multiplicative hash of the
   // event id, identical text on both engines
   // the CAST before the division keeps it a double division on both
@@ -2535,9 +2543,10 @@ object MLQueries extends QueryFamily {
     s"(CAST((((event_id * ${2654435761L + i * 40503L}) % 4001) - 2000) AS DOUBLE) / 1000.0)"
   /** The standardized 24-feature input array from an event_id column —
     * real scaler values flow through the construction (see m35). */
-  private[queries] def vbfH0: org.apache.spark.sql.Column =
+  private[queries] def vbfH0: org.apache.spark.sql.Column = vbfH0For(0)
+  private[queries] def vbfH0For(fold: Int): org.apache.spark.sql.Column =
     array((0 until vbfDims.head).map { i =>
-      val mu = vbfScaler(0, i); val sg = vbfScaler(1, i)
+      val mu = vbfScalerAll(fold)(0, i); val sg = vbfScalerAll(fold)(1, i)
       ((lit(mu) + lit(sg) * expr(vbfZSql(i))) - lit(mu)) / lit(sg)
     }: _*)
   /** The full real-weights forward pass as ONE nested column: sigmoid
@@ -2546,15 +2555,18 @@ object MLQueries extends QueryFamily {
     * skipping the SQL parser for the ~17k weight tokens (measured:
     * 23.8 s one-shot via expr text vs ~1 s warm; the parse was the
     * cost, not the math). Requires GraftFunctions registered. */
-  private[queries] def vbfScore(h0: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[queries] def vbfScore(h0: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    vbfScoreFor(h0, 0)
+  private[queries] def vbfScoreFor(h0: org.apache.spark.sql.Column,
+      fold: Int): org.apache.spark.sql.Column = {
     def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
     def wlit(xs: Seq[Double]) = typedLit(xs.map(x => lit6(x).toDouble))
     val hLast = (0 until vbfDims.size - 1).foldLeft(h0) { (cur, l) =>
-      call_function("mlp_dense", cur, wlit(vbfW(l).flatten.toSeq),
-        wlit(vbfB(l).toSeq), lit(true))
+      call_function("mlp_dense", cur, wlit(vbfW(l, fold).flatten.toSeq),
+        wlit(vbfB(l, fold).toSeq), lit(true))
     }
     val out = element_at(call_function("mlp_dense", hLast,
-      wlit(vbfWOut.toSeq), wlit(Seq(vbfBOut)), lit(false)), 1)
+      wlit(vbfWOut(fold).toSeq), wlit(Seq(vbfBOut(fold))), lit(false)), 1)
     lit(1.0) / (lit(1.0) + exp(negate(out)))
   }
   private def m35(s: SparkSession, dir: String): DataFrame = {
@@ -2581,16 +2593,16 @@ object MLQueries extends QueryFamily {
     * event_id + h3_* columns from `fromClause`, sigmoid expr over them).
     * Shared by m35's oracle and n14's streaming batch oracle. */
   private[queries] def vbfScoreSqlParts(fromClause: String,
-      extraCols: String = ""): (String, String) = {
+      extraCols: String = "", fold: Int = 0): (String, String) = {
     def lit6(x: Double) = "%.6f".formatLocal(java.util.Locale.ROOT, x)
     def d(x: Double) = s"CAST('$x' AS DOUBLE)" // exact round-trip, no DECIMAL inference
     val keep = if (extraCols.isEmpty) "event_id" else s"event_id, $extraCols"
     val std = (0 until vbfDims.head).map { i =>
-      val mu = d(vbfScaler(0, i)); val sg = d(vbfScaler(1, i))
+      val mu = d(vbfScalerAll(fold)(0, i)); val sg = d(vbfScalerAll(fold)(1, i))
       s"((($mu + $sg * (${vbfZSql(i)})) - $mu) / $sg) AS h0_$i"
     }.mkString(", ")
     val layers = (0 until vbfDims.size - 1).map { l =>
-      val w = vbfW(l); val b = vbfB(l)
+      val w = vbfW(l, fold); val b = vbfB(l, fold)
       (0 until vbfDims(l + 1)).map { j =>
         val z = chunkSumS((0 until vbfDims(l))
           .map(i => s"h${l}_$i * ${lit6(w(i)(j))}")) + s" + ${lit6(b(j))}"
@@ -2599,7 +2611,7 @@ object MLQueries extends QueryFamily {
     }
     val L = vbfDims.size - 1
     val out = chunkSumS((0 until vbfDims.last)
-      .map(j => s"h${L}_$j * ${lit6(vbfWOut(j))}")) + s" + ${lit6(vbfBOut)}"
+      .map(j => s"h${L}_$j * ${lit6(vbfWOut(fold)(j))}")) + s" + ${lit6(vbfBOut(fold))}"
     val sigm = s"(1.0 / (1.0 + EXP(-($out))))"
     val inner = layers.foldLeft(
       s"SELECT $keep, $std FROM $fromClause") {
@@ -2616,10 +2628,60 @@ object MLQueries extends QueryFamily {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---- m36: the real 4-fold VBF DNN ensemble with reference routing --------
+  // The reference never scores an event with a model that trained on
+  // it: model i evaluates the events with event % 4 == (i + 3) % 4
+  // (stage2/mva_evaluators.py:154-158 — eval_folds = [(i+3) % 4]),
+  // i.e. event-fold e is scored by model (e + 1) % 4 with THAT fold's
+  // StandardScaler (m34's real .npy files) and THAT fold's trained
+  // weights (m35's real .pt files). Composes m01 (the split) + m34
+  // (scalers) + m35 (forward). Engine shape: a 4-branch CASE over the
+  // event-fold key where each branch is the full fold-specific
+  // standardize -> mlp_dense forward -> sigmoid column — CaseWhen
+  // evaluates only the matched branch per row, so the per-row cost is
+  // ONE forward pass and the plan stays a single scan + projection.
+  // Oracle: four vbfScoreSqlParts chains (one per model fold) UNION
+  // ALL'd over WHERE event_id % 4 = e.
+  private def m36(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val ev0 = rd(s, dir, "events")
+    val par = s.sparkContext.defaultParallelism
+    val ev = if (ev0.rdd.getNumPartitions < par) ev0.repartition(par) else ev0
+    val sigmFor = (0 until 4).map { e =>
+      val model = (e + 1) % 4
+      vbfScoreFor(vbfH0For(model), model)
+    }
+    val sigm = when(col("efold") === 0, sigmFor(0))
+      .when(col("efold") === 1, sigmFor(1))
+      .when(col("efold") === 2, sigmFor(2))
+      .otherwise(sigmFor(3))
+    ev.select(col("event_id"), (col("event_id") % 4).cast("int").as("efold"))
+      .select(col("event_id"), col("efold"),
+        ((col("efold") + 1) % 4).cast("int").as("model_fold"),
+        sigm.cast("float").as("vbf_score"),
+        (lit(0.5) * log((lit(1.0) + sigm) / (lit(1.0) - sigm)))
+          .cast("float").as("vbf_score_atanh"))
+      .orderBy(col("event_id"))
+  }
+  private lazy val m36Sql = {
+    val branches = (0 until 4).map { e =>
+      val model = (e + 1) % 4
+      val (inner, sigm) = vbfScoreSqlParts(
+        s"(SELECT * FROM events WHERE event_id % 4 = $e)", "", model)
+      s"""SELECT event_id, CAST(event_id % 4 AS INT) AS efold,
+         | CAST($model AS INT) AS model_fold,
+         | CAST($sigm AS REAL) AS vbf_score,
+         | CAST(0.5 * LN((1.0 + $sigm) / (1.0 - $sigm)) AS REAL) AS vbf_score_atanh
+         |FROM ($inner)""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m33_ablation_importance" -> (m33 _),
     "m34_fold_scalers" -> (m34 _),
     "m35_vbf_dnn_real" -> (m35 _),
+    "m36_vbf_fold_ensemble" -> (m36 _),
     "m32_scaling_law" -> (m32 _),
     "m31_mannwhitney" -> (m31 _),
     "m30_gbdt_loop" -> (m30 _),
@@ -2658,6 +2720,7 @@ object MLQueries extends QueryFamily {
     "m33_ablation_importance" -> m33Sql,
     "m34_fold_scalers" -> m34Sql,
     "m35_vbf_dnn_real" -> m35Sql,
+    "m36_vbf_fold_ensemble" -> m36Sql,
     "m32_scaling_law" -> m32Sql,
     "m31_mannwhitney" -> m31Sql,
     "m30_gbdt_loop" -> m30Sql,
