@@ -57,6 +57,38 @@ class PlanSpec extends SparkSpec {
       s"key filter not pushed down:\n$plan")
   }
 
+  test("l21 real JEC level chain is two hash joins, zero nested-loop probes") {
+    // the bin-index equi-key design: a range-only spelling would plan
+    // BroadcastNestedLoopJoin over 82/1972-row tables (~2k predicate
+    // evals per jet); the count-of-lows index keeps it a hash probe
+    val plan = planOf(CorrectionQueries.queries("l21_jec_levels_real")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"NLJ in l21:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in l21:\n$plan")
+    // formatted plans repeat nodes (tree + detail section)
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBhj >= 2 && nBhj <= 4, s"expected 2 BroadcastHashJoin nodes, got $nBhj")
+  }
+
+  test("l10 real-source JES fan-out adds NO joins over the chain (pure projection)") {
+    // 22 real-source variant columns come from literal-array element_at
+    // lookups; only the chain's 3 tiny range joins + the 1-row JER map
+    // broadcast may appear
+    val plan = planOf(LookupQueries.queries("l10_jec_variant_columns")(spark, dir))
+    // chain = 3 tiny range joins + 1-row JER map broadcast = 4 join
+    // NODES; each node contributes ~4 "Join" tokens in a formatted
+    // plan (tree line, detail header, "Join type:", "Join condition:")
+    val nJoin = "BroadcastNestedLoopJoin|BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct".r
+      .findAllIn(plan).length
+    assert(nJoin <= 8, s"l10 grew joins (expected 4 nodes x 2 mentions):\n$plan")
+  }
+
+  test("m36 fold ensemble plans one scan and no join") {
+    val plan = planOf(MLQueries.queries("m36_vbf_fold_ensemble")(spark, dir))
+    assert(!plan.contains("Join"), s"join in m36:\n$plan")
+    val nScan = "Scan parquet".r.findAllIn(plan).length
+    assert(nScan >= 1 && nScan <= 2, s"expected 1 scan node, got $nScan")
+  }
+
   test("group sums use map-side partial aggregation") {
     val plan = planOf(RelationalQueries.queries("a01_group_sums")(spark, dir))
     assert(plan.contains("partial_sum") || plan.contains("partial_"),
