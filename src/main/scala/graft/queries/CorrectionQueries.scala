@@ -294,13 +294,161 @@ object CorrectionQueries extends QueryFamily {
        |FROM s2 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  // ---- l23: the DATA-era RunA chain incl. the L2L3Residual ------------------
+  // Data jets get a FOURTH level (config/jec_parameters.py
+  // jec_levels_data = [L1FastJet, L2Relative, L3Absolute,
+  // L2L3Residual]); the RunA residual payload is the most complex
+  // TFormula in the reference's data: TMath::-namespaced functions
+  // (Log/Max/Power), nested min/max pt windows driven by params [0]/[1]
+  // and a logistic turn-on — all handled by the parser's namespace
+  // normalization. Same plan shape as l21 plus one more
+  // BroadcastHashJoin (36-bucket eta hash).
+  private lazy val jecL1D = JecTextTables.parseLevel(
+    refData("jec/Autumn18_RunA_V19_DATA_L1FastJet_AK4PFchs.jec.txt"))
+  private lazy val jecL2D = JecTextTables.parseLevel(
+    refData("jec/Autumn18_RunA_V19_DATA_L2Relative_AK4PFchs.jec.txt"))
+  private lazy val jecL3D = JecTextTables.parseLevel(
+    refData("jec/Autumn18_RunA_V19_DATA_L3Absolute_AK4PFchs.jec.txt"))
+  private lazy val jecResD = JecTextTables.parseLevel(
+    refData("jec/Autumn18_RunA_V19_DATA_L2L3Residual_AK4PFchs.jec.txt"))
+
+  private def l23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l1df = jecL1D.rows.map { r =>
+      (jecL1D.etaIdx(r.bounds(0)._1),
+        r.clamps(0)._1, r.clamps(0)._2, r.clamps(1)._1, r.clamps(1)._2,
+        r.clamps(2)._1, r.clamps(2)._2,
+        r.params(0), r.params(1), r.params(2), r.params(3), r.params(4),
+        r.params(5), r.params(6))
+    }.toDF("e1", "rho_lo", "rho_hi", "cpt_lo", "cpt_hi", "a_lo", "a_hi",
+      "p0", "p1", "p2", "p3", "p4", "p5", "p6")
+    val l2df = jecL2D.rows.map { r =>
+      (jecL2D.etaIdx(r.bounds(0)._1), r.bounds(1)._1, r.bounds(1)._2,
+        r.clamps(0)._1, r.clamps(0)._2,
+        r.params(0), r.params(1), r.params(2), r.params(3), r.params(4))
+    }.toDF("e2", "bpt_lo", "bpt_hi", "x_lo", "x_hi", "q0", "q1", "q2", "q3", "q4")
+    val resdf = jecResD.rows.map { r =>
+      (jecResD.etaIdx(r.bounds(0)._1), r.clamps(0)._1, r.clamps(0)._2,
+        r.params(0), r.params(1), r.params(2), r.params(3), r.params(4),
+        r.params(5), r.params(6), r.params(7), r.params(8))
+    }.toDF("e4", "r_lo", "r_hi", "t0", "t1", "t2", "t3", "t4", "t5", "t6",
+      "t7", "t8")
+
+    val jets = l21Jets(s, dir)
+      .withColumn("e1", binIdx(col("eta"), jecL1D.etaLows))
+      .withColumn("e2", binIdx(col("eta"), jecL2D.etaLows))
+      .withColumn("e4", binIdx(col("eta"), jecResD.etaLows))
+
+    val l1Vars: Int => Column = {
+      case 0 => clampc(col("rho"), col("rho_lo"), col("rho_hi"))
+      case 1 => clampc(col("pt_raw"), col("cpt_lo"), col("cpt_hi"))
+      case 2 => clampc(col("area"), col("a_lo"), col("a_hi"))
+    }
+    val c1 = coalesce(
+      TFormula.toColumn(jecL1D.formula, l1Vars, i => col(s"p$i")), lit(1.0))
+    val s1 = jets.join(broadcast(l1df), Seq("e1"), "left")
+      .withColumn("c1", c1)
+      .withColumn("pt1", col("pt_raw") * col("c1"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "eta", "e2", "e4", "pt1", "c1")
+
+    val c2 = coalesce(
+      TFormula.toColumn(jecL2D.formula,
+        { case 0 => clampc(col("pt1"), col("x_lo"), col("x_hi")) },
+        i => col(s"q$i")), lit(1.0))
+    val s2 = s1.join(broadcast(l2df),
+        s1("e2") === l2df("e2") &&
+          col("pt1") >= col("bpt_lo") && col("pt1") < col("bpt_hi"), "left")
+      .withColumn("c2", c2)
+      .withColumn("pt2", col("pt1") * col("c2"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice",
+        "e4", "pt2", "c1", "c2")
+
+    // L3Absolute is unit; evaluated through the parsed tree like l21
+    val l3row = jecL3D.rows.head
+    val c3 = TFormula.toColumn(jecL3D.formula,
+      { case 0 => clampc(col("pt2"), lit(l3row.clamps(0)._1), lit(l3row.clamps(0)._2)) },
+      i => lit(l3row.params(i)))
+    val s3 = s2.withColumn("pt3", col("pt2") * c3)
+
+    val c4 = coalesce(
+      TFormula.toColumn(jecResD.formula,
+        { case 0 => clampc(col("pt3"), col("r_lo"), col("r_hi")) },
+        i => col(s"t$i")), lit(1.0))
+    s3.join(broadcast(resdf), Seq("e4"), "left")
+      .withColumn("c4", c4)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        col("c1").cast("float").as("c1"),
+        col("c2").cast("float").as("c2"),
+        col("c4").cast("float").as("c_residual"),
+        (col("pt3") * col("c4")).cast("float").as("pt_jec"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+  }
+  private lazy val l23Sql = {
+    val l1csv = s"$fixturesDir/jec_l1_data.csv"
+    val l2csv = s"$fixturesDir/jec_l2_data.csv"
+    val rescsv = s"$fixturesDir/jec_res_data.csv"
+    def cl(x: String, lo: String, hi: String) = s"LEAST(GREATEST($x, $lo), $hi)"
+    val f1 = TFormula.toSql(jecL1D.formula,
+      Vector(cl("j.rho", "l1.rho_lo", "l1.rho_hi"),
+        cl("j.pt_raw", "l1.pt_lo", "l1.pt_hi"),
+        cl("j.area", "l1.a_lo", "l1.a_hi")),
+      i => s"l1.p$i")
+    val f2 = TFormula.toSql(jecL2D.formula,
+      Vector(cl("s1.pt1", "l2.x_lo", "l2.x_hi")), i => s"l2.p$i")
+    val l3row = jecL3D.rows.head
+    val f3 = TFormula.toSql(jecL3D.formula,
+      Vector(cl("pt2", l3row.clamps(0)._1.toString, l3row.clamps(0)._2.toString)),
+      i => l3row.params(i).toString)
+    val f4 = TFormula.toSql(jecResD.formula,
+      Vector(cl("s3.pt3", "r.x_lo", "r.x_hi")), i => s"r.p$i")
+    s"""WITH l1 AS (SELECT * FROM read_csv('$l1csv', header=true, columns={
+       |  'eta_lo':'DOUBLE','eta_hi':'DOUBLE','rho_lo':'DOUBLE','rho_hi':'DOUBLE',
+       |  'pt_lo':'DOUBLE','pt_hi':'DOUBLE','a_lo':'DOUBLE','a_hi':'DOUBLE',
+       |  'p0':'DOUBLE','p1':'DOUBLE','p2':'DOUBLE','p3':'DOUBLE','p4':'DOUBLE',
+       |  'p5':'DOUBLE','p6':'DOUBLE'})),
+       |l2 AS (SELECT * FROM read_csv('$l2csv', header=true, columns={
+       |  'eta_lo':'DOUBLE','eta_hi':'DOUBLE','bpt_lo':'DOUBLE','bpt_hi':'DOUBLE',
+       |  'x_lo':'DOUBLE','x_hi':'DOUBLE',
+       |  'p0':'DOUBLE','p1':'DOUBLE','p2':'DOUBLE','p3':'DOUBLE','p4':'DOUBLE'})),
+       |res AS (SELECT * FROM read_csv('$rescsv', header=true, columns={
+       |  'eta_lo':'DOUBLE','eta_hi':'DOUBLE','x_lo':'DOUBLE','x_hi':'DOUBLE',
+       |  'p0':'DOUBLE','p1':'DOUBLE','p2':'DOUBLE','p3':'DOUBLE','p4':'DOUBLE',
+       |  'p5':'DOUBLE','p6':'DOUBLE','p7':'DOUBLE','p8':'DOUBLE'})),
+       |jets AS ($l21JetsSql),
+       |s1 AS (
+       | SELECT j.l_orderkey, j.l_linenumber, j.l_extendedprice, j.eta,
+       |  COALESCE($f1, 1.0) AS c1,
+       |  j.pt_raw * COALESCE($f1, 1.0) AS pt1
+       | FROM jets j LEFT JOIN l1
+       |  ON j.eta >= l1.eta_lo AND j.eta < l1.eta_hi),
+       |s2 AS (
+       | SELECT s1.l_orderkey, s1.l_linenumber, s1.l_extendedprice, s1.eta, s1.c1,
+       |  COALESCE($f2, 1.0) AS c2,
+       |  s1.pt1 * COALESCE($f2, 1.0) AS pt2
+       | FROM s1 LEFT JOIN l2
+       |  ON s1.eta >= l2.eta_lo AND s1.eta < l2.eta_hi
+       |  AND s1.pt1 >= l2.bpt_lo AND s1.pt1 < l2.bpt_hi),
+       |s3 AS (
+       | SELECT s2.*, pt2 * $f3 AS pt3 FROM s2)
+       |SELECT s3.l_orderkey, s3.l_linenumber, s3.l_extendedprice,
+       | CAST(s3.c1 AS REAL) AS c1, CAST(s3.c2 AS REAL) AS c2,
+       | CAST(COALESCE($f4, 1.0) AS REAL) AS c_residual,
+       | CAST(s3.pt3 * COALESCE($f4, 1.0) AS REAL) AS pt_jec
+       |FROM s3 LEFT JOIN res r
+       |  ON s3.eta >= r.eta_lo AND s3.eta < r.eta_hi
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l20_btag_csv_real" -> (l20 _),
-    "l21_jec_levels_real" -> (l21 _)
+    "l21_jec_levels_real" -> (l21 _),
+    "l23_jec_data_residual" -> (l23 _)
   )
 
   val oracle: Map[String, String] = Map(
     "l20_btag_csv_real" -> l20Sql,
-    "l21_jec_levels_real" -> l21Sql
+    "l21_jec_levels_real" -> l21Sql,
+    "l23_jec_data_residual" -> l23Sql
   )
 }

@@ -84,6 +84,22 @@ class TFormulaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("the DATA-era residual formula (TMath:: namespace) parses and evaluates") {
+    val res = JecTextTables.parseLevel(graft.queries.refData(
+      "jec/Autumn18_RunA_V19_DATA_L2L3Residual_AK4PFchs.jec.txt"))
+    assert(res.rows.size == 36)
+    assert(res.rows.forall(_.params.size == 9))
+    // evaluate row 0 at x = 100 GeV; the formula's own min/max window
+    // uses params [0]/[1]; result must be a sane O(1) correction
+    val r = res.rows.head
+    val v = TFormula.eval(res.formula, _ => 100.0, r.params)
+    assert(v > 0.5 && v < 2.0, s"residual correction out of range: $v")
+    // the DATA-era L1 carries the extra [6] scale parameter
+    val l1d = JecTextTables.parseLevel(graft.queries.refData(
+      "jec/Autumn18_RunA_V19_DATA_L1FastJet_AK4PFchs.jec.txt"))
+    assert(l1d.rows.forall(_.params.size == 7))
+  }
+
   test("level-file headers parse and the L1/L2 grids are contiguous") {
     val l1 = JecTextTables.parseLevel(graft.queries.refData(
       "jec/Autumn18_V19_MC_L1FastJet_AK4PFchs.jec.txt"))

@@ -170,9 +170,46 @@ def gen_btag():
     print(f"btag_reshape_central.csv: {n} rows")
 
 
+def gen_data_era():
+    """RunA DATA-era levels incl. the L2L3Residual whose formula uses
+    TMath::-namespaced functions — the l23 chain."""
+    rows = parse_level(
+        f"{REF}/jec/Autumn18_RunA_V19_DATA_L1FastJet_AK4PFchs.jec.txt", 1, 3)
+    with open(f"{OUT}/jec_l1_data.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        # the DATA-era L1 formula carries a 7th scale parameter [6]
+        w.writerow(["eta_lo", "eta_hi", "rho_lo", "rho_hi", "pt_lo", "pt_hi",
+                    "a_lo", "a_hi", "p0", "p1", "p2", "p3", "p4", "p5", "p6"])
+        for bounds, clamps, params in rows:
+            assert len(params) == 7, params
+            w.writerow([repr(v) for v in bounds + clamps + params])
+    print(f"jec_l1_data.csv: {len(rows)} rows")
+    rows = parse_level(
+        f"{REF}/jec/Autumn18_RunA_V19_DATA_L2Relative_AK4PFchs.jec.txt", 2, 1)
+    with open(f"{OUT}/jec_l2_data.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["eta_lo", "eta_hi", "bpt_lo", "bpt_hi", "x_lo", "x_hi",
+                    "p0", "p1", "p2", "p3", "p4"])
+        for bounds, clamps, params in rows:
+            assert len(params) == 5, params
+            w.writerow([repr(v) for v in bounds + clamps + params])
+    print(f"jec_l2_data.csv: {len(rows)} rows")
+    rows = parse_level(
+        f"{REF}/jec/Autumn18_RunA_V19_DATA_L2L3Residual_AK4PFchs.jec.txt", 1, 1)
+    with open(f"{OUT}/jec_res_data.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["eta_lo", "eta_hi", "x_lo", "x_hi"]
+                   + [f"p{i}" for i in range(9)])
+        for bounds, clamps, params in rows:
+            assert len(params) == 9, params
+            w.writerow([repr(v) for v in bounds + clamps + params])
+    print(f"jec_res_data.csv: {len(rows)} rows")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT, exist_ok=True)
     gen_l1()
     gen_l2()
     gen_jes_sources()
     gen_btag()
+    gen_data_era()
