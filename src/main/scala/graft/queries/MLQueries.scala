@@ -2642,19 +2642,26 @@ object MLQueries extends QueryFamily {
   // ONE forward pass and the plan stays a single scan + projection.
   // Oracle: four vbfScoreSqlParts chains (one per model fold) UNION
   // ALL'd over WHERE event_id % 4 = e.
+  /** The full 4-fold ensemble sigmoid over an `event_id` column — the
+    * reference's routing (model (e+1)%4 scores event-fold e) as ONE
+    * CaseWhen column; shared by m36 and n14's streaming projection. */
+  private[queries] def vbfEnsembleSigm: org.apache.spark.sql.Column = {
+    val efold = (col("event_id") % 4).cast("int")
+    val sigmFor = (0 until 4).map { e =>
+      val model = (e + 1) % 4
+      vbfScoreFor(vbfH0For(model), model)
+    }
+    when(efold === 0, sigmFor(0))
+      .when(efold === 1, sigmFor(1))
+      .when(efold === 2, sigmFor(2))
+      .otherwise(sigmFor(3))
+  }
   private def m36(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val ev0 = rd(s, dir, "events")
     val par = s.sparkContext.defaultParallelism
     val ev = if (ev0.rdd.getNumPartitions < par) ev0.repartition(par) else ev0
-    val sigmFor = (0 until 4).map { e =>
-      val model = (e + 1) % 4
-      vbfScoreFor(vbfH0For(model), model)
-    }
-    val sigm = when(col("efold") === 0, sigmFor(0))
-      .when(col("efold") === 1, sigmFor(1))
-      .when(col("efold") === 2, sigmFor(2))
-      .otherwise(sigmFor(3))
+    val sigm = vbfEnsembleSigm
     ev.select(col("event_id"), (col("event_id") % 4).cast("int").as("efold"))
       .select(col("event_id"), col("efold"),
         ((col("efold") + 1) % 4).cast("int").as("model_fold"),

@@ -442,26 +442,25 @@ object StreamQueries extends QueryFamily {
 
   // ---- n14: streaming inference with the reference's REAL trained DNN -------
   // The production model-serving shape: a micro-batch stream of events
-  // scored by the ACTUAL trained VBF network (m35's weights, read from
-  // the reference's .pt by the pure-JVM TorchPt reader) inside the
-  // stream's projection — the forward pass is stateless column math, so
-  // it rides the stream for free — then a Complete-mode aggregation to
-  // score deciles. At scale this is exactly how a trained
-  // quality/filter model scores an ingest stream: broadcast-free,
-  // shuffle only at the tiny decile aggregation. Scores micro-quantize
-  // before the sum; oracle = the batch SQL replay of the same forward
-  // chain (the n-family convention: streaming answers must equal the
-  // batch answers).
+  // scored by the ACTUAL trained VBF networks (all four .pt folds with
+  // their .npy scalers, routed by the reference's event % 4 eval split
+  // — m36's ensemble column) inside the stream's projection — the
+  // forward pass is stateless column math, so it rides the stream for
+  // free — then a Complete-mode aggregation to score deciles. At scale
+  // this is exactly how a trained quality/filter model scores an
+  // ingest stream: broadcast-free, shuffle only at the tiny decile
+  // aggregation. Scores micro-quantize before the sum; oracle = the
+  // batch SQL replay of the same four forward chains (the n-family
+  // convention: streaming answers must equal the batch answers).
   private def n14(s: SparkSession, dir: String): DataFrame =
     Streams.withDriveConfs(s, statePartitions) {
       graft.plans.GraftFunctions.register(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name = fresh("graft_stream_dnn")
-      val sigm = MLQueries.vbfScore(col("h0"))
       val scored = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select(col("event_id"), MLQueries.vbfH0.as("h0"))
-        .select(col("event_id"), sigm.as("score"))
+        .select(col("event_id"))
+        .select(col("event_id"), MLQueries.vbfEnsembleSigm.as("score"))
       val agg = scored
         .withColumn("decile",
           least(floor(col("score") * 10.0).cast("int"), lit(9)))
@@ -478,9 +477,14 @@ object StreamQueries extends QueryFamily {
       s.table(name)
     }.orderBy(col("decile"))
   private lazy val n14Sql = {
-    val (inner, sigm) = MLQueries.vbfScoreSqlParts("events")
+    val folds = (0 until 4).map { e =>
+      val model = (e + 1) % 4
+      val (inner, sigm) = MLQueries.vbfScoreSqlParts(
+        s"(SELECT * FROM events WHERE event_id % 4 = $e)", "", model)
+      s"SELECT $sigm AS score FROM ($inner)"
+    }
     s"""WITH scored AS (
-       | SELECT $sigm AS score FROM ($inner))
+       | ${folds.mkString("\n UNION ALL\n ")})
        |SELECT LEAST(CAST(FLOOR(score * 10.0) AS INT), 9) AS decile,
        | COUNT(*) AS n_events,
        | CAST(SUM(CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
