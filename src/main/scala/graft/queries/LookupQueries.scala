@@ -3818,6 +3818,315 @@ object LookupQueries extends QueryFamily {
       | CAST(SUM(CAST(FLOOR(k * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS k_nano_sum
       |FROM kcol GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+
+  // ---- l24: the full muon SF chain (ID x ISO x Trig) from the real files ----
+  // The reference's per-event lepton weight (stage1/corrections/
+  // lepton_sf.py:8-148 + config/parameters.py muSFFileList["2018"]):
+  // four REAL ROOT files — RunABCD_SF_ID / _ISO TH2Ds and the Before/
+  // AfterMuonHLTUpdate trigger-efficiency TH2Fs — combined with the
+  // lumi-fraction scales (8.95/59.74 and 50.79/59.74), then evaluated
+  // per muon and folded per event: muID/muIso are SF products over the
+  // two muons (nom/up/down via +-err = sqrt(sumw2) scaled), and muTrig
+  // is the data/MC efficiency ratio of the two-muon OR,
+  // (1 - prod(1-eff_data)) / (1 - prod(1-eff_mc)). Engine shape: the
+  // grids come through the root-hist connector (the trigger histograms
+  // disambiguated by their in-file TDirectory path IsoMu24_PtEtaBins),
+  // the trig Before/After combination is a tiny (binx, biny) equi join,
+  // and muons take four broadcast range joins before the exactly-2
+  // pivot. Oracle = the same grids decoded by an INDEPENDENT Python
+  // TH2 parser (tools/gen_musf_oracle.py, no shared code) as literals
+  // + an identical replay; both engines spell the scale combination
+  // v*s1 + v*s2 in file-list order.
+  private val musfS1 = 8.95 / 59.74
+  private val musfS2 = 50.79 / 59.74
+  private def l24(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s1 = lit(musfS1); val s2 = lit(musfS2)
+    def hist2(path: String, name: String, dirHint: String) =
+      s.read.format("root-hist").option("path", path).load()
+        .filter(col("key_name") === name && col("dir").contains(dirHint) &&
+          col("x_low").isNotNull && col("x_high").isNotNull &&
+          col("y_low").isNotNull && col("y_high").isNotNull)
+    def sfGrid(path: String, name: String) =
+      hist2(path, name, "")
+        .select(col("x_low").as("pt_lo"), col("x_high").as("pt_hi"),
+          col("y_low").as("ae_lo"), col("y_high").as("ae_hi"),
+          (col("content") * s1 + col("content") * s2).as("sf"),
+          (sqrt(col("sumw2")) * s1 + sqrt(col("sumw2")) * s2).as("err"))
+    val idG = sfGrid(refData("muon_sf/year2018/RunABCD_SF_ID.root"),
+      "NUM_MediumID_DEN_genTracks_pt_abseta")
+    val isoG = sfGrid(refData("muon_sf/year2018/RunABCD_SF_ISO.root"),
+      "NUM_TightRelIso_DEN_MediumID_pt_abseta")
+    def trigGrid(name: String) = {
+      val b = hist2(refData("muon_sf/mu2018/EfficienciesStudies_2018_trigger_" +
+          "EfficienciesAndSF_2018Data_BeforeMuonHLTUpdate.root"),
+          name, "IsoMu24_PtEtaBins")
+        .select(col("binx"), col("biny"),
+          col("x_low").as("ae_lo"), col("x_high").as("ae_hi"),
+          col("y_low").as("pt_lo"), col("y_high").as("pt_hi"),
+          col("content").as("vb"), col("sumw2").as("wb"))
+      val a = hist2(refData("muon_sf/mu2018/EfficienciesStudies_2018_trigger_" +
+          "EfficienciesAndSF_2018Data_AfterMuonHLTUpdate.root"),
+          name, "IsoMu24_PtEtaBins")
+        .select(col("binx"), col("biny"),
+          col("content").as("va"), col("sumw2").as("wa"))
+      b.join(a, Seq("binx", "biny"))
+        .select(col("ae_lo"), col("ae_hi"), col("pt_lo"), col("pt_hi"),
+          (col("vb") * s1 + col("va") * s2).as("eff"),
+          (sqrt(col("wb")) * s1 + sqrt(col("wa")) * s2).as("err"))
+    }
+    val tdG = trigGrid("abseta_pt_DATA")
+    val tmG = trigGrid("abseta_pt_MC")
+    val w = Window.partitionBy(col("event"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"), col("l_partkey"))
+    val mu = rd(s, dir, "lineitem")
+      .select(col("l_orderkey").as("event"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_partkey"),
+        expr("30.0 + (l_extendedprice % 850.0) / 10.0").as("pt"),
+        expr("CAST(l_partkey % 239 AS DOUBLE) / 100.0").as("abseta"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    val j = mu
+      .join(broadcast(idG),
+        col("pt") >= idG("pt_lo") && col("pt") < idG("pt_hi") &&
+          col("abseta") >= idG("ae_lo") && col("abseta") < idG("ae_hi"))
+      .select(col("event"), col("rn"), col("pt"), col("abseta"),
+        col("sf").as("id_sf"), col("err").as("id_err"))
+      .join(broadcast(isoG),
+        col("pt") >= isoG("pt_lo") && col("pt") < isoG("pt_hi") &&
+          col("abseta") >= isoG("ae_lo") && col("abseta") < isoG("ae_hi"))
+      .select(col("event"), col("rn"), col("pt"), col("abseta"),
+        col("id_sf"), col("id_err"), col("sf").as("iso_sf"), col("err").as("iso_err"))
+      .join(broadcast(tdG),
+        col("abseta") >= tdG("ae_lo") && col("abseta") < tdG("ae_hi") &&
+          col("pt") >= tdG("pt_lo") && col("pt") < tdG("pt_hi"))
+      .select(col("event"), col("rn"), col("pt"), col("abseta"),
+        col("id_sf"), col("id_err"), col("iso_sf"), col("iso_err"),
+        col("eff").as("td"), col("err").as("tde"))
+      .join(broadcast(tmG),
+        col("abseta") >= tmG("ae_lo") && col("abseta") < tmG("ae_hi") &&
+          col("pt") >= tmG("pt_lo") && col("pt") < tmG("pt_hi"))
+      .select(col("event"), col("rn"),
+        col("id_sf"), col("id_err"), col("iso_sf"), col("iso_err"),
+        col("td"), col("tde"), col("eff").as("tm"), col("err").as("tme"))
+    def m1(c: String) = max(when(col("rn") === 1, col(c)))
+    def m2(c: String) = max(when(col("rn") === 2, col(c)))
+    val p = j.groupBy(col("event"))
+      .agg(count(lit(1)).as("nmu"),
+        m1("id_sf").as("id1"), m1("id_err").as("ide1"),
+        m2("id_sf").as("id2"), m2("id_err").as("ide2"),
+        m1("iso_sf").as("iso1"), m1("iso_err").as("isoe1"),
+        m2("iso_sf").as("iso2"), m2("iso_err").as("isoe2"),
+        m1("td").as("td1"), m1("tde").as("tde1"),
+        m2("td").as("td2"), m2("tde").as("tde2"),
+        m1("tm").as("tm1"), m1("tme").as("tme1"),
+        m2("tm").as("tm2"), m2("tme").as("tme2"))
+      .filter(col("nmu") === 2)
+    def trig(num1: org.apache.spark.sql.Column, num2: org.apache.spark.sql.Column,
+        den1: org.apache.spark.sql.Column, den2: org.apache.spark.sql.Column) =
+      (lit(1.0) - (lit(1.0) - num1) * (lit(1.0) - num2)) /
+        (lit(1.0) - (lit(1.0) - den1) * (lit(1.0) - den2))
+    p.select(col("event"),
+        (col("id1") * col("id2")).cast("float").as("muid_nom"),
+        ((col("id1") + col("ide1")) * (col("id2") + col("ide2"))).cast("float").as("muid_up"),
+        ((col("id1") - col("ide1")) * (col("id2") - col("ide2"))).cast("float").as("muid_down"),
+        (col("iso1") * col("iso2")).cast("float").as("muiso_nom"),
+        ((col("iso1") + col("isoe1")) * (col("iso2") + col("isoe2"))).cast("float").as("muiso_up"),
+        ((col("iso1") - col("isoe1")) * (col("iso2") - col("isoe2"))).cast("float").as("muiso_down"),
+        trig(col("td1"), col("td2"), col("tm1"), col("tm2"))
+          .cast("float").as("mutrig_nom"),
+        trig(col("td1") - col("tde1"), col("td2") - col("tde2"),
+          col("tm1") - col("tme1"), col("tm2") - col("tme2"))
+          .cast("float").as("mutrig_up"),
+        trig(col("td1") + col("tde1"), col("td2") + col("tde2"),
+          col("tm1") + col("tme1"), col("tm2") + col("tme2"))
+          .cast("float").as("mutrig_down"))
+      .orderBy(col("event"))
+  }
+  /** Grids from the INDEPENDENT Python TH2 decode (tools/gen_musf_oracle.py). */
+  private val l24Sql =
+    s"""WITH idg0(pt_lo, pt_hi, ae_lo, ae_hi, sf, err) AS (VALUES
+      |(20.0,25.0,0.0,0.9,0.9915724307534445,0.0019160156040207348),
+      |(20.0,25.0,0.9,1.2,1.0017919781413902,0.003235616122417879),
+      |(20.0,25.0,1.2,2.1,1.003095897917512,0.001642813811942275),
+      |(20.0,25.0,2.1,2.4,0.9889048770333184,0.0035148417045628754),
+      |(25.0,30.0,0.0,0.9,0.9951464969539404,0.0008776112632373859),
+      |(25.0,30.0,0.9,1.2,0.9961782288935042,0.001394466525225868),
+      |(25.0,30.0,1.2,2.1,0.9935305498668381,0.0007414176029316419),
+      |(25.0,30.0,2.1,2.4,0.9733259491331092,0.0024965135504476164),
+      |(30.0,40.0,0.0,0.9,1.000416805295522,0.00029100950572484737),
+      |(30.0,40.0,0.9,1.2,0.9994090588426798,0.00040460305727421235),
+      |(30.0,40.0,1.2,2.1,0.9981213081970304,0.0003501692079068223),
+      |(30.0,40.0,2.1,2.4,0.978566193168715,0.0006870865639711392),
+      |(40.0,50.0,0.0,0.9,0.9980485142099653,0.00017547955698423072),
+      |(40.0,50.0,0.9,1.2,0.9971223130100659,0.0002700583171676219),
+      |(40.0,50.0,1.2,2.1,0.9959913441720062,0.00017098994479101468),
+      |(40.0,50.0,2.1,2.4,0.9762115199484689,0.0008699687812550861),
+      |(50.0,60.0,0.0,0.9,0.9965275408892196,0.0005402622179405853),
+      |(50.0,60.0,0.9,1.2,0.9944907712286364,0.0009070564149825803),
+      |(50.0,60.0,1.2,2.1,0.9938557174480898,0.0008733012577190351),
+      |(50.0,60.0,2.1,2.4,0.9720217706182168,0.0024179195271867666),
+      |(60.0,120.0,0.0,0.9,0.9988607030162592,0.00099959437225014),
+      |(60.0,120.0,0.9,1.2,0.9985269142040623,0.0020163060731191594),
+      |(60.0,120.0,1.2,2.1,0.995694237104142,0.001506003134659103),
+      |(60.0,120.0,2.1,2.4,0.9806344958948076,0.006387677395941355)),
+      |isog0(pt_lo, pt_hi, ae_lo, ae_hi, sf, err) AS (VALUES
+      |(20.0,25.0,0.0,0.9,0.9875967791078082,0.0030125040083000976),
+      |(20.0,25.0,0.9,1.2,0.9864189571054587,0.005053474965483367),
+      |(20.0,25.0,1.2,2.1,1.0287432256996452,0.0023771039691294115),
+      |(20.0,25.0,2.1,2.4,1.0653280092553012,0.0038847878464245886),
+      |(25.0,30.0,0.0,0.9,0.9887223090090205,0.0014409523550834844),
+      |(25.0,30.0,0.9,1.2,0.9905480054634463,0.0025833391205326885),
+      |(25.0,30.0,1.2,2.1,1.0200709229291791,0.0012604384136905963),
+      |(25.0,30.0,2.1,2.4,1.0435275603506486,0.0021258018365678723),
+      |(30.0,40.0,0.0,0.9,0.9935372601552865,0.00039505245371949775),
+      |(30.0,40.0,0.9,1.2,0.9935807370274083,0.0007446203255284961),
+      |(30.0,40.0,1.2,2.1,1.0103313664053777,0.000416127676516397),
+      |(30.0,40.0,2.1,2.4,1.0252235483989323,0.0007627799873238649),
+      |(40.0,50.0,0.0,0.9,0.9965575842554588,0.00016186010916652272),
+      |(40.0,50.0,0.9,1.2,0.9964126900350696,0.0003915885977036603),
+      |(40.0,50.0,1.2,2.1,1.0051877686811932,0.00022786783798063774),
+      |(40.0,50.0,2.1,2.4,1.0124813495371339,0.0004896284292289506),
+      |(50.0,60.0,0.0,0.9,0.9972684655153375,0.00037512144923373367),
+      |(50.0,60.0,0.9,1.2,0.9972477596587253,0.0007092187054386119),
+      |(50.0,60.0,1.2,2.1,1.0028513047622143,0.00041925815669162375),
+      |(50.0,60.0,2.1,2.4,1.007102696957796,0.0009550532471760978),
+      |(60.0,120.0,0.0,0.9,0.9983348483359887,0.0005106436143989153),
+      |(60.0,120.0,0.9,1.2,0.9992036884205016,0.000978324273189996),
+      |(60.0,120.0,1.2,2.1,1.0019835090281612,0.0006219810247436672),
+      |(60.0,120.0,2.1,2.4,1.0045863747864294,0.001549029389466149)),
+      |tdg0(ae_lo, ae_hi, pt_lo, pt_hi, eff, err) AS (VALUES
+      |(0.0,0.9,26.0,30.0,0.8969728755220586,0.00038367674122622705),
+      |(0.0,0.9,30.0,40.0,0.922026909830421,0.0001234070388303801),
+      |(0.0,0.9,40.0,50.0,0.9347306031186244,9.449544241776027e-05),
+      |(0.0,0.9,50.0,60.0,0.9383411374545472,0.00020554400060553125),
+      |(0.0,0.9,60.0,120.0,0.9398364904715458,0.00037701549597171256),
+      |(0.0,0.9,120.0,200.0,0.9323493149274961,0.0013025514279052272),
+      |(0.0,0.9,200.0,300.0,0.9193875241686678,0.0033397943478618063),
+      |(0.0,0.9,300.0,1200.0,0.8977582311007664,0.007910207726176375),
+      |(0.9,1.2,26.0,30.0,0.8632891121260251,0.0009695971231559355),
+      |(0.9,1.2,30.0,40.0,0.9121225929535628,0.00025885250013759443),
+      |(0.9,1.2,40.0,50.0,0.9328339216618942,0.0001737895850922683),
+      |(0.9,1.2,50.0,60.0,0.9388131533213431,0.0003662776788719939),
+      |(0.9,1.2,60.0,120.0,0.9399939556464249,0.0005999224408116174),
+      |(0.9,1.2,120.0,200.0,0.929097923330132,0.0024360919320976266),
+      |(0.9,1.2,200.0,300.0,0.9029861307479403,0.006400446789213742),
+      |(0.9,1.2,300.0,1200.0,0.8906708502893189,0.014693528270000932),
+      |(1.2,2.1,26.0,30.0,0.8447428147829533,0.0006140675246087001),
+      |(1.2,2.1,30.0,40.0,0.8788554293577752,0.00019634462334106942),
+      |(1.2,2.1,40.0,50.0,0.9018892471431927,0.00013323103840845183),
+      |(1.2,2.1,50.0,60.0,0.9092862774366354,0.00029182921749469057),
+      |(1.2,2.1,60.0,120.0,0.9148899953741272,0.0005118945804390383),
+      |(1.2,2.1,120.0,200.0,0.9135022497332771,0.001975276013424473),
+      |(1.2,2.1,200.0,300.0,0.9031036006474439,0.004577500848230306),
+      |(1.2,2.1,300.0,1200.0,0.8974137281469569,0.013135394173911494),
+      |(2.1,2.4,26.0,30.0,0.7054647721093277,0.0012821852754082192),
+      |(2.1,2.4,30.0,40.0,0.7762217285404007,0.00047123208442618255),
+      |(2.1,2.4,40.0,50.0,0.8170619905294285,0.000369724889382383),
+      |(2.1,2.4,50.0,60.0,0.8292436426425004,0.0008014295488338953),
+      |(2.1,2.4,60.0,120.0,0.8393671791969353,0.0015286809528594137),
+      |(2.1,2.4,120.0,200.0,0.839386130770114,0.007819899923509743),
+      |(2.1,2.4,200.0,300.0,0.835523856496348,0.018814050120491255),
+      |(2.1,2.4,300.0,1200.0,0.8086734806010665,0.039562872445692385)),
+      |tmg0(ae_lo, ae_hi, pt_lo, pt_hi, eff, err) AS (VALUES
+      |(0.0,0.9,26.0,30.0,0.9202712373586653,0.0005140459198248576),
+      |(0.0,0.9,30.0,40.0,0.9408391398412949,0.00015823831258522414),
+      |(0.0,0.9,40.0,50.0,0.9534356435146625,0.00011751264038505272),
+      |(0.0,0.9,50.0,60.0,0.9578142695435721,0.0002786960106590815),
+      |(0.0,0.9,60.0,120.0,0.9608105917538852,0.00040003384454651415),
+      |(0.0,0.9,120.0,200.0,0.9569101343395959,0.00652190420273816),
+      |(0.0,0.9,200.0,300.0,0.938864736272453,0.004325330021473998),
+      |(0.0,0.9,300.0,1200.0,0.942253815088138,0.007578737182710671),
+      |(0.9,1.2,26.0,30.0,0.8958626823418109,0.001273566646861272),
+      |(0.9,1.2,30.0,40.0,0.938230897177411,0.00032072386204746875),
+      |(0.9,1.2,40.0,50.0,0.9574937904543569,0.00020175441800845078),
+      |(0.9,1.2,50.0,60.0,0.9648947545046945,0.0004425652746977731),
+      |(0.9,1.2,60.0,120.0,0.9690196596143394,0.0006785104848804743),
+      |(0.9,1.2,120.0,200.0,0.9589936649436172,0.002772675405382589),
+      |(0.9,1.2,200.0,300.0,0.9596922186492955,0.008040432591095206),
+      |(0.9,1.2,300.0,1200.0,0.9455399351412132,0.014123112940936789),
+      |(1.2,2.1,26.0,30.0,0.8363132104751535,0.0008716463853415817),
+      |(1.2,2.1,30.0,40.0,0.8704181286675658,0.0002949688833473548),
+      |(1.2,2.1,40.0,50.0,0.8955442871103966,0.00019725355193197266),
+      |(1.2,2.1,50.0,60.0,0.9049261906971531,0.0004559101026478426),
+      |(1.2,2.1,60.0,120.0,0.9126239348044553,0.000791155424098905),
+      |(1.2,2.1,120.0,200.0,0.9135438941237037,0.0028899758331975825),
+      |(1.2,2.1,200.0,300.0,0.9130707415582187,0.006482092320636042),
+      |(1.2,2.1,300.0,1200.0,0.9055800032847136,0.013326791003806255),
+      |(2.1,2.4,26.0,30.0,0.7186185874127208,0.0018444988032939613),
+      |(2.1,2.4,30.0,40.0,0.7772553442192588,0.0006900330488505402),
+      |(2.1,2.4,40.0,50.0,0.8110748887920124,0.0005555921044481431),
+      |(2.1,2.4,50.0,60.0,0.8247401760719594,0.0012955713171116294),
+      |(2.1,2.4,60.0,120.0,0.8253676826075083,0.002328480909872318),
+      |(2.1,2.4,120.0,200.0,0.8405836731704294,0.01883512384164912),
+      |(2.1,2.4,200.0,300.0,0.8327904135776995,0.024707377871946365),
+      |(2.1,2.4,300.0,1200.0,0.8302864798303826,0.07748059158984386)),
+      |idg AS (SELECT CAST(pt_lo AS DOUBLE) AS pt_lo, CAST(pt_hi AS DOUBLE) AS pt_hi,
+      |  CAST(ae_lo AS DOUBLE) AS ae_lo, CAST(ae_hi AS DOUBLE) AS ae_hi,
+      |  CAST(sf AS DOUBLE) AS sf, CAST(err AS DOUBLE) AS err FROM idg0),
+      |isog AS (SELECT CAST(pt_lo AS DOUBLE) AS pt_lo, CAST(pt_hi AS DOUBLE) AS pt_hi,
+      |  CAST(ae_lo AS DOUBLE) AS ae_lo, CAST(ae_hi AS DOUBLE) AS ae_hi,
+      |  CAST(sf AS DOUBLE) AS sf, CAST(err AS DOUBLE) AS err FROM isog0),
+      |tdg AS (SELECT CAST(ae_lo AS DOUBLE) AS ae_lo, CAST(ae_hi AS DOUBLE) AS ae_hi,
+      |  CAST(pt_lo AS DOUBLE) AS pt_lo, CAST(pt_hi AS DOUBLE) AS pt_hi,
+      |  CAST(eff AS DOUBLE) AS eff, CAST(err AS DOUBLE) AS err FROM tdg0),
+      |tmg AS (SELECT CAST(ae_lo AS DOUBLE) AS ae_lo, CAST(ae_hi AS DOUBLE) AS ae_hi,
+      |  CAST(pt_lo AS DOUBLE) AS pt_lo, CAST(pt_hi AS DOUBLE) AS pt_hi,
+      |  CAST(eff AS DOUBLE) AS eff, CAST(err AS DOUBLE) AS err FROM tmg0),
+      |mu AS (
+      | SELECT * FROM (
+      |  SELECT l_orderkey AS event,
+      |   30.0 + (l_extendedprice % 850.0) / 10.0 AS pt,
+      |   CAST(l_partkey % 239 AS DOUBLE) / 100.0 AS abseta,
+      |   ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |     ORDER BY l_linenumber, l_extendedprice, l_partkey) AS rn
+      |  FROM lineitem) WHERE rn <= 2),
+      |j AS (
+      | SELECT mu.event, mu.rn,
+      |  i.sf AS id_sf, i.err AS id_err, o.sf AS iso_sf, o.err AS iso_err,
+      |  d.eff AS td, d.err AS tde, m.eff AS tm, m.err AS tme
+      | FROM mu
+      | JOIN idg i ON mu.pt >= i.pt_lo AND mu.pt < i.pt_hi
+      |  AND mu.abseta >= i.ae_lo AND mu.abseta < i.ae_hi
+      | JOIN isog o ON mu.pt >= o.pt_lo AND mu.pt < o.pt_hi
+      |  AND mu.abseta >= o.ae_lo AND mu.abseta < o.ae_hi
+      | JOIN tdg d ON mu.abseta >= d.ae_lo AND mu.abseta < d.ae_hi
+      |  AND mu.pt >= d.pt_lo AND mu.pt < d.pt_hi
+      | JOIN tmg m ON mu.abseta >= m.ae_lo AND mu.abseta < m.ae_hi
+      |  AND mu.pt >= m.pt_lo AND mu.pt < m.pt_hi),
+      |p AS (
+      | SELECT event, COUNT(*) AS nmu,
+      |  MAX(CASE WHEN rn = 1 THEN id_sf END) AS id1,
+      |  MAX(CASE WHEN rn = 1 THEN id_err END) AS ide1,
+      |  MAX(CASE WHEN rn = 2 THEN id_sf END) AS id2,
+      |  MAX(CASE WHEN rn = 2 THEN id_err END) AS ide2,
+      |  MAX(CASE WHEN rn = 1 THEN iso_sf END) AS iso1,
+      |  MAX(CASE WHEN rn = 1 THEN iso_err END) AS isoe1,
+      |  MAX(CASE WHEN rn = 2 THEN iso_sf END) AS iso2,
+      |  MAX(CASE WHEN rn = 2 THEN iso_err END) AS isoe2,
+      |  MAX(CASE WHEN rn = 1 THEN td END) AS td1,
+      |  MAX(CASE WHEN rn = 1 THEN tde END) AS tde1,
+      |  MAX(CASE WHEN rn = 2 THEN td END) AS td2,
+      |  MAX(CASE WHEN rn = 2 THEN tde END) AS tde2,
+      |  MAX(CASE WHEN rn = 1 THEN tm END) AS tm1,
+      |  MAX(CASE WHEN rn = 1 THEN tme END) AS tme1,
+      |  MAX(CASE WHEN rn = 2 THEN tm END) AS tm2,
+      |  MAX(CASE WHEN rn = 2 THEN tme END) AS tme2
+      | FROM j GROUP BY 1 HAVING COUNT(*) = 2)
+      |SELECT event,
+      | CAST(id1 * id2 AS REAL) AS muid_nom,
+      | CAST((id1 + ide1) * (id2 + ide2) AS REAL) AS muid_up,
+      | CAST((id1 - ide1) * (id2 - ide2) AS REAL) AS muid_down,
+      | CAST(iso1 * iso2 AS REAL) AS muiso_nom,
+      | CAST((iso1 + isoe1) * (iso2 + isoe2) AS REAL) AS muiso_up,
+      | CAST((iso1 - isoe1) * (iso2 - isoe2) AS REAL) AS muiso_down,
+      | CAST((1.0 - (1.0 - td1) * (1.0 - td2)) /
+      |      (1.0 - (1.0 - tm1) * (1.0 - tm2)) AS REAL) AS mutrig_nom,
+      | CAST((1.0 - (1.0 - (td1 - tde1)) * (1.0 - (td2 - tde2))) /
+      |      (1.0 - (1.0 - (tm1 - tme1)) * (1.0 - (tm2 - tme2))) AS REAL) AS mutrig_up,
+      | CAST((1.0 - (1.0 - (td1 + tde1)) * (1.0 - (td2 + tde2))) /
+      |      (1.0 - (1.0 - (tm1 + tme1)) * (1.0 - (tm2 + tme2))) AS REAL) AS mutrig_down
+      |FROM p ORDER BY event""".stripMargin
+
   // ---- l19: PU-jet-ID event weight from the reference's PUIDMaps.root -------
   // The reference's PUID correction input (data/PUIDMaps.root, 54 TH2F
   // eff/mistag/SF maps consumed by stage1's jet-ID weighting; weights
@@ -3942,6 +4251,7 @@ object LookupQueries extends QueryFamily {
     "l18_roccor_grid" -> (l18 _),
     "l19_puid_weight" -> (l19 _),
     "l22_roccor_mc" -> (l22 _),
+    "l24_musf_chain" -> (l24 _),
     "l14_root_sf_join" -> (l14 _),
     "l13_spline_lookup" -> (l13 _),
     "l11_bilinear_2d" -> (l11 _),
@@ -3965,6 +4275,7 @@ object LookupQueries extends QueryFamily {
     "l18_roccor_grid" -> l18Sql,
     "l19_puid_weight" -> l19Sql,
     "l22_roccor_mc" -> l22Sql,
+    "l24_musf_chain" -> l24Sql,
     "l14_root_sf_join" -> l14Sql,
     "l13_spline_lookup" -> l13Sql,
     "l11_bilinear_2d" -> l11Sql,

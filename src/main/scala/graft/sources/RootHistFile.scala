@@ -46,7 +46,12 @@ object RootHistFile {
       file: String, dir: String, cls: String, name: String, cycle: Int,
       keyPos: Long, title: String, dim: Int, axes: IndexedSeq[HistAxis],
       entries: Double, contents: Array[Double], sumw2: Array[Double],
-      binEntries: Array[Double] = Array.empty) { // TProfile only
+      binEntries: Array[Double] = Array.empty, // TProfile only
+      keyName: String = "") { // the TKey name (lookup path component);
+                              // can differ from the streamed fName — the
+                              // muon-SF trigger files key "abseta_pt_DATA"
+                              // over an fName carrying the full
+                              // tag-and-probe cut string
     def nbins: Int = axes(0).nbins
     def xmin: Double = axes(0).xmin
     def xmax: Double = axes(0).xmax
@@ -185,7 +190,7 @@ object RootHistFile {
     require(contents.length == cells,
       s"$cls $keyName: ${contents.length} cells, axes say $cells")
     RootHist(file, "", cls, if (name.nonEmpty) name else keyName, cycle,
-      0L, title, dim, axes, entries, contents, sumw2, binEntries)
+      0L, title, dim, axes, entries, contents, sumw2, binEntries, keyName)
   }
 
   /** Decompress a ROOT key payload: a sequence of 9-byte-headed blocks.

@@ -32,6 +32,7 @@ object RootHistSource {
     StructField("file", StringType, nullable = false),
     StructField("dir", StringType, nullable = false), // in-file TDirectory path
     StructField("hist", StringType, nullable = false),
+    StructField("key_name", StringType, nullable = false), // TKey name (lookup path)
     StructField("cls", StringType, nullable = false),
     StructField("cycle", IntegerType, nullable = false),
     StructField("key_pos", LongType, nullable = false), // unique per TKey
@@ -168,6 +169,7 @@ class RootHistReader(path: String, cols: Array[String])
         case "file" => fileU
         case "dir" => UTF8String.fromString(hist.dir)
         case "hist" => UTF8String.fromString(hist.name)
+        case "key_name" => UTF8String.fromString(hist.keyName)
         case "cls" => UTF8String.fromString(hist.cls)
         case "cycle" => hist.cycle
         case "key_pos" => hist.keyPos
