@@ -1600,19 +1600,27 @@ object TemporalQueries extends QueryFamily {
     val seas = seas0.join(adj, Seq("event_type"))
       .withColumn("seasonal_milli",
         expr("CAST(floor(s_q - adj_m + 0.5) AS BIGINT)"))
+    // residuals floor-divide to unit scale BEFORE squaring: micro-scale
+    // squares overflow Long at sf0.1 (found by the round-9 sf0.1 sweep
+    // — daily milli-sums reach 3.7e7, detrended micro-residuals ~1e9,
+    // squared ~1e18 and the per-dow fold crossed Long.Max). The
+    // explicit FLOOR(x / 1000.0) spelling is floor division on both
+    // engines (Spark's `div` truncates toward zero, DuckDB's `//`
+    // floors — they disagree on negatives).
     val res = tr
       .join(seas.select(col("event_type"), col("dow"), col("seasonal_milli")),
         Seq("event_type", "dow"))
       .select(col("event_type"), col("dow"),
-        (col("dsm") - col("seasonal_milli")).as("rq"))
+        expr("CAST(FLOOR(CAST(dsm - seasonal_milli AS DOUBLE) / 1000.0) AS BIGINT)")
+          .as("rql"))
       .groupBy(col("event_type"), col("dow"))
-      .agg(org.apache.spark.sql.functions.sum(expr("rq * rq")).as("ssq"),
+      .agg(org.apache.spark.sql.functions.sum(expr("rql * rql")).as("ssq"),
         count(lit(1)).as("nr"))
     seas.join(res, Seq("event_type", "dow"))
       .select(col("event_type"), col("dow"), col("n_days"),
         col("seasonal_milli"),
         (col("seasonal_milli") / 1000.0).cast("float").as("seasonal"),
-        expr("CAST(sqrt(CAST(ssq AS DOUBLE) / nr) / 1000.0 AS FLOAT)")
+        expr("CAST(sqrt(CAST(ssq AS DOUBLE) / nr) AS FLOAT)")
           .as("resid_rms"))
       .orderBy(col("event_type"), col("dow"))
   }
@@ -1652,14 +1660,16 @@ object TemporalQueries extends QueryFamily {
        |  CAST(floor(s.s_q - a.adj_m + 0.5) AS BIGINT) AS seasonal_milli
        | FROM seas0 s JOIN adj a USING (event_type)),
        |res AS (
-       | SELECT t.event_type, t.dow,
-       |  SUM((t.dsm - se.seasonal_milli) * (t.dsm - se.seasonal_milli)) AS ssq,
-       |  COUNT(*) AS nr
-       | FROM trq t JOIN seas se USING (event_type, dow)
+       | SELECT event_type, dow, SUM(rql * rql) AS ssq, COUNT(*) AS nr
+       | FROM (
+       |  SELECT t.event_type, t.dow,
+       |   CAST(FLOOR(CAST(t.dsm - se.seasonal_milli AS DOUBLE) / 1000.0)
+       |     AS BIGINT) AS rql
+       |  FROM trq t JOIN seas se USING (event_type, dow))
        | GROUP BY 1, 2)
        |SELECT s.event_type, s.dow, s.n_days, s.seasonal_milli,
        | CAST(s.seasonal_milli / 1000.0 AS REAL) AS seasonal,
-       | CAST(sqrt(CAST(r.ssq AS DOUBLE) / r.nr) / 1000.0 AS REAL) AS resid_rms
+       | CAST(sqrt(CAST(r.ssq AS DOUBLE) / r.nr) AS REAL) AS resid_rms
        |FROM seas s JOIN res r USING (event_type, dow)
        |ORDER BY s.event_type, s.dow""".stripMargin
 
