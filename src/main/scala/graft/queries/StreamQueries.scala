@@ -457,10 +457,20 @@ object StreamQueries extends QueryFamily {
       graft.plans.GraftFunctions.register(s)
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val name = fresh("graft_stream_dnn")
-      val scored = s.readStream.schema(schema)
+      // the ensemble as a 4-way filtered UNION, not one 4-branch
+      // CaseWhen: each branch is an m35-sized projection that stays in
+      // whole-stage codegen; the single CaseWhen form compiled out of
+      // codegen in the streaming plan and ran interpreted (measured
+      // 84.7 s vs ~5 s at sf0.1 bench)
+      val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .select(col("event_id"))
-        .select(col("event_id"), MLQueries.vbfEnsembleSigm.as("score"))
+      val scored = (0 until 4).map { e =>
+        val model = (e + 1) % 4
+        src.filter(col("event_id") % 4 === e)
+          .select(col("event_id"),
+            MLQueries.vbfScoreFor(MLQueries.vbfH0For(model), model).as("score"))
+      }.reduce(_ union _)
       val agg = scored
         .withColumn("decile",
           least(floor(col("score") * 10.0).cast("int"), lit(9)))
