@@ -32,7 +32,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (connector scan -> pivot -> exactly-2 gate), the real-weights DNN
     // forward (chunk-16 fold in one projection), and the real-table
     // interp lookup (nano-quantized per-jet folds)
-    "u28_pacf", "s14_root_stage1", "m35_vbf_dnn_real", "l17_jec_unc_real")
+    "u28_pacf", "s14_root_stage1", "m35_vbf_dnn_real", "l17_jec_unc_real",
+    // round-9 shapes: TFormula payload evaluation through broadcast
+    // equi joins (real btag splines / JEC level chains), log-space
+    // per-event SF products, the four-fold ensemble routing, the
+    // seeded Rochester MC branch split, and the muon-SF window+pivot
+    "l20_btag_csv_real", "l21_jec_levels_real", "l22_roccor_mc",
+    "l23_jec_data_residual", "l24_musf_chain", "m36_vbf_fold_ensemble")
 
   private def runAt(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
