@@ -589,7 +589,119 @@ object FitQueries extends QueryFamily {
        |      ELSE 'chebyshev2' END AS selected
        |FROM sel ORDER BY ch""".stripMargin
 
+
+  // ---- f07: bwZredux line-shape grid scan (the reference's ACTUAL pdf) ----
+  // The reference's background model for the dimuon-mass fit is the
+  // "perturbed exponential times Breit-Wigner" bwZredux pdf
+  // (stage3/fit_models.py:86-105):
+  //   shape(x; a1, a2, a3) = exp(a2*(x/100) + a3*(x/100)^2) * 2.5
+  //                          / ((x - 91.2)^a1 + (2.5/2)^a1)
+  // with a1 in [0.7, 2.1], a2 in [0.30, 0.62], a3 in [-0.40, -0.12]
+  // (the RooRealVar ranges). SURVEY scopes RooFit's minimizer
+  // out-of-engine; the engine-side split here is the binned chi2 GRID
+  // SCAN over those ranges — the deterministic discretization of the
+  // same objective: 5x5x5 parameter candidates x 40 mass bins, each
+  // candidate's pdf normalized over the window, chi2 against the
+  // histogram, best three ranked. Scale: the data appears ONLY through
+  // the one-scan 40-bin histogram; the 5000-row (candidate x bin)
+  // shape table is data-independent column math on a broadcast-sized
+  // frame, so a 100 TB sample costs one scan + a 40-row reduce.
+  // Determinism: shape nano-quantizes per (candidate, bin) BEFORE the
+  // norm fold (exact integer norm; expected counts are then identical
+  // divisions), chi2 terms micro-quantize before the candidate fold,
+  // rank ties break on candidate id. The shape formula is ONE shared
+  // SQL text (E-notation literals — plain decimals parse DECIMAL in
+  // both engines and decimal division truncates).
+  private val f07A1 = Seq(0.7, 1.05, 1.39, 1.75, 2.1)
+  private val f07A2 = Seq(0.30, 0.38, 0.46, 0.54, 0.62)
+  private val f07A3 = Seq(-0.40, -0.33, -0.26, -0.19, -0.12)
+  private val f07Shape =
+    "(exp(a2 * (xc / 100.0E0) + a3 * (xc / 100.0E0) * (xc / 100.0E0)) * 2.5E0" +
+      " / (power(xc - 91.2E0, a1) + power(1.25E0, a1)))"
+  private def f07ParamsSql: String =
+    (for {
+      (a1, i) <- f07A1.zipWithIndex
+      (a2, j) <- f07A2.zipWithIndex
+      (a3, k) <- f07A3.zipWithIndex
+    } yield s"(${i * 25 + j * 5 + k}, ${a1}E0, ${a2}E0, ${a3}E0)")
+      .mkString(", ")
+  private def f07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = (for {
+      (a1, i) <- f07A1.zipWithIndex
+      (a2, j) <- f07A2.zipWithIndex
+      (a3, k) <- f07A3.zipWithIndex
+    } yield (i * 25 + j * 5 + k, a1, a2, a3)).toDF("pid", "a1", "a2", "a3")
+    // the data side: one scan -> 40-bin mass histogram on [110, 150)
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    // candidate x bin shape table (data-independent, 5000 rows)
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("s_q", expr(s"CAST(FLOOR($f07Shape * 1e9 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("norm_q", sum(col("s_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    val term = expr(
+      "CAST(FLOOR(" +
+        "power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)), 2.0E0)" +
+        " / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))" +
+        " * 1e6 + 0.5) AS BIGINT)")
+    val chi2 = withNorm
+      .select(col("pid"), col("a1"), col("a2"), col("a3"), term.as("tq"))
+      .groupBy(col("pid"), col("a1"), col("a2"), col("a3"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+    chi2
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("a1").cast("float").as("a1"),
+        col("a2").cast("float").as("a2"),
+        col("a3").cast("float").as("a3"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f07Sql =
+    s"""WITH params(pid, a1, a2, a3) AS (VALUES $f07ParamsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.a1, p.a2, p.a3, b.bin,
+       |  CAST(FLOOR($f07Shape * 1e9 + 0.5) AS BIGINT) AS s_q
+       | FROM params p, bins b),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(s.s_q) OVER (PARTITION BY s.pid) AS norm_q,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, a1, a2, a3,
+       |  CAST(SUM(CAST(FLOOR(
+       |   power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)), 2.0E0)
+       |   / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))
+       |   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_micro
+       | FROM wn GROUP BY 1, 2, 3, 4)
+       |SELECT rank, pid, CAST(a1 AS REAL) AS a1, CAST(a2 AS REAL) AS a2,
+       | CAST(a3 AS REAL) AS a3, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f07_bwzredux_scan" -> (f07 _),
     "f06_ftest_selection" -> (f06 _),
     "f01_em_mixture_fit" -> (f01 _),
     "f02_chi2_template_fit" -> (f02 _),
@@ -599,6 +711,7 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f07_bwzredux_scan" -> f07Sql,
     "f06_ftest_selection" -> f06Sql,
     "f01_em_mixture_fit" -> f01Sql,
     "f02_chi2_template_fit" -> f02Sql,
