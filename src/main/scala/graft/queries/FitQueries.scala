@@ -700,7 +700,111 @@ object FitQueries extends QueryFamily {
        | FROM chi)
        |WHERE rank <= 3 ORDER BY rank""".stripMargin
 
+
+  // ---- f08: double Crystal Ball signal-shape grid scan ----------------------
+  // The reference's SIGNAL model is RooDoubleCB (stage3/fit_models.py:
+  // 384-392): a Gaussian core with power-law tails on both sides,
+  //   t = (x - mean) / sigma
+  //   core  : exp(-t^2/2)                        for -a1 < t < a2
+  //   left  : A1 * (B1 - t)^(-n1)                for t <= -a1
+  //   right : A2 * (B2 + t)^(-n2)                for t >=  a2
+  //   A_i = (n_i/a_i)^{n_i} e^{-a_i^2/2},  B_i = n_i/a_i - a_i
+  // Tail parameters pinned at the reference's inits (alpha=2, n=1.5 both
+  // sides); the scan covers the RooRealVar (mean, sigma) ranges
+  // [120, 130] x (0, 5]. Same machinery as f07: 25 candidates x 40
+  // bins, shape nano-quantized before the exact-integer norm, chi2
+  // micro-quantized, best-3 ranked — one data scan regardless of
+  // sample size. The piecewise shape is ONE shared CASE text with
+  // E-notation constants (A/B spelled as arithmetic over the same
+  // literals so both engines compute identical doubles).
+  private val f08Mean = Seq(120.0, 122.5, 125.0, 127.5, 130.0)
+  private val f08Sigma = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+  private val f08Shape = {
+    // a = 2, n = 1.5 both sides: A = power(0.75, 1.5) * exp(-2), B = -1.25
+    val t = "((xc - mu) / sg)"
+    val A = "(power(0.75E0, 1.5E0) * exp(-2.0E0))"
+    val B = "(0.75E0 - 2.0E0)"
+    s"(CASE WHEN $t <= -2.0E0 THEN $A * power($B - $t, -1.5E0) " +
+      s"WHEN $t >= 2.0E0 THEN $A * power($B + $t, -1.5E0) " +
+      s"ELSE exp(-($t * $t) / 2.0E0) END)"
+  }
+  private def f08ParamsSql: String =
+    (for {
+      (mu, i) <- f08Mean.zipWithIndex
+      (sg, j) <- f08Sigma.zipWithIndex
+    } yield s"(${i * 5 + j}, ${mu}E0, ${sg}E0)").mkString(", ")
+  private def f08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = (for {
+      (mu, i) <- f08Mean.zipWithIndex
+      (sg, j) <- f08Sigma.zipWithIndex
+    } yield (i * 5 + j, mu, sg)).toDF("pid", "mu", "sg")
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("s_q", expr(s"CAST(FLOOR($f08Shape * 1e9 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("norm_q", sum(col("s_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    val term = expr(
+      "CAST(FLOOR(" +
+        "power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)), 2.0E0)" +
+        " / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))" +
+        " * 1e6 + 0.5) AS BIGINT)")
+    withNorm
+      .select(col("pid"), col("mu"), col("sg"), term.as("tq"))
+      .groupBy(col("pid"), col("mu"), col("sg"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("mu").cast("float").as("mean"),
+        col("sg").cast("float").as("sigma"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f08Sql =
+    s"""WITH params(pid, mu, sg) AS (VALUES $f08ParamsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.mu, p.sg, b.bin,
+       |  CAST(FLOOR($f08Shape * 1e9 + 0.5) AS BIGINT) AS s_q
+       | FROM params p, bins b),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(s.s_q) OVER (PARTITION BY s.pid) AS norm_q,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, mu, sg,
+       |  CAST(SUM(CAST(FLOOR(
+       |   power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)), 2.0E0)
+       |   / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))
+       |   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS chi2_micro
+       | FROM wn GROUP BY 1, 2, 3)
+       |SELECT rank, pid, CAST(mu AS REAL) AS mean, CAST(sg AS REAL) AS sigma,
+       | chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f08_doublecb_scan" -> (f08 _),
     "f07_bwzredux_scan" -> (f07 _),
     "f06_ftest_selection" -> (f06 _),
     "f01_em_mixture_fit" -> (f01 _),
@@ -711,6 +815,7 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f08_doublecb_scan" -> f08Sql,
     "f07_bwzredux_scan" -> f07Sql,
     "f06_ftest_selection" -> f06Sql,
     "f01_em_mixture_fit" -> f01Sql,
