@@ -38,7 +38,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // per-event SF products, the four-fold ensemble routing, the
     // seeded Rochester MC branch split, and the muon-SF window+pivot
     "l20_btag_csv_real", "l21_jec_levels_real", "l22_roccor_mc",
-    "l23_jec_data_residual", "l24_musf_chain", "m36_vbf_fold_ensemble")
+    "l23_jec_data_residual", "l24_musf_chain", "m36_vbf_fold_ensemble",
+    // pdf grid scans: exact-integer norm + micro-quantized chi2 folds
+    "f07_bwzredux_scan", "f08_doublecb_scan")
 
   private def runAt(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
