@@ -34,7 +34,8 @@ object SparkEntry {
     CurationQueries,
     GraphQueries,
     FitQueries,
-    CorrectionQueries
+    CorrectionQueries,
+    WeightVariationQueries
   )
 
   /** Flagship query (SURVEY.md §7.2 slice 0): scan → object filter →

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TFormula
@@ -233,9 +234,18 @@ object CorrectionQueries extends QueryFamily {
       TFormula.toColumn(jecL2.formula,
         { case 0 => clampc(col("pt1"), col("x_lo"), col("x_hi")) },
         i => col(s"q$i")), lit(1.0))
-    val s2 = s1.join(broadcast(l2df),
-        s1("e2") === l2df("e2") &&
-          col("pt1") >= col("bpt_lo") && col("pt1") < col("bpt_hi"), "left")
+    // coffea edge-bin semantics (factorized corrector): a pt1 below the
+    // lowest (or at/above the highest) pt bin of its eta slice matches
+    // the EDGE bin and evaluates its formula at clamped x, instead of
+    // falling out of the join to c2 = 1.0
+    val w2 = Window.partitionBy(col("e2"))
+    val l2f = l2df
+      .withColumn("is_first", col("bpt_lo") === min(col("bpt_lo")).over(w2))
+      .withColumn("is_last", col("bpt_hi") === max(col("bpt_hi")).over(w2))
+    val s2 = s1.join(broadcast(l2f),
+        s1("e2") === l2f("e2") &&
+          (col("pt1") >= col("bpt_lo") || col("is_first")) &&
+          (col("pt1") < col("bpt_hi") || col("is_last")), "left")
       .withColumn("c2", c2)
       .withColumn("pt2", col("pt1") * col("c2"))
 
@@ -274,6 +284,10 @@ object CorrectionQueries extends QueryFamily {
        |  'eta_lo':'DOUBLE','eta_hi':'DOUBLE','bpt_lo':'DOUBLE','bpt_hi':'DOUBLE',
        |  'x_lo':'DOUBLE','x_hi':'DOUBLE',
        |  'p0':'DOUBLE','p1':'DOUBLE','p2':'DOUBLE','p3':'DOUBLE','p4':'DOUBLE'})),
+       |l2f AS (SELECT *,
+       |  bpt_lo = MIN(bpt_lo) OVER (PARTITION BY eta_lo, eta_hi) AS is_first,
+       |  bpt_hi = MAX(bpt_hi) OVER (PARTITION BY eta_lo, eta_hi) AS is_last
+       | FROM l2),
        |jets AS ($l21JetsSql),
        |s1 AS (
        | SELECT j.l_orderkey, j.l_linenumber, j.l_extendedprice, j.eta,
@@ -285,9 +299,10 @@ object CorrectionQueries extends QueryFamily {
        | SELECT s1.l_orderkey, s1.l_linenumber, s1.l_extendedprice, s1.c1,
        |  COALESCE($f2, 1.0) AS c2,
        |  s1.pt1 * COALESCE($f2, 1.0) AS pt2
-       | FROM s1 LEFT JOIN l2
+       | FROM s1 LEFT JOIN l2f l2
        |  ON s1.eta >= l2.eta_lo AND s1.eta < l2.eta_hi
-       |  AND s1.pt1 >= l2.bpt_lo AND s1.pt1 < l2.bpt_hi)
+       |  AND (s1.pt1 >= l2.bpt_lo OR l2.is_first)
+       |  AND (s1.pt1 < l2.bpt_hi OR l2.is_last))
        |SELECT l_orderkey, l_linenumber, l_extendedprice,
        | CAST(c1 AS REAL) AS c1, CAST(c2 AS REAL) AS c2,
        | CAST(pt2 * $f3 AS REAL) AS pt_jec
@@ -356,9 +371,18 @@ object CorrectionQueries extends QueryFamily {
       TFormula.toColumn(jecL2D.formula,
         { case 0 => clampc(col("pt1"), col("x_lo"), col("x_hi")) },
         i => col(s"q$i")), lit(1.0))
-    val s2 = s1.join(broadcast(l2df),
-        s1("e2") === l2df("e2") &&
-          col("pt1") >= col("bpt_lo") && col("pt1") < col("bpt_hi"), "left")
+    // coffea edge-bin semantics (factorized corrector): a pt1 below the
+    // lowest (or at/above the highest) pt bin of its eta slice matches
+    // the EDGE bin and evaluates its formula at clamped x, instead of
+    // falling out of the join to c2 = 1.0
+    val w2 = Window.partitionBy(col("e2"))
+    val l2f = l2df
+      .withColumn("is_first", col("bpt_lo") === min(col("bpt_lo")).over(w2))
+      .withColumn("is_last", col("bpt_hi") === max(col("bpt_hi")).over(w2))
+    val s2 = s1.join(broadcast(l2f),
+        s1("e2") === l2f("e2") &&
+          (col("pt1") >= col("bpt_lo") || col("is_first")) &&
+          (col("pt1") < col("bpt_hi") || col("is_last")), "left")
       .withColumn("c2", c2)
       .withColumn("pt2", col("pt1") * col("c2"))
       .select("l_orderkey", "l_linenumber", "l_extendedprice",
@@ -415,6 +439,10 @@ object CorrectionQueries extends QueryFamily {
        |  'eta_lo':'DOUBLE','eta_hi':'DOUBLE','x_lo':'DOUBLE','x_hi':'DOUBLE',
        |  'p0':'DOUBLE','p1':'DOUBLE','p2':'DOUBLE','p3':'DOUBLE','p4':'DOUBLE',
        |  'p5':'DOUBLE','p6':'DOUBLE','p7':'DOUBLE','p8':'DOUBLE'})),
+       |l2f AS (SELECT *,
+       |  bpt_lo = MIN(bpt_lo) OVER (PARTITION BY eta_lo, eta_hi) AS is_first,
+       |  bpt_hi = MAX(bpt_hi) OVER (PARTITION BY eta_lo, eta_hi) AS is_last
+       | FROM l2),
        |jets AS ($l21JetsSql),
        |s1 AS (
        | SELECT j.l_orderkey, j.l_linenumber, j.l_extendedprice, j.eta,
@@ -426,9 +454,10 @@ object CorrectionQueries extends QueryFamily {
        | SELECT s1.l_orderkey, s1.l_linenumber, s1.l_extendedprice, s1.eta, s1.c1,
        |  COALESCE($f2, 1.0) AS c2,
        |  s1.pt1 * COALESCE($f2, 1.0) AS pt2
-       | FROM s1 LEFT JOIN l2
+       | FROM s1 LEFT JOIN l2f l2
        |  ON s1.eta >= l2.eta_lo AND s1.eta < l2.eta_hi
-       |  AND s1.pt1 >= l2.bpt_lo AND s1.pt1 < l2.bpt_hi),
+       |  AND (s1.pt1 >= l2.bpt_lo OR l2.is_first)
+       |  AND (s1.pt1 < l2.bpt_hi OR l2.is_last)),
        |s3 AS (
        | SELECT s2.*, pt2 * $f3 AS pt3 FROM s2)
        |SELECT s3.l_orderkey, s3.l_linenumber, s3.l_extendedprice,

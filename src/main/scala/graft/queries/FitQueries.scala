@@ -681,11 +681,12 @@ object FitQueries extends QueryFamily {
        | SELECT p.pid, p.a1, p.a2, p.a3, b.bin,
        |  CAST(FLOOR($f07Shape * 1e9 + 0.5) AS BIGINT) AS s_q
        | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q FROM shapes),
        |wn AS (
        | SELECT s.*, h.n_b,
-       |  SUM(s.s_q) OVER (PARTITION BY s.pid) AS norm_q,
        |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
-       | FROM shapes s JOIN hist h USING (bin)),
+       | FROM shapes2 s JOIN hist h USING (bin)),
        |chi AS (
        | SELECT pid, a1, a2, a3,
        |  CAST(SUM(CAST(FLOOR(
@@ -784,11 +785,12 @@ object FitQueries extends QueryFamily {
        | SELECT p.pid, p.mu, p.sg, b.bin,
        |  CAST(FLOOR($f08Shape * 1e9 + 0.5) AS BIGINT) AS s_q
        | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q FROM shapes),
        |wn AS (
        | SELECT s.*, h.n_b,
-       |  SUM(s.s_q) OVER (PARTITION BY s.pid) AS norm_q,
        |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
-       | FROM shapes s JOIN hist h USING (bin)),
+       | FROM shapes2 s JOIN hist h USING (bin)),
        |chi AS (
        | SELECT pid, mu, sg,
        |  CAST(SUM(CAST(FLOOR(
@@ -803,7 +805,184 @@ object FitQueries extends QueryFamily {
        | FROM chi)
        |WHERE rank <= 3 ORDER BY rank""".stripMargin
 
+  // ---- f09: bwGamma photon line-shape grid scan -----------------------------
+  // The reference's photon-contribution background pdf
+  // (stage3/fit_models.py:20-26, RooGenericPdf "exp(@0*@1)*pow(@0,-2)"):
+  // a falling 1/x² photon propagator scaled by an exponential. One free
+  // parameter, expParam, with RooRealVar range [-0.1, 0.1] — scanned
+  // over 125 grid points spelled from integers ((pid − 62)/620, exact
+  // on both engines). Same machinery as f07/f08: shape quantized at 1e15 (the 1/x² photon shape spans ~1e-11..3e2 over the grid, so the f07/f08 nano quantum would underflow the falling tail to s_q = 0)
+  // before the exact-integer norm, chi2 micro-quantized, best-3 ranked;
+  // one data scan regardless of sample size.
+  private val f09Shape = "(exp(xc * ep) * power(xc, -2.0E0))"
+  private def f09ParamsSql: String =
+    (0 until 125).map(k => s"($k, CAST($k - 62 AS DOUBLE) / 620.0E0)")
+      .mkString(", ")
+  private def f09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = (0 until 125).map(k => (k, (k - 62).toDouble / 620.0))
+      .toDF("pid", "ep")
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("s_q", expr(s"CAST(FLOOR($f09Shape * 1e15 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("norm_q", sum(col("s_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    withNorm
+      .select(col("pid"), col("ep"), chi2Term.as("tq"))
+      .groupBy(col("pid"), col("ep"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("ep").cast("float").as("exp_param"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f09Sql =
+    s"""WITH params(pid, ep) AS (VALUES $f09ParamsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.ep, b.bin,
+       |  CAST(FLOOR($f09Shape * 1e15 + 0.5) AS BIGINT) AS s_q
+       | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q FROM shapes),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes2 s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, ep, $chi2SumSql AS chi2_micro
+       | FROM wn GROUP BY 1, 2)
+       |SELECT rank, pid, CAST(ep AS REAL) AS exp_param, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
+  // ---- f10: Bernstein background-shape grid scan ----------------------------
+  // The reference's polynomial background family (stage3/fit_models.py:
+  // 181-194, RooBernstein order 5): s(t) = Σ c_i·C(4,i)·t^i·(1−t)^{4−i}
+  // on t = (x − 110)/40 ∈ (0, 1). RooRealVar inits are c_i = 1/2^i; the
+  // scan covers {½·, 1·, 2·} the init for c1..c4 (81 candidates, c0
+  // pinned at 1 — overall scale is absorbed by the normalization, so
+  // scanning it would only produce chi2 ties). Same quantize/norm/rank
+  // machinery as f07-f09.
+  private val f10Grid: Seq[(Int, Double, Double, Double, Double)] = {
+    val opts = (1 to 4).map(i => Seq(0.5, 1.0, 2.0).map(_ / math.pow(2.0, i)))
+    for {
+      (c1, i) <- opts(0).zipWithIndex
+      (c2, j) <- opts(1).zipWithIndex
+      (c3, k) <- opts(2).zipWithIndex
+      (c4, l) <- opts(3).zipWithIndex
+    } yield (i * 27 + j * 9 + k * 3 + l, c1, c2, c3, c4)
+  }
+  private val f10Shape = {
+    val t = "((xc - 110.0E0) / 40.0E0)"
+    val u = s"(1.0E0 - $t)"
+    s"(1.0E0 * $u*$u*$u*$u + c1 * 4.0E0 * $t * $u*$u*$u" +
+      s" + c2 * 6.0E0 * $t*$t * $u*$u + c3 * 4.0E0 * $t*$t*$t * $u" +
+      s" + c4 * $t*$t*$t*$t)"
+  }
+  private def f10ParamsSql: String =
+    f10Grid.map { case (pid, c1, c2, c3, c4) =>
+      s"($pid, ${c1}E0, ${c2}E0, ${c3}E0, ${c4}E0)"
+    }.mkString(", ")
+  private def f10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = f10Grid.toDF("pid", "c1", "c2", "c3", "c4")
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("s_q", expr(s"CAST(FLOOR($f10Shape * 1e9 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("norm_q", sum(col("s_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    withNorm
+      .select(col("pid"), col("c1"), col("c2"), col("c3"), col("c4"),
+        chi2Term.as("tq"))
+      .groupBy(col("pid"), col("c1"), col("c2"), col("c3"), col("c4"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("c1").cast("float").as("c1"),
+        col("c2").cast("float").as("c2"),
+        col("c3").cast("float").as("c3"),
+        col("c4").cast("float").as("c4"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f10Sql =
+    s"""WITH params(pid, c1, c2, c3, c4) AS (VALUES $f10ParamsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.c1, p.c2, p.c3, p.c4, b.bin,
+       |  CAST(FLOOR($f10Shape * 1e9 + 0.5) AS BIGINT) AS s_q
+       | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q FROM shapes),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes2 s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, c1, c2, c3, c4, $chi2SumSql AS chi2_micro
+       | FROM wn GROUP BY 1, 2, 3, 4, 5)
+       |SELECT rank, pid, CAST(c1 AS REAL) AS c1, CAST(c2 AS REAL) AS c2,
+       | CAST(c3 AS REAL) AS c3, CAST(c4 AS REAL) AS c4, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
+  /** The shared chi2 term/fold of the f07-f10 grid scans: Pearson chi2
+    * against the normalized expected count, micro-quantized BEFORE the
+    * per-candidate sum so the fold is order-free on both engines. */
+  private lazy val chi2Term: org.apache.spark.sql.Column = expr(
+    "CAST(FLOOR(" +
+      "power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)), 2.0E0)" +
+      " / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))" +
+      " * 1e6 + 0.5) AS BIGINT)")
+  private val chi2SumSql =
+    """CAST(SUM(CAST(FLOOR(
+      |   power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)), 2.0E0)
+      |   / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))
+      |   * 1e6 + 0.5) AS BIGINT)) AS BIGINT)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f10_bernstein_scan" -> (f10 _),
+    "f09_bwgamma_scan" -> (f09 _),
     "f08_doublecb_scan" -> (f08 _),
     "f07_bwzredux_scan" -> (f07 _),
     "f06_ftest_selection" -> (f06 _),
@@ -815,6 +994,8 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f10_bernstein_scan" -> f10Sql,
+    "f09_bwgamma_scan" -> f09Sql,
     "f08_doublecb_scan" -> f08Sql,
     "f07_bwzredux_scan" -> f07Sql,
     "f06_ftest_selection" -> f06Sql,

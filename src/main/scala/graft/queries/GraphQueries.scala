@@ -100,6 +100,17 @@ object GraphQueries extends QueryFamily {
        |FROM pr$prIters ORDER BY node""".stripMargin
   }
 
+  /** Hot-key guard for the pair build below: at most this many
+    * contributors per part key enter the self-join, so one key emits
+    * at most cap*(cap-1)/2 pairs instead of deg²(pk). Deterministic
+    * (lowest suppkeys win) and mirrored verbatim in
+    * [[coSupplyEdgesCte]], so engine and oracle sparsify identically.
+    * TPC-H-shaped data has ~4 suppliers/part, far under the cap, so
+    * results at test SFs are unchanged — the cap exists for the
+    * power-law key a 100 TB corpus will eventually contain (deg 10⁵
+    * would otherwise emit 10¹⁰ pairs inside a single join task). */
+  private[queries] val coSupplyCapPerKey = 32
+
   /** g06/g15's shared graph: supplier pairs scored by co-supplied part
     * count, sparsified to the strongest ~decile by a value threshold on
     * the shared-count distribution (ties included; fallback = max).
@@ -108,8 +119,12 @@ object GraphQueries extends QueryFamily {
     * Scale notes in the g06 comment below. */
   private[queries] def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
     val li = rd(s, dir, "lineitem")
+    val wCap = Window.partitionBy(col("pk")).orderBy(col("sk"))
     val sp = li.select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
       .distinct()
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= coSupplyCapPerKey)
+      .drop("rn")
     val pairs = sp.as("a")
       .join(sp.as("b"),
         col("a.pk") === col("b.pk") && col("a.sk") < col("b.sk"))
@@ -133,7 +148,12 @@ object GraphQueries extends QueryFamily {
 
   /** The oracle-side twin of [[coSupplyEdges]]: CTEs ending in `edges`. */
   private[queries] val coSupplyEdgesCte: String =
-    """sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+    s"""sp0 AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+      |sp AS (
+      | SELECT sk, pk FROM (
+      |  SELECT sk, pk,
+      |   ROW_NUMBER() OVER (PARTITION BY pk ORDER BY sk) AS rn FROM sp0)
+      | WHERE rn <= $coSupplyCapPerKey),
       |pairs AS (
       | SELECT a.sk AS u, b.sk AS v, COUNT(*) AS shared
       | FROM sp a JOIN sp b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),

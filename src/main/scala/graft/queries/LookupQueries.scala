@@ -3897,8 +3897,24 @@ object LookupQueries extends QueryFamily {
           "EfficienciesAndSF_2018Data_AfterMuonHLTUpdate.root"),
           name, "IsoMu24_PtEtaBins")
         .select(col("binx"), col("biny"),
+          col("x_low").as("ae_lo2"), col("x_high").as("ae_hi2"),
+          col("y_low").as("pt_lo2"), col("y_high").as("pt_hi2"),
           col("content").as("va"), col("sumw2").as("wa"))
-      b.join(a, Seq("binx", "biny"))
+      val joined = b.join(a, Seq("binx", "biny"))
+      // the (binx, biny) equi join ASSUMES both files share one axis
+      // grid; verify it (tiny tables) so a re-binned payload fails
+      // loudly instead of silently pairing mismatched bins
+      val chk = joined.agg(count(lit(1)).as("n"),
+        sum(when(col("ae_lo") =!= col("ae_lo2") ||
+          col("ae_hi") =!= col("ae_hi2") ||
+          col("pt_lo") =!= col("pt_lo2") ||
+          col("pt_hi") =!= col("pt_hi2"), 1).otherwise(0)).as("mis")).head()
+      require(chk.getLong(0) > 0,
+        s"trigger Before/After grids share no (binx, biny) for $name")
+      require(chk.getLong(1) == 0,
+        s"trigger Before/After axis grids differ for $name: " +
+          s"${chk.getLong(1)} of ${chk.getLong(0)} bins mismatched")
+      joined
         .select(col("ae_lo"), col("ae_hi"), col("pt_lo"), col("pt_hi"),
           (col("vb") * s1 + col("va") * s2).as("eff"),
           (sqrt(col("wb")) * s1 + sqrt(col("wa")) * s2).as("err"))

@@ -142,9 +142,14 @@ object MLQueries extends QueryFamily {
   private val mlpBOut: Double = 0.1
   private def m03(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    // repartition: the 128/64/32 forward pass is compute-bound and the
-    // one-file source gives ONE input split
-    val ev = rd(s, dir, "events").repartition(s.sparkContext.defaultParallelism)
+    // The 128/64/32 forward pass is compute-bound; fan out ONLY when
+    // the scan under-splits the core count (one-file test source).
+    // Same guarded spelling as m35 — a blanket repartition is a full
+    // shuffle bolted onto a map-only job once the scan has >= cores
+    // splits, which it always does at 100 TB.
+    val ev0 = rd(s, dir, "events")
+    val mlpPar = s.sparkContext.defaultParallelism
+    val ev = if (ev0.rdd.getNumPartitions < mlpPar) ev0.repartition(mlpPar) else ev0
     // Layers run through the native mlp_dense expression (a generated
     // loop over a referenced weight array) instead of one expression
     // node per multiply-add: the spelled-out ~11k-node network kept the
@@ -351,15 +356,15 @@ object MLQueries extends QueryFamily {
   private def m13(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
     val feats = ev.select((col("event_id") +: rawFeatures): _*)
-    // NOTE the fused margins+softmax+argmax(+count) stage exceeds
-    // janino's 64 KB method limit, so WHOLE-STAGE codegen falls back —
-    // benignly: each operator then compiles its own (method-split)
-    // UnsafeProjection, and the measured cost is identical to the fused
-    // form (0.15 s at sf0.1). A localCheckpoint barrier "fixes" the log
-    // line but trades it for a real materialization (3× slower here and
-    // a corpus-sized cache at 100 TB) — deliberately NOT done. Contrast
-    // d05, where ONE un-splittable 512-term expression forced true
-    // row-interpreted eval and a native loop expression was the fix.
+    // Codegen note: this plan compiles fine (margins are separate
+    // project operators, each computed once per row). The historical
+    // janino-64KB fallback came from a DOWNSTREAM filter on
+    // mc_score/pred_class — predicate pushdown substitutes the full
+    // softmax+argmax into the filter condition once per reference
+    // (Filter codegen has no subexpression elimination), so a 4-ref
+    // predicate inlined the margin forest ~60×. Consumers filtering on
+    // the outputs should aggregate or filter AFTER a materialization
+    // boundary; the repo's own specs validate via min/max aggregates.
     val margins = feats.select(col("event_id") +:
       (0 until mcClasses).map(c => expr(mcMargin(c)).as(s"m$c")): _*)
     margins.select(col("event_id"),

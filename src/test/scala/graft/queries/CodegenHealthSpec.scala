@@ -19,17 +19,17 @@ import scala.collection.mutable
   * is exactly where oversized codegen hides. A self-emitted event
   * inside the run guards against the probe going deaf.
   *
-  * Allowlist: m13's fused filter+count stage exceeds the limit when a
-  * downstream filter keeps its projection alive inside an aggregate;
-  * that fallback is per-OPERATOR codegen (method-split projections,
-  * measured cost-identical) and a barrier was measured 3× slower — see
-  * MLQueries.m13. Its plain projection path compiles fine. */
+  * No allowlist (round 10): the one historical fallback — m13 under a
+  * DOWNSTREAM filter whose predicate-pushdown inlined the softmax 4×
+  * into one fused filter+count stage — came from the test's filter
+  * shape, not from m13's own plan, and the test was rewritten to
+  * aggregate-based validation. Every query must now stay in codegen. */
 class CodegenHealthSpec extends SparkSpec {
 
   private val dir = sf("sf0.001")
-  private val benign = Set("m13_multiclass_bdt")
+  private val benign = Set.empty[String]
 
-  test("no query falls out of codegen except the documented m13 stage") {
+  test("no query falls out of codegen") {
     val errors = mutable.Map.empty[String, Int]
     var current = "(none)"
     val appender = new AbstractAppender(
@@ -69,7 +69,6 @@ class CodegenHealthSpec extends SparkSpec {
         current = name
         // toRdd, not count(): a count would let the optimizer PRUNE the
         // output projections — exactly where oversized codegen hides
-        // (m13's error only fires when the projection survives)
         fn(spark, dir).queryExecution.toRdd.count()
       }
       // drain: a no-op action plus a short grace so in-flight broadcast

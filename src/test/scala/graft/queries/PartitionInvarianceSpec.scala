@@ -40,7 +40,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "l20_btag_csv_real", "l21_jec_levels_real", "l22_roccor_mc",
     "l23_jec_data_residual", "l24_musf_chain", "m36_vbf_fold_ensemble",
     // pdf grid scans: exact-integer norm + micro-quantized chi2 folds
-    "f07_bwzredux_scan", "f08_doublecb_scan")
+    "f07_bwzredux_scan", "f08_doublecb_scan",
+    // round-10 shapes: the two remaining pdf families (photon bwGamma /
+    // Bernstein), the guarded-element LHE cascade over an in-row jagged
+    // array, and the keyed STXS broadcast-lookup weight fan-out
+    "f09_bwgamma_scan", "f10_bernstein_scan",
+    "l25_lhe_scale_weights", "l26_stxs_thu")
 
   private def runAt(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

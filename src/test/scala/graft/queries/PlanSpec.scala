@@ -510,6 +510,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected <= 2 exchanges, got $exchanges:\n$plan")
   }
 
+  test("m03 skips the fan-out shuffle when the scan already has enough splits") {
+    // the guarded repartition (m35 pattern) must be a no-op branch once
+    // the source yields >= defaultParallelism splits — at 100 TB a
+    // blanket round-robin here is a full shuffle of the events table
+    val tmp = java.nio.file.Files.createTempDirectory("graft_m03").toString
+    val par = spark.sparkContext.defaultParallelism
+    spark.read.parquet(s"$dir/events.parquet").repartition(par * 2)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // pin bin-packing so each small file is its own split (one file's
+    // 4 MB open-cost fills a 4 MB partition) — the scan then has 2*par
+    // splits and the guard must take the no-op branch
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    try {
+      val plan = planOf(MLQueries.queries("m03_mlp_forward")(spark, tmp))
+      assert(!plan.contains("RoundRobinPartitioning"),
+        s"m03 shuffled a well-split scan:\n$plan")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("s14 ROOT flagship prunes the tree scan to the two needed branches") {
     val df = StageQueries.queries("s14_root_stage1")(spark, dir)
     val plan = planOf(df)
