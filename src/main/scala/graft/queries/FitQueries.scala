@@ -980,7 +980,256 @@ object FitQueries extends QueryFamily {
       |   / (CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE)))
       |   * 1e6 + 0.5) AS BIGINT)) AS BIGINT)""".stripMargin
 
+  /** Shared skeleton of the 1-table pdf grid scans (f09-f14): VALUES
+    * param grid × 40-bin shape table, nano/chosen-quantum s_q, exact-
+    * integer norm over ALL bins pre-join, n_tot post-join, chi2 micro-
+    * quantized, best-3. `shapeSql` references the param columns and
+    * `xc`; `quantum` is the s_q scale (shapes far from O(1) need a
+    * bigger one — see f09). */
+  private def gridScan(s: SparkSession, dir: String,
+      paramDf: DataFrame, paramCols: Seq[String], shapeSql: String,
+      quantum: String, outCols: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = paramDf.crossJoin(bins)
+      .withColumn("s_q", expr(s"CAST(FLOOR($shapeSql * $quantum + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("norm_q", sum(col("s_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    val keys = "pid" +: paramCols
+    withNorm
+      .select((keys.map(col) :+ chi2Term.as("tq")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select((Seq(col("rank"), col("pid")) ++
+        outCols.map { case (in, out) => col(in).cast("float").as(out) } :+
+        col("chi2_micro")): _*)
+      .orderBy(col("rank"))
+  }
+
+  /** Oracle twin of [[gridScan]]. */
+  private def gridScanSql(paramsDecl: String, paramsSql: String,
+      paramCols: Seq[String], shapeSql: String, quantum: String,
+      outCols: Seq[(String, String)]): String = {
+    val pcols = paramCols.map("p." + _).mkString(", ")
+    val gcols = (2 to paramCols.size + 1).mkString(", ")
+    val outs = outCols.map { case (in, out) => s"CAST($in AS REAL) AS $out" }
+      .mkString(", ")
+    s"""WITH params($paramsDecl) AS (VALUES $paramsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, $pcols, b.bin,
+       |  CAST(FLOOR($shapeSql * $quantum + 0.5) AS BIGINT) AS s_q
+       | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q FROM shapes),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes2 s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, ${paramCols.mkString(", ")}, $chi2SumSql AS chi2_micro
+       | FROM wn GROUP BY 1, $gcols)
+       |SELECT rank, pid, $outs, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+  }
+
+  // ---- f11: bwZ line-shape grid scan ----------------------------------------
+  // stage3/fit_models.py:33-47 (RooGenericPdf
+  // "exp(@0*@3)*(@2)/(pow(@0-@1,2)+0.25*pow(@2,2))"): the plain
+  // Breit-Wigner Z tail, width/mZ pinned constant at 2.5/91.2 (the
+  // reference setConstant's both), expParam the one free parameter with
+  // RooRealVar range [-0.01, 0.01] — 125 grid points from integers.
+  private val f11Shape =
+    "(exp(xc * ep) * 2.5E0 / (power(xc - 91.2E0, 2.0E0) + 0.25E0 * power(2.5E0, 2.0E0)))"
+  private def f11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = (0 until 125).map(k => (k, (k - 62).toDouble / 6200.0))
+      .toDF("pid", "ep")
+    gridScan(s, dir, params, Seq("ep"), f11Shape, "1e9",
+      Seq("ep" -> "exp_param"))
+  }
+  private lazy val f11Sql = gridScanSql("pid, ep",
+    (0 until 125).map(k => s"($k, CAST($k - 62 AS DOUBLE) / 6200.0E0)")
+      .mkString(", "),
+    Seq("ep"), f11Shape, "1e9", Seq("ep" -> "exp_param"))
+
+  // ---- f12: Chebyshev(7) background-shape grid scan --------------------------
+  // stage3/fit_models.py:162-175 (RooChebychev order 7):
+  // pdf(t) = 1 + Σ_{i=0..6} c_i·T_{i+1}(t) on t = (x−130)/20 ∈ [−1,1].
+  // The scan varies the three leading coefficients around the 1/2^{i+1}
+  // inits (±); the trailing four stay pinned at their inits. Σ|c_i| <1
+  // over the whole grid, so the pdf stays positive and s_q > 0.
+  private val f12T: Seq[String] = {
+    val t = "((xc - 130.0E0) / 20.0E0)"
+    // T_k via the recurrence T_k = 2t·T_{k−1} − T_{k−2}, spelled as one
+    // shared text so both engines parse identical trees
+    val ts = scala.collection.mutable.ArrayBuffer("1.0E0", t)
+    while (ts.size < 8) ts += s"(2.0E0 * $t * ${ts.last} - ${ts(ts.size - 2)})"
+    ts.drop(1).toSeq // T1..T7
+  }
+  private val f12Fixed = Seq(0.0625, 0.03125, 0.015625, 0.0078125) // c3..c6
+  private val f12Grid: Seq[(Int, Double, Double, Double)] = for {
+    (c0, i) <- Seq(-0.5, -0.25, 0.0, 0.25, 0.5).zipWithIndex
+    (c1, j) <- Seq(-0.25, 0.0, 0.25).zipWithIndex
+    (c2, k) <- Seq(-0.125, 0.0, 0.125).zipWithIndex
+  } yield (i * 9 + j * 3 + k, c0, c1, c2)
+  private val f12Shape = {
+    val lead = Seq("c0", "c1", "c2").zip(f12T.take(3))
+      .map { case (c, tk) => s"$c * $tk" }
+    val fixed = f12Fixed.zip(f12T.drop(3))
+      .map { case (c, tk) => s"${c}E0 * $tk" }
+    s"(1.0E0 + ${(lead ++ fixed).mkString(" + ")})"
+  }
+  private def f12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = f12Grid.toDF("pid", "c0", "c1", "c2")
+    gridScan(s, dir, params, Seq("c0", "c1", "c2"), f12Shape, "1e9",
+      Seq("c0" -> "c0", "c1" -> "c1", "c2" -> "c2"))
+  }
+  private lazy val f12Sql = gridScanSql("pid, c0, c1, c2",
+    f12Grid.map { case (p, a, b, c) => s"($p, ${a}E0, ${b}E0, ${c}E0)" }
+      .mkString(", "),
+    Seq("c0", "c1", "c2"), f12Shape, "1e9",
+    Seq("c0" -> "c0", "c1" -> "c1", "c2" -> "c2"))
+
+  // ---- f14: h2mupoly(5) grid scan --------------------------------------------
+  // stage3/fit_models.py:200-224: Σ_i c_i²·((160−x)/50)^i with c0² the
+  // constant term — positive by construction (squared coefficients), the
+  // H→μμ-specific falling polynomial. c0 pinned at 1 (scale is absorbed
+  // by the normalization); c1..c4 scan {½,1,2}× their 1/2^i inits.
+  private val f14Shape = {
+    val u = "((160.0E0 - xc) / 50.0E0)"
+    s"(1.0E0 + c1*c1 * $u + c2*c2 * $u*$u + c3*c3 * $u*$u*$u" +
+      s" + c4*c4 * $u*$u*$u*$u)"
+  }
+  private def f14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = f10Grid.toDF("pid", "c1", "c2", "c3", "c4")
+    gridScan(s, dir, params, Seq("c1", "c2", "c3", "c4"), f14Shape, "1e9",
+      Seq("c1" -> "c1", "c2" -> "c2", "c3" -> "c3", "c4" -> "c4"))
+  }
+  private lazy val f14Sql = gridScanSql("pid, c1, c2, c3, c4",
+    f10ParamsSql, Seq("c1", "c2", "c3", "c4"), f14Shape, "1e9",
+    Seq("c1" -> "c1", "c2" -> "c2", "c3" -> "c3", "c4" -> "c4"))
+
+  // ---- f13: bwZGamma two-component mixture grid scan -------------------------
+  // stage3/fit_models.py:52-82 (RooAddPdf of bwExpMmumu and
+  // phoExpMmumu): RooAddPdf normalizes EACH component pdf before
+  // mixing, so the replay carries TWO exact-integer norms — the
+  // expected fraction per bin is mix·(s_bw/N_bw) + (1−mix)·(s_pho/N_pho)
+  // — and the chi2 compares n_b against n_tot times that double. The
+  // scan covers the two free RooRealVars: expParam (shared by both
+  // components) in its [−0.0073, −0.0033] range and mixParam in
+  // [0.2, 1]; widthZ/mZ stay pinned (setConstant) at 2.5/91.2.
+  private val f13BwShape =
+    "(exp(xc * ep) * 2.5E0 / (power(xc - 91.2E0, 2.0E0) + 0.25E0 * power(2.5E0, 2.0E0)))"
+  private val f13PhoShape = "(exp(xc * ep) * power(xc, -2.0E0))"
+  private val f13Frac =
+    "(mix * (CAST(sb_q AS DOUBLE) / CAST(nb_q AS DOUBLE))" +
+      " + (1.0E0 - mix) * (CAST(sp_q AS DOUBLE) / CAST(np_q AS DOUBLE)))"
+  private val f13ChiTermSql =
+    "CAST(FLOOR(" +
+      s"power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * $f13Frac, 2.0E0)" +
+      s" / (CAST(n_tot AS DOUBLE) * $f13Frac)" +
+      " * 1e6 + 0.5) AS BIGINT)"
+  private def f13ParamsSql: String =
+    (for (i <- 0 until 11; j <- 0 until 11) yield
+      s"(${i * 11 + j}, -0.0073E0 + $i * 0.0004E0, 0.2E0 + $j * 0.08E0)")
+      .mkString(", ")
+  private def f13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = (for (i <- 0 until 11; j <- 0 until 11) yield
+      (i * 11 + j, -0.0073 + i * 0.0004, 0.2 + j * 0.08))
+      .toDF("pid", "ep", "mix")
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("sb_q", expr(s"CAST(FLOOR($f13BwShape * 1e9 + 0.5) AS BIGINT)"))
+      .withColumn("sp_q", expr(s"CAST(FLOOR($f13PhoShape * 1e9 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("nb_q", sum(col("sb_q")).over(w))
+      .withColumn("np_q", sum(col("sp_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    withNorm
+      .select(col("pid"), col("ep"), col("mix"), expr(f13ChiTermSql).as("tq"))
+      .groupBy(col("pid"), col("ep"), col("mix"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("ep").cast("float").as("exp_param"),
+        col("mix").cast("float").as("mix_param"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f13Sql =
+    s"""WITH params(pid, ep, mix) AS (VALUES $f13ParamsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.ep, p.mix, b.bin,
+       |  CAST(FLOOR($f13BwShape * 1e9 + 0.5) AS BIGINT) AS sb_q,
+       |  CAST(FLOOR($f13PhoShape * 1e9 + 0.5) AS BIGINT) AS sp_q
+       | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *,
+       |  SUM(sb_q) OVER (PARTITION BY pid) AS nb_q,
+       |  SUM(sp_q) OVER (PARTITION BY pid) AS np_q
+       | FROM shapes),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes2 s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, ep, mix,
+       |  CAST(SUM($f13ChiTermSql) AS BIGINT) AS chi2_micro
+       | FROM wn GROUP BY 1, 2, 3)
+       |SELECT rank, pid, CAST(ep AS REAL) AS exp_param,
+       | CAST(mix AS REAL) AS mix_param, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f14_h2mupoly_scan" -> (f14 _),
+    "f13_bwzgamma_scan" -> (f13 _),
+    "f12_chebyshev_scan" -> (f12 _),
+    "f11_bwz_scan" -> (f11 _),
     "f10_bernstein_scan" -> (f10 _),
     "f09_bwgamma_scan" -> (f09 _),
     "f08_doublecb_scan" -> (f08 _),
@@ -994,6 +1243,10 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f14_h2mupoly_scan" -> f14Sql,
+    "f13_bwzgamma_scan" -> f13Sql,
+    "f12_chebyshev_scan" -> f12Sql,
+    "f11_bwz_scan" -> f11Sql,
     "f10_bernstein_scan" -> f10Sql,
     "f09_bwgamma_scan" -> f09Sql,
     "f08_doublecb_scan" -> f08Sql,
