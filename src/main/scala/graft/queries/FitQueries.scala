@@ -1225,7 +1225,315 @@ object FitQueries extends QueryFamily {
        | FROM chi)
        |WHERE rank <= 3 ORDER BY rank""".stripMargin
 
+  // ---- f15: linear background grid scan ---------------------------------
+  // stage3/fit_models.py:6-13 (RooGenericPdf "@1*(@0-140)+@2"): the
+  // ttbar-shoulder line. Grid stays inside the positive region of the
+  // [110,150] window (slope·10+offset > 0 at the right edge).
+  private val f15Grid: Seq[(Int, Double, Double)] = for {
+    (sl, i) <- Seq(-0.05, -0.1, -0.2, -0.33, -0.66).zipWithIndex
+    (of, j) <- Seq(7.5, 15.0, 30.0, 60.0, 120.0).zipWithIndex
+  } yield (i * 5 + j, sl, of)
+  private val f15Shape = "(sl * (xc - 140.0E0) + of)"
+  private def f15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gridScan(s, dir, f15Grid.toDF("pid", "sl", "of"), Seq("sl", "of"),
+      f15Shape, "1e9", Seq("sl" -> "slope", "of" -> "offset"))
+  }
+  private lazy val f15Sql = gridScanSql("pid, sl, of",
+    f15Grid.map { case (p, a, b) => s"($p, ${a}E0, ${b}E0)" }.mkString(", "),
+    Seq("sl", "of"), f15Shape, "1e9", Seq("sl" -> "slope", "of" -> "offset"))
+
+  // ---- f16: higgsGammaGamma falling-exponential grid scan ----------------
+  // stage3/fit_models.py:143-157 (RooExponential over the RooFormulaVar
+  // a1·(x/100)+a2·(x/100)²): the hgg-style background. exp spans
+  // ~1e-13..1e-2 over the grid, so the 1e15 quantum (f09's reasoning).
+  private val f16Grid: Seq[(Int, Double, Double)] = for {
+    (a1, i) <- Seq(-2.0, -5.0, -8.0).zipWithIndex
+    (a2, j) <- Seq(-2.0, -5.0, -8.0).zipWithIndex
+  } yield (i * 3 + j, a1, a2)
+  private val f16Shape =
+    "(exp(a1 * (xc / 100.0E0) + a2 * (xc / 100.0E0) * (xc / 100.0E0)))"
+  private def f16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gridScan(s, dir, f16Grid.toDF("pid", "a1", "a2"), Seq("a1", "a2"),
+      f16Shape, "1e15", Seq("a1" -> "a1", "a2" -> "a2"))
+  }
+  private lazy val f16Sql = gridScanSql("pid, a1, a2",
+    f16Grid.map { case (p, a, b) => s"($p, ${a}E0, ${b}E0)" }.mkString(", "),
+    Seq("a1", "a2"), f16Shape, "1e15", Seq("a1" -> "a1", "a2" -> "a2"))
+
+  // ---- f17: bwZreduxFixed grid scan --------------------------------------
+  // stage3/fit_models.py:112-138: bwZredux with a1/mZ/width pinned
+  // (setConstant at 2.0/91.2/2.5) and the perturbation (a2, a3) free in
+  // [0,50]×[−50,0] — "exp(@2)*(2.5)/(pow(@0-@3,@1)+pow(@4/2,@1))".
+  private val f17Grid: Seq[(Int, Double, Double)] = for {
+    (a2, i) <- Seq(0.18, 0.36, 0.72, 1.44, 2.88).zipWithIndex
+    (a3, j) <- Seq(-0.18, -0.36, -0.72, -1.44, -2.88).zipWithIndex
+  } yield (i * 5 + j, a2, a3)
+  private val f17Shape =
+    "(exp(a2 * (xc / 100.0E0) + a3 * (xc / 100.0E0) * (xc / 100.0E0))" +
+      " * 2.5E0 / (power(xc - 91.2E0, 2.0E0) + power(1.25E0, 2.0E0)))"
+  private def f17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gridScan(s, dir, f17Grid.toDF("pid", "a2", "a3"), Seq("a2", "a3"),
+      f17Shape, "1e9", Seq("a2" -> "a2", "a3" -> "a3"))
+  }
+  private lazy val f17Sql = gridScanSql("pid, a2, a3",
+    f17Grid.map { case (p, a, b) => s"($p, ${a}E0, ${b}E0)" }.mkString(", "),
+    Seq("a2", "a3"), f17Shape, "1e9", Seq("a2" -> "a2", "a3" -> "a3"))
+
+  // ---- f18: h2mupolyf(10) grid scan ---------------------------------------
+  // stage3/fit_models.py:227-251: Σ c_i²·sqrt(((160−x)/50)^i) — the
+  // sqrt-power ladder variant. c0 pinned (scale absorbed by the norm);
+  // c1..c3 scanned, c4..c9 pinned at the 0.5 init.
+  private val f18Fixed = (4 until 10).map(_ => 0.5)
+  private val f18Grid: Seq[(Int, Double, Double, Double)] = for {
+    (c1, i) <- Seq(0.25, 0.5, 1.0).zipWithIndex
+    (c2, j) <- Seq(0.25, 0.5, 1.0).zipWithIndex
+    (c3, k) <- Seq(0.25, 0.5, 1.0).zipWithIndex
+  } yield (i * 9 + j * 3 + k, c1, c2, c3)
+  private val f18Shape = {
+    val u = "((160.0E0 - xc) / 50.0E0)"
+    def pw(i: Int) = s"sqrt(power($u, ${i}.0E0))"
+    val scanned = (1 to 3).map(i => s"c$i*c$i * ${pw(i)}")
+    val fixed = f18Fixed.zipWithIndex.map { case (c, o) =>
+      s"${c}E0 * ${c}E0 * ${pw(o + 4)}" }
+    s"(1.0E0 + ${(scanned ++ fixed).mkString(" + ")})"
+  }
+  private def f18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gridScan(s, dir, f18Grid.toDF("pid", "c1", "c2", "c3"),
+      Seq("c1", "c2", "c3"), f18Shape, "1e9",
+      Seq("c1" -> "c1", "c2" -> "c2", "c3" -> "c3"))
+  }
+  private lazy val f18Sql = gridScanSql("pid, c1, c2, c3",
+    f18Grid.map { case (p, a, b, c) => s"($p, ${a}E0, ${b}E0, ${c}E0)" }
+      .mkString(", "),
+    Seq("c1", "c2", "c3"), f18Shape, "1e9",
+    Seq("c1" -> "c1", "c2" -> "c2", "c3" -> "c3"))
+
+  // ---- f21: h2mupolypow(6) grid scan --------------------------------------
+  // stage3/fit_models.py:254-291: Σ c_o²·u^(o+cos²(b_o)) — power ladder
+  // with cos-modulated REAL exponents (the TMath::Power path). c/b init
+  // 0.5; the leading (c1, b1) pair scans, the rest stay pinned. cos and
+  // pow are libm on both engines; the 1e9 quantize-before-fold absorbs
+  // the sub-ulp drift (the f07 non-integer-pow discipline).
+  private val f21Grid: Seq[(Int, Double, Double)] = for {
+    (c1, i) <- Seq(0.25, 0.5, 1.0).zipWithIndex
+    (b1, j) <- Seq(0.0, 0.5, 1.0, 1.5707963267948966).zipWithIndex
+  } yield (i * 4 + j, c1, b1)
+  private val f21Shape = {
+    val u = "((160.0E0 - xc) / 50.0E0)"
+    val scanned = s"c1*c1 * power($u, 1.0E0 + cos(b1) * cos(b1))"
+    val fixed = (2 until 6).map(o =>
+      s"0.25E0 * power($u, ${o}.0E0 + cos(0.5E0) * cos(0.5E0))")
+    s"(0.25E0 + $scanned + ${fixed.mkString(" + ")})"
+  }
+  private def f21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gridScan(s, dir, f21Grid.toDF("pid", "c1", "b1"), Seq("c1", "b1"),
+      f21Shape, "1e9", Seq("c1" -> "c1", "b1" -> "b1"))
+  }
+  private lazy val f21Sql = gridScanSql("pid, c1, b1",
+    f21Grid.map { case (p, a, b) => s"($p, ${a}E0, ${b}E0)" }.mkString(", "),
+    Seq("c1", "b1"), f21Shape, "1e9", Seq("c1" -> "c1", "b1" -> "b1"))
+
+  // ---- f19: bwZPlusLinear two-component mixture grid scan -----------------
+  // stage3/fit_models.py:294-322 (RooAddPdf of bwExpMmumu and
+  // linMmumu): f13's per-component-norm machinery over the two FREE
+  // RooRealVars once width/mZ are setConstant — expParam [−0.1, 0.1]
+  // and mix1 [0, 1] (slope/offset at their −0.2/39 inits keep the line
+  // positive on the window). bw spans ~1e-10..2e4 over the exp range,
+  // so both components quantize at 1e13 (fits BIGINT with the 40-bin
+  // norm; no underflow at the falling edge).
+  private val f19BwShape =
+    "(exp(xc * ep) * 2.5E0 / (power(xc - 91.2E0, 2.0E0) + 0.25E0 * power(2.5E0, 2.0E0)))"
+  private val f19LinShape = "(-0.2E0 * xc + 39.0E0)"
+  private val f19Frac =
+    "(mix * (CAST(sb_q AS DOUBLE) / CAST(nb_q AS DOUBLE))" +
+      " + (1.0E0 - mix) * (CAST(sp_q AS DOUBLE) / CAST(np_q AS DOUBLE)))"
+  private val f19ChiTermSql =
+    "CAST(FLOOR(" +
+      s"power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * $f19Frac, 2.0E0)" +
+      s" / (CAST(n_tot AS DOUBLE) * $f19Frac)" +
+      " * 1e6 + 0.5) AS BIGINT)"
+  private def f19ParamsSql: String =
+    (for (i <- 0 until 11; j <- 0 until 9) yield
+      s"(${i * 9 + j}, CAST($i - 5 AS DOUBLE) / 50.0E0, 0.1E0 + $j * 0.1E0)")
+      .mkString(", ")
+  private def f19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = (for (i <- 0 until 11; j <- 0 until 9) yield
+      (i * 9 + j, (i - 5).toDouble / 50.0, 0.1 + j * 0.1))
+      .toDF("pid", "ep", "mix")
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("sb_q", expr(s"CAST(FLOOR($f19BwShape * 1e13 + 0.5) AS BIGINT)"))
+      .withColumn("sp_q", expr(s"CAST(FLOOR($f19LinShape * 1e13 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("nb_q", sum(col("sb_q")).over(w))
+      .withColumn("np_q", sum(col("sp_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    withNorm
+      .select(col("pid"), col("ep"), col("mix"), expr(f19ChiTermSql).as("tq"))
+      .groupBy(col("pid"), col("ep"), col("mix"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("ep").cast("float").as("exp_param"),
+        col("mix").cast("float").as("mix1"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f19Sql =
+    s"""WITH params(pid, ep, mix) AS (VALUES $f19ParamsSql),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.ep, p.mix, b.bin,
+       |  CAST(FLOOR($f19BwShape * 1e13 + 0.5) AS BIGINT) AS sb_q,
+       |  CAST(FLOOR($f19LinShape * 1e13 + 0.5) AS BIGINT) AS sp_q
+       | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *,
+       |  SUM(sb_q) OVER (PARTITION BY pid) AS nb_q,
+       |  SUM(sp_q) OVER (PARTITION BY pid) AS np_q
+       | FROM shapes),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes2 s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, ep, mix,
+       |  CAST(SUM($f19ChiTermSql) AS BIGINT) AS chi2_micro
+       | FROM wn GROUP BY 1, 2, 3)
+       |SELECT rank, pid, CAST(ep AS REAL) AS exp_param,
+       | CAST(mix AS REAL) AS mix1, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
+  // ---- f20: bwZGammaPlusLinear THREE-component mixture grid scan ----------
+  // stage3/fit_models.py:329-380: RooAddPdf(lin, bwExp, phoExp;
+  // mix1, mix2) — non-recursive fractions, so the expected fraction is
+  //   mix1·N(lin) + mix2·N(bw) + (1−mix1−mix2)·N(pho),
+  // THREE exact-integer component norms. In this variant expParam/mix1/
+  // mix2 are setConstant (−0.0053 / 0.10 / 0.39); the free parameters
+  // are the line's (slope, offset), scanned inside the window's
+  // positive region. All three components quantize at 1e13 (the pho
+  // component's exp(−0.0053·x)/x² ≈ 2e-5 floor is comfortably nonzero).
+  private val f20BwShape =
+    "(exp(xc * -0.0053E0) * 2.5E0 / (power(xc - 91.2E0, 2.0E0) + 0.25E0 * power(2.5E0, 2.0E0)))"
+  private val f20PhoShape = "(exp(xc * -0.0053E0) * power(xc, -2.0E0))"
+  private val f20LinShape = "(sl * xc + of)"
+  private val f20Frac =
+    "(0.10E0 * (CAST(sl_q AS DOUBLE) / CAST(nl_q AS DOUBLE))" +
+      " + 0.39E0 * (CAST(sb_q AS DOUBLE) / CAST(nb_q AS DOUBLE))" +
+      " + (1.0E0 - 0.10E0 - 0.39E0) * (CAST(sp_q AS DOUBLE) / CAST(np_q AS DOUBLE)))"
+  private val f20ChiTermSql =
+    "CAST(FLOOR(" +
+      s"power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * $f20Frac, 2.0E0)" +
+      s" / (CAST(n_tot AS DOUBLE) * $f20Frac)" +
+      " * 1e6 + 0.5) AS BIGINT)"
+  private val f20Grid: Seq[(Int, Double, Double)] = for {
+    (sl, i) <- Seq(-0.05, -0.1, -0.2, -0.4).zipWithIndex
+    (of, j) <- Seq(39.0, 80.0, 160.0, 320.0).zipWithIndex
+  } yield (i * 4 + j, sl, of)
+  private def f20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val params = f20Grid.toDF("pid", "sl", "of")
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val shapes = params.crossJoin(bins)
+      .withColumn("sl_q", expr(s"CAST(FLOOR($f20LinShape * 1e13 + 0.5) AS BIGINT)"))
+      .withColumn("sb_q", expr(s"CAST(FLOOR($f20BwShape * 1e13 + 0.5) AS BIGINT)"))
+      .withColumn("sp_q", expr(s"CAST(FLOOR($f20PhoShape * 1e13 + 0.5) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val withNorm = shapes
+      .withColumn("nl_q", sum(col("sl_q")).over(w))
+      .withColumn("nb_q", sum(col("sb_q")).over(w))
+      .withColumn("np_q", sum(col("sp_q")).over(w))
+      .join(hist, Seq("bin"))
+      .withColumn("n_tot", sum(col("n_b")).over(w))
+    withNorm
+      .select(col("pid"), col("sl"), col("of"), expr(f20ChiTermSql).as("tq"))
+      .groupBy(col("pid"), col("sl"), col("of"))
+      .agg(sum(col("tq")).as("chi2_micro"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("pid"))))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("pid"),
+        col("sl").cast("float").as("slope"),
+        col("of").cast("float").as("offset"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f20Sql =
+    s"""WITH params(pid, sl, of) AS (VALUES ${
+        f20Grid.map { case (p, a, b) => s"($p, ${a}E0, ${b}E0)" }.mkString(", ")}),
+       |bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |shapes AS (
+       | SELECT p.pid, p.sl, p.of, b.bin,
+       |  CAST(FLOOR($f20LinShape * 1e13 + 0.5) AS BIGINT) AS sl_q,
+       |  CAST(FLOOR($f20BwShape * 1e13 + 0.5) AS BIGINT) AS sb_q,
+       |  CAST(FLOOR($f20PhoShape * 1e13 + 0.5) AS BIGINT) AS sp_q
+       | FROM params p, bins b),
+       |shapes2 AS (
+       | SELECT *,
+       |  SUM(sl_q) OVER (PARTITION BY pid) AS nl_q,
+       |  SUM(sb_q) OVER (PARTITION BY pid) AS nb_q,
+       |  SUM(sp_q) OVER (PARTITION BY pid) AS np_q
+       | FROM shapes),
+       |wn AS (
+       | SELECT s.*, h.n_b,
+       |  SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+       | FROM shapes2 s JOIN hist h USING (bin)),
+       |chi AS (
+       | SELECT pid, sl, of,
+       |  CAST(SUM($f20ChiTermSql) AS BIGINT) AS chi2_micro
+       | FROM wn GROUP BY 1, 2, 3)
+       |SELECT rank, pid, CAST(sl AS REAL) AS slope,
+       | CAST(of AS REAL) AS offset, chi2_micro
+       |FROM (
+       | SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rank
+       | FROM chi)
+       |WHERE rank <= 3 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f20_bwzgl_mix_scan" -> (f20 _),
+    "f19_bwzl_mix_scan" -> (f19 _),
+    "f21_h2mupolypow_scan" -> (f21 _),
+    "f18_h2mupolyf_scan" -> (f18 _),
+    "f17_bwzredux_fixed_scan" -> (f17 _),
+    "f16_hgg_exp_scan" -> (f16 _),
+    "f15_linear_scan" -> (f15 _),
     "f14_h2mupoly_scan" -> (f14 _),
     "f13_bwzgamma_scan" -> (f13 _),
     "f12_chebyshev_scan" -> (f12 _),
@@ -1243,6 +1551,13 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f20_bwzgl_mix_scan" -> f20Sql,
+    "f19_bwzl_mix_scan" -> f19Sql,
+    "f21_h2mupolypow_scan" -> f21Sql,
+    "f18_h2mupolyf_scan" -> f18Sql,
+    "f17_bwzredux_fixed_scan" -> f17Sql,
+    "f16_hgg_exp_scan" -> f16Sql,
+    "f15_linear_scan" -> f15Sql,
     "f14_h2mupoly_scan" -> f14Sql,
     "f13_bwzgamma_scan" -> f13Sql,
     "f12_chebyshev_scan" -> f12Sql,

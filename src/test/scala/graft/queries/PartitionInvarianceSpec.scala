@@ -45,10 +45,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     // Bernstein), the guarded-element LHE cascade over an in-row jagged
     // array, and the keyed STXS broadcast-lookup weight fan-out
     "f09_bwgamma_scan", "f10_bernstein_scan",
-    // f13 carries the TWO-component norm (RooAddPdf replay): both
-    // component norms are exact-integer window folds, so the mixture
-    // fraction is partition-invariant too
-    "f13_bwzgamma_scan",
+    // f13/f20 carry the TWO- and THREE-component norms (RooAddPdf
+    // replay): every component norm is an exact-integer window fold,
+    // so the mixture fraction is partition-invariant too
+    "f13_bwzgamma_scan", "f20_bwzgl_mix_scan",
     "l25_lhe_scale_weights", "l26_stxs_thu")
 
   private def runAt(name: String, parts: String): Seq[String] = {
