@@ -1526,7 +1526,107 @@ object FitQueries extends QueryFamily {
        | FROM chi)
        |WHERE rank <= 3 ORDER BY rank""".stripMargin
 
+  // ---- f22: cross-family min-chi2 model selection --------------------------
+  // The selection step of stage3/fitter.py:36-51: fit the SIX families
+  // the reference's Fitter instantiates (fitter.py:74-81 — bwz,
+  // bwz_redux, bwgamma, bernstein, dcb, chebyshev), then keep the
+  // family with the lowest chi2 (pandas idxmin per group). Engine
+  // shape: the 40-bin data histogram is built ONCE and checkpointed;
+  // each family's grid-best chi2 comes from its (data-independent)
+  // shape table against that one histogram — six families cost one
+  // corpus scan. Per-family winner = (min chi2, then min pid);
+  // families ranked by their winner's chi2.
+  private val f22Families: Seq[(String, String, String, String, String)] = Seq(
+    // (family, paramsDecl, paramsSql, shapeSql, quantum)
+    ("bwz", "pid, ep", (0 until 125).map(k =>
+      s"($k, CAST($k - 62 AS DOUBLE) / 6200.0E0)").mkString(", "),
+      f11Shape, "1e9"),
+    ("bwz_redux", "pid, a1, a2, a3", f07ParamsSql, f07Shape, "1e9"),
+    ("bwgamma", "pid, ep", (0 until 125).map(k =>
+      s"($k, CAST($k - 62 AS DOUBLE) / 620.0E0)").mkString(", "),
+      f09Shape, "1e15"),
+    ("bernstein", "pid, c1, c2, c3, c4", f10ParamsSql, f10Shape, "1e9"),
+    ("dcb", "pid, mu, sg", f08ParamsSql, f08Shape, "1e9"),
+    ("chebyshev", "pid, c0, c1, c2", f12Grid.map { case (p, a, b, c) =>
+      s"($p, ${a}E0, ${b}E0, ${c}E0)" }.mkString(", "), f12Shape, "1e9"))
+  private def f22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR(m - 110.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+      .localCheckpoint() // one corpus scan feeds all six families
+    val bins = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val perFamily = f22Families.map { case (fam, decl, paramsSql, shape, quantum) =>
+      // params via the SAME literal text as the oracle (one source)
+      val cols = decl.split(",").map(_.trim)
+      val params = s.sql(
+        s"SELECT * FROM VALUES $paramsSql AS t(${cols.mkString(", ")})")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+      val chi = params.crossJoin(bins)
+        .withColumn("s_q", expr(s"CAST(FLOOR($shape * $quantum + 0.5) AS BIGINT)"))
+        .withColumn("norm_q", sum(col("s_q")).over(w))
+        .join(hist, Seq("bin"))
+        .withColumn("n_tot", sum(col("n_b")).over(w))
+        .select(col("pid"), chi2Term.as("tq"))
+        .groupBy(col("pid")).agg(sum(col("tq")).as("chi2_micro"))
+      chi.select(lit(fam).as("family"), col("pid"), col("chi2_micro"))
+    }
+    val all = perFamily.reduce(_ unionAll _)
+    val wBest = org.apache.spark.sql.expressions.Window.partitionBy(col("family"))
+      .orderBy(col("chi2_micro"), col("pid"))
+    all.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("family"))))
+      .select(col("rank"), col("family"), col("pid").as("best_pid"),
+        col("chi2_micro"))
+      .orderBy(col("rank"))
+  }
+  private lazy val f22Sql = {
+    val famBlocks = f22Families.map { case (fam, decl, paramsSql, shape, quantum) =>
+      s"""params_$fam($decl) AS (VALUES $paramsSql),
+         |shapes_$fam AS (
+         | SELECT p.pid, b.bin,
+         |  CAST(FLOOR($shape * $quantum + 0.5) AS BIGINT) AS s_q
+         | FROM params_$fam p, bins b),
+         |shapes2_$fam AS (
+         | SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q
+         | FROM shapes_$fam),
+         |chi_$fam AS (
+         | SELECT '$fam' AS family, pid, $chi2SumSql AS chi2_micro
+         | FROM (
+         |  SELECT s.*, h.n_b,
+         |   SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+         |  FROM shapes2_$fam s JOIN hist h USING (bin))
+         | GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val union = f22Families.map { case (fam, _, _, _, _) =>
+      s"SELECT * FROM chi_$fam" }.mkString(" UNION ALL ")
+    s"""WITH bins AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |hist AS (
+       | SELECT CAST(FLOOR(m - 110.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |$famBlocks,
+       |allfam AS ($union),
+       |best AS (
+       | SELECT * FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY family ORDER BY chi2_micro, pid) AS rn
+       |  FROM allfam)
+       | WHERE rn = 1)
+       |SELECT ROW_NUMBER() OVER (ORDER BY chi2_micro, family) AS rank,
+       | family, pid AS best_pid, chi2_micro
+       |FROM best ORDER BY rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f22_family_selection" -> (f22 _),
     "f20_bwzgl_mix_scan" -> (f20 _),
     "f19_bwzl_mix_scan" -> (f19 _),
     "f21_h2mupolypow_scan" -> (f21 _),
@@ -1551,6 +1651,7 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f22_family_selection" -> f22Sql,
     "f20_bwzgl_mix_scan" -> f20Sql,
     "f19_bwzl_mix_scan" -> f19Sql,
     "f21_h2mupolypow_scan" -> f21Sql,
