@@ -530,6 +530,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("l26 STXS lookup is the keyed broadcast plan shape") {
+    val plan = planOf(WeightVariationQueries.queries("l26_stxs_thu")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"25-row STXS dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("l25 LHE cascade is a single-scan projection: no join, no explode") {
+    val plan = planOf(
+      WeightVariationQueries.queries("l25_lhe_scale_weights")(spark, dir))
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"jagged array exploded instead of staying in-row:\n$plan")
+  }
+
   test("s14 ROOT flagship prunes the tree scan to the two needed branches") {
     val df = StageQueries.queries("s14_root_stage1")(spark, dir)
     val plan = planOf(df)
