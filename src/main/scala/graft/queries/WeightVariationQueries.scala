@@ -218,12 +218,61 @@ object WeightVariationQueries extends QueryFamily {
        |ORDER BY ev.event_id""".stripMargin
   }
 
+  // ---- l27: PDF MC-replica fan-out (the 2016 branch) -----------------------
+  // `stage1/corrections/pdf_variations.py:5-21`: the pre-NNPDF-3.1 era
+  // materializes the first `max_replicas` LHEPdfWeight replicas as
+  // per-event columns pdf_mcreplica0..99 and NaN-pads the rest, where
+  // max_replicas depends on the dataset (dy → 100, ewk → 33, else
+  // 100). The 2rms branch (:21-28) is a09. Same in-row jagged-array
+  // discipline as l25: 100 element picks from one transform'd array,
+  // no explode, no join — a pure single-scan projection however many
+  // replica columns fan out. (Spot-check: ewk rows carry NaN from
+  // column 33 on; dy/ttbar rows are fully populated.)
+  private val l27Reps = 100
+  private def l27ElemSql(k: String) =
+    s"(0.9 + ((event_id * 13 + $k * 7) % 21) / 100.0)"
+  private def l27(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+    val base = ev.select(col("event_id"),
+        expr("CASE user_id % 3 WHEN 0 THEN 'dy_m105_160_amc' WHEN 1 THEN 'ewk_lljj' ELSE 'ttjets_dl' END").as("dataset"))
+      .withColumn("max_replicas",
+        expr("CASE WHEN dataset LIKE '%dy%' THEN 100 WHEN dataset LIKE '%ewk%' THEN 33 ELSE 100 END"))
+      .withColumn("pdfw", expr(
+        s"transform(sequence(0, ${l27Reps - 1}), k -> ${l27ElemSql("k")})"))
+    val reps = (0 until l27Reps).map { i =>
+      expr(s"CASE WHEN $i < max_replicas THEN element_at(pdfw, ${i + 1}) " +
+        "ELSE CAST('NaN' AS DOUBLE) END")
+        .cast("float").as(s"pdf_mcreplica$i")
+    }
+    base.select((Seq(col("event_id"), col("dataset"), col("max_replicas")) ++ reps): _*)
+      .orderBy(col("event_id"))
+  }
+  private val l27Sql: String = {
+    val reps = (0 until l27Reps).map { i =>
+      s"CAST(CASE WHEN $i < max_replicas THEN ${l27ElemSql(i.toString)} " +
+        s"ELSE CAST('NaN' AS DOUBLE) END AS REAL) AS pdf_mcreplica$i"
+    }.mkString(",\n ")
+    s"""WITH base AS (
+       | SELECT event_id,
+       |  CASE user_id % 3 WHEN 0 THEN 'dy_m105_160_amc' WHEN 1 THEN 'ewk_lljj' ELSE 'ttjets_dl' END AS dataset
+       | FROM events),
+       |b2 AS (
+       | SELECT *,
+       |  CASE WHEN dataset LIKE '%dy%' THEN 100 WHEN dataset LIKE '%ewk%' THEN 33 ELSE 100 END AS max_replicas
+       | FROM base)
+       |SELECT event_id, dataset, max_replicas,
+       | $reps
+       |FROM b2 ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l27_pdf_mcreplica" -> (l27 _),
     "l25_lhe_scale_weights" -> (l25 _),
     "l26_stxs_thu" -> (l26 _)
   )
 
   val oracle: Map[String, String] = Map(
+    "l27_pdf_mcreplica" -> l27Sql,
     "l25_lhe_scale_weights" -> l25Sql,
     "l26_stxs_thu" -> l26Sql
   )
