@@ -1451,10 +1451,23 @@ object FitQueries extends QueryFamily {
       s"power(CAST(n_b AS DOUBLE) - CAST(n_tot AS DOUBLE) * $f20Frac, 2.0E0)" +
       s" / (CAST(n_tot AS DOUBLE) * $f20Frac)" +
       " * 1e6 + 0.5) AS BIGINT)"
-  private val f20Grid: Seq[(Int, Double, Double)] = for {
-    (sl, i) <- Seq(-0.05, -0.1, -0.2, -0.4).zipWithIndex
-    (of, j) <- Seq(39.0, 80.0, 160.0, 320.0).zipWithIndex
-  } yield (i * 4 + j, sl, of)
+  private val f20Grid: Seq[(Int, Double, Double)] = {
+    val g = for {
+      (sl, i) <- Seq(-0.05, -0.1, -0.2, -0.4).zipWithIndex
+      (of, j) <- Seq(64.0, 80.0, 160.0, 320.0).zipWithIndex
+    } yield (i * 4 + j, sl, of)
+    // positivity invariant: the linear component must be positive over
+    // the whole [110,150] window (sl<0 ⇒ minimum at x=150), otherwise
+    // the s/norm chi2 denominator crosses zero and CAST(inf AS BIGINT)
+    // clamps in Spark but errors in DuckDB (engine/oracle divergence).
+    // Round-11 advice fix: of=39 paired with sl=-0.4 violated this
+    // (root at x=97.5) and survived only because the sign was uniform.
+    g.foreach { case (_, sl, of) =>
+      require(sl * 150.0 + of > 0,
+        s"f20 grid point (sl=$sl, of=$of) not positive over the window")
+    }
+    g
+  }
   private def f20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val params = f20Grid.toDF("pid", "sl", "of")

@@ -93,7 +93,12 @@ object ShapeDatacards {
     // shape fit: every rate is 1, normalizations live in the workspace
     sb.append("bin " + (0 to channels.size).map(_ => s"cat$category").mkString(" ") + "\n")
     sb.append("process " + (channels.map(_ + "_hmm") :+ "bkg").mkString(" ") + "\n")
-    sb.append("process " + (channels.indices.map(i => i - channels.size) :+ 1).mkString(" ") + "\n")
+    // signal process ids: reference makeshapebased_datacard.py emits
+    // -len(Channels)+isig with isig starting at 1, i.e. -(n-1)..0 —
+    // combine treats any id <= 0 as signal, and the reference's exact
+    // row is reproduced here (round-11 advice fix; round 10 emitted
+    // -n..-1, combine-valid but not format-faithful)
+    sb.append("process " + (channels.indices.map(i => i - channels.size + 1) :+ 1).mkString(" ") + "\n")
     sb.append("rate " + (0 to channels.size).map(_ => "1").mkString(" ") + "\n")
     sb.append("-" * 40).append('\n')
     // one nuisance cell per process column (channels..., bkg). The

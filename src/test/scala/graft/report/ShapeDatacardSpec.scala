@@ -49,9 +49,11 @@ class ShapeDatacardSpec extends SparkSpec {
     assert(lines.contains(
       "shapes bkg cat0_2018 workspace_125_bwzr_0_2018.txt w:bkg_cat0_2018_pdf"))
     assert(lines.contains("observation -1"))
-    // process block: signal ids <= 0, bkg = 1, all rates 1
+    // process block: signal ids -(n-1)..0 exactly as the reference's
+    // makeshapebased_datacard.py emits (-len(Channels)+isig, isig from
+    // 1), bkg = 1, all rates 1
     assert(lines.contains("process ggh_hmm qqh_hmm bkg"))
-    assert(lines.contains("process -2 -1 1"))
+    assert(lines.contains("process -1 0 1"))
     assert(lines.contains("rate 1 1 1"))
     // nuisance matrix: one cell per process column
     assert(lines.contains("lumi_13TeV_2018 lnN 1.007 1.007 -"))
