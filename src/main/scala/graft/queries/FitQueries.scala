@@ -1638,7 +1638,244 @@ object FitQueries extends QueryFamily {
        |FROM best ORDER BY rank""".stripMargin
   }
 
+  // ---- f23: iterated unbinned weighted-NLL fit (the ACTUAL ML fit) --------
+  // The one reference capability the grid scans (f07-f21) deliberately
+  // discretize away: stage3/fitter.py:160-175 runs RooAbsPdf::fitTo —
+  // an ITERATED unbinned maximum-likelihood minimization over the
+  // event-level mass column, weighted by the per-event lumi weight
+  // (fitter.py:73 `norm = df.lumi_wgt.sum()`; the RooDataSet carries
+  // event weights). This is that minimization for the bwZredux family
+  // (fit_models.py:86-105), engine-side end to end:
+  //
+  //   pdf(x; a1, a2) ∝ exp(a2·t + a3f·t²) · 2.5 / ((x−91.2)^a1 + 1.25^a1),
+  //   t = x/100, window [110, 150), a3 fixed at −0.30, boxes from the
+  //   RooRealVar ranges (a1 ∈ [0.7, 2.1], a2 ∈ [0.30, 0.62]), Newton
+  //   start = the RooRealVar inits (1.39, 0.46).
+  //
+  // Weighted NLL(θ) = −Σᵢ wᵢ·ln pdf(xᵢ; θ). a2 is exponential-family
+  // (sufficient statistic Σ wᵢtᵢ, computed ONCE), but a1 sits inside
+  // the per-event ln((x−91.2)^a1 + 1.25^a1) term — so every Newton
+  // step genuinely needs one corpus aggregation: Σ w·q and Σ w·r with
+  // q = ∂a1 lnD, r = ∂²a1 lnD over the cached (x, t, la, w) projection.
+  // The window integral N(θ) and its moments come from a fixed 400-
+  // point midpoint quadrature — data-independent driver math. Each
+  // Newton step is then
+  //   g = (Σwq − Sw·E[q],  −Σwt + Sw·E[t])
+  //   H = [[Σwr + Sw·(E[q²]−E[r]−E[q]²),  −Sw·(E[tq]−E[t]E[q])],
+  //        [·,                             Sw·(E[t²]−E[t]²)]]
+  //   θ ← clamp(θ − H⁻¹g)   (6 fixed iterations; converged ~1e-8 by 5,
+  //                          final point > 0.05 from every box edge)
+  // with the driver holding O(1) state (f03's discipline); the oracle
+  // replays every step as chained CTEs re-scanning `ev`. Determinism:
+  // every corpus and quadrature sum is FLOOR(v·1e12 + 0.5)-quantized
+  // (order-independent integer folds; bounded: |v| ≤ 0.05 per event ⇒
+  // < 9.2e18 up to ~1e8 events — at larger scale drop the quantum),
+  // outputs cast float32 to absorb JVM-vs-libm exp/pow last-ulp drift.
+  // Event weights w = bwZredux shape at (1.8, 0.40, −0.30): the
+  // synthetic uniform mass column importance-weighted to an actual
+  // falling line shape, so the MLE is interior (≈ (1.873, 0.564)) and
+  // the clamp path is exercised exactly once (a2 hits 0.30 on step 1,
+  // leaves on step 2) — an all-interior trajectory both engines must
+  // reproduce. Cross-check vs f07's discretization: NllCrossCheckSpec
+  // asserts the Newton NLL beats the best of f07's 125 grid candidates
+  // evaluated on the same weighted NLL objective.
+  private val f23A3F = -0.30
+  private val f23Iters = 6
+  private val f23Quantum = 1e12
+  private val f23MassSql = "(110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0)"
+  private val f23WSql =
+    "(exp(0.40E0 * t - 0.30E0 * t * t) * 2.5E0" +
+      " / (power(x - 91.2E0, 1.8E0) + power(1.25E0, 1.8E0)))"
+  /** 400-point midpoint quadrature of the pdf moments at (a1, a2):
+    * returns (Wq, E[t], E[t²], E[q], E[q²], E[r], E[tq]) with Wq the
+    * 1e12-quantized integer mass (lnN = ln(Wq/1e12 · 0.1)). */
+  private def f23Quad(a1: Double, a2: Double)
+      : (Long, Double, Double, Double, Double, Double, Double) = {
+    val lb = math.log(1.25)
+    var wS = 0L; var t1S = 0L; var t2S = 0L; var qS = 0L
+    var q2S = 0L; var rS = 0L; var tqS = 0L
+    def fl(v: Double): Long = math.floor(v * f23Quantum + 0.5).toLong
+    var g = 0
+    while (g < 400) {
+      val x = 110.0 + (g + 0.5) / 10.0
+      val t = x / 100.0
+      val la = math.log(x - 91.2)
+      val a = math.pow(x - 91.2, a1); val b = math.pow(1.25, a1)
+      val d = a + b
+      val q = (a * la + b * lb) / d
+      val r = (a * la * la + b * lb * lb) / d - q * q
+      val w = math.exp(a2 * t + f23A3F * t * t) * 2.5 / d
+      wS += fl(w); t1S += fl(t * w); t2S += fl(t * t * w); qS += fl(q * w)
+      q2S += fl(q * q * w); rS += fl(r * w); tqS += fl(t * q * w)
+      g += 1
+    }
+    val wd = wS.toDouble
+    (wS, t1S / wd, t2S / wd, qS / wd, q2S / wd, rS / wd, tqS / wd)
+  }
+  private def f23(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "lineitem")
+      .select(expr(f23MassSql).as("x"))
+      .select(col("x"), expr("x / 100.0E0").as("t"),
+        expr("ln(x - 91.2E0)").as("la"))
+      .withColumn("w", expr(f23WSql))
+      .localCheckpoint() // every Newton round re-reads THIS projection
+    val q12 = f23Quantum
+    val const = ev.agg(
+      count(lit(1)).as("n"),
+      sum(expr(s"CAST(FLOOR(w * $q12 + 0.5) AS BIGINT)")).as("swq"),
+      sum(expr(s"CAST(FLOOR(w * t * $q12 + 0.5) AS BIGINT)")).as("s1wq"),
+      sum(expr(s"CAST(FLOOR(w * t * t * $q12 + 0.5) AS BIGINT)")).as("s2wq"))
+      .localCheckpoint()
+    val c = const.head()
+    val sw = c.getLong(1) / q12
+    val s1w = c.getLong(2) / q12
+    val s2w = c.getLong(3) / q12
+    // one corpus aggregation per Newton step (a1 changes the per-event
+    // term); a1 rides in as CAST('…' AS DOUBLE) so the driver double
+    // round-trips exactly
+    def corpus(a1: Double): (Double, Double, Double) = {
+      val a1s = s"CAST('$a1' AS DOUBLE)"
+      val r = ev
+        .withColumn("aa", expr(s"power(x - 91.2E0, $a1s)"))
+        .withColumn("bb", expr(s"power(1.25E0, $a1s)"))
+        .withColumn("dd", expr("aa + bb"))
+        .withColumn("q", expr("(aa * la + bb * ln(1.25E0)) / dd"))
+        .withColumn("r", expr(
+          "(aa * la * la + bb * ln(1.25E0) * ln(1.25E0)) / dd - q * q"))
+        .agg(
+          sum(expr(s"CAST(FLOOR(w * q * $q12 + 0.5) AS BIGINT)")).as("sqq"),
+          sum(expr(s"CAST(FLOOR(w * r * $q12 + 0.5) AS BIGINT)")).as("srq"),
+          sum(expr(s"CAST(FLOOR(w * ln(dd) * $q12 + 0.5) AS BIGINT)")).as("sdq"))
+        .head()
+      (r.getLong(0) / q12, r.getLong(1) / q12, r.getLong(2) / q12)
+    }
+    var a1 = 1.39; var a2 = 0.46 // RooRealVar inits, fit_models.py:87-88
+    for (_ <- 1 to f23Iters) {
+      val (sq, sr, _) = corpus(a1)
+      val (_, et, et2, eq, eq2, er, etq) = f23Quad(a1, a2)
+      val g1 = sq - sw * eq
+      val g2 = -s1w + sw * et
+      val h11 = sr + sw * (eq2 - er - eq * eq)
+      val h12 = -sw * (etq - et * eq)
+      val h22 = sw * (et2 - et * et)
+      val det = h11 * h22 - h12 * h12
+      a1 = math.min(math.max(a1 - (h22 * g1 - h12 * g2) / det, 0.7), 2.1)
+      a2 = math.min(math.max(a2 - (h11 * g2 - h12 * g1) / det, 0.30), 0.62)
+    }
+    val (_, _, sd) = corpus(a1)
+    val lnN = math.log(f23Quad(a1, a2)._1 / q12 * 0.1)
+    val nllW =
+      (-(a2 * s1w + f23A3F * s2w + sw * math.log(2.5) - sd) + sw * lnN) / sw
+    const.select(col("n").as("n_events"),
+      (col("swq") / q12).cast("float").as("eff_n"),
+      lit(a1).cast("float").as("a1_hat"),
+      lit(a2).cast("float").as("a2_hat"),
+      lit(nllW).cast("float").as("nll_w"))
+  }
+  private lazy val f23Sql = {
+    val q12 = "1e12"
+    val lb = "LN(1.25E0)"
+    // per-iteration blocks: corpus (Σwq, Σwr) at a1_{k-1}, quadrature
+    // moments at θ_{k-1}, Newton step, clamp
+    val iters = (1 to f23Iters).map { k =>
+      val p = s"it${k - 1}"
+      s"""corp$k AS (
+         | SELECT CAST(SUM(CAST(FLOOR(w * q * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS sqq,
+         |        CAST(SUM(CAST(FLOOR(w * r * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS srq
+         | FROM (
+         |  SELECT w, (aa * la + bb * $lb) / dd AS q,
+         |   (aa * la * la + bb * $lb * $lb) / dd
+         |    - ((aa * la + bb * $lb) / dd) * ((aa * la + bb * $lb) / dd) AS r
+         |  FROM (
+         |   SELECT e.w, e.la, power(e.x - 91.2E0, i.a1) AS aa,
+         |          power(1.25E0, i.a1) AS bb,
+         |          power(e.x - 91.2E0, i.a1) + power(1.25E0, i.a1) AS dd
+         |   FROM ev e, $p i))),
+         |qd$k AS (
+         | SELECT CAST(SUM(CAST(FLOOR(w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS wq,
+         |        CAST(SUM(CAST(FLOOR(t * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS t1q,
+         |        CAST(SUM(CAST(FLOOR(t * t * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS t2q,
+         |        CAST(SUM(CAST(FLOOR(q * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS qq,
+         |        CAST(SUM(CAST(FLOOR(q * q * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS q2q,
+         |        CAST(SUM(CAST(FLOOR(r * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS rq,
+         |        CAST(SUM(CAST(FLOOR(t * q * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS tqq
+         | FROM (
+         |  SELECT t, q, r, exp(a2 * t + -0.30E0 * t * t) * 2.5E0 / dd AS w
+         |  FROM (
+         |   SELECT t, a2, (aa * la + bb * $lb) / dd AS q,
+         |    (aa * la * la + bb * $lb * $lb) / dd
+         |     - ((aa * la + bb * $lb) / dd) * ((aa * la + bb * $lb) / dd) AS r,
+         |    dd
+         |   FROM (
+         |    SELECT g.t, g.la, i.a2, power(g.x - 91.2E0, i.a1) AS aa,
+         |           power(1.25E0, i.a1) AS bb,
+         |           power(g.x - 91.2E0, i.a1) + power(1.25E0, i.a1) AS dd
+         |    FROM grid g, $p i)))),
+         |mom$k AS (
+         | SELECT CAST(t1q AS DOUBLE) / CAST(wq AS DOUBLE) AS et,
+         |        CAST(t2q AS DOUBLE) / CAST(wq AS DOUBLE) AS et2,
+         |        CAST(qq AS DOUBLE) / CAST(wq AS DOUBLE) AS eq,
+         |        CAST(q2q AS DOUBLE) / CAST(wq AS DOUBLE) AS eq2,
+         |        CAST(rq AS DOUBLE) / CAST(wq AS DOUBLE) AS er,
+         |        CAST(tqq AS DOUBLE) / CAST(wq AS DOUBLE) AS etq
+         | FROM qd$k),
+         |stp$k AS (
+         | SELECT i.a1, i.a2,
+         |  CAST(c.sqq AS DOUBLE) / $q12 - cn.sw * m.eq AS g1,
+         |  -cn.s1w + cn.sw * m.et AS g2,
+         |  CAST(c.srq AS DOUBLE) / $q12 + cn.sw * (m.eq2 - m.er - m.eq * m.eq) AS h11,
+         |  -cn.sw * (m.etq - m.et * m.eq) AS h12,
+         |  cn.sw * (m.et2 - m.et * m.et) AS h22
+         | FROM $p i, corp$k c, mom$k m, cn),
+         |it$k AS (
+         | SELECT
+         |  LEAST(GREATEST(a1 - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), 0.7E0), 2.1E0) AS a1,
+         |  LEAST(GREATEST(a2 - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), 0.30E0), 0.62E0) AS a2
+         | FROM stp$k)"""
+    }.mkString(",\n").stripMargin
+    s"""WITH ev AS (
+       | SELECT x, t, la,
+       |  exp(0.40E0 * t - 0.30E0 * t * t) * 2.5E0
+       |   / (power(x - 91.2E0, 1.8E0) + power(1.25E0, 1.8E0)) AS w
+       | FROM (SELECT m AS x, m / 100.0E0 AS t, LN(m - 91.2E0) AS la
+       |       FROM (SELECT $f23MassSql AS m FROM lineitem))),
+       |const AS (
+       | SELECT COUNT(*) AS n,
+       |  CAST(SUM(CAST(FLOOR(w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS swq,
+       |  CAST(SUM(CAST(FLOOR(w * t * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS s1wq,
+       |  CAST(SUM(CAST(FLOOR(w * t * t * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS s2wq
+       | FROM ev),
+       |cn AS (
+       | SELECT CAST(swq AS DOUBLE) / $q12 AS sw,
+       |        CAST(s1wq AS DOUBLE) / $q12 AS s1w,
+       |        CAST(s2wq AS DOUBLE) / $q12 AS s2w
+       | FROM const),
+       |grid AS (
+       | SELECT x, x / 100.0E0 AS t, LN(x - 91.2E0) AS la FROM (
+       |  SELECT 110.0E0 + (CAST(g AS DOUBLE) + 0.5E0) / 10.0E0 AS x
+       |  FROM (SELECT unnest(generate_series(0, 399)) AS g))),
+       |it0 AS (SELECT CAST(1.39E0 AS DOUBLE) AS a1, CAST(0.46E0 AS DOUBLE) AS a2),
+       |$iters,
+       |fincorp AS (
+       | SELECT CAST(SUM(CAST(FLOOR(w * LN(power(x - 91.2E0, i.a1) + power(1.25E0, i.a1)) * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS sdq
+       | FROM ev, it$f23Iters i),
+       |finquad AS (
+       | SELECT CAST(SUM(CAST(FLOOR(
+       |   exp(i.a2 * g.t + -0.30E0 * g.t * g.t) * 2.5E0
+       |    / (power(g.x - 91.2E0, i.a1) + power(1.25E0, i.a1)) * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS wq
+       | FROM grid g, it$f23Iters i)
+       |SELECT const.n AS n_events,
+       | CAST(CAST(swq AS DOUBLE) / $q12 AS REAL) AS eff_n,
+       | CAST(i.a1 AS REAL) AS a1_hat,
+       | CAST(i.a2 AS REAL) AS a2_hat,
+       | CAST((-(i.a2 * cn.s1w + -0.30E0 * cn.s2w + cn.sw * LN(2.5E0)
+       |         - CAST(fc.sdq AS DOUBLE) / $q12)
+       |       + cn.sw * LN(CAST(fq.wq AS DOUBLE) / $q12 * 0.1E0)) / cn.sw AS REAL) AS nll_w
+       |FROM const, cn, it$f23Iters i, fincorp fc, finquad fq""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f23_nll_newton_fit" -> (f23 _),
     "f22_family_selection" -> (f22 _),
     "f20_bwzgl_mix_scan" -> (f20 _),
     "f19_bwzl_mix_scan" -> (f19 _),
@@ -1664,6 +1901,7 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f23_nll_newton_fit" -> f23Sql,
     "f22_family_selection" -> f22Sql,
     "f20_bwzgl_mix_scan" -> f20Sql,
     "f19_bwzl_mix_scan" -> f19Sql,
