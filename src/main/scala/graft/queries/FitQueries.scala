@@ -1874,7 +1874,129 @@ object FitQueries extends QueryFamily {
        |FROM const, cn, it$f23Iters i, fincorp fc, finquad fq""".stripMargin
   }
 
+  // ---- f24: fit frame + pull table (the data behind fit_plots.py) ---------
+  // stage3/fit_plots.py:28-55 + :213-232 draws each fitted model's
+  // window-normalized curve over the data at RooFit.Binning(80), then a
+  // pull pad (xframe.pullHist()). The ROOT canvas is out-of-engine per
+  // SURVEY; THIS is the table behind it: for each of f22's six
+  // families, the per-family grid winner's expected curve on the
+  // 80-bin frame, the binned-data overlay, and the per-bin pull
+  // (data − curve)/√data — pullHist's symmetric-Poisson form. ONE
+  // corpus scan: the 80-bin histogram is built once and the 40-bin
+  // chi2-selection histogram derives from it by bin pairing (FLOOR(2v)
+  // div 2 = FLOOR(v) on v ≥ 0), so winner selection replays f22
+  // exactly without a second pass. Families ranked by winner chi2
+  // (f22's order); 6 × 80 rows out. PlotSvg.renderFit draws the panel.
+  private def f24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wPid = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val hist80 = rd(s, dir, "lineitem")
+      .select(expr("110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0").as("m"))
+      .select(expr("CAST(FLOOR((m - 110.0E0) * 2.0E0) AS INT)").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_b"))
+      .localCheckpoint() // the one corpus scan; both binnings derive
+    val hist40 = hist80.select(expr("bin div 2").as("bin"), col("n_b"))
+      .groupBy(col("bin")).agg(sum(col("n_b")).as("n_b"))
+    val bins40 = (0 until 40).map(b => (b, 110.5 + b)).toDF("bin", "xc")
+    val bins80 = (0 until 80).map(b => (b, 110.25 + 0.5 * b)).toDF("bin", "xc")
+    val perFamily = f22Families.map { case (fam, decl, paramsSql, shape, quantum) =>
+      val cols = decl.split(",").map(_.trim)
+      val params = s.sql(
+        s"SELECT * FROM VALUES $paramsSql AS t(${cols.mkString(", ")})")
+      val best = params.crossJoin(bins40)
+        .withColumn("s_q", expr(s"CAST(FLOOR($shape * $quantum + 0.5) AS BIGINT)"))
+        .withColumn("norm_q", sum(col("s_q")).over(wPid))
+        .join(hist40, Seq("bin"))
+        .withColumn("n_tot", sum(col("n_b")).over(wPid))
+        .select(col("pid"), chi2Term.as("tq"))
+        .groupBy(col("pid")).agg(sum(col("tq")).as("chi2_micro"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("chi2_micro"), col("pid"))))
+        .filter(col("rn") === 1)
+        .select(col("pid"), col("chi2_micro"))
+      params.join(broadcast(best), "pid")
+        .crossJoin(bins80)
+        .withColumn("s_q", expr(s"CAST(FLOOR($shape * $quantum + 0.5) AS BIGINT)"))
+        .withColumn("norm_q", sum(col("s_q")).over(wPid)) // over ALL 80 bins, pre-join
+        .join(hist80, Seq("bin"))
+        .withColumn("n_tot", sum(col("n_b")).over(wPid))
+        .withColumn("e", expr(
+          "CAST(n_tot AS DOUBLE) * (CAST(s_q AS DOUBLE) / CAST(norm_q AS DOUBLE))"))
+        .select(lit(fam).as("family"), col("chi2_micro"), col("bin"),
+          col("xc"), col("n_b"),
+          col("e").cast("float").as("e_fit"),
+          expr("CAST((CAST(n_b AS DOUBLE) - e)" +
+            " / sqrt(GREATEST(CAST(n_b AS DOUBLE), 1.0E0)) AS FLOAT)").as("pull"))
+    }
+    perFamily.reduce(_ unionAll _)
+      .withColumn("rank", dense_rank().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("chi2_micro"), col("family"))))
+      .select(col("rank"), col("family"), col("bin"), col("xc"),
+        col("n_b"), col("e_fit"), col("pull"), col("chi2_micro"))
+      .orderBy(col("rank"), col("bin"))
+  }
+  private lazy val f24Sql = {
+    val famBlocks = f22Families.map { case (fam, decl, paramsSql, shape, quantum) =>
+      s"""params_$fam($decl) AS (VALUES $paramsSql),
+         |chi_$fam AS (
+         | SELECT pid, $chi2SumSql AS chi2_micro
+         | FROM (
+         |  SELECT s.*, h.n_b, SUM(h.n_b) OVER (PARTITION BY s.pid) AS n_tot
+         |  FROM (
+         |   SELECT *, SUM(s_q) OVER (PARTITION BY pid) AS norm_q
+         |   FROM (
+         |    SELECT p.pid, b.bin, b.xc,
+         |     CAST(FLOOR($shape * $quantum + 0.5) AS BIGINT) AS s_q
+         |    FROM params_$fam p, bins40 b)) s JOIN hist40 h USING (bin))
+         | GROUP BY 1),
+         |best_$fam AS (
+         | SELECT pid, chi2_micro FROM (
+         |  SELECT *, ROW_NUMBER() OVER (ORDER BY chi2_micro, pid) AS rn
+         |  FROM chi_$fam)
+         | WHERE rn = 1),
+         |cur_$fam AS (
+         | SELECT '$fam' AS family, w.chi2_micro, s.bin, s.xc, h.n_b,
+         |  CAST(SUM(h.n_b) OVER () AS DOUBLE)
+         |   * (CAST(s.s_q AS DOUBLE) / CAST(s.norm_q AS DOUBLE)) AS e
+         | FROM (
+         |  SELECT *, SUM(s_q) OVER () AS norm_q
+         |  FROM (
+         |   SELECT p.pid, b.bin, b.xc,
+         |    CAST(FLOOR($shape * $quantum + 0.5) AS BIGINT) AS s_q
+         |   FROM params_$fam p, best_$fam w0, bins80 b
+         |   WHERE p.pid = w0.pid)) s
+         |  JOIN hist80 h USING (bin), best_$fam w)""".stripMargin
+    }.mkString(",\n")
+    val union = f22Families.map { case (fam, _, _, _, _) =>
+      s"SELECT * FROM cur_$fam" }.mkString(" UNION ALL ")
+    s"""WITH hist80 AS (
+       | SELECT CAST(FLOOR((m - 110.0E0) * 2.0E0) AS INT) AS bin, COUNT(*) AS n_b
+       | FROM (SELECT 110.0E0 + (l_extendedprice % 4000.0E0) / 100.0E0 AS m
+       |       FROM lineitem)
+       | GROUP BY 1),
+       |hist40 AS (
+       | SELECT bin // 2 AS bin, CAST(SUM(n_b) AS BIGINT) AS n_b
+       | FROM hist80 GROUP BY 1),
+       |bins40 AS (
+       | SELECT b AS bin, 110.5E0 + b AS xc
+       | FROM (SELECT unnest(generate_series(0, 39)) AS b)),
+       |bins80 AS (
+       | SELECT b AS bin, 110.25E0 + 0.5E0 * b AS xc
+       | FROM (SELECT unnest(generate_series(0, 79)) AS b)),
+       |$famBlocks,
+       |allcur AS ($union)
+       |SELECT DENSE_RANK() OVER (ORDER BY chi2_micro, family) AS rank,
+       | family, bin, xc, n_b,
+       | CAST(e AS REAL) AS e_fit,
+       | CAST((CAST(n_b AS DOUBLE) - e) / sqrt(GREATEST(CAST(n_b AS DOUBLE), 1.0E0)) AS REAL) AS pull,
+       | chi2_micro
+       |FROM allcur ORDER BY rank, bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f24_fit_frame_pulls" -> (f24 _),
     "f23_nll_newton_fit" -> (f23 _),
     "f22_family_selection" -> (f22 _),
     "f20_bwzgl_mix_scan" -> (f20 _),
@@ -1901,6 +2023,7 @@ object FitQueries extends QueryFamily {
   )
 
   val oracle: Map[String, String] = Map(
+    "f24_fit_frame_pulls" -> f24Sql,
     "f23_nll_newton_fit" -> f23Sql,
     "f22_family_selection" -> f22Sql,
     "f20_bwzgl_mix_scan" -> f20Sql,

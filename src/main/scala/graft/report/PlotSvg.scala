@@ -85,6 +85,77 @@ object PlotSvg {
     sb.toString
   }
 
+  /** Colors for the model curves, in rank order — the reference's
+    * fit_plots.py:3-26 colors list (kRed, kGreen, kBlue, ...), here as
+    * their hex equivalents. */
+  private val curveColors = Seq("#ff0000", "#00ff00", "#0000ff",
+    "#ffff00", "#7f00ff", "#808080")
+
+  /** Render the fit frame + pull panel from the f24 table — the
+    * engine-side analog of stage3/fit_plots.py:56-232: every family's
+    * window-normalized fitted curve (rank-colored polylines) over the
+    * 80-bin data overlay with √n error bars, and the f22 winner's
+    * per-bin pull pad below (pullHist's symmetric-Poisson form).
+    * Input is the tiny 6×80-row f24 frame — collect is intentional. */
+  def renderFit(fitTable: DataFrame, title: String = "Background"): String = {
+    val rows = fitTable.collect().toSeq
+    require(rows.nonEmpty, "empty fit table")
+    val byFam = rows.groupBy(_.getAs[String]("family")).toSeq
+      .sortBy(_._2.head.getAs[Int]("rank"))
+    val nBins = rows.map(_.getAs[Int]("bin")).max + 1
+    val plotW = W - PadL - PadR
+    val bw = plotW / nBins
+    val yMax = math.max(1e-12, math.max(
+      rows.map(_.getAs[Long]("n_b").toDouble).max,
+      rows.map(_.getAs[Float]("e_fit").toDouble).max)) * 1.15
+    def x(i: Int) = PadL + i * bw
+    def yM(v: Double) = PadT + HMain - (v / yMax) * HMain
+    val H = PadT + HMain + Gap + HRatio + 30.0
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="${W.toInt}" height="${H.toInt}" font-family="monospace" font-size="10">\n"""
+    sb ++= s"""<text x="${f(PadL)}" y="15" font-size="13">$title fit — models vs data (${nBins} bins) + winner pull</text>\n"""
+    sb ++= s"""<rect x="${f(PadL)}" y="${f(PadT)}" width="${f(plotW)}" height="${f(HMain)}" fill="none" stroke="black"/>\n"""
+    // data overlay: winner rows carry the same n_b as every family
+    val dataRows = byFam.head._2.sortBy(_.getAs[Int]("bin"))
+    dataRows.foreach { r =>
+      val i = r.getAs[Int]("bin")
+      val dn = r.getAs[Long]("n_b").toDouble
+      val de = math.sqrt(math.max(dn, 0.0))
+      val cx = x(i) + bw / 2
+      sb ++= s"""<line class="derr" x1="${f(cx)}" y1="${f(yM(dn - de))}" x2="${f(cx)}" y2="${f(yM(dn + de))}" stroke="black"/>\n"""
+      sb ++= s"""<circle class="data" cx="${f(cx)}" cy="${f(yM(dn))}" r="2" fill="black"/>\n"""
+    }
+    // one polyline per family curve, rank-colored, legend at top right
+    byFam.zipWithIndex.foreach { case ((fam, rs), k) =>
+      val pts = rs.sortBy(_.getAs[Int]("bin")).map { r =>
+        val cx = x(r.getAs[Int]("bin")) + bw / 2
+        s"${f(cx)},${f(yM(r.getAs[Float]("e_fit").toDouble))}"
+      }.mkString(" ")
+      val color = curveColors(k % curveColors.size)
+      sb ++= s"""<polyline class="curve" points="$pts" fill="none" stroke="$color" stroke-width="1.5"/>\n"""
+      sb ++= s"""<text class="legend" x="${f(W - PadR - 170)}" y="${f(PadT + 14 + 12 * k)}" fill="$color">${rs.head.getAs[Int]("rank")}. $fam</text>\n"""
+    }
+    // pull pad: winner only, ±4 range (fit_plots.py:220 SetRangeUser)
+    val rTop = PadT + HMain + Gap
+    val pLo = -4.0; val pHi = 4.0
+    def yP(v: Double) =
+      rTop + HRatio - ((math.min(math.max(v, pLo), pHi) - pLo) / (pHi - pLo)) * HRatio
+    sb ++= s"""<rect x="${f(PadL)}" y="${f(rTop)}" width="${f(plotW)}" height="${f(HRatio)}" fill="none" stroke="black"/>\n"""
+    sb ++= s"""<line class="zero" x1="${f(PadL)}" y1="${f(yP(0.0))}" x2="${f(PadL + plotW)}" y2="${f(yP(0.0))}" stroke="#888888" stroke-dasharray="4,3"/>\n"""
+    dataRows.foreach { r =>
+      val i = r.getAs[Int]("bin")
+      val p = r.getAs[Float]("pull").toDouble
+      val y0 = yP(0.0); val y1 = yP(p)
+      sb ++= s"""<rect class="pull" x="${f(x(i))}" y="${f(math.min(y0, y1))}" width="${f(bw)}" height="${f(math.abs(y0 - y1))}" fill="#4477aa"/>\n"""
+    }
+    sb ++= s"""<text x="2" y="${f(PadT + 10)}">${f(yMax)}</text>\n"""
+    sb ++= s"""<text x="2" y="${f(rTop + 10)}">${f(pHi)}</text>\n"""
+    sb ++= s"""<text x="2" y="${f(rTop + HRatio)}">${f(pLo)}</text>\n"""
+    sb ++= s"""<text x="${f(PadL)}" y="${f(H - 8)}">m 110-150 GeV, ${nBins} bins</text>\n"""
+    sb ++= "</svg>\n"
+    sb.toString
+  }
+
   /** Render every region in an s12-shaped DataFrame. The input is tiny
     * (regions × coarse bins) — collect is intentional. */
   def renderAll(ratioTable: DataFrame): Map[String, String] = {

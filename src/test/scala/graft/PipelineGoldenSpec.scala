@@ -68,6 +68,24 @@ class PipelineGoldenSpec extends SparkSpec {
     }
   }
 
+  test("stage3d golden: fit panel renders 6 rank-colored curves + winner pulls") {
+    val fit = queries.FitQueries.queries("f24_fit_frame_pulls")(spark, sf("sf0.001"))
+    val svg = report.PlotSvg.renderFit(fit)
+    assert(svg.startsWith("<svg ") && svg.endsWith("</svg>\n"))
+    def count(cls: String) = s"""class="$cls"""".r.findAllIn(svg).size
+    // 6 families x 80 bins: one curve polyline + legend entry per
+    // family, one data point + error bar per bin, one pull bar per bin
+    // for the f22 winner, and the zero line on the pull pad
+    assert(count("curve") == 6, "curve polylines != 6")
+    assert(count("legend") == 6, "legend entries != 6")
+    assert(count("data") == 80, "data points != 80")
+    assert(count("derr") == 80, "data error bars != 80")
+    assert(count("pull") == 80, "pull bars != 80")
+    assert(svg.contains("""class="zero""""))
+    // rank-1 family leads the legend with the reference's kRed
+    assert(svg.contains(""">1. """) && svg.contains("#ff0000"))
+  }
+
   test("stage3 golden: z-peak/vbf yields and the rendered datacard lines") {
     val yields = queries.StageQueries.queries("s04_stage3_templates")(spark, sf("sf0.001"))
     val zvbf = yields.filter(col("region") === "z-peak" && col("channel") === "vbf")
