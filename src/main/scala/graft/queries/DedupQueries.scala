@@ -302,6 +302,16 @@ object DedupQueries extends QueryFamily {
         (col("inter") / (col("sz") - col("inter"))).cast("float").as("jacc"))
       .orderBy(col("a_id"), col("b_id"))
   }
+  // The REGISTERED oracle carries the length filter (round-11: the
+  // driver's sf0.1 gate must run d07 unassisted — the unfiltered
+  // all-pairs spelling is DuckDB-infeasible at 5k docs). The filter is
+  // LOSSLESS, not an approximation: with a = |A| ≤ b = |B|,
+  //   J(A,B) = |A∩B| / (a + b − |A∩B|) ≤ a / b   (|A∩B| ≤ a, J
+  //   monotone in |A∩B|), so J ≥ t = $ppNum/$ppDen forces
+  //   $ppDen·min(a,b) ≥ $ppNum·max(a,b). Every surviving pair is
+  // verified by the exact Jaccard predicate unchanged, so the filtered
+  // and unfiltered spellings return identical rows (hash-matched both
+  // ways in round 2, 256 rows at sf0.1 — COVERAGE.md).
   private val d07Sql =
     s"""WITH docs AS (
        | SELECT doc_id, $shinglesDuck AS sh FROM documents)
@@ -310,6 +320,7 @@ object DedupQueries extends QueryFamily {
        |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) AS REAL) AS jacc
        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+       |  AND $ppDen * LEAST(len(a.sh), len(b.sh)) >= $ppNum * GREATEST(len(a.sh), len(b.sh))
        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= $ppThresh
        |ORDER BY 1, 2""".stripMargin

@@ -54,9 +54,31 @@ object GenSf {
     "vector", "window")
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenSf <outDir> <sf>")
+    require(args.length >= 2, "usage: GenSf <outDir> <sf> [vocabSize]")
     val out = args(0)
     val sf = args(1).toDouble
+    // optional third arg: document vocabulary size. The driver corpus
+    // fixes 31 words at every scale factor, which makes the expected
+    // Jaccard of a RANDOM doc pair ~1% — so every similarity gate on
+    // it is Θ(docs²) by corpus construction, not by engine design. A
+    // realistic vocab (thousands of words) drives random-pair overlap
+    // toward zero and restores the near-linear candidate scaling; the
+    // round-11 PLANS.md A/B measures both.
+    val vocabSize = if (args.length >= 3) args(2).toInt else docVocab.size
+    // extension words are 8 pseudorandom LETTERS, not zero-padded
+    // numerals: the d-family shingles are character 5-grams, so synthetic
+    // words must be character-diverse or the 5-gram space stays as
+    // degenerate as the 31-word corpus it is meant to contrast with
+    def synthWord(i: Int): String = {
+      var h = i.toLong * 0x9E3779B97F4A7C15L
+      (0 until 8).map { _ =>
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        ('a' + java.lang.Long.remainderUnsigned(h, 26L).toInt).toChar
+      }.mkString
+    }
+    val vocab: Seq[String] =
+      if (vocabSize <= docVocab.size) docVocab.take(vocabSize)
+      else docVocab ++ (docVocab.size until vocabSize).map(synthWord)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -159,13 +181,13 @@ object GenSf {
     // documents: iid-uniform words from the 31-word vocab; ~0.2 % of
     // odd doc_ids copy their predecessor's text verbatim (exact-dup
     // population for the d-family)
-    val vocabSql = docVocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
     write(spark.range(nDocs)
       .withColumn("base_id", expr(
         s"CASE WHEN id % 2 = 1 AND ${u("id", 81)} < 0.004 THEN id - 1 ELSE id END"))
       .withColumn("nw", expr(s"CAST(10 + pmod(xxhash64(base_id, 82), 91) AS INT)"))
       .withColumn("text", expr(
-        s"array_join(transform(sequence(1, nw), i -> element_at($vocabSql, CAST(pmod(xxhash64(base_id * 128 + i, 83), ${docVocab.size}) AS INT) + 1)), ' ')"))
+        s"array_join(transform(sequence(1, nw), i -> element_at($vocabSql, CAST(pmod(xxhash64(base_id * 128 + i, 83), ${vocab.size}) AS INT) + 1)), ' ')"))
       .selectExpr("id AS doc_id", "text",
         pickW("id", 84, Seq("en" -> 0.41, "zh" -> 0.15, "es" -> 0.15,
           "fr" -> 0.15, "de" -> 0.14)) + " AS lang",
