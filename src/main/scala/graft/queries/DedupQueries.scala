@@ -1275,9 +1275,19 @@ object DedupQueries extends QueryFamily {
   // intersection counts, one division); the theory curve avoids POWER()
   // via three squarings and one multiply — identical IEEE ops on both
   // engines — and micro-quantizes at the edge.
+  // The audit runs on a FIXED-SIZE qualification slice (first
+  // d25SliceCap doc_ids), because its truth set is an exact bucket-gated
+  // all-pairs join — Θ(slice²), the one shape that must never scale
+  // with the corpus. 5000 covers the full corpus at the driver's
+  // sf0.01/sf0.1 gates (500/5000 docs — behavior and hashes unchanged
+  // there) and pins the cost at any larger SF: the round-11 sf1 ladder
+  // measured the unsliced form at k=1.53 (2.8 → 97 s per decade), the
+  // sliced form is flat by construction. Recall is a per-decile RATE —
+  // a fixed slice estimates it as well as the full corpus does.
+  private val d25SliceCap = 5000
   private def d25(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val d = rd(s, dir, "documents")
+    val d = rd(s, dir, "documents").filter(col("doc_id") < d25SliceCap)
     val docs = d.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(shinglesSpark).as("sh"),
         (col("n_chars") / 100).cast("long").as("bucket"))
@@ -1336,7 +1346,7 @@ object DedupQueries extends QueryFamily {
     s"""WITH docs AS (
        | SELECT doc_id, $shinglesDuck AS sh,
        |        CAST(n_chars // 100 AS BIGINT) AS bucket
-       | FROM documents),
+       | FROM documents WHERE doc_id < $d25SliceCap),
        |truth AS (
        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(LEAST(FLOOR(($jac) * 10), 9) AS BIGINT) AS jd
