@@ -191,13 +191,49 @@ object GraphQueries extends QueryFamily {
   // the corpus), never from a global sort of the pair table: ranking
   // 500k pairs through one window partition was measurably slower at
   // sf0.1 and would be a straight bottleneck at 100 TB.
+  /** Triangle rows (one per triangle, corners in (degree, id)-rank
+    * order) from an undirected edge list given as its (u < v)
+    * representatives. Exposed at package level so TriangleOrientSpec
+    * can drive it with adversarial (power-law) edge lists g06's
+    * lineitem-derived graph never produces. */
+  private[queries] def orientedTriangles(edges: DataFrame): DataFrame = {
+    // Degree-ordered orientation (compact-forward): re-point each
+    // undirected edge from its (degree, id)-smaller endpoint to the
+    // larger one before closing wedges. Triangle counts are
+    // orientation-invariant (each triangle still closes exactly once,
+    // from its rank-smallest corner), so the id-oriented oracle CTE is
+    // unchanged — but the join work changes from Σ C(outdeg_id, 2),
+    // which a power-law hub with low ids makes Θ(deg_max²), to
+    // Σ C(outdeg⁺, 2) ≤ O(E^1.5), the arboricity bound (Schank/Wagner,
+    // Latapy). On the near-complete synthetic co-supply graph all
+    // orientations cost the same (the sf3 densification note in
+    // PLANS.md); on the power-law graphs a real corpus contains, this
+    // is the difference between the hub exploding and the hub's edges
+    // all pointing INTO it (outdeg⁺ = 0). TriangleOrientSpec pins both
+    // the result-invariance and the hub-outdegree bound.
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+      .localCheckpoint() // feeds all three closure legs
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+      .join(oriented.as("e3"),
+        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+  }
+
   private def g06(s: SparkSession, dir: String): DataFrame = {
-    val edges = coSupplyEdges(s, dir)
-    val tri = edges.as("e1")
-      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
-      .join(edges.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val tri = orientedTriangles(coSupplyEdges(s, dir))
     val total = tri.agg(count(lit(1)).as("n_triangles"))
     val perNode = tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))
