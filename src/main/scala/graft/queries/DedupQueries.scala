@@ -76,6 +76,80 @@ object DedupQueries extends QueryFamily {
   // the contract (and the check) is the gated operator, not all-pairs.
   private val jaccThresh = 0.28
   private val d02Perms = 12
+
+  /** EXACT pre-distinct candidate count of a band gate:
+    * Σ over (bucket, band_idx, band_val) keys of C(c, 2) — the number
+    * of rows the band self-join will emit, i.e. the realization of
+    * PLANS.md's capacity-planning estimate ≈ 12·j̄·C(n,2)/length_buckets,
+    * measured instead of modeled. One aggregation over the O(bands·n)
+    * exploded band rows (re-reads the checkpointed signature table; no
+    * join, no pairs). Also returns n (each doc appears exactly once in
+    * band 0). This is what makes d02's at-scale price EXECUTABLE: the
+    * guard runs BEFORE the quadratic join, for the cost of a groupBy
+    * over id-sized rows. */
+  private def bandCandidateCount(exploded: DataFrame): (Long, Long) = {
+    val r = exploded
+      .groupBy(col("bucket"), col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        sum(when(col("band_idx") === 0, col("c")).otherwise(0L)).as("n"),
+        sum(expr("(c * (c - 1)) div 2")).as("cand"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Shared exact-verify tail: candidate (a_id, b_id) pairs → exact
+    * sorted-merge Jaccard ≥ jaccThresh, float-cast, ordered. */
+  private def d02Verify(cand: DataFrame, sigs: DataFrame): DataFrame = {
+    val withSh = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
+    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
+    withSh.withColumn("jacc", inter / uni)
+      .filter(col("jacc") >= jaccThresh)
+      .select(col("a_id"), col("b_id"), col("jacc").cast("float").as("jacc"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Candidate-budget auto-retune (the executable form of "re-tune via
+    * d19 before running d02 at corpus scale"): walk d19's config
+    * surface from most-recall to least ((12,1) already failed the
+    * budget when this runs), measure each config's EXACT candidate
+    * count the same way the guard did, and run the first config that
+    * fits. Recall degrades along the measured config×recall surface
+    * (d19's report is the decision table); the verify threshold and
+    * output schema are unchanged, so the result is the same operator
+    * evaluated at the feasible banding point. */
+  private def d02Retuned(s: SparkSession, sigs: DataFrame,
+      budgetTotal: Long): DataFrame = {
+    for ((b, r) <- d19Confs.drop(1)) {
+      val bandsCol = array((0 until b).map { j =>
+        concat_ws("_", (0 until r).map(i =>
+          element_at(col("mh"), j * r + i + 1)): _*)
+      }: _*)
+      val expl = sigs.select(col("doc_id"), col("bucket"),
+        posexplode(bandsCol).as(Seq("band_idx", "band_val")))
+      val (_, cand) = bandCandidateCount(expl)
+      if (cand <= budgetTotal) {
+        val x = expl.select(col("doc_id").as("a_id"), col("bucket"),
+          col("band_idx"), col("band_val"))
+        val y = expl.select(col("doc_id").as("b_id"), col("bucket").as("b_bucket"),
+          col("band_idx").as("b_idx"), col("band_val").as("b_val"))
+        val pairs = x.join(y, col("bucket") === col("b_bucket") &&
+            col("band_idx") === col("b_idx") && col("band_val") === col("b_val") &&
+            col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        return d02Verify(pairs, sigs)
+      }
+    }
+    throw new IllegalStateException(
+      "d02: no banding config over 12 permutations fits the candidate " +
+        s"budget ($budgetTotal total); raise spark.graft.d02." +
+        "maxCandidatesPerDoc, raise the threshold, or shingle at word " +
+        "n-grams (PLANS.md d02 contract analysis)")
+  }
+
   private def d02(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
@@ -95,6 +169,32 @@ object DedupQueries extends QueryFamily {
       .localCheckpoint()
     val exploded = sigs.select(col("doc_id"), col("bucket"),
       posexplode(col("mh")).as(Seq("band_idx", "band_val")))
+    // ---- candidate-budget guard (round 12) -------------------------------
+    // d02's recall contract (≥ 0.98 at τ = 0.28 ⇒ r = 1 banding) prices
+    // its candidate set at Θ(j̄·n²) on any corpus whose mean random-pair
+    // shingle Jaccard j̄ does not vanish (PLANS.md, round-11 d02/d07
+    // asymptote study). The guard measures that price EXACTLY before
+    // paying it, and fails fast / re-tunes instead of silently running a
+    // quadratic join at corpus scale:
+    //   spark.graft.d02.maxCandidatesPerDoc  (default 2048 — ~2.2× the
+    //     driver sf0.1 gate's measured 925/doc, well under the 31-word
+    //     corpus's ~9k/doc at sf1 where the quadratic term owns the cost)
+    //   spark.graft.d02.onBudgetExceeded ∈ fail | retune | proceed
+    // "retune" re-bands at the most-recall (b, r) config from d19's
+    // measured config×recall surface that fits the budget.
+    val budget = s.conf.get("spark.graft.d02.maxCandidatesPerDoc", "2048").toLong
+    val mode = s.conf.get("spark.graft.d02.onBudgetExceeded", "fail")
+    val (nDocs, candCount) = bandCandidateCount(exploded)
+    if (candCount > budget * nDocs && mode != "proceed") {
+      if (mode == "retune") return d02Retuned(s, sigs, budget * nDocs)
+      throw new IllegalStateException(
+        s"d02: the 12-band r=1 gate would emit $candCount candidate pairs " +
+          s"(~${candCount / math.max(nDocs, 1L)}/doc over $nDocs docs) — over " +
+          s"the $budget/doc budget. Raise spark.graft.d02.maxCandidatesPerDoc, " +
+          "set spark.graft.d02.onBudgetExceeded=retune to re-band along d19's " +
+          "config×recall surface, raise the threshold (d03/d07 regime), or " +
+          "shingle at word n-grams (PLANS.md d02 contract analysis).")
+    }
     val x = exploded.select(col("doc_id").as("a_id"), col("bucket"),
       col("band_idx"), col("band_val"))
     val y = exploded.select(col("doc_id").as("b_id"), col("bucket").as("b_bucket"),
@@ -103,40 +203,71 @@ object DedupQueries extends QueryFamily {
         col("band_idx") === col("b_idx") && col("band_val") === col("b_val") &&
         col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    val withSh = cand
-      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-    val inter = expr("sorted_intersect_count(a_sh, b_sh)").cast("double")
-    val uni = (size(col("a_sh")) + size(col("b_sh"))).cast("double") - inter
-    withSh.withColumn("jacc", inter / uni)
-      .filter(col("jacc") >= jaccThresh)
-      .select(col("a_id"), col("b_id"), col("jacc").cast("float").as("jacc"))
-      .orderBy(col("a_id"), col("b_id"))
+    d02Verify(cand, sigs)
   }
+  // Round-12 oracle respelling (round-11 verdict ask #1a): the committed
+  // form spent ~9 min of DuckDB time at sf0.1 — 12 per-permutation
+  // interpreted list_transform lambdas over every doc, then
+  // list_intersect (which DuckDB 1.0 macro-expands to an O(|a|·|b|)
+  // list_filter(contains) lambda) per candidate pair, in pipelines
+  // whose morsel sources are 5000-row doc tables (≤3 threads). The
+  // respelling computes the IDENTICAL arithmetic in vectorized form:
+  //  - signatures: unnest the shingle list once, mix v = (w·2654435761)
+  //    % P once per shingle (the lambda form recomputed it 12×), then
+  //    12 grouped MINs of (aₖ·v + bₖ) % P — min over the same multiset,
+  //    same permutation family, same integer ops ⇒ same signatures;
+  //  - |A∩B|: re-key each doc's shingle SET to dense indices (w →
+  //    row_number over the distinct-w table: a bijection, so set
+  //    intersection sizes are invariant) and store it as a DuckDB
+  //    BITSTRING; |A∩B| = bit_count(a & b) and |A|, |B| = bit_count of
+  //    each side — exact integer identities on sets, ~1 µs/pair vs
+  //    ~100 µs for the lambda. jacc = i/(|A|+|B|−i), float-cast, as
+  //    before. Verified tuple-exact against the committed spelling at
+  //    sf0.01 AND sf0.1 (79 / 4381 rows); sf0.1 wall time 540 s → 13 s.
+  // The 16384-bit bound is 8× the measured distinct-shingle vocabulary
+  // of the driver corpora (2041 at sf0.1; 31-word vocabulary ⇒ V grows
+  // ~Heaps-slowly); if a future corpus exceeded it, bitstring_agg
+  // fails LOUDLY (out-of-range), never silently wrong.
   private val d02Sql = {
-    val bandSelects = (0 until d02Perms).map { k =>
-      val mhK = s"list_min(list_transform(sh, " +
-        s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))"
-      s"SELECT doc_id, sh, bucket, $k AS band_idx, $mhK AS band_val FROM docs"
-    }.mkString(" UNION ALL ")
+    val mins = (0 until d02Perms).map { k =>
+      s"MIN((${permA(k)} * v + ${permB(k)}) % $P) AS m$k"
+    }.mkString(", ")
+    val mlist = (0 until d02Perms).map(k => s"m$k").mkString("[", ", ", "]")
     s"""WITH docs AS (
        | SELECT doc_id, $shinglesDuck AS sh,
        |        CAST(n_chars // 100 AS BIGINT) AS bucket
        | FROM documents),
-       |bands AS (BANDS_SQL),
+       |expl AS (
+       | SELECT doc_id, bucket, (CAST(w AS BIGINT) * 2654435761) % $P AS v, w
+       | FROM docs, unnest(sh) AS t(w)),
+       |sigs AS (
+       | SELECT doc_id, bucket, $mins FROM expl GROUP BY 1, 2),
+       |dict AS (
+       | SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS idx
+       | FROM (SELECT DISTINCT w FROM expl)),
+       |bs AS (
+       | SELECT e.doc_id, bitstring_agg(d.idx, 0, 16383) AS bits
+       | FROM expl e JOIN dict d ON d.w = e.w
+       | GROUP BY 1),
+       |bands AS (
+       | SELECT doc_id, bucket,
+       |  unnest(generate_series(0, ${d02Perms - 1})) AS band_idx,
+       |  unnest($mlist) AS band_val
+       | FROM sigs),
        |cand AS (
-       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
-       |        x.sh AS a_sh, y.sh AS b_sh
+       | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        | FROM bands x JOIN bands y
        |   ON x.bucket = y.bucket AND x.band_idx = y.band_idx
-       |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
-       |SELECT a_id, b_id,
-       | CAST(CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
-       |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) AS REAL) AS jacc
-       |FROM cand
-       |WHERE CAST(len(list_intersect(a_sh, b_sh)) AS DOUBLE)
-       |   / (CAST(len(a_sh) + len(b_sh) AS DOUBLE) - len(list_intersect(a_sh, b_sh))) >= $jaccThresh
-       |ORDER BY 1, 2""".stripMargin.replace("BANDS_SQL", bandSelects)
+       |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
+       |pairs AS (
+       | SELECT c.a_id, c.b_id,
+       |  CAST(bit_count(ba.bits & bb.bits) AS DOUBLE) AS isect,
+       |  CAST(bit_count(ba.bits) + bit_count(bb.bits) AS DOUBLE) AS lsum
+       | FROM cand c JOIN bs ba ON ba.doc_id = c.a_id
+       | JOIN bs bb ON bb.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(isect / (lsum - isect) AS REAL) AS jacc
+       |FROM pairs WHERE isect / (lsum - isect) >= $jaccThresh
+       |ORDER BY 1, 2""".stripMargin
   }
 
   // ---- d03: MinHash + LSH banding ----------------------------------------
@@ -1275,19 +1406,30 @@ object DedupQueries extends QueryFamily {
   // intersection counts, one division); the theory curve avoids POWER()
   // via three squarings and one multiply — identical IEEE ops on both
   // engines — and micro-quantizes at the edge.
-  // The audit runs on a FIXED-SIZE qualification slice (first
-  // d25SliceCap doc_ids), because its truth set is an exact bucket-gated
-  // all-pairs join — Θ(slice²), the one shape that must never scale
-  // with the corpus. 5000 covers the full corpus at the driver's
-  // sf0.01/sf0.1 gates (500/5000 docs — behavior and hashes unchanged
-  // there) and pins the cost at any larger SF: the round-11 sf1 ladder
-  // measured the unsliced form at k=1.53 (2.8 → 97 s per decade), the
-  // sliced form is flat by construction. Recall is a per-decile RATE —
-  // a fixed slice estimates it as well as the full corpus does.
+  // The audit runs on a FIXED-SIZE qualification slice, because its
+  // truth set is an exact bucket-gated all-pairs join — Θ(slice²), the
+  // one shape that must never scale with the corpus. The slice is a
+  // deterministic HASH-SPREAD sample, not a doc_id prefix (round-11
+  // advice): keep doc where mixhash(doc_id) % step == 0 with
+  // step = ⌈n/cap⌉, so an id-correlated corpus ordering (by source, by
+  // crawl date) cannot bias the per-decile recall estimate the way
+  // "first cap ids" would, and no 0-based-dense doc_id assumption is
+  // needed. step = 1 at the driver's sf0.01/sf0.1 gates (500/5000 docs
+  // ≤ cap ⇒ the whole corpus — behavior and hashes unchanged there);
+  // above cap the expected slice is ~cap docs spread uniformly by hash.
+  // The round-11 sf1 ladder measured the unsliced form at k=1.53
+  // (2.8 → 97 s per decade); the sliced form is flat by construction.
+  // Recall is a per-decile RATE — a spread sample estimates it as well
+  // as the full corpus does (and better than a prefix on real data).
   private val d25SliceCap = 5000
   private def d25(s: SparkSession, dir: String): DataFrame = {
     graft.plans.GraftFunctions.register(s)
-    val d = rd(s, dir, "documents").filter(col("doc_id") < d25SliceCap)
+    val all = rd(s, dir, "documents")
+    // one count() action just to pick the slice rate (O(metadata) work;
+    // same value the SQL oracle derives via its scalar subquery)
+    val step = (all.count() + d25SliceCap - 1) / d25SliceCap
+    val d = all.filter(
+      (col("doc_id") * lit(2654435761L)) % lit(P) % lit(step) === 0L)
     val docs = d.repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), expr(shinglesSpark).as("sh"),
         (col("n_chars") / 100).cast("long").as("bucket"))
@@ -1343,10 +1485,14 @@ object DedupQueries extends QueryFamily {
     val q4 = s"($q2 * $q2)"
     val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
       "/ (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))"
-    s"""WITH docs AS (
+    s"""WITH stp AS (
+       | SELECT (COUNT(*) + ${d25SliceCap - 1}) // $d25SliceCap AS step
+       | FROM documents),
+       |docs AS (
        | SELECT doc_id, $shinglesDuck AS sh,
        |        CAST(n_chars // 100 AS BIGINT) AS bucket
-       | FROM documents WHERE doc_id < $d25SliceCap),
+       | FROM documents
+       | WHERE ((doc_id * 2654435761) % $P) % (SELECT step FROM stp) = 0),
        |truth AS (
        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(LEAST(FLOOR(($jac) * 10), 9) AS BIGINT) AS jd

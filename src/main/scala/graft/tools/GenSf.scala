@@ -53,6 +53,44 @@ object GenSf {
     "slow", "small", "sort", "spark", "stream", "table", "the", "value",
     "vector", "window")
 
+  // extension words are 8 pseudorandom LETTERS, not zero-padded
+  // numerals: the d-family shingles are character 5-grams, so synthetic
+  // words must be character-diverse or the 5-gram space stays as
+  // degenerate as the 31-word corpus it is meant to contrast with
+  private def synthWord(i: Int): String = {
+    var h = i.toLong * 0x9E3779B97F4A7C15L
+    (0 until 8).map { _ =>
+      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+      ('a' + java.lang.Long.remainderUnsigned(h, 26L).toInt).toChar
+    }.mkString
+  }
+
+  /** Vocabulary of the given size: the 31 driver words, extended with
+    * deterministic synthetic 8-letter words past 31. */
+  def vocabOf(size: Int): Seq[String] =
+    if (size <= docVocab.size) docVocab.take(size)
+    else docVocab ++ (docVocab.size until size).map(synthWord)
+
+  /** The documents corpus as a DataFrame — same generator main() writes,
+    * exposed so specs can build corpora of any (size, vocabulary)
+    * in-memory (e.g. the d02 candidate-budget guard's 31-word-vs-4096-
+    * word A/B) without writing the whole star schema to disk. */
+  def documentsDf(spark: SparkSession, nDocs: Long,
+      vocab: Seq[String]): DataFrame = {
+    val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    spark.range(nDocs)
+      .withColumn("base_id", expr(
+        s"CASE WHEN id % 2 = 1 AND ${u("id", 81)} < 0.004 THEN id - 1 ELSE id END"))
+      .withColumn("nw", expr(s"CAST(10 + pmod(xxhash64(base_id, 82), 91) AS INT)"))
+      .withColumn("text", expr(
+        s"array_join(transform(sequence(1, nw), i -> element_at($vocabSql, CAST(pmod(xxhash64(base_id * 128 + i, 83), ${vocab.size}) AS INT) + 1)), ' ')"))
+      .selectExpr("id AS doc_id", "text",
+        pickW("id", 84, Seq("en" -> 0.41, "zh" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "de" -> 0.14)) + " AS lang",
+        "concat('src', CAST(id % 20 AS INT)) AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: GenSf <outDir> <sf> [vocabSize]")
     val out = args(0)
@@ -65,20 +103,7 @@ object GenSf {
     // toward zero and restores the near-linear candidate scaling; the
     // round-11 PLANS.md A/B measures both.
     val vocabSize = if (args.length >= 3) args(2).toInt else docVocab.size
-    // extension words are 8 pseudorandom LETTERS, not zero-padded
-    // numerals: the d-family shingles are character 5-grams, so synthetic
-    // words must be character-diverse or the 5-gram space stays as
-    // degenerate as the 31-word corpus it is meant to contrast with
-    def synthWord(i: Int): String = {
-      var h = i.toLong * 0x9E3779B97F4A7C15L
-      (0 until 8).map { _ =>
-        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-        ('a' + java.lang.Long.remainderUnsigned(h, 26L).toInt).toChar
-      }.mkString
-    }
-    val vocab: Seq[String] =
-      if (vocabSize <= docVocab.size) docVocab.take(vocabSize)
-      else docVocab ++ (docVocab.size until vocabSize).map(synthWord)
+    val vocab: Seq[String] = vocabOf(vocabSize)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -178,22 +203,10 @@ object GenSf {
       "concat('{\"k\": ', CAST(pmod(xxhash64(id, 75), 100) AS INT), '}') AS props"),
       "events")
 
-    // documents: iid-uniform words from the 31-word vocab; ~0.2 % of
-    // odd doc_ids copy their predecessor's text verbatim (exact-dup
+    // documents: iid-uniform words from the vocab; ~0.2 % of odd
+    // doc_ids copy their predecessor's text verbatim (exact-dup
     // population for the d-family)
-    val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
-    write(spark.range(nDocs)
-      .withColumn("base_id", expr(
-        s"CASE WHEN id % 2 = 1 AND ${u("id", 81)} < 0.004 THEN id - 1 ELSE id END"))
-      .withColumn("nw", expr(s"CAST(10 + pmod(xxhash64(base_id, 82), 91) AS INT)"))
-      .withColumn("text", expr(
-        s"array_join(transform(sequence(1, nw), i -> element_at($vocabSql, CAST(pmod(xxhash64(base_id * 128 + i, 83), ${vocab.size}) AS INT) + 1)), ' ')"))
-      .selectExpr("id AS doc_id", "text",
-        pickW("id", 84, Seq("en" -> 0.41, "zh" -> 0.15, "es" -> 0.15,
-          "fr" -> 0.15, "de" -> 0.14)) + " AS lang",
-        "concat('src', CAST(id % 20 AS INT)) AS source",
-        "CAST(length(text) AS BIGINT) AS n_chars"),
-      "documents")
+    write(documentsDf(spark, nDocs, vocab), "documents")
 
     // embeddings: 64-dim Box-Muller gaussians, sigma 0.12
     write(spark.range(nEmb).selectExpr(

@@ -20,14 +20,17 @@ import graft.SparkSpec
   */
 class TriangleOrientSpec extends SparkSpec {
 
-  // star hub (node 0, degree 60, id-rank FIRST) + a sparse 3-clique
-  // ring among the leaves: triangles exist both through the hub
-  // (0, 3k+1, 3k+2 where those leaves are connected) and away from it
+  // star hub (node 0, degree 60, id-rank FIRST) + leaf-pair edges that
+  // close 20 triangles THROUGH the hub (0, 3k+1, 3k+2), + one hub-free
+  // 3-clique (100, 101, 102) whose rank-smallest corner is a non-hub
+  // node — so invariance also covers a triangle closed away from the
+  // hub, not just the hub wedges
   private lazy val edges = {
     import spark.implicits._
     val star = (1L to 60L).map(l => (0L, l))
     val ring = (0 until 20).map(k => (3L * k + 1, 3L * k + 2))
-    (star ++ ring).toDF("u", "v")
+    val clique = Seq((100L, 101L), (101L, 102L), (100L, 102L))
+    (star ++ ring ++ clique).toDF("u", "v")
   }
 
   private def triKey(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -43,7 +46,8 @@ class TriangleOrientSpec extends SparkSpec {
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     val (f, n) = (triKey(fast), triKey(naive))
     assert(f == n, s"triangle sets diverge: fast=${f.size} naive=${n.size}")
-    assert(f.size == 20, s"expected the 20 hub triangles, got ${f.size}")
+    assert(f.size == 21,
+      s"expected 20 hub triangles + 1 hub-free clique, got ${f.size}")
   }
 
   test("the low-id hub's oriented out-degree collapses to zero") {

@@ -1,6 +1,8 @@
 #!/usr/bin/env python3
 """Pair-wobble analysis over N bench runs: for each adjacent run pair,
-count queries whose first-pass times disagree >=2x, split by magnitude."""
+count queries whose STEADY-STATE times (first-pass with the rerun
+minimum substituted where a rerun exists, i.e. min(first, rerun))
+disagree >=2x, split by magnitude."""
 #
 # usage: python3 tools/bench_pairs.py run1.json run2.json [...]
 # where each file is the bare full-record line of a graft.Bench run
