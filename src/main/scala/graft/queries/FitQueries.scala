@@ -1726,7 +1726,13 @@ object FitQueries extends QueryFamily {
     val wd = wS.toDouble
     (wS, t1S / wd, t2S / wd, qS / wd, q2S / wd, rS / wd, tqS / wd)
   }
-  private def f23(s: SparkSession, dir: String): DataFrame = {
+  /** Shared Newton machinery for f23/f25: cached event projection,
+    * quantized constants, the per-a1 corpus aggregation closure, and the
+    * 6-iteration trajectory from the RooRealVar inits. */
+  private final case class F23Fit(const: DataFrame, sw: Double,
+      s1w: Double, s2w: Double,
+      corpus: Double => (Double, Double, Double), a1: Double, a2: Double)
+  private def f23Newton(s: SparkSession, dir: String): F23Fit = {
     val ev = rd(s, dir, "lineitem")
       .select(expr(f23MassSql).as("x"))
       .select(col("x"), expr("x / 100.0E0").as("t"),
@@ -1776,77 +1782,113 @@ object FitQueries extends QueryFamily {
       a1 = math.min(math.max(a1 - (h22 * g1 - h12 * g2) / det, 0.7), 2.1)
       a2 = math.min(math.max(a2 - (h11 * g2 - h12 * g1) / det, 0.30), 0.62)
     }
-    val (_, _, sd) = corpus(a1)
-    val lnN = math.log(f23Quad(a1, a2)._1 / q12 * 0.1)
-    val nllW =
-      (-(a2 * s1w + f23A3F * s2w + sw * math.log(2.5) - sd) + sw * lnN) / sw
-    const.select(col("n").as("n_events"),
+    F23Fit(const, sw, s1w, s2w, corpus, a1, a2)
+  }
+  private def f23(s: SparkSession, dir: String): DataFrame = {
+    val f = f23Newton(s, dir)
+    val q12 = f23Quantum
+    val (_, _, sd) = f.corpus(f.a1)
+    val lnN = math.log(f23Quad(f.a1, f.a2)._1 / q12 * 0.1)
+    val nllW = (-(f.a2 * f.s1w + f23A3F * f.s2w +
+      f.sw * math.log(2.5) - sd) + f.sw * lnN) / f.sw
+    f.const.select(col("n").as("n_events"),
       (col("swq") / q12).cast("float").as("eff_n"),
-      lit(a1).cast("float").as("a1_hat"),
-      lit(a2).cast("float").as("a2_hat"),
+      lit(f.a1).cast("float").as("a1_hat"),
+      lit(f.a2).cast("float").as("a2_hat"),
       lit(nllW).cast("float").as("nll_w"))
   }
-  private lazy val f23Sql = {
+
+  // ---- f25: parameter uncertainties for the NLL fit ------------------------
+  // fitter.py's RooAbsPdf::fitTo returns parameter ERRORS, not just the
+  // point estimate (stage3/fitter.py:160-175; RooFit's HESSE step).
+  // Those errors are the square roots of the inverse-Hessian diagonal of
+  // the weighted NLL at the optimum — the same H f23's Newton steps
+  // already assemble (one corpus aggregation for Σwq/Σwr at â₁ plus the
+  // data-independent quadrature moments at θ̂), so the uncertainty costs
+  // ONE extra 2×2 invert on the driver:
+  //   σ(a1) = √(H₂₂/det), σ(a2) = √(H₁₁/det), ρ = −H₁₂/√(H₁₁H₂₂).
+  // NllCrossCheckSpec pins σ against an independent central-finite-
+  // difference Hessian of the same objective. Oracle: the f25Sql CTE
+  // chain replays the trajectory and evaluates H at it₆ in an st₇ step.
+  private def f25(s: SparkSession, dir: String): DataFrame = {
+    val f = f23Newton(s, dir)
+    val (_, sr, _) = f.corpus(f.a1)
+    val (_, et, et2, eq, eq2, er, etq) = f23Quad(f.a1, f.a2)
+    val h11 = sr + f.sw * (eq2 - er - eq * eq)
+    val h12 = -f.sw * (etq - et * eq)
+    val h22 = f.sw * (et2 - et * et)
+    val det = h11 * h22 - h12 * h12
+    f.const.select(
+      lit(f.a1).cast("float").as("a1_hat"),
+      lit(f.a2).cast("float").as("a2_hat"),
+      lit(math.sqrt(h22 / det)).cast("float").as("sig_a1"),
+      lit(math.sqrt(h11 / det)).cast("float").as("sig_a2"),
+      lit(-h12 / math.sqrt(h11 * h22)).cast("float").as("rho"))
+  }
+  /** Linear-reference CTE machinery shared by f23Sql/f25Sql. duckdb 1.0
+    * inlines CTEs once PER REFERENCE, and the previous corp/qd/mom/stp
+    * spelling referenced it_{k-1} three times per step — the whole
+    * prefix re-ran 3^k times (measured: 35 s at sf0.01). Here the event
+    * and quadrature streams ride ONE tagged union (evg), so each Newton
+    * step is two CTEs (st_k: the quantized aggregates + gradient/Hessian
+    * at it_{k-1}; it_k: the clamped update), each referencing its
+    * predecessor exactly once (~1 s at sf0.01). Arithmetic is unchanged:
+    * the same FLOOR(v*1e12+0.5) integer folds (order-independent, so the
+    * union re-grouping cannot move a bit), the same moment divisions,
+    * the same update expressions — the trajectory and outputs are
+    * bit-identical to the round-11 spelling. */
+  private def f23StepSql(k: Int): (String, String) = {
     val q12 = "1e12"
     val lb = "LN(1.25E0)"
-    // per-iteration blocks: corpus (Σwq, Σwr) at a1_{k-1}, quadrature
-    // moments at θ_{k-1}, Newton step, clamp
-    val iters = (1 to f23Iters).map { k =>
-      val p = s"it${k - 1}"
-      s"""corp$k AS (
-         | SELECT CAST(SUM(CAST(FLOOR(w * q * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS sqq,
-         |        CAST(SUM(CAST(FLOOR(w * r * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS srq
+    val p = s"it${k - 1}"
+    def m(col: String) = s"CAST($col AS DOUBLE) / CAST(wq AS DOUBLE)"
+    val st =
+      s"""st$k AS (
+         | SELECT a1, a2, sw, s1w,
+         |  CAST(sqq AS DOUBLE) / $q12 - sw * (${m("qq")}) AS g1,
+         |  -s1w + sw * (${m("t1q")}) AS g2,
+         |  CAST(srq AS DOUBLE) / $q12
+         |    + sw * (${m("q2q")} - ${m("rq")} - (${m("qq")}) * (${m("qq")})) AS h11,
+         |  -sw * (${m("tqq")} - (${m("t1q")}) * (${m("qq")})) AS h12,
+         |  sw * (${m("t2q")} - (${m("t1q")}) * (${m("t1q")})) AS h22
          | FROM (
-         |  SELECT w, (aa * la + bb * $lb) / dd AS q,
-         |   (aa * la * la + bb * $lb * $lb) / dd
-         |    - ((aa * la + bb * $lb) / dd) * ((aa * la + bb * $lb) / dd) AS r
+         |  SELECT a1, a2, cn.sw, cn.s1w,
+         |   SUM(CASE WHEN tag = 'e' THEN CAST(FLOOR(w * q * $q12 + 0.5) AS BIGINT) END) AS sqq,
+         |   SUM(CASE WHEN tag = 'e' THEN CAST(FLOOR(w * r * $q12 + 0.5) AS BIGINT) END) AS srq,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(wg * $q12 + 0.5) AS BIGINT) END) AS wq,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(t * wg * $q12 + 0.5) AS BIGINT) END) AS t1q,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(t * t * wg * $q12 + 0.5) AS BIGINT) END) AS t2q,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(q * wg * $q12 + 0.5) AS BIGINT) END) AS qq,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(q * q * wg * $q12 + 0.5) AS BIGINT) END) AS q2q,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(r * wg * $q12 + 0.5) AS BIGINT) END) AS rq,
+         |   SUM(CASE WHEN tag = 'g' THEN CAST(FLOOR(t * q * wg * $q12 + 0.5) AS BIGINT) END) AS tqq
          |  FROM (
-         |   SELECT e.w, e.la, power(e.x - 91.2E0, i.a1) AS aa,
-         |          power(1.25E0, i.a1) AS bb,
-         |          power(e.x - 91.2E0, i.a1) + power(1.25E0, i.a1) AS dd
-         |   FROM ev e, $p i))),
-         |qd$k AS (
-         | SELECT CAST(SUM(CAST(FLOOR(w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS wq,
-         |        CAST(SUM(CAST(FLOOR(t * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS t1q,
-         |        CAST(SUM(CAST(FLOOR(t * t * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS t2q,
-         |        CAST(SUM(CAST(FLOOR(q * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS qq,
-         |        CAST(SUM(CAST(FLOOR(q * q * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS q2q,
-         |        CAST(SUM(CAST(FLOOR(r * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS rq,
-         |        CAST(SUM(CAST(FLOOR(t * q * w * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS tqq
-         | FROM (
-         |  SELECT t, q, r, exp(a2 * t + -0.30E0 * t * t) * 2.5E0 / dd AS w
-         |  FROM (
-         |   SELECT t, a2, (aa * la + bb * $lb) / dd AS q,
+         |   SELECT tag, t, w, a1, a2,
+         |    (aa * la + bb * $lb) / dd AS q,
          |    (aa * la * la + bb * $lb * $lb) / dd
-         |     - ((aa * la + bb * $lb) / dd) * ((aa * la + bb * $lb) / dd) AS r,
-         |    dd
+         |      - ((aa * la + bb * $lb) / dd) * ((aa * la + bb * $lb) / dd) AS r,
+         |    exp(a2 * t + -0.30E0 * t * t) * 2.5E0 / dd AS wg
          |   FROM (
-         |    SELECT g.t, g.la, i.a2, power(g.x - 91.2E0, i.a1) AS aa,
-         |           power(1.25E0, i.a1) AS bb,
-         |           power(g.x - 91.2E0, i.a1) + power(1.25E0, i.a1) AS dd
-         |    FROM grid g, $p i)))),
-         |mom$k AS (
-         | SELECT CAST(t1q AS DOUBLE) / CAST(wq AS DOUBLE) AS et,
-         |        CAST(t2q AS DOUBLE) / CAST(wq AS DOUBLE) AS et2,
-         |        CAST(qq AS DOUBLE) / CAST(wq AS DOUBLE) AS eq,
-         |        CAST(q2q AS DOUBLE) / CAST(wq AS DOUBLE) AS eq2,
-         |        CAST(rq AS DOUBLE) / CAST(wq AS DOUBLE) AS er,
-         |        CAST(tqq AS DOUBLE) / CAST(wq AS DOUBLE) AS etq
-         | FROM qd$k),
-         |stp$k AS (
-         | SELECT i.a1, i.a2,
-         |  CAST(c.sqq AS DOUBLE) / $q12 - cn.sw * m.eq AS g1,
-         |  -cn.s1w + cn.sw * m.et AS g2,
-         |  CAST(c.srq AS DOUBLE) / $q12 + cn.sw * (m.eq2 - m.er - m.eq * m.eq) AS h11,
-         |  -cn.sw * (m.etq - m.et * m.eq) AS h12,
-         |  cn.sw * (m.et2 - m.et * m.et) AS h22
-         | FROM $p i, corp$k c, mom$k m, cn),
-         |it$k AS (
+         |    SELECT u.tag, u.x, u.t, u.la, u.w, i.a1, i.a2,
+         |     power(u.x - 91.2E0, i.a1) AS aa,
+         |     power(1.25E0, i.a1) AS bb,
+         |     power(u.x - 91.2E0, i.a1) + power(1.25E0, i.a1) AS dd
+         |    FROM evg u, $p i)) rows0
+         |  CROSS JOIN cn
+         |  GROUP BY a1, a2, cn.sw, cn.s1w) agg$k)"""
+    val it =
+      s"""it$k AS (
          | SELECT
          |  LEAST(GREATEST(a1 - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), 0.7E0), 2.1E0) AS a1,
          |  LEAST(GREATEST(a2 - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), 0.30E0), 0.62E0) AS a2
-         | FROM stp$k)"""
-    }.mkString(",\n").stripMargin
+         | FROM st$k)"""
+    (st, it)
+  }
+  private def f23SqlPrefix(fullSteps: Int, extraSt: Boolean): String = {
+    val q12 = "1e12"
+    val blocks = (1 to fullSteps).flatMap { k =>
+      val (st, it) = f23StepSql(k); Seq(st, it)
+    } ++ (if (extraSt) Seq(f23StepSql(fullSteps + 1)._1) else Nil)
     s"""WITH ev AS (
        | SELECT x, t, la,
        |  exp(0.40E0 * t - 0.30E0 * t * t) * 2.5E0
@@ -1868,25 +1910,36 @@ object FitQueries extends QueryFamily {
        | SELECT x, x / 100.0E0 AS t, LN(x - 91.2E0) AS la FROM (
        |  SELECT 110.0E0 + (CAST(g AS DOUBLE) + 0.5E0) / 10.0E0 AS x
        |  FROM (SELECT unnest(generate_series(0, 399)) AS g))),
+       |evg AS (
+       | SELECT 'e' AS tag, x, t, la, w FROM ev
+       | UNION ALL SELECT 'g', x, t, la, 0.0E0 FROM grid),
        |it0 AS (SELECT CAST(1.39E0 AS DOUBLE) AS a1, CAST(0.46E0 AS DOUBLE) AS a2),
-       |$iters,
-       |fincorp AS (
-       | SELECT CAST(SUM(CAST(FLOOR(w * LN(power(x - 91.2E0, i.a1) + power(1.25E0, i.a1)) * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS sdq
-       | FROM ev, it$f23Iters i),
-       |finquad AS (
-       | SELECT CAST(SUM(CAST(FLOOR(
-       |   exp(i.a2 * g.t + -0.30E0 * g.t * g.t) * 2.5E0
-       |    / (power(g.x - 91.2E0, i.a1) + power(1.25E0, i.a1)) * $q12 + 0.5) AS BIGINT)) AS BIGINT) AS wq
-       | FROM grid g, it$f23Iters i)
+       |${blocks.mkString(",\n")}""".stripMargin
+  }
+  private lazy val f23Sql = {
+    val q12 = "1e12"
+    s"""${f23SqlPrefix(f23Iters, extraSt = false)},
+       |fin AS (
+       | SELECT i.a1, i.a2,
+       |  SUM(CASE WHEN u.tag = 'e' THEN CAST(FLOOR(u.w * LN(power(u.x - 91.2E0, i.a1) + power(1.25E0, i.a1)) * $q12 + 0.5) AS BIGINT) END) AS sdq,
+       |  SUM(CASE WHEN u.tag = 'g' THEN CAST(FLOOR(exp(i.a2 * u.t + -0.30E0 * u.t * u.t) * 2.5E0 / (power(u.x - 91.2E0, i.a1) + power(1.25E0, i.a1)) * $q12 + 0.5) AS BIGINT) END) AS wq
+       | FROM evg u, it$f23Iters i GROUP BY 1, 2)
        |SELECT const.n AS n_events,
        | CAST(CAST(swq AS DOUBLE) / $q12 AS REAL) AS eff_n,
-       | CAST(i.a1 AS REAL) AS a1_hat,
-       | CAST(i.a2 AS REAL) AS a2_hat,
-       | CAST((-(i.a2 * cn.s1w + -0.30E0 * cn.s2w + cn.sw * LN(2.5E0)
-       |         - CAST(fc.sdq AS DOUBLE) / $q12)
-       |       + cn.sw * LN(CAST(fq.wq AS DOUBLE) / $q12 * 0.1E0)) / cn.sw AS REAL) AS nll_w
-       |FROM const, cn, it$f23Iters i, fincorp fc, finquad fq""".stripMargin
+       | CAST(f.a1 AS REAL) AS a1_hat,
+       | CAST(f.a2 AS REAL) AS a2_hat,
+       | CAST((-(f.a2 * cn.s1w + -0.30E0 * cn.s2w + cn.sw * LN(2.5E0)
+       |         - CAST(f.sdq AS DOUBLE) / $q12)
+       |       + cn.sw * LN(CAST(f.wq AS DOUBLE) / $q12 * 0.1E0)) / cn.sw AS REAL) AS nll_w
+       |FROM const, cn, fin f""".stripMargin
   }
+  private lazy val f25Sql =
+    s"""${f23SqlPrefix(f23Iters, extraSt = true)}
+       |SELECT CAST(a1 AS REAL) AS a1_hat, CAST(a2 AS REAL) AS a2_hat,
+       | CAST(SQRT(h22 / (h11 * h22 - h12 * h12)) AS REAL) AS sig_a1,
+       | CAST(SQRT(h11 / (h11 * h22 - h12 * h12)) AS REAL) AS sig_a2,
+       | CAST(-h12 / SQRT(h11 * h22) AS REAL) AS rho
+       |FROM st${f23Iters + 1}""".stripMargin
 
   // ---- f24: fit frame + pull table (the data behind fit_plots.py) ---------
   // stage3/fit_plots.py:28-55 + :213-232 draws each fitted model's
@@ -2012,6 +2065,7 @@ object FitQueries extends QueryFamily {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f24_fit_frame_pulls" -> (f24 _),
     "f23_nll_newton_fit" -> (f23 _),
+    "f25_nll_fit_errors" -> (f25 _),
     "f22_family_selection" -> (f22 _),
     "f20_bwzgl_mix_scan" -> (f20 _),
     "f19_bwzl_mix_scan" -> (f19 _),
@@ -2039,6 +2093,7 @@ object FitQueries extends QueryFamily {
   val oracle: Map[String, String] = Map(
     "f24_fit_frame_pulls" -> f24Sql,
     "f23_nll_newton_fit" -> f23Sql,
+    "f25_nll_fit_errors" -> f25Sql,
     "f22_family_selection" -> f22Sql,
     "f20_bwzgl_mix_scan" -> f20Sql,
     "f19_bwzl_mix_scan" -> f19Sql,

@@ -677,11 +677,154 @@ object StageQueries extends QueryFamily {
       |      END AS REAL) AS rel_eff
       |FROM rows_ ORDER BY step""".stripMargin
 
+
+  // ---- s15: plotter.py's systematic variation-band matrix -------------------
+  // reference: stage3/make_templates.py:92-104 — "avoid situation where
+  // different datasets have incompatible systematics": the variation set
+  // used for the band is the INTERSECTION of every dataset's available
+  // variations (the R6 key-set-intersection operator realized on real
+  // variation columns), and stage3/plotter.py's stat/syst band
+  // (plotter.py:160-170) is the per-(region, channel, bin) envelope +
+  // quadrature of the surviving variations around nominal. Here the
+  // datasets are the three l_returnflag populations; dataset 'N' is
+  // deterministically missing the pu_* pair (the incompatible-
+  // systematics situation the reference guards against), so the
+  // intersection the query must COMPUTE is {nominal, jes_up, jes_down}.
+  //
+  // Scale shape: one lineitem scan fans out all per-dataset variations
+  // as weight COLUMNS before the explode (the s06 rationale: the
+  // shuffle carries |orders| rows × |variations|, never re-scans), the
+  // intersection is a tiny distinct-pairs aggregate, and the band is
+  // arithmetic over the histogram table — nothing in the plan grows
+  // with corpus size except the first groupBy. PlotSvg.renderBand draws
+  // the panel from this table; PipelineGoldenSpec pins the mark counts.
+  private def s15(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val per = li.groupBy(col("l_returnflag").as("dataset"), col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("njets"),
+        sum(when(col("l_quantity") > 45.0, 1L).otherwise(0L)).as("nbtag"),
+        max(col("l_extendedprice")).as("lead_price"),
+        (max(col("l_discount")) * lit(40.0)).as("deta"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("ht"))
+    val mass = col("ht") % lit(160.0)
+    val wNom = lit(1.0) + col("ht") / lit(1.0e6)
+    val jesK = (col("lead_price") % lit(5.0)) / lit(100.0)
+    val puK = (col("njets") % lit(3)).cast("double") / lit(50.0)
+    val labeled = per
+      .withColumn("region", Selections.regionLabel(mass))
+      .withColumn("channel", Selections.channelLabel(col("nbtag"),
+        col("lead_price") / 100.0, col("deta"), col("lead_price") / 1000.0, col("njets")))
+      .withColumn("mass", mass)
+      .filter(col("region") =!= "none")
+    val fanned = labeled.select(col("dataset"), col("region"), col("channel"),
+        col("mass"), explode(array(
+          struct(lit("nominal").as("variation"), wNom.as("w")),
+          struct(lit("jes_up").as("variation"), (wNom * (lit(1.0) + jesK)).as("w")),
+          struct(lit("jes_down").as("variation"), (wNom * (lit(1.0) - jesK)).as("w")),
+          struct(lit("pu_up").as("variation"), (wNom * (lit(1.0) + puK)).as("w")),
+          struct(lit("pu_down").as("variation"), (wNom * (lit(1.0) - puK)).as("w")))).as("v"))
+      .select(col("dataset"), col("region"), col("channel"),
+        col("v.variation").as("variation"), col("mass"), col("v.w").as("w"))
+      // dataset 'N' ships without the pu_* variations (incompatible sets)
+      .filter(!(col("dataset") === "N" && col("variation").startsWith("pu_")))
+    val hist = fanned.groupBy(col("dataset"), col("region"), col("channel"),
+        col("variation"), Histogrammer.bucket(col("mass"), 0.0, 160.0, 40).as("bin"))
+      .agg(sum(col("w")).as("value"))
+      .localCheckpoint() // feeds the intersection AND the band sums
+    // R6: variations available in EVERY dataset
+    val nDatasets = hist.select(col("dataset")).distinct()
+      .agg(count(lit(1)).as("n_ds"))
+    val common = hist.select(col("dataset"), col("variation")).distinct()
+      .groupBy(col("variation")).agg(count(lit(1)).as("n_has"))
+      .crossJoin(broadcast(nDatasets))
+      .filter(col("n_has") === col("n_ds"))
+      .select(col("variation"))
+    val summed = hist.join(broadcast(common), Seq("variation"), "left_semi")
+      .groupBy(col("region"), col("channel"), col("variation"), col("bin"))
+      .agg(sum(col("value")).as("value"))
+    summed.groupBy(col("region"), col("channel"), col("bin"))
+      .agg(
+        sum(when(col("variation") === "nominal", col("value"))).as("nom"),
+        min(col("value")).as("env_lo"),
+        max(col("value")).as("env_hi"),
+        sum(when(col("variation") =!= "nominal",
+          col("value") * col("value"))).as("sq"),
+        sum(when(col("variation") =!= "nominal", col("value"))).as("sv"),
+        count(when(col("variation") =!= "nominal", lit(1))).as("nv"))
+      .select(col("region"), col("channel"), col("bin"),
+        col("nom").cast("float").as("nominal"),
+        col("env_lo").cast("float").as("env_lo"),
+        col("env_hi").cast("float").as("env_hi"),
+        // quadrature of (v - nom) over non-nominal variations, expanded
+        // to moment form (Σv² − 2·nom·Σv + n·nom²) so the fold is
+        // order-free given the per-variation sums
+        sqrt(col("sq") - lit(2.0) * col("nom") * col("sv")
+          + col("nv") * col("nom") * col("nom")).cast("float").as("band_quad"))
+      .orderBy(col("region"), col("channel"), col("bin"))
+  }
+  private val s15Sql = {
+    val b = Histogrammer.bucketSql("mass", 0.0, 160.0, 40)
+    val region = RelationalQueries.regionCaseSql("(ht % 160.0)")
+    s"""WITH per AS (
+       | SELECT l_returnflag AS dataset, l_orderkey, COUNT(*) AS njets,
+       |  SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS nbtag,
+       |  MAX(l_extendedprice) AS lead_price,
+       |  MAX(l_discount) * 40.0 AS deta,
+       |  SUM(l_extendedprice * (1.0 - l_discount)) AS ht
+       | FROM lineitem GROUP BY 1, 2),
+       |labeled AS (
+       | SELECT dataset, ht % 160.0 AS mass,
+       |  $region AS region,
+       |  CASE WHEN nbtag > 1 THEN 'ttHorVH'
+       |   WHEN lead_price / 100.0 > 400.0 AND deta > 2.5 AND lead_price / 1000.0 > 35.0 THEN 'vbf'
+       |   WHEN njets = 0 THEN 'ggh_0jets'
+       |   WHEN njets = 1 THEN 'ggh_1jet'
+       |   ELSE 'ggh_2orMoreJets' END AS channel,
+       |  1.0 + ht / 1.0e6 AS wnom,
+       |  (lead_price % 5.0) / 100.0 AS jesk,
+       |  CAST(njets % 3 AS DOUBLE) / 50.0 AS puk
+       | FROM per WHERE $region != 'none'),
+       |fanned AS (
+       | SELECT dataset, region, channel, mass, variation, w FROM (
+       |  SELECT dataset, region, channel, mass, 'nominal' AS variation, wnom AS w FROM labeled
+       |  UNION ALL SELECT dataset, region, channel, mass, 'jes_up', wnom * (1.0 + jesk) FROM labeled
+       |  UNION ALL SELECT dataset, region, channel, mass, 'jes_down', wnom * (1.0 - jesk) FROM labeled
+       |  UNION ALL SELECT dataset, region, channel, mass, 'pu_up', wnom * (1.0 + puk) FROM labeled
+       |  UNION ALL SELECT dataset, region, channel, mass, 'pu_down', wnom * (1.0 - puk) FROM labeled)
+       | WHERE NOT (dataset = 'N' AND variation LIKE 'pu_%')),
+       |hist AS (
+       | SELECT dataset, region, channel, variation, $b AS bin,
+       |  SUM(w) AS value
+       | FROM fanned GROUP BY 1, 2, 3, 4, 5),
+       |common AS (
+       | SELECT variation FROM (
+       |  SELECT DISTINCT dataset, variation FROM hist)
+       | GROUP BY variation
+       | HAVING COUNT(*) = (SELECT COUNT(DISTINCT dataset) FROM hist)),
+       |summed AS (
+       | SELECT region, channel, variation, bin, SUM(value) AS value
+       | FROM hist SEMI JOIN common USING (variation)
+       | GROUP BY 1, 2, 3, 4)
+       |SELECT region, channel, bin,
+       | CAST(SUM(CASE WHEN variation = 'nominal' THEN value END) AS REAL) AS nominal,
+       | CAST(MIN(value) AS REAL) AS env_lo,
+       | CAST(MAX(value) AS REAL) AS env_hi,
+       | CAST(SQRT(SUM(CASE WHEN variation != 'nominal' THEN value * value END)
+       |   - 2.0 * SUM(CASE WHEN variation = 'nominal' THEN value END)
+       |     * SUM(CASE WHEN variation != 'nominal' THEN value END)
+       |   + COUNT(CASE WHEN variation != 'nominal' THEN 1 END)
+       |     * SUM(CASE WHEN variation = 'nominal' THEN value END)
+       |     * SUM(CASE WHEN variation = 'nominal' THEN value END)) AS REAL) AS band_quad
+       |FROM summed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s13_cutflow" -> (s13 _),
     "s12_rebin_ratio" -> (s12 _),
     "s11_tree_scan" -> (s11 _),
     "s14_root_stage1" -> (s14 _),
+    "s15_variation_band" -> (s15 _),
     "s10_root_scan" -> (s10 _),
     "s01_stage1_pipeline" -> (s01 _),
     "s02_metadata_prescan" -> (s02 _),
@@ -696,6 +839,7 @@ object StageQueries extends QueryFamily {
     "s12_rebin_ratio" -> s12Sql,
     "s11_tree_scan" -> s11Sql,
     "s14_root_stage1" -> s14Sql,
+    "s15_variation_band" -> s15Sql,
     "s10_root_scan" -> s10Sql,
     "s01_stage1_pipeline" -> s01Sql,
     "s02_metadata_prescan" -> s02Sql,

@@ -156,6 +156,55 @@ object PlotSvg {
     sb.toString
   }
 
+  /** Render one (region, channel)'s systematic-band panel from s15 rows
+    * (the make_templates.py:92-104 intersected variation set): the
+    * light envelope band (min..max across surviving variations), the
+    * darker quadrature band (nominal ± band_quad), and the nominal
+    * step line — plotter.py:160-170's stat/syst band as deterministic
+    * SVG. Mark classes (envband/quadband/nomstep) are one-per-bin so
+    * goldens can count them. */
+  def renderBand(region: String, channel: String, rows: Seq[Row]): String = {
+    val rs = rows.sortBy(_.getAs[Long]("bin"))
+    require(rs.nonEmpty, s"no band rows for $region/$channel")
+    val n = rs.size
+    val plotW = W - PadL - PadR
+    val bw = plotW / n
+    val yMax = math.max(1e-12,
+      rs.map(_.getAs[Float]("env_hi").toDouble).max) * 1.15
+    def x(i: Int) = PadL + i * bw
+    def yM(v: Double) = PadT + HMain - (math.max(v, 0.0) / yMax) * HMain
+    val H = PadT + HMain + 30.0
+    val sb = new StringBuilder
+    sb ++= s"""<svg xmlns="http://www.w3.org/2000/svg" width="${W.toInt}" height="${H.toInt}" font-family="monospace" font-size="10">\n"""
+    sb ++= s"""<text x="${f(PadL)}" y="15" font-size="13">$region / $channel — nominal + variation band</text>\n"""
+    sb ++= s"""<rect x="${f(PadL)}" y="${f(PadT)}" width="${f(plotW)}" height="${f(HMain)}" fill="none" stroke="black"/>\n"""
+    rs.zipWithIndex.foreach { case (r, i) =>
+      val nom = r.getAs[Float]("nominal").toDouble
+      val lo = r.getAs[Float]("env_lo").toDouble
+      val hi = r.getAs[Float]("env_hi").toDouble
+      val q = r.getAs[Float]("band_quad").toDouble
+      sb ++= s"""<rect class="envband" x="${f(x(i))}" y="${f(yM(hi))}" width="${f(bw)}" height="${f(yM(lo) - yM(hi))}" fill="#ddaa33" fill-opacity="0.35"/>\n"""
+      sb ++= s"""<rect class="quadband" x="${f(x(i))}" y="${f(yM(nom + q))}" width="${f(bw)}" height="${f(yM(nom - q) - yM(nom + q))}" fill="#000000" fill-opacity="0.18"/>\n"""
+      sb ++= s"""<line class="nomstep" x1="${f(x(i))}" y1="${f(yM(nom))}" x2="${f(x(i) + bw)}" y2="${f(yM(nom))}" stroke="#4477aa" stroke-width="1.5"/>\n"""
+    }
+    sb ++= s"""<text x="2" y="${f(PadT + 10)}">${f(yMax)}</text>\n"""
+    sb ++= s"""<text x="${f(PadL)}" y="${f(H - 8)}">bins (mass), intersected variation set</text>\n"""
+    sb ++= "</svg>\n"
+    sb.toString
+  }
+
+  /** Render every (region, channel) panel in an s15-shaped DataFrame.
+    * The input is tiny (regions × channels × bins) — collect is
+    * intentional. */
+  def renderBandAll(bandTable: DataFrame): Map[(String, String), String] = {
+    val rows = bandTable.collect().toSeq
+    rows.map(r => (r.getAs[String]("region"), r.getAs[String]("channel")))
+      .distinct.sorted
+      .map { case (reg, ch) => (reg, ch) -> renderBand(reg, ch,
+        rows.filter(r => r.getAs[String]("region") == reg &&
+          r.getAs[String]("channel") == ch)) }.toMap
+  }
+
   /** Render every region in an s12-shaped DataFrame. The input is tiny
     * (regions × coarse bins) — collect is intentional. */
   def renderAll(ratioTable: DataFrame): Map[String, String] = {

@@ -68,6 +68,25 @@ class PipelineGoldenSpec extends SparkSpec {
     }
   }
 
+  test("stage3e golden: variation-band panels render one band pair per bin") {
+    val band = queries.StageQueries.queries("s15_variation_band")(spark, sf("sf0.001"))
+    val panels = report.PlotSvg.renderBandAll(band)
+    assert(panels.nonEmpty, "no band panels rendered")
+    // the intersection drops the pu_* pair dataset 'N' lacks — the band
+    // exists for every (region, channel) the histogram table carries
+    val pairs = band.select(col("region"), col("channel")).distinct().count()
+    assert(panels.size == pairs.toInt, s"panels ${panels.size} != $pairs pairs")
+    panels.foreach { case ((region, channel), svg) =>
+      assert(svg.startsWith("<svg ") && svg.endsWith("</svg>\n"))
+      val nBins = band.filter(col("region") === region &&
+        col("channel") === channel).count().toInt
+      def count(cls: String) = s"""class="$cls"""".r.findAllIn(svg).size
+      assert(count("envband") == nBins, s"$region/$channel: envband != $nBins")
+      assert(count("quadband") == nBins, s"$region/$channel: quadband != $nBins")
+      assert(count("nomstep") == nBins, s"$region/$channel: nomstep != $nBins")
+    }
+  }
+
   test("stage3d golden: fit panel renders 6 rank-colored curves + winner pulls") {
     val fit = queries.FitQueries.queries("f24_fit_frame_pulls")(spark, sf("sf0.001"))
     val svg = report.PlotSvg.renderFit(fit)
