@@ -196,6 +196,22 @@ object GraphQueries extends QueryFamily {
     * representatives. Exposed at package level so TriangleOrientSpec
     * can drive it with adversarial (power-law) edge lists g06's
     * lineitem-derived graph never produces. */
+  /** Per-task wedge budget for the closure/self-join stages (round-11
+    * verdict ask #5). Per-task aggregation/sort state in the wedge
+    * stages is proportional to the wedges one task generates; at the
+    * default 4M a task's partial state stays ~100-200 MB — inside a
+    * 256 MB share of a commodity 8 GiB × 32-thread executor. Override
+    * with spark.graft.graph.wedgeBudget. */
+  private def wedgeBudget(s: SparkSession): Long =
+    s.conf.get("spark.graft.graph.wedgeBudget", "4000000").toLong
+
+  /** Edge-count cap for broadcasting the closure legs (~25 B/edge ⇒ the
+    * default 4M ≈ 100 MB broadcast). Above it the closure falls back to
+    * the budget-partitioned shuffle plan — the 100-TB regime where no
+    * edge list fits an executor. */
+  private def broadcastEdgeCap(s: SparkSession): Long =
+    s.conf.get("spark.graft.graph.broadcastEdgeCap", "4000000").toLong
+
   private[queries] def orientedTriangles(edges: DataFrame): DataFrame = {
     // Degree-ordered orientation (compact-forward): re-point each
     // undirected edge from its (degree, id)-smaller endpoint to the
@@ -225,20 +241,77 @@ object GraphQueries extends QueryFamily {
           (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("t"))
       .localCheckpoint() // feeds all three closure legs
-    oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
-      .join(oriented.as("e3"),
-        col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
-      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    // Wedge-budget repartition of the CLOSURE leg (round-11 verdict
+    // ask #5, same rationale as g15): the wedge stream (Σ indeg·outdeg
+    // rows, the big intermediate) previously reached the e3 join
+    // through a 32-partition ENSURE_REQUIREMENTS exchange whose
+    // per-task SMJ sort spilled at commodity heaps. The wedge total is
+    // known from the oriented degree tables BEFORE any join runs, so
+    // the stream is explicitly hash-partitioned by the e3 join's exact
+    // key pair (s, t) into ≈ totalWedges/budget partitions — Spark
+    // reuses the layout (no re-exchange) and each task sorts ≈ budget
+    // wedges. (s, t) pairs are fine-grained, so no salting is needed
+    // on this leg; the e1⋈e2 join itself sorts only EDGES (small).
+    val s = oriented.sparkSession
+    val outd = oriented.groupBy(col("s").as("m")).agg(count(lit(1)).as("od"))
+    val ind = oriented.groupBy(col("t").as("m")).agg(count(lit(1)).as("id"))
+    val stats = oriented.as("e")
+      .join(outd, col("e.t") === col("m"), "left")
+      .agg(coalesce(sum(coalesce(col("od"), lit(0L))), lit(0L)).as("tw"),
+        count(lit(1)).as("ne")).head()
+    val totalWedges = stats.getLong(0)
+    val edgeCount = stats.getLong(1)
+    val nParts = math.max(s.sparkContext.defaultParallelism.toLong,
+      math.min(4096L, 2L * totalWedges / wedgeBudget(s) + 1L)).toInt
+    if (edgeCount <= broadcastEdgeCap(s)) {
+      // Broadcast closure: both join legs are the (sparsified, capped)
+      // edge list itself — small enough to ship to every task — so the
+      // wedge stream NEVER shuffles: it is generated, closed against
+      // e3's hash table, and folded into the per-node aggregate inside
+      // one stage. The e1 leg is pre-spread to ≈ wedgeBudget wedges per
+      // task (per-row weight = outdeg⁺(t) ≤ O(√E) under the degree
+      // orientation, far below the budget, so (s, t) hashing spreads
+      // evenly) — bounding both task CPU and partial-agg state.
+      oriented.repartition(nParts, col("s"), col("t")).as("e1")
+        .join(broadcast(oriented.as("e2")), col("e1.t") === col("e2.s"))
+        .join(broadcast(oriented.as("e3")),
+          col("e3.s") === col("e1.s") && col("e3.t") === col("e2.t"))
+        .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    } else {
+      // Shuffle closure (edge list beyond broadcast size — the 100-TB
+      // regime): the wedge stream reaches the e3 join through an
+      // explicit hash partitioning on the join's exact key pair (s, t)
+      // into ≈ totalWedges/budget partitions — Spark reuses the layout
+      // (no ENSURE_REQUIREMENTS re-exchange) and each task sorts
+      // ≈ budget wedges instead of a 1/32 share of all of them. (s, t)
+      // pairs are fine-grained, so no salting is needed on this leg;
+      // the e1⋈e2 join itself sorts only EDGES (small).
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"), col("e1.t") === col("e2.s"))
+        .select(col("e1.s").as("ws"), col("e1.t").as("wm"),
+          col("e2.t").as("wt"))
+      wedges.repartition(nParts, col("ws"), col("wt"))
+        .join(oriented.as("e3"),
+          col("e3.s") === col("ws") && col("e3.t") === col("wt"))
+        .select(col("ws").as("a"), col("wm").as("b"), col("wt").as("c"))
+    }
   }
 
   private def g06(s: SparkSession, dir: String): DataFrame = {
     val tri = orientedTriangles(coSupplyEdges(s, dir))
-    val total = tri.agg(count(lit(1)).as("n_triangles"))
-    val perNode = tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
+    // ONE pass over the triangle stream (round 12): the previous
+    // total-count aggregate + three-way projection union repeated the
+    // un-cacheable closure subtree FOUR times in the physical plan
+    // (caching the stream itself would materialize Θ(triangles) rows —
+    // wrong on dense graphs). explode folds the three corners in one
+    // traversal; the checkpointed per-node table is |nodes|-sized and
+    // the total is its sum/3 (each triangle contributes three corners).
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint() // feeds the total AND the top-10 rank
+    val total = perNode
+      .agg(expr("CAST(sum(n_tri) div 3 AS BIGINT)").as("n_triangles"))
     val wTop = Window.orderBy(col("n_tri").desc, col("node").asc)
     perNode.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(wTop))
@@ -953,12 +1026,47 @@ object GraphQueries extends QueryFamily {
     val sym = und.select(col("u").as("a"), col("v").as("b"))
       .union(und.select(col("v").as("a"), col("u").as("b")))
     val deg = sym.groupBy(col("a").as("w")).agg(count(lit(1)).as("dw"))
+      .localCheckpoint() // feeds the wedge budget, the grid, the weight
+    // Wedge-budget partitioning (round-11 verdict ask #5): the wedge
+    // self-join ran as a 32-partition SMJ whose join-stage partial
+    // aggregation held Σ_task deg(w)² wedge pairs — 13 GiB of spill at
+    // an 8 GiB heap (PLANS.md sf1 note). Total wedge work is known
+    // BEFORE the join from the degree table, so:
+    //  1. GRID-SALT each middle node w into p(w) = ⌈deg(w)/√B⌉ row
+    //     groups per side (left cell index from hash(cu), right from
+    //     hash(cv); each side replicated p ways) — a single hub key's
+    //     wedge block deg(w)² splits into p² cells of ≤ B wedges, the
+    //     standard all-pairs-per-key decomposition. p = 1 for every
+    //     non-hub node (deg ≤ √B), so replication ≈ Σdeg²/√B rows.
+    //  2. Repartition BOTH sides by the EXACT join key (w, i, j) into
+    //     nParts ≈ totalWedges/B partitions — hash partitioning on the
+    //     full key set satisfies the join's clustering requirement, so
+    //     Spark reuses it (no ENSURE_REQUIREMENTS re-exchange) and the
+    //     join + its partial aggregation run with ≈ B wedges per task.
+    // deg rides in via BROADCAST joins so no SMJ breaks the layout.
+    val b = wedgeBudget(s)
+    val sqrtB = math.max(1L, math.sqrt(b.toDouble).toLong)
+    val totalWedges = deg.agg(sum(col("dw") * col("dw"))).head.getLong(0)
+    val nParts = math.max(s.sparkContext.defaultParallelism.toLong,
+      math.min(4096L, 2L * totalWedges / b + 1L)).toInt
+    val degP = deg.select(col("w"),
+      ((col("dw") + sqrtB - 1L) / sqrtB).cast("long").as("p"))
     // wedge u -w- v with u < v over symmetric edges; each common
-    // neighbor contributes once per (u, v)
-    val cand = sym.select(col("b").as("w"), col("a").as("cu"))
-      .join(sym.select(col("a").as("w"), col("b").as("cv")), Seq("w"))
+    // neighbor contributes once per (u, v) — grid cells are disjoint
+    // (the pair meets exactly in cell (hash(cu)%p, hash(cv)%p))
+    val x = sym.select(col("b").as("w"), col("a").as("cu"))
+      .join(broadcast(degP), Seq("w"))
+      .withColumn("i", pmod(xxhash64(col("cu")), col("p")))
+      .withColumn("j", explode(sequence(lit(0L), col("p") - 1)))
+      .repartition(nParts, col("w"), col("i"), col("j"))
+    val y = sym.select(col("a").as("w"), col("b").as("cv"))
+      .join(broadcast(degP), Seq("w"))
+      .withColumn("j", pmod(xxhash64(col("cv")), col("p")))
+      .withColumn("i", explode(sequence(lit(0L), col("p") - 1)))
+      .repartition(nParts, col("w"), col("i"), col("j"))
+    val cand = x.join(y.drop("p"), Seq("w", "i", "j"))
       .filter(col("cu") < col("cv"))
-      .join(deg, Seq("w"))
+      .join(broadcast(deg), Seq("w"))
       .groupBy(col("cu").as("u"), col("cv").as("v"))
       .agg(count(lit(1)).as("n_common"),
         sum(expr("CAST(floor(1e6 / ln(CAST(dw AS DOUBLE)) + 0.5) AS BIGINT)"))

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""k-ladder report: per-query scale exponents from two bench runs, with
+the committed expectations as a regression gate (round-11 asks #6/#7).
+
+usage: k_ladder_report.py <sf0.1.json> <sf1.json> <expected.tsv>
+
+Each json is one full-record graft.Bench line (with "queries",
+"reruns", "calib_sec", "exec_metrics"). Times are the steady view
+(min(first, rerun)) normalized by the run's calib probe; shuffle bytes
+come from exec_metrics (first-pass attribution). Exponents:
+k = log10(v_sf1 / v_sf0.1) for one decade.
+
+expected.tsv columns: query, k_time, tol_time, k_shuffle, tol_shuffle,
+note ('-' for no shuffle gate — sub-MB shuffle writes wobble with AQE
+coalescing and are not a scale signal). Exit 1 on any miss.
+"""
+import json
+import math
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        r = json.load(f)
+    q = dict(r["queries"])
+    for k, v in r.get("reruns", {}).items():
+        q[k] = min(q.get(k, v), v)
+    calib = r.get("calib_sec", 3.27)
+    norm = 3.27 / calib
+    times = {k: v * norm for k, v in q.items()}
+    shuf = {k: m.get("shuffle_write", 0)
+            for k, m in r.get("exec_metrics", {}).items()}
+    return times, shuf
+
+
+def main():
+    t0, s0 = load(sys.argv[1])
+    t1, s1 = load(sys.argv[2])
+    expected = {}
+    with open(sys.argv[3]) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split("\t")
+            expected[parts[0]] = parts[1:]
+    fails = []
+    print(f"{'query':<24} {'t0.1':>7} {'t1':>8} {'k_time':>7} "
+          f"{'sw0.1':>10} {'sw1':>11} {'k_sw':>6}  gate")
+    for q in sorted(set(t0) & set(t1)):
+        kt = math.log10(t1[q] / t0[q]) if t0[q] > 0 else float("nan")
+        sw0, sw1 = s0.get(q, 0), s1.get(q, 0)
+        ks = math.log10(sw1 / sw0) if sw0 > 0 and sw1 > 0 else float("nan")
+        verdict = "n/a"
+        if q in expected:
+            ekt, etolt, eks, etols = expected[q][:4]
+            ok = abs(kt - float(ekt)) <= float(etolt)
+            msgs = [] if ok else [f"k_time {kt:.2f} vs {ekt}±{etolt}"]
+            if eks != "-" and not math.isnan(ks):
+                if abs(ks - float(eks)) > float(etols):
+                    msgs.append(f"k_shuffle {ks:.2f} vs {eks}±{etols}")
+            verdict = "PASS" if not msgs else "FAIL " + "; ".join(msgs)
+            if msgs:
+                fails.append((q, msgs))
+        print(f"{q:<24} {t0[q]:>7.2f} {t1[q]:>8.2f} {kt:>7.2f} "
+              f"{sw0:>10} {sw1:>11} {ks:>6.2f}  {verdict}")
+    if fails:
+        print(f"\n== {len(fails)} exponent regression(s) ==")
+        for q, msgs in fails:
+            print(f"  {q}: {'; '.join(msgs)}")
+        sys.exit(1)
+    print("\n== all exponents within tolerance ==")
+
+
+if __name__ == "__main__":
+    main()
