@@ -1475,16 +1475,24 @@ object DedupQueries extends QueryFamily {
           .as("theory_micro"))
       .orderBy(col("jd"))
   }
+  // Round-12 oracle respelling (same pattern and equivalence argument as
+  // d02Sql): vectorized unnest-min signatures instead of 12 interpreted
+  // list_transform lambdas, and dense-rekeyed BITSTRING intersections
+  // instead of per-pair list_intersect (which duckdb 1.0 macro-expands
+  // to an O(|a|·|b|) lambda and re-evaluates per projection) — the
+  // truth set is an all-pairs bucket join, so the per-pair cost is THE
+  // cost (measured: 227 s → ~15 s at sf0.1). Identical arithmetic:
+  // min over the same permutation multiset; |A∩B| = bit_count(a & b)
+  // under a bijective re-key. The 16384-bit bound fails loudly. Every\n  // CTE is referenced once (truth's caught/total split now rides one\n  // EXISTS flag column) — duckdb 1.0 re-inlines per reference.
   private val d25Sql = {
-    val bandSelects = (0 until d02Perms).map { k =>
-      val mhK = s"list_min(list_transform(sh, " +
-        s"w -> (${permA(k)} * ${mix("w")} + ${permB(k)}) % $P))"
-      s"SELECT doc_id, bucket, $k AS band_idx, $mhK AS band_val FROM docs"
-    }.mkString(" UNION ALL ")
+    val mins = (0 until d02Perms).map { k =>
+      s"MIN((${permA(k)} * v + ${permB(k)}) % $P) AS m$k"
+    }.mkString(", ")
+    val mlist = (0 until d02Perms).map(k => s"m$k").mkString("[", ", ", "]")
     val q2 = "((1.0 - (tt.jd + 0.5) / 10) * (1.0 - (tt.jd + 0.5) / 10))"
     val q4 = s"($q2 * $q2)"
-    val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) " +
-      "/ (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh)))"
+    val jac = "(CAST(bit_count(a.bits & b.bits) AS DOUBLE) " +
+      "/ (CAST(bit_count(a.bits) + bit_count(b.bits) AS DOUBLE) - bit_count(a.bits & b.bits)))"
     s"""WITH stp AS (
        | SELECT (COUNT(*) + ${d25SliceCap - 1}) // $d25SliceCap AS step
        | FROM documents),
@@ -1493,32 +1501,50 @@ object DedupQueries extends QueryFamily {
        |        CAST(n_chars // 100 AS BIGINT) AS bucket
        | FROM documents
        | WHERE ((doc_id * 2654435761) % $P) % (SELECT step FROM stp) = 0),
+       |expl AS (
+       | SELECT doc_id, bucket, (CAST(w AS BIGINT) * 2654435761) % $P AS v, w
+       | FROM docs, unnest(sh) AS t(w)),
+       |sigs AS (
+       | SELECT doc_id, bucket, $mins FROM expl GROUP BY 1, 2),
+       |dict AS (
+       | SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS idx
+       | FROM (SELECT DISTINCT w FROM expl)),
+       |bs AS (
+       | SELECT e.doc_id, e.bucket, bitstring_agg(d.idx, 0, 16383) AS bits
+       | FROM expl e JOIN dict d ON d.w = e.w
+       | GROUP BY 1, 2),
        |truth AS (
        | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  CAST(LEAST(FLOOR(($jac) * 10), 9) AS BIGINT) AS jd
-       | FROM docs a JOIN docs b
+       | FROM bs a JOIN bs b
        |   ON a.bucket = b.bucket AND a.doc_id < b.doc_id
        | WHERE $jac >= $jaccThresh),
-       |bands AS (BANDS_SQL),
+       |bands AS (
+       | SELECT doc_id, bucket,
+       |  unnest(generate_series(0, ${d02Perms - 1})) AS band_idx,
+       |  unnest($mlist) AS band_val
+       | FROM sigs),
        |cand AS (
        | SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        | FROM bands x JOIN bands y
        |   ON x.bucket = y.bucket AND x.band_idx = y.band_idx
        |  AND x.band_val = y.band_val AND x.doc_id < y.doc_id),
-       |caught AS (
-       | SELECT t.jd, COUNT(*) AS n_caught FROM truth t
-       | WHERE EXISTS (SELECT 1 FROM cand c
-       |               WHERE c.a_id = t.a_id AND c.b_id = t.b_id)
-       | GROUP BY 1),
-       |tt AS (SELECT jd, COUNT(*) AS n_truth FROM truth GROUP BY 1)
-       |SELECT tt.jd, tt.n_truth,
-       | CAST(COALESCE(caught.n_caught, 0) AS BIGINT) AS n_caught,
-       | CAST(FLOOR(1e6 * COALESCE(caught.n_caught, 0) / tt.n_truth) AS BIGINT)
+       |flags AS (
+       | SELECT t.jd,
+       |  CASE WHEN EXISTS (SELECT 1 FROM cand c
+       |                    WHERE c.a_id = t.a_id AND c.b_id = t.b_id)
+       |   THEN 1 ELSE 0 END AS hit
+       | FROM truth t),
+       |tt AS (
+       | SELECT jd, COUNT(*) AS n_truth, CAST(SUM(hit) AS BIGINT) AS n_caught
+       | FROM flags GROUP BY 1)
+       |SELECT tt.jd, tt.n_truth, tt.n_caught,
+       | CAST(FLOOR(1e6 * tt.n_caught / tt.n_truth) AS BIGINT)
        |   AS recall_micro,
        | CAST(FLOOR(1e6 * (1.0 - $q4 * $q4 * $q4) + 0.5) AS BIGINT)
        |   AS theory_micro
-       |FROM tt LEFT JOIN caught ON caught.jd = tt.jd
-       |ORDER BY tt.jd""".stripMargin.replace("BANDS_SQL", bandSelects)
+       |FROM tt
+       |ORDER BY tt.jd""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
