@@ -443,17 +443,42 @@ object DedupQueries extends QueryFamily {
   // verified by the exact Jaccard predicate unchanged, so the filtered
   // and unfiltered spellings return identical rows (hash-matched both
   // ways in round 2, 256 rows at sf0.1 — COVERAGE.md).
+  // Round-12 respelling of the round-11 length-filtered oracle — same
+  // lossless filter, same output, the verify arithmetic moved off the
+  // per-pair list_intersect lambda (duckdb 1.0 macro-expands it to an
+  // O(|a|·|b|) list_filter and re-evaluates it per projection; at sf0.1
+  // the 3.7M length-filter survivors made that > 90 s). The bitstring
+  // identity is the d02Sql one: dense re-key is a bijection on shingle
+  // values, so |A∩B| = bit_count(a & b) and |A| = bit_count(a) exactly;
+  // the id-pair candidates are joined on cheap integer columns FIRST so
+  // only survivors copy bitmap payloads. Tuple-exact vs the round-11
+  // spelling at sf0.01 and sf0.1; ~90+ s → ~17 s at sf0.1.
   private val d07Sql =
     s"""WITH docs AS (
-       | SELECT doc_id, $shinglesDuck AS sh FROM documents)
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       | CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) AS REAL) AS jacc
-       |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-       |WHERE len(a.sh) > 0 AND len(b.sh) > 0
-       |  AND $ppDen * LEAST(len(a.sh), len(b.sh)) >= $ppNum * GREATEST(len(a.sh), len(b.sh))
-       |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |   / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - len(list_intersect(a.sh, b.sh))) >= $ppThresh
+       | SELECT doc_id, $shinglesDuck AS sh FROM documents),
+       |expl AS (
+       | SELECT doc_id, w FROM docs, unnest(sh) AS t(w)),
+       |dict AS (
+       | SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS idx
+       | FROM (SELECT DISTINCT w FROM expl)),
+       |bs AS (
+       | SELECT e.doc_id, bitstring_agg(d.idx, 0, 16383) AS bits
+       | FROM expl e JOIN dict d ON d.w = e.w
+       | GROUP BY 1),
+       |lens AS (SELECT doc_id, bit_count(bits) AS n FROM bs),
+       |cand AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM lens a JOIN lens b ON a.doc_id < b.doc_id
+       | WHERE a.n > 0 AND b.n > 0
+       |  AND $ppDen * LEAST(a.n, b.n) >= $ppNum * GREATEST(a.n, b.n)),
+       |pairs AS (
+       | SELECT c.a_id, c.b_id,
+       |  CAST(bit_count(ba.bits & bb.bits) AS DOUBLE) AS isect,
+       |  CAST(bit_count(ba.bits) + bit_count(bb.bits) AS DOUBLE) AS lsum
+       | FROM cand c JOIN bs ba ON ba.doc_id = c.a_id
+       | JOIN bs bb ON bb.doc_id = c.b_id)
+       |SELECT a_id, b_id, CAST(isect / (lsum - isect) AS REAL) AS jacc
+       |FROM pairs WHERE isect / (lsum - isect) >= $ppThresh
        |ORDER BY 1, 2""".stripMargin
 
   // ---- d04: SimHash signature --------------------------------------------

@@ -161,13 +161,13 @@ object GraphQueries extends QueryFamily {
       | SELECT shared, COUNT(*) AS c FROM pairs GROUP BY 1),
       |cum AS (
       | SELECT shared, SUM(c) OVER (ORDER BY shared DESC
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  SUM(c) OVER () AS tot
       | FROM dist),
       |thr AS (
       | SELECT COALESCE(
-      |   MIN(CASE WHEN cum <= (SELECT COUNT(*) FROM pairs) // 10
-      |       THEN shared END),
-      |   (SELECT MAX(shared) FROM pairs)) AS thr
+      |   MIN(CASE WHEN cum <= tot // 10 THEN shared END),
+      |   MAX(shared)) AS thr
       | FROM cum),
       |edges AS (
       | SELECT u, v FROM pairs, thr WHERE pairs.shared >= thr.thr)""".stripMargin
@@ -326,13 +326,12 @@ object GraphQueries extends QueryFamily {
       | FROM edges e1 JOIN edges e2 ON e1.v = e2.u
       | JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
       |pernode AS (
-      | SELECT node, COUNT(*) AS n_tri FROM (
-      |  SELECT a AS node FROM tri UNION ALL
-      |  SELECT b FROM tri UNION ALL
-      |  SELECT c FROM tri) GROUP BY 1)
-      |SELECT rank, node, n_tri, (SELECT COUNT(*) FROM tri) AS n_triangles
+      | SELECT node, COUNT(*) AS n_tri
+      | FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1)
+      |SELECT rank, node, n_tri, n_triangles
       |FROM (SELECT node, n_tri,
-      |       ROW_NUMBER() OVER (ORDER BY n_tri DESC, node ASC) AS rank
+      |       ROW_NUMBER() OVER (ORDER BY n_tri DESC, node ASC) AS rank,
+      |       CAST(SUM(n_tri) OVER () // 3 AS BIGINT) AS n_triangles
       |      FROM pernode)
       |WHERE rank <= 10 ORDER BY rank""".stripMargin
 
