@@ -58,4 +58,24 @@ class D02BudgetGuardSpec extends SparkSpec {
   test("driver gate scale passes the default budget with results unchanged") {
     assert(d02(spark, sf("sf0.01")).count() == 79L)
   }
+
+  test("retuned output is a strict subset of the full-recall output") {
+    // same corpus, same verify threshold — a lower-recall banding can
+    // only MISS pairs, never invent them. Budget 10/doc forces retune
+    // at sf0.01 (the measured (12,1) rate there is 99/doc).
+    val full = d02(spark, sf("sf0.01")).collect().map(_.toString).toSet
+    spark.conf.set("spark.graft.d02.maxCandidatesPerDoc", "10")
+    spark.conf.set("spark.graft.d02.onBudgetExceeded", "retune")
+    val retuned = try {
+      d02(spark, sf("sf0.01")).collect().map(_.toString).toSet
+    } finally {
+      spark.conf.unset("spark.graft.d02.maxCandidatesPerDoc")
+      spark.conf.unset("spark.graft.d02.onBudgetExceeded")
+    }
+    assert(retuned.subsetOf(full),
+      s"retune invented ${(retuned -- full).size} pairs")
+    assert(retuned.nonEmpty, "retuned config found nothing at all")
+    assert(retuned.size < full.size,
+      "retune at 1/10th the budget should trade away SOME recall here")
+  }
 }
