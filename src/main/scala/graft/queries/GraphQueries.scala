@@ -1045,27 +1045,37 @@ object GraphQueries extends QueryFamily {
     // deg rides in via BROADCAST joins so no SMJ breaks the layout.
     val b = wedgeBudget(s)
     val sqrtB = math.max(1L, math.sqrt(b.toDouble).toLong)
-    val totalWedges = deg.agg(sum(col("dw") * col("dw"))).head.getLong(0)
+    val degStats = deg.agg(sum(col("dw") * col("dw")).as("tw"),
+      count(lit(1)).as("nn")).head()
+    val totalWedges = degStats.getLong(0)
+    val nNodes = degStats.getLong(1)
     val nParts = math.max(s.sparkContext.defaultParallelism.toLong,
       math.min(4096L, 2L * totalWedges / b + 1L)).toInt
+    // the degree table is (node, deg) — broadcastable until the NODE
+    // count itself outgrows an executor (the same size gate as g06's
+    // closure legs); past the cap it rides a shuffle join, which is
+    // fine because the explicit (w, i, j) repartition BELOW re-imposes
+    // the wedge-budget layout regardless of the deg join's strategy
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nNodes <= broadcastEdgeCap(s)) broadcast(df) else df
     val degP = deg.select(col("w"),
       ((col("dw") + sqrtB - 1L) / sqrtB).cast("long").as("p"))
     // wedge u -w- v with u < v over symmetric edges; each common
     // neighbor contributes once per (u, v) — grid cells are disjoint
     // (the pair meets exactly in cell (hash(cu)%p, hash(cv)%p))
     val x = sym.select(col("b").as("w"), col("a").as("cu"))
-      .join(broadcast(degP), Seq("w"))
+      .join(maybeBroadcast(degP), Seq("w"))
       .withColumn("i", pmod(xxhash64(col("cu")), col("p")))
       .withColumn("j", explode(sequence(lit(0L), col("p") - 1)))
       .repartition(nParts, col("w"), col("i"), col("j"))
     val y = sym.select(col("a").as("w"), col("b").as("cv"))
-      .join(broadcast(degP), Seq("w"))
+      .join(maybeBroadcast(degP), Seq("w"))
       .withColumn("j", pmod(xxhash64(col("cv")), col("p")))
       .withColumn("i", explode(sequence(lit(0L), col("p") - 1)))
       .repartition(nParts, col("w"), col("i"), col("j"))
     val cand = x.join(y.drop("p"), Seq("w", "i", "j"))
       .filter(col("cu") < col("cv"))
-      .join(broadcast(deg), Seq("w"))
+      .join(maybeBroadcast(deg), Seq("w"))
       .groupBy(col("cu").as("u"), col("cv").as("v"))
       .agg(count(lit(1)).as("n_common"),
         sum(expr("CAST(floor(1e6 / ln(CAST(dw AS DOUBLE)) + 0.5) AS BIGINT)"))
