@@ -25,12 +25,22 @@ object OneQuery {
     SparkEntry.queries(name)(spark, sfDir)
       .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     val sql = SparkEntry.oracleSql.get(name)
+    // full JSON string escape (Verify's convention): backslash, quote,
+    // and ALL control chars — a tab or CR in the SQL must not emit
+    // invalid JSON
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     sql.foreach { q =>
-      val esc = q.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
-        s"""{"$name": "$esc"}""".getBytes("UTF-8"))
+        s"""{"$name": "${esc(q)}"}""".getBytes("UTF-8"))
     }
     println(s"[onequery] $name -> $outDir (oracle: ${sql.isDefined})")
     spark.stop()

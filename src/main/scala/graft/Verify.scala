@@ -31,6 +31,15 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] warm-up skipped: ${e.getMessage}")
     }
+    // Per-query execution metrics (round-12 verdict ask #5): the driver
+    // runs Verify at BOTH sf0.01 and sf0.1, so recording shuffle-write
+    // bytes per query here gives a cheap suite-wide scale decade —
+    // tools/shuffle_exponent.py diffs two of these files and flags any
+    // query whose shuffle bytes grow superlinearly (known
+    // contract-quadratics exempted inline there).
+    val listener = new ExecMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    val execMetrics = Seq.newBuilder[(String, (Long, Long, Long, Long))]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -48,7 +57,18 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      org.apache.spark.sql.classic.GraftBridge
+        .drainListenerBus(spark.sparkContext, 2000L)
+      execMetrics += (name -> listener.snapshot())
       }
+    val em = execMetrics.result().collect {
+      case (k, (sw, sm, sd, pm)) if sw > 0 || sm > 0 || sd > 0 =>
+        s""""$k":{"shuffle_write":$sw,"spill_mem":$sm,"spill_disk":$sd,"peak_exec_mem":$pm}"""
+    }.mkString("{", ",", "}")
+    try Files.writeString(Paths.get(s"$outDir/exec_metrics.json"), em)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] exec_metrics write failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -123,12 +123,20 @@ object DedupQueries extends QueryFamily {
     * evaluated at the feasible banding point. */
   private def d02Retuned(s: SparkSession, sigs: DataFrame,
       budgetTotal: Long): DataFrame = {
+    // Docs with a null/empty signature (no shingles) must not enter the
+    // band self-join: concat_ws SKIPS null elements, so they would all
+    // band to "" and pair with each other — the r=1 path's null band_val
+    // never equi-joins, and this keeps the two paths' candidate
+    // semantics (and the candidate bill) identical. Output was already
+    // unaffected (null jaccard is filtered in verify); this stops the
+    // candidate-set bloat on corpora with many empty docs.
+    val banded = sigs.filter(col("mh").isNotNull && size(col("mh")) > 0)
     for ((b, r) <- d19Confs.drop(1)) {
       val bandsCol = array((0 until b).map { j =>
         concat_ws("_", (0 until r).map(i =>
           element_at(col("mh"), j * r + i + 1)): _*)
       }: _*)
-      val expl = sigs.select(col("doc_id"), col("bucket"),
+      val expl = banded.select(col("doc_id"), col("bucket"),
         posexplode(bandsCol).as(Seq("band_idx", "band_val")))
       val (_, cand) = bandCandidateCount(expl)
       if (cand <= budgetTotal) {
@@ -163,10 +171,14 @@ object DedupQueries extends QueryFamily {
     // one materialized signature table feeds both band-join sides and
     // both verify sides (same anti-inlining reasoning as d03); the
     // native minhash_sig computes all 12 permutation minima in one
-    // codegen'd pass over the shingle array
+    // codegen'd pass over the shingle array. LAZY checkpoint (round-12
+    // verdict ask #6): the budget guard's count below is the first
+    // action, so ONE job both materializes the signature blocks and
+    // measures the candidate bill — the guard no longer pays a second
+    // pass over the checkpoint (was +22 % on d02, BASELINE.md round-12).
     val sigs = docs.select(col("doc_id"), col("sh"), col("bucket"),
       expr(s"minhash_sig(sh, $d02Perms)").as("mh"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val exploded = sigs.select(col("doc_id"), col("bucket"),
       posexplode(col("mh")).as(Seq("band_idx", "band_val")))
     // ---- candidate-budget guard (round 12) -------------------------------

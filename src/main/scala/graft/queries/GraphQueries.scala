@@ -254,7 +254,6 @@ object GraphQueries extends QueryFamily {
     // on this leg; the e1⋈e2 join itself sorts only EDGES (small).
     val s = oriented.sparkSession
     val outd = oriented.groupBy(col("s").as("m")).agg(count(lit(1)).as("od"))
-    val ind = oriented.groupBy(col("t").as("m")).agg(count(lit(1)).as("id"))
     val stats = oriented.as("e")
       .join(outd, col("e.t") === col("m"), "left")
       .agg(coalesce(sum(coalesce(col("od"), lit(0L))), lit(0L)).as("tw"),

@@ -408,6 +408,31 @@ object StageQueries extends QueryFamily {
   // integer pt sums keep the check order-free and exact.
   private lazy val treeFixture =
     refData("mass_res_pisa/muonresolution.root")
+
+  /** Shared s14/s16 event chain: root-tree long rows → one pivot shuffle
+    * to muon rows → object selection → exactly-2 gate → p4 mass. Returns
+    * per-event rows with a `mass` column. */
+  private def s14Mass(s: SparkSession): DataFrame = {
+    val rows = s.read.format("root-tree").option("path", treeFixture).load()
+      .filter(col("tree") === "MyTree" &&
+        col("branch").isin("muon_pt", "muon_eta") && col("i").isNotNull)
+    val muons = rows.groupBy(col("entry"), col("i"))
+      .agg(max(when(col("branch") === "muon_pt", col("value"))).as("pt"),
+        max(when(col("branch") === "muon_eta", col("value"))).as("eta"))
+      .filter(col("pt") > 20.0 && col("pt") < 200.0 && abs(col("eta")) < 2.4)
+    val events = muons.groupBy(col("entry"))
+      .agg(count(lit(1)).as("nmu"),
+        sort_array(collect_list(struct(col("i"), col("pt"), col("eta"))))
+          .as("mus"))
+      .filter(col("nmu") === 2)
+      .select(col("entry"),
+        col("mus")(0)("pt").as("pt1"), col("mus")(0)("eta").as("eta1"),
+        col("mus")(1)("pt").as("pt2"), col("mus")(1)("eta").as("eta2"))
+    val m = lit(0.1057)
+    events.withColumn("mass",
+      K.p4SumMass(col("pt1"), col("eta1"), lit(0.0), m,
+        col("pt2"), col("eta2"), lit(0.0), m))
+  }
   private def s11(s: SparkSession, dir: String): DataFrame =
     s.read.format("graft.sources.RootTreeSource")
       .option("path", treeFixture).load()
@@ -447,26 +472,7 @@ object StageQueries extends QueryFamily {
   // the exactly-2 gate are the SAME one-shuffle jagged pattern as
   // g01, and every aggregate is map-side combined.
   private def s14(s: SparkSession, dir: String): DataFrame = {
-    val rows = s.read.format("root-tree").option("path", treeFixture).load()
-      .filter(col("tree") === "MyTree" &&
-        col("branch").isin("muon_pt", "muon_eta") && col("i").isNotNull)
-    val muons = rows.groupBy(col("entry"), col("i"))
-      .agg(max(when(col("branch") === "muon_pt", col("value"))).as("pt"),
-        max(when(col("branch") === "muon_eta", col("value"))).as("eta"))
-      .filter(col("pt") > 20.0 && col("pt") < 200.0 && abs(col("eta")) < 2.4)
-    val events = muons.groupBy(col("entry"))
-      .agg(count(lit(1)).as("nmu"),
-        sort_array(collect_list(struct(col("i"), col("pt"), col("eta"))))
-          .as("mus"))
-      .filter(col("nmu") === 2)
-      .select(col("entry"),
-        col("mus")(0)("pt").as("pt1"), col("mus")(0)("eta").as("eta1"),
-        col("mus")(1)("pt").as("pt2"), col("mus")(1)("eta").as("eta2"))
-    val m = lit(0.1057)
-    val withMass = events.withColumn("mass",
-      K.p4SumMass(col("pt1"), col("eta1"), lit(0.0), m,
-        col("pt2"), col("eta2"), lit(0.0), m))
-    withMass
+    s14Mass(s)
       .select(Selections.regionLabel(col("mass")).as("region"),
         Histogrammer.bucket(col("mass"), 0.0, 200.0, 40).cast("int").as("bin"),
         expr("CAST(FLOOR(mass * 1000.0 + 0.5) AS BIGINT)").as("mass_milli"))
@@ -520,6 +526,70 @@ object StageQueries extends QueryFamily {
       |('z-peak', 22, 1, 105139)
       |) AS t(region, bin, n_events, mass_milli_sum)
       |ORDER BY region, bin""".stripMargin
+
+  // ---- s16: Runs-tree metadata pre-scan on the REAL input format ----------
+  // The last stage-1 input path moved off its parquet stand-in (round-12
+  // verdict ask #3): the reference's preprocessor reads the `Runs` TTree
+  // of every NanoAOD file and sums genEventSumw/genEventCount per
+  // dataset to derive lumi_weight = xsec * lumi / sumw, which stage 1
+  // multiplies into every event weight (reference:
+  // stage1/preprocessor.py:200-229). Here the SAME shape runs natively:
+  // the root-tree connector scans a directory of .root files (one
+  // partition per file — a NanoAOD dataset is thousands of files; this
+  // is the reference's parallelism unit), a tiny two-branch pivot
+  // aggregation computes the per-dataset sums, and the resulting
+  // weights table — a handful of rows no matter the corpus size — rides
+  // a BROADCAST into the s14 event chain to produce per-dataset
+  // weighted region yields. At 100 TB the prescan reads only the Runs
+  // baskets (KB per file), never event data. Fixture:
+  // fixtures/runs/*.root, authored + independently decoded + replayed
+  // by tools/gen_runs_fixture.py (the gen_s14_oracle discipline); the
+  // branch values are dyadic doubles so the cross-file sum is
+  // order-free and bit-exact. yield_micro quantizes n_events *
+  // lumi_weight (the double, pre-float-cast) at 1e-6 for a hash-stable
+  // cross-engine compare.
+  private lazy val runsFixtureDir: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR",
+      "/root/repo/src/main/resources/fixtures") + "/runs"
+  private def s16(s: SparkSession, dir: String): DataFrame = {
+    val runs = s.read.format("root-tree").option("path", runsFixtureDir).load()
+      .filter(col("tree") === "Runs" &&
+        col("branch").isin("genEventSumw", "genEventCount"))
+      .select(regexp_extract(col("file"),
+        "([A-Za-z0-9_]+)_part[0-9]+\\.root$", 1).as("dataset"),
+        col("branch"), col("value"))
+    val xsec = when(col("dataset") === "ggh_amcPS", lit(0.010571))
+      .when(col("dataset") === "vbf_powheg", lit(0.000823))
+    val wtab = runs.groupBy(col("dataset"))
+      .agg(sum(when(col("branch") === "genEventSumw", col("value")))
+          .as("sumw"),
+        sum(when(col("branch") === "genEventCount", col("value")))
+          .as("cnt"))
+      .select(col("dataset"), col("cnt").cast("long").as("n_gen"),
+        (xsec * lit(lumi) / col("sumw")).as("w"))
+    val regions = s14Mass(s)
+      .groupBy(Selections.regionLabel(col("mass")).as("region"))
+      .agg(count(lit(1)).as("n_events"))
+    regions.crossJoin(broadcast(wtab))
+      .select(col("dataset"), col("region"), col("n_events"), col("n_gen"),
+        col("w").cast("float").as("lumi_wgt"),
+        expr("CAST(FLOOR(n_events * w * 1e6 + 0.5) AS BIGINT)")
+          .as("yield_micro"))
+      .orderBy(col("dataset"), col("region"))
+  }
+  // literal replay by the independent decoder (tools/gen_runs_fixture.py)
+  private val s16Sql =
+    """SELECT dataset, region, n_events, n_gen, lumi_wgt, yield_micro FROM (VALUES
+      |('ggh_amcPS', 'h-peak', 11, 600000, CAST(0.009008853696286678 AS REAL), 99097),
+      |('ggh_amcPS', 'h-sidebands', 22, 600000, CAST(0.009008853696286678 AS REAL), 198195),
+      |('ggh_amcPS', 'none', 12567, 600000, CAST(0.009008853696286678 AS REAL), 113214259),
+      |('ggh_amcPS', 'z-peak', 770, 600000, CAST(0.009008853696286678 AS REAL), 6936817),
+      |('vbf_powheg', 'h-peak', 11, 90000, CAST(0.004816914442926645 AS REAL), 52986),
+      |('vbf_powheg', 'h-sidebands', 22, 90000, CAST(0.004816914442926645 AS REAL), 105972),
+      |('vbf_powheg', 'none', 12567, 90000, CAST(0.004816914442926645 AS REAL), 60534164),
+      |('vbf_powheg', 'z-peak', 770, 90000, CAST(0.004816914442926645 AS REAL), 3709024)
+      |) AS t(dataset, region, n_events, n_gen, lumi_wgt, yield_micro)
+      |ORDER BY dataset, region""".stripMargin
 
   // ---- s12: histogram rebin + data/MC ratio with pulls ---------------------
   // The table behind every stack/ratio panel (stage3/plotter.py's ratio
@@ -758,9 +828,13 @@ object StageQueries extends QueryFamily {
         col("env_hi").cast("float").as("env_hi"),
         // quadrature of (v - nom) over non-nominal variations, expanded
         // to moment form (Σv² − 2·nom·Σv + n·nom²) so the fold is
-        // order-free given the per-variation sums
-        sqrt(col("sq") - lit(2.0) * col("nom") * col("sv")
-          + col("nv") * col("nom") * col("nom")).cast("float").as("band_quad"))
+        // order-free given the per-variation sums; clamped at 0 — under
+        // cancellation (v ≈ nom) the expanded form can round a hair
+        // negative, and sqrt(NaN) vs sqrt(tiny) would let the two
+        // engines' summation rounding disagree
+        sqrt(greatest(col("sq") - lit(2.0) * col("nom") * col("sv")
+          + col("nv") * col("nom") * col("nom"), lit(0.0)))
+          .cast("float").as("band_quad"))
       .orderBy(col("region"), col("channel"), col("bin"))
   }
   private val s15Sql = {
@@ -810,12 +884,12 @@ object StageQueries extends QueryFamily {
        | CAST(SUM(CASE WHEN variation = 'nominal' THEN value END) AS REAL) AS nominal,
        | CAST(MIN(value) AS REAL) AS env_lo,
        | CAST(MAX(value) AS REAL) AS env_hi,
-       | CAST(SQRT(SUM(CASE WHEN variation != 'nominal' THEN value * value END)
+       | CAST(SQRT(GREATEST(SUM(CASE WHEN variation != 'nominal' THEN value * value END)
        |   - 2.0 * SUM(CASE WHEN variation = 'nominal' THEN value END)
        |     * SUM(CASE WHEN variation != 'nominal' THEN value END)
        |   + COUNT(CASE WHEN variation != 'nominal' THEN 1 END)
        |     * SUM(CASE WHEN variation = 'nominal' THEN value END)
-       |     * SUM(CASE WHEN variation = 'nominal' THEN value END)) AS REAL) AS band_quad
+       |     * SUM(CASE WHEN variation = 'nominal' THEN value END), 0.0)) AS REAL) AS band_quad
        |FROM summed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
@@ -825,6 +899,7 @@ object StageQueries extends QueryFamily {
     "s11_tree_scan" -> (s11 _),
     "s14_root_stage1" -> (s14 _),
     "s15_variation_band" -> (s15 _),
+    "s16_runs_prescan" -> (s16 _),
     "s10_root_scan" -> (s10 _),
     "s01_stage1_pipeline" -> (s01 _),
     "s02_metadata_prescan" -> (s02 _),
@@ -840,6 +915,7 @@ object StageQueries extends QueryFamily {
     "s11_tree_scan" -> s11Sql,
     "s14_root_stage1" -> s14Sql,
     "s15_variation_band" -> s15Sql,
+    "s16_runs_prescan" -> s16Sql,
     "s10_root_scan" -> s10Sql,
     "s01_stage1_pipeline" -> s01Sql,
     "s02_metadata_prescan" -> s02Sql,

@@ -92,7 +92,8 @@ object GenSf {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: GenSf <outDir> <sf> [vocabSize]")
+    require(args.length >= 2,
+      "usage: GenSf <outDir> <sf> [vocabSize] [uniform|zipf[:a]]")
     val out = args(0)
     val sf = args(1).toDouble
     // optional third arg: document vocabulary size. The driver corpus
@@ -104,6 +105,29 @@ object GenSf {
     // round-11 PLANS.md A/B measures both.
     val vocabSize = if (args.length >= 3) args(2).toInt else docVocab.size
     val vocab: Seq[String] = vocabOf(vocabSize)
+    // optional fourth arg: degree mode for the fact-table foreign keys.
+    // The default draws l_suppkey/l_partkey uniformly, which makes
+    // every co-supply degree ~equal — the wedge queries' HUB branches
+    // (g15 grid-salting at p(w) > 1, g06 above-cap shuffle closure)
+    // never fire on it (round-12 verdict ask #2). `zipf[:a]` draws both
+    // keys as floor(N * u^a) — density ∝ k^(1/a − 1), a Zipf-like head
+    // at small ids whose top suppliers touch a large fraction of all
+    // parts, producing the power-law co-supply degrees a real 100-TB
+    // corpus contains. a defaults to 2.0 (top-supplier popularity share
+    // ≈ N^(−1/2)); the exponent is a knob because hub-regime rehearsal
+    // wants "a few nodes over √wedgeBudget", not a hub-clique collapse.
+    val degreeMode = if (args.length >= 4) args(3) else "uniform"
+    val zipfA: Double = degreeMode.split(':') match {
+      case Array("uniform") => 0.0
+      case Array("zipf") => 2.0
+      case Array("zipf", a) => a.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"degree mode '$degreeMode' — want uniform | zipf[:a]")
+    }
+    /** Foreign-key draw: uniform pmod, or the zipf power-map. */
+    def fk(idCol: String, salt: Int, n: Long): String =
+      if (zipfA == 0.0) s"CAST(pmod(xxhash64($idCol, $salt), $n) AS BIGINT)"
+      else s"CAST(floor($n * pow(${u(idCol, salt)}, $zipfA)) AS BIGINT)"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -177,8 +201,8 @@ object GenSf {
 
     write(spark.range(nLineitem).selectExpr(
       s"CAST(pmod(xxhash64(id, 51), $nOrders) AS BIGINT) AS l_orderkey",
-      s"CAST(pmod(xxhash64(id, 52), $nPart) AS BIGINT) AS l_partkey",
-      s"CAST(pmod(xxhash64(id, 53), $nSupplier) AS BIGINT) AS l_suppkey",
+      fk("id", 52, nPart) + " AS l_partkey",
+      fk("id", 53, nSupplier) + " AS l_suppkey",
       "CAST(pmod(xxhash64(id, 54), 7) + 1 AS INT) AS l_linenumber",
       "CAST(pmod(xxhash64(id, 55), 50) + 1 AS DOUBLE) AS l_quantity",
       s"round(900.0 + ${u("id", 56)} * 104100.0, 2) AS l_extendedprice",
