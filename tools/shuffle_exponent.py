@@ -16,29 +16,57 @@ grow SUPERLINEARLY across the decade:
 
 Sub-MB shuffles are skipped — AQE coalescing and map-status rounding
 make them wobble with no scale signal (same rationale as the k-ladder's
-'-' rows). Known contract-quadratics are exempt WITH their adjudication
-inline; an exempt query is still printed so the price stays visible.
+'-' rows). Exemptions come from ONE registry: any query whose committed
+k-ladder adjudication (tools/k_ladder_expected.tsv) is
+`contract-quadratic` or `densification` is exempt — those rows are
+already priced and gated per round by the ladder itself — plus a small
+inline list for queries below the ladder's 1 s threshold. Exempt
+queries are still printed so the price stays visible.
 
 Exit 1 on any non-exempt superlinear query.
 """
 import json
 import math
+import os
 import sys
 
 TOL = 0.25          # allowed excess over linear (log10 units)
 MIN_BYTES = 1 << 20  # ignore sub-MiB shuffles at the larger SF
 
-# query -> adjudication (see tools/k_ladder_expected.tsv for the taxonomy)
-EXEMPT = {
-    "d02_jaccard_neardup":
-        "contract-quadratic: recall contract prices Θ(j̄·n²) candidates "
-        "on the degenerate 31-word corpus (PLANS.md round-11 study); "
-        "gated by the budget guard at runtime and the k-ladder per round",
-    "d07_ppjoin_exact":
-        "contract-quadratic: all length-compatible pairs are candidates "
-        "on the degenerate vocab; the lossless prefix/positional filters "
-        "cannot prune what the exact-recall contract must emit",
+EXEMPT_ADJUDICATIONS = {"contract-quadratic", "densification"}
+
+# below-ladder-threshold queries (< 1 s in the committed bench, so no
+# expected.tsv row) whose superlinear decade has a reviewed adjudication
+EXTRA_EXEMPT = {
+    "x07_phash_neardup":
+        "densification: pHash band-bucket candidates densify on the "
+        "synthetic image corpus (same family/adjudication as x06's "
+        "committed ladder row)",
+    "d25_lsh_recall_eval":
+        "bounded-by-cap: the ground-truth sample is hash-spread CAPPED, "
+        "so shuffle ramps to the cap then plateaus — the GenSf sf0.1→sf1 "
+        "ladder row measures k_shuffle ≈ 0.00 at the plateau",
 }
+
+
+def ladder_exemptions(path):
+    """query -> 'adjudication: note' for rows whose adjudication class
+    is exempt (the ladder prices them each round)."""
+    out = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                p = line.split("\t")
+                if len(p) >= 6 and p[5] in EXEMPT_ADJUDICATIONS:
+                    note = p[6] if len(p) > 6 else ""
+                    out[p[0]] = f"{p[5]}: {note}"
+    except OSError as e:
+        print(f"[shuffle_exponent] expected.tsv unreadable: {e}",
+              file=sys.stderr)
+    return out
 
 
 def load(path):
@@ -49,6 +77,10 @@ def load(path):
 
 def main():
     s0, s1 = load(sys.argv[1]), load(sys.argv[2])
+    tsv = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "k_ladder_expected.tsv")
+    exempt = dict(EXTRA_EXEMPT)
+    exempt.update(ladder_exemptions(tsv))
     fails, exempt_hits, checked = [], [], 0
     for q in sorted(set(s0) | set(s1)):
         b0, b1 = s0.get(q, 0), s1.get(q, 0)
@@ -63,7 +95,7 @@ def main():
         else:
             k = math.log10(b1 / b0)
         if k > 1.0 + TOL:
-            if q in EXEMPT:
+            if q in exempt:
                 exempt_hits.append((q, k, b0, b1))
             else:
                 fails.append((q, k, b0, b1))
@@ -71,7 +103,7 @@ def main():
           f"larger SF; gate = k_shuffle <= {1.0 + TOL}")
     for q, k, b0, b1 in exempt_hits:
         print(f"  EXEMPT {q}: k={k:.2f} ({b0} -> {b1} bytes)\n"
-              f"         {EXEMPT[q]}")
+              f"         {exempt[q]}")
     if fails:
         print(f"\n== {len(fails)} superlinear shuffle(s) ==")
         for q, k, b0, b1 in fails:
