@@ -212,6 +212,30 @@ object GraphQueries extends QueryFamily {
   private def broadcastEdgeCap(s: SparkSession): Long =
     s.conf.get("spark.graft.graph.broadcastEdgeCap", "4000000").toLong
 
+  /** Total-wedge guard (d02's candidate-budget pattern applied to the
+    * wedge family, closing the round-13 PLANS note): both g06 and g15
+    * already price their wedge work EXACTLY from the degree tables
+    * before any join runs — Σdeg² is the bill. With
+    * `spark.graft.graph.maxWedges` > 0, a bill over the cap fails fast
+    * with sizing advice instead of silently paying a
+    * hub-densified quadratic (the zipf-sf1 rehearsal measured 8.05e9
+    * wedges = 398 s / 48 GiB spill — bounded, but a number an operator
+    * should OPT INTO at corpus scale). Default 0 = unlimited, because
+    * unlike d02 the wedge total is the operator's true output-side
+    * cost, not a tunable recall contract. */
+  private def checkWedgeCap(s: SparkSession, totalWedges: Long,
+      query: String): Unit = {
+    val cap = s.conf.get("spark.graft.graph.maxWedges", "0").toLong
+    if (cap > 0 && totalWedges > cap)
+      throw new IllegalStateException(
+        s"$query: the degree tables price this corpus at $totalWedges " +
+          s"wedges — over the spark.graft.graph.maxWedges cap ($cap). " +
+          "Raise the cap to opt into the cost, sparsify the graph " +
+          "harder (co-supply threshold), or raise " +
+          "spark.graft.graph.wedgeBudget only if task state is the " +
+          "concern (PLANS.md round-13 hub-regime study).")
+  }
+
   private[queries] def orientedTriangles(edges: DataFrame): DataFrame = {
     // Degree-ordered orientation (compact-forward): re-point each
     // undirected edge from its (degree, id)-smaller endpoint to the
@@ -260,6 +284,7 @@ object GraphQueries extends QueryFamily {
         count(lit(1)).as("ne")).head()
     val totalWedges = stats.getLong(0)
     val edgeCount = stats.getLong(1)
+    checkWedgeCap(s, totalWedges, "orientedTriangles")
     val nParts = math.max(s.sparkContext.defaultParallelism.toLong,
       math.min(4096L, 2L * totalWedges / wedgeBudget(s) + 1L)).toInt
     if (edgeCount <= broadcastEdgeCap(s)) {
@@ -1048,6 +1073,7 @@ object GraphQueries extends QueryFamily {
       count(lit(1)).as("nn")).head()
     val totalWedges = degStats.getLong(0)
     val nNodes = degStats.getLong(1)
+    checkWedgeCap(s, totalWedges, "g15_adamic_adar")
     val nParts = math.max(s.sparkContext.defaultParallelism.toLong,
       math.min(4096L, 2L * totalWedges / b + 1L)).toInt
     // the degree table is (node, deg) — broadcastable until the NODE

@@ -61,4 +61,25 @@ class WedgeBudgetSpec extends SparkSpec {
       s"grid salting changed g15: ${base.length} vs ${salted.length} rows")
     assert(base.nonEmpty)
   }
+
+  test("maxWedges guard fails fast when the priced wedge bill exceeds the cap") {
+    // the hub fixture prices Σdeg² well above 10; with the cap set the
+    // guard must throw BEFORE the join (driver-side stat), naming the
+    // knob — d02's candidate-budget pattern applied to the wedge family
+    val e = intercept[IllegalStateException] {
+      withConf("spark.graft.graph.maxWedges" -> "10") {
+        GraphQueries.orientedTriangles(edges).collect()
+      }
+    }
+    assert(e.getMessage.contains("maxWedges"))
+    // g15 prices through its own degree table; same guard, same knob
+    val e2 = intercept[IllegalStateException] {
+      withConf("spark.graft.graph.maxWedges" -> "10") {
+        GraphQueries.queries("g15_adamic_adar")(spark, sf("sf0.01")).collect()
+      }
+    }
+    assert(e2.getMessage.contains("g15_adamic_adar"))
+    // default (0) = unlimited: the same inputs run clean
+    assert(GraphQueries.orientedTriangles(edges).count() == 21)
+  }
 }
