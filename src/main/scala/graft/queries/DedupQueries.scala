@@ -410,8 +410,50 @@ object DedupQueries extends QueryFamily {
       .groupBy(col("doc_id"), col("n"))
       .agg(expr(s"slice(array_sort(collect_list(key)), 1, " +
         s"CAST(n - (($ppNum * n + $ppDen - 1) div $ppDen) + 1 AS INT))").as("prefix"))
+    // LAZY checkpoint (the d02 fusion discipline): the candidate-budget
+    // guard's count below is the first action, so one job materializes
+    // the prefix index AND measures the bill; both join legs then read
+    // the checkpointed blocks instead of re-running the df-join/sort.
     val idx = prefixes.select(col("doc_id"), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "key")))
+      .localCheckpoint(false)
+    // ---- candidate-budget guard (round 13; d02's pattern) ----------------
+    // The prefix self-join's row bill is EXACTLY Σ over prefix keys of
+    // C(c, 2) — that is what the equi-join on `key` emits before the
+    // length/positional conjuncts prune (they run as join filters, the
+    // matches are still generated). On a corpus with non-vanishing mean
+    // pair overlap (the 31-word driver corpus) this is Θ(n²) by the
+    // exact-recall contract — the k-ladder pins k ≈ 1.2/1.8 — so at
+    // corpus scale the engine REFUSES it by default instead of silently
+    // paying:
+    //   spark.graft.d07.maxCandidatesPerDoc (default 12288 — ~2.5× the
+    //     measured driver-sf0.1 bill of 4936/doc; 448/doc at sf0.01.
+    //     The per-doc bill itself grows ~linearly in n on this corpus —
+    //     that IS the quadratic — so the default is sized to the
+    //     largest driver gate, and anything past it is a deliberate
+    //     opt-in. See D07BudgetGuardSpec.)
+    //   spark.graft.d07.onBudgetExceeded ∈ fail | proceed
+    // No retune mode: PPJoin is exact (no recall dial) — the advice is
+    // a higher threshold (shorter prefixes), coarser shingles, or an
+    // explicit opt-in via proceed.
+    val budget = s.conf.get("spark.graft.d07.maxCandidatesPerDoc", "12288").toLong
+    val mode = s.conf.get("spark.graft.d07.onBudgetExceeded", "fail")
+    val billRow = idx.groupBy(col("key"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("pos") === 0, 1L).otherwise(0L)).as("p0"))
+      .agg(sum(expr("(c * (c - 1)) div 2")).as("bill"),
+        sum(col("p0")).as("n_docs")).head()
+    val bill = billRow.getLong(0)
+    val nDocs = math.max(billRow.getLong(1), 1L)
+    if (bill > budget * nDocs && mode != "proceed")
+      throw new IllegalStateException(
+        s"d07: the prefix index prices this corpus at $bill candidate " +
+          s"pairs (~${bill / nDocs}/doc over $nDocs docs) — over the " +
+          s"$budget/doc budget. PPJoin is exact, so there is no retune: " +
+          "raise the threshold (shorter prefixes), shingle coarser, " +
+          "raise spark.graft.d07.maxCandidatesPerDoc, or set " +
+          "spark.graft.d07.onBudgetExceeded=proceed to opt into the " +
+          "quadratic (PLANS.md d02/d07 contract analysis).")
     val x = idx.select(col("doc_id").as("a_id"), col("n").as("n_a"),
       col("pos").as("pos_a"), col("key"))
     val y = idx.select(col("doc_id").as("b_id"), col("n").as("n_b"),

@@ -18,9 +18,9 @@
 # measured and reported as NEW (with a proposed row) without failing
 # the gate — committing its row is the builder's next action.
 #
-# d02 runs with spark.graft.d02.onBudgetExceeded=proceed: the ladder's
-# POINT for d02 is measuring the contract's quadratic candidate price,
-# which the (correct, default-on) budget guard would otherwise fail fast.
+# d02/d07 run with onBudgetExceeded=proceed: the ladder's POINT for them
+# is measuring the contract's quadratic candidate price, which the
+# (correct, default-on) budget guards would otherwise fail fast.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -64,7 +64,7 @@ done
 mkdir -p .tmp
 for sf in 0.1 1; do
   echo "[k_ladder] bench sf$sf"
-  JAVA_TOOL_OPTIONS="-Dspark.graft.d02.onBudgetExceeded=proceed" \
+  JAVA_TOOL_OPTIONS="-Dspark.graft.d02.onBudgetExceeded=proceed -Dspark.graft.d07.onBudgetExceeded=proceed" \
   SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf$sf" \
   SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY="$QUERIES" \
     tools/run_graft.sh graft.Bench 2>/dev/null \
