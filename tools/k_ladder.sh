@@ -35,16 +35,32 @@ derive_queries() {
 import json, sys
 min_sec, pinned = float(sys.argv[1]), set(sys.argv[2].split(","))
 qs = set(pinned)
+
+def add(record):
+    t = dict(record.get("queries", {}))
+    for k, v in record.get("reruns", {}).items():  # steady = min(first, rerun)
+        t[k] = min(t.get(k, v), v)
+    qs.update(k for k, v in t.items() if v > min_sec)
+
+# the committed QUIET baseline...
 try:
     with open("BENCH_LOCAL.json") as f:
-        r = json.load(f)
-    t = dict(r.get("queries", {}))
-    for k, v in r.get("reruns", {}).items():  # steady = min(first, rerun)
-        t[k] = min(t.get(k, v), v)
-    qs |= {k for k, v in t.items() if v > min_sec}
+        add(json.load(f))
 except Exception as e:
-    print(f"[k_ladder] BENCH_LOCAL.json unreadable ({e}); pinned set only",
-          file=sys.stderr)
+    print(f"[k_ladder] BENCH_LOCAL.json unreadable ({e})", file=sys.stderr)
+# ...UNIONED with the most recent full-suite run (BENCH_MARKER.txt's
+# full record): the quiet baseline only updates on a quiet host, so a
+# query added during a contended stretch would otherwise stay out of
+# the ladder until the host calms down (round-13: s15/l28/f25 were
+# missing because BENCH_LOCAL still predates round 12). Load inflation
+# can only ADD queries to a >threshold set — safe direction for a gate.
+try:
+    with open("BENCH_MARKER.txt") as f:
+        for line in f:
+            if line.startswith("BENCH_JSON_FULL "):
+                add(json.loads(line[len("BENCH_JSON_FULL "):]))
+except Exception as e:
+    print(f"[k_ladder] BENCH_MARKER.txt unreadable ({e})", file=sys.stderr)
 print(",".join(sorted(qs)))
 EOF
 }
