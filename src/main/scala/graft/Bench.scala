@@ -90,6 +90,14 @@ object Bench {
       .map { case (name, fn) =>
       if (warmRuns) {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        // the warm plan's localCheckpoint blocks are only released when
+        // the ContextCleaner GCs the RDD references; at big SFs two
+        // generations of a heavy query's blocks can exceed the heap
+        // before that happens (measured: g06 at GenSf sf3 / 8 GiB dies
+        // on the measured pass unless the warm generation is reclaimed
+        // first). Warm mode is dev-only, so an explicit GC hint between
+        // the passes is cheap insurance, not a hot-path cost.
+        System.gc()
       }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
