@@ -323,8 +323,10 @@ object Bench {
     // + exec_metrics — round-12 verdict ask #4: the driver's stdout tail
     // drops them, so this file is the only machine-readable per-query
     // artifact of a driver round) and the compact line LAST, so a
-    // last-line parser still gets the totals.
-    try {
+    // last-line parser still gets the totals. FULL-SUITE runs only: a
+    // dev subset run (SPARK_GRAFT_ONLY) must not clobber the committed
+    // full record the judge diffs against.
+    if (only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_MARKER.txt"),
         (s"BENCH_JSON_FULL $json\nBENCH_JSON $compact\n")
