@@ -443,8 +443,11 @@ object DedupQueries extends QueryFamily {
         sum(when(col("pos") === 0, 1L).otherwise(0L)).as("p0"))
       .agg(sum(expr("(c * (c - 1)) div 2")).as("bill"),
         sum(col("p0")).as("n_docs")).head()
-    val bill = billRow.getLong(0)
-    val nDocs = math.max(billRow.getLong(1), 1L)
+    // empty/degenerate corpus (no prefix rows): the global agg returns
+    // null sums — bill 0, nothing to guard, fall through to the (empty)
+    // join instead of NPEing on getLong
+    val bill = if (billRow.isNullAt(0)) 0L else billRow.getLong(0)
+    val nDocs = math.max(if (billRow.isNullAt(1)) 0L else billRow.getLong(1), 1L)
     if (bill > budget * nDocs && mode != "proceed")
       throw new IllegalStateException(
         s"d07: the prefix index prices this corpus at $bill candidate " +

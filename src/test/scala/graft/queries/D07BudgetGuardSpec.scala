@@ -65,4 +65,12 @@ class D07BudgetGuardSpec extends SparkSpec {
   test("driver gate scales pass the default budget") {
     assert(d07(spark, sf("sf0.01")).count() > 0L)
   }
+
+  test("empty corpus: null bill short-circuits to an empty result") {
+    // round-13 advice #1: with no prefix rows the global agg returns a
+    // NULL sum — the guard must read it as bill 0 (not NPE) and fall
+    // through to the (empty) join
+    val dir = corpusDir("empty", 31, 0L)
+    assert(d07(spark, dir).count() == 0L)
+  }
 }
