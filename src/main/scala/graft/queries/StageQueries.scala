@@ -548,6 +548,17 @@ object StageQueries extends QueryFamily {
   // order-free and bit-exact. yield_micro quantizes n_events *
   // lumi_weight (the double, pre-float-cast) at 1e-6 for a hash-stable
   // cross-engine compare.
+  //
+  // DELIBERATE divergence from the reference (round-13 advice #2): the
+  // reference preprocessor reads only the FIRST Runs entry per file
+  // (`tree["genEventSumw"].array()[0]`, stage1/preprocessor.py get_mc)
+  // because CMS production writes exactly one Runs entry per file; a
+  // file merged from k inputs carries k entries, and first-entry-only
+  // silently drops k-1 of them. This scan sums ALL entries per file —
+  // the merged-file-correct total — and the fixture deliberately
+  // contains multi-entry files so the oracle (gen_runs_fixture.py, same
+  // sum-all semantics) pins that contract. On single-entry production
+  // files the two computations are identical.
   private lazy val runsFixtureDir: String =
     sys.env.getOrElse("GRAFT_FIXTURES_DIR",
       "/root/repo/src/main/resources/fixtures") + "/runs"
@@ -558,8 +569,16 @@ object StageQueries extends QueryFamily {
       .select(regexp_extract(col("file"),
         "([A-Za-z0-9_]+)_part[0-9]+\\.root$", 1).as("dataset"),
         col("branch"), col("value"))
+    // no .otherwise fall-through: a fixture file whose name doesn't map
+    // to a known dataset must fail LOUDLY (raise_error) instead of
+    // silently emitting null-weight yield rows (round-13 advice #3) —
+    // at corpus scale a typo'd dataset directory would otherwise zero
+    // out its lumi weights without any signal.
     val xsec = when(col("dataset") === "ggh_amcPS", lit(0.010571))
       .when(col("dataset") === "vbf_powheg", lit(0.000823))
+      .otherwise(raise_error(concat(
+        lit("s16: no cross-section mapped for dataset '"), col("dataset"),
+        lit("' — add it to the xsec table or fix the filename"))))
     val wtab = runs.groupBy(col("dataset"))
       .agg(sum(when(col("branch") === "genEventSumw", col("value")))
           .as("sumw"),
