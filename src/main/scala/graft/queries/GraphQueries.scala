@@ -212,28 +212,37 @@ object GraphQueries extends QueryFamily {
   private def broadcastEdgeCap(s: SparkSession): Long =
     s.conf.get("spark.graft.graph.broadcastEdgeCap", "4000000").toLong
 
-  /** Total-wedge guard (d02's candidate-budget pattern applied to the
-    * wedge family, closing the round-13 PLANS note): both g06 and g15
-    * already price their wedge work EXACTLY from the degree tables
-    * before any join runs — Σdeg² is the bill. With
-    * `spark.graft.graph.maxWedges` > 0, a bill over the cap fails fast
-    * with sizing advice instead of silently paying a
-    * hub-densified quadratic (the zipf-sf1 rehearsal measured 8.05e9
-    * wedges = 398 s / 48 GiB spill — bounded, but a number an operator
-    * should OPT INTO at corpus scale). Default 0 = unlimited, because
-    * unlike d02 the wedge total is the operator's true output-side
-    * cost, not a tunable recall contract. */
+  /** Total-wedge guard (d02/d07's candidate-budget pattern applied to
+    * the wedge family): both g06 and g15 price their wedge work EXACTLY
+    * from the degree tables before any join runs — the bill is known
+    * before it is paid. DEFAULT-ON since round 14 (round-13 verdict
+    * ask #2 — the wedge total is the operator's true output-side cost,
+    * but so is d07's candidate set, and the posture should match):
+    *
+    *   spark.graft.graph.maxWedges (default 2e9 — ~2.5× the GenSf
+    *     sf1-uniform g15 bill of 7.83e8, the largest corpus any
+    *     committed gate runs in fail mode; the zipf-sf1 hub rehearsal's
+    *     8.05e9 bill = 398 s / 48 GiB spill is exactly the number an
+    *     operator should OPT INTO, and hub_rehearsal.sh does, via
+    *     proceed). 0 = explicitly unlimited.
+    *   spark.graft.graph.onWedgesExceeded ∈ fail | proceed
+    *
+    * No retune mode: the wedge total is exact output-side work (no
+    * recall dial) — the advice is a harder co-supply sparsification
+    * threshold, a higher cap, or an explicit proceed opt-in. */
   private def checkWedgeCap(s: SparkSession, totalWedges: Long,
       query: String): Unit = {
-    val cap = s.conf.get("spark.graft.graph.maxWedges", "0").toLong
-    if (cap > 0 && totalWedges > cap)
+    val cap = s.conf.get("spark.graft.graph.maxWedges", "2000000000").toLong
+    val mode = s.conf.get("spark.graft.graph.onWedgesExceeded", "fail")
+    if (cap > 0 && totalWedges > cap && mode != "proceed")
       throw new IllegalStateException(
         s"$query: the degree tables price this corpus at $totalWedges " +
           s"wedges — over the spark.graft.graph.maxWedges cap ($cap). " +
-          "Raise the cap to opt into the cost, sparsify the graph " +
-          "harder (co-supply threshold), or raise " +
-          "spark.graft.graph.wedgeBudget only if task state is the " +
-          "concern (PLANS.md round-13 hub-regime study).")
+          "The wedge total is exact output-side work (no retune): " +
+          "sparsify the graph harder (co-supply threshold), raise the " +
+          "cap, or set spark.graft.graph.onWedgesExceeded=proceed to " +
+          "opt into the cost; raise spark.graft.graph.wedgeBudget only " +
+          "if task state is the concern (PLANS.md hub-regime study).")
   }
 
   private[queries] def orientedTriangles(edges: DataFrame): DataFrame = {

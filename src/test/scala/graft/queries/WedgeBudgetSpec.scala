@@ -79,7 +79,27 @@ class WedgeBudgetSpec extends SparkSpec {
       }
     }
     assert(e2.getMessage.contains("g15_adamic_adar"))
-    // default (0) = unlimited: the same inputs run clean
+    // default cap (2e9, round-14 default-ON): the fixture's bill is far
+    // under it, so the same inputs run clean with no conf set
     assert(GraphQueries.orientedTriangles(edges).count() == 21)
+  }
+
+  test("onWedgesExceeded=proceed opts past the cap with an identical result") {
+    // d07's guard A/B discipline: proceed mode must be a pure opt-in —
+    // the result with the guard tripped-but-overridden is bit-identical
+    // to the unguarded run (the guard is a driver-side stat check, not
+    // a plan change)
+    val base = triKey(GraphQueries.orientedTriangles(edges))
+    val viaProceed = withConf(
+      "spark.graft.graph.maxWedges" -> "10",
+      "spark.graft.graph.onWedgesExceeded" -> "proceed") {
+      triKey(GraphQueries.orientedTriangles(edges))
+    }
+    assert(base == viaProceed)
+    // explicit 0 still means unlimited (the opt-out spelling)
+    val viaZero = withConf("spark.graft.graph.maxWedges" -> "0") {
+      triKey(GraphQueries.orientedTriangles(edges))
+    }
+    assert(base == viaZero)
   }
 }
