@@ -26,6 +26,16 @@ unwritten rationale:
   rounds-flat        iterative op whose round count barely grows
   spill-adjacent     time swings with disk contention; wide tolerance
   scan-bound         dominated by the input scan
+  bounded-by-cap     shuffle ramps to an explicit size cap then
+                     plateaus — superlinear below the cap by design
+  sf-invariant       reads fixed fixtures / replays a fixed stream;
+                     both axes ~0 by design
+
+A row with '-' in the k_time column is adjudication-only: the query
+sits below the ladder's 1 s derivation threshold, and the row exists so
+shuffle_exponent.py's exemption registry stays single-source (round-13
+verdict ask #5). If such a query is ever measured, it reports but only
+its shuffle gate (if set) is enforced.
 
 A measured query with NO expected row is reported as NEW with a
 proposed tsv row and does NOT fail the gate — commit the row to arm it.
@@ -72,7 +82,9 @@ def main():
         if q in expected:
             ekt, etolt, eks, etols = expected[q][:4]
             adj = expected[q][4] if len(expected[q]) > 4 else "?"
-            ok = abs(kt - float(ekt)) <= float(etolt)
+            # '-' time gate: adjudication-only row (sub-threshold query
+            # recorded for shuffle_exponent.py's registry) — no time gate
+            ok = ekt == "-" or abs(kt - float(ekt)) <= float(etolt)
             msgs = [] if ok else [f"k_time {kt:.2f} vs {ekt}±{etolt}"]
             if eks != "-" and not math.isnan(ks):
                 if abs(ks - float(eks)) > float(etols):

@@ -16,12 +16,13 @@ grow SUPERLINEARLY across the decade:
 
 Sub-MB shuffles are skipped — AQE coalescing and map-status rounding
 make them wobble with no scale signal (same rationale as the k-ladder's
-'-' rows). Exemptions come from ONE registry: any query whose committed
-k-ladder adjudication (tools/k_ladder_expected.tsv) is
-`contract-quadratic` or `densification` is exempt — those rows are
-already priced and gated per round by the ladder itself — plus a small
-inline list for queries below the ladder's 1 s threshold. Exempt
-queries are still printed so the price stays visible.
+'-' rows). Exemptions come from ONE registry — tools/k_ladder_expected
+.tsv — and nowhere else (round-13 verdict ask #5): any query whose
+committed adjudication there is `contract-quadratic`, `densification`,
+or `bounded-by-cap` is exempt. Sub-1 s queries that need an exemption
+get a tsv row with '-' time/shuffle gates (the ladder doesn't time
+them; the row exists purely as the reviewed adjudication record).
+Exempt queries are still printed so the price stays visible.
 
 Exit 1 on any non-exempt superlinear query.
 """
@@ -33,20 +34,8 @@ import sys
 TOL = 0.25          # allowed excess over linear (log10 units)
 MIN_BYTES = 1 << 20  # ignore sub-MiB shuffles at the larger SF
 
-EXEMPT_ADJUDICATIONS = {"contract-quadratic", "densification"}
-
-# below-ladder-threshold queries (< 1 s in the committed bench, so no
-# expected.tsv row) whose superlinear decade has a reviewed adjudication
-EXTRA_EXEMPT = {
-    "x07_phash_neardup":
-        "densification: pHash band-bucket candidates densify on the "
-        "synthetic image corpus (same family/adjudication as x06's "
-        "committed ladder row)",
-    "d25_lsh_recall_eval":
-        "bounded-by-cap: the ground-truth sample is hash-spread CAPPED, "
-        "so shuffle ramps to the cap then plateaus — the GenSf sf0.1→sf1 "
-        "ladder row measures k_shuffle ≈ 0.00 at the plateau",
-}
+EXEMPT_ADJUDICATIONS = {"contract-quadratic", "densification",
+                        "bounded-by-cap"}
 
 
 def ladder_exemptions(path):
@@ -79,8 +68,7 @@ def main():
     s0, s1 = load(sys.argv[1]), load(sys.argv[2])
     tsv = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "k_ladder_expected.tsv")
-    exempt = dict(EXTRA_EXEMPT)
-    exempt.update(ladder_exemptions(tsv))
+    exempt = ladder_exemptions(tsv)
     fails, exempt_hits, checked = [], [], 0
     for q in sorted(set(s0) | set(s1)):
         b0, b1 = s0.get(q, 0), s1.get(q, 0)
