@@ -74,16 +74,35 @@ object GenSf {
   /** The documents corpus as a DataFrame — same generator main() writes,
     * exposed so specs can build corpora of any (size, vocabulary)
     * in-memory (e.g. the d02 candidate-budget guard's 31-word-vs-4096-
-    * word A/B) without writing the whole star schema to disk. */
+    * word A/B) without writing the whole star schema to disk.
+    *
+    * `tokenZipf` (round-13 verdict stretch #8): 0.0 = iid-UNIFORM word
+    * draws (the default, every committed gate's corpus). > 0.0 = ZIPF
+    * token frequencies via the log-uniform inverse-CDF — word rank
+    * r = floor(V^u) gives P(r) ∝ 1/r exactly (Zipf s = 1), the shape a
+    * real text corpus has: a stop-word head that every document shares
+    * and a long rare tail. This is the d-family's analogue of the graph
+    * zipf mode — it lets the d02/d07 candidate bills and the LSH band
+    * mass be measured under realistic vocabulary skew instead of only
+    * on uniform draws (hub_rehearsal discipline, applied to text). */
   def documentsDf(spark: SparkSession, nDocs: Long,
-      vocab: Seq[String]): DataFrame = {
+      vocab: Seq[String], tokenZipf: Double = 0.0): DataFrame = {
     val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    val v = vocab.size
+    val wordIdx =
+      if (tokenZipf == 0.0)
+        s"CAST(pmod(xxhash64(base_id * 128 + i, 83), $v) AS INT) + 1"
+      else
+        // rank = floor(V^(u^a)); a = 1 is pure Zipf-1, a > 1 skews the
+        // head harder (more stop-word mass). least() guards u -> 1.
+        s"least(CAST(floor(pow($v, pow(${u("base_id * 128 + i", 83)}, " +
+          s"$tokenZipf))) AS INT), $v)"
     spark.range(nDocs)
       .withColumn("base_id", expr(
         s"CASE WHEN id % 2 = 1 AND ${u("id", 81)} < 0.004 THEN id - 1 ELSE id END"))
       .withColumn("nw", expr(s"CAST(10 + pmod(xxhash64(base_id, 82), 91) AS INT)"))
       .withColumn("text", expr(
-        s"array_join(transform(sequence(1, nw), i -> element_at($vocabSql, CAST(pmod(xxhash64(base_id * 128 + i, 83), ${vocab.size}) AS INT) + 1)), ' ')"))
+        s"array_join(transform(sequence(1, nw), i -> element_at($vocabSql, $wordIdx)), ' ')"))
       .selectExpr("id AS doc_id", "text",
         pickW("id", 84, Seq("en" -> 0.41, "zh" -> 0.15, "es" -> 0.15,
           "fr" -> 0.15, "de" -> 0.14)) + " AS lang",
@@ -93,7 +112,8 @@ object GenSf {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: GenSf <outDir> <sf> [vocabSize] [uniform|zipf[:a]]")
+      "usage: GenSf <outDir> <sf> [vocabSize] [uniform|zipf[:a]] " +
+        "[tokens:uniform|tokens:zipf[:a]]")
     val out = args(0)
     val sf = args(1).toDouble
     // optional third arg: document vocabulary size. The driver corpus
@@ -123,6 +143,18 @@ object GenSf {
       case Array("zipf", a) => a.toDouble
       case _ => throw new IllegalArgumentException(
         s"degree mode '$degreeMode' — want uniform | zipf[:a]")
+    }
+    // optional fifth arg: token-frequency mode for the documents corpus
+    // (round-13 verdict stretch #8) — `tokens:zipf[:a]` draws words with
+    // P(rank r) ∝ 1/r^~1 (see documentsDf), so the d-family's guards and
+    // band mass get measured under realistic vocabulary skew.
+    val tokenMode = if (args.length >= 5) args(4) else "tokens:uniform"
+    val tokenZipf: Double = tokenMode.split(':') match {
+      case Array("tokens", "uniform") => 0.0
+      case Array("tokens", "zipf") => 1.0
+      case Array("tokens", "zipf", a) => a.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"token mode '$tokenMode' — want tokens:uniform | tokens:zipf[:a]")
     }
     /** Foreign-key draw: uniform pmod, or the zipf power-map. */
     def fk(idCol: String, salt: Int, n: Long): String =
@@ -230,7 +262,7 @@ object GenSf {
     // documents: iid-uniform words from the vocab; ~0.2 % of odd
     // doc_ids copy their predecessor's text verbatim (exact-dup
     // population for the d-family)
-    write(documentsDf(spark, nDocs, vocab), "documents")
+    write(documentsDf(spark, nDocs, vocab, tokenZipf), "documents")
 
     // embeddings: 64-dim Box-Muller gaussians, sigma 0.12
     write(spark.range(nEmb).selectExpr(
