@@ -40,6 +40,16 @@ object Bench {
     acc
   }
   private def calibProbe(): Double = {
+    // Compact the heap first: the probe's job is to measure HOST
+    // contention, but right after a spill-heavy suite the old gen is
+    // full of dead query state and the probe's 16 MB/rep allocations
+    // measure GC thrash instead (observed: calib_after 14.5 s vs
+    // calib_before 3.99 on a quiet host after a warm-solo g15 at GenSf
+    // sf1z / 8 GiB — a 3.6x artifact that poisons normalization). Two
+    // probes per run, so the gc cost is noise. (Skipped under the
+    // SPARK_GRAFT_WARM_NOGC validation knob so the no-hints A/B is
+    // airtight.)
+    if (!sys.env.get("SPARK_GRAFT_WARM_NOGC").contains("1")) System.gc()
     var sink = calibRep(-1L) // JIT warm, unmeasured
     val t0 = System.nanoTime()
     var r = 0
@@ -85,6 +95,12 @@ object Bench {
     // vary 2-3x on identical work (measured: d07 7-23 s, zero spill,
     // same shuffle bytes). The driver never sets this.
     val warmRuns = sys.env.get("SPARK_GRAFT_WARM").contains("1")
+    // dev-only A/B knob: skip the warm-path System.gc() hints so the
+    // DETERMINISTIC reclaim can be validated alone (the round-13 ask:
+    // the big-SF warm regime must be green on a JVM that never honors
+    // the hint). Timing runs keep the hints — GC debt is ~40 % of a
+    // heavy measured pass (PLANS round-14).
+    val warmNoGc = sys.env.get("SPARK_GRAFT_WARM_NOGC").contains("1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -105,13 +121,31 @@ object Bench {
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
             if (!before.contains(id)) rdd.unpersist(blocking = true) }
+        // ...and compact before measuring: correctness no longer depends
+        // on this (the blocks above are gone deterministically), but an
+        // old gen full of the warm pass's dead plan state costs the
+        // measured pass real GC time at big SFs (g15 at GenSf sf1z read
+        // raw 683 s unpersist-only vs ~407 s with the compaction; the
+        // hint is now a measurement aid, not the guarantee).
+        if (!warmNoGc) System.gc()
       }
+      val beforeMeasured =
+        if (warmRuns) spark.sparkContext.getPersistentRDDs.keySet
+        else Set.empty[Int]
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      // warm mode reclaims the MEASURED generation too (outside the
+      // timed window): heavy solo legs at 8 GiB otherwise carry each
+      // query's checkpoint blocks to the end of the run, and the
+      // accumulated dead state has OOM-killed the JVM during shutdown
+      // (Spark exit 52) after the record was already written
+      if (warmRuns)
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!beforeMeasured.contains(id)) rdd.unpersist(blocking = true) }
       // drain the listener bus so late task-end events attribute to the
       // query that produced them (sequential execution ⇒ exact)
       org.apache.spark.sql.classic.GraftBridge

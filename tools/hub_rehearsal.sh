@@ -71,13 +71,20 @@ if fails:
 print("  shape gate: all pins exact")
 EOF
 
+# Bench legs: the gate is the CAPTURED RECORD (non-empty json), not the
+# JVM's shutdown status — an 8 GiB warm-solo heavy leg has OOM-exited
+# (Spark code 52) during shutdown AFTER printing a complete record; a
+# leg that dies before finishing produces no record and still fails.
 for sf in 0.1 1; do
   echo "[hub] bench g06/g15 sf${sf}z"
-  JAVA_TOOL_OPTIONS="-Dspark.graft.graph.onWedgesExceeded=proceed" \
-  SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf${sf}z" \
-  SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY=g06_triangle_count,g15_adamic_adar \
-    tools/run_graft.sh graft.Bench 2>/dev/null \
+  { JAVA_TOOL_OPTIONS="-Dspark.graft.graph.onWedgesExceeded=proceed" \
+    SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf${sf}z" \
+    SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY=g06_triangle_count,g15_adamic_adar \
+    tools/run_graft.sh graft.Bench 2>".tmp/hub_sf${sf}z.stderr" || true; } \
     | grep -m1 '"queries"' > ".tmp/hub_sf${sf}z.json"
+  [ -s ".tmp/hub_sf${sf}z.json" ] || {
+    echo "[hub] sf${sf}z leg produced no record (see .tmp/hub_sf${sf}z.stderr)"
+    exit 1; }
 done
 
 echo "[hub] exponent gate (tools/hub_expected.tsv)"
@@ -100,11 +107,13 @@ print("  resource gate: within bounds")
 EOF
 
 echo "[hub] bench g06 sf1z, forced shuffle-closure (broadcastEdgeCap=1M)"
-JAVA_TOOL_OPTIONS="-Dspark.graft.graph.broadcastEdgeCap=1000000 -Dspark.graft.graph.onWedgesExceeded=proceed" \
-SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf1z" \
-SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY=g06_triangle_count \
-  tools/run_graft.sh graft.Bench 2>/dev/null \
+{ JAVA_TOOL_OPTIONS="-Dspark.graft.graph.broadcastEdgeCap=1000000 -Dspark.graft.graph.onWedgesExceeded=proceed" \
+  SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf1z" \
+  SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY=g06_triangle_count \
+  tools/run_graft.sh graft.Bench 2>.tmp/hub_sf1z_shufclo.stderr || true; } \
   | grep -m1 '"queries"' > .tmp/hub_sf1z_shufclo.json
+[ -s .tmp/hub_sf1z_shufclo.json ] || {
+  echo "[hub] shuffle-closure leg produced no record"; exit 1; }
 python3 - <<'EOF'
 import json
 r = json.load(open(".tmp/hub_sf1z_shufclo.json"))
