@@ -121,12 +121,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
             if (!before.contains(id)) rdd.unpersist(blocking = true) }
-        // ...and compact before measuring: correctness no longer depends
-        // on this (the blocks above are gone deterministically), but an
-        // old gen full of the warm pass's dead plan state costs the
-        // measured pass real GC time at big SFs (g15 at GenSf sf1z read
-        // raw 683 s unpersist-only vs ~407 s with the compaction; the
-        // hint is now a measurement aid, not the guarantee).
+        // ...and compact before measuring. The blocking unpersist above
+        // is the deterministic part (checkpoint blocks are gone by
+        // construction), but the hint is still LOAD-BEARING at the top
+        // of the rehearsal range: without it the warm pass's remaining
+        // session state (broadcast/shuffle bookkeeping waiting on the
+        // async ContextCleaner) plus GC debt costs the measured pass
+        // ~40 % at sf1z (raw 683 s vs ~407 s) and OOMs g06's measured
+        // pass outright at GenSf sf3 / 8 GiB (reproduced round 14 with
+        // SPARK_GRAFT_WARM_NOGC=1 — heap-space in the wedge stage).
+        // Warm mode is dev-only; the hint runs between passes, outside
+        // every timed window.
         if (!warmNoGc) System.gc()
       }
       val beforeMeasured =
