@@ -117,21 +117,30 @@ object Bench {
         // plan; src/main has zero .cache()/.persist() sites), so every
         // new entry is a warm-generation localCheckpoint — safe to drop.
         val before = spark.sparkContext.getPersistentRDDs.keySet
+        val bcBefore = org.apache.spark.sql.classic.GraftBridge
+          .currentBroadcastId(spark.sparkContext)
         try { fn(spark, sfDir).count() } catch { case _: Throwable => }
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) =>
             if (!before.contains(id)) rdd.unpersist(blocking = true) }
-        // ...and compact before measuring. The blocking unpersist above
-        // is the deterministic part (checkpoint blocks are gone by
-        // construction), but the hint is still LOAD-BEARING at the top
-        // of the rehearsal range: without it the warm pass's remaining
-        // session state (broadcast/shuffle bookkeeping waiting on the
-        // async ContextCleaner) plus GC debt costs the measured pass
-        // ~40 % at sf1z (raw 683 s vs ~407 s) and OOMs g06's measured
-        // pass outright at GenSf sf3 / 8 GiB (reproduced round 14 with
-        // SPARK_GRAFT_WARM_NOGC=1 — heap-space in the wedge stage).
-        // Warm mode is dev-only; the hint runs between passes, outside
-        // every timed window.
+        // the warm pass's broadcasts (incl. every stage's task-binary
+        // torrent blocks) also occupy the MemoryStore until the async
+        // ContextCleaner sees their weak refs GC'd — drop them
+        // synchronously by id range; the warm plan is dead by here
+        org.apache.spark.sql.classic.GraftBridge.removeBroadcasts(
+          spark.sparkContext, bcBefore,
+          org.apache.spark.sql.classic.GraftBridge
+            .currentBroadcastId(spark.sparkContext))
+        // ...and compact before measuring. With checkpoint blocks AND
+        // broadcasts reclaimed synchronously above, the warm regime is
+        // green at GenSf sf3 / 8 GiB with every hint skipped
+        // (SPARK_GRAFT_WARM_NOGC=1: g06 raw 324.5 s, zero OOM) — the
+        // round-13 OOM class needed the RDD unpersist, and the round-14
+        // repro without broadcast reclaim showed the task-binary torrent
+        // blocks were the remaining heap residue (OOM in the wedge
+        // stage; ~40 % GC drag at sf1z). The hint now buys only ~4 %
+        // (311.3 vs 324.5 raw at sf3): kept as a measurement aid,
+        // between passes, outside every timed window.
         if (!warmNoGc) System.gc()
       }
       val beforeMeasured =

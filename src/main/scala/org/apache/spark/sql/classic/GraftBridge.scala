@@ -37,4 +37,35 @@ object GraftBridge {
   def drainListenerBus(sc: org.apache.spark.SparkContext, timeoutMs: Long): Unit =
     try sc.listenerBus.waitUntilEmpty(timeoutMs)
     catch { case _: java.util.concurrent.TimeoutException => }
+
+  /** Current value of the session's sequential broadcast-id counter.
+    * Broadcast ids are allocated from one AtomicLong, so a [before,
+    * after) snapshot around a unit of work identifies exactly the
+    * broadcasts that work created — including the per-stage task-binary
+    * broadcasts whose torrent blocks otherwise sit in the MemoryStore
+    * until the async ContextCleaner notices their weak refs were GC'd.
+    * The counter accessor is private; read reflectively (spark-core is
+    * classpath/unnamed-module, so setAccessible is permitted). */
+  def currentBroadcastId(sc: org.apache.spark.SparkContext): Long = {
+    val bm = org.apache.spark.SparkEnv.get.broadcastManager
+    val m = bm.getClass.getDeclaredMethod("nextBroadcastId")
+    m.setAccessible(true)
+    m.invoke(bm).asInstanceOf[java.util.concurrent.atomic.AtomicLong].get()
+  }
+
+  /** Synchronously drop every broadcast in [fromId, toId): driver and
+    * executor blocks, blocking until removed. Public `unbroadcast` —
+    * the same call the ContextCleaner makes, minus the wait for a GC
+    * to enqueue the weak reference. Safe when the callers' plans for
+    * that id range are dead (Bench's warm pass discards its result). */
+  def removeBroadcasts(sc: org.apache.spark.SparkContext,
+      fromId: Long, toId: Long): Unit = {
+    val bm = org.apache.spark.SparkEnv.get.broadcastManager
+    var i = fromId
+    while (i < toId) {
+      try bm.unbroadcast(i, true, true)
+      catch { case _: Throwable => } // already cleaned is fine
+      i += 1
+    }
+  }
 }
