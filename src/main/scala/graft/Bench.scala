@@ -77,6 +77,16 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The 360-query suite compiles ~5-6k distinct codegen fragments;
+      // the default 100-entry compiled-class cache (static conf) evicts
+      // every one of them long before the tail-determinism rerun pass,
+      // so each rerun re-pays the janino compile it is trying to
+      // exclude (r15 measurement: ~100 flagged queries saved ~1 s each
+      // on rerun, a large part of it compile). Sized to hold the whole
+      // suite; same benefit for any production session that repeats
+      // its query shapes. First-pass times are unaffected (cold cache
+      // either way).
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths once so the first measured query does
@@ -233,12 +243,22 @@ object Bench {
       val priorBlown = dt > 0.25 &&
         priorTimes.get(name).exists(p => p > 1e-9 && dt > 2.0 * p)
       if (dt > rerunThreshold || priorBlown) {
+        // warm mode: reclaim the rerun generation's localCheckpoint
+        // blocks too (same discipline as the measured pass) — the rerun
+        // previously leaked its generation, partially undoing the
+        // deterministic reclaim on heavy legs (ADVICE r14)
+        val beforeRerun =
+          if (warmRuns) spark.sparkContext.getPersistentRDDs.keySet
+          else Set.empty[Int]
         val t0 = System.nanoTime()
         try { qByName(name)(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name rerun failed: ${e.getMessage}")
         }
         val dt2 = (System.nanoTime() - t0) / 1e9
+        if (warmRuns)
+          spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+            if (!beforeRerun.contains(id)) rdd.unpersist(blocking = true) }
         // drain + discard the rerun's task metrics so the per-query
         // exec_metrics attribution stays first-run exact
         org.apache.spark.sql.classic.GraftBridge
@@ -315,7 +335,11 @@ object Bench {
     // drift silently while per-query numbers stay green.
     val pipelineBudgetNormSec = 20.0
     val pipelineNorm = pipelineSec.map(_ * CalibNominalSec / calibSec)
-    val pipelineOver = pipelineNorm.exists(_ > pipelineBudgetNormSec)
+    // the budget derives from the sf0.1 BASELINE band; a legitimate
+    // GenSf sf1/sf3 full-suite run must not trip it spuriously (ADVICE
+    // r14) — same sf0.1 guard as the quiet-baseline write below
+    val pipelineOver = sfDir.endsWith("sf0.1") &&
+      pipelineNorm.exists(_ > pipelineBudgetNormSec)
     if (pipelineOver)
       System.err.println(f"[bench] PIPELINE_BUDGET_EXCEEDED: " +
         f"pipeline_sec ${pipelineSec.get}%.2f raw / " +

@@ -45,9 +45,15 @@ object CorrectionQueries extends QueryFamily {
     * array: equivalent to a [lo, hi) range match when the bins are a
     * contiguous partition (JecTextTables checks that), but joinable as
     * an EQUI key — BroadcastHashJoin instead of a nested-loop range
-    * join. -1 / size-1 for x outside; callers left-join + coalesce. */
+    * join. -1 / size-1 for x outside; callers left-join + coalesce.
+    * Evaluated by the codegen'd SortedLowerCount kernel — the previous
+    * `size(filter(typedLit(...)))` HOF spelling was CodegenFallback and
+    * interpreted the whole projection (r15 measurement: 3 such columns
+    * over 600k rows were most of l23's 2.6 s). */
   private def binIdx(x: Column, lows: Seq[Double]): Column =
-    size(filter(typedLit(lows), b => b <= x)) - 1
+    org.apache.spark.sql.classic.GraftBridge.column(
+      graft.plans.SortedLowerCount(
+        org.apache.spark.sql.classic.GraftBridge.expression(x), lows)) - 1
 
   private def clampc(x: Column, lo: Column, hi: Column): Column =
     least(greatest(x, lo), hi)

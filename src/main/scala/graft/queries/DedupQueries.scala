@@ -196,6 +196,9 @@ object DedupQueries extends QueryFamily {
     // measured config×recall surface that fits the budget.
     val budget = s.conf.get("spark.graft.d02.maxCandidatesPerDoc", "2048").toLong
     val mode = s.conf.get("spark.graft.d02.onBudgetExceeded", "fail")
+    if (mode != "fail" && mode != "retune" && mode != "proceed")
+      throw new IllegalArgumentException(
+        s"spark.graft.d02.onBudgetExceeded must be fail|retune|proceed, got '$mode'")
     val (nDocs, candCount) = bandCandidateCount(exploded)
     if (candCount > budget * nDocs && mode != "proceed") {
       if (mode == "retune") return d02Retuned(s, sigs, budget * nDocs)
@@ -438,6 +441,9 @@ object DedupQueries extends QueryFamily {
     // explicit opt-in via proceed.
     val budget = s.conf.get("spark.graft.d07.maxCandidatesPerDoc", "12288").toLong
     val mode = s.conf.get("spark.graft.d07.onBudgetExceeded", "fail")
+    if (mode != "fail" && mode != "proceed")
+      throw new IllegalArgumentException(
+        s"spark.graft.d07.onBudgetExceeded must be fail|proceed, got '$mode'")
     val billRow = idx.groupBy(col("key"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("pos") === 0, 1L).otherwise(0L)).as("p0"))

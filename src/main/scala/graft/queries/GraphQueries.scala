@@ -234,6 +234,9 @@ object GraphQueries extends QueryFamily {
       query: String): Unit = {
     val cap = s.conf.get("spark.graft.graph.maxWedges", "2000000000").toLong
     val mode = s.conf.get("spark.graft.graph.onWedgesExceeded", "fail")
+    if (mode != "fail" && mode != "proceed")
+      throw new IllegalArgumentException(
+        s"spark.graft.graph.onWedgesExceeded must be fail|proceed, got '$mode'")
     if (cap > 0 && totalWedges > cap && mode != "proceed")
       throw new IllegalStateException(
         s"$query: the degree tables price this corpus at $totalWedges " +

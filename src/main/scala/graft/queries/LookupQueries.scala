@@ -13,6 +13,16 @@ import graft.lookup.BinnedLookup._
   */
 object LookupQueries extends QueryFamily {
 
+  /** Codegen'd count-of-lows <= x over a sorted literal array (bin/knot
+    * index arithmetic). Replaces the `size(filter(typedLit(...)))` HOF
+    * spelling, which is CodegenFallback and interpreted the whole
+    * projection per row (see SortedLowerCount). Identical semantics,
+    * including NULL/NaN x -> 0. */
+  private def lowerCount(x: org.apache.spark.sql.Column, lows: Seq[Double]) =
+    org.apache.spark.sql.classic.GraftBridge.column(
+      graft.plans.SortedLowerCount(
+        org.apache.spark.sql.classic.GraftBridge.expression(x), lows))
+
   // ---- l01: 1-D binned SF lookup (L1, pileup-style) ----------------------
   // reference: stage1/corrections/pu_reweight.py:9-27,75-85 — dense_lookup
   // of an event scalar in a 1-D binned table.
@@ -217,9 +227,9 @@ object LookupQueries extends QueryFamily {
     // shared index arithmetic (1-based for element_at): eta bin, pt
     // segment [seg, seg+1] with the endpoint clamp folded into w
     val j4 = j3
-      .withColumn("eta_i", size(filter(typedLit(jesEtaLos), b => b <= col("eta"))))
+      .withColumn("eta_i", lowerCount(col("eta"), jesEtaLos))
       .withColumn("seg",
-        least(greatest(size(filter(typedLit(jesKnots), k => k <= col("pt_jec"))),
+        least(greatest(lowerCount(col("pt_jec"), jesKnots),
           lit(1)), lit(jesKnots.size - 1)))
       .withColumn("x0", element_at(typedLit(jesKnots), col("seg")))
       .withColumn("x1", element_at(typedLit(jesKnots), col("seg") + 1))
@@ -989,9 +999,9 @@ object LookupQueries extends QueryFamily {
     val jets = rd(s, dir, "lineitem")
       .select((col("l_extendedprice") / 1000.0).as("pt"),
         (col("l_discount") * 104.0 - 5.2).as("eta"))
-      .withColumn("ei", size(filter(typedLit(etaLos), b => b <= col("eta"))))
+      .withColumn("ei", lowerCount(col("eta"), etaLos))
       .withColumn("seg",
-        least(greatest(size(filter(typedLit(knots), k => k <= col("pt"))),
+        least(greatest(lowerCount(col("pt"), knots),
           lit(1)), lit(knots.size - 1)))
       .withColumn("x0", element_at(typedLit(knots), col("seg")))
       .withColumn("x1", element_at(typedLit(knots), col("seg") + 1))
@@ -3441,10 +3451,8 @@ object LookupQueries extends QueryFamily {
       expr("CAST(l_suppkey % 13 AS INT)").as("trk_bin"),
       expr("CAST((l_orderkey * 2654435761 + l_linenumber * 40503) % 100000 " +
         "AS DOUBLE) / 100000.0").as("u"))
-      .withColumn("eidx",
-        size(filter(typedLit(roccorCeta.dropRight(1)), b => b <= col("eta"))))
-      .withColumn("ridx",
-        size(filter(typedLit(roccorReta), b => b <= abs(col("eta")))))
+      .withColumn("eidx", lowerCount(col("eta"), roccorCeta.dropRight(1)))
+      .withColumn("ridx", lowerCount(abs(col("eta")), roccorReta))
     val j = mu.join(broadcast(grid), Seq("eidx", "phi_bin"))
     val kScaleMc = lit(1.0) /
       (lit(1.0) + (col("m_mc") + col("q") * col("a_mc") * col("pt")) / lit(100.0))

@@ -42,7 +42,9 @@ mkdir -p .tmp
 echo "[hub] WedgeStats shape gate"
 for sf in 0.1 1; do
   tools/run_graft.sh graft.queries.WedgeStats "$OUT/sf${sf}z" 2>/dev/null \
-    | grep -m1 WEDGE_STATS > ".tmp/hub_wedge_sf${sf}z.txt"
+    | { grep -m1 WEDGE_STATS || true; } > ".tmp/hub_wedge_sf${sf}z.txt"
+  [ -s ".tmp/hub_wedge_sf${sf}z.txt" ] || {
+    echo "[hub] WedgeStats sf${sf}z produced no record"; exit 1; }
   cat ".tmp/hub_wedge_sf${sf}z.txt"
 done
 python3 - <<'EOF'
@@ -81,7 +83,7 @@ for sf in 0.1 1; do
     SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf${sf}z" \
     SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY=g06_triangle_count,g15_adamic_adar \
     tools/run_graft.sh graft.Bench 2>".tmp/hub_sf${sf}z.stderr" || true; } \
-    | grep -m1 '"queries"' > ".tmp/hub_sf${sf}z.json"
+    | { grep -m1 '"queries"' || true; } > ".tmp/hub_sf${sf}z.json"
   [ -s ".tmp/hub_sf${sf}z.json" ] || {
     echo "[hub] sf${sf}z leg produced no record (see .tmp/hub_sf${sf}z.stderr)"
     exit 1; }
@@ -111,7 +113,7 @@ echo "[hub] bench g06 sf1z, forced shuffle-closure (broadcastEdgeCap=1M)"
   SPARK_GRAFT_MEM="$MEM" SPARK_GRAFT_SF_DIR="$OUT/sf1z" \
   SPARK_GRAFT_WARM=1 SPARK_GRAFT_ONLY=g06_triangle_count \
   tools/run_graft.sh graft.Bench 2>.tmp/hub_sf1z_shufclo.stderr || true; } \
-  | grep -m1 '"queries"' > .tmp/hub_sf1z_shufclo.json
+  | { grep -m1 '"queries"' || true; } > .tmp/hub_sf1z_shufclo.json
 [ -s .tmp/hub_sf1z_shufclo.json ] || {
   echo "[hub] shuffle-closure leg produced no record"; exit 1; }
 python3 - <<'EOF'
