@@ -670,12 +670,16 @@ object DedupQueries extends QueryFamily {
   // Spark's sequence(1, n<1) reversal (round-1 convention).
   private val gramN = 8
   private def wordGrams(d: DataFrame): DataFrame = {
+    // tokenize ONCE per doc below the generator (see posWordGrams): the
+    // inlined split(text) re-ran per GRAM inside the lambda — O(tokens²)
+    // per doc. Gram hashing itself is unchanged.
     val gs = expr(
-      s"""CASE WHEN size(split(text, ' ')) >= $gramN
-         | THEN transform(sequence(1, size(split(text, ' ')) - ${gramN - 1}),
-         |   i -> md5(array_join(slice(split(text, ' '), i, $gramN), ' ')))
+      s"""CASE WHEN size(ts) >= $gramN
+         | THEN transform(sequence(1, size(ts) - ${gramN - 1}),
+         |   i -> md5(array_join(slice(ts, i, $gramN), ' ')))
          | ELSE CAST(array() AS array<string>) END""".stripMargin)
-    d.select(col("doc_id"), explode(gs).as("g"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(gs).as("g"))
   }
   private val wordGramsDuck =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -1424,12 +1428,18 @@ object DedupQueries extends QueryFamily {
   // global); the only corpus-sized shuffles are the gram-count groupBy
   // (map-side combined) and one gram-keyed semi-join — d09's shape.
   private def posWordGrams(d: DataFrame): DataFrame = {
+    // tokenize ONCE per doc in a projection below the generator: the
+    // previous spelling inlined split(text) into the transform lambda,
+    // where it re-ran per GRAM — O(tokens²) work per doc (r15
+    // measurement: most of d24's ~2.9 s exec). The Generate boundary
+    // keeps `ts` materialized per row; gram hashing is unchanged.
     val gs = expr(
-      s"""CASE WHEN size(split(text, ' ')) >= $gramN
-         | THEN transform(sequence(1, size(split(text, ' ')) - ${gramN - 1}),
-         |   i -> md5(array_join(slice(split(text, ' '), i, $gramN), ' ')))
+      s"""CASE WHEN size(ts) >= $gramN
+         | THEN transform(sequence(1, size(ts) - ${gramN - 1}),
+         |   i -> md5(array_join(slice(ts, i, $gramN), ' ')))
          | ELSE CAST(array() AS array<string>) END""".stripMargin)
-    d.select(col("doc_id"), posexplode(gs).as(Seq("p0", "g")))
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(gs).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
   }
   private val posWordGramsDuck =

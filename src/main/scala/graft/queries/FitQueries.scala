@@ -57,6 +57,7 @@ object FitQueries extends QueryFamily {
     var n = 0L
     for (_ <- 1 to emIters) {
       // E+M in one aggregation: responsibilities never materialize
+      // (param-as-broadcast-column rejected r15 — see f23Newton.corpus)
       val r = expr(respSql("x", s"CAST($f AS DOUBLE)",
         s"CAST($mu AS DOUBLE)", s"CAST($sig AS DOUBLE)"))
       val row = pts.agg(
@@ -1752,7 +1753,11 @@ object FitQueries extends QueryFamily {
     val s2w = c.getLong(3) / q12
     // one corpus aggregation per Newton step (a1 changes the per-event
     // term); a1 rides in as CAST('…' AS DOUBLE) so the driver double
-    // round-trips exactly
+    // round-trips exactly. REJECTED r15 alternative: a1 as a broadcast
+    // 1-row column (to keep generated source iteration-stable and skip
+    // the per-step janino compile) — measured SLOWER: the crossJoin
+    // added a broadcast job per step (21 → 28 jobs, steady 2.4 → 3.7 s
+    // solo); the compile it saves is first-pass-only and smaller.
     def corpus(a1: Double): (Double, Double, Double) = {
       val a1s = s"CAST('$a1' AS DOUBLE)"
       val r = ev

@@ -37,15 +37,18 @@ object SearchQueries extends QueryFamily {
   private def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
-      expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
+      expr(s"size(filter(ts, w -> w = '$t'))").as(s"tf$i")
     }
     // tokenize ONCE: the materialized (doc_id, dl, tf*) reduction feeds
     // both the stats aggregate and the scoring branch — without it the
     // text column is scanned and split twice, and the score>0 filter
     // gets pushed into the stats cross join where constraint inference
     // re-evaluates the tokenize lambdas per row
-    val base = d.select(Seq(col("doc_id"),
-      expr("size(split(text, ' '))").as("dl")) ++ tfCols: _*)
+    // tokenize ONCE per row below the tf projection: the per-term
+    // filter(split(text)) spelling re-split the text once per term
+    // plus once for dl (r15)
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(Seq(col("doc_id"), size(col("ts")).as("dl")) ++ tfCols: _*)
       .localCheckpoint()
     val statCols = Seq(
       count(lit(1)).as("n_docs"),
@@ -130,10 +133,13 @@ object SearchQueries extends QueryFamily {
   private def w08(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
-      expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
+      expr(s"size(filter(ts, w -> w = '$t'))").as(s"tf$i")
     }
-    val base = d.select(Seq(col("doc_id"),
-      expr("size(split(text, ' '))").as("dl")) ++ tfCols: _*)
+    // tokenize ONCE per row below the tf projection: the per-term
+    // filter(split(text)) spelling re-split the text once per term
+    // plus once for dl (r15)
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(Seq(col("doc_id"), size(col("ts")).as("dl")) ++ tfCols: _*)
       .localCheckpoint() // one tokenize: feeds the stats agg AND scoring
     val statCols = sum(col("dl")).cast("double").as("c_tokens") +:
       bmTerms.indices.map(i => sum(col(s"tf$i")).cast("double").as(s"cf$i"))
@@ -197,10 +203,13 @@ object SearchQueries extends QueryFamily {
   private def w10(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents")
     val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
-      expr(s"size(filter(split(text, ' '), w -> w = '$t'))").as(s"tf$i")
+      expr(s"size(filter(ts, w -> w = '$t'))").as(s"tf$i")
     }
-    val base = d.select(Seq(col("doc_id"),
-      expr("size(split(text, ' '))").as("dl")) ++ tfCols: _*)
+    // tokenize ONCE per row below the tf projection: the per-term
+    // filter(split(text)) spelling re-split the text once per term
+    // plus once for dl (r15)
+    val base = d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(Seq(col("doc_id"), size(col("ts")).as("dl")) ++ tfCols: _*)
       .localCheckpoint()
     val statCols = Seq(
       count(lit(1)).as("n_docs"),

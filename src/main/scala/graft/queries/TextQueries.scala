@@ -248,12 +248,16 @@ object TextQueries extends QueryFamily {
     // repartition: the O(distinct x total) per-doc probe otherwise runs
     // on the source's single input split (6.5 s -> ~0.5 s at sf0.1)
     val d = rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    // tokenize ONCE per doc in a projection below: the inlined
+    // split(text) re-ran per GRAM inside the lambda — O(tokens²)/doc
+    // (same fix as DedupQueries.wordGrams, r15)
     val gs = expr(
-      """CASE WHEN size(split(text, ' ')) >= 3
-        | THEN transform(sequence(1, size(split(text, ' ')) - 2),
-        |   i -> array_join(slice(split(text, ' '), i, 3), ' '))
+      """CASE WHEN size(ts) >= 3
+        | THEN transform(sequence(1, size(ts) - 2),
+        |   i -> array_join(slice(ts, i, 3), ' '))
         | ELSE CAST(array() AS array<string>) END""".stripMargin)
-    d.select(col("doc_id"), gs.as("gs"))
+    d.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), gs.as("gs"))
       .select(col("doc_id"),
         size(col("gs")).as("n_grams"),
         size(array_distinct(col("gs"))).as("n_distinct"),
