@@ -119,6 +119,11 @@ object GraftFunctions {
     PcmDecode(children(0))
   }
 
+  val byteValuesBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 1, "byte_values(blob)")
+    ByteValues(children(0))
+  }
+
   val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "jaro_winkler(a, b)")
     JaroWinklerExpr(children(0), children(1))
@@ -211,5 +216,9 @@ object GraftFunctions {
       new FunctionIdentifier("pcm_decode"),
       new ExpressionInfo(classOf[PcmDecode].getName, "pcm_decode"),
       pcmDecodeBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("byte_values"),
+      new ExpressionInfo(classOf[ByteValues].getName, "byte_values"),
+      byteValuesBuilder)
   }
 }

@@ -69,3 +69,51 @@ case class PcmDecode(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "pcm_decode"
 }
+
+/** Decode a binary blob as UNSIGNED byte values — `byte_values(blob)` →
+  * array<bigint> of 0-255, the per-byte view the video-style operators
+  * (x12 shot boundaries) frame-slice and histogram.
+  *
+  * Same rationale as [[PcmDecode]]: the SQL spelling reconstructed each
+  * byte with substring+conv(16) over a hex-string view inside a
+  * higher-order transform — interpreted, 2x the bytes, string-parsing
+  * per byte (r15: most of x12's ~2 s exec). This is a codegen'd tight
+  * loop over the raw bytes; the DuckDB oracle keeps the hex spelling —
+  * the cross-engine contract is the value.
+  */
+case class ByteValues(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName needs a binary argument")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Long](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+        long[] $out = new long[$bytes.length];
+        for (int $i = 0; $i < $bytes.length; $i++) {
+          $out[$i] = $bytes[$i] & 0xffL;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ByteValues =
+    copy(child = newChild)
+
+  override def prettyName: String = "byte_values"
+}

@@ -543,22 +543,24 @@ object MultimodalQueries extends QueryFamily {
   private val shotFrame = 16
   private val shotThresh = 6L
   private def x12(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
     val d = rd(s, dir, "documents")
     val nb = "octet_length(encode(text, 'UTF-8'))"
-    // two-level transform: decode each frame's bytes ONCE, then derive
-    // the 8 bin counts from the decoded array (a single-level form
-    // re-ran the conv() decode per bin — 8x the work)
+    // two-level transform: decode the blob's bytes ONCE (native
+    // byte_values — the hex substring+conv spelling string-parsed every
+    // byte inside the lambda, most of x12's ~2 s exec at sf0.1), frame
+    // it with slice, then derive the 8 bin counts per frame
     val frames =
       s"""transform(
          | transform(sequence(0, CAST((nbv - 1) div $shotFrame AS INT)),
-         |  f -> transform(sequence(f * $shotFrame + 1,
-         |                          least(f * $shotFrame + $shotFrame, nbv)),
-         |    i -> CAST(conv(substring(hx, i * 2 - 1, 2), 16, 10)
-         |         AS BIGINT))),
+         |  f -> slice(bv, f * $shotFrame + 1,
+         |             least($shotFrame, nbv - f * $shotFrame))),
          | fb -> transform(sequence(0, 7),
          |   b -> CAST(size(filter(fb, v -> v div 32 = b)) AS BIGINT)))""".stripMargin
     val fr = d.repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), expr(hexSpark).as("hx"), expr(nb).as("nbv"))
+      .select(col("doc_id"),
+        expr("byte_values(encode(text, 'UTF-8'))").as("bv"),
+        expr(nb).as("nbv"))
       .filter(col("nbv") > 0)
       .select(col("doc_id"), posexplode(expr(frames)).as(Seq("fidx0", "h")))
       .select(col("doc_id"), col("fidx0").cast("long").as("fidx"), col("h"))
