@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench-parse contract: the driver captures the process stdout
+// tail of `sbt "runMain graft.Bench"` and parses the LAST line as the
+// `BENCH_JSON {...}` marker. Two things defeated that in rounds 12-15
+// (parsed:null every round): sbt's default LoggedOutput strategy
+// decorates every forked-process line with `[info] `/`[error] `, and
+// sbt appends its own `[success] Total time: ...` epilogue after the
+// shutdown-hook marker. StdoutOutput passes the forked JVM's streams
+// through verbatim; showSuccess drops the epilogue — so the bench's
+// shutdown-hook `BENCH_JSON {...}` println is the true final stdout
+// line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,6 +58,35 @@ object Bench {
     if (sink == 42L) System.err.println("[bench] calib sink") // defeat DCE
     dt
   }
+  /** Multi-core companion to [[calibProbe]] (round-15 verdict item 2:
+    * the single-thread probe read 1.085 on a host whose multi-core
+    * throughput was 1.42× degraded — it cannot see core-contention at
+    * all). `threads` workers each run `McReps` calibRep iterations
+    * concurrently; on an uncontended host with >= threads free cores
+    * the wall time equals the single-thread per-rep time × McReps
+    * (perfect scaling), so the stamp is self-calibrating:
+    * `calib_mc_factor` = mc_wall / (calib_sec × McReps / CalibReps)
+    * ≈ 1.0 quiet, > 1 when the cores are oversubscribed or memory
+    * bandwidth is shared with other tenants. */
+  private val McReps = 2
+  private def calibProbeMc(threads: Int): Double = {
+    val sinks = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var sink = 0L
+        var r = 0
+        while (r < McReps) { sink ^= calibRep(t.toLong * 131 + r); r += 1 }
+        sinks.addAndGet(sink)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (sinks.get == 42L) System.err.println("[bench] mc calib sink")
+    dt
+  }
+
   /** Quiet-host probe time on the reference machine (local[32] host,
     * measured 2026-08-15: 3.335/3.385/3.385/3.268 s over two quiet
     * runs; pinned to the observed min). `calib_sec` near this value ⇒
@@ -70,6 +99,9 @@ object Bench {
     val calibBefore = calibProbe()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mcThreads =
+      math.max(2, math.min(scala.util.Try(cpus.toInt).getOrElse(32), 32))
+    val calibMcBefore = calibProbeMc(mcThreads)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -323,7 +355,13 @@ object Bench {
     // as calib_after >> calib_before. The normalization factor uses the
     // mean of the two probes.
     val calibAfter = calibProbe()
+    val calibMcAfter = calibProbeMc(mcThreads)
     val calibSec = (calibBefore + calibAfter) / 2.0
+    val calibMcSec = (calibMcBefore + calibMcAfter) / 2.0
+    // self-calibrating multi-core contention stamp: wall time of the
+    // threaded probe over its single-thread-ideal (see calibProbeMc)
+    val calibMcFactor =
+      calibMcSec / (calibSec * McReps.toDouble / CalibReps)
     val valueNormalized = total * (CalibNominalSec / calibSec)
     val valueSteadyNormalized = totalSteady * (CalibNominalSec / calibSec)
     // pipeline_sec budget gate (round-13 verdict ask #4): the committed
@@ -352,6 +390,8 @@ object Bench {
     val calibFields =
       f""""calib_before_sec":$calibBefore%.3f,"calib_after_sec":$calibAfter%.3f,""" +
         f""""calib_sec":$calibSec%.3f,"calib_nominal_sec":$CalibNominalSec%.2f,""" +
+        f""""calib_mc_sec":$calibMcSec%.3f,"calib_mc_threads":$mcThreads,""" +
+        f""""calib_mc_factor":$calibMcFactor%.3f,""" +
         f""""value_normalized":$valueNormalized%.1f,""" +
         f""""value_steady_normalized":$valueSteadyNormalized%.1f"""
     // Load-factor self-stamp: median per-query ratio of THIS run vs the
