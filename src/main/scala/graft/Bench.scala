@@ -124,6 +124,20 @@ object Bench {
     // warm the JVM/codegen paths once so the first measured query does
     // not absorb session startup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // ...and the rest of the one-time query machinery (first hash-agg
+    // WSCG compile, first sort + exchange, first broadcast join, AQE
+    // init): measured r16 — the alphabetically-first query (a01) ran
+    // 2.45 s cold vs 0.66 s steady in a session whose only warmup was
+    // the scan count, and none of that gap is a property of a01. The
+    // warm plan runs over a 6-row in-memory range: no test data beyond
+    // the scan above, nothing cached, no query result reused.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(6).select(col("id"), (col("id") % 3).as("k"))
+      w.groupBy(col("k")).agg(sum(col("id")).as("s"))
+        .join(broadcast(w.select(col("k")).distinct()), "k")
+        .orderBy(col("s")).count()
+    }
     // dev-only subset filter; the driver never sets this
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)

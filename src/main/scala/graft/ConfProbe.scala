@@ -5,25 +5,23 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only diagnostic main (not part of the driver contract): splits a
-  * registered query's wall time into BUILD (the fn() call — includes any
-  * driver-loop jobs like localCheckpoint/Newton steps), PLAN (force
-  * executedPlan), and EXEC (count()), over three consecutive runs in one
-  * JVM, with the Janino codegen-compile counters and the scheduled-job
-  * count per run. Run 1 vs run 2+ separates codegen/JIT compile cost
-  * (janino caches on identical generated source) from steady planning +
-  * execution, which is exactly the attribution the optimization round
-  * needs for the zero-shuffle 2 s class.
+/** Dev-only diagnostic main (not part of the driver contract): times a
+  * registered query like [[PhaseProbe]] but with arbitrary session confs
+  * applied first, so a conf hypothesis ("the loop's per-job cost is the
+  * 32-wide tiny shuffles") can be A/B'd without touching the query.
   *
-  * usage: graft.PhaseProbe <q1,q2,...> [sfDir] [reps]
+  * usage: graft.ConfProbe <q1,q2,...> <sfDir> <reps> [k=v ...]
   */
-object PhaseProbe {
+object ConfProbe {
   def main(args: Array[String]): Unit = {
     val names = args(0).split(',').toSeq
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 3
+    val sfDir = args(1)
+    val reps = args(2).toInt
+    val confs = args.drop(3).map { kv =>
+      val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -34,7 +32,8 @@ object PhaseProbe {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    confs.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
@@ -45,7 +44,6 @@ object PhaseProbe {
     })
     val cg = org.apache.spark.metrics.source.CodegenMetrics
     def cgCount: Long = cg.METRIC_COMPILATION_TIME.getCount
-    def cgMeanMs: Double = cg.METRIC_COMPILATION_TIME.getSnapshot.getMean
 
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
@@ -56,17 +54,13 @@ object PhaseProbe {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val t1 = System.nanoTime()
-        df.queryExecution.executedPlan
-        val t2 = System.nanoTime()
         df.count()
-        val t3 = System.nanoTime()
+        val t2 = System.nanoTime()
         org.apache.spark.sql.classic.GraftBridge
           .drainListenerBus(spark.sparkContext, 2000L)
-        val j1 = jobs.get; val c1 = cgCount
-        println(f"PROBE $name%-26s run$i total ${(t3 - t0) / 1e9}%6.3f  " +
-          f"build ${(t1 - t0) / 1e9}%6.3f  plan ${(t2 - t1) / 1e9}%6.3f  " +
-          f"exec ${(t3 - t2) / 1e9}%6.3f  jobs ${j1 - j0}%3d  " +
-          f"cgComp ${c1 - c0}%3d (mean ${cgMeanMs}%5.1f ms)")
+        println(f"CPROBE $name%-26s run$i total ${(t2 - t0) / 1e9}%6.3f  " +
+          f"build ${(t1 - t0) / 1e9}%6.3f  exec ${(t2 - t1) / 1e9}%6.3f  " +
+          f"jobs ${jobs.get - j0}%3d  cgComp ${cgCount - c0}%3d")
       }
     }
     spark.stop()

@@ -22,8 +22,10 @@ object OneQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same <outDir>/<name>/ layout as Verify, so
+    // tools/check_correctness.py reads the dump unmodified
     SparkEntry.queries(name)(spark, sfDir)
-      .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/$name")
     val sql = SparkEntry.oracleSql.get(name)
     // full JSON string escape (Verify's convention): backslash, quote,
     // and ALL control chars — a tab or CR in the SQL must not emit

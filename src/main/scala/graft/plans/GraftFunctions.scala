@@ -124,6 +124,27 @@ object GraftFunctions {
     ByteValues(children(0))
   }
 
+  val sortedLowerCountBuilder: Seq[Expression] => Expression = { children =>
+    require(children.size == 2, "sorted_lower_count(x, sorted_lows_array)")
+    require(children(1).foldable,
+      "sorted_lower_count: lows must be a literal (foldable) array")
+    val et = children(1).dataType match {
+      case org.apache.spark.sql.types.ArrayType(e, _) => e
+      case other => throw new IllegalArgumentException(
+        s"sorted_lower_count: second arg must be an array, got $other")
+    }
+    val lows = children(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(et)
+      .map {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"sorted_lower_count: non-numeric lows element $other")
+      }.toSeq
+    SortedLowerCount(children(0), lows)
+  }
+
   val jaroWinklerBuilder: Seq[Expression] => Expression = { children =>
     require(children.size == 2, "jaro_winkler(a, b)")
     JaroWinklerExpr(children(0), children(1))
@@ -220,5 +241,9 @@ object GraftFunctions {
       new FunctionIdentifier("byte_values"),
       new ExpressionInfo(classOf[ByteValues].getName, "byte_values"),
       byteValuesBuilder)
+    reg.registerFunction(
+      new FunctionIdentifier("sorted_lower_count"),
+      new ExpressionInfo(classOf[SortedLowerCount].getName, "sorted_lower_count"),
+      sortedLowerCountBuilder)
   }
 }

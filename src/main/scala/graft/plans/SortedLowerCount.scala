@@ -32,6 +32,11 @@ case class SortedLowerCount(child: Expression, lows: Seq[Double])
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false
 
+  // the early-exit scan silently undercounts on an unsorted table, so
+  // misuse must be impossible: checked once, driver-side, at plan build
+  require(lows.sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+    "sorted_lower_count requires an ascending-sorted lows table")
+
   private lazy val arr: Array[Double] = lows.toArray
 
   private def count(x: Double): Int = {

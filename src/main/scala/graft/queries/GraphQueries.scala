@@ -289,11 +289,17 @@ object GraphQueries extends QueryFamily {
     // wedges. (s, t) pairs are fine-grained, so no salting is needed
     // on this leg; the e1⋈e2 join itself sorts only EDGES (small).
     val s = oriented.sparkSession
-    val outd = oriented.groupBy(col("s").as("m")).agg(count(lit(1)).as("od"))
-    val stats = oriented.as("e")
-      .join(outd, col("e.t") === col("m"), "left")
-      .agg(coalesce(sum(coalesce(col("od"), lit(0L))), lit(0L)).as("tw"),
-        count(lit(1)).as("ne")).head()
+    // wedge bill Σ_e outdeg(t(e)) = Σ_m outdeg(m)·indeg(m), priced in
+    // ONE union+groupBy pass over the checkpointed edges (r16: the
+    // former groupBy + join + agg spelling paid a second shuffle and an
+    // extra AQE stage job for the same two numbers; edge count rides
+    // along as Σ outdeg)
+    val stats = oriented
+      .select(col("s").as("n"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionAll(oriented.select(col("t").as("n"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy(col("n")).agg(sum(col("o")).as("od"), sum(col("i")).as("ind"))
+      .agg(coalesce(sum(col("od") * col("ind")), lit(0L)).as("tw"),
+        coalesce(sum(col("od")), lit(0L)).as("ne")).head()
     val totalWedges = stats.getLong(0)
     val edgeCount = stats.getLong(1)
     checkWedgeCap(s, totalWedges, "orientedTriangles")
@@ -488,6 +494,12 @@ object GraphQueries extends QueryFamily {
       .filter(col("node") < 5L)
       .withColumn("hop", lit(0L))
       .localCheckpoint()
+    // NOTE (r16): the d22/g13 two-rounds-per-checkpoint batching was
+    // tried here and measured SLOWER (2.1 vs 1.5 s steady, job count
+    // flat at ~37): this recurrence references `dist` three times per
+    // hop (frontier filter, anti-join, union), so the batched plan
+    // re-executes the frontier join per reference and the extra AQE
+    // stages eat the checkpoint saving. Checkpoint-per-hop stays.
     for (h <- 1 to bfsMaxHops) {
       val frontier = dist.filter(col("hop") === (h - 1).toLong)
       val next = frontier.join(und, frontier("node") === und("src"))
@@ -683,6 +695,11 @@ object GraphQueries extends QueryFamily {
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint() // every peel round re-reads THIS
     var surv = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    // NOTE (r16): the d22/g13 two-rounds-per-checkpoint batching was
+    // tried here and measured FLAT (jobs 39 -> 28 but steady unchanged):
+    // each peel round references `surv` twice and the batched pair
+    // re-executes the full edge-table degree join per reference, eating
+    // exactly the job saving. Checkpoint-per-round stays.
     var deg = surv // placeholder; rebound each round
     for (_ <- 1 to kcoreRounds) {
       deg = sym
@@ -746,6 +763,9 @@ object GraphQueries extends QueryFamily {
       .filter(col("node") < 4L)
       .select(col("node").as("lm"), col("node"), lit(0L).as("hop"))
       .localCheckpoint()
+    // NOTE (r16): two-hops-per-checkpoint batching measured SLOWER here
+    // (see g08 — the 3-reference recurrence re-executes the frontier
+    // join per reference); checkpoint-per-hop stays.
     for (h <- 1 to bfsMaxHops) {
       val frontier = dist.filter(col("hop") === (h - 1).toLong)
       val next = frontier.join(und, frontier("node") === und("src"))
@@ -826,34 +846,52 @@ object GraphQueries extends QueryFamily {
         .join(active.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(active.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
-      // forward min-id color propagation, fixed hops, checkpoint per hop
-      // (these are tiny tables — the checkpoints exist to keep every
-      // plan flat; measured faster than batching lineage 4-deep, because
-      // the cost here is Catalyst planning depth, not I/O)
+      // forward min-id color propagation, fixed hops. Checkpoint every
+      // TWO hops (r16): one hop references the previous color table
+      // twice, so an uncheckpointed chain doubles per hop — but two hops
+      // on a checkpointed LEAF is only 4 scans of an in-memory table,
+      // while the eager-checkpoint job count (the dominant cost: 91
+      // scheduled jobs for this query at ~45 ms each) drops by half.
+      // (Batching 4-deep was measured slower in r15 — Catalyst planning
+      // depth overtakes the job saving at 16 leaf refs; 2-deep is the
+      // measured sweet spot.) Same fixed hop count, identical colors.
       var c = active.select(col("node"), col("node").as("c"))
-      for (_ <- 1 to sccHops) {
-        val inMin = eAct
-          .join(c.withColumnRenamed("node", "src").withColumnRenamed("c", "cs"),
-            Seq("src"))
-          .groupBy(col("dst").as("node")).agg(min(col("cs")).as("cin"))
-        c = c.join(inMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("c"), coalesce(col("cin"), col("c"))).as("c"))
-          .localCheckpoint()
+      var hf = 0
+      while (hf < sccHops) {
+        val step = math.min(2, sccHops - hf)
+        var cc = c
+        for (_ <- 1 to step) {
+          val inMin = eAct
+            .join(cc.withColumnRenamed("node", "src").withColumnRenamed("c", "cs"),
+              Seq("src"))
+            .groupBy(col("dst").as("node")).agg(min(col("cs")).as("cin"))
+          cc = cc.join(inMin, Seq("node"), "left")
+            .select(col("node"),
+              least(col("c"), coalesce(col("cin"), col("c"))).as("c"))
+        }
+        c = cc.localCheckpoint()
+        hf += step
       }
       // backward reach to the color owner, restricted to the color class
+      // (same two-hops-per-checkpoint batching as the forward pass)
       var m = c.withColumn("m", (col("node") === col("c")).cast("int"))
-      for (_ <- 1 to sccHops) {
-        val hits = eAct
-          .join(m.select(col("node").as("dst"), col("c").as("wc"),
-            col("m").as("wm")), Seq("dst"))
-          .filter(col("wm") === 1)
-          .select(col("src").as("node"), col("wc").as("c"))
-          .distinct().withColumn("hit", lit(1))
-        m = m.join(hits, Seq("node", "c"), "left")
-          .select(col("node"), col("c"),
-            greatest(col("m"), coalesce(col("hit"), lit(0))).as("m"))
-          .localCheckpoint()
+      var hb = 0
+      while (hb < sccHops) {
+        val step = math.min(2, sccHops - hb)
+        var mm = m
+        for (_ <- 1 to step) {
+          val hits = eAct
+            .join(mm.select(col("node").as("dst"), col("c").as("wc"),
+              col("m").as("wm")), Seq("dst"))
+            .filter(col("wm") === 1)
+            .select(col("src").as("node"), col("wc").as("c"))
+            .distinct().withColumn("hit", lit(1))
+          mm = mm.join(hits, Seq("node", "c"), "left")
+            .select(col("node"), col("c"),
+              greatest(col("m"), coalesce(col("hit"), lit(0))).as("m"))
+        }
+        m = mm.localCheckpoint()
+        hb += step
       }
       val cls = m.filter(col("m") === 1)
         .select(col("node"), col("c").as("scc_id"))
@@ -982,6 +1020,11 @@ object GraphQueries extends QueryFamily {
     var lab = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     var out = qOf(lab, 0)
+    // NOTE (r16): removing the in-loop checkpoints (deriving all rounds
+    // in one final plan) was tried and measured SLOWER (3.7-4.8 vs
+    // 2.9-4.0 s: the O(rounds²) re-derivation plus ~50 extra codegen
+    // fragments per run outweigh the saved checkpoint jobs).
+    // Checkpoint-per-round stays.
     for (r <- 1 to lpIters) {
       val cnt = edges.join(lab, col("b") === col("node"))
         .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))

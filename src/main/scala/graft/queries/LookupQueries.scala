@@ -17,7 +17,9 @@ object LookupQueries extends QueryFamily {
     * index arithmetic). Replaces the `size(filter(typedLit(...)))` HOF
     * spelling, which is CodegenFallback and interpreted the whole
     * projection per row (see SortedLowerCount). Identical semantics,
-    * including NULL/NaN x -> 0. */
+    * including the edges: NULL x -> 0, NaN x -> lows.length (NaN is the
+    * LARGEST double in Spark SQL's total order, so `b <= NaN` is true
+    * for every b — pinned in SortedLowerCountSpec). */
   private def lowerCount(x: org.apache.spark.sql.Column, lows: Seq[Double]) =
     org.apache.spark.sql.classic.GraftBridge.column(
       graft.plans.SortedLowerCount(

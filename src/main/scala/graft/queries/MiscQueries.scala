@@ -619,13 +619,26 @@ object MiscQueries extends QueryFamily {
       .union(coreEdges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
     var labels = core.select(col("id"), col("id").as("label"))
-    for (_ <- 1 to dbIters) {
-      val nb = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbmin"))
-      labels = labels.join(nb, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
-        .localCheckpoint()
+    // two propagation rounds per localCheckpoint (r16): one round's
+    // recurrence references `labels` twice (the nb join and the merge),
+    // so uncheckpointed plan size doubles per round — but two rounds on
+    // top of a checkpointed LEAF is only 4 references to an in-memory
+    // scan, while the checkpoint count (and its eager job + AQE stage
+    // jobs, the dominant cost of this loop at ~70 scheduled jobs) halves.
+    // Same math, same 8 rounds, identical labels — oracle-checked.
+    var it = 0
+    while (it < dbIters) {
+      val step = math.min(2, dbIters - it)
+      var l = labels
+      for (_ <- 1 to step) {
+        val nb = sym.join(l, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbmin"))
+        l = l.join(nb, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbmin"), col("label"))).as("label"))
+      }
+      labels = l.localCheckpoint()
+      it += step
     }
     val coreOut = labels.select(col("id"), lit("core").as("role"),
       col("label").as("cluster"))

@@ -49,4 +49,25 @@ class SortedLowerCountSpec extends SparkSpec {
     assert(SortedLowerCount(org.apache.spark.sql.catalyst.expressions.Literal(
       null, org.apache.spark.sql.types.DoubleType), lows).eval(null) == 0)
   }
+
+  test("rejects an unsorted lows table at construction") {
+    intercept[IllegalArgumentException] {
+      SortedLowerCount(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+        Seq(0.0, 2.0, 1.0))
+    }
+  }
+
+  test("SQL surface: sorted_lower_count(x, array) matches the HOF") {
+    graft.plans.GraftFunctions.register(spark)
+    val arr = lows.mkString("array(", ", ", ")")
+    val df = spark.range(1).selectExpr(
+      s"sorted_lower_count(0.5D, $arr) AS a",
+      s"sorted_lower_count(CAST(NULL AS DOUBLE), $arr) AS b",
+      s"sorted_lower_count(CAST('NaN' AS DOUBLE), $arr) AS c")
+    val r = df.collect()(0)
+    assert(r.getInt(0) == lows.count(_ <= 0.5))
+    assert(r.getInt(1) == 0)
+    assert(r.getInt(2) == lows.length)
+  }
 }
